@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operator shapes from the reference's inventory
+  * (SURVEY.md §2), generalized over key/order/value columns. All are
+  * declarative DataFrame compositions — Catalyst plans them, so filter
+  * pushdown / column pruning / AQE join planning come for free, and each
+  * shape costs at most one shuffle.
+  */
+object Relational {
+
+  /** Keep the most recent row per group — reference `src/features/massey.py:52-59`
+    * (latest ranking per system) and `jobs/06_build_silver_rolling.py:51-57`
+    * (end-of-season snapshot). `row_number` over a descending order, keep
+    * rn==1. One shuffle on the partition keys; the caller must make
+    * `orderDesc` a total order for determinism.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderDesc.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Trailing-window averages that EXCLUDE the current row (anti-leakage
+    * "causal rolling momentum") — reference `src/features/rolling.py:79-93`:
+    * frame `rowsBetween(-n, -1)`, null when the frame is empty (first row of
+    * a group). Emits one `roll<Name>` column per (name -> value expr).
+    */
+  def trailingAvg(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      n: Int,
+      values: Seq[(String, Column)]): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(-n, -1)
+    values.foldLeft(df) { case (d, (name, v)) =>
+      d.withColumn(name, avg(v).over(w))
+    }
+  }
+
+  /** Two-sided feature attach — the reference's dominant join pattern
+    * (`src/features/basketball_features_plus.py:91-98`): one per-entity
+    * feature table left-joined twice onto a fact, once per role column.
+    * `featurePrefixes` renames feature cols to `<prefix><col>` per side.
+    * Small feature tables broadcast (AQE or explicit); at 100 TB the fact
+    * side never shuffles when both attaches broadcast.
+    */
+  def twoSidedAttach(
+      fact: DataFrame,
+      features: DataFrame,
+      commonKeys: Seq[String],
+      entityKey: String,
+      side1: (String, String),
+      side2: (String, String)): DataFrame = {
+    val featCols = features.columns.filterNot(c => commonKeys.contains(c) || c == entityKey)
+    def sided(roleCol: String, prefix: String): DataFrame = {
+      val renamed = featCols.foldLeft(features)((d, c) => d.withColumnRenamed(c, prefix + c))
+      renamed.withColumnRenamed(entityKey, roleCol)
+    }
+    fact
+      .join(sided(side1._1, side1._2), commonKeys :+ side1._1, "left")
+      .join(sided(side2._1, side2._2), commonKeys :+ side2._1, "left")
+  }
+
+  /** Symmetric union — reference `jobs/03_build_gold_training_set.py:39-60`:
+    * each fact row emitted from both perspectives (label 1 / label 0) so a
+    * downstream model can't learn column-order bias. Narrow op: no shuffle.
+    */
+  def symmetricUnion(
+      df: DataFrame,
+      perspective1: DataFrame => DataFrame,
+      perspective2: DataFrame => DataFrame): DataFrame =
+    perspective1(df).unionByName(perspective2(df))
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation over the testdata tables at
+  * `sfDir`, plus (when SQL-expressible) a DuckDB oracle computing the same
+  * result on the same parquet files. Column names and row/column ordering
+  * must match the oracle exactly — the driver hash-compares values.
+  *
+  * Determinism rules used by every query here:
+  *  - every output is totally ordered (explicit ORDER BY both sides);
+  *  - float aggregates go through exact DECIMAL sums (both engines sum
+  *    decimals exactly, so the final cast to double is bit-identical),
+  *    never through order-dependent double accumulation;
+  *  - order-sensitive folds are checked with DuckDB `list_reduce`, which
+  *    left-folds in list order — the same IEEE op sequence as our
+  *    secondary-sort fold, so doubles match bit-for-bit.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String])(
+    val run: (SparkSession, String) => DataFrame)
+
+object Registry {
+  def all: Seq[Q] =
+    CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all
+
+  def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run each oracle SQL
+in DuckDB over the sf tables and compare (schema + values) against the
+parquet the Verify main dumped. Usage: check.py <verify_outdir> <sf_dir>."""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+    exp = canon(con.execute(sql).df())
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        fails += 1
+        continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        fails += 1
+        continue
+    bad = []
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if g.dtype.kind == "f" or e.dtype.kind == "f":
+            ok = ((g.isna() & e.isna()) | (g == e)).all()
+        else:
+            ok = g.astype(object).where(pd.notna(g), None).equals(
+                e.astype(object).where(pd.notna(e), None))
+        if not ok:
+            bad.append(c)
+    if bad:
+        print(f"FAIL {name}: value mismatch in {bad}")
+        for c in bad[:2]:
+            m = ~(((got[c].isna()) & (exp[c].isna())) | (got[c] == exp[c]))
+            print(pd.DataFrame({"got": got[c][m], "exp": exp[c][m]}).head(5))
+        fails += 1
+    else:
+        print(f"ok   {name} ({len(got)} rows)")
+
+# queries without oracle: rows-only check
+allq = [d.split("/")[-1] for d in glob.glob(f"{outdir}/*") if not d.endswith(".json")]
+for name in sorted(set(allq) - set(oracle)):
+    n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+    print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+    if n == 0:
+        fails += 1
+
+print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
