@@ -58,11 +58,13 @@ object Relational {
       commonKeys: Seq[String],
       entityKey: String,
       side1: (String, String),
-      side2: (String, String)): DataFrame = {
+      side2: (String, String),
+      broadcastFeatures: Boolean = true): DataFrame = {
     val featCols = features.columns.filterNot(c => commonKeys.contains(c) || c == entityKey)
     def sided(roleCol: String, prefix: String): DataFrame = {
       val renamed = featCols.foldLeft(features)((d, c) => d.withColumnRenamed(c, prefix + c))
-      renamed.withColumnRenamed(entityKey, roleCol)
+        .withColumnRenamed(entityKey, roleCol)
+      if (broadcastFeatures) broadcast(renamed) else renamed
     }
     fact
       .join(sided(side1._1, side1._2), commonKeys :+ side1._1, "left")

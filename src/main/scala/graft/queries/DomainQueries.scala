@@ -1,9 +1,222 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.marchmania._
+
 /** March-mania domain operator coverage (SURVEY.md §2.13) over a games
-  * table derived deterministically from the synthetic data. Filled in
-  * incrementally; see graft.marchmania for the operator implementations.
+  * table derived deterministically from `orders` (so the DuckDB oracle can
+  * derive the identical table). Construction guarantees WTeamID ∈ [0,40) ≠
+  * LTeamID ∈ [50,90) and WScore ∈ [60,101) > LScore ∈ [30,60).
   */
 object DomainQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Synthetic Kaggle-shaped games table. Keep in sync with [[GamesSql]]. */
+  def games(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      year(col("o_orderdate")).as("Season"),
+      dayofyear(col("o_orderdate")).as("DayNum"),
+      col("o_orderkey").as("GameId"),
+      (col("o_custkey") % 40).cast("int").as("WTeamID"),
+      (lit(50) + col("o_orderkey") % 40).cast("int").as("LTeamID"),
+      (lit(60) + col("o_orderkey") % 41).cast("int").as("WScore"),
+      (lit(30) + col("o_custkey") % 30).cast("int").as("LScore"))
+
+  /** DuckDB CTEs mirroring [[games]] + the long (two-perspective) view. */
+  private val GamesSql: String = """
+    |WITH games AS (
+    |  SELECT CAST(year(o_orderdate) AS INTEGER) AS Season,
+    |         CAST(dayofyear(o_orderdate) AS INTEGER) AS DayNum,
+    |         o_orderkey AS GameId,
+    |         CAST(o_custkey % 40 AS INTEGER) AS WTeamID,
+    |         CAST(50 + o_orderkey % 40 AS INTEGER) AS LTeamID,
+    |         CAST(60 + o_orderkey % 41 AS INTEGER) AS WScore,
+    |         CAST(30 + o_custkey % 30 AS INTEGER) AS LScore
+    |  FROM orders),
+    |long AS (
+    |  SELECT Season, DayNum, GameId, WTeamID AS TeamID, LTeamID AS OpponentID,
+    |         WScore AS PointsFor, LScore AS PointsAgainst, 1 AS Win
+    |  FROM games
+    |  UNION ALL
+    |  SELECT Season, DayNum, GameId, LTeamID, WTeamID, LScore, WScore, 0
+    |  FROM games),
+    |stats AS (
+    |  SELECT Season, TeamID,
+    |         count(*) AS Games,
+    |         CAST(sum(Win) AS BIGINT) AS Wins,
+    |         CAST(count(*) - sum(Win) AS BIGINT) AS Losses,
+    |         CAST(sum(Win) AS DOUBLE) / count(*) AS WinRate,
+    |         avg(PointsFor) AS AvgPointsFor,
+    |         avg(PointsAgainst) AS AvgPointsAgainst,
+    |         avg(PointsFor - PointsAgainst) AS AvgPointDiff
+    |  FROM long GROUP BY Season, TeamID)
+    |""".stripMargin
+
+  val all: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22)
+
+  /** §2.13-1: team-season stats (U2+A1). */
+  def q16: Q = Q(
+    "q16_team_season_stats",
+    Some(GamesSql + "SELECT * FROM stats ORDER BY Season, TeamID")) { (s, dir) =>
+    TeamSeasonStats.build(games(s, dir))
+      .withColumn("Wins", col("Wins").cast("long"))
+      .withColumn("Losses", col("Losses").cast("long"))
+      .orderBy(col("Season"), col("TeamID"))
+  }
+
+  /** §2.13-3: causal rolling momentum (W1) over the long game table,
+    * trailing 3 games, excluding the current row; null on season's first
+    * game. */
+  def q17: Q = Q(
+    "q17_rolling_momentum",
+    Some(GamesSql + """
+      |SELECT Season, TeamID, DayNum, GameId, Win,
+      |       avg(Win) OVER w AS RollWinRate,
+      |       avg(PointsFor - PointsAgainst) OVER w AS RollAvgPointDiff
+      |FROM long
+      |WINDOW w AS (PARTITION BY Season, TeamID ORDER BY DayNum, GameId
+      |             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+      |ORDER BY Season, TeamID, DayNum, GameId
+      |""".stripMargin)) { (s, dir) =>
+    Rolling.features(LongGames.build(games(s, dir)), n = 3)
+      .select(
+        col("Season"), col("TeamID"), col("DayNum"), col("GameId"), col("Win"),
+        col("RollWinRate"), col("RollAvgPointDiff"))
+      .orderBy(col("Season"), col("TeamID"), col("DayNum"), col("GameId"))
+  }
+
+  /** §2.13-5: seed parsing (F2) on synthesized seed strings ("W01".."Z16",
+    * play-in 'a' suffix on every 7th). */
+  def q18: Q = Q(
+    "q18_seed_parse",
+    Some("""
+      |WITH seeds AS (
+      |  SELECT 2024 AS Season, CAST(p_partkey AS INTEGER) AS TeamID,
+      |         substring('WXYZ', CAST(p_partkey % 4 AS INTEGER) + 1, 1)
+      |           || lpad(CAST(p_size % 16 + 1 AS VARCHAR), 2, '0')
+      |           || CASE WHEN p_partkey % 7 = 0 THEN 'a' ELSE '' END AS Seed
+      |  FROM part)
+      |SELECT Season, TeamID, Seed,
+      |       regexp_extract(Seed, '^([A-Z])([0-9]{2})', 1) AS SeedRegion,
+      |       CAST(regexp_extract(Seed, '^([A-Z])([0-9]{2})', 2) AS INTEGER) AS SeedNum
+      |FROM seeds ORDER BY TeamID
+      |""".stripMargin)) { (s, dir) =>
+    val seeds = Tables.part(s, dir).select(
+      lit(2024).as("Season"),
+      col("p_partkey").cast("int").as("TeamID"),
+      concat(
+        expr("substring('WXYZ', cast(p_partkey % 4 as int) + 1, 1)"),
+        lpad((col("p_size") % 16 + 1).cast("string"), 2, "0"),
+        when(col("p_partkey") % 7 === 0, lit("a")).otherwise(lit(""))).as("Seed"))
+    Seeds.parse(seeds).orderBy(col("TeamID"))
+  }
+
+  /** §2.13-6: Massey-style ranking consensus (W2+A2): latest ranking per
+    * (team, system) then mean/median/count across systems. Ordinals derived
+    * from events (system := event_type). */
+  def q19: Q = Q(
+    "q19_massey_consensus",
+    Some("""
+      |WITH ord AS (
+      |  SELECT 2024 AS Season, CAST(user_id AS INTEGER) AS TeamID,
+      |         event_type AS SystemName,
+      |         CAST(event_id % 100 AS INTEGER) AS RankingDayNum,
+      |         CAST(event_id % 200 + 1 AS INTEGER) AS OrdinalRank,
+      |         event_id
+      |  FROM events),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY Season, TeamID, SystemName
+      |      ORDER BY RankingDayNum DESC, event_id DESC) AS rn
+      |    FROM ord) WHERE rn = 1)
+      |SELECT Season, TeamID,
+      |       CAST(sum(OrdinalRank) AS DOUBLE) / count(*) AS MasseyMeanRank,
+      |       quantile_cont(OrdinalRank, 0.5) AS MasseyMedianRank,
+      |       count(*) AS Systems
+      |FROM latest GROUP BY Season, TeamID ORDER BY TeamID
+      |""".stripMargin)) { (s, dir) =>
+    val ordinals = Tables.events(s, dir).select(
+      lit(2024).as("Season"),
+      col("user_id").cast("int").as("TeamID"),
+      col("event_type").as("SystemName"),
+      (col("event_id") % 100).cast("int").as("RankingDayNum"),
+      (col("event_id") % 200 + 1).cast("int").as("OrdinalRank"),
+      col("event_id"))
+    Massey.consensus(ordinals, tieBreak = Seq(col("event_id")))
+      .orderBy(col("TeamID"))
+  }
+
+  /** §2.13-7: strength of schedule (J7+A3) — mean opponent WinRate and
+    * AvgPointDiff per team-season. */
+  def q20: Q = Q(
+    "q20_strength_of_schedule",
+    Some(GamesSql + """
+      |SELECT g.Season, g.TeamID,
+      |       CAST(sum(CAST(st.WinRate AS DECIMAL(18,9))) AS DOUBLE)
+      |         / count(st.WinRate) AS SosOppWinRate,
+      |       CAST(sum(CAST(st.AvgPointDiff AS DECIMAL(18,9))) AS DOUBLE)
+      |         / count(st.AvgPointDiff) AS SosOppAvgPointDiff
+      |FROM long g
+      |LEFT JOIN stats st ON g.Season = st.Season AND g.OpponentID = st.TeamID
+      |GROUP BY g.Season, g.TeamID
+      |ORDER BY g.Season, g.TeamID
+      |""".stripMargin)) { (s, dir) =>
+    val g = games(s, dir)
+    Sos.build(
+      LongGames.build(g),
+      TeamSeasonStats.build(g),
+      Seq("SosOppWinRate" -> "WinRate", "SosOppAvgPointDiff" -> "AvgPointDiff"))
+      .orderBy(col("Season"), col("TeamID"))
+  }
+
+  /** §2.13-4: season-reset ELO via the secondary-sort ordered fold (A6).
+    * Not SQL-expressible (per-team map state over an ordered stream) →
+    * rows-only driver check; exact-value coverage lives in EloSpec
+    * (hand-computed 3-game fixture) and the zero-sum invariant test.
+    */
+  def q21: Q = Q(
+    "q21_season_elo",
+    None) { (s, dir) =>
+    Elo.perSeason(games(s, dir))
+      .orderBy(col("Season"), col("TeamID"))
+  }
+
+  /** §2.13-8/9: symmetric labeled matchups (U3) + two-sided feature attach
+    * (J1-J6) + delta features (P3) + essential-feature dropna (P5) — the
+    * reference's Gold training table shape. */
+  def q22: Q = Q(
+    "q22_matchup_features",
+    Some(GamesSql + """
+      |, matchups AS (
+      |  SELECT Season, GameId, WTeamID AS Team1, LTeamID AS Team2, 1 AS label
+      |  FROM games
+      |  UNION ALL
+      |  SELECT Season, GameId, LTeamID, WTeamID, 0 FROM games)
+      |SELECT m.Season, m.GameId, m.Team1, m.Team2, m.label,
+      |       s1.WinRate AS T1_WinRate, s2.WinRate AS T2_WinRate,
+      |       s1.AvgPointDiff AS T1_AvgPointDiff, s2.AvgPointDiff AS T2_AvgPointDiff,
+      |       s1.WinRate - s2.WinRate AS WinRateDiff,
+      |       s1.AvgPointDiff - s2.AvgPointDiff AS AvgPointDiffDiff
+      |FROM matchups m
+      |LEFT JOIN stats s1 ON m.Season = s1.Season AND m.Team1 = s1.TeamID
+      |LEFT JOIN stats s2 ON m.Season = s2.Season AND m.Team2 = s2.TeamID
+      |WHERE s1.WinRate - s2.WinRate IS NOT NULL
+      |  AND s1.AvgPointDiff - s2.AvgPointDiff IS NOT NULL
+      |ORDER BY m.Season, m.GameId, m.label
+      |""".stripMargin)) { (s, dir) =>
+    val g = games(s, dir)
+    val stats = TeamSeasonStats.build(g)
+      .select("Season", "TeamID", "WinRate", "AvgPointDiff")
+    val attached = Matchups.attachFeatures(
+      Matchups.buildLabeled(g), stats, diffCols = Seq("WinRate", "AvgPointDiff"))
+    Matchups.dropIncomplete(attached, Seq("WinRateDiff", "AvgPointDiffDiff"))
+      .select(
+        col("Season"), col("GameId"), col("Team1"), col("Team2"), col("label"),
+        col("T1_WinRate"), col("T2_WinRate"),
+        col("T1_AvgPointDiff"), col("T2_AvgPointDiff"),
+        col("WinRateDiff"), col("AvgPointDiffDiff"))
+      .orderBy(col("Season"), col("GameId"), col("label"))
+  }
 }

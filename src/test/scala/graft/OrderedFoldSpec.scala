@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.OrderedFold
+
+class OrderedFoldSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val outSchema = StructType(Seq(
+    StructField("k", IntegerType, nullable = false),
+    StructField("acc", LongType, nullable = false)))
+
+  private def runFold(rows: Seq[(Int, Int, Long)], parts: Int): Map[Int, Long] = {
+    val df = rows.toDF("k", "ord", "v").repartition(parts)
+    OrderedFold.foldGroups[Long](
+      df, Seq("k"), Seq(col("ord")), outSchema)(
+      init = _ => 0L,
+      step = (acc, r) => acc * 31L + r.getLong(2),
+      emit = (last, acc) => Iterator(Row(last.getInt(0), acc)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  private def expected(rows: Seq[(Int, Int, Long)]): Map[Int, Long] =
+    rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(_._2).map(_._3).foldLeft(0L)((a, v) => a * 31L + v)
+    }
+
+  test("fold equals sequential per-key fold regardless of input partitioning") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = rnd.nextInt(120)
+      // index as the order column -> (k, ord) unique, expected order total
+      val rows = (0 until n).map(i => (rnd.nextInt(6), i, rnd.nextLong(100)))
+      val parts = 1 + rnd.nextInt(6)
+      assert(runFold(rows, parts) === expected(rows), s"trial $trial n=$n parts=$parts")
+    }
+  }
+
+  test("empty input emits nothing") {
+    assert(runFold(Seq.empty, parts = 3).isEmpty)
+  }
+
+  test("single-row groups emit once") {
+    val rows = Seq((1, 0, 7L), (2, 1, 9L))
+    assert(runFold(rows, parts = 4) === Map(1 -> 7L, 2 -> 9L))
+  }
+}
