@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Opaque multimodal payload with typed metadata — the column-model for
+  * image/audio/video at 100 TB: the media itself is a `binary` column
+  * (never parsed by Catalyst, just moved), metadata is a typed struct that
+  * IS visible to pruning/filter pushdown so scans can skip payloads by
+  * metadata alone.
+  */
+case class MediaRecord(
+    media_id: Long,
+    payload: Array[Byte],
+    media_type: String,
+    source: String,
+    declared_len: Long)
+
+/** Decoded/extracted features. Real pipelines decode with native libs in a
+  * batch-wise partition pass; this container has no codecs, so decode is a
+  * DETERMINISTIC STUB (clearly marked below) — the Spark-side plumbing
+  * (schema, batching, partition pass, feature shape) is real and tested.
+  */
+case class MediaFeatures(
+    media_id: Long,
+    byte_len: Long,
+    first_byte: Int,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    byte_checksum: Long)
+
+object MultiModal {
+
+  /** Wrap a documents-like table into the media model (payload := utf-8
+    * bytes of text — a stand-in for real image/audio bytes). */
+  def toMediaRecords(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("image/stub").as("media_type"),
+      col("source"),
+      col("n_chars").as("declared_len")).as[MediaRecord]
+  }
+
+  /** Partition-wise "decode + feature extract". In production this is
+    * where an image/audio codec runs once per batch with reused native
+    * buffers; mapPartitions keeps that lifecycle explicit (one codec
+    * instance per partition, streaming through rows).
+    *
+    * STUB: no codec libraries exist in this environment, so width/height/
+    * n_frames are derived deterministically from the bytes; byte_len and
+    * the checksum are computed from the real payload.
+    */
+  def decodeAndFeaturize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // (real pipeline: codec := Codec.open() here, once per partition)
+      it.map { m =>
+        val bytes = m.payload
+        val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+        var checksum = 0L
+        var i = 0
+        while (i < bytes.length) { // streaming checksum, no extra alloc
+          checksum = (checksum * 131L + (bytes(i) & 0xffL)) % 2147483647L
+          i += 1
+        }
+        MediaFeatures(
+          media_id = m.media_id,
+          byte_len = bytes.length.toLong,
+          first_byte = first,
+          width = 64 + (first % 64),            // STUB decode
+          height = 64 + (bytes.length % 64).toInt, // STUB decode
+          n_frames = 1 + (bytes.length % 8).toInt, // STUB decode
+          byte_checksum = checksum)
+      }
+    }
+  }
+}

@@ -1,9 +1,338 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.MultiModal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
 /** Training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal plumbing) over documents/embeddings. Filled in
-  * incrementally; see graft.text / graft.dedup / graft.sim.
+  * analysis, multimodal plumbing, event-time analytics) over
+  * documents/embeddings/events. Oracle SQL is GENERATED from the same
+  * constants the Scala operators use (hash parameters, stopword lists,
+  * weights), so the two sides cannot drift.
   */
 object PipelineQueries {
-  val all: Seq[Q] = Seq()
+
+  // ---- shared DuckDB fragments, mirroring graft.functions/graft.text ----
+
+  /** ≙ TextAnalysis.tokens */
+  private def sqlTokens(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
+
+  /** ≙ PolyHashImpl.hash (fold over code points, mult 131 mod 2^31-1). */
+  private def sqlCharFold(src: String) =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(string_split($src, ''), c -> ord(c))),
+       |  (a, c) -> (a * 131 + c) % 2147483647)""".stripMargin
+
+  /** ≙ Dedup.shingles(n=3) on pre-tokenized list `toks`. */
+  private def sqlShingles(toks: String) =
+    s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
+       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])""".stripMargin
+
+  private def sqlInList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+
+  /** Token counting + quality scoring (length/stopword/punctuation
+    * components with fixed weights) — pure column expressions. */
+  def q23: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q23_token_quality",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(toks, x -> length(x))), (a,b) -> a + b) AS DOUBLE)
+        |           / len(toks) AS avg_token_len,
+        |         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |           / length(text) AS punct_ratio,
+        |         CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
+        |           / len(toks) AS stop_ratio,
+        |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+        |  FROM t)
+        |SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+        |       len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.4
+        |         + (1.0 - punct_ratio) * 0.2 AS quality
+        |FROM m ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Stopword-hit language ID with deterministic argmax. */
+  def q24: Q = {
+    val hits = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> x IN ${sqlInList(words)})) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val cond = (s"s_$lang > 0" +: later).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n         ")
+    Q("q24_language_id",
+      Some(s"""
+        |WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |         $hits
+        |  FROM t)
+        |SELECT doc_id, lang AS declared_lang,
+        |       CASE $cases
+        |         ELSE 'und' END AS lang_pred
+        |FROM h ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Rolling-hash document fingerprint via the native codegen'd PolyHash
+    * Catalyst expression. */
+  def q25: Q = Q(
+    "q25_fingerprint",
+    Some(s"""
+      |SELECT doc_id, ${sqlCharFold("trim(text)")} AS fp
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup on the 64-bit content fingerprint (shuffle the
+    * fingerprint, never the text). */
+  def q26: Q = Q(
+    "q26_exact_dedup",
+    Some(s"""
+      |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, ${sqlCharFold("trim(text)")} AS fp FROM documents)
+      |GROUP BY fp ORDER BY fp
+      |""".stripMargin)) { (s, dir) =>
+    Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("fp"))
+  }
+
+  /** MinHash signatures (32 LCG permutations over 3-gram shingle hashes):
+    * emits a checksum of the signature + shingle count per doc. */
+  def q27: Q = {
+    val perms = (0 until 32).map(p => s"[${Dedup.permA(p)}, ${Dedup.permB(p)}]")
+      .mkString("[", ", ", "]")
+    Q("q27_minhash_signatures",
+      Some(s"""
+        |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |sh AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM t),
+        |hh AS (SELECT doc_id, len(shingles) AS n_shingles,
+        |              list_transform(shingles, s0 -> ${sqlCharFold("s0")}) AS hashes
+        |       FROM sh),
+        |sig AS (SELECT doc_id, n_shingles,
+        |               list_transform($perms, ab ->
+        |                 coalesce(list_min(list_transform(hashes,
+        |                   h -> (h * ab[1] + ab[2]) % ${Dedup.Mod})), ${Dedup.Mod})) AS sg
+        |        FROM hh)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), sg),
+        |                   (a, v) -> (a * 31 + v) % ${Dedup.Mod}) AS sig_checksum
+        |FROM sig ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val sig = Dedup.minHashSignature(col("text"), perms = 32)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(Dedup.shingles(col("text"))).cast("long").as("n_shingles"),
+        aggregate(sig, lit(0L), (a, v) => (a * 31L + v) % Dedup.Mod).as("sig_checksum"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH banding (16 bands × 2 rows) +
+    * exact 3-gram Jaccard ≥ 0.8 verification of candidates. The oracle
+    * brute-forces ALL pairs — LSH recall at J ≥ 0.8 is 1 − (1−J²)¹⁶
+    * ≈ 1 − 1e-7, so the outputs coincide. */
+  def q28: Q = Q(
+    "q28_neardup_pairs",
+    Some(s"""
+      |WITH t AS (SELECT doc_id,
+      |                  list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY doc_a, doc_b
+      |""".stripMargin)) { (s, dir) =>
+    Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash signatures (32-bit, ±1 votes per token-hash bit). */
+  def q29: Q = Q(
+    "q29_simhash",
+    Some(s"""
+      |WITH t AS (SELECT doc_id,
+      |                  list_transform(${sqlTokens("text")}, w -> ${sqlCharFold("w")}) AS hs
+      |           FROM documents)
+      |SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(range(0, 32), b ->
+      |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                  list_transform(hs, h -> CASE WHEN (h >> b) % 2 = 1
+      |                                               THEN 1 ELSE -1 END)),
+      |                  (a, v) -> a + v) > 0
+      |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+      |         (a, v) -> a + v) AS simhash
+      |FROM t ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Dedup.simHash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force exact cosine top-3 (ANN baseline): queries = vec_id < 50,
+    * corpus = all. Left-fold double dot products — bit-identical on both
+    * engines. */
+  def q30: Q = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    Q("q30_cosine_topk",
+      Some(s"""
+        |WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         ${dot("q.embedding", "c.embedding")}
+        |           / (sqrt(${dot("q.embedding", "q.embedding")})
+        |              * sqrt(${dot("c.embedding", "c.embedding")})) AS cos
+        |  FROM q JOIN c ON q.vec_id != c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+        |           FROM pairs)
+        |SELECT vec_id, nn_rank, neighbor_id, cos
+        |FROM ranked WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+        |""".stripMargin)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") < 50),
+        idCol = "vec_id", vecCol = "embedding", k = 3)
+        .withColumnRenamed("rank", "nn_rank")
+        .orderBy(col("vec_id"), col("nn_rank"))
+    }
+  }
+
+  /** LSH-bucketed approximate NN (the O(n·bands) scale path): rows-only
+    * driver check; bucket-recall property is unit-tested against the
+    * brute-force baseline. */
+  def q31: Q = Q(
+    "q31_lsh_ann",
+    None) { (s, dir) =>
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dims = 64, k = 3, bands = 4, rowsPerBand = 4)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
+  /** Event-time tumbling-hour analytics (the batch face of the streaming
+    * operator; exact integer bucket arithmetic on epoch nanos). */
+  def q32: Q = Q(
+    "q32_event_hour_stats",
+    Some("""
+      |SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY hour_bucket, event_type
+      |ORDER BY hour_bucket, event_type
+      |""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(
+        expr("ts div 3600000000000").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
+  /** Multimodal payload plumbing: binary payload + typed metadata,
+    * partition-wise decode/feature-extract (codec STUBBED — see
+    * graft.multimodal.MultiModal; byte-level features are real). */
+  def q33: Q = Q(
+    "q33_multimodal_features",
+    Some(s"""
+      |SELECT doc_id AS media_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       ord(substring(text, 1, 1)) AS first_byte,
+      |       CAST(64 + ord(substring(text, 1, 1)) % 64 AS INTEGER) AS width,
+      |       CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height,
+      |       CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames,
+      |       ${sqlCharFold("text")} AS byte_checksum
+      |FROM documents ORDER BY media_id
+      |""".stripMargin)) { (s, dir) =>
+    MultiModal.decodeAndFeaturize(
+      MultiModal.toMediaRecords(Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  /** End-to-end corpus cleaning: quality gate + near-dup removal
+    * (keep-lowest-id) via left_anti join — the composed training-data
+    * pipeline. */
+  def q34: Q = Q(
+    "q34_clean_corpus",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks, text FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |           + least(CAST(len(list_filter(toks,
+      |               x -> x IN ${sqlInList(TextAnalysis.LangStopwords.head._2)}))
+      |               AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.4
+      |           + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+      |               AS DOUBLE) / length(text)) * 0.2 AS quality
+      |  FROM t),
+      |sh AS (SELECT doc_id, list_distinct(${sqlShingles("toks")}) AS sh FROM t),
+      |dupes AS (
+      |  SELECT b.doc_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, quality FROM q
+      |WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dupes)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val quality = docs.select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), TextAnalysis.LangStopwords.head._2)
+        .as("quality"))
+      .filter(col("quality") >= 0.5)
+    val losers = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality.join(losers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
 }

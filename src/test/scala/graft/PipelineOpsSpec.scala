@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.multimodal.MultiModal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import graft.functions.PolyHashImpl
+import org.apache.spark.unsafe.types.UTF8String
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "der schnelle braune fuchs und die katze und das haus und der hund ist"),
+    (4L, "completely different words about spark query engines and shuffles here"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("PolyHash matches a hand fold and is codegen-consistent") {
+    // "ab" -> ((0*131+97)%M)*131+98 = 12805
+    assert(PolyHashImpl.hash(UTF8String.fromString("ab"), 131L, 2147483647L) === 12805L)
+    val viaSql = docs.select(TextAnalysis.fingerprint(lit("ab")).as("h")).head.getLong(0)
+    assert(viaSql === 12805L)
+  }
+
+  test("exact dedup groups identical texts under one canonical id") {
+    val d = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(d.count() === 4) // 5 docs, one exact pair
+    val dup = d.filter(col("n_copies") === 2).head
+    assert(dup.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("near-duplicate pairs finds the planted near-dup and the exact dup only") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs is 0") {
+    val j = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1 && col("b.doc_id").isin(4, 5))
+      .select(col("b.doc_id"), Dedup.jaccard(col("a.text"), col("b.text")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(j(5L) === 1.0)
+    assert(j(4L) === 0.0)
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated docs are far") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(5L)) === 0)              // identical text
+    assert(ham(sh(1L), sh(2L)) <= 6)               // near-dup
+    assert(ham(sh(1L), sh(4L)) > ham(sh(1L), sh(2L))) // unrelated is farther
+  }
+
+  test("language id picks the language with the most stopword hits") {
+    val langs = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) === "en")
+    assert(langs(3L) === "de")
+  }
+
+  test("quality score stays in [0, 1] and rewards stopword-bearing prose") {
+    val q = docs.select(
+      TextAnalysis.qualityScore(col("text"), TextAnalysis.LangStopwords.head._2).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("brute-force top-k is deterministic and self-excluding") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top1(1L) === 2L)
+    assert(top1(2L) === 1L)
+    assert(top1(4L) != 4L)
+  }
+
+  test("LSH ANN recall: top-1 neighbor is found for most vectors vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    // clustered vectors so true neighbors share hyperplane buckets
+    val vecs = (0 until 60).map { i =>
+      val center = Array.fill(dims)(if ((i % 3) == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.5f)
+      (i.toLong, center.map(c => c + rnd.nextFloat() * 0.2f))
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", dims, k = 1,
+      bands = 4, rowsPerBand = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = bf.count { case (v, n) => lsh.get(v).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multimodal decode stub: byte features are real, plumbing is typed") {
+    val media = MultiModal.toMediaRecords(
+      docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    val feats = MultiModal.decodeAndFeaturize(media).collect()
+      .map(f => f.media_id -> f).toMap
+    val d1 = docs.filter(col("doc_id") === 1).head.getString(1)
+    assert(feats(1L).byte_len === d1.getBytes("UTF-8").length)
+    assert(feats(1L).first_byte === 't'.toInt)
+    assert(feats(1L).width === 64 + ('t'.toInt % 64))
+    assert(feats(1L).byte_checksum === feats(5L).byte_checksum) // same bytes
+  }
+}
