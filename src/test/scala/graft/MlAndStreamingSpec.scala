@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Modeling
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, UserSession}
+
+class MlAndStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LR pipeline separates a linearly separable matchup table") {
+    val rnd = new scala.util.Random(1)
+    val rows = (1 to 400).map { i =>
+      val diff = rnd.nextDouble() * 2 - 1
+      val label = if (diff + rnd.nextGaussian() * 0.1 > 0) 1 else 0
+      (i, label, diff, diff * 0.5)
+    }
+    val df = rows.toDF("id", "label", "WinRateDiff", "EloDiff")
+    val model = Modeling.lrPipeline(Seq("WinRateDiff", "EloDiff"), maxIter = 30).fit(df)
+    val (auc, ll) = Modeling.evaluate(model, df)
+    assert(auc > 0.9, s"auc $auc")
+    assert(ll < 0.5, s"logloss $ll")
+  }
+
+  test("fillMissing + keep survives null features end-to-end") {
+    val raw = Seq(
+      (1, Some(0.5), 0.1), (0, None, -0.2), (1, Some(0.3), 0.0), (0, Some(-0.4), 0.2))
+      .toDF("label", "WinRateDiff", "EloDiff")
+    val df = Modeling.fillMissing(raw, Seq("WinRateDiff", "EloDiff"))
+    val model = Modeling.lrPipeline(Seq("WinRateDiff", "EloDiff"), maxIter = 5).fit(df)
+    assert(model.transform(df).count() === 4) // would throw on raw NaN vectors
+  }
+
+  test("blend mixes probabilities with alpha weighting") {
+    val lr = Seq(("a", 0.2)).toDF("ID", "Pred")
+    val gbt = Seq(("a", 0.6)).toDF("ID", "Pred")
+    val b = Modeling.blend(lr, gbt, Seq("ID"), alpha = 0.65).head
+    assert(math.abs(b.getAs[Double]("Pred") - (0.65 * 0.6 + 0.35 * 0.2)) < 1e-12)
+  }
+
+  test("streaming hourly stats aggregate incrementally over micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = EventStreams.hourlyTypeStats(events)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("update").start()
+    val h = 3600L * 1000000000L // one hour in nanos
+    mem.addData((h + 1, 1L, "click", 1.0), (h + 2, 2L, "click", 2.0))
+    query.processAllAvailable()
+    mem.addData((h + 3, 3L, "view", 5.0), (2 * h + 1, 1L, "click", 7.0))
+    query.processAllAvailable()
+    val out = spark.table("hourly_test")
+      .groupBy("window_start", "event_type").agg(max("n_events").as("n"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) -> r.getLong(2)).toMap
+    query.stop()
+    assert(out((3600L, "click")) === 2)
+    assert(out((3600L, "view")) === 1)
+    assert(out((7200L, "click")) === 1)
+  }
+
+  test("sessionize splits on inactivity gaps and aggregates per session") {
+    val gap = 1000000L // 1s in µs
+    val events = Seq(
+      SessionEvent(1L, 0L, 1.0),
+      SessionEvent(1L, 500000L, 2.0),     // same session
+      SessionEvent(1L, 5000000L, 3.0),    // new session after gap
+      SessionEvent(2L, 0L, 4.0))
+      .toDS()
+    val sessions = EventStreams.sessionize(events, gap).collect()
+      .groupBy(_.user_id)
+    assert(sessions(1L).length === 2)
+    val first = sessions(1L).minBy(_.session_start_us)
+    assert(first.n_events === 2)
+    assert(first.total_value === 3.0)
+    assert(sessions(2L).head.n_events === 1)
+  }
+}
