@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass sketch kernels. The same computations are expressible
+  * with Spark's higher-order array functions (transform/aggregate), but
+  * those evaluate one interpreted lambda call PER ELEMENT — at 100 TB the
+  * sketch kernel runs trillions of times, so it must be one virtual call
+  * per ROW with a tight JVM loop inside. Each expression documents the
+  * exact arithmetic so the DuckDB oracle can replay it; outputs are
+  * bit-identical to the lambda formulations they replace.
+  */
+object SketchExprs {
+
+  private def toDouble(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case LongType => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** cos(a, b) with three independent left-fold accumulators
+    * (dot, ‖a‖², ‖b‖²) — the identical IEEE op sequence as three separate
+    * `aggregate(zip_with(...))` folds, so values match the declarative
+    * form bit-for-bit.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = toDouble(a, ta, i); val y = toDouble(b, tb, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Word n-gram shingles ("w1 w2 w3") in one pass: trim, whitespace-split
+    * (identical semantics to split(trim(text), "\\s+")), join consecutive
+    * n-tuples with single spaces. Replaces a per-index
+    * transform/element_at/concat_ws lambda pipeline (~tokens interpreted
+    * calls per row) with one virtual call per row.
+    */
+  case class Shingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim, -1)
+      val count = toks.length - (n - 1)
+      if (count < 1) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](count)
+        var i = 0
+        while (i < count) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var k = 1
+          while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** MinHash signature from an array of shingle STRINGS, one pass:
+    * h = PolyHash(shingle) (mult 131 mod 2^31−1), then for every
+    * permutation p: sig[p] = min over shingles of (h·a_p + b_p) mod M,
+    * with a_p/b_p from the LCG in graft.dedup.Dedup. Empty input → all M.
+    */
+  case class MinHashSig(child: Expression, perms: Int, mult: Long, mod: Long,
+      permA: Array[Long], permB: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(perms)(mod)
+      var s = 0
+      while (s < arr.numElements()) {
+        val h = PolyHashImpl.hash(arr.getUTF8String(s), mult, mod)
+        var p = 0
+        while (p < perms) {
+          val v = (h * permA(p) + permB(p)) % mod
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** SimHash from an array of token strings, one pass: per token
+    * h = PolyHash(token); votes[b] += (bit b of h set ? +1 : −1);
+    * output bit b set iff votes[b] > 0. Order-independent (integer sums).
+    */
+  case class SimHash64(child: Expression, bits: Int, mult: Long, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Long](bits)
+      var t = 0
+      while (t < arr.numElements()) {
+        val h = PolyHashImpl.hash(arr.getUTF8String(t), mult, mod)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < bits) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Random-hyperplane signature, one pass over planes×dims with plane
+    * components from the LCG in graft.sim.Similarity.planeComponent —
+    * same per-plane left-fold projection order as the lambda form.
+    */
+  case class HyperplaneSig(child: Expression, planes: Int, dims: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val et = elemType
+      val n = math.min(v.numElements(), dims)
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          proj += toDouble(v, et, i) * graft.sim.Similarity.planeComponent(p, i, dims)
+          i += 1
+        }
+        if (proj > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  // Column-level wrappers
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minHashSig(shingles: Column, perms: Int, mult: Long, mod: Long,
+      permA: Array[Long], permB: Array[Long]): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), perms, mult, mod, permA, permB))
+
+  def simHash64(tokens: Column, bits: Int, mult: Long, mod: Long): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), bits, mult, mod))
+
+  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), planes, dims))
+}

@@ -250,7 +250,7 @@ object PipelineQueries {
     "q31_lsh_ann",
     None) { (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      dims = 64, k = 3, bands = 4, rowsPerBand = 4)
+      dims = 64, k = 3, bands = 4, rowsPerBand = 8)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
   }

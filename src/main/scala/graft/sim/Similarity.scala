@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-fold dot product over double-cast elements: bit-deterministic
-    * (fixed order, no SIMD/tree reassociation). */
+    * (fixed order, no SIMD/tree reassociation). Declarative reference
+    * form; the hot path uses the native one-pass kernel below. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native one-pass cosine (graft.functions.SketchExprs.CosineSim) —
+    * bit-identical to dot(a,b)/(√dot(a,a)·√dot(b,b)) in the lambda form,
+    * but one virtual call per pair instead of one per element. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.SketchExprs.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for every vector of `queries` among
     * `corpus` (both with (`idCol`, `vecCol`)). The queries side is
@@ -56,20 +60,11 @@ object Similarity {
     x.toDouble / 2147483648.0 - 0.5
   }
 
-  /** Random-hyperplane signature: bit p = sign(v · plane_p). Returns a
-    * long column (up to 63 planes).
-    */
-  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec,
-          array((0 until dims).map(i => lit(planeComponent(p, i, dims))): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Random-hyperplane signature: bit p = sign(v · plane_p). Native
+    * one-pass kernel over planes × dims. Returns a long column (up to 63
+    * planes). */
+  def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column =
+    graft.functions.SketchExprs.hyperplaneSig(vec, planes, dims)
 
   /** LSH-bucketed approximate top-k: vectors sharing a hyperplane-signature
     * band become candidates; exact cosine ranks within candidates. Probes
@@ -82,25 +77,37 @@ object Similarity {
       dims: Int,
       k: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 128): DataFrame = {
     val planes = bands * rowsPerBand
-    val sig = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      hyperplaneSignature(col(vecCol), planes, dims).as("sig"))
-    val banded = sig.select(col("id"), col("vec"),
-      posexplode(array((0 until bands).map { b =>
-        // band value = bits [b*rowsPerBand, (b+1)*rowsPerBand)
-        (shiftrightunsigned(col("sig"), b * rowsPerBand) %
-          (1L << rowsPerBand)).cast("long")
-      }: _*)))
-      .select(col("id"), col("vec"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = banded.as("x").join(banded.as("y"),
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bandedRaw = vecs
+      .withColumn("sig", hyperplaneSignature(col("vec"), planes, dims))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          // band value = bits [b*rowsPerBand, (b+1)*rowsPerBand)
+          (shiftrightunsigned(col("sig"), b * rowsPerBand) %
+            (1L << rowsPerBand)).cast("long")
+        }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // skew guard: a bucket holding b vectors yields b² candidate pairs, so
+    // one degenerate bucket dominates the whole job; buckets past the cap
+    // carry little signal (the stop-word analogue) and are dropped.
+    val smallBuckets = bandedRaw.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    val banded = bandedRaw.join(broadcast(smallBuckets), Seq("band", "bucket"))
+    // ids-only through the bucket join + distinct; vectors re-attached after
+    val candIds = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
         col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("vec_id"), col("x.vec").as("qvec"),
-        col("y.id").as("neighbor_id"), col("y.vec").as("nvec"))
+      .select(col("x.id").as("vec_id"), col("y.id").as("neighbor_id"))
       .distinct()
+    val cand = candIds
+      .join(vecs.select(col("id").as("vec_id"), col("vec").as("qvec")), "vec_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
