@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.AsOf
+
+/** Extension operators beyond the reference's surface: as-of join and
+  * approximate sketches.
+  */
+object ExtQueries {
+
+  val all: Seq[Q] = Seq(q37, q38)
+
+  /** As-of join (union + ordered-window formulation, one shuffle, no
+    * range-join explosion): for every event, the user's most recent
+    * purchase event at-or-before it. Oracle: DuckDB's native ASOF JOIN.
+    */
+  def q37: Q = Q(
+    "q37_asof_last_purchase",
+    Some("""
+      |SELECT e.event_id, e.user_id, p.event_id AS last_purchase_id,
+      |       epoch_us(e.ts) - epoch_us(p.ts) AS us_since_purchase
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id
+      |""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts", "event_type")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    AsOf.asOfJoin(
+      probe = ev, quote = purchases,
+      keys = Seq("user_id"), tsCol = "ts", attachCols = Seq("event_id", "ts"))
+      .select(
+        col("event_id"), col("user_id"),
+        col("asof_event_id").as("last_purchase_id"),
+        // µs contract: DuckDB truncates ns timestamps to µs on read
+        (expr("ts div 1000") - expr("asof_ts div 1000")).as("us_since_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Approximate sketches (HLL distinct count + approx percentile): no
+    * cross-engine oracle exists for sketch internals, so the driver check
+    * is rows-only; the accuracy envelope vs exact answers is unit-tested.
+    */
+  def q38: Q = Q(
+    "q38_approx_sketches",
+    None) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+}
