@@ -172,15 +172,45 @@ object DomainQueries {
   }
 
   /** §2.13-4: season-reset ELO via the secondary-sort ordered fold (A6).
-    * Not SQL-expressible (per-team map state over an ordered stream) →
-    * rows-only driver check; exact-value coverage lives in EloSpec
-    * (hand-computed 3-game fixture) and the zero-sum invariant test.
+    * Oracle: DuckDB list_reduce with a struct-list state — each game is
+    * encoded as a single-element struct list so accumulator and element
+    * types unify, and the lambda replays the exact update
+    * r_w += 20·(1 − 1/(1+10^((r_l−r_w)/400))) in (DayNum, GameId) order.
+    * pow/division are bit-identical across engines on these inputs, so
+    * the fold matches hash-exactly (verified; plus the hand-computed
+    * fixture, zero-sum and season-reset tests in MarchManiaSpec).
     */
-  def q21: Q = Q(
-    "q21_season_elo",
-    None) { (s, dir) =>
-    Elo.perSeason(games(s, dir))
-      .orderBy(col("Season"), col("TeamID"))
+  def q21: Q = {
+    val delta = "20.0 * (1.0 - 1.0/(1.0 + pow(10.0, " +
+      "((list_filter(acc, y -> y.t = CAST(gm[1].r AS INTEGER))[1].r) - " +
+      "(list_filter(acc, y -> y.t = gm[1].t)[1].r))/400.0)))"
+    Q("q21_season_elo",
+      Some(GamesSql + s"""
+        |, teams AS (
+        |  SELECT Season, list_sort(list_distinct(flatten(list([WTeamID, LTeamID])))) AS tl
+        |  FROM games GROUP BY Season),
+        |folded AS (
+        |  SELECT g.Season,
+        |         list_reduce(
+        |           list_prepend(
+        |             list_transform(t.tl, x -> {'t': x, 'r': CAST(1500 AS DOUBLE)}),
+        |             list([{'t': g.WTeamID, 'r': CAST(g.LTeamID AS DOUBLE)}]
+        |                  ORDER BY g.DayNum, g.GameId)),
+        |           (acc, gm) -> list_transform(acc, x ->
+        |             CASE WHEN x.t = gm[1].t
+        |                    THEN {'t': x.t, 'r': x.r + $delta}
+        |                  WHEN x.t = CAST(gm[1].r AS INTEGER)
+        |                    THEN {'t': x.t, 'r': x.r - $delta}
+        |                  ELSE x END)) AS state
+        |  FROM games g JOIN teams t ON g.Season = t.Season
+        |  GROUP BY g.Season, t.tl)
+        |SELECT Season, u.s.t AS TeamID, u.s.r AS Elo
+        |FROM (SELECT Season, unnest(state) AS s FROM folded) u(Season, s)
+        |ORDER BY Season, TeamID
+        |""".stripMargin)) { (s, dir) =>
+      Elo.perSeason(games(s, dir))
+        .orderBy(col("Season"), col("TeamID"))
+    }
   }
 
   /** §2.13-8/9: symmetric labeled matchups (U3) + two-sided feature attach
