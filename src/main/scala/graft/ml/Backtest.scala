@@ -1,0 +1,44 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rolling season backtest ≙ reference `jobs/07_backtest_and_export_blend.py:73-104`:
+  * for each validation season S in range, fit on seasons < S, evaluate
+  * (AUC, LogLoss) on season S. The feature table is cached once and the
+  * season list is the only thing collected to the driver.
+  */
+object Backtest {
+  final case class FoldMetrics(season: Int, trainRows: Long, valRows: Long,
+      auc: Double, logLoss: Double)
+
+  def rollingSeasons(
+      features: DataFrame,
+      featureCols: Seq[String],
+      minTrainSeasons: Int = 1,
+      maxIter: Int = 20): Seq[FoldMetrics] = {
+    val cached = features.cache()
+    try {
+      val seasons = cached.select(col("Season")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      seasons.drop(minTrainSeasons).map { s =>
+        val train = cached.filter(col("Season") < s)
+        val validate = cached.filter(col("Season") === s)
+        val (trainN, valN) = (train.count(), validate.count())
+        if (trainN == 0 || valN == 0) FoldMetrics(s, trainN, valN, Double.NaN, Double.NaN)
+        else {
+          val model = Modeling.lrPipeline(featureCols, maxIter = maxIter).fit(train)
+          val (auc, ll) = Modeling.evaluate(model, validate)
+          FoldMetrics(s, trainN, valN, auc, ll)
+        }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** Metrics as a DataFrame (driver-side rows, mirroring the reference's
+    * driver-side CSV write of backtest_metrics). */
+  def metricsDf(spark: SparkSession, metrics: Seq[FoldMetrics]): DataFrame = {
+    import spark.implicits._
+    metrics.toDF()
+  }
+}

@@ -41,6 +41,23 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("Pred") - (0.65 * 0.6 + 0.35 * 0.2)) < 1e-12)
   }
 
+  test("rolling backtest trains strictly on past seasons and reports per-fold metrics") {
+    val rnd = new scala.util.Random(3)
+    val rows = for (season <- 2020 to 2023; _ <- 1 to 150) yield {
+      val diff = rnd.nextDouble() * 2 - 1
+      (season, if (diff + rnd.nextGaussian() * 0.2 > 0) 1 else 0, diff)
+    }
+    val df = rows.toDF("Season", "label", "WinRateDiff")
+    val metrics = graft.ml.Backtest.rollingSeasons(df, Seq("WinRateDiff"), maxIter = 15)
+    assert(metrics.map(_.season) === Seq(2021, 2022, 2023))
+    metrics.foreach { m =>
+      assert(m.auc > 0.8, s"season ${m.season} auc ${m.auc}")
+      assert(m.valRows === 150)
+    }
+    // fold for 2021 trained only on 2020
+    assert(metrics.head.trainRows === 150)
+  }
+
   test("streaming hourly stats aggregate incrementally over micro-batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String, Double)]
