@@ -53,6 +53,54 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other scale path: a
+    * coarse k-means quantizer (fit on the corpus with a fixed seed)
+    * partitions vectors into `nlist` cells; each query probes only its
+    * `nprobe` nearest cells. Candidate cost is O(n·nprobe/nlist) per
+    * query. Composes existing ops: MLlib KMeans + broadcast joins +
+    * native cosine.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 3,
+      nlist: Int = 16,
+      nprobe: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("features", array_to_vector(col("nvec").cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(col("neighbor_id"), col("nvec"), col("cell"))
+    // nprobe nearest cells per query via cosine to the centroids (tiny, broadcast)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "cvec")
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qvec"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id"), col("qvec"), col("cell"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * LCG over p·dim+i, scaled to (−0.5, 0.5). */
   def planeComponent(p: Int, i: Int, dims: Int): Double = {

@@ -36,38 +36,59 @@ object EventStreams {
       user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Int, total_value: Double)
 
-  /** Gap-based sessionization with explicit state: a session closes after
-    * `gapUs` of inactivity (processing-time timeout in streaming; final
-    * flush in batch tests via iterator end). State per user is O(1).
+  /** Gap-based sessionization with explicit O(1)-per-user state: a
+    * session closes after `gapUs` of inactivity.
+    *
+    * Dual-mode: the open session is CARRIED in GroupState, so in
+    * streaming mode sessions correctly span micro-batches and are closed
+    * either by a later event past the gap or by the processing-time
+    * timeout firing after `gapUs` of silence. In batch mode
+    * (`flushAtEnd = true`, timeouts never fire) the trailing session is
+    * flushed at iterator end instead.
     */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapUs: Long): Dataset[UserSession] = {
+      gapUs: Long,
+      flushAtEnd: Boolean = true): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushAtEnd) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
-          // batch semantics: fold the (unordered) group, emit closed sessions
-          val sorted = rows.toSeq.sortBy(_.event_time_us)
-          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val closed = Seq.newBuilder[UserSession]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.event_time_us - s.last <= gapUs =>
-                open = Some(s.copy(last = e.event_time_us, n = s.n + 1,
-                  total = s.total + e.value))
-              case Some(s) =>
-                closed += UserSession(userId, s.start, s.last, s.n, s.total)
-                open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
-              case None =>
-                open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s =>
+              closed += UserSession(userId, s.start, s.last, s.n, s.total))
+            state.remove()
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_time_us)
+            var open: Option[SessionState] = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.event_time_us - s.last <= gapUs =>
+                  open = Some(s.copy(last = e.event_time_us, n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed += UserSession(userId, s.start, s.last, s.n, s.total)
+                  open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
+                case None =>
+                  open = Some(SessionState(e.event_time_us, e.event_time_us, 1, e.value))
+              }
+            }
+            if (flushAtEnd) {
+              open.foreach(s => closed += UserSession(userId, s.start, s.last, s.n, s.total))
+              state.remove()
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutDuration(gapUs / 1000) // µs → ms of silence
+              }
             }
           }
-          // close the trailing session too (batch flush semantics)
-          open.foreach(s => closed += UserSession(userId, s.start, s.last, s.n, s.total))
-          state.update(Nil)
           closed.result().iterator
       }
   }

@@ -106,6 +106,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF top-k recovers true neighbors on clustered vectors") {
+    val rnd = new scala.util.Random(9)
+    val dims = 16
+    val vecs = (0 until 90).map { i =>
+      val c = Array.fill(dims)(if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.3f)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+      k = 1, nlist = 4, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
