@@ -58,4 +58,14 @@ object Matchups {
     * ≙ `jobs/03_build_gold_training_set.py:82`. */
   def dropIncomplete(df: DataFrame, essential: Seq[String]): DataFrame =
     df.na.drop(essential)
+
+  /** Parse submission IDs "YYYY_Team1_Team2" into typed key columns (F3)
+    * ≙ `jobs/04_train_and_export_submission.py:84-90`. Keeps the ID
+    * column for the final export join. */
+  def parseSubmissionIds(submission: DataFrame): DataFrame =
+    submission.select(
+      col("ID"),
+      split(col("ID"), "_").getItem(0).cast("int").as("Season"),
+      split(col("ID"), "_").getItem(1).cast("int").as("Team1"),
+      split(col("ID"), "_").getItem(2).cast("int").as("Team2"))
 }

@@ -9,7 +9,7 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38)
+  val all: Seq[Q] = Seq(q37, q38, q39)
 
   /** As-of join (union + ordered-window formulation, one shuffle, no
     * range-join explosion): for every event, the user's most recent
@@ -36,6 +36,31 @@ object ExtQueries {
         // µs contract: DuckDB truncates ns timestamps to µs on read
         (expr("ts div 1000") - expr("asof_ts div 1000")).as("us_since_purchase"))
       .orderBy(col("event_id"))
+  }
+
+  /** Semi-structured JSON extraction (the props column): typed pull of a
+    * JSON field + aggregation — the json-function family the reference
+    * never needed. */
+  def q39: Q = Q(
+    "q39_json_props",
+    Some("""
+      |SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+      |       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+      |       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type
+      |""".stripMargin)) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("k_total"),
+        min(k).as("k_min"),
+        max(k).as("k_max"))
+      .orderBy(col("event_type"))
   }
 
   /** Approximate sketches (HLL distinct count + approx percentile): no

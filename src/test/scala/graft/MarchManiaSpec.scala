@@ -123,6 +123,14 @@ class MarchManiaSpec extends AnyFunSuite {
     assert(math.abs(sos(102) - 2.0 / 3.0) < 1e-8)
   }
 
+  test("parseSubmissionIds splits YYYY_T1_T2 into typed keys") {
+    val parsed = Matchups.parseSubmissionIds(
+      Seq(("2026_1101_1234", 0.5)).toDF("ID", "Pred")).collect().head
+    assert(parsed.getAs[Int]("Season") === 2026)
+    assert(parsed.getAs[Int]("Team1") === 1101)
+    assert(parsed.getAs[Int]("Team2") === 1234)
+  }
+
   test("Matchups are symmetric with negated diffs on the flipped row") {
     val stats = TeamSeasonStats.build(tiny).select($"Season", $"TeamID", $"WinRate")
     val m = Matchups.attachFeatures(
