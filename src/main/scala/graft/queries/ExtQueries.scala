@@ -9,7 +9,50 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41)
+
+  /** Set operations (INTERSECT / EXCEPT with distinct semantics) — the
+    * U-family completion the reference never used. */
+  def q40: Q = Q(
+    "q40_set_ops",
+    Some("""
+      |WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000.0),
+      |recent AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 2000)
+      |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM recent)
+      |UNION ALL
+      |SELECT o_custkey, 'big_only' FROM (SELECT * FROM big EXCEPT SELECT * FROM recent)
+      |ORDER BY tag, o_custkey
+      |""".stripMargin)) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val big = orders.filter(col("o_totalprice") > 300000.0).select("o_custkey").distinct()
+    val recent = orders.filter(year(col("o_orderdate")) >= 2000).select("o_custkey").distinct()
+    big.intersect(recent).withColumn("tag", lit("both"))
+      .unionByName(big.except(recent).withColumn("tag", lit("big_only")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** ROLLUP grouping-set aggregation (subtotals + grand total; NULL marks
+    * the rolled-up level). Spark sorts NULLS FIRST ascending — the oracle
+    * pins the same order explicitly. */
+  def q41: Q = Q(
+    "q41_rollup",
+    Some("""
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS season, o_orderstatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (season, o_orderstatus)
+      |ORDER BY season NULLS FIRST, o_orderstatus NULLS FIRST
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("season"), col("o_orderstatus"), col("o_totalprice"))
+      .rollup(col("season"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy(col("season").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
 
   /** As-of join (union + ordered-window formulation, one shuffle, no
     * range-join explosion): for every event, the user's most recent
