@@ -71,6 +71,31 @@ object Relational {
       .join(sided(side2._1, side2._2), commonKeys :+ side2._1, "left")
   }
 
+  /** Skew-safe two-phase aggregation (salting): when one group key holds
+    * a disproportionate share of rows, a direct groupBy sends them all to
+    * one reducer. Phase 1 groups on (keys, salt) — spreading the hot key
+    * over `saltBuckets` reducers with map-side partial aggregation —
+    * phase 2 merges partials per key. Only sum-mergeable aggregates
+    * (count/sum) qualify; results are exact (integer/decimal sums) and
+    * identical to the direct groupBy.
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      saltBuckets: Int = 32): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+  }
+
   /** Symmetric union — reference `jobs/03_build_gold_training_set.py:39-60`:
     * each fact row emitted from both perspectives (label 1 / label 0) so a
     * downstream model can't learn column-order bias. Narrow op: no shuffle.

@@ -20,13 +20,22 @@ object MlQueries {
   def q35: Q = Q(
     "q35_train_score_blend",
     None) { (s, dir) =>
-    val feats = Registry.byName("q22_matchup_features").run(s, dir).cache()
+    import graft.marchmania.{Matchups, TeamSeasonStats}
+    val g = DomainQueries.games(s, dir)
+    val stats = TeamSeasonStats.build(g)
+      .select(col("Season"), col("TeamID"), col("WinRate"), col("AvgPointDiff"))
+    // same features as q22 but WITHOUT the presentation sort: training
+    // doesn't need order, and skipping it saves a full-range shuffle
+    val feats = Matchups.dropIncomplete(
+      Matchups.attachFeatures(
+        Matchups.buildLabeled(g), stats, diffCols = Seq("WinRate", "AvgPointDiff")),
+      Seq("WinRateDiff", "AvgPointDiffDiff")).cache()
     val maxSeason = feats.agg(max(col("Season"))).head.getInt(0)
     val train = feats.filter(col("Season") < maxSeason)
     val test = feats.filter(col("Season") === maxSeason)
     val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "T1_WinRate", "T2_WinRate")
     val lrModel = Modeling.lrPipeline(featureCols, maxIter = 20).fit(train)
-    val gbtModel = Modeling.gbtPipeline(featureCols, maxIter = 10, maxDepth = 3).fit(train)
+    val gbtModel = Modeling.gbtPipeline(featureCols, maxIter = 6, maxDepth = 3).fit(train)
     def score(m: org.apache.spark.ml.PipelineModel) =
       m.transform(test).select(
         col("Season"), col("GameId"), col("Team1"), col("Team2"), col("label"),

@@ -40,6 +40,19 @@ class OrderedFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("salted aggregation equals direct groupBy on skewed keys") {
+    import graft.operators.Relational
+    // 90% of rows share one key — the skew scenario salting exists for
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) i % 7 else 99, i.toLong))
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Relational.saltedCountSum(df, Seq("k"), Seq("v"), saltBuckets = 8)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
   test("empty input emits nothing") {
     assert(runFold(Seq.empty, parts = 3).isEmpty)
   }
