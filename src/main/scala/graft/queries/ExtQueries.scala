@@ -9,7 +9,47 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42)
+
+  /** The full window-function family the reference never used: lag/lead,
+    * rank/dense_rank over a total order, ntile, and a RANGE-framed sum
+    * (events within the trailing 1000 s by event time). All deterministic:
+    * every ordering is total (ts is unique; value ties broken by
+    * event_id).
+    */
+  def q42: Q = Q(
+    "q42_window_family",
+    Some("""
+      |SELECT event_id, user_id,
+      |       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+      |       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+      |       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |         PARTITION BY user_id ORDER BY epoch_us(ts)
+      |         RANGE BETWEEN 1000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS trailing_1000s_sum
+      |FROM events
+      |ORDER BY user_id, event_id
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    // µs contract (DuckDB truncates ns timestamps on read)
+    val byRange = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"))
+      .rangeBetween(-1000000000L, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      lag(col("value"), 1).over(byTime).as("prev_value"),
+      lead(col("value"), 1).over(byTime).as("next_value"),
+      rank().over(byValue).as("value_rank"),
+      ntile(4).over(byTime).as("quartile"),
+      sum(col("value").cast(DecimalType(18, 6))).over(byRange).cast("double")
+        .as("trailing_1000s_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 
   /** Set operations (INTERSECT / EXCEPT with distinct semantics) — the
     * U-family completion the reference never used. */

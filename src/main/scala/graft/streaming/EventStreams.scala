@@ -30,6 +30,22 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Built-in session windows (gap-based) — the declarative sibling of
+    * [[sessionize]]: Spark merges per-key windows whose events are within
+    * `gap` of each other; in streaming mode the watermark closes them.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", eventTime())
+      .withWatermark("event_time", "2 hours")
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   case class SessionEvent(user_id: Long, event_time_us: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(

@@ -79,6 +79,21 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(out((7200L, "click")) === 1)
   }
 
+  test("session_window groups events by inactivity gap (batch mode)") {
+    val min = 60L * 1000000000L // one minute in nanos
+    val events = Seq(
+      (0 * min, 1L, "click", 1.0),
+      (1 * min, 1L, "click", 2.0),     // within 30min gap -> same session
+      (120 * min, 1L, "click", 4.0))   // new session
+      .toDF("ts", "user_id", "event_type", "value")
+    val sessions = EventStreams.sessionStats(events, gap = "30 minutes")
+      .orderBy("session_start").collect()
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Long]("n_events") === 2)
+    assert(sessions(0).getAs[Double]("total_value") === 3.0)
+    assert(sessions(1).getAs[Long]("n_events") === 1)
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val gap = 1000000L // 1s in µs
     val events = Seq(
