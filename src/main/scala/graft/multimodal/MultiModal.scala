@@ -30,6 +30,12 @@ case class MediaFeatures(
     n_frames: Int,
     byte_checksum: Long)
 
+/** One sampled frame of a (stub-decoded) video payload. */
+case class MediaFrame(
+    media_id: Long,
+    frame_idx: Int,
+    frame_checksum: Long)
+
 object MultiModal {
 
   /** Wrap a documents-like table into the media model (payload := utf-8
@@ -43,6 +49,21 @@ object MultiModal {
       lit("image/stub").as("media_type"),
       col("source"),
       col("n_chars").as("declared_len")).as[MediaRecord]
+  }
+
+  /** Frame sampling: one input row fans out into `n_frames` frame rows —
+    * the generator/explode shape of video pipelines (decode is stubbed;
+    * the per-frame checksum chains off the real byte checksum, so the
+    * fan-out is verifiable).
+    */
+  def sampleFrames(features: Dataset[MediaFeatures]): Dataset[MediaFrame] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.flatMap { f =>
+      (0 until f.n_frames).iterator.map { i =>
+        MediaFrame(f.media_id, i, (f.byte_checksum * 31L + i) % 2147483647L)
+      }
+    }
   }
 
   /** Partition-wise "decode + feature extract". In production this is

@@ -37,7 +37,8 @@ object PipelineQueries {
   private def sqlInList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+  val all: Seq[Q] =
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43)
 
   /** Token counting + quality scoring (length/stopword/punctuation
     * components with fixed weights) — pure column expressions. */
@@ -296,6 +297,29 @@ object PipelineQueries {
       MultiModal.toMediaRecords(Tables.documents(s, dir)))
       .toDF()
       .orderBy(col("media_id"))
+  }
+
+  /** Video-style frame sampling: each media row fans out into n_frames
+    * frame rows with chained checksums — the generator/explode shape,
+    * verified end-to-end against the byte-level oracle. */
+  def q43: Q = Q(
+    "q43_frame_sample",
+    Some(s"""
+      |WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames,
+      |         ${sqlCharFold("text")} AS byte_checksum
+      |  FROM documents)
+      |SELECT media_id, CAST(u.i AS INTEGER) AS frame_idx,
+      |       (byte_checksum * 31 + u.i) % 2147483647 AS frame_checksum
+      |FROM f, unnest(range(0, n_frames)) AS u(i)
+      |ORDER BY media_id, frame_idx
+      |""".stripMargin)) { (s, dir) =>
+    MultiModal.sampleFrames(
+      MultiModal.decodeAndFeaturize(
+        MultiModal.toMediaRecords(Tables.documents(s, dir))))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** End-to-end corpus cleaning: quality gate + near-dup removal
