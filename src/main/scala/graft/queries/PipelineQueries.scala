@@ -244,16 +244,55 @@ object PipelineQueries {
     }
   }
 
-  /** LSH-bucketed approximate NN (the O(n·bands) scale path): rows-only
-    * driver check; bucket-recall property is unit-tested against the
-    * brute-force baseline. */
-  def q31: Q = Q(
-    "q31_lsh_ann",
-    None) { (s, dir) =>
-    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      dims = 64, k = 3, bands = 4, rowsPerBand = 8)
-      .withColumnRenamed("rank", "nn_rank")
-      .orderBy(col("vec_id"), col("nn_rank"))
+  /** LSH-bucketed approximate NN (the O(n·bands) scale path). The oracle
+    * replays the ENTIRE pipeline — LCG hyperplane signatures (left-fold
+    * projections), band buckets, the bucket-size cap, candidate join and
+    * exact cosine ranking — so even the "approximate" operator is
+    * hash-checked; recall vs brute force is additionally unit-tested. */
+  def q31: Q = {
+    val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
+      "/ 2147483648.0) - 0.5))), (a, b) -> a + b)"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    Q("q31_lsh_ann",
+      Some(s"""
+        |WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(range(0, 32), p ->
+        |           CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS sig
+        |  FROM embeddings),
+        |banded_raw AS (
+        |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 8)) % 256 AS bucket
+        |  FROM sigs, unnest(range(0, 4)) AS u(b)),
+        |banded AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded_raw)
+        |  WHERE bsz <= 128),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id, x.embedding AS qvec,
+        |                  y.vec_id AS neighbor_id, y.embedding AS nvec
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id),
+        |scored AS (
+        |  SELECT vec_id, neighbor_id,
+        |         ${dot("qvec", "nvec")}
+        |           / (sqrt(${dot("qvec", "qvec")}) * sqrt(${dot("nvec", "nvec")})) AS cos
+        |  FROM cand),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+        |  FROM scored)
+        |SELECT vec_id, nn_rank, neighbor_id, cos FROM ranked WHERE nn_rank <= 3
+        |ORDER BY vec_id, nn_rank
+        |""".stripMargin)) { (s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, k = 3, bands = 4, rowsPerBand = 8)
+        .withColumnRenamed("rank", "nn_rank")
+        .orderBy(col("vec_id"), col("nn_rank"))
+    }
   }
 
   /** Event-time tumbling-hour analytics (the batch face of the streaming
