@@ -79,6 +79,32 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(out((7200L, "click")) === 1)
   }
 
+  test("file-source stream over real events equals the batch result") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+    val batchDf = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = EventStreams.hourlyTypeStats(batchDf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // file source needs a directory; stage the file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(src), dir.resolve("events.parquet"))
+    val streamDf = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStreams.hourlyTypeStats(streamDf)
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("file_stream_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
   test("session_window groups events by inactivity gap (batch mode)") {
     val min = 60L * 1000000000L // one minute in nanos
     val events = Seq(
