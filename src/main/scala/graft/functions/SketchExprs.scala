@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -32,12 +32,13 @@ object SketchExprs {
     * form bit-for-bit.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     private def elemType(e: Expression) =
       e.dataType.asInstanceOf[ArrayType].elementType
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Double = {
       val (ta, tb) = (elemType(left), elemType(right))
       val n = math.min(a.numElements(), b.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -48,6 +49,10 @@ object SketchExprs {
         i += 1
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cosKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
@@ -60,11 +65,17 @@ object SketchExprs {
     * calls per row) with one virtual call per row.
     */
   case class Shingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     private val ws = java.util.regex.Pattern.compile("\\s+")
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = ws.split(input.asInstanceOf[UTF8String].toString.trim, -1)
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shinglesKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(input: UTF8String): ArrayData = {
+      val toks = ws.split(input.toString.trim, -1)
       val count = toks.length - (n - 1)
       if (count < 1) new GenericArrayData(Array.empty[Any])
       else {
@@ -90,10 +101,15 @@ object SketchExprs {
     */
   case class MinHashSig(child: Expression, perms: Int, mult: Long, mod: Long,
       permA: Array[Long], permB: Array[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(arr: ArrayData): ArrayData = {
       val sig = Array.fill(perms)(mod)
       var s = 0
       while (s < arr.numElements()) {
@@ -116,10 +132,15 @@ object SketchExprs {
     * output bit b set iff votes[b] > 0. Order-independent (integer sums).
     */
   case class SimHash64(child: Expression, bits: Int, mult: Long, mod: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(arr: ArrayData): Long = {
       val votes = new Array[Long](bits)
       var t = 0
       while (t < arr.numElements()) {
@@ -147,11 +168,16 @@ object SketchExprs {
     * same per-plane left-fold projection order as the lambda form.
     */
   case class HyperplaneSig(child: Expression, planes: Int, dims: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
-    override protected def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplaneKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(v: ArrayData): Long = {
       val et = elemType
       val n = math.min(v.numElements(), dims)
       var sig = 0L
