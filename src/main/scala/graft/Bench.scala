@@ -14,8 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // pay session/codegen warmup outside the per-query timings
+    // pay session/codegen/parquet-reader warmup outside the per-query
+    // timings (the first parquet scan + decimal aggregate otherwise lands
+    // on whichever query runs first)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("count(*)", "sum(cast(r_regionkey as decimal(18,2)))").collect()
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -53,6 +53,23 @@ class RealDataSpec extends AnyFunSuite {
     assert(prof.filter(col("PossessionsEst") <= 0).count() === 0)
   }
 
+  test("full pipeline on real W data: bronze -> gold -> backtest -> submission") {
+    val raw = csv("WRegularSeasonCompactResults.csv")
+      .filter(col("Season").between(2019, 2021))
+    val in = Files.createTempDirectory("graft_real_in")
+    // stage the subset through our own single-file CSV exporter
+    Lakehouse.exportSingleCsv(raw, in.resolve("WRegularSeasonCompactResults.csv").toString)
+    val lake = Files.createTempDirectory("graft_real_lake")
+    val sub = Files.createTempDirectory("graft_real_out").resolve("submission.csv")
+    val result = graft.jobs.PipelineRunner.run(
+      spark, in.toString, lake.toString, league = "W", exportCsv = Some(sub.toString))
+    assert(result.seasonsBuilt === 3)
+    assert(result.goldRows > 10000) // ~5k games/season × 2 perspectives
+    // win-rate/elo diffs are genuinely predictive on real basketball data
+    result.backtest.foreach(m => assert(m.auc > 0.65, s"season ${m.season} auc ${m.auc}"))
+    assert(Files.readAllLines(sub).size.toLong === result.goldRows + 1)
+  }
+
   test("140k-row W regular season: rolling windows + elo run at full size") {
     val games = csv("WRegularSeasonCompactResults.csv")
       .withColumn("GameId",
