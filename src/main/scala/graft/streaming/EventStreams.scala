@@ -46,6 +46,37 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's clicks within the trailing `windowExpr` (e.g. "1 hour").
+    * Watermarks on both sides bound the join state; works identically on
+    * batch frames.
+    */
+  def attributedPurchases(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowExpr: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", eventTime())
+      .withWatermark("click_time", "2 hours")
+      .select(
+        col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", eventTime())
+      .withWatermark("purchase_time", "2 hours")
+      .select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("purchase_time"))
+    p.join(c,
+      expr(s"""
+        p_user = c_user AND
+        click_time <= purchase_time AND
+        click_time >= purchase_time - INTERVAL $windowExpr"""))
+      .select(
+        col("p_user").as("user_id"), col("purchase_id"), col("amount"),
+        col("click_id"), col("click_time"), col("purchase_time"))
+  }
+
   case class SessionEvent(user_id: Long, event_time_us: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(

@@ -120,6 +120,28 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(sessions(1).getAs[Long]("n_events") === 1)
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    implicit val sc = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Long, String, Double)]
+    val purchMem = MemoryStream[(Long, Long, String, Double)]
+    val cols = Seq("ts", "user_id", "event_type", "value")
+    val joined = EventStreams.attributedPurchases(
+      clickMem.toDF().toDF(cols: _*).withColumn("event_id", col("ts")),
+      purchMem.toDF().toDF(cols: _*).withColumn("event_id", col("ts")),
+      windowExpr = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib_test")
+      .outputMode("append").start()
+    val min = 60L * 1000000000L
+    clickMem.addData((10 * min, 1L, "click", 0.0), (200 * min, 1L, "click", 0.0))
+    purchMem.addData((30 * min, 1L, "purchase", 9.99)) // 20min after click 1
+    q.processAllAvailable()
+    val out = spark.table("attrib_test").collect()
+    q.stop()
+    assert(out.length === 1) // only the in-window click attributes
+    assert(out.head.getAs[Long]("click_id") === 10 * min)
+    assert(out.head.getAs[Double]("amount") === 9.99)
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val gap = 1000000L // 1s in µs
     val events = Seq(
