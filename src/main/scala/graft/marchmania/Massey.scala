@@ -15,16 +15,23 @@ import graft.operators.Relational
   * both on (Season, TeamID) prefixes so AQE can coalesce.
   */
 object Massey {
-  def consensus(ordinals: DataFrame, tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+  def consensus(
+      ordinals: DataFrame,
+      tieBreak: Seq[Column] = Seq.empty,
+      approxMedian: Boolean = false): DataFrame = {
     val latest = Relational.latestPerKey(
       ordinals,
       keys = Seq("Season", "TeamID", "SystemName"),
       orderDesc = col("RankingDayNum") +: tieBreak)
+    val median =
+      if (approxMedian) // the reference's actual choice (accuracy 10000)
+        percentile_approx(col("OrdinalRank"), lit(0.5), lit(10000))
+      else expr("percentile(OrdinalRank, 0.5)")
     latest
       .groupBy(col("Season"), col("TeamID"))
       .agg(
         (sum(col("OrdinalRank")) / count(lit(1))).as("MasseyMeanRank"),
-        expr("percentile(OrdinalRank, 0.5)").as("MasseyMedianRank"),
+        median.as("MasseyMedianRank"),
         count(lit(1)).as("Systems"))
   }
 }
