@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.StructType
   * fold STATE lives on the heap while rows stream through. One shuffle, no
   * sort-spill surprises (Spark's external sorter handles partition-level
   * sort spilling).
+  *
+  * Scale limit, stated honestly: the parallelism unit is the GROUP — a
+  * single group's fold is inherently sequential (each step reads the
+  * previous state), so wall-clock is bounded by the largest group's row
+  * count on one core. That is intrinsic to order-dependent recurrences
+  * (the reference has the same bound, per season). When the recurrence is
+  * associative or has a closed form (EWMA, hash chains, running sums),
+  * prefer the algebraic formulation (window functions / scans) which
+  * parallelizes within groups; OrderedFold is for the genuinely
+  * non-associative remainder (e.g. ELO's coupled per-team map state).
   */
 object OrderedFold {
 

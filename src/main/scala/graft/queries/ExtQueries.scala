@@ -9,7 +9,41 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44)
+
+  /** Pivot (long → wide): per-user event-type counts and value sums as
+    * columns. Spark pivot with an explicit value list (deterministic
+    * column set); oracle uses portable FILTER aggregates.
+    */
+  def q44: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val sqlCols = types.flatMap { t =>
+      Seq(
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t",
+        s"coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = '$t') AS DOUBLE), 0.0) AS val_$t")
+    }.mkString(",\n       ")
+    Q("q44_pivot_event_types",
+      Some(s"""
+        |SELECT user_id,
+        |       $sqlCols
+        |FROM events
+        |GROUP BY user_id ORDER BY user_id
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, dir)
+      val counts = ev.groupBy(col("user_id")).pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("value").cast(DecimalType(18, 6))).cast("double"), lit(0.0))
+            .as("val"))
+      // pivot names columns "<type>_n"/"<type>_val"; normalize to oracle names
+      val renamed = types.foldLeft(counts) { (d, t) =>
+        d.withColumnRenamed(s"${t}_n", s"n_$t").withColumnRenamed(s"${t}_val", s"val_$t")
+      }
+      renamed.na.fill(0L, types.map(t => s"n_$t"))
+        .na.fill(0.0, types.map(t => s"val_$t"))
+        .orderBy(col("user_id"))
+    }
+  }
 
   /** The full window-function family the reference never used: lag/lead,
     * rank/dense_rank over a total order, ntile, and a RANGE-framed sum

@@ -34,8 +34,16 @@ object MlQueries {
     val train = feats.filter(col("Season") < maxSeason)
     val test = feats.filter(col("Season") === maxSeason)
     val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "T1_WinRate", "T2_WinRate")
-    val lrModel = Modeling.lrPipeline(featureCols, maxIter = 20).fit(train)
-    val gbtModel = Modeling.gbtPipeline(featureCols, maxIter = 6, maxDepth = 3).fit(train)
+    // the two fits are independent jobs over the same cached input —
+    // run them concurrently (Spark schedules jobs from separate driver
+    // threads onto the shared executor pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lrF = Future(Modeling.lrPipeline(featureCols, maxIter = 20).fit(train))
+    val gbtF = Future(Modeling.gbtPipeline(featureCols, maxIter = 6, maxDepth = 3).fit(train))
+    val lrModel = Await.result(lrF, Duration.Inf)
+    val gbtModel = Await.result(gbtF, Duration.Inf)
     def score(m: org.apache.spark.ml.PipelineModel) =
       m.transform(test).select(
         col("Season"), col("GameId"), col("Team1"), col("Team2"), col("label"),
