@@ -38,7 +38,51 @@ object PipelineQueries {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val all: Seq[Q] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45, q46)
+
+  /** Deterministic hash-mod stratified sampling (graft.text.Sampling):
+    * per-language keep rates, reproducible on any engine/partitioning —
+    * the 100 TB-safe corpus-sampling practice. */
+  def q45: Q = Q(
+    "q45_stratified_sample",
+    Some(s"""
+      |WITH b AS (
+      |  SELECT doc_id, lang,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':corpus_v1')")} % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 50 END
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Sampling
+    val docs = Tables.documents(s, dir).select("doc_id", "lang")
+    Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      pcts = Map("en" -> 30, "zh" -> 80), defaultPct = 50, salt = "corpus_v1")
+      .withColumn("bucket", Sampling.hashBucket(col("doc_id"), "corpus_v1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus vocabulary (the explode→count wordcount shape feeding
+    * tokenizer/BPE training): top tokens by document-level frequency with
+    * deterministic tie-break. */
+  def q46: Q = Q(
+    "q46_vocabulary",
+    Some("""
+      |SELECT u.tok AS token, count(*) AS freq,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |      FROM documents) u(doc_id, tok)
+      |GROUP BY u.tok
+      |ORDER BY freq DESC, token
+      |LIMIT 100
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)
+  }
 
   /** Token counting + quality scoring (length/stopword/punctuation
     * components with fixed weights) — pure column expressions. */

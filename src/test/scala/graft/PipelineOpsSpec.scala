@@ -122,6 +122,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("hash-mod split is disjoint, exhaustive, and partitioning-independent") {
+    import graft.text.Sampling
+    val df = (1L to 1000L).toDF("id")
+    val (tr, va, te) = Sampling.split(df, "id", 80, 10, "s1")
+    val (n1, n2, n3) = (tr.count(), va.count(), te.count())
+    assert(n1 + n2 + n3 === 1000)
+    assert(tr.intersect(va).count() === 0)
+    assert(math.abs(n1 - 800L) < 60, s"train $n1") // hash-uniformity
+    // identical membership after arbitrary repartitioning
+    val tr2 = Sampling.split(df.repartition(13), "id", 80, 10, "s1")._1
+    assert(tr.except(tr2).count() === 0)
+    assert(tr2.except(tr).count() === 0)
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
