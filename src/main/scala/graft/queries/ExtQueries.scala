@@ -9,7 +9,36 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48)
+
+  /** Full-outer join with nulls surviving on both sides (completes the
+    * join-type family: inner/left/semi/anti/asof are covered elsewhere).
+    * High-value suppliers ⟗ high-balance customers per nation. */
+  def q48: Q = Q(
+    "q48_full_outer",
+    Some("""
+      |WITH s AS (
+      |  SELECT s_nationkey AS nk, count(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY s_nationkey),
+      |c AS (
+      |  SELECT c_nationkey AS nk, count(*) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey)
+      |SELECT coalesce(s.nk, c.nk) AS nationkey,
+      |       coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+      |FROM s FULL OUTER JOIN c ON s.nk = c.nk
+      |ORDER BY nationkey
+      |""".stripMargin)) { (s, dir) =>
+    val supp = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    supp.join(cust, col("nk_s") === col("nk_c"), "full_outer")
+      .select(
+        coalesce(col("nk_s"), col("nk_c")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
 
   /** Pivot (long → wide): per-user event-type counts and value sums as
     * columns. Spark pivot with an explicit value list (deterministic

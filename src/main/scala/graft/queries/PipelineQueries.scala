@@ -38,7 +38,54 @@ object PipelineQueries {
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val all: Seq[Q] =
-    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45, q46)
+    Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
+      q46, q47)
+
+  /** TF-IDF top terms per document. The idf uses a SCALED-INTEGER inverse
+    * frequency (⌊1e6·N / doc_freq⌋) instead of ln(N/df): Java Math.log
+    * and DuckDB ln disagree in the last ulp on some inputs, while this
+    * rational form keeps every intermediate an exact integer < 2^53 —
+    * bit-portable with identical ordering behavior. Top-5 per doc with
+    * deterministic tie-break. */
+  def q47: Q = Q(
+    "q47_tfidf_top_terms",
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS total FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok AS token,
+      |         CAST(tf.cnt * ((1000000 * n.total) // df.dfreq) AS DOUBLE)
+      |           / doclen.dl AS tfidf
+      |  FROM tf JOIN doclen USING (doc_id) JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS trank
+      |  FROM scored)
+      |SELECT doc_id, trank, token, tfidf FROM ranked WHERE trank <= 5
+      |ORDER BY doc_id, trank
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("dfreq"))
+    val total = Tables.documents(s, dir).count()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(doclen, "doc_id")
+      .join(broadcast(df), "token")
+      .withColumn("tfidf",
+        (col("cnt") * expr(s"${1000000L * total}L div dfreq")).cast("double") / col("dl"))
+      .withColumn("trank", row_number().over(w))
+      .filter(col("trank") <= 5)
+      .select(col("doc_id"), col("trank"), col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), col("trank"))
+  }
 
   /** Deterministic hash-mod stratified sampling (graft.text.Sampling):
     * per-language keep rates, reproducible on any engine/partitioning —
