@@ -85,6 +85,32 @@ object Lakehouse {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Keyed upsert into a parquet dataset: existing rows whose key matches
+    * an incoming row are replaced (left_anti on the keys), everything
+    * else survives, incoming rows land as-is. The reference's only write
+    * mode is full overwrite; this is the incremental-maintenance path.
+    * (At warehouse scale this is what Delta/Iceberg MERGE does
+    * transactionally; with plain parquet the rewrite is atomic only at
+    * directory-swap granularity, which Spark's overwrite provides.)
+    */
+  def upsertParquet(
+      spark: SparkSession,
+      incoming: DataFrame,
+      keyCols: Seq[String],
+      path: String): Unit = {
+    val exists = Files.exists(Paths.get(path))
+    val merged = if (exists) {
+      val current = spark.read.parquet(path)
+      current.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(incoming)
+    } else incoming
+    // must materialize before overwriting the input path
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode(SaveMode.Overwrite).parquet(path)
+    staged.unpersist()
+  }
+
   /** S5: single-file CSV export — coalesce(1), write to a tmp dir, then
     * move the lone part file to the artifact path
     * ≙ `jobs/04_train_and_export_submission.py:49-56`. Only the final

@@ -26,6 +26,38 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$lakeDir/bronze/misc/Mystery").count() === 1)
   }
 
+  test("keyed upsert replaces matching rows and appends new ones") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_upsert").resolve("t").toString
+    Lakehouse.upsertParquet(spark,
+      Seq((2024, 1, "a"), (2024, 2, "b")).toDF("Season", "TeamID", "v"),
+      Seq("Season", "TeamID"), path)
+    Lakehouse.upsertParquet(spark,
+      Seq((2024, 2, "B2"), (2024, 3, "c")).toDF("Season", "TeamID", "v"),
+      Seq("Season", "TeamID"), path)
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(out === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("Season-partitioned writes prune partitions on season filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").resolve("t").toString
+    (2020 to 2023).flatMap(s => (1 to 10).map(i => (s, i)))
+      .toDF("Season", "TeamID")
+      .write.partitionBy("Season").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("Season") === 2022)
+    assert(q.collect().length === 10) // run THIS queryExecution so its metrics fill
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("2022")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    // the scan actually selected only the one matching partition directory
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected 1 file scanned, got ${scan.metrics("numFiles").value}")
+  }
+
   test("single-file csv export produces exactly one readable artifact") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_csv").resolve("sub.csv")
