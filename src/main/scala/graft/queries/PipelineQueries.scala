@@ -142,6 +142,8 @@ object PipelineQueries {
         |m AS (
         |  SELECT doc_id,
         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+        |           AS n_subtokens,
         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |           list_transform(toks, x -> length(x))), (a,b) -> a + b) AS DOUBLE)
         |           / len(toks) AS avg_token_len,
@@ -151,7 +153,7 @@ object PipelineQueries {
         |           / len(toks) AS stop_ratio,
         |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
         |  FROM t)
-        |SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+        |SELECT doc_id, n_tokens, n_subtokens, avg_token_len, punct_ratio,
         |       len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.4
         |         + (1.0 - punct_ratio) * 0.2 AS quality
         |FROM m ORDER BY doc_id
@@ -160,6 +162,7 @@ object PipelineQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeIshCount(col("text")).as("n_subtokens"),
         TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.qualityScore(col("text"), sw0).as("quality"))

@@ -18,6 +18,15 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword-unit count: the pre-tokenization pattern BPE
+    * tokenizers apply before merges — runs of letters, runs of digits,
+    * single other non-space symbols. A cheap, portable proxy for "how
+    * many subword tokens will this cost" (the RE2/Java-regex-common
+    * subset keeps the oracle exact). */
+  val BpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeIshCount(text: Column): Column =
+    regexp_count(text, lit(BpeIshPattern)).cast("long")
+
   /** Punctuation chars / total chars. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / length(text)
