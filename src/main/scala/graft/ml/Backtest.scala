@@ -41,4 +41,16 @@ object Backtest {
     import spark.implicits._
     metrics.toDF()
   }
+
+  /** S6: driver-side CSV of fold metrics ≙ the reference's plain
+    * csv.writer in `jobs/07_backtest_and_export_blend.py:101-104` —
+    * driver-local artifact, deliberately not a Spark job. */
+  def writeMetricsCsv(path: java.nio.file.Path, metrics: Seq[FoldMetrics]): Unit = {
+    val pw = new java.io.PrintWriter(path.toFile)
+    try {
+      pw.println("season,train_rows,val_rows,auc,log_loss")
+      metrics.foreach(m =>
+        pw.println(s"${m.season},${m.trainRows},${m.valRows},${m.auc},${m.logLoss}"))
+    } finally pw.close()
+  }
 }

@@ -41,6 +41,29 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("Pred") - (0.65 * 0.6 + 0.35 * 0.2)) < 1e-12)
   }
 
+  test("TrainValidationSplit tuning picks a grid point and beats random") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { _ =>
+      val d = rnd.nextDouble() * 2 - 1
+      (if (d + rnd.nextGaussian() * 0.2 > 0) 1 else 0, d)
+    }
+    val df = rows.toDF("label", "WinRateDiff")
+    val tuned = graft.ml.Tuning.tuneLr(df, Seq("WinRateDiff"),
+      regParams = Seq(0.01, 0.5), elasticNets = Seq(0.0), maxIter = 15)
+    assert(tuned.validationMetrics.length === 2)
+    assert(tuned.validationMetrics.max > 0.8) // AUC of the better grid point
+  }
+
+  test("backtest metrics csv lands driver-side with one row per fold") {
+    import graft.ml.Backtest
+    val out = java.nio.file.Files.createTempDirectory("graft_bt").resolve("m.csv")
+    Backtest.writeMetricsCsv(out, Seq(
+      Backtest.FoldMetrics(2023, 100, 50, 0.71, 0.62)))
+    val lines = java.nio.file.Files.readAllLines(out)
+    assert(lines.get(0) === "season,train_rows,val_rows,auc,log_loss")
+    assert(lines.get(1).startsWith("2023,100,50,0.71"))
+  }
+
   test("rolling backtest trains strictly on past seasons and reports per-fold metrics") {
     val rnd = new scala.util.Random(3)
     val rows = for (season <- 2020 to 2023; _ <- 1 to 150) yield {
