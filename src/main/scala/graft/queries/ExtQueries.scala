@@ -9,7 +9,34 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49)
+
+  /** SQL-string interface + subquery decorrelation: a correlated scalar
+    * subquery (above-nation-average balance) and an EXISTS semi-join,
+    * executed via spark.sql over registered views. The oracle is the
+    * IDENTICAL SQL text — the check is that Catalyst's decorrelated plan
+    * computes exactly what the direct evaluation does.
+    */
+  def q49: Q = {
+    val sql = """
+      |SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > (
+      |        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                 / count(*)
+      |        FROM customer c2
+      |        WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (
+      |        SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |ORDER BY c.c_custkey
+      |""".stripMargin
+    Q("q49_correlated_subqueries", Some(sql)) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
 
   /** Full-outer join with nulls surviving on both sides (completes the
     * join-type family: inner/left/semi/anti/asof are covered elsewhere).
