@@ -44,7 +44,7 @@ object PipelineRunner {
       col("Season").cast("int").as("Season"),
       col("DayNum").cast("int").as("DayNum"),
       // content-derived id: deterministic ACROSS runs, unlike mono_id
-      abs(hash(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"),
+      abs(xxhash64(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"),
         col("WScore"), col("LScore"))).as("GameId"),
       col("WTeamID"), col("LTeamID"), col("WScore"), col("LScore"))
 

@@ -23,7 +23,7 @@ class RealDataSpec extends AnyFunSuite {
   test("tourney games: long/stats/elo invariants hold on 2,585 real games") {
     val games = csv("MNCAATourneyCompactResults.csv")
       .withColumn("GameId",
-        abs(hash(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"))))
+        abs(xxhash64(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"))))
     val n = games.count()
     assert(n > 2000)
     assert(LongGames.build(games).count() === 2 * n)
@@ -73,7 +73,7 @@ class RealDataSpec extends AnyFunSuite {
   test("140k-row W regular season: rolling windows + elo run at full size") {
     val games = csv("WRegularSeasonCompactResults.csv")
       .withColumn("GameId",
-        abs(hash(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"),
+        abs(xxhash64(col("Season"), col("DayNum"), col("WTeamID"), col("LTeamID"),
           col("WScore"), col("LScore"))))
     val roll = Rolling.features(LongGames.build(games), n = 10)
     // trailing windows: null exactly on each team-season's first game
