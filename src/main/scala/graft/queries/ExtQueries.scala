@@ -9,7 +9,34 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50)
+
+  /** The native GroupedTopK operator (custom LogicalPlan → Strategy →
+    * physical exec, graft.plans): per-supplier top-3 line items by price
+    * with bounded heaps instead of a full per-partition sort. Oracle: the
+    * equivalent row_number formulation — identical result set for the
+    * total order used. */
+  def q50: Q = Q(
+    "q50_grouped_topk",
+    Some("""
+      |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY l_suppkey
+      |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber
+      |""".stripMargin)) { (s, dir) =>
+    graft.plans.GroupedTopK.topKPerKey(
+      Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      keyCols = Seq("l_suppkey"),
+      order = Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true),
+      k = 3)
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
 
   /** SQL-string interface + subquery decorrelation: a correlated scalar
     * subquery (above-nation-average balance) and an EXISTS semi-join,
