@@ -39,7 +39,32 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47)
+      q46, q47, q51)
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
+    * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
+    * so this is the "suspiciously similar" band for this corpus). */
+  def q51: Q = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    Q("q51_embedding_neardup",
+      Some(s"""
+        |WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         ${dot("a.embedding", "b.embedding")}
+        |           / (sqrt(${dot("a.embedding", "a.embedding")})
+        |              * sqrt(${dot("b.embedding", "b.embedding")})) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+        |ORDER BY id_a, id_b
+        |""".stripMargin)) { (s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  }
 
   /** TF-IDF top terms per document. The idf uses a SCALED-INTEGER inverse
     * frequency (⌊1e6·N / doc_freq⌋) instead of ln(N/df): Java Math.log

@@ -53,6 +53,25 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cos ≥ threshold. Exact all-pairs formulation (broadcast one side) —
+    * correct for corpus-vs-sample scans; at corpus×corpus scale swap the
+    * candidate generator for the hyperplane-LSH banding in [[lshTopK]]
+    * and keep the same exact-cosine verification.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the other scale path: a
     * coarse k-means quantizer (fit on the corpus with a fixed seed)
     * partitions vectors into `nlist` cells; each query probes only its
