@@ -122,11 +122,24 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** ~62-bit content fingerprint: two independent PolyHash folds (mult
+    * 131 and 137, both mod 2^31-1) composed as `h131·(2^31-1) + h137`.
+    * A single 31-bit fold collides with ~50% probability by ~77k distinct
+    * docs (birthday bound) — far below the target corpus scale; the
+    * composite pushes the 50% point past 2·10^9 docs while every
+    * intermediate stays an exact 64-bit integer the DuckDB oracle can
+    * replay (max value ≈ 2^62, no overflow in `h·137 + cp` since
+    * h < 2^31).
+    */
+  def contentFingerprint(text: Column): Column =
+    polyHash(text, 131L, PolyHash.DefaultMod) * PolyHash.DefaultMod +
+      polyHash(text, 137L, PolyHash.DefaultMod)
+
   /** Exact dedup: keep the lowest id per content fingerprint. Shuffles the
-    * 64-bit fingerprint + id only.
+    * ~62-bit fingerprint + id only, never the text.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), polyHash(trim(col(textCol))).as("fp"))
+    df.select(col(idCol).as("doc_id"), contentFingerprint(trim(col(textCol))).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 

@@ -33,25 +33,31 @@ object AsOf {
       tsCol: String,
       attachCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns
+    // The matched quote row is carried as ONE struct column filled by a
+    // single last(ignoreNulls): filling each attach column independently
+    // would mix fields from different quote rows whenever the most recent
+    // quote has a null in one of them (merge_asof / ASOF JOIN attach the
+    // whole row atomically, nulls included).
+    val qStructType = org.apache.spark.sql.types.StructType(
+      attachCols.map(c => quote.schema(c)))
     // tag 0 = quote, 1 = probe: at equal ts the quote sorts first, making
     // the match inclusive (quote.ts == probe.ts attaches)
     val taggedProbe = probe
       .withColumn("__tag", lit(1))
-      .select(probeCols.map(col) ++ Seq(col("__tag")) ++
-        attachCols.map(c => lit(null).cast(quote.schema(c).dataType).as(s"__q_$c")): _*)
+      .withColumn("__q", lit(null).cast(qStructType))
     val taggedQuote = quote
-      .select(keys.map(col) ++ Seq(col(tsCol)) ++ attachCols.map(c => col(c).as(s"__q_$c")): _*)
+      .select(keys.map(col) ++ Seq(col(tsCol)) ++
+        Seq(struct(attachCols.map(col): _*).as("__q")): _*)
       .withColumn("__tag", lit(0))
     val unioned = taggedProbe.unionByName(taggedQuote, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = attachCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__q_$c"), ignoreNulls = true).over(w))
-    }
-    attached
+    unioned
+      .withColumn("__qlast", last(col("__q"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(probeCols.map(col) ++ attachCols.map(c => col(s"asof_$c")): _*)
+      .select(probeCols.map(col) ++
+        attachCols.map(c => col("__qlast").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -78,6 +78,13 @@ object Relational {
     * phase 2 merges partials per key. Only sum-mergeable aggregates
     * (count/sum) qualify; results are exact (integer/decimal sums) and
     * identical to the direct groupBy.
+    *
+    * The salt is a deterministic row hash (over every column), not
+    * spark_partition_id/monotonically_increasing_id: those change when a
+    * stage is recomputed (fetch failure, speculation), re-salting rows
+    * between the original and retried attempts and corrupting phase-1
+    * partials. A content hash reproduces identical groups on any retry;
+    * identical rows sharing a bucket is harmless since partials merge.
     */
   def saltedCountSum(
       df: DataFrame,
@@ -85,7 +92,7 @@ object Relational {
       sumCols: Seq[String],
       saltBuckets: Int = 32): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__cnt"),

@@ -23,11 +23,17 @@ object PipelineQueries {
   private def sqlTokens(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
 
   /** ≙ PolyHashImpl.hash (fold over code points, mult 131 mod 2^31-1). */
-  private def sqlCharFold(src: String) =
+  private def sqlCharFold(src: String): String = sqlCharFold(src, 131L)
+
+  private def sqlCharFold(src: String, mult: Long) =
     s"""list_reduce(
        |  list_prepend(CAST(0 AS BIGINT),
        |               list_transform(string_split($src, ''), c -> ord(c))),
-       |  (a, c) -> (a * 131 + c) % 2147483647)""".stripMargin
+       |  (a, c) -> (a * $mult + c) % 2147483647)""".stripMargin
+
+  /** ≙ Dedup.contentFingerprint: h131 · (2^31-1) + h137. */
+  private def sqlContentFp(src: String) =
+    s"(${sqlCharFold(src, 131L)}) * 2147483647 + (${sqlCharFold(src, 137L)})"
 
   /** ≙ Dedup.shingles(n=3) on pre-tokenized list `toks`. */
   private def sqlShingles(toks: String) =
@@ -240,13 +246,13 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact dedup on the 64-bit content fingerprint (shuffle the
-    * fingerprint, never the text). */
+  /** Exact dedup on the ~62-bit composite content fingerprint (shuffle
+    * the fingerprint, never the text). */
   def q26: Q = Q(
     "q26_exact_dedup",
     Some(s"""
       |SELECT fp, min(doc_id) AS canonical_id, count(*) AS n_copies
-      |FROM (SELECT doc_id, ${sqlCharFold("trim(text)")} AS fp FROM documents)
+      |FROM (SELECT doc_id, ${sqlContentFp("trim(text)")} AS fp FROM documents)
       |GROUP BY fp ORDER BY fp
       |""".stripMargin)) { (s, dir) =>
     Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")

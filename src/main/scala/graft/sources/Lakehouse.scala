@@ -89,26 +89,39 @@ object Lakehouse {
     * an incoming row are replaced (left_anti on the keys), everything
     * else survives, incoming rows land as-is. The reference's only write
     * mode is full overwrite; this is the incremental-maintenance path.
-    * (At warehouse scale this is what Delta/Iceberg MERGE does
-    * transactionally; with plain parquet the rewrite is atomic only at
-    * directory-swap granularity, which Spark's overwrite provides.)
+    *
+    * The merged frame is written to a sibling staging directory and then
+    * renamed into place. Overwriting the source path directly would be
+    * delete-then-write: any task retry or lost cached block after the
+    * delete recomputes from already-deleted files and loses data. With
+    * stage-and-swap the original directory stays intact until the new
+    * dataset is fully committed; the swap itself is a filesystem rename.
+    * (A table format — Delta/Iceberg — would make the commit transactional
+    * even on object stores; no such jars in this environment.)
     */
   def upsertParquet(
       spark: SparkSession,
       incoming: DataFrame,
       keyCols: Seq[String],
       path: String): Unit = {
-    val exists = Files.exists(Paths.get(path))
+    val target = Paths.get(path)
+    val exists = Files.exists(target)
     val merged = if (exists) {
       val current = spark.read.parquet(path)
       current.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(incoming)
     } else incoming
-    // must materialize before overwriting the input path
-    val staged = merged.cache()
-    staged.count()
-    staged.write.mode(SaveMode.Overwrite).parquet(path)
-    staged.unpersist()
+    val staging = target.resolveSibling(
+      target.getFileName.toString + s".staging-${System.nanoTime()}")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (exists) deleteRecursively(target)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   /** S5: single-file CSV export — coalesce(1), write to a tmp dir, then

@@ -21,6 +21,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out((2L, 5L)) === None)       // nothing before
   }
 
+  test("as-of join attaches the matched quote row atomically, nulls included") {
+    val probe = Seq((1L, 40L)).toDF("k", "ts")
+    val quote = Seq(
+      (1L, 10L, Option("old"), Option(100)),
+      (1L, 30L, Option.empty[String], Option(200)))
+      .toDF("k", "ts", "v", "w")
+    val out = AsOf.asOfJoin(probe, quote, Seq("k"), "ts", Seq("v", "w"))
+      .collect().head
+    // the matched quote (ts=30) has v=null: the null must be attached, not
+    // an older quote's value (merge_asof / ASOF JOIN row-atomic semantics)
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+    assert(out.getInt(out.fieldIndex("asof_w")) === 200)
+  }
+
   test("approx sketches stay within their accuracy envelope") {
     val df = (1 to 20000).map(i => (i % 4, i % 1000)).toDF("g", "v")
     val row = df.groupBy($"g")
