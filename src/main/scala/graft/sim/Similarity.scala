@@ -54,19 +54,90 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    * cos ≥ threshold. Exact all-pairs formulation (broadcast one side) —
-    * correct for corpus-vs-sample scans; at corpus×corpus scale swap the
-    * candidate generator for the hyperplane-LSH banding in [[lshTopK]]
-    * and keep the same exact-cosine verification.
+    * cos ≥ threshold — EXACT, via blocked pair generation (the
+    * 1-bucket-theta shape) instead of a corpus broadcast:
+    *
+    * ids hash into `nBlocks` blocks; each unordered block pair {i ≤ j}
+    * is one equi-join task on the (i, j) key. A row in block b is
+    * replicated to tasks (b, j≥b) on the left and (i≤b, b) on the right,
+    * so every vector pair meets in exactly one task (same-block tasks
+    * dedupe with id_a < id_b). Compare cost stays O(n²) — irreducible for
+    * an exact low-threshold scan — but per-task memory is 2n/P vectors,
+    * the shuffle moves n·(P+1)/2 rows per side, and NOTHING broadcasts,
+    * so the operator survives a corpus that no executor could hold.
+    *
+    * Cosine is argument-order bit-symmetric (IEEE multiply is
+    * commutative, fold order is element order), so emitting
+    * (least, greatest) ids matches the id-ordered oracle exactly.
+    *
+    * For true near-dup thresholds (t ≥ ~0.9) prefer
+    * [[cosineNearDupPairsBanded]], which prunes candidates before the
+    * exact verify instead of comparing everything.
     */
   def cosineNearDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      threshold: Double,
+      nBlocks: Int = 16): DataFrame = {
+    val v = vectors.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      pmod(xxhash64(col(idCol)), lit(nBlocks.toLong)).cast("int").as("blk"))
+    val taskIdx = array((0 until nBlocks).map(lit): _*)
+    val sideA = v.select(
+        col("id").as("id_a"), col("vec").as("vec_a"), col("blk").as("ti"),
+        explode(taskIdx).as("tj"))
+      .filter(col("tj") >= col("ti"))
+    val sideB = v.select(
+        col("id").as("id_b"), col("vec").as("vec_b"), col("blk").as("tj"),
+        explode(taskIdx).as("ti"))
+      .filter(col("ti") <= col("tj"))
+    sideA.join(sideB, Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cos"))
+  }
+
+  /** Near-duplicate pairs with hyperplane-LSH candidate generation + exact
+    * cosine verification — the scale path for HIGH thresholds.
+    *
+    * Recall for a pair at cosine t: a hyperplane bit agrees with
+    * probability p = 1 − arccos(t)/π, a band of r bits matches with p^r,
+    * and the pair is missed with (1 − p^r)^B over B bands. At t = 0.95
+    * (p = 0.899), 15 bands × 4 rows (60 planes — the signature long holds
+    * at most 63) miss ≈ (1−0.654)^15 ≈ 1e-7; at t = 0.9 (p = 0.856) the
+    * same shape misses ≈ 1e-5.
+    *
+    * Selectivity crossover, stated honestly: at LOW thresholds
+    * (t ≲ 0.6 ⇒ p ≲ 0.7) the band count needed for high recall makes the
+    * buckets so coarse that candidates approach all-pairs — there banding
+    * costs more than [[cosineNearDupPairs]]'s blocked exact scan. Banding
+    * pays off in the regime near-dup detection actually runs in (t ≥ 0.9).
+    */
+  def cosineNearDupPairsBanded(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dims: Int,
+      bands: Int = 15,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
+    val candIds = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    candIds
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -133,6 +204,37 @@ object Similarity {
   def hyperplaneSignature(vec: Column, planes: Int, dims: Int): Column =
     graft.functions.SketchExprs.hyperplaneSig(vec, planes, dims)
 
+  /** Band-bucket assignment shared by the LSH operators: hyperplane
+    * signature → one (id, band, bucket) row per band, with oversized
+    * buckets dropped.
+    *
+    * Skew guard rationale: a bucket holding b vectors yields b² candidate
+    * pairs, so one degenerate bucket dominates the whole job; buckets past
+    * the cap carry little signal (the stop-word analogue) and are dropped.
+    */
+  private def bandedBuckets(
+      vecs: DataFrame,
+      dims: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucketSize: Int): DataFrame = {
+    val planes = bands * rowsPerBand
+    val bandedRaw = vecs
+      .withColumn("sig", hyperplaneSignature(col("vec"), planes, dims))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          // band value = bits [b*rowsPerBand, (b+1)*rowsPerBand)
+          (shiftrightunsigned(col("sig"), b * rowsPerBand) %
+            (1L << rowsPerBand)).cast("long")
+        }: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val smallBuckets = bandedRaw.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .drop("bsz")
+    bandedRaw.join(broadcast(smallBuckets), Seq("band", "bucket"))
+  }
+
   /** LSH-bucketed approximate top-k: vectors sharing a hyperplane-signature
     * band become candidates; exact cosine ranks within candidates. Probes
     * `bands` bands of `rowsPerBand` bits each.
@@ -146,25 +248,8 @@ object Similarity {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 128): DataFrame = {
-    val planes = bands * rowsPerBand
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bandedRaw = vecs
-      .withColumn("sig", hyperplaneSignature(col("vec"), planes, dims))
-      .select(col("id"),
-        posexplode(array((0 until bands).map { b =>
-          // band value = bits [b*rowsPerBand, (b+1)*rowsPerBand)
-          (shiftrightunsigned(col("sig"), b * rowsPerBand) %
-            (1L << rowsPerBand)).cast("long")
-        }: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    // skew guard: a bucket holding b vectors yields b² candidate pairs, so
-    // one degenerate bucket dominates the whole job; buckets past the cap
-    // carry little signal (the stop-word analogue) and are dropped.
-    val smallBuckets = bandedRaw.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize)
-      .drop("bsz")
-    val banded = bandedRaw.join(broadcast(smallBuckets), Seq("band", "bucket"))
+    val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
     // ids-only through the bucket join + distinct; vectors re-attached after
     val candIds = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

@@ -122,6 +122,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val vecs = (0 until 80).map { i =>
+      val c = Array.fill(dims)(if (i % 4 == 0) 1.0f else rnd.nextFloat() - 0.5f)
+      (i.toLong, c)
+    }.toDF("vec_id", "embedding")
+    val blocked = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, nBlocks = 5)
+    // reference: plain all-pairs theta join (fine at test scale)
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val ref = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    assert(blocked.count() > 0)
+    assert(blocked.except(ref).count() === 0)
+    assert(ref.except(blocked).count() === 0)
+    // scale contract: the pair generation is an equi-join on block keys —
+    // no nested-loop join over a broadcast corpus anywhere in the plan
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked pairs must not plan a broadcast theta-join:\n$plan")
+  }
+
+  test("banded near-dup pairs: perfect recall on high-cosine pairs, candidates pruned") {
+    val rnd = new scala.util.Random(13)
+    val dims = 16
+    // 20 tight clusters of 4 (high intra-cluster cosine) + noise vectors
+    val vecs = (0 until 80).map { i =>
+      val center = Array.fill(dims)(math.sin(i / 4 * 2.7).toFloat + 1.5f)
+      (i.toLong, center.map(c => c + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.95, nBlocks = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDupPairsBanded(vecs, "vec_id", "embedding",
+      threshold = 0.95, dims = dims)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact), "banded must never emit a false pair (exact verify)")
+    val recall = banded.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.99, s"recall $recall on ${exact.size} true pairs")
+  }
+
   test("hash-mod split is disjoint, exhaustive, and partitioning-independent") {
     import graft.text.Sampling
     val df = (1L to 1000L).toDF("id")
