@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Express
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+import org.apache.spark.SparkEnv
 import scala.collection.mutable
 
 /** Grouped top-k as a first-class operator — the one place in this engine
@@ -22,6 +24,14 @@ import scala.collection.mutable
   * partition, one shuffle (ClusteredDistribution on the keys) — same
   * result set as the window formulation for any total `order`.
   *
+  * Memory safety at high key cardinality: the heap map is bounded at
+  * `spark.graft.topk.maxKeysPerPartition` distinct keys (default 2^18).
+  * A partition that exceeds it degrades to Spark's spilling
+  * UnsafeExternalRowSorter — sort by (keys, order), stream the first k
+  * rows of each key group with O(1) extra memory — so the operator keeps
+  * the heap's O(n log k) fast path where it fits and the window plan's
+  * sort-spill robustness where it doesn't, per partition, at run time.
+  *
   * Wired through the full extension stack: logical node → planner
   * Strategy → physical UnaryExecNode, registered per-session.
   */
@@ -30,6 +40,7 @@ case class GroupedTopK(
     order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"grouped top-k needs k >= 1, got $k")
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
     copy(child = newChild)
@@ -47,12 +58,21 @@ case class GroupedTopKExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
+    val maxKeys = conf.getConfString(
+      "spark.graft.topk.maxKeysPerPartition", (1 << 18).toString).toInt
+    val childOutput = child.output
+    val childSchema = child.schema
+    val keysLocal = keys
+    val orderLocal = order
+    val pageSize = SparkEnv.get.memoryManager.pageSizeBytes
     child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keys, child.output)
-      val ord = GenerateOrdering.generate(order, child.output)
+      val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      val ord = GenerateOrdering.generate(orderLocal, childOutput)
       // max-heap by `ord`: head is the WORST currently-kept row per key
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      var overflowRow: InternalRow = null
+      while (it.hasNext && overflowRow == null) {
+        val row = it.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
@@ -61,12 +81,66 @@ case class GroupedTopKExec(
               heap.dequeue(); heap.enqueue(row.copy())
             }
           case None =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](ord)
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
+            if (heaps.size >= maxKeys) overflowRow = row.copy()
+            else {
+              val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+              heap.enqueue(row.copy())
+              heaps.put(key.copy(), heap)
+            }
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator) // best-first
+      if (overflowRow == null) {
+        heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator) // best-first
+      } else {
+        // Key cardinality exceeded the in-memory bound: hand everything —
+        // the buffered heap rows, the overflow row, the rest of the input
+        // — to the spilling external sorter, ordered by (keys, order),
+        // then stream the first k rows per key group.
+        val fullOrder = keysLocal.map(e => SortOrder(e, Ascending)) ++ orderLocal
+        val sortOrd = GenerateOrdering.generate(fullOrder, childOutput)
+        // constant prefix: all discrimination happens in the record
+        // comparator (same fallback SortExec uses for prefix-less types)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = { p.value = 0L; p }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          childSchema, sortOrd, PrefixComparators.LONG, prefixComputer,
+          pageSize, false)
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        def unsafe(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
+        val buffered = heaps.valuesIterator.flatMap(_.iterator)
+        val sorted = sorter.sort(
+          (buffered ++ Iterator.single(overflowRow) ++ it).map(unsafe))
+        heaps.clear()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var emitted = 0
+          private var nextRow: InternalRow = null
+          private def advance(): Unit = {
+            nextRow = null
+            while (nextRow == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyProj(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy(); emitted = 0
+              }
+              // copy: the sorter's iterator reuses its row buffer, and we
+              // look one row ahead of what the consumer holds
+              if (emitted < kLocal) { emitted += 1; nextRow = row.copy() }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = nextRow != null
+          override def next(): InternalRow = {
+            val r = nextRow; advance(); r
+          }
+        }
+      }
     }
   }
 
@@ -93,6 +167,7 @@ object GroupedTopK {
       keyCols: Seq[String],
       order: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k >= 1, s"grouped top-k needs k >= 1, got $k")
     val spark = df.sparkSession
     register(spark)
     val analyzed = ColumnBridge.plan(df)
