@@ -1,9 +1,10 @@
 package graft.jobs
 
+import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.marchmania._
-import graft.ml.{Backtest, Modeling}
+import graft.ml.{Backtest, HpoParams, Modeling, Tuning}
 import graft.sources.{LakePaths, Lakehouse}
 
 /** In-process pipeline ≙ reference `jobs/01…12` + `run_pipeline.py`:
@@ -32,7 +33,9 @@ object PipelineRunner {
       lakeRoot: String,
       league: String = "M",
       rollingN: Int = 10,
-      exportCsv: Option[String] = None): Result = {
+      exportCsv: Option[String] = None,
+      hpoParamsPath: Option[String] = None,
+      blendAlpha: Double = 0.65): Result = {
     val lake = LakePaths(lakeRoot)
 
     // 01: bronze ingest (csv -> trimmed -> parquet)
@@ -81,14 +84,42 @@ object PipelineRunner {
     val metrics = Backtest.rollingSeasons(
       Modeling.fillMissing(goldRead, featureCols), featureCols, maxIter = 15)
 
-    // 04/12: final fit + submission export
+    // 04/12: final fit + submission export. With an HPO params file
+    // (S7, ≙ jobs/12:58-89) the export is the LR+GBT ensemble fit with
+    // the reloaded tuned params; absent file → reference's defaults;
+    // no path requested → the plain LR export.
     val path = exportCsv.map { out =>
-      val full = Modeling.fillMissing(goldRead, featureCols)
-      val model = Modeling.lrPipeline(featureCols, maxIter = 15).fit(full)
-      val scored = model.transform(full).select(
-        concat_ws("_", col("Season"), col("Team1"), col("Team2")).as("ID"),
-        Modeling.probOf().as("Pred"))
-      Lakehouse.exportSingleCsv(scored, out).toString
+      val full = Modeling.fillMissing(goldRead, featureCols).cache()
+      def idAnd(model: PipelineModel): DataFrame =
+        model.transform(full).select(
+          concat_ws("_", col("Season"), col("Team1"), col("Team2")).as("ID"),
+          Modeling.probOf().as("Pred"))
+      val scored = hpoParamsPath match {
+        case Some(p) =>
+          val hpo = HpoParams.read(p)
+          val lrParams = hpo.map(_.logreg.params).getOrElse(Map.empty)
+          val gbtParams = hpo.map(_.gbt.params).getOrElse(Map.empty)
+          val lrModel = HpoParams.lrFrom(lrParams, featureCols).fit(full)
+          val gbtModel = HpoParams.gbtFrom(gbtParams, featureCols).fit(full)
+          // blend by chaining transforms over ONE frame — gold matchup IDs
+          // are not unique (rematches), so the reference's join-on-ID blend
+          // (Modeling.blend, kept for unique-ID submission frames) would
+          // fan out here; chaining also skips the join entirely
+          val withLr = lrModel.transform(full)
+            .withColumn("pred_lr", Modeling.probOf())
+            .drop("features", "rawPrediction", "probability", "prediction")
+          gbtModel.transform(withLr)
+            .withColumn("pred_gbt", Modeling.probOf())
+            .select(
+              concat_ws("_", col("Season"), col("Team1"), col("Team2")).as("ID"),
+              (lit(blendAlpha) * col("pred_gbt") +
+                lit(1.0 - blendAlpha) * col("pred_lr")).as("Pred"))
+        case None =>
+          idAnd(Modeling.lrPipeline(featureCols, maxIter = 15).fit(full))
+      }
+      val written = Lakehouse.exportSingleCsv(scored, out).toString
+      full.unpersist()
+      written
     }
 
     Result(
@@ -96,5 +127,39 @@ object PipelineRunner {
       goldRows = goldRead.count(),
       backtest = metrics,
       submissionPath = path)
+  }
+
+  /** HPO stage ≙ reference `jobs/11_hpo_backtest.py:30-58`: split the gold
+    * table on its latest season, tune LR and GBT grids on the earlier
+    * seasons, evaluate both winners on the holdout, export everything as
+    * `hpo_best_params.json` for [[run]]'s ensemble stage to reload.
+    * Grid arguments default to the reference's; tests pass singletons.
+    */
+  def hpoBacktest(
+      gold: DataFrame,
+      featureCols: Seq[String],
+      league: String,
+      outPath: String,
+      lrRegParams: Seq[Double] = Seq(0.01, 0.05),
+      lrElasticNets: Seq[Double] = Seq(0.0, 0.5),
+      lrMaxIter: Int = 60,
+      gbtMaxDepths: Seq[Int] = Seq(3, 5),
+      gbtMaxIters: Seq[Int] = Seq(80, 120),
+      gbtSubsampling: Seq[Double] = Seq(0.7, 0.9)): HpoParams.HpoResult = {
+    val full = Modeling.fillMissing(gold, featureCols).cache()
+    val valSeason = full.agg(max(col("Season"))).head.getInt(0)
+    val train = full.filter(col("Season") < valSeason)
+    val holdout = full.filter(col("Season") === valSeason)
+    val lrTvs = Tuning.tuneLr(train, featureCols, lrRegParams, lrElasticNets, lrMaxIter)
+    val gbtTvs = Tuning.tuneGbt(train, featureCols, gbtMaxDepths, gbtMaxIters, gbtSubsampling)
+    def reportOf(tvs: org.apache.spark.ml.tuning.TrainValidationSplitModel) = {
+      val (auc, ll) = Modeling.evaluate(tvs.bestModel.asInstanceOf[PipelineModel], holdout)
+      HpoParams.ModelReport(HpoParams.bestParams(tvs), auc, ll)
+    }
+    val result = HpoParams.HpoResult(
+      league, valSeason, featureCols, reportOf(lrTvs), reportOf(gbtTvs))
+    full.unpersist()
+    HpoParams.write(result, outPath)
+    result
   }
 }

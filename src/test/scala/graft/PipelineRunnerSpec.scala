@@ -33,5 +33,48 @@ class PipelineRunnerSpec extends AnyFunSuite {
     // silver landed partitioned by Season (partition pruning layout)
     assert(Files.exists(lake.resolve("silver/M/team_season_stats/Season=2021")))
     assert(Files.exists(lake.resolve("gold/M/training_matchups/Season=2023")))
+
+    // S7: HPO tune -> JSON export -> reload -> ensemble export (jobs 11+12)
+    val gold = spark.read.parquet(lake.resolve("gold/M/training_matchups").toString)
+    val hpoPath = lake.resolve("artifacts/hpo_best_params.json").toString
+    val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "EloDiff")
+    val tuned = PipelineRunner.hpoBacktest(
+      gold, featureCols, "M", hpoPath,
+      lrRegParams = Seq(0.01, 0.1), lrElasticNets = Seq(0.0), lrMaxIter = 10,
+      gbtMaxDepths = Seq(2), gbtMaxIters = Seq(5), gbtSubsampling = Seq(0.9))
+    assert(Files.exists(java.nio.file.Paths.get(hpoPath)))
+    assert(!tuned.logreg.auc.isNaN && !tuned.gbt.auc.isNaN)
+    assert(Seq(0.01, 0.1).contains(tuned.logreg.params("regParam")))
+
+    // round-trip: the reloaded file parses back to the written values
+    val reloaded = graft.ml.HpoParams.read(hpoPath).get
+    assert(reloaded.valSeason === tuned.valSeason)
+    assert(reloaded.featureCols === featureCols)
+    assert(reloaded.logreg.params === tuned.logreg.params)
+    assert(reloaded.gbt.params === tuned.gbt.params)
+    assert(reloaded.gbt.auc === tuned.gbt.auc)
+
+    // ensemble export fits with the loaded params and blends LR+GBT
+    val sub2 = Files.createTempDirectory("graft_pipe_out2").resolve("ensemble.csv")
+    val result2 = PipelineRunner.run(
+      spark, in.toString, lake.toString,
+      exportCsv = Some(sub2.toString), hpoParamsPath = Some(hpoPath))
+    val lines2 = Files.readAllLines(sub2)
+    assert(lines2.get(0) === "ID,Pred")
+    assert(lines2.size.toLong === result2.goldRows + 1)
+    val preds = (1 until lines2.size).map(i => lines2.get(i).split(",")(1).toDouble)
+    assert(preds.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("missing HPO params file falls back to reference defaults") {
+    assert(graft.ml.HpoParams.read("/nonexistent/hpo.json").isEmpty)
+    val lr = graft.ml.HpoParams.lrFrom(Map.empty, Seq("f1"))
+    val lrStage = lr.getStages(1).asInstanceOf[org.apache.spark.ml.classification.LogisticRegression]
+    assert(lrStage.getMaxIter === 80)
+    assert(lrStage.getRegParam === 0.05)
+    val gbt = graft.ml.HpoParams.gbtFrom(Map.empty, Seq("f1"))
+    val gbtStage = gbt.getStages(1).asInstanceOf[org.apache.spark.ml.classification.GBTClassifier]
+    assert(gbtStage.getMaxIter === 120)
+    assert(gbtStage.getSubsamplingRate === 0.8)
   }
 }
