@@ -53,7 +53,7 @@ object DomainQueries {
     |  FROM long GROUP BY Season, TeamID)
     |""".stripMargin
 
-  val all: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22)
+  val all: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q54)
 
   /** §2.13-1: team-season stats (U2+A1). */
   def q16: Q = Q(
@@ -248,5 +248,87 @@ object DomainQueries {
         col("T1_AvgPointDiff"), col("T2_AvgPointDiff"),
         col("WinRateDiff"), col("AvgPointDiffDiff"))
       .orderBy(col("Season"), col("GameId"), col("label"))
+  }
+
+  /** (name, mult, mod, base) for the 13 synthetic per-side box-score
+    * stats: stat = (key·mult + c) % mod + base, base >= 1 so every
+    * DetailedStats denominator is positive. Winner stats derive from
+    * o_orderkey (c=7), loser stats from o_custkey (c=11). */
+  // lazy: `val all` above initializes first and reaches here through q54
+  private lazy val DetailedStatSpec: Seq[(String, Int, Int, Int)] = Seq(
+    ("FGM", 3, 20, 15), ("FGA", 5, 25, 45), ("FGM3", 7, 10, 3),
+    ("FGA3", 11, 12, 15), ("FTM", 13, 12, 5), ("FTA", 17, 10, 18),
+    ("OR", 19, 10, 5), ("DR", 23, 15, 15), ("Ast", 29, 15, 8),
+    ("TO", 31, 12, 6), ("Stl", 37, 8, 3), ("Blk", 41, 6, 1),
+    ("PF", 43, 10, 12))
+
+  /** Synthetic detailed-results table (13 W/L box-score columns,
+    * FIXTURES.md §A shape) derived from orders. Keep in sync with the
+    * generated SQL in [[q54]]. */
+  def detailedGames(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      Seq(
+        year(col("o_orderdate")).as("Season"),
+        dayofyear(col("o_orderdate")).as("DayNum"),
+        (col("o_custkey") % 40).cast("int").as("WTeamID"),
+        (lit(50) + col("o_orderkey") % 40).cast("int").as("LTeamID")) ++
+        DetailedStatSpec.map { case (n, m, md, b) =>
+          ((col("o_orderkey") * m + 7) % md + b).cast("int").as(s"W$n")
+        } ++
+        DetailedStatSpec.map { case (n, m, md, b) =>
+          ((col("o_custkey") * m + 11) % md + b).cast("int").as(s"L$n")
+        }: _*)
+
+  /** §2.13 tier-3: box-score efficiency profile (DetailedStats.build) —
+    * every rate a single division of exact integer sums, so the double
+    * results are bit-identical on both engines. Stat columns are quoted
+    * in the SQL ("OR"/"TO" are keywords). */
+  def q54: Q = {
+    val wCols = DetailedStatSpec.map { case (n, m, md, b) =>
+      s"""CAST((o_orderkey * $m + 7) % $md + $b AS INTEGER) AS "W$n""""
+    }.mkString(",\n    |         ")
+    val lCols = DetailedStatSpec.map { case (n, m, md, b) =>
+      s"""CAST((o_custkey * $m + 11) % $md + $b AS INTEGER) AS "L$n""""
+    }.mkString(",\n    |         ")
+    val wLong = DetailedStatSpec.map { case (n, _, _, _) => s""""W$n" AS "$n"""" }
+      .mkString(", ")
+    val wOpp = DetailedStatSpec.map { case (n, _, _, _) => s""""L$n" AS "Opp$n"""" }
+      .mkString(", ")
+    val lLong = DetailedStatSpec.map { case (n, _, _, _) => s""""L$n" AS "$n"""" }
+      .mkString(", ")
+    val lOpp = DetailedStatSpec.map { case (n, _, _, _) => s""""W$n" AS "Opp$n"""" }
+      .mkString(", ")
+    Q("q54_detailed_efficiency",
+      Some(s"""
+        |WITH det AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS Season,
+        |         CAST(dayofyear(o_orderdate) AS INTEGER) AS DayNum,
+        |         CAST(o_custkey % 40 AS INTEGER) AS WTeamID,
+        |         CAST(50 + o_orderkey % 40 AS INTEGER) AS LTeamID,
+        |         $wCols,
+        |         $lCols
+        |  FROM orders),
+        |long AS (
+        |  SELECT Season, DayNum, WTeamID AS TeamID, 1 AS Win, $wLong, $wOpp FROM det
+        |  UNION ALL
+        |  SELECT Season, DayNum, LTeamID, 0, $lLong, $lOpp FROM det)
+        |SELECT Season, TeamID, count(*) AS Games,
+        |       sum("FGM") / sum("FGA") AS FgPct,
+        |       sum("FGM3") / sum("FGA3") AS Fg3Pct,
+        |       sum("FTM") / sum("FTA") AS FtPct,
+        |       sum("Ast") / sum("TO") AS AstToRatio,
+        |       (sum("OR") + sum("DR")) / count(*) AS ReboundsPerGame,
+        |       sum("OR") / (sum("OR") + sum("OppDR")) AS OffRebRate,
+        |       sum("Stl") / count(*) AS StealsPerGame,
+        |       sum("Blk") / count(*) AS BlocksPerGame,
+        |       sum("PF") / count(*) AS FoulsPerGame,
+        |       (sum("FGA") - sum("OR") + sum("TO")) + 0.475 * sum("FTA")
+        |         AS PossessionsEst
+        |FROM long GROUP BY Season, TeamID
+        |ORDER BY Season, TeamID
+        |""".stripMargin)) { (s, dir) =>
+      DetailedStats.build(detailedGames(s, dir))
+        .orderBy(col("Season"), col("TeamID"))
+    }
   }
 }

@@ -9,7 +9,81 @@ import graft.operators.AsOf
   */
 object ExtQueries {
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50)
+  val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50,
+    q52, q53, q55)
+
+  /** Batch face of the streaming tumbling-hour aggregation
+    * (graft.streaming.EventStreams.hourlyTypeStats) — the SAME transform
+    * runs on readStream frames; MlAndStreamingSpec pins stream-vs-batch
+    * equality, this entry pins the values against the oracle. Window
+    * starts surface as epoch seconds (hour-aligned, so the cast is exact
+    * on both engines). */
+  def q52: Q = Q(
+    "q52_hourly_type_stats",
+    Some("""
+      |SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
+      |       event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    graft.streaming.EventStreams.hourlyTypeStats(Tables.events(s, dir))
+      .select(
+        col("window_start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Batch face of the gap-based session window
+    * (EventStreams.sessionStats, 30-minute gap). Oracle replays Spark's
+    * session semantics as islands-and-gaps SQL: a new session starts when
+    * the gap to the previous event is >= the gap duration (Spark merges
+    * sessions only while the next event falls strictly inside
+    * last + gap), and session_end = last event + gap. Microsecond longs
+    * on both sides — no timestamp comparisons across engines. */
+  def q53: Q = Q(
+    "q53_session_stats",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, value FROM events),
+      |o AS (
+      |  SELECT *, lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL OR t_us - prev >= 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t_us
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o)
+      |SELECT user_id,
+      |       min(t_us) AS session_start_us,
+      |       max(t_us) + 1800000000 AS session_end_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, session_start_us
+      |""".stripMargin)) { (s, dir) =>
+    graft.streaming.EventStreams.sessionStats(Tables.events(s, dir))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
+  /** IVF approximate nearest neighbors (graft.sim.Similarity.ivfTopK):
+    * rows-only by nature — the KMeans coarse quantizer is seed-stable but
+    * floating-point-order sensitive, so no cross-engine oracle exists;
+    * recall >= 0.9 vs brute force is pinned in PipelineOpsSpec. */
+  def q55: Q = Q("q55_ivf_ann", None) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.sim.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 3)
+      .orderBy(col("vec_id"), col("rank"))
+  }
 
   /** The native GroupedTopK operator (custom LogicalPlan → Strategy →
     * physical exec, graft.plans): per-supplier top-3 line items by price

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-time streaming analytics over the events shape (ts: epoch-nano
   * long, user_id, event_type, value). Every transform here works on BOTH a
@@ -25,7 +26,10 @@ object EventStreams {
       .withColumn("event_time", eventTime())
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // decimal sum: exact, so results are partition- and
+      // micro-batch-order independent (double accumulation is neither)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -39,7 +43,8 @@ object EventStreams {
       .withColumn("event_time", eventTime())
       .withWatermark("event_time", "2 hours")
       .groupBy(col("user_id"), session_window(col("event_time"), gap))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),

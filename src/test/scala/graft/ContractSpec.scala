@@ -20,7 +20,10 @@ class ContractSpec extends AnyFunSuite {
     assert(oracles.subsetOf(qs))
     val rowsOnly = qs -- oracles
     // only the inherently non-portable ones may lack an oracle
-    assert(rowsOnly === Set("q35_train_score_blend", "q38_approx_sketches"))
+    assert(rowsOnly === Set(
+      "q35_train_score_blend", // MLlib training: metrics-tolerance, not hashes
+      "q38_approx_sketches",   // HLL internals differ across engines
+      "q55_ivf_ann"))          // KMeans quantizer is fp-order sensitive
   }
 
   test("typed Dataset views of domain frames round-trip") {
