@@ -35,7 +35,27 @@ object PipelineRunner {
       rollingN: Int = 10,
       exportCsv: Option[String] = None,
       hpoParamsPath: Option[String] = None,
-      blendAlpha: Double = 0.65): Result = {
+      blendAlpha: Double = 0.65): Result =
+    run(spark, inputDir, lakeRoot,
+      PipelineConfig(league = league, rollingN = rollingN, blendAlphaGbt = blendAlpha),
+      exportCsv, hpoParamsPath)
+
+  /** Config-file-driven variant ≙ the reference reading
+    * `conf/pipeline.yml` in every job: league, ELO constants, rolling N,
+    * blend α and backtest bounds all come from [[PipelineConfig]]
+    * (load one with `PipelineConfig.load(path)`). */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      lakeRoot: String,
+      config: PipelineConfig,
+      exportCsv: Option[String],
+      hpoParamsPath: Option[String]): Result = {
+    val league = config.league
+    val rollingN = config.rollingN
+    val blendAlpha = config.blendAlphaGbt
+    spark.conf.set("spark.sql.shuffle.partitions", config.shufflePartitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", config.adaptiveEnabled.toString)
     val lake = LakePaths(lakeRoot)
 
     // 01: bronze ingest (csv -> trimmed -> parquet)
@@ -60,7 +80,9 @@ object PipelineRunner {
 
     // 02: team-season stats  05: elo  06: rolling snapshot
     val stats = writeSilver(TeamSeasonStats.build(gamesKeyed), "team_season_stats")
-    val elo = writeSilver(Elo.perSeason(gamesKeyed), "elo_ratings")
+    val elo = writeSilver(
+      Elo.perSeason(gamesKeyed, config.eloKFactor, config.eloInitialRating),
+      "elo_ratings")
     val rolling = writeSilver(
       Rolling.lastPerSeason(Rolling.features(LongGames.build(gamesKeyed), rollingN)),
       "rolling_last_per_season")
@@ -79,10 +101,11 @@ object PipelineRunner {
       .parquet(lake.gold(league, "training_matchups"))
     val goldRead = spark.read.parquet(lake.gold(league, "training_matchups"))
 
-    // 07: rolling backtest
+    // 07: rolling backtest (season bounds from config)
     val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "EloDiff")
     val metrics = Backtest.rollingSeasons(
-      Modeling.fillMissing(goldRead, featureCols), featureCols, maxIter = 15)
+      Modeling.fillMissing(goldRead, featureCols), featureCols, maxIter = 15,
+      minTrainSeason = config.minTrainSeason, maxValSeason = config.maxValSeason)
 
     // 04/12: final fit + submission export. With an HPO params file
     // (S7, ≙ jobs/12:58-89) the export is the LR+GBT ensemble fit with

@@ -12,16 +12,24 @@ object Backtest {
   final case class FoldMetrics(season: Int, trainRows: Long, valRows: Long,
       auc: Double, logLoss: Double)
 
+  /** @param minTrainSeason  seasons <= this never validate (they only
+    *                         train) ≙ conf `backtest.min_train_season`
+    * @param maxValSeason    last season allowed to validate
+    *                         ≙ conf `backtest.max_val_season` */
   def rollingSeasons(
       features: DataFrame,
       featureCols: Seq[String],
       minTrainSeasons: Int = 1,
-      maxIter: Int = 20): Seq[FoldMetrics] = {
+      maxIter: Int = 20,
+      minTrainSeason: Int = Int.MinValue,
+      maxValSeason: Int = Int.MaxValue): Seq[FoldMetrics] = {
     val cached = features.cache()
     try {
       val seasons = cached.select(col("Season")).distinct()
         .collect().map(_.getInt(0)).sorted
-      seasons.drop(minTrainSeasons).map { s =>
+      seasons.drop(minTrainSeasons)
+        .filter(s => s > minTrainSeason && s <= maxValSeason)
+        .map { s =>
         val train = cached.filter(col("Season") < s)
         val validate = cached.filter(col("Season") === s)
         val (trainN, valN) = (train.count(), validate.count())

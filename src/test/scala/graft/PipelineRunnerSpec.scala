@@ -66,6 +66,68 @@ class PipelineRunnerSpec extends AnyFunSuite {
     assert(preds.forall(p => p >= 0.0 && p <= 1.0))
   }
 
+  test("typed pipeline config parses the reference yml shape and drives a run") {
+    val yml = """
+      |# Pipeline configuration (edit for experiments)
+      |competition:
+      |  league: "w"  # lowercased on purpose
+      |  name: "march-machine-learning-mania-2026"
+      |spark:
+      |  shuffle_partitions: 8
+      |  adaptive_enabled: true
+      |elo:
+      |  initial_rating: 1400.0
+      |  k_factor: 32.0
+      |rolling:
+      |  window_last_n_games: 4
+      |modeling:
+      |  blend_alpha_gbt: 0.5
+      |  gbt:
+      |    max_iter: 200
+      |    max_depth: 5
+      |  logreg:
+      |    max_iter: 80
+      |    reg_param: 0.05
+      |backtest:
+      |  min_train_season: 2021
+      |  max_val_season: 2022
+      |""".stripMargin
+    val cfg = graft.jobs.PipelineConfig.fromText(yml)
+    assert(cfg.league === "W")
+    assert(cfg.shufflePartitions === 8)
+    assert(cfg.eloInitialRating === 1400.0)
+    assert(cfg.eloKFactor === 32.0)
+    assert(cfg.rollingN === 4)
+    assert(cfg.blendAlphaGbt === 0.5)
+    assert(cfg.gbtMaxIter === 200)
+    assert(cfg.minTrainSeason === 2021)
+    assert(cfg.maxValSeason === 2022)
+    // unspecified keys keep defaults
+    assert(cfg.gbtSubsamplingRate === 0.8)
+    assert(cfg.lrElasticNet === 0.0)
+
+    // config-driven run: W league fixture, backtest bounded to 2022 only
+    val in = Files.createTempDirectory("graft_cfg_in")
+    val rnd = new scala.util.Random(29)
+    val rows = for (season <- 2021 to 2023; day <- 1 to 25) yield {
+      val a = 3101 + rnd.nextInt(5); val b = 3110 + rnd.nextInt(5)
+      s"$season,$day,$a,${60 + rnd.nextInt(20)},$b,${40 + rnd.nextInt(19)},H,0"
+    }
+    Files.writeString(in.resolve("WRegularSeasonCompactResults.csv"),
+      "Season,DayNum,WTeamID,WScore,LTeamID,LScore,WLoc,NumOT\n" + rows.mkString("\n") + "\n")
+    val lake = Files.createTempDirectory("graft_cfg_lake")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val result = graft.jobs.PipelineRunner.run(
+        spark, in.toString, lake.toString, cfg, exportCsv = None, hpoParamsPath = None)
+      assert(result.seasonsBuilt === 3)
+      // max_val_season=2022 excludes the 2023 fold
+      assert(result.backtest.map(_.season) === Seq(2022))
+      assert(Files.exists(lake.resolve("silver/W/elo_ratings/Season=2021")))
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "8")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("missing HPO params file falls back to reference defaults") {
     assert(graft.ml.HpoParams.read("/nonexistent/hpo.json").isEmpty)
     val lr = graft.ml.HpoParams.lrFrom(Map.empty, Seq("f1"))
