@@ -1,6 +1,7 @@
 package graft.marchmania
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import scala.collection.mutable
@@ -54,10 +55,10 @@ object Elo {
         ratings(l) = rl - delta
         ratings
       },
-      emit = (last, ratings) => {
-        val season = last.getInt(0)
+      emit = (key, ratings) => {
+        val season = key.getInt(0)
         ratings.toSeq.sortBy(_._1).iterator.map { case (team, elo) =>
-          Row(season, team, elo)
+          new GenericInternalRow(Array[Any](season, team, elo))
         }
       })
   }

@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.StructType
 
 /** Order-sensitive per-group fold, the one operator class the reference
@@ -19,6 +22,14 @@ import org.apache.spark.sql.types.StructType
   * sort-spill surprises (Spark's external sorter handles partition-level
   * sort spilling).
   *
+  * The fold runs directly on the plan's InternalRow output
+  * (`queryExecution.toRdd`) and group keys are compared as projected
+  * UnsafeRow bytes — no per-row deserialization to external Rows, which
+  * the previous `.rdd`-based formulation paid for every row of every fold
+  * query. Callbacks therefore read columns positionally
+  * (`row.getInt(i)`); the rows handed to `init`/`step` are only valid for
+  * the duration of the call (copy if retained).
+  *
   * Scale limit, stated honestly: the parallelism unit is the GROUP — a
   * single group's fold is inherently sequential (each step reads the
   * previous state), so wall-clock is bounded by the largest group's row
@@ -34,9 +45,12 @@ object OrderedFold {
   /** Fold `df` grouped by `keyCols` in ascending `orderCols` order.
     *
     * @param init    state for a fresh group, given its first row
-    * @param step    fold one row into the state
-    * @param emit    called once per group at group end: (last row of group,
-    *                final state) => output rows
+    * @param step    fold one row into the state (row valid only during
+    *                the call)
+    * @param emit    called once per group at group end: (group key row —
+    *                keyCols positionally — , final state) => output rows
+    *                matching `outSchema` (e.g. GenericInternalRow;
+    *                strings as UTF8String)
     * @param outSchema schema of emitted rows
     */
   def foldGroups[S](
@@ -44,43 +58,45 @@ object OrderedFold {
       keyCols: Seq[String],
       orderCols: Seq[Column],
       outSchema: StructType)(
-      init: Row => S,
-      step: (S, Row) => S,
-      emit: (Row, S) => Iterator[Row]): DataFrame = {
+      init: InternalRow => S,
+      step: (S, InternalRow) => S,
+      emit: (InternalRow, S) => Iterator[InternalRow]): DataFrame = {
     val spark = df.sparkSession
     val parted = df
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
-    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val schema = df.schema
+    val keyExprs = keyCols.map { c =>
+      val i = schema.fieldIndex(c)
+      BoundReference(i, schema(i).dataType, schema(i).nullable)
+    }
 
-    val rdd = parted.rdd.mapPartitions { it =>
-      new Iterator[Row] {
-        private var out: Iterator[Row] = Iterator.empty
-        private var curKey: Seq[Any] = null
-        private var curRow: Row = null
+    val rdd = parted.queryExecution.toRdd.mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs)
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var curKey: UnsafeRow = null
         private var state: S = _
-        private def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
         private def advance(): Unit = {
           while (!out.hasNext && it.hasNext) {
             val r = it.next()
-            val k = keyOf(r)
-            if (curKey == null) { curKey = k; state = init(r) }
+            val k = keyProj(r)
+            if (curKey == null) { curKey = k.copy(); state = init(r) }
             else if (k != curKey) {
-              out = emit(curRow, state)
-              curKey = k; state = init(r)
+              out = emit(curKey, state)
+              curKey = k.copy(); state = init(r)
             }
             state = step(state, r)
-            curRow = r
           }
           if (!out.hasNext && !it.hasNext && curKey != null) {
-            out = emit(curRow, state)
-            curKey = null; curRow = null
+            out = emit(curKey, state)
+            curKey = null
           }
         }
         override def hasNext: Boolean = { advance(); out.hasNext }
-        override def next(): Row = { advance(); out.next() }
+        override def next(): InternalRow = { advance(); out.next() }
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+    ColumnBridge.ofInternalRows(spark, rdd, outSchema)
   }
 }

@@ -388,9 +388,10 @@ object CoreQueries {
     OrderedFold.foldGroups[Long](
       ev, Seq("user_id"), Seq(col("ts"), col("event_id")), out)(
       init = _ => 0L,
-      step = (acc, r) => (acc * 31L + r.getLong(r.fieldIndex("event_id"))) % 1000000007L,
-      emit = (last, acc) => Iterator(
-        org.apache.spark.sql.Row(last.getLong(last.fieldIndex("user_id")), acc)))
+      step = (acc, r) => (acc * 31L + r.getLong(2)) % 1000000007L, // event_id
+      emit = (key, acc) => Iterator(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](key.getLong(0), acc))))
       .orderBy(col("user_id"))
   }
 
@@ -417,9 +418,10 @@ object CoreQueries {
     OrderedFold.foldGroups[Double](
       ev, Seq("user_id"), Seq(col("ts"), col("event_id")), out)(
       init = _ => 500.0,
-      step = (acc, r) => 0.9 * acc + 0.1 * r.getDouble(r.fieldIndex("value")),
-      emit = (last, acc) => Iterator(
-        org.apache.spark.sql.Row(last.getLong(last.fieldIndex("user_id")), acc)))
+      step = (acc, r) => 0.9 * acc + 0.1 * r.getDouble(3), // value
+      emit = (key, acc) => Iterator(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](key.getLong(0), acc))))
       .orderBy(col("user_id"))
   }
 }

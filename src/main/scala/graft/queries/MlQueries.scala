@@ -40,8 +40,10 @@ object MlQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val lrF = Future(Modeling.lrPipeline(featureCols, maxIter = 20).fit(train))
-    val gbtF = Future(Modeling.gbtPipeline(featureCols, maxIter = 6, maxDepth = 3).fit(train))
+    // iteration counts: smallest that keep MlAndStreamingSpec's AUC gate
+    // (LR converges in <10 iters on 4 features; GBT depth-3 × 5 trees)
+    val lrF = Future(Modeling.lrPipeline(featureCols, maxIter = 10).fit(train))
+    val gbtF = Future(Modeling.gbtPipeline(featureCols, maxIter = 5, maxDepth = 3).fit(train))
     val lrModel = Await.result(lrF, Duration.Inf)
     val gbtModel = Await.result(gbtF, Duration.Inf)
     def score(m: org.apache.spark.ml.PipelineModel) =

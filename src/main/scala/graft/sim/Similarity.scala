@@ -158,12 +158,17 @@ object Similarity {
       k: Int = 3,
       nlist: Int = 16,
       nprobe: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      kmeansMaxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
       .withColumn("features", array_to_vector(col("nvec").cast("array<double>")))
+    // a COARSE quantizer: cells only need to be stable, not optimal —
+    // half the default iteration budget changes recall negligibly
+    // (pinned >= 0.9 in spec) at half the fit cost
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .setMaxIter(kmeansMaxIter)
       .setPredictionCol("cell")
     val model = km.fit(c)
     val assigned = model.transform(c).select(col("neighbor_id"), col("nvec"), col("cell"))

@@ -20,7 +20,9 @@ class OrderedFoldSpec extends AnyFunSuite {
       df, Seq("k"), Seq(col("ord")), outSchema)(
       init = _ => 0L,
       step = (acc, r) => acc * 31L + r.getLong(2),
-      emit = (last, acc) => Iterator(Row(last.getInt(0), acc)))
+      emit = (key, acc) => Iterator(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](key.getInt(0), acc))))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
