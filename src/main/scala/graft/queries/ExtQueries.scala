@@ -10,7 +10,51 @@ import graft.operators.AsOf
 object ExtQueries {
 
   val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50,
-    q52, q53, q55)
+    q52, q53, q55, q56, q57)
+
+  /** Sliding-window aggregation (EventStreams.slidingTypeStats): 1-hour
+    * windows every 15 minutes — hour/quarter divide evenly, so each event
+    * lands in exactly 4 windows; the oracle fans each event out with
+    * unnest(range(0,4)) over exact integer microsecond arithmetic. */
+  def q56: Q = Q(
+    "q56_sliding_type_stats",
+    Some("""
+      |WITH e AS (
+      |  SELECT epoch_ns(ts) // 1000 AS t_us, event_type, value FROM events),
+      |w AS (
+      |  SELECT ((t_us // 900000000) - u.i) * 900 AS window_start,
+      |         event_type, value
+      |  FROM e, unnest(range(0, 4)) AS u(i))
+      |SELECT window_start, event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    graft.streaming.EventStreams.slidingTypeStats(Tables.events(s, dir))
+      .select(
+        col("window_start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Skew-safe two-phase salted aggregation (Relational.saltedCountSum)
+    * over a DECIMAL-cast value column, so the two-phase merge is exact and
+    * the direct-groupBy oracle matches hash-for-hash. event_type has few
+    * distinct values — precisely the hot-key shape salting exists for. */
+  def q57: Q = {
+    import org.apache.spark.sql.types.DecimalType
+    Q("q57_salted_skew_agg",
+      Some("""
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("value").cast(DecimalType(18, 6)).as("v"))
+      graft.operators.Relational.saltedCountSum(ev, Seq("event_type"), Seq("v"))
+        .select(col("event_type"), col("cnt"), col("sum_v").cast("double").as("sum_v"))
+        .orderBy(col("event_type"))
+    }
+  }
 
   /** Batch face of the streaming tumbling-hour aggregation
     * (graft.streaming.EventStreams.hourlyTypeStats) — the SAME transform

@@ -106,12 +106,18 @@ object PipelineQueries {
     val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("dfreq"))
-    val total = Tables.documents(s, dir).count()
+    // N rides the plan as a broadcast 1-row aggregate (same shape as the
+    // oracle's CROSS JOIN n) — no separate driver count() job, and the
+    // plan re-optimizes with the real N under AQE instead of a baked
+    // literal
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
     tf.join(doclen, "doc_id")
       .join(broadcast(df), "token")
+      .crossJoin(broadcast(total))
       .withColumn("tfidf",
-        (col("cnt") * expr(s"${1000000L * total}L div dfreq")).cast("double") / col("dl"))
+        (col("cnt") * expr("(1000000 * total) div dfreq")).cast("double") / col("dl"))
+      .drop("total")
       .withColumn("trank", row_number().over(w))
       .filter(col("trank") <= 5)
       .select(col("doc_id"), col("trank"), col("token"), col("tfidf"))

@@ -34,6 +34,23 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event_type: each event
+    * lands in exactly 4 overlapping windows (hour/quarter divide evenly).
+    * Streaming: one state row per (window, type) inside the watermark
+    * horizon, like the tumbling variant but 4× the state rows.
+    */
+  def slidingTypeStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", eventTime())
+      .withWatermark("event_time", "2 hours")
+      .groupBy(
+        window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Built-in session windows (gap-based) — the declarative sibling of
     * [[sessionize]]: Spark merges per-key windows whose events are within
     * `gap` of each other; in streaming mode the watermark closes them.

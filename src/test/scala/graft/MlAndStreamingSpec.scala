@@ -128,6 +128,34 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sliding windows: stream equals batch, every event in exactly 4 windows") {
+    val sf = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sf/events.parquet")))
+    val batchDf = graft.Tables.events(spark, sf)
+    val batch = EventStreams.slidingTypeStats(batchDf)
+    val expected = batch
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 1-hour windows every 15 min: the window memberships sum to 4 per event
+    assert(expected.values.map(_._1).sum === batchDf.count() * 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
+    val streamDf = spark.readStream
+      .schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStreams.slidingTypeStats(streamDf)
+      .writeStream.format("memory").queryName("slide_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("slide_stream_test")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
   test("session_window groups events by inactivity gap (batch mode)") {
     val min = 60L * 1000000000L // one minute in nanos
     val events = Seq(
