@@ -148,4 +148,22 @@ object Dedup {
     */
   def simHash(text: Column, bits: Int = 32): Column =
     SketchExprs.simHash64(TextAnalysis.tokens(text), bits, PolyHash.DefaultMult, Mod)
+
+  /** Streaming (cross-micro-batch) exact dedup for incremental corpus
+    * ingestion: keep the FIRST-arriving row per content fingerprint.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    * watermark horizon over `eventTimeCol` — the honest contract at
+    * 100 TB: a duplicate arriving more than `watermark` after the
+    * original may be re-admitted, in exchange for state that does not
+    * grow with the corpus. (Unbounded `dropDuplicates` state on an
+    * infinite stream is the alternative, and it OOMs eventually.)
+    */
+  def exactDedupStream(
+      df: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withColumn("fp", contentFingerprint(trim(col(textCol))))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

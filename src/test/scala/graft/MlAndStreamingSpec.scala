@@ -156,6 +156,48 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming exact dedup drops cross-micro-batch duplicates") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    def stage(name: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stage")
+      rows.toDF("doc_id", "text", "ingest_time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, src.resolve(name)); moved = true
+        }
+      }
+      assert(moved)
+    }
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // the same text arrives again in a LATER file (= later micro-batch)
+    stage("batch1.parquet", Seq(
+      (1L, "alpha beta gamma", ts(0)), (2L, "first unique", ts(1))))
+    stage("batch2.parquet", Seq(
+      (3L, "alpha beta gamma", ts(2)), (4L, "second unique", ts(3))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ingest_time", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = graft.dedup.Dedup.exactDedupStream(stream, "text", "ingest_time")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("dedup_stream_test")
+      .select("text").collect().map(_.getString(0)).sorted
+    q.stop()
+    // one survivor per distinct text: the duplicate arriving in the second
+    // micro-batch was suppressed by cross-batch state
+    assert(got === Array("alpha beta gamma", "first unique", "second unique"))
+  }
+
   test("session_window groups events by inactivity gap (batch mode)") {
     val min = 60L * 1000000000L // one minute in nanos
     val events = Seq(
