@@ -53,7 +53,7 @@ object DomainQueries {
     |  FROM long GROUP BY Season, TeamID)
     |""".stripMargin
 
-  val all: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q54)
+  val all: Seq[Q] = Seq(q16, q17, q18, q19, q20, q21, q22, q54, q58)
 
   /** §2.13-1: team-season stats (U2+A1). */
   def q16: Q = Q(
@@ -209,6 +209,57 @@ object DomainQueries {
         |ORDER BY Season, TeamID
         |""".stripMargin)) { (s, dir) =>
       Elo.perSeason(games(s, dir))
+        .orderBy(col("Season"), col("TeamID"))
+    }
+  }
+
+  /** ELO variant: margin-of-victory scaling + home-court advantage (the
+    * two standard refinements the reference's plain fold lacks — see
+    * [[graft.marchmania.Elo.perSeasonMovHome]]). HomeCode is derived
+    * deterministically as GameId % 3 (0 winner home, 1 winner away,
+    * 2 neutral). Oracle replays the fold via the q21 list_reduce pattern;
+    * the game struct's double slot packs (LTeamID, margin, homeCode) as
+    * LTeamID·10000 + margin·10 + code — all integer-valued, so the double
+    * encoding and BIGINT decode are exact.
+    */
+  def q58: Q = {
+    val enc = "CAST(gm[1].r AS BIGINT)"
+    val delta =
+      s"""20.0 * ln(1.0 + CAST(($enc // 10) % 1000 AS DOUBLE)) *
+         | (1.0 - 1.0/(1.0 + pow(10.0,
+         |   (((list_filter(acc, y -> y.t = CAST($enc // 10000 AS INTEGER))[1].r)
+         |       + CASE WHEN $enc % 10 = 1 THEN 100.0 ELSE 0.0 END)
+         |    - ((list_filter(acc, y -> y.t = gm[1].t)[1].r)
+         |       + CASE WHEN $enc % 10 = 0 THEN 100.0 ELSE 0.0 END))/400.0)))"""
+        .stripMargin.replace("\n", " ")
+    Q("q58_elo_mov_home",
+      Some(GamesSql + s"""
+        |, teams AS (
+        |  SELECT Season, list_sort(list_distinct(flatten(list([WTeamID, LTeamID])))) AS tl
+        |  FROM games GROUP BY Season),
+        |folded AS (
+        |  SELECT g.Season,
+        |         list_reduce(
+        |           list_prepend(
+        |             list_transform(t.tl, x -> {'t': x, 'r': CAST(1500 AS DOUBLE)}),
+        |             list([{'t': g.WTeamID,
+        |                    'r': CAST(g.LTeamID * 10000 + (g.WScore - g.LScore) * 10
+        |                              + g.GameId % 3 AS DOUBLE)}]
+        |                  ORDER BY g.DayNum, g.GameId)),
+        |           (acc, gm) -> list_transform(acc, x ->
+        |             CASE WHEN x.t = gm[1].t
+        |                    THEN {'t': x.t, 'r': x.r + $delta}
+        |                  WHEN x.t = CAST($enc // 10000 AS INTEGER)
+        |                    THEN {'t': x.t, 'r': x.r - $delta}
+        |                  ELSE x END)) AS state
+        |  FROM games g JOIN teams t ON g.Season = t.Season
+        |  GROUP BY g.Season, t.tl)
+        |SELECT Season, u.s.t AS TeamID, u.s.r AS Elo
+        |FROM (SELECT Season, unnest(state) AS s FROM folded) u(Season, s)
+        |ORDER BY Season, TeamID
+        |""".stripMargin)) { (s, dir) =>
+      Elo.perSeasonMovHome(
+        games(s, dir).withColumn("HomeCode", (col("GameId") % 3).cast("int")))
         .orderBy(col("Season"), col("TeamID"))
     }
   }

