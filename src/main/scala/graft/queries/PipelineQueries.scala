@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51)
+      q46, q47, q51, q59, q60)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -527,6 +527,73 @@ object PipelineQueries {
     val losers = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
     quality.join(losers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination overlap (graft.text.Contamination): the corpus
+    * is hash-split ~10/90 into an eval sample and a training set, and each
+    * eval doc is scored by the fraction of its distinct trigram shingles
+    * that also occur in the training side — the published n-gram
+    * decontamination test. The train side is only ever scanned + broadcast-
+    * filtered; its gram set is never globally distinct'd. */
+  def q59: Q = Q(
+    "q59_contamination",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':contam_v1')")} % 100 AS bucket
+      |  FROM documents),
+      |bench AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE bucket < 10),
+      |tg AS (SELECT DISTINCT gram
+      |       FROM (SELECT unnest(sh) AS gram FROM t WHERE bucket >= 10) u),
+      |hits AS (
+      |  SELECT b.doc_id, count(*) AS n_grams,
+      |         CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_hits
+      |  FROM bench b LEFT JOIN tg USING (gram) GROUP BY b.doc_id)
+      |SELECT doc_id, n_grams, n_hits,
+      |       CAST(n_hits AS DOUBLE) / n_grams AS contamination
+      |FROM hits ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.{Contamination, Sampling}
+    val docs = Tables.documents(s, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"), "contam_v1")
+    Contamination.overlap(
+      train = docs.filter(bucket >= 10),
+      bench = docs.filter(bucket < 10),
+      idCol = "doc_id", textCol = "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition-ratio quality flags (graft.text.Repetition): distinct-token
+    * fraction, most-frequent-token fraction, most-frequent-bigram fraction —
+    * the MassiveText-style "repetitious document" signals as exact
+    * int/int divisions. */
+  def q60: Q = Q(
+    "q60_repetition_flags",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |tc AS (
+      |  SELECT doc_id, g, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) u GROUP BY doc_id, g),
+      |tp AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct, max(cnt) AS top_cnt
+      |  FROM tc GROUP BY doc_id),
+      |bc AS (
+      |  SELECT doc_id, g, count(*) AS cnt
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+      |            i -> toks[i] || ' ' || toks[i+1])) AS g
+      |        FROM t) u GROUP BY doc_id, g),
+      |bp AS (SELECT doc_id, max(cnt) AS top_bi_cnt FROM bc GROUP BY doc_id)
+      |SELECT tp.doc_id, n_tokens,
+      |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_frac,
+      |       CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+      |       CAST(top_bi_cnt AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac
+      |FROM tp LEFT JOIN bp USING (doc_id) ORDER BY tp.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Repetition.profile(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 }

@@ -182,6 +182,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tr2.except(tr).count() === 0)
   }
 
+  test("repetition profile matches hand-computed fractions") {
+    import graft.text.Repetition
+    val df = Seq(
+      (1L, "a a a b"),     // 4 toks, 2 distinct, top tok 3; bigrams: "a a"×2, "a b" -> top 2/3
+      (2L, "only"))        // 1 tok: no bigrams -> NULL frac
+      .toDF("doc_id", "text")
+    val rows = Repetition.profile(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_tokens") === 4L)
+    assert(rows(1L).getAs[Double]("distinct_frac") === 0.5)
+    assert(rows(1L).getAs[Double]("top_token_frac") === 0.75)
+    assert(rows(1L).getAs[Double]("top_bigram_frac") === 2.0 / 3.0)
+    assert(rows(2L).getAs[Long]("n_tokens") === 1L)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("top_bigram_frac")))
+  }
+
+  test("contamination overlap counts leaked trigrams per benchmark doc") {
+    import graft.text.Contamination
+    val train = Seq(
+      (10L, "w1 w2 w3 zz zz zz"),          // contains bench trigram "w1 w2 w3"
+      (11L, "totally unrelated training text here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "w1 w2 w3 w4"),  // grams: "w1 w2 w3" (hit), "w2 w3 w4" (miss) -> 0.5
+      (2L, "novel fresh eval content"),    // 2 grams, 0 hits
+      (3L, "too short"))                   // < 3 tokens: omitted
+      .toDF("doc_id", "text")
+    val rows = Contamination.overlap(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L).getAs[Long]("n_grams") === 2L)
+    assert(rows(1L).getAs[Long]("n_hits") === 1L)
+    assert(rows(1L).getAs[Double]("contamination") === 0.5)
+    assert(rows(2L).getAs[Long]("n_hits") === 0L)
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
