@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60)
+      q46, q47, q51, q59, q60, q61)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -595,5 +595,33 @@ object PipelineQueries {
       |""".stripMargin)) { (s, dir) =>
     graft.text.Repetition.profile(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+  }
+
+  /** int8 embedding quantization profile (graft.sim.Quantize): floor-based
+    * symmetric codes with per-vector scale — the 4×-smaller ANN
+    * storage/shuffle form — verified down to exact integer code sums. */
+  def q61: Q = Q(
+    "q61_quantize_embeddings",
+    Some("""
+      |WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, m, CAST(len(embedding) AS BIGINT) AS n_dims,
+      |         list_transform(embedding, x -> CAST(
+      |           CASE WHEN m = 0 THEN 0
+      |                ELSE floor(CAST(x AS DOUBLE) * 127.0 / m) END AS INTEGER)) AS qv
+      |  FROM e)
+      |SELECT vec_id, n_dims, m / 127.0 AS scale,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(qv, v -> CAST(v AS BIGINT))), (a, b) -> a + b)
+      |         AS BIGINT) AS q_sum,
+      |       list_min(qv) AS q_min, list_max(qv) AS q_max,
+      |       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.sim.Quantize.stats(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
   }
 }

@@ -217,6 +217,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Long]("n_hits") === 0L)
   }
 
+  test("int8 quantization: hand-computed codes, zero-vector guard, top-1 fidelity") {
+    import graft.sim.{Quantize, Similarity}
+    // [1.0f, -0.5f, 0.25f] -> m=1.0: codes [127, floor(-63.5)=-64, floor(31.75)=31]
+    val hand = Seq((1L, Array(1.0f, -0.5f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val s = Quantize.stats(hand, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(s(1L).getAs[Long]("q_sum") === 127L - 64L + 31L)
+    assert(s(1L).getAs[Int]("q_min") === -64)
+    assert(s(1L).getAs[Int]("q_max") === 127)
+    assert(s(1L).getAs[Long]("n_sat") === 1L)
+    assert(s(2L).getAs[Double]("scale") === 0.0)
+    assert(s(2L).getAs[Long]("q_sum") === 0L)
+    // dequantized cosine preserves the top-1 neighbor on real-ish vectors
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      i -> base.map(v => v + (i % 6).toFloat / 10f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val deq = df.select(col("vec_id"),
+      Quantize.dequantized(Quantize.quantized(col("embedding")),
+        Quantize.scaleOf(col("embedding"))).cast("array<float>").as("embedding"))
+    def top1(d: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(d, d, "vec_id", "embedding", k = 1)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val (exact, approx) = (top1(df), top1(deq))
+    val agree = exact.count { case (v, n) => approx.get(v).contains(n) }.toDouble / exact.size
+    assert(agree >= 0.9, s"top-1 agreement $agree")
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
