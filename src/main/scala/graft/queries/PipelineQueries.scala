@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61)
+      q46, q47, q51, q59, q60, q61, q62)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -623,5 +623,50 @@ object PipelineQueries {
       |""".stripMargin)) { (s, dir) =>
     graft.sim.Quantize.stats(Tables.embeddings(s, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+  }
+
+  /** Quantized retrieval end-to-end: brute-force cosine top-k over the
+    * int8 CODES (per-vector scales cancel inside cosine, so quantized
+    * cosine is pure integer dot products — exact in both engines, and the
+    * shuffle/broadcast payload is 4× smaller than floats). Same shape as
+    * q30; the oracle replays quantization + integer dots + ranking. */
+  def q62: Q = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    Q("q62_quantized_ann",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE floor(CAST(x AS DOUBLE) * 127.0 / m) END AS INTEGER)) AS qa
+        |  FROM e),
+        |q AS (SELECT vec_id, qa FROM qv WHERE vec_id < 50),
+        |pairs AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |         ${dot("q.qa", "c.qa")}
+        |           / (sqrt(${dot("q.qa", "q.qa")})
+        |              * sqrt(${dot("c.qa", "c.qa")})) AS cos
+        |  FROM q JOIN qv c ON q.vec_id != c.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+        |           FROM pairs)
+        |SELECT vec_id, nn_rank, neighbor_id, cos
+        |FROM ranked WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+        |""".stripMargin)) { (s, dir) =>
+      import graft.sim.Quantize
+      val codes = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Quantize.quantized(col("embedding")).as("embedding"))
+      Similarity.bruteForceTopK(
+        corpus = codes, queries = codes.filter(col("vec_id") < 50),
+        idCol = "vec_id", vecCol = "embedding", k = 3)
+        .withColumnRenamed("rank", "nn_rank")
+        .orderBy(col("vec_id"), col("nn_rank"))
+    }
   }
 }
