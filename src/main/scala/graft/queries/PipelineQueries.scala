@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62)
+      q46, q47, q51, q59, q60, q61, q62, q63)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -668,5 +668,30 @@ object PipelineQueries {
         .withColumnRenamed("rank", "nn_rank")
         .orderBy(col("vec_id"), col("nn_rank"))
     }
+  }
+
+  /** Context-window chunking (graft.text.Chunking): 32-token chunks every
+    * 24 tokens (8-token overlap), final chunk clipped — a shuffle-free
+    * per-row fan-out verified down to the chunk text. */
+  def q63: Q = Q(
+    "q63_chunk_windows",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |         CASE WHEN len(toks) <= 32 THEN 1
+      |              ELSE CAST((len(toks) - 32 + 24 - 1) // 24 AS INTEGER) + 1
+      |         END AS n_chunks
+      |  FROM t),
+      |x AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+      |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |       CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_chunk_tokens,
+      |       array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+      |         AS chunk_text
+      |FROM x ORDER BY doc_id, chunk_idx
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 }

@@ -248,6 +248,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(agree >= 0.9, s"top-1 agreement $agree")
   }
 
+  test("chunking: stride windows cover every token, final chunk clipped") {
+    import graft.text.Chunking
+    // 10 tokens, chunk 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = Chunking.chunk(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) -> r).toMap
+    assert(rows.keys.count(_._1 == 1L) === 3)
+    assert(rows((1L, 0)).getAs[String]("chunk_text") === "t1 t2 t3 t4")
+    assert(rows((1L, 1)).getAs[String]("chunk_text") === "t4 t5 t6 t7")
+    assert(rows((1L, 2)).getAs[String]("chunk_text") === "t7 t8 t9 t10")
+    assert(rows((1L, 2)).getAs[Long]("n_chunk_tokens") === 4L)
+    // short doc: one clipped chunk
+    assert(rows.keys.count(_._1 == 2L) === 1)
+    assert(rows((2L, 0)).getAs[String]("chunk_text") === "a b")
+    assert(rows((2L, 0)).getAs[Long]("n_chunk_tokens") === 2L)
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
