@@ -99,4 +99,50 @@ object OrderedFold {
     }
     ColumnBridge.ofInternalRows(spark, rdd, outSchema)
   }
+
+  /** Streaming per-row grouped scan — foldGroups' sibling for recurrences
+    * where every input row produces one output row (running state, greedy
+    * assignment, cumulative processes with resets). The batch analog of
+    * `flatMapGroupsWithState`, but over Tungsten rows with the same
+    * secondary-sort shape as foldGroups: one shuffle on the group key,
+    * partition-level external sort, then a single streaming pass whose
+    * only heap residue is the CURRENT group's state — output rows are
+    * emitted as input rows stream through, so memory is constant even when
+    * one group is the whole corpus (unlike emit-at-group-end folds whose
+    * state must then hold the group's output).
+    *
+    * @param init  fresh state at each group boundary
+    * @param step  (state, row) => (next state, output row matching
+    *              `outSchema`); the input row is only valid during the call
+    */
+  def scanGroups[S](
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      outSchema: StructType)(
+      init: () => S,
+      step: (S, InternalRow) => (S, InternalRow)): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ orderCols: _*)
+    val schema = df.schema
+    val keyExprs = keyCols.map { c =>
+      val i = schema.fieldIndex(c)
+      BoundReference(i, schema(i).dataType, schema(i).nullable)
+    }
+    val rdd = parted.queryExecution.toRdd.mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs)
+      var curKey: UnsafeRow = null
+      var state: S = null.asInstanceOf[S]
+      it.map { r =>
+        val k = keyProj(r)
+        if (curKey == null || k != curKey) { curKey = k.copy(); state = init() }
+        val (s2, out) = step(state, r)
+        state = s2
+        out
+      }
+    }
+    ColumnBridge.ofInternalRows(spark, rdd, outSchema)
+  }
 }

@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -693,5 +693,43 @@ object PipelineQueries {
     graft.text.Chunking.chunk(Tables.documents(s, dir), "doc_id", "text",
       chunkSize = 32, stride = 24)
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Greedy sequence packing (graft.text.Packing on OrderedFold.scanGroups):
+    * documents hash into 8 independent packing buckets and stream in doc-id
+    * order into 256-token bins. The oracle replays the exact greedy fold
+    * with the q21 list_reduce pattern — the accumulator list carries each
+    * doc's (bin, offset, running fill), all integer math. */
+  def q64: Q = Q(
+    "q64_sequence_packing",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':pack_v1')")} % 8 AS bucket
+      |  FROM documents),
+      |folded AS (
+      |  SELECT bucket,
+      |         list_reduce(
+      |           list([{'d': doc_id, 'n': n, 'b': CAST(0 AS BIGINT),
+      |                  'o': CAST(0 AS BIGINT), 'cur': n}] ORDER BY doc_id),
+      |           (acc, e) -> list_append(acc,
+      |             CASE WHEN acc[-1].cur + e[1].n > 256 AND acc[-1].cur > 0
+      |                  THEN {'d': e[1].d, 'n': e[1].n, 'b': acc[-1].b + 1,
+      |                        'o': CAST(0 AS BIGINT), 'cur': e[1].n}
+      |                  ELSE {'d': e[1].d, 'n': e[1].n, 'b': acc[-1].b,
+      |                        'o': acc[-1].cur, 'cur': acc[-1].cur + e[1].n}
+      |             END)) AS state
+      |  FROM t GROUP BY bucket)
+      |SELECT u.s.d AS doc_id, CAST(u.bucket AS INTEGER) AS bucket,
+      |       u.s.n AS n_tokens, CAST(u.s.b AS INTEGER) AS bin_idx,
+      |       u.s.o AS bin_offset
+      |FROM (SELECT bucket, unnest(state) AS s FROM folded) u(bucket, s)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Packing.greedyPack(Tables.documents(s, dir), "doc_id", "text",
+      capacity = 256L, nBuckets = 8, salt = "pack_v1")
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        col("bin_idx"), col("bin_offset"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -266,6 +266,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows((2L, 0)).getAs[Long]("n_chunk_tokens") === 2L)
   }
 
+  test("greedy packing: bins close on overflow, oversize docs get their own bin") {
+    import graft.text.Packing
+    // single bucket (nBuckets=1), capacity 5; token counts: 3, 3, 5, 7, 1
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f"), (3L, "g h i j k"),
+      (4L, "l m n o p q r"), (5L, "s"))
+      .toDF("doc_id", "text")
+    val rows = Packing.greedyPack(df, "doc_id", "text",
+      capacity = 5L, nBuckets = 1, salt = "t")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bin_idx"), r.getAs[Long]("bin_offset"))).toMap
+    assert(rows(1L) === (0, 0L)) // fill 3
+    assert(rows(2L) === (1, 0L)) // 3+3 > 5 -> new bin
+    assert(rows(3L) === (2, 0L)) // 3+5 > 5 -> new bin, fills it exactly
+    assert(rows(4L) === (3, 0L)) // oversize doc: bin of its own
+    assert(rows(5L) === (4, 0L)) // previous bin already over capacity
+    // and a case that actually co-locates: capacity 6 packs (3,3) together
+    val rows6 = Packing.greedyPack(df, "doc_id", "text",
+      capacity = 6L, nBuckets = 1, salt = "t")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bin_idx"), r.getAs[Long]("bin_offset"))).toMap
+    assert(rows6(1L) === (0, 0L))
+    assert(rows6(2L) === (0, 3L)) // shares bin 0 at offset 3
+    assert(rows6(3L) === (1, 0L))
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
