@@ -166,4 +166,42 @@ object Dedup {
     df.withColumn("fp", contentFingerprint(trim(col(textCol))))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Connected components over near-duplicate pairs — the transitive
+    * closure that turns pairwise matches into dedup CLUSTERS (A~B and B~C
+    * must dedup together even when A~C was never scored). Iterative
+    * min-label propagation, the standard distributed CC algorithm: every
+    * node starts labeled with its own id; each round every node takes the
+    * min of its and its neighbors' labels; fixpoint in O(component
+    * diameter) rounds — for dup clusters, a handful.
+    *
+    * Per round: one join of the (ids-only) edge list against current
+    * labels + one min-aggregate — O(E) shuffle work, `localCheckpoint` to
+    * cut lineage, and the only driver-side value is the scalar
+    * changed-count that decides convergence. The resulting cluster_id is
+    * the component's minimum doc id — deterministic on any partitioning.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nb = sym.join(labels.select(col("node").as("v2"), col("lbl")),
+          col("v") === col("v2"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val upd = labels.join(nb, labels("node") === nb("u"))
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), col("nlbl")).as("newLbl"))
+      val next = upd.select(col("node"), col("newLbl").as("lbl"))
+        .localCheckpoint(true)
+      changed = upd.filter(col("newLbl") < col("lbl")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 }

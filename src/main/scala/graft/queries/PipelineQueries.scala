@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63, q64)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -730,6 +730,40 @@ object PipelineQueries {
       capacity = 256L, nBuckets = 8, salt = "pack_v1")
       .select(col("doc_id"), col("bucket"), col("n_tokens"),
         col("bin_idx"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate CLUSTERS (Dedup.nearDupClusters): connected components
+    * over the q28 pairs via min-label propagation; the oracle computes the
+    * same components with a recursive CTE. cluster_id = min doc id of the
+    * component — deterministic on any partitioning. */
+  def q65: Q = Q(
+    "q65_neardup_clusters",
+    Some(s"""
+      |WITH RECURSIVE
+      |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |      FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |reach(n, m) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+      |  UNION
+      |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
+      |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM lbl ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.nearDuplicatePairs(
+      Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+    Dedup.nearDupClusters(pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
   }
 }

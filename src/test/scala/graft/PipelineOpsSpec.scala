@@ -292,6 +292,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows6(3L) === (1, 0L))
   }
 
+  test("near-dup clusters: transitive chains collapse to the min id") {
+    // components: {1,2,5,9} (chain 1-2, 2-5, 5-9) and {3,7}
+    val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 7L))
+      .toDF("doc_a", "doc_b")
+    val c = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L))
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
