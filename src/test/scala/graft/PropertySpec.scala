@@ -56,4 +56,48 @@ class PropertySpec extends AnyFunSuite {
         .forall(r => math.abs(r.getAs[Double]("total") - 1500.0 * r.getAs[Long]("n")) < 1e-6)
     })
   }
+
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.choose(1, 80).flatMap { n =>
+      Gen.sequence[List[(Long, String)], (Long, String)](
+        (0 until n).map { i =>
+          Gen.choose(1, 40).map(len =>
+            (i.toLong, (1 to len).map(j => s"w${(i + j) % 13}").mkString(" ")))
+        }.toList)
+    }
+
+  test("property: greedy packing assigns every doc once, never overfills, " +
+    "and is partitioning-independent") {
+    import graft.text.Packing
+    checkProp(Prop.forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val packed = Packing.greedyPack(df, "doc_id", "text",
+        capacity = 20L, nBuckets = 3, salt = "p1").cache()
+      try {
+        val rows = packed.collect()
+        val everyDocOnce = rows.map(_.getAs[Long]("doc_id")).toSet.size == docs.size &&
+          rows.length == docs.size
+        // bin fill never exceeds capacity unless a single oversize doc owns it
+        val fills = rows.groupBy(r => (r.getAs[Int]("bucket"), r.getAs[Int]("bin_idx")))
+        val noOverfill = fills.values.forall { bs =>
+          val total = bs.map(_.getAs[Long]("n_tokens")).sum
+          total <= 20L || bs.length == 1
+        }
+        // offsets are the running fill in doc-id order
+        val offsetsOk = fills.values.forall { bs =>
+          bs.sortBy(_.getAs[Long]("doc_id"))
+            .foldLeft((true, 0L)) { case ((ok, cur), r) =>
+              (ok && r.getAs[Long]("bin_offset") == cur,
+                cur + r.getAs[Long]("n_tokens"))
+            }._1
+        }
+        // identical assignment from an arbitrary input partitioning
+        val repacked = Packing.greedyPack(df.repartition(7), "doc_id", "text",
+          capacity = 20L, nBuckets = 3, salt = "p1")
+        val same = repacked.except(packed).count() == 0 &&
+          packed.except(repacked).count() == 0
+        everyDocOnce && noOverfill && offsetsOk && same
+      } finally packed.unpersist()
+    })
+  }
 }
