@@ -18,12 +18,14 @@ object Bench {
     // per-query timings (the first scan of each table + the first decimal
     // aggregate otherwise lands on whichever query runs first)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .selectExpr("count(*)", "sum(cast(r_regionkey as decimal(18,2)))").collect()
+    // warm-up is best-effort: a missing table must only fail ITS queries
+    // (caught per-query below), never abort the whole bench
+    scala.util.Try(spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("count(*)", "sum(cast(r_regionkey as decimal(18,2)))").collect())
     Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       Tables.lineitem, Tables.orders, Tables.customer,
       Tables.events, Tables.documents, Tables.embeddings)
-      .foreach(t => t(spark, sfDir).count())
+      .foreach(t => scala.util.Try(t(spark, sfDir).count()))
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

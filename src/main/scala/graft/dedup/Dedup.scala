@@ -193,13 +193,16 @@ object Dedup {
       val nb = sym.join(labels.select(col("node").as("v2"), col("lbl")),
           col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      // checkpoint the full (node, lbl, newLbl) frame ONCE, then derive
+      // both the next labels and the convergence count from it — deriving
+      // them from the un-checkpointed plan would run the O(E) join and
+      // min-aggregate twice per round
       val upd = labels.join(nb, labels("node") === nb("u"))
         .select(col("node"), col("lbl"),
           least(col("lbl"), col("nlbl")).as("newLbl"))
-      val next = upd.select(col("node"), col("newLbl").as("lbl"))
         .localCheckpoint(true)
       changed = upd.filter(col("newLbl") < col("lbl")).count()
-      labels = next
+      labels = upd.select(col("node"), col("newLbl").as("lbl"))
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))

@@ -51,11 +51,30 @@ object PipelineRunner {
       config: PipelineConfig,
       exportCsv: Option[String],
       hpoParamsPath: Option[String]): Result = {
+    // Apply the config's execution settings for the DURATION of the run
+    // only — run() must not leave a hidden session-conf mutation behind
+    // for callers whose own queries follow (restored in the finally).
+    val prevConf = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", config.shufflePartitions.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", config.adaptiveEnabled.toString)
+    try runStages(spark, inputDir, lakeRoot, config, exportCsv, hpoParamsPath)
+    finally prevConf.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def runStages(
+      spark: SparkSession,
+      inputDir: String,
+      lakeRoot: String,
+      config: PipelineConfig,
+      exportCsv: Option[String],
+      hpoParamsPath: Option[String]): Result = {
     val league = config.league
     val rollingN = config.rollingN
     val blendAlpha = config.blendAlphaGbt
-    spark.conf.set("spark.sql.shuffle.partitions", config.shufflePartitions.toString)
-    spark.conf.set("spark.sql.adaptive.enabled", config.adaptiveEnabled.toString)
     val lake = LakePaths(lakeRoot)
 
     // 01: bronze ingest (csv -> trimmed -> parquet)

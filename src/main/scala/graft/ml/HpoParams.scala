@@ -28,10 +28,16 @@ object HpoParams {
 
   /** Tuned params of the winning grid point, as name → value. Reads the
     * estimator param maps at the best validation metric instead of
-    * casting fitted models, so it works for any estimator in the grid. */
+    * casting fitted models, so it works for any estimator in the grid.
+    * "Best" honors the evaluator's direction (isLargerBetter), exactly as
+    * TrainValidationSplit itself picks bestModel — with a loss metric,
+    * maxBy would export the WORST grid point. */
   def bestParams(model: TrainValidationSplitModel): Map[String, Double] = {
-    val best = model.getEstimatorParamMaps(
-      model.validationMetrics.zipWithIndex.maxBy(_._1)._2)
+    val metrics = model.validationMetrics.zipWithIndex
+    val bestIdx =
+      if (model.getEvaluator.isLargerBetter) metrics.maxBy(_._1)._2
+      else metrics.minBy(_._1)._2
+    val best = model.getEstimatorParamMaps(bestIdx)
     best.toSeq.map { pp =>
       val v = pp.value match {
         case d: Double => d
@@ -57,7 +63,8 @@ object HpoParams {
     } + "\""
 
   private def jNum(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 ) d.toLong.toString
+    if (d.isNaN || d.isInfinite) "null" // JSON has no NaN/Infinity tokens
+    else if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
   private def jReport(r: ModelReport): String = {
@@ -170,9 +177,11 @@ object HpoParams {
       val params = o("params").asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.asInstanceOf[Double] }
       val metrics = o("metrics").asInstanceOf[Map[String, Any]]
-      ModelReport(params,
-        metrics("auc").asInstanceOf[Double],
-        metrics("logloss").asInstanceOf[Double])
+      def numOrNaN(v: Any): Double = v match {
+        case null => Double.NaN // writer emits null for NaN/Infinity
+        case d: Double => d
+      }
+      ModelReport(params, numOrNaN(metrics("auc")), numOrNaN(metrics("logloss")))
     }
     Some(HpoResult(
       league = root("league").asInstanceOf[String],

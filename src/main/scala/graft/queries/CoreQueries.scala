@@ -31,7 +31,7 @@ object CoreQueries {
       |       count(*) AS count_order,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -59,7 +59,7 @@ object CoreQueries {
     Some("""
       |SELECT r_name, n_name,
       |       count(*) AS n_items,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation   ON s_nationkey = n_nationkey
@@ -114,7 +114,7 @@ object CoreQueries {
     Some("""
       |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |       count(*) AS n_items,
-      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -180,7 +180,7 @@ object CoreQueries {
       |       CASE WHEN cnt > 0 THEN CAST(s AS DOUBLE) / cnt END AS trail_avg_value
       |FROM (
       |  SELECT event_id, user_id,
-      |         sum(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+      |         sum(CAST(value AS DECIMAL(28,6))) OVER w AS s,
       |         count(value) OVER w AS cnt
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -191,7 +191,7 @@ object CoreQueries {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-10, -1)
     Tables.events(s, dir)
-      .withColumn("s", sum(col("value").cast(DecimalType(18, 6))).over(w))
+      .withColumn("s", sum(col("value").cast(DecimalType(28, 6))).over(w))
       .withColumn("cnt", count(col("value")).over(w))
       .select(
         col("event_id"), col("user_id"),

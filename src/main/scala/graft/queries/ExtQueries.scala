@@ -26,7 +26,7 @@ object ExtQueries {
       |         event_type, value
       |  FROM e, unnest(range(0, 4)) AS u(i))
       |SELECT window_start, event_type, count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2
       |""".stripMargin)) { (s, dir) =>
     graft.streaming.EventStreams.slidingTypeStats(Tables.events(s, dir))
@@ -45,11 +45,11 @@ object ExtQueries {
     Q("q57_salted_skew_agg",
       Some("""
         |SELECT event_type, count(*) AS cnt,
-        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY event_type ORDER BY event_type
         |""".stripMargin)) { (s, dir) =>
       val ev = Tables.events(s, dir).select(
-        col("event_type"), col("value").cast(DecimalType(18, 6)).as("v"))
+        col("event_type"), col("value").cast(DecimalType(28, 6)).as("v"))
       graft.operators.Relational.saltedCountSum(ev, Seq("event_type"), Seq("v"))
         .select(col("event_type"), col("cnt"), col("sum_v").cast("double").as("sum_v"))
         .orderBy(col("event_type"))
@@ -67,7 +67,7 @@ object ExtQueries {
     Some("""
       |SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start,
       |       event_type, count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2
@@ -104,7 +104,7 @@ object ExtQueries {
       |       min(t_us) AS session_start_us,
       |       max(t_us) + 1800000000 AS session_end_us,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM g GROUP BY user_id, grp
       |ORDER BY user_id, session_start_us
       |""".stripMargin)) { (s, dir) =>
@@ -221,7 +221,7 @@ object ExtQueries {
     val sqlCols = types.flatMap { t =>
       Seq(
         s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t",
-        s"coalesce(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = '$t') AS DOUBLE), 0.0) AS val_$t")
+        s"coalesce(CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = '$t') AS DOUBLE), 0.0) AS val_$t")
     }.mkString(",\n       ")
     Q("q44_pivot_event_types",
       Some(s"""
@@ -234,7 +234,7 @@ object ExtQueries {
       val ev = Tables.events(s, dir)
       val counts = ev.groupBy(col("user_id")).pivot("event_type", types)
         .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("value").cast(DecimalType(18, 6))).cast("double"), lit(0.0))
+          coalesce(sum(col("value").cast(DecimalType(28, 6))).cast("double"), lit(0.0))
             .as("val"))
       // pivot names columns "<type>_n"/"<type>_val"; normalize to oracle names
       val renamed = types.foldLeft(counts) { (d, t) =>
@@ -260,7 +260,7 @@ object ExtQueries {
       |       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
       |       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
       |       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) OVER (
       |         PARTITION BY user_id ORDER BY epoch_us(ts)
       |         RANGE BETWEEN 1000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |         AS trailing_1000s_sum
@@ -281,7 +281,7 @@ object ExtQueries {
       lead(col("value"), 1).over(byTime).as("next_value"),
       rank().over(byValue).as("value_rank"),
       ntile(4).over(byTime).as("quartile"),
-      sum(col("value").cast(DecimalType(18, 6))).over(byRange).cast("double")
+      sum(col("value").cast(DecimalType(28, 6))).over(byRange).cast("double")
         .as("trailing_1000s_sum"))
       .orderBy(col("user_id"), col("event_id"))
   }

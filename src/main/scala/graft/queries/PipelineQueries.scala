@@ -433,7 +433,7 @@ object PipelineQueries {
     Some("""
       |SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY hour_bucket, event_type
       |ORDER BY hour_bucket, event_type
@@ -444,7 +444,7 @@ object PipelineQueries {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
   }
 
@@ -660,8 +660,8 @@ object PipelineQueries {
         |FROM ranked WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
         |""".stripMargin)) { (s, dir) =>
       import graft.sim.Quantize
-      val codes = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Quantize.quantized(col("embedding")).as("embedding"))
+      val codes = Quantize.quantizedCodes(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
       Similarity.bruteForceTopK(
         corpus = codes, queries = codes.filter(col("vec_id") < 50),
         idCol = "vec_id", vecCol = "embedding", k = 3)

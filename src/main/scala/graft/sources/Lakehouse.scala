@@ -114,13 +114,29 @@ object Lakehouse {
     val staging = target.resolveSibling(
       target.getFileName.toString + s".staging-${System.nanoTime()}")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (exists) deleteRecursively(target)
-    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    // Swap order matters for crash safety: park the old directory aside,
+    // move the staging dir in, and only then delete the old copy. A crash
+    // between the two moves leaves the data recoverable under `.old-*`;
+    // delete-before-move would leave NO directory at `path`, and the next
+    // upsert would silently treat the table as empty.
+    if (exists) {
+      val retired = target.resolveSibling(
+        target.getFileName.toString + s".old-${System.nanoTime()}")
+      Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(retired)
+    } else
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 

@@ -29,7 +29,7 @@ object EventStreams {
       // decimal sum: exact, so results are partition- and
       // micro-batch-order independent (double accumulation is neither)
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -46,7 +46,7 @@ object EventStreams {
       .groupBy(
         window(col("event_time"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -61,7 +61,7 @@ object EventStreams {
       .withWatermark("event_time", "2 hours")
       .groupBy(col("user_id"), session_window(col("event_time"), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        sum(col("value").cast(DecimalType(28, 6))).cast("double").as("total_value"))
       .select(
         col("user_id"),
         col("session_window.start").as("session_start"),

@@ -124,7 +124,9 @@ class PipelineRunnerSpec extends AnyFunSuite {
       // max_val_season=2022 excludes the 2023 fold
       assert(result.backtest.map(_.season) === Seq(2022))
       assert(Files.exists(lake.resolve("silver/W/elo_ratings/Season=2021")))
-      assert(spark.conf.get("spark.sql.shuffle.partitions") === "8")
+      // the config's execution settings apply only for the run's duration:
+      // the caller's session conf is restored afterwards
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
