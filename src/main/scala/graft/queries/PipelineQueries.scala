@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -765,5 +765,29 @@ object PipelineQueries {
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled language-mixture rates (Sampling.temperatureMixture,
+    * α = 0.7): per-language keep permille ∝ p^(α−1), rarest language keeps
+    * 1000‰. The Σp^α normalizer cancels in the ratio, so the only
+    * transcendental is pow in identical op order on both engines. */
+  def q66: Q = Q(
+    "q66_mixture_rates",
+    Some("""
+      |WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT sum(n_docs) AS total FROM c),
+      |w AS (SELECT lang, n_docs,
+      |             pow(CAST(n_docs AS DOUBLE) / total, -0.3) AS w
+      |      FROM c CROSS JOIN t),
+      |m AS (SELECT max(w) AS mw FROM w)
+      |SELECT lang, n_docs,
+      |       CAST(floor(1000.0 * (w / mw)) AS BIGINT) AS keep_permille,
+      |       (n_docs * CAST(floor(1000.0 * (w / mw)) AS BIGINT)) // 1000
+      |         AS expected_docs
+      |FROM w CROSS JOIN m ORDER BY lang
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Sampling
+    Sampling.temperatureMixture(Tables.documents(s, dir), "lang", alpha = 0.7)
+      .orderBy(col("lang"))
   }
 }

@@ -31,6 +31,37 @@ object Sampling {
       df.filter(b >= trainPct + valPct))
   }
 
+  /** Temperature-scaled mixture rates — the published multilingual
+    * sampling practice (sample stratum l with probability ∝ p_l^α,
+    * α < 1 upweights low-resource strata): per-stratum keep rates in
+    * permille, normalized so the rarest stratum keeps everything.
+    * r_l = p_l^(α-1) / max_m p_m^(α-1); the Σ p^α normalizer cancels in
+    * the ratio, so no cross-engine transcendental SUM is needed — only
+    * pow and one division in the same op order (bit-portable; see the
+    * q66 oracle). Output: (stratum, n_docs, keep_permille,
+    * expected_docs), all integers but the implicit pow.
+    *
+    * Scale shape: one pass over the corpus (the tiny per-stratum count
+    * table is localCheckpoint'd and feeds both the max and the join);
+    * applying the rates is hashBucket-style mod-sampling as in
+    * [[stratifiedHashSample]].
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs")).localCheckpoint(true)
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("w",
+        pow(col("n_docs").cast("double") / col("total"), lit(alpha - 1.0)))
+    val mw = w.agg(max(col("w")).as("mw"))
+    w.crossJoin(broadcast(mw))
+      .withColumn("keep_permille",
+        floor(lit(1000.0) * (col("w") / col("mw"))).cast("long"))
+      .select(col(stratumCol), col("n_docs"), col("keep_permille"),
+        expr("(n_docs * keep_permille) div 1000").as("expected_docs"))
+  }
+
   /** Stratified variant: per-stratum keep-percentages (e.g. language
     * rebalancing), unmatched strata keep `defaultPct`. */
   def stratifiedHashSample(

@@ -301,6 +301,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L))
   }
 
+  test("temperature mixture: rarest stratum keeps 1000 permille, ratios hand-check") {
+    import graft.text.Sampling
+    // 9 'a' docs vs 1 'b' doc at alpha=0.5: r_a = (0.9/0.1)^-0.5 = 1/3
+    val df = ((1 to 9).map(i => (i.toLong, "a")) :+ (10L, "b"))
+      .toDF("doc_id", "lang").withColumnRenamed("lang", "s")
+    val r = Sampling.temperatureMixture(df, "s", alpha = 0.5)
+      .collect().map(x => x.getAs[String]("s") ->
+        (x.getAs[Long]("keep_permille"), x.getAs[Long]("expected_docs"))).toMap
+    assert(r("b") === (1000L, 1L))
+    assert(r("a") === (333L, 2L)) // floor(1000/3) = 333; 9*333 div 1000 = 2
+  }
+
   test("multimodal decode stub: byte features are real, plumbing is typed") {
     val media = MultiModal.toMediaRecords(
       docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
