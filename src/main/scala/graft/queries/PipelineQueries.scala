@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -789,5 +789,41 @@ object PipelineQueries {
     import graft.text.Sampling
     Sampling.temperatureMixture(Tables.documents(s, dir), "lang", alpha = 0.7)
       .orderBy(col("lang"))
+  }
+
+  /** Unigram-surprise quality score: mean scaled-integer inverse corpus
+    * frequency of a document's tokens — the "rare-token density" proxy for
+    * perplexity-style filtering, with q47's rational trick (⌊1e6·T/cnt⌋)
+    * instead of log so every intermediate is an exact integer and the
+    * final mean is one exact-int/int division. Common-token documents
+    * score low, rare-token ones high. Corpus token counts ride a shuffle
+    * join on the token (the 100 TB-safe shape: a corpus-wide vocabulary
+    * does not broadcast); per-doc partial sums combine map-side. */
+  def q67: Q = Q(
+    "q67_unigram_surprise",
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |t AS (SELECT count(*) AS total FROM toks),
+      |scored AS (
+      |  SELECT toks.doc_id, ((1000000 * t.total) // cnt.c) AS s
+      |  FROM toks JOIN cnt USING (tok) CROSS JOIN t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(s) AS DOUBLE) / count(*) AS surprise
+      |FROM scored GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(cnt, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("s", expr("(1000000 * total) div c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("s")).cast("double") / count(lit(1))).as("surprise"))
+      .orderBy(col("doc_id"))
   }
 }
