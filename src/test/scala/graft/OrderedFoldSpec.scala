@@ -42,6 +42,35 @@ class OrderedFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("scanGroups: per-row running state resets at group boundaries, any partitioning") {
+    val scanSchema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("ord", IntegerType, nullable = false),
+      StructField("running", LongType, nullable = false)))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val n = 1 + rnd.nextInt(100)
+      val rows = (0 until n).map(i => (rnd.nextInt(4), i, rnd.nextLong(50)))
+      val parts = 1 + rnd.nextInt(5)
+      val got = OrderedFold.scanGroups[Long](
+        rows.toDF("k", "ord", "v").repartition(parts),
+        Seq("k"), Seq(col("ord")), scanSchema)(
+        init = () => 0L,
+        step = (acc, r) => {
+          val next = acc + r.getLong(2)
+          (next, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](r.getInt(0), r.getInt(1), next)))
+        })
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        rs.sortBy(_._2).scanLeft((k, -1, 0L)) { case ((_, _, acc), (_, o, v)) =>
+          (k, o, acc + v)
+        }.drop(1).map { case (kk, o, acc) => (kk, o) -> acc }
+      }
+      assert(got === want)
+    }
+  }
+
   test("salted aggregation equals direct groupBy on skewed keys") {
     import graft.operators.Relational
     // 90% of rows share one key — the skew scenario salting exists for
