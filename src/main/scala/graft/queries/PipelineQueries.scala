@@ -45,7 +45,7 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -824,6 +824,59 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("s")).cast("double") / count(lit(1))).as("surprise"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end training-ready corpus — the operators composed the way a
+    * real prep pipeline chains them: keep only near-dup CLUSTER canonicals
+    * (q65 components, not just pairwise losers), gate on the repetition
+    * signal (q60), and emit each survivor's context-window chunk count
+    * (q63 arithmetic). One declarative plan; the oracle re-derives every
+    * stage. */
+  def q68: Q = Q(
+    "q68_training_corpus",
+    Some(s"""
+      |WITH RECURSIVE
+      |t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(${sqlShingles("toks")}) AS sh FROM t),
+      |tc AS (
+      |  SELECT doc_id, g, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(toks) AS g FROM t) u GROUP BY doc_id, g),
+      |tp AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct
+      |  FROM tc GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |reach(n, m) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+      |  UNION
+      |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
+      |losers AS (
+      |  SELECT n AS doc_id FROM reach GROUP BY n HAVING n != min(m)),
+      |kept AS (
+      |  SELECT doc_id, n_tokens FROM tp
+      |  WHERE CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+      |    AND doc_id NOT IN (SELECT doc_id FROM losers))
+      |SELECT doc_id, n_tokens,
+      |       CASE WHEN n_tokens <= 32 THEN CAST(1 AS BIGINT)
+      |            ELSE (n_tokens - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+      |FROM kept ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
+    val losers = Dedup.nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    graft.text.Repetition.profile(docs, "doc_id", "text")
+      .filter(col("distinct_frac") >= 0.3)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= 32, lit(1L))
+          .otherwise(expr("(n_tokens - 32 + 24 - 1) div 24") + 1L).as("n_chunks"))
       .orderBy(col("doc_id"))
   }
 }
