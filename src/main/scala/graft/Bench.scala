@@ -36,11 +36,22 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // capture hygiene: per-query seconds rounded to ms keep the one-line
+    // JSON ~3x shorter (a full-precision double is ~17 chars), so a tail
+    // capture can't truncate the head of the map (BENCH_r02 lost q01-q10
+    // that way); the untruncated full-precision JSON also lands in a file
+    def fmt(v: Double): String = f"$v%.3f"
+    def json(f: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), json(_.toString) + "\n"))
+    // the one-line driver contract — printed LAST so nothing follows it
+    println(json(fmt))
     spark.stop()
   }
 }

@@ -169,42 +169,95 @@ object Dedup {
 
   /** Connected components over near-duplicate pairs — the transitive
     * closure that turns pairwise matches into dedup CLUSTERS (A~B and B~C
-    * must dedup together even when A~C was never scored). Iterative
-    * min-label propagation, the standard distributed CC algorithm: every
-    * node starts labeled with its own id; each round every node takes the
-    * min of its and its neighbors' labels; fixpoint in O(component
-    * diameter) rounds — for dup clusters, a handful.
+    * must dedup together even when A~C was never scored). Alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round rewires every node's
+    * neighborhood toward its neighborhood minimum, and the edge set
+    * converges to one star per component, centered at the component's
+    * minimum id — in O(log n) rounds on ANY topology. (The previous
+    * min-label propagation needed O(component diameter) rounds: fine for
+    * near-clique dup clusters, pathological for chain-shaped components
+    * such as mirror-of-mirror crawls. A 1000-node chain now converges in
+    * ~11 rounds instead of ~1000 — pinned in PipelineOpsSpec.)
     *
-    * Per round: one join of the (ids-only) edge list against current
-    * labels + one min-aggregate — O(E) shuffle work, `localCheckpoint` to
-    * cut lineage, and the only driver-side value is the scalar
-    * changed-count that decides convergence. The resulting cluster_id is
-    * the component's minimum doc id — deterministic on any partitioning.
+    * Per round: two grouped min-aggregates + two ids-only equi-joins
+    * (O(E) shuffle work each), `localCheckpoint` to cut lineage, and the
+    * only driver-side values are the convergence scalars. The high-degree
+    * star centers this creates are exactly what AQE's skew-join split
+    * handles; the min-aggregates combine map-side. cluster_id = the
+    * component's minimum doc id — deterministic on any partitioning.
+    *
+    * Non-convergence within `maxIters` throws (the bound is generous:
+    * 50 rounds covers n ≈ 2^50 nodes) — a partially-converged label map
+    * is silently WRONG downstream, so failing fast beats returning it.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
-    var changed = 1L
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    alternatingStarCC(pairs, maxIters)._1
+
+  /** [[nearDupClusters]] plus the round count (exposed for specs/ops). */
+  private[graft] def alternatingStarCC(
+      pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    // canonical edge representation throughout: (u, v) with u > v
+    val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    val nodes = init.select(col("u")).union(init.select(col("v")))
+      .distinct().withColumnRenamed("u", "node").localCheckpoint(true)
+    var edges = init
+    var cnt = edges.count()
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nb = sym.join(labels.select(col("node").as("v2"), col("lbl")),
-          col("v") === col("v2"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      // checkpoint the full (node, lbl, newLbl) frame ONCE, then derive
-      // both the next labels and the convergence count from it — deriving
-      // them from the un-checkpointed plan would run the O(E) join and
-      // min-aggregate twice per round
-      val upd = labels.join(nb, labels("node") === nb("u"))
-        .select(col("node"), col("lbl"),
-          least(col("lbl"), col("nlbl")).as("newLbl"))
+    var converged = cnt == 0L
+    while (!converged && iter < maxIters) {
+      // checkpoint between the half-rounds: small-star reads its input in
+      // two plan branches (min-aggregate + join) — un-checkpointed, the
+      // whole large-star sub-plan would execute twice per round
+      val next = smallStar(largeStar(edges).localCheckpoint(true))
         .localCheckpoint(true)
-      changed = upd.filter(col("newLbl") < col("lbl")).count()
-      labels = upd.select(col("node"), col("newLbl").as("lbl"))
+      val nextCnt = next.count()
+      // exact set-equality check on distinct'd frames: same cardinality
+      // plus next ⊆ edges ⇒ equal — one anti-join count, no hash tricks
+      converged = nextCnt == cnt && next.except(edges).count() == 0
+      edges = next; cnt = nextCnt
       iter += 1
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "returning partial labels would mislabel clusters silently")
+    // fixpoint edges are stars (child -> component-min root); roots have
+    // no outgoing edge and label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("lbl")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("lbl"), col("node")).as("cluster_id"))
+    (labels, iter)
+  }
+
+  /** Large-star round: every node u connects its LARGER neighbors to
+    * m = min(Γ(u) ∪ {u}). Input/output edges oriented (big, small). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node u connects its SMALLER neighbors (and
+    * itself) to m = min of those neighbors. Input (big, small) oriented,
+    * so the smaller neighbors of u are exactly its out-edges. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    edges.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 }

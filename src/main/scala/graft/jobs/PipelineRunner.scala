@@ -182,7 +182,7 @@ object PipelineRunner {
       featureCols: Seq[String],
       league: String,
       outPath: String,
-      lrRegParams: Seq[Double] = Seq(0.01, 0.05),
+      lrRegParams: Seq[Double] = Seq(0.0, 0.02, 0.05, 0.1),
       lrElasticNets: Seq[Double] = Seq(0.0, 0.5),
       lrMaxIter: Int = 60,
       gbtMaxDepths: Seq[Int] = Seq(3, 5),

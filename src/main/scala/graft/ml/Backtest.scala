@@ -12,8 +12,11 @@ object Backtest {
   final case class FoldMetrics(season: Int, trainRows: Long, valRows: Long,
       auc: Double, logLoss: Double)
 
-  /** @param minTrainSeason  seasons <= this never validate (they only
-    *                         train) ≙ conf `backtest.min_train_season`
+  /** @param minTrainSeason  first season allowed to validate (inclusive,
+    *                         matching the reference's `min_train <= s <=
+    *                         max_val` in `jobs/07_backtest_and_export_blend
+    *                         .py:92`); earlier seasons only train
+    *                         ≙ conf `backtest.min_train_season`
     * @param maxValSeason    last season allowed to validate
     *                         ≙ conf `backtest.max_val_season` */
   def rollingSeasons(
@@ -28,7 +31,7 @@ object Backtest {
       val seasons = cached.select(col("Season")).distinct()
         .collect().map(_.getInt(0)).sorted
       seasons.drop(minTrainSeasons)
-        .filter(s => s > minTrainSeason && s <= maxValSeason)
+        .filter(s => s >= minTrainSeason && s <= maxValSeason)
         .map { s =>
         val train = cached.filter(col("Season") < s)
         val validate = cached.filter(col("Season") === s)

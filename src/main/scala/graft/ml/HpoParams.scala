@@ -26,29 +26,54 @@ object HpoParams {
       logreg: ModelReport,
       gbt: ModelReport)
 
-  /** Tuned params of the winning grid point, as name → value. Reads the
-    * estimator param maps at the best validation metric instead of
-    * casting fitted models, so it works for any estimator in the grid.
-    * "Best" honors the evaluator's direction (isLargerBetter), exactly as
-    * TrainValidationSplit itself picks bestModel — with a loss metric,
-    * maxBy would export the WORST grid point. */
+  /** Numeric hyper-params worth exporting even when NOT grid-swept: the
+    * reference's job 11 builds best_params from the FITTED model, so fixed
+    * estimator settings (the LR maxIter=60 used during tuning) travel to
+    * job 12's refit instead of silently reverting to reload defaults. */
+  private val ExportedFixedParams =
+    Seq("maxIter", "regParam", "elasticNetParam", "maxDepth",
+      "subsamplingRate", "stepSize")
+
+  /** Tuned params of the winning grid point plus the fixed numeric params
+    * read off the fitted best model (grid values win on overlap), as
+    * name → value. Reads the estimator param maps at the best validation
+    * metric instead of casting fitted models, so it works for any
+    * estimator in the grid. "Best" honors the evaluator's direction
+    * (isLargerBetter), exactly as TrainValidationSplit itself picks
+    * bestModel — with a loss metric, maxBy would export the WORST grid
+    * point. */
   def bestParams(model: TrainValidationSplitModel): Map[String, Double] = {
     val metrics = model.validationMetrics.zipWithIndex
     val bestIdx =
       if (model.getEvaluator.isLargerBetter) metrics.maxBy(_._1)._2
       else metrics.minBy(_._1)._2
-    val best = model.getEstimatorParamMaps(bestIdx)
-    best.toSeq.map { pp =>
-      val v = pp.value match {
-        case d: Double => d
-        case i: Int => i.toDouble
-        case l: Long => l.toDouble
-        case f: Float => f.toDouble
-        case other => throw new IllegalArgumentException(
-          s"non-numeric tuned param ${pp.param.name}: $other")
-      }
-      pp.param.name -> v
+    def numeric(name: String, value: Any): Option[(String, Double)] = value match {
+      case d: Double => Some(name -> d)
+      case i: Int => Some(name -> i.toDouble)
+      case l: Long => Some(name -> l.toDouble)
+      case f: Float => Some(name -> f.toDouble)
+      case _ => None
+    }
+    val tuned = model.getEstimatorParamMaps(bestIdx).toSeq.map { pp =>
+      numeric(pp.param.name, pp.value).getOrElse(throw new IllegalArgumentException(
+        s"non-numeric tuned param ${pp.param.name}: ${pp.value}"))
     }.toMap
+    // Fixed params from the fitted winner ≙ reference jobs/11:48-56
+    // (best_params dict read off the model, not the grid).
+    val fixed = model.bestModel match {
+      case pm: org.apache.spark.ml.PipelineModel =>
+        pm.stages.toSeq.flatMap { stage =>
+          ExportedFixedParams.flatMap { name =>
+            stage.params.find(_.name == name).toSeq.flatMap { p =>
+              val pa = p.asInstanceOf[org.apache.spark.ml.param.Param[Any]]
+              stage.get(pa).orElse(stage.getDefault(pa))
+                .flatMap(v => numeric(name, v))
+            }
+          }
+        }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    fixed ++ tuned
   }
 
   // ---- write ----

@@ -103,6 +103,37 @@ object Relational {
         sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
   }
 
+  /** Skew-proof equi-join of a fact frame against a per-key dimension
+    * whose key distribution is Zipfian (tokens, URLs, user ids): the
+    * `hotN` heaviest keys — by the dimension's `weight` column — join via
+    * BROADCAST, so the fact rows carrying them never shuffle and no
+    * reducer inherits a stop-word-sized key; only the long tail takes the
+    * shuffle join, and after the anti-join its per-key row counts are
+    * tail-sized by construction. Skew-proof by construction rather than
+    * by AQE's runtime grace (AQE splits oversized sort-merge partitions,
+    * but only after the skewed map output exists; here it never exists).
+    *
+    * Requirements: `dim` has one row per key (it's an aggregate), and
+    * `hotN` rows of it fit comfortably in a broadcast (thousands — the
+    * head of a Zipf distribution is small by definition). Result equals
+    * `fact.join(dim, key)` exactly: the hot/tail split is a disjoint
+    * partition of the keys, reassembled by unionByName.
+    */
+  def hotTailJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      weight: String,
+      hotN: Int = 1024): DataFrame = {
+    val hot = broadcast(
+      dim.orderBy(col(weight).desc, col(key)).limit(hotN))
+    val hotSide = fact.join(hot, Seq(key))
+    val tailSide = fact
+      .join(broadcast(hot.select(col(key))), Seq(key), "left_anti")
+      .join(dim, Seq(key))
+    hotSide.unionByName(tailSide)
+  }
+
   /** Symmetric union — reference `jobs/03_build_gold_training_set.py:39-60`:
     * each fact row emitted from both perspectives (label 1 / label 0) so a
     * downstream model can't learn column-order bias. Narrow op: no shuffle.

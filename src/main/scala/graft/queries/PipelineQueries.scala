@@ -734,9 +734,10 @@ object PipelineQueries {
   }
 
   /** Near-duplicate CLUSTERS (Dedup.nearDupClusters): connected components
-    * over the q28 pairs via min-label propagation; the oracle computes the
-    * same components with a recursive CTE. cluster_id = min doc id of the
-    * component — deterministic on any partitioning. */
+    * over the q28 pairs via alternating large-star/small-star (O(log n)
+    * rounds on any topology); the oracle computes the same components with
+    * a recursive CTE. cluster_id = min doc id of the component —
+    * deterministic on any partitioning. */
   def q65: Q = Q(
     "q65_neardup_clusters",
     Some(s"""
@@ -796,9 +797,12 @@ object PipelineQueries {
     * perplexity-style filtering, with q47's rational trick (⌊1e6·T/cnt⌋)
     * instead of log so every intermediate is an exact integer and the
     * final mean is one exact-int/int division. Common-token documents
-    * score low, rare-token ones high. Corpus token counts ride a shuffle
-    * join on the token (the 100 TB-safe shape: a corpus-wide vocabulary
-    * does not broadcast); per-doc partial sums combine map-side. */
+    * score low, rare-token ones high. The token join is Zipf-skew-proof
+    * by construction (Relational.hotTailJoin): the hottest tokens — stop
+    * words, which concentrate a large share of all rows on a few keys —
+    * join via broadcast and never shuffle; only the tail vocabulary rides
+    * the shuffle join (a corpus-wide vocabulary must not broadcast);
+    * per-doc partial sums combine map-side. */
   def q67: Q = Q(
     "q67_unigram_surprise",
     Some("""
@@ -818,7 +822,7 @@ object PipelineQueries {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
     val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(cnt, "tok")
+    graft.operators.Relational.hotTailJoin(toks, cnt, "tok", "c", hotN = 1024)
       .crossJoin(broadcast(total))
       .withColumn("s", expr("(1000000 * total) div c"))
       .groupBy(col("doc_id"))

@@ -35,10 +35,23 @@ object Packing {
     * bucket, bin index within the bucket, and token offset within the bin.
     * Documents longer than `capacity` get a bin of their own (greedy
     * semantics: a bin only closes when the NEXT document would overflow).
+    *
+    * Sizing: `nBuckets` IS the parallelism — each bucket is one
+    * sequential streaming scan on one core, so set buckets ≳ total
+    * executor cores (a few × cores smooths stragglers). More buckets cost
+    * nothing but slightly more bin fragmentation (one possibly-underfull
+    * open bin per bucket); at 100 TB think thousands, not 8.
     */
   def greedyPack(df: DataFrame, idCol: String, textCol: String,
       capacity: Long, nBuckets: Int, salt: String): DataFrame = {
     require(capacity >= 1 && nBuckets >= 1)
+    // fail fast on non-integral ids: cast("long") on e.g. a string id
+    // yields null, which InternalRow.getLong would silently read as 0,
+    // collapsing every doc onto doc_id=0 with broken pack order
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"greedyPack needs an integral id column; '$idCol' is $idType " +
+        "(hash string ids to long upfront, e.g. xxhash64)")
     val src = df.select(
       (polyHash(concat(col(idCol).cast("string"), lit(":" + salt))) % nBuckets)
         .cast("int").as("bucket"),
@@ -58,5 +71,23 @@ object Packing {
         (PackState(bin, cur),
           new GenericInternalRow(Array[Any](bucket, docId, n, bin, off)))
       })
+  }
+
+  /** Packing-quality summary over [[greedyPack]] output — the metric a
+    * training-batch engineer actually monitors: per-bin fill fraction
+    * (capped at 1.0 for oversized single-doc bins) aggregated to one row.
+    * Two cheap aggregations over ids-only columns; exact integer sums
+    * with one final double division, so the oracle replays it.
+    */
+  def fillStats(packed: DataFrame, capacity: Long): DataFrame = {
+    val bins = packed.groupBy(col("bucket"), col("bin_idx"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"),
+        count(lit(1)).as("n_docs"))
+    bins.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("bin_tokens")).as("total_tokens"),
+      (sum(least(col("bin_tokens"), lit(capacity))).cast("double") /
+        (count(lit(1)) * capacity)).as("mean_fill"))
   }
 }

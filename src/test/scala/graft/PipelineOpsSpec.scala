@@ -301,6 +301,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(c === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L))
   }
 
+  test("connected components: 1000-node chain converges in O(log n) rounds") {
+    // worst-case topology for label propagation (diameter = n); the
+    // alternating-star algorithm must collapse it in logarithmic rounds
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.alternatingStarCC(pairs, maxIters = 50)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size === 1000)
+    assert(m.values.forall(_ == 1L))
+    // ~log2(1000) productive rounds + the final no-change confirmation
+    // round (vs ~999 rounds for min-label propagation)
+    assert(rounds <= 12, s"chain took $rounds rounds")
+  }
+
+  test("connected components: non-convergence fails fast instead of mislabeling") {
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Dedup.nearDupClusters(pairs, maxIters = 1).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("hotTailJoin equals the plain join under 50%-hot-key skew and broadcasts the head") {
+    import graft.operators.Relational
+    // one token carries half of all rows — the Zipf head in miniature
+    val fact = ((1 to 500).map(i => (i.toLong, "the")) ++
+      (1 to 500).map(i => (i.toLong, s"tok$i"))).toDF("doc_id", "tok")
+    val dim = fact.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val split = Relational.hotTailJoin(fact, dim, "tok", "c", hotN = 8)
+    val plain = fact.join(dim, "tok")
+    assert(split.count() === 1000)
+    assert(split.except(plain).count() === 0 && plain.except(split).count() === 0)
+    // the hot keys take the broadcast path (no shuffle of their fact rows)
+    assert(split.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("greedyPack rejects non-integral id columns instead of silently collapsing") {
+    import graft.text.Packing
+    val df = Seq(("a", "x y"), ("b", "z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Packing.greedyPack(df, "doc_id", "text", capacity = 5L, nBuckets = 1, salt = "t"))
+    assert(e.getMessage.contains("integral id column"))
+  }
+
+  test("fillStats: exactly-full bins report mean fill 1.0; counts hand-check") {
+    import graft.text.Packing
+    val df = Seq((1L, "a b c d e"), (2L, "f g h i j"), (3L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val packed = Packing.greedyPack(df, "doc_id", "text",
+      capacity = 5L, nBuckets = 1, salt = "t")
+    val s = Packing.fillStats(packed, capacity = 5L).head
+    assert(s.getAs[Long]("n_bins") === 3L)
+    assert(s.getAs[Long]("n_docs") === 3L)
+    assert(s.getAs[Long]("total_tokens") === 15L)
+    assert(s.getAs[Double]("mean_fill") === 1.0)
+  }
+
   test("temperature mixture: rarest stratum keeps 1000 permille, ratios hand-check") {
     import graft.text.Sampling
     // 9 'a' docs vs 1 'b' doc at alpha=0.5: r_a = (0.9/0.1)^-0.5 = 1/3
