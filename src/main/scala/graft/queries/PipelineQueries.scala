@@ -45,7 +45,8 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
-      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+      q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+      q70)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -829,6 +830,100 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("s")).cast("double") / count(lit(1))).as("surprise"))
       .orderBy(col("doc_id"))
+  }
+
+  /** IVF-shaped ANN with the DETERMINISTIC hash-cell coarse quantizer
+    * (Similarity.ivfHashTopK): 6 hyperplane-sign bits = 64 cells, each
+    * query probing its cell + all 6 Hamming-1 neighbors. Unlike q55's
+    * KMeans cells (inherently rows-only), the LCG cell assignment replays
+    * exactly in DuckDB, so IVF-shaped retrieval gets a hash-exact oracle.
+    */
+  def q69: Q = {
+    val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
+      "/ 2147483648.0) - 0.5))), (a, b) -> a + b)"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    val masks = Similarity.hammingMasks(6, 1).mkString("[", ", ", "]")
+    Q("q69_ivf_hash_ann",
+      Some(s"""
+        |WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_sum(list_transform(range(0, 6), p ->
+        |           CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))
+        |           AS BIGINT) AS cell
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding AS qvec, cell AS qcell
+        |      FROM sigs WHERE vec_id < 50),
+        |probes AS (
+        |  SELECT vec_id, qvec, xor(qcell, CAST(u.m AS BIGINT)) AS cell
+        |  FROM q, unnest($masks) AS u(m)),
+        |cand AS (
+        |  SELECT p.vec_id, p.qvec, s.vec_id AS neighbor_id, s.embedding AS nvec
+        |  FROM probes p JOIN sigs s USING (cell)
+        |  WHERE p.vec_id != s.vec_id),
+        |scored AS (
+        |  SELECT vec_id, neighbor_id,
+        |         ${dot("qvec", "nvec")}
+        |           / (sqrt(${dot("qvec", "qvec")}) * sqrt(${dot("nvec", "nvec")})) AS cos
+        |  FROM cand),
+        |ranked AS (SELECT *, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS nn_rank
+        |           FROM scored)
+        |SELECT vec_id, nn_rank, neighbor_id, cos FROM ranked WHERE nn_rank <= 3
+        |ORDER BY vec_id, nn_rank
+        |""".stripMargin)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfHashTopK(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", dims = 64, k = 3, cellBits = 6, radius = 1)
+        .withColumnRenamed("rank", "nn_rank")
+        .orderBy(col("vec_id"), col("nn_rank"))
+    }
+  }
+
+  /** Packing-quality metric (Packing.fillStats over the q64 pack): bin
+    * count, doc count, total tokens, and mean bin fill fraction — exact
+    * integer sums with one final int/int double division, replayed by the
+    * oracle on top of the q64 fold. */
+  def q70: Q = Q(
+    "q70_packing_fill",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':pack_v1')")} % 8 AS bucket
+      |  FROM documents),
+      |folded AS (
+      |  SELECT bucket,
+      |         list_reduce(
+      |           list([{'d': doc_id, 'n': n, 'b': CAST(0 AS BIGINT),
+      |                  'o': CAST(0 AS BIGINT), 'cur': n}] ORDER BY doc_id),
+      |           (acc, e) -> list_append(acc,
+      |             CASE WHEN acc[-1].cur + e[1].n > 256 AND acc[-1].cur > 0
+      |                  THEN {'d': e[1].d, 'n': e[1].n, 'b': acc[-1].b + 1,
+      |                        'o': CAST(0 AS BIGINT), 'cur': e[1].n}
+      |                  ELSE {'d': e[1].d, 'n': e[1].n, 'b': acc[-1].b,
+      |                        'o': acc[-1].cur, 'cur': acc[-1].cur + e[1].n}
+      |             END)) AS state
+      |  FROM t GROUP BY bucket),
+      |packed AS (
+      |  SELECT u.bucket, u.s.d AS doc_id, u.s.n AS n_tokens, u.s.b AS bin_idx
+      |  FROM (SELECT bucket, unnest(state) AS s FROM folded) u(bucket, s)),
+      |bins AS (
+      |  SELECT bucket, bin_idx, sum(n_tokens) AS bin_tokens, count(*) AS n_docs
+      |  FROM packed GROUP BY bucket, bin_idx)
+      |SELECT count(*) AS n_bins,
+      |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+      |       CAST(sum(least(bin_tokens, 256)) AS DOUBLE) / (count(*) * 256)
+      |         AS mean_fill
+      |FROM bins
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Packing.fillStats(
+      graft.text.Packing.greedyPack(Tables.documents(s, dir), "doc_id", "text",
+        capacity = 256L, nBuckets = 8, salt = "pack_v1"),
+      capacity = 256L)
   }
 
   /** End-to-end training-ready corpus — the operators composed the way a

@@ -196,6 +196,64 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-shaped ANN with a DETERMINISTIC coarse quantizer: the cell is
+    * the vector's `cellBits`-plane hyperplane sign pattern (2^cellBits
+    * cells) instead of a fitted KMeans centroid, so cell assignment is
+    * pure LCG arithmetic the DuckDB oracle replays bit-exactly — and the
+    * quantizer costs zero fit passes. [[ivfTopK]] stays as the
+    * cell-quality variant (learned centroids adapt to the data); this is
+    * the verifiable/cheap one.
+    *
+    * Probing: each query searches its own cell plus every cell within
+    * Hamming distance `radius` of it — the hyperplane analogue of
+    * nprobe-nearest-centroids, since each flipped bit is one
+    * near-boundary plane. probes = Σ_{r≤radius} C(cellBits, r); candidate
+    * cost per query ≈ n · probes / 2^cellBits. Corpus rows shuffle once
+    * on the cell key; queries replicate `probes` times (ids+vector only).
+    */
+  def ivfHashTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 3,
+      cellBits: Int = 6,
+      radius: Int = 1): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .withColumn("cell", hyperplaneSignature(col("nvec"), cellBits, dims))
+    val q = queries.select(col(idCol).as("vec_id"), col(vecCol).as("qvec"))
+      .withColumn("qcell", hyperplaneSignature(col("qvec"), cellBits, dims))
+    val probes = q.select(col("vec_id"), col("qvec"),
+      explode(array(hammingMasks(cellBits, radius).map(m =>
+        col("qcell").bitwiseXOR(lit(m))): _*)).as("cell"))
+    // no dedup needed: every corpus vector lives in exactly one cell and
+    // the probe masks are distinct, so each (query, neighbor) pair can
+    // meet at most once
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(c, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** XOR masks enumerating all bit patterns of weight ≤ radius over
+    * `bits` bits (radius ≤ 2 keeps the probe count polynomial). */
+  private[graft] def hammingMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"radius=$radius not in [0, 2]")
+    val r0 = Seq(0L)
+    val r1 = if (radius >= 1) (0 until bits).map(b => 1L << b) else Seq.empty
+    val r2 = if (radius >= 2)
+      for (a <- 0 until bits; b <- (a + 1) until bits)
+        yield (1L << a) | (1L << b)
+    else Seq.empty
+    r0 ++ r1 ++ r2
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
     * LCG over p·dim+i, scaled to (−0.5, 0.5). */
   def planeComponent(p: Int, i: Int, dims: Int): Double = {

@@ -122,6 +122,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("hash-cell IVF recovers true neighbors on clustered vectors") {
+    val rnd = new scala.util.Random(13)
+    val dims = 16
+    val vecs = (0 until 90).map { i =>
+      val c = Array.fill(dims)(if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.3f)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfHashTopK(vecs, vecs, "vec_id", "embedding",
+      dims, k = 1, cellBits = 4, radius = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.9, s"recall $recall")
+    // probe masks: identity + one per bit
+    assert(Similarity.hammingMasks(6, 1) === Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L))
+    assert(Similarity.hammingMasks(3, 2).toSet ===
+      Set(0L, 1L, 2L, 4L, 3L, 5L, 6L))
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
