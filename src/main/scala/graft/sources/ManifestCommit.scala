@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Manifest-committed parquet dataset — the object-store-safe commit
+  * protocol that [[Lakehouse.upsertParquet]]'s stage-and-swap cannot give
+  * (directory rename is atomic on POSIX, neither atomic nor cheap on
+  * object stores). This is the Delta/Iceberg commit idea reduced to its
+  * kernel, with no table-format jars:
+  *
+  *  - data files only ever ACCUMULATE under `path/data-<gen>-<nonce>/`;
+  *    nothing is renamed or deleted on the write path;
+  *  - a commit is ONE small file `path/_manifest-<gen>` listing the
+  *    committed part files; readers resolve the highest generation and
+  *    read exactly its files;
+  *  - a crash after the data write but before the manifest write leaves
+  *    an orphan data directory no reader ever sees — the previous
+  *    generation stays the published state;
+  *  - concurrent writers race on the manifest name: publication is an
+  *    ATOMIC_MOVE onto `_manifest-<gen>` which fails if the generation
+  *    is taken, and the loser re-publishes the same data files under the
+  *    next generation (on an object store, a conditional/if-none-match
+  *    put plays the same role). Note the loser's manifest does NOT
+  *    contain the winner's rows — last-writer-wins at dataset
+  *    granularity, exactly the semantics of overwrite/upsert here.
+  *
+  * Orphans and superseded generations are reclaimed by [[vacuum]], which
+  * must only run once no reader still holds an older manifest.
+  */
+object ManifestCommit {
+
+  private val ManifestPrefix = "_manifest-"
+
+  private def manifestGen(p: Path): Long =
+    p.getFileName.toString.stripPrefix(ManifestPrefix).toLong
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** Highest committed generation and its dataset-relative file list. */
+  def latest(path: String): Option[(Long, Seq[String])] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return None
+    val manifests = listDir(dir)
+      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+    if (manifests.isEmpty) None
+    else {
+      val m = manifests.maxBy(manifestGen)
+      Some(manifestGen(m) -> Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  /** Read the latest committed generation — and ONLY its files: orphan
+    * data from crashed writers and superseded generations are invisible
+    * even though they share the directory. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (_, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    require(files.nonEmpty, s"manifest under $path lists no files")
+    spark.read.parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
+  }
+
+  /** Write `df` as a new generation and publish it. Returns the committed
+    * generation number. The data write happens BEFORE any metadata
+    * becomes visible; the publish is a single atomic manifest move. */
+  def writeVersioned(df: DataFrame, path: String): Long = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data-$firstGen-$nonce"
+    df.write.mode(SaveMode.Overwrite).parquet(dir.resolve(dataDir).toString)
+    val parts = listDir(dir.resolve(dataDir))
+      .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+      .map(p => s"$dataDir/${p.getFileName}")
+      .sorted
+    require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
+    var gen = firstGen
+    var committed = -1L
+    while (committed < 0) {
+      // stage the manifest content in-directory, then ATOMIC_MOVE onto
+      // the generation name: the move both publishes the full content
+      // atomically AND fails (no REPLACE_EXISTING) if a concurrent
+      // writer claimed the generation first — then retry one higher
+      val tmp = dir.resolve(s".manifest-tmp-$nonce")
+      Files.write(tmp, parts.asJava)
+      try {
+        Files.move(tmp, dir.resolve(f"$ManifestPrefix$gen%010d"),
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = gen
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          gen += 1
+      }
+    }
+    committed
+  }
+
+  /** Keyed upsert ≙ [[Lakehouse.upsertParquet]] semantics (incoming rows
+    * replace same-key rows, everything else survives) on the manifest
+    * protocol: the merged frame READS the current generation's files and
+    * WRITES only new ones, so no staging swap is needed — the published
+    * state flips with the manifest commit. */
+  def upsert(
+      spark: SparkSession,
+      incoming: DataFrame,
+      keyCols: Seq[String],
+      path: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val merged = latest(path) match {
+      case Some(_) =>
+        read(spark, path)
+          .join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(incoming)
+      case None => incoming
+    }
+    writeVersioned(merged, path)
+  }
+
+  /** Delete everything the latest manifest does not reference: orphan
+    * data directories from crashed writers and superseded generations'
+    * files + manifests. Only run once no reader still holds an older
+    * manifest (the reader contract is: resolve latest, then read — a
+    * reader mid-scan of gen N must finish before N is vacuumed). */
+  def vacuum(path: String): Seq[String] = {
+    val dir = Paths.get(path)
+    latest(path) match {
+      case None => Seq.empty
+      case Some((gen, files)) =>
+        val keep = files.map(f => dir.resolve(f).normalize).toSet +
+          dir.resolve(f"$ManifestPrefix$gen%010d").normalize
+        val keepDirs = keep.map(_.getParent)
+        val removed = Seq.newBuilder[String]
+        listDir(dir).foreach { child =>
+          val name = child.getFileName.toString
+          if (name.startsWith(ManifestPrefix) && !keep.contains(child.normalize)) {
+            Files.delete(child); removed += name
+          } else if (name.startsWith("data-") && !keepDirs.contains(child.normalize)) {
+            listDir(child).foreach(Files.delete)
+            Files.delete(child)
+            removed += name
+          } else if (name.startsWith("data-") && keepDirs.contains(child.normalize)) {
+            // referenced dir: drop only unreferenced files inside (e.g.
+            // _SUCCESS markers stay harmless; part files must be kept)
+            listDir(child).foreach { f =>
+              if (f.getFileName.toString.matches("part-.*\\.parquet") &&
+                !keep.contains(f.normalize)) {
+                Files.delete(f); removed += s"$name/${f.getFileName}"
+              }
+            }
+          }
+        }
+        removed.result().sorted
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusStreams
+import graft.text.{Chunking, Packing}
+
+/** Stream-vs-batch equality for the incremental corpus-prep faces:
+  * chunking (stateless, runs unchanged on a stream) and greedy packing
+  * (cross-micro-batch cursor state). */
+class CorpusStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // docs with ids 1..12, lengths chosen so several bins close mid-stream
+  private def fixture: Seq[(Long, String)] =
+    (1L to 12L).map(i => i -> (1 to (i % 5 + 1).toInt).map(k => s"w${i}_$k").mkString(" "))
+
+  /** Stage `rows` as one parquet file named `name` inside `dir` (file
+    * source streams files in name order here since writes are sequential). */
+  private def stage(dir: java.nio.file.Path, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cs_stage")
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, dir.resolve(name)); moved = true
+      }
+    }
+    assert(moved)
+  }
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  test("chunking on a stream equals the batch fan-out (stateless face)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_chunk")
+    stage(dir, "b1.parquet", fixture.take(6))
+    stage(dir, "b2.parquet", fixture.drop(6))
+    val expected = Chunking.chunk(fixture.toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Chunking.chunk(stream, "doc_id", "text", chunkSize = 3, stride = 2)
+      .writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("chunk_stream_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
+  test("greedy packing stream equals batch under ordered arrival; cursor spans batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_pack")
+    stage(dir, "b1.parquet", fixture.take(6))
+    stage(dir, "b2.parquet", fixture.drop(6))
+    val expected = Packing.greedyPack(fixture.toDF("doc_id", "text"),
+      "doc_id", "text", capacity = 6L, nBuckets = 2, salt = "s")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[Int]("bin_idx"),
+          r.getAs[Long]("bin_offset"), r.getAs[Long]("n_tokens"))).toMap
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = CorpusStreams.greedyPackStream(stream, "doc_id", "text",
+      capacity = 6L, nBuckets = 2, salt = "s")
+      .writeStream.format("memory").queryName("pack_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("pack_stream_test")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[Int]("bin_idx"),
+          r.getAs[Long]("bin_offset"), r.getAs[Long]("n_tokens"))).toMap
+    q.stop()
+    assert(got === expected)
+    // the equality above is only meaningful if some bin actually spans
+    // the two micro-batches — verify at least one bucket's first batch-2
+    // doc continued a batch-1 bin (nonzero offset or reused bin_idx)
+    val batch1MaxBin = got.filter(_._1 <= 6L).values.groupBy(_._1)
+      .view.mapValues(_.map(_._2).max).toMap
+    val batch2Continues = got.filter(_._1 > 6L).exists { case (_, (bkt, bin, off, _)) =>
+      batch1MaxBin.get(bkt).exists(m => bin == m || (bin == m && off > 0) || bin <= m)
+    }
+    assert(batch2Continues, "no bin spanned the micro-batch boundary — fixture too weak")
+  }
+}

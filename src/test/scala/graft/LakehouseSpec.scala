@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{DatasetRegistry, LakePaths, Lakehouse}
+import graft.sources.{DatasetRegistry, LakePaths, Lakehouse, ManifestCommit}
 
 class LakehouseSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -38,6 +38,47 @@ class LakehouseSpec extends AnyFunSuite {
     val out = spark.read.parquet(path).collect()
       .map(r => r.getInt(1) -> r.getString(2)).toMap
     assert(out === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+  }
+
+  test("manifest commit: upsert round-trip, crash invisibility, gen race, vacuum") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_manifest").resolve("t").toString
+    // gen 1: initial write via upsert
+    val g1 = ManifestCommit.upsert(spark,
+      Seq((2024, 1, "a"), (2024, 2, "b")).toDF("Season", "TeamID", "v"),
+      Seq("Season", "TeamID"), root)
+    assert(g1 === 1L)
+    // simulate a writer that CRASHED between data write and manifest
+    // publish: a stray data directory with a valid parquet file
+    Seq((2024, 9, "GHOST")).toDF("Season", "TeamID", "v")
+      .write.parquet(s"$root/data-99-deadbeef")
+    val afterCrash = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(afterCrash === Map(1 -> "a", 2 -> "b")) // ghost invisible
+    // gen 2 upsert: replaces key 2, appends key 3, still no ghost
+    val g2 = ManifestCommit.upsert(spark,
+      Seq((2024, 2, "B2"), (2024, 3, "c")).toDF("Season", "TeamID", "v"),
+      Seq("Season", "TeamID"), root)
+    assert(g2 === 2L)
+    val out = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(out === Map(1 -> "a", 2 -> "B2", 3 -> "c"))
+    // generation race: another writer claims gen 3 first; our commit
+    // must land at gen 4, not clobber gen 3
+    val manifest3 = java.nio.file.Paths.get(root).resolve(f"_manifest-${3L}%010d")
+    Files.writeString(manifest3, Files.readString(
+      java.nio.file.Paths.get(root).resolve(f"_manifest-${2L}%010d")))
+    val g4 = ManifestCommit.writeVersioned(
+      Seq((2024, 4, "d")).toDF("Season", "TeamID", "v"), root)
+    assert(g4 === 4L)
+    assert(ManifestCommit.read(spark, root).count() === 1)
+    // vacuum drops the ghost dir, superseded gens, and stale manifests;
+    // the latest generation still reads
+    val removed = ManifestCommit.vacuum(root)
+    assert(removed.exists(_.startsWith("data-99-deadbeef")))
+    assert(removed.exists(_.startsWith("_manifest-")))
+    assert(ManifestCommit.read(spark, root).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap === Map(4 -> "d"))
   }
 
   test("Season-partitioned writes prune partitions on season filters") {
