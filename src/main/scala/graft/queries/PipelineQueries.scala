@@ -46,7 +46,7 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
       q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-      q70)
+      q70, q71)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -924,6 +924,54 @@ object PipelineQueries {
       graft.text.Packing.greedyPack(Tables.documents(s, dir), "doc_id", "text",
         capacity = 256L, nBuckets = 8, salt = "pack_v1"),
       capacity = 256L)
+  }
+
+  /** Product quantization (sim.ProductQuantize): 64-dim float embeddings →
+    * 8 sub-vector codes against deterministic LCG-pivot codebooks of 16
+    * entries. The oracle replays pivot selection, slicing and the squared-
+    * L2 argmin with (dist, code) tie-break — hash-exact where KMeans-coded
+    * PQ could never be. */
+  def q71: Q = Q(
+    "q71_product_quantization",
+    Some("""
+      |WITH h AS (
+      |  SELECT vec_id, embedding,
+      |         (1103515245 * vec_id + 12345) % 2147483648 AS h
+      |  FROM embeddings),
+      |piv AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS k
+      |  FROM h QUALIFY k < 16),
+      |cb AS (
+      |  SELECT CAST(u.m AS INTEGER) AS m, k,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS cvec
+      |  FROM piv, unnest(range(0, 8)) AS u(m)),
+      |sub AS (
+      |  SELECT vec_id, CAST(u.m AS INTEGER) AS m,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS svec
+      |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
+      |d AS (
+      |  SELECT vec_id, m, k,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 9), i ->
+      |             (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+      |             (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
+      |           (a, b) -> a + b) AS dist
+      |  FROM sub JOIN cb USING (m)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      |  FROM d)
+      |SELECT vec_id, m AS subspace, k AS code, dist
+      |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    val emb = Tables.embeddings(s, dir)
+    val cb = ProductQuantize.codebooks(emb, "vec_id", "embedding",
+      dims = 64, subspaces = 8, codebookSize = 16)
+    ProductQuantize.encode(emb, cb, "vec_id", "embedding",
+      dims = 64, subspaces = 8)
+      .orderBy(col("vec_id"), col("subspace"))
   }
 
   /** End-to-end training-ready corpus — the operators composed the way a

@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the next 4-16× compression step after int8
+  * scalar quantization (graft.sim.Quantize) when ANN storage dominates:
+  * the d-dim vector splits into `subspaces` contiguous sub-vectors, each
+  * encoded as the index of its nearest codebook entry, so a 64-dim float
+  * vector becomes `subspaces` small integers.
+  *
+  * Codebooks are DETERMINISTIC by construction (the q69 philosophy, not
+  * KMeans): the `codebookSize` corpus vectors with the smallest LCG hash
+  * of their id are the pivots, and pivot k's m-th slice is codebook entry
+  * (m, k). That costs one TakeOrdered pass, needs no training, and every
+  * step — pivot choice, slicing, squared-L2 argmin with (dist, k)
+  * tie-break — replays exactly in DuckDB (q71 is hash-exact, where
+  * KMeans-coded PQ could never be). Data-adapted codebooks can be
+  * swapped in later without touching [[encode]].
+  *
+  * Scale shape: the codebook is a model artifact (subspaces ×
+  * codebookSize × slice floats — KBs), collected driver-side exactly
+  * like MLlib's clusterCenters and broadcast back; encoding is one
+  * scan-stage explode (subspaces rows per vector) + broadcast join +
+  * windowed argmin partitioned by (vec_id, m) — no corpus-sized shuffle
+  * beyond the per-subspace argmin, which combines map-side poorly but
+  * carries ids+code+dist only.
+  */
+object ProductQuantize {
+
+  private def lcgHash(id: Column): Column =
+    (lit(1103515245L) * id + lit(12345L)) % lit(2147483648L)
+
+  /** Codebook rows (m, k, cvec): slice m of deterministic pivot k. */
+  def codebooks(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int,
+      codebookSize: Int): DataFrame = {
+    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
+    val sub = dims / subspaces
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // TakeOrdered(K) — scale-safe pivot selection; K rows to the driver
+    // is a MODEL artifact (like KMeans centers), not a data collect
+    val pivots = vectors
+      .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
+      .withColumn("h", lcgHash(col("pid")))
+      .orderBy(col("h"), col("pid"))
+      .limit(codebookSize)
+      .select("pid", "pvec")
+      .collect()
+    val entries = pivots.zipWithIndex.flatMap { case (r, k) =>
+      val vec = r.getSeq[Float](1)
+      (0 until subspaces).map(m => (m, k, vec.slice(m * sub, (m + 1) * sub).toArray))
+    }
+    entries.toSeq.toDF("m", "k", "cvec")
+  }
+
+  /** PQ-encode every vector: one row per (vec_id, subspace) with the
+    * nearest codebook entry's index and its squared L2 distance (the
+    * per-subspace reconstruction error). Ties break on the smaller code.
+    */
+  def encode(
+      vectors: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int): DataFrame = {
+    val sub = dims / subspaces
+    val subvecs = vectors.select(col(idCol).as("vec_id"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col(vecCol), m * sub + 1, sub)): _*)))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("svec"))
+    // same left-fold op order as the oracle's list_reduce: (a-b)*(a-b)
+    // accumulated in element order — bit-identical doubles
+    val dist = aggregate(
+      zip_with(col("svec"), col("cvec"), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("k"))
+    subvecs.join(broadcast(codebook), Seq("m"))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m").as("subspace"),
+        col("k").as("code"), col("dist"))
+  }
+}

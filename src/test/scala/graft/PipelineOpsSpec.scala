@@ -142,6 +142,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       Set(0L, 1L, 2L, 4L, 3L, 5L, 6L))
   }
 
+  test("product quantization: pivots self-encode at zero error, codes in range") {
+    import graft.sim.ProductQuantize
+    val rnd = new scala.util.Random(17)
+    val dims = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = ProductQuantize.codebooks(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 8)
+    assert(cb.count() === 4L * 8) // one entry per (subspace, pivot)
+    val codes = ProductQuantize.encode(vecs, cb, "vec_id", "embedding",
+      dims, subspaces = 4).collect()
+    assert(codes.length === 40 * 4) // one row per (vector, subspace)
+    assert(codes.forall(r => {
+      val c = r.getAs[Int]("code"); c >= 0 && c < 8
+    }))
+    // a pivot IS a codebook entry in every subspace, so its nearest
+    // entry is itself at distance exactly 0 — all 4 of its codes agree
+    val byVec = codes.groupBy(_.getAs[Long]("vec_id"))
+    val zeroErrVecs = byVec.filter(_._2.forall(_.getAs[Double]("dist") == 0.0))
+    assert(zeroErrVecs.size === 8, s"expected the 8 pivots, got ${zeroErrVecs.size}")
+    // non-pivot vectors have positive reconstruction error
+    assert(byVec.size === 40 && byVec.values.forall(_.length === 4))
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
