@@ -190,13 +190,28 @@ object Dedup {
     * Non-convergence within `maxIters` throws (the bound is generous:
     * 50 rounds covers n ≈ 2^50 nodes) — a partially-converged label map
     * is silently WRONG downstream, so failing fast beats returning it.
+    *
+    * Adaptive small-graph path — the broadcast-join-threshold analogue
+    * for graph fixpoints: the candidate-pair graph that reaches CC is
+    * orders of magnitude smaller than the corpus (only pairs that
+    * SURVIVED banding + exact-Jaccard verification), and a distributed
+    * fixpoint round costs ~10 stages of fixed scheduling/planning
+    * overhead regardless of size. Below `driverThreshold` edges
+    * (default 2^20 ≈ 16 MB of id pairs — the same order as a broadcast
+    * side) the transitive closure runs as driver union-find in
+    * microseconds off the edge count the loop needs anyway; bigger
+    * graphs take the distributed loop. Labels are identical on both
+    * paths (component-min), so results don't depend on which one ran.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame =
-    alternatingStarCC(pairs, maxIters)._1
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 1L << 20): DataFrame =
+    alternatingStarCC(pairs, maxIters, driverThreshold)._1
 
-  /** [[nearDupClusters]] plus the round count (exposed for specs/ops). */
+  /** [[nearDupClusters]] plus the distributed round count (0 on the
+    * driver path; exposed for specs/ops). */
   private[graft] def alternatingStarCC(
-      pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int,
+      driverThreshold: Long = 1L << 20): (DataFrame, Int) = {
     // canonical edge representation throughout: (u, v) with u > v
     val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .filter(col("u") =!= col("v"))
@@ -207,17 +222,23 @@ object Dedup {
       .distinct().withColumnRenamed("u", "node").localCheckpoint(true)
     var edges = init
     var cnt = edges.count()
+    if (cnt <= driverThreshold) return (driverUnionFind(init), 0)
     var iter = 0
     var converged = cnt == 0L
     while (!converged && iter < maxIters) {
-      // checkpoint between the half-rounds: small-star reads its input in
-      // two plan branches (min-aggregate + join) — un-checkpointed, the
-      // whole large-star sub-plan would execute twice per round
-      val next = smallStar(largeStar(edges).localCheckpoint(true))
-        .localCheckpoint(true)
+      // one fused plan per round: small-star reads the large-star output
+      // in two branches (min-aggregate + join), but both branches hash-
+      // partition on the same key, so Catalyst's ReusedExchange runs the
+      // large-star sub-plan once. The round output checkpoints LAZILY —
+      // the count() below materializes it, so a round costs two jobs
+      // (materialize+count, except-check), the same as a label-
+      // propagation round
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextCnt = next.count()
       // exact set-equality check on distinct'd frames: same cardinality
-      // plus next ⊆ edges ⇒ equal — one anti-join count, no hash tricks
+      // plus next ⊆ edges ⇒ equal — and the anti-join job only runs once
+      // the cardinality is already stable (early rounds shrink the edge
+      // set, so they cost one job, not two)
       converged = nextCnt == cnt && next.except(edges).count() == 0
       edges = next; cnt = nextCnt
       iter += 1
@@ -234,6 +255,32 @@ object Dedup {
       .select(col("node").as("doc_id"),
         coalesce(col("lbl"), col("node")).as("cluster_id"))
     (labels, iter)
+  }
+
+  /** Driver union-find for the small-graph path: standard DSU with path
+    * compression, then every node labeled with its component's MINIMUM
+    * id — the same labels the distributed fixpoint converges to. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // union by MIN: the larger root always points at the smaller, so a
+    // component's final root IS its minimum id — find() returns the label
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
   }
 
   /** Large-star round: every node u connects its LARGER neighbors to

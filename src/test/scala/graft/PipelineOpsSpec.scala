@@ -350,7 +350,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // worst-case topology for label propagation (diameter = n); the
     // alternating-star algorithm must collapse it in logarithmic rounds
     val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.alternatingStarCC(pairs, maxIters = 50)
+    // driverThreshold = 0 forces the DISTRIBUTED path (999 edges would
+    // normally take the union-find shortcut)
+    val (labels, rounds) = Dedup.alternatingStarCC(pairs, maxIters = 50,
+      driverThreshold = 0)
     val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m.size === 1000)
     assert(m.values.forall(_ == 1L))
@@ -359,10 +362,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"chain took $rounds rounds")
   }
 
+  test("connected components: driver union-find equals the distributed fixpoint") {
+    // mixed topology: a chain, a triangle, an isolated pair
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.alternatingStarCC(pairs, 50)
+    val viaDistributed = Dedup.alternatingStarCC(pairs, 50, driverThreshold = 0)
+    assert(viaDriver._2 === 0) // took the shortcut
+    assert(viaDistributed._2 > 0) // actually iterated
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(viaDriver._1) === m(viaDistributed._1))
+  }
+
   test("connected components: non-convergence fails fast instead of mislabeling") {
     val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException](
-      Dedup.nearDupClusters(pairs, maxIters = 1).collect())
+      Dedup.nearDupClusters(pairs, maxIters = 1, driverThreshold = 0).collect())
     assert(e.getMessage.contains("did not converge"))
   }
 
