@@ -46,7 +46,7 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
       q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-      q70, q71)
+      q70, q71, q72)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -819,16 +819,22 @@ object PipelineQueries {
       |       CAST(sum(s) AS DOUBLE) / count(*) AS surprise
       |FROM scored GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin)) { (s, dir) =>
-    val toks = Tables.documents(s, dir)
+    // pre-aggregate term frequencies before anything joins: the fact side
+    // shrinks from total-tokens rows to distinct (doc, tok) rows with
+    // map-side combine, and the corpus counts derive from tf instead of a
+    // second token pass — sum(tf·s)/sum(tf) is integer-exact and equal to
+    // the per-token-row mean
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    graft.operators.Relational.hotTailJoin(toks, cnt, "tok", "c", hotN = 1024)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val total = cnt.agg(sum(col("c")).as("total"))
+    graft.operators.Relational.hotTailJoin(tf, cnt, "tok", "c", hotN = 1024)
       .crossJoin(broadcast(total))
       .withColumn("s", expr("(1000000 * total) div c"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("s")).cast("double") / count(lit(1))).as("surprise"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * col("s")).cast("double") / sum(col("tf"))).as("surprise"))
       .orderBy(col("doc_id"))
   }
 
@@ -926,6 +932,42 @@ object PipelineQueries {
       capacity = 256L)
   }
 
+  /** Shared PQ oracle prelude ≙ ProductQuantize.codebooks + encode over
+    * embeddings (64 dims, 8 subspaces, 16 LCG pivots): WITH-clause body
+    * ending in `ranked` (argmin rows have rn = 1). */
+  private def sqlPqPrelude: String = {
+    def sqDist(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(range(1, 9), i ->
+         |             (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |             (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+         |           (a, b) -> a + b)""".stripMargin
+    s"""h AS (
+       |  SELECT vec_id, embedding,
+       |         (1103515245 * vec_id + 12345) % 2147483648 AS h
+       |  FROM embeddings),
+       |piv AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS k
+       |  FROM h QUALIFY k < 16),
+       |cb AS (
+       |  SELECT CAST(u.m AS INTEGER) AS m, k,
+       |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS cvec
+       |  FROM piv, unnest(range(0, 8)) AS u(m)),
+       |sub AS (
+       |  SELECT vec_id, CAST(u.m AS INTEGER) AS m,
+       |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS svec
+       |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
+       |d AS (
+       |  SELECT vec_id, m, k,
+       |         ${sqDist("svec", "cvec")} AS dist
+       |  FROM sub JOIN cb USING (m)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM d)""".stripMargin
+  }
+
   /** Product quantization (sim.ProductQuantize): 64-dim float embeddings →
     * 8 sub-vector codes against deterministic LCG-pivot codebooks of 16
     * entries. The oracle replays pivot selection, slicing and the squared-
@@ -933,35 +975,8 @@ object PipelineQueries {
     * PQ could never be. */
   def q71: Q = Q(
     "q71_product_quantization",
-    Some("""
-      |WITH h AS (
-      |  SELECT vec_id, embedding,
-      |         (1103515245 * vec_id + 12345) % 2147483648 AS h
-      |  FROM embeddings),
-      |piv AS (
-      |  SELECT vec_id, embedding,
-      |         CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS k
-      |  FROM h QUALIFY k < 16),
-      |cb AS (
-      |  SELECT CAST(u.m AS INTEGER) AS m, k,
-      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS cvec
-      |  FROM piv, unnest(range(0, 8)) AS u(m)),
-      |sub AS (
-      |  SELECT vec_id, CAST(u.m AS INTEGER) AS m,
-      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS svec
-      |  FROM embeddings, unnest(range(0, 8)) AS u(m)),
-      |d AS (
-      |  SELECT vec_id, m, k,
-      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |           list_transform(range(1, 9), i ->
-      |             (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
-      |             (CAST(svec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
-      |           (a, b) -> a + b) AS dist
-      |  FROM sub JOIN cb USING (m)),
-      |ranked AS (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY vec_id, m ORDER BY dist, k) AS rn
-      |  FROM d)
+    Some(s"""
+      |WITH $sqlPqPrelude
       |SELECT vec_id, m AS subspace, k AS code, dist
       |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace
       |""".stripMargin)) { (s, dir) =>
@@ -972,6 +987,56 @@ object PipelineQueries {
     ProductQuantize.encode(emb, cb, "vec_id", "embedding",
       dims = 64, subspaces = 8)
       .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** ADC retrieval over the q71 codes (ProductQuantize.adcTopK): corpus
+    * floats never read — each query's subspace×code distance table joins
+    * the code column and per-pair distances accumulate in subspace order
+    * (sorted fold ⇒ bit-stable doubles on both engines). */
+  def q72: Q = Q(
+    "q72_pq_adc_topk",
+    Some(s"""
+      |WITH $sqlPqPrelude,
+      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+      |qs AS (
+      |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
+      |  FROM embeddings, unnest(range(0, 8)) AS u(m)
+      |  WHERE vec_id < 50),
+      |qd AS (
+      |  SELECT qid, m, k AS code,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 9), i ->
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
+      |           (a, b) -> a + b) AS qdst
+      |  FROM qs JOIN cb USING (m)),
+      |pairs AS (
+      |  SELECT qd.qid, c.vec_id AS neighbor_id, qd.m, qd.qdst
+      |  FROM codes c JOIN qd ON c.m = qd.m AND c.code = qd.code
+      |  WHERE c.vec_id != qd.qid),
+      |adc AS (
+      |  SELECT qid, neighbor_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(qdst ORDER BY m)), (a, b) -> a + b) AS adc_dist
+      |  FROM pairs GROUP BY qid, neighbor_id),
+      |rnk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
+      |  FROM adc)
+      |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
+      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    val emb = Tables.embeddings(s, dir)
+    val cb = ProductQuantize.codebooks(emb, "vec_id", "embedding",
+      dims = 64, subspaces = 8, codebookSize = 16)
+    val codes = ProductQuantize.encode(emb, cb, "vec_id", "embedding",
+      dims = 64, subspaces = 8)
+    ProductQuantize.adcTopK(codes, emb.filter(col("vec_id") < 50), cb,
+      "vec_id", "embedding", dims = 64, subspaces = 8, k = 3)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
   }
 
   /** End-to-end training-ready corpus — the operators composed the way a

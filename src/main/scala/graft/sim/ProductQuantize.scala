@@ -92,4 +92,53 @@ object ProductQuantize {
       .select(col("vec_id"), col("m").as("subspace"),
         col("k").as("code"), col("dist"))
   }
+
+  /** ADC (asymmetric distance computation) top-k — retrieval where the
+    * corpus exists ONLY as PQ codes: each query precomputes its distance
+    * table (subspace × codebook entry → squared L2 against the query's
+    * slice; queries × subspaces × codebookSize rows — KBs, broadcast),
+    * and ranking is then a code LOOKUP join + per-pair sum: no corpus
+    * float is ever read, which is the entire storage win of PQ.
+    *
+    * Determinism: per-pair distances accumulate in SUBSPACE order via an
+    * explicit sorted fold (collect_list → array_sort → aggregate), not a
+    * bare sum(double) whose partial-aggregation order floats — so the
+    * ADC distance is bit-stable on any partitioning and the DuckDB
+    * oracle replays it with `list(... ORDER BY m)`.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int,
+      k: Int = 3): DataFrame = {
+    val sub = dims / subspaces
+    val qsub = queries.select(col(idCol).as("qid"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col(vecCol), m * sub + 1, sub)): _*)))
+      .select(col("qid"), col("pos").as("m"), col("col").as("qvec"))
+    val qdst = aggregate(
+      zip_with(col("qvec"), col("cvec"), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val qd = qsub.join(broadcast(codebook), Seq("m"))
+      .withColumn("qdst", qdst)
+      .select(col("qid"), col("m").as("subspace"), col("k").as("code"), col("qdst"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codes.join(broadcast(qd), Seq("subspace", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("subspace"), col("qdst")))),
+        lit(0.0), (acc, x) => acc + x.getField("qdst")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
 }

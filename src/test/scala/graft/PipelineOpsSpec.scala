@@ -167,6 +167,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byVec.size === 40 && byVec.values.forall(_.length === 4))
   }
 
+  test("PQ ADC with an all-pivot codebook reduces to exact L2 nearest neighbors") {
+    import graft.sim.ProductQuantize
+    val rnd = new scala.util.Random(19)
+    val dims = 8
+    val data = (0 until 30).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+    val vecs = data.toDF("vec_id", "embedding")
+    // codebookSize = n: every vector is a pivot, so each sub-vector
+    // self-encodes at distance 0 and ADC(q, v) = ||q - v||^2 exactly
+    val cb = ProductQuantize.codebooks(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 30)
+    val codes = ProductQuantize.encode(vecs, cb, "vec_id", "embedding", dims, 4)
+    assert(codes.collect().forall(_.getAs[Double]("dist") === 0.0))
+    val adc = ProductQuantize.adcTopK(codes, vecs, cb, "vec_id", "embedding",
+      dims, subspaces = 4, k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // driver-side exact L2 top-1 with the same (dist, id) tie-break
+    val expected = data.map { case (qi, qv) =>
+      qi -> data.filter(_._1 != qi).map { case (ni, nv) =>
+        val d = qv.zip(nv).map { case (a, b) =>
+          val x = a.toDouble - b.toDouble; x * x
+        }.sum
+        (d, ni)
+      }.min._2
+    }.toMap
+    assert(adc === expected)
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
