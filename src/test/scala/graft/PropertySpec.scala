@@ -100,4 +100,66 @@ class PropertySpec extends AnyFunSuite {
       } finally packed.unpersist()
     })
   }
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 25L)
+        v <- Gen.choose(0L, 25L)
+      } yield (u, v))
+    }
+
+  test("property: CC labels match an independent BFS reference on both paths") {
+    import graft.dedup.Dedup
+    checkProp(Prop.forAll(genEdges) { edges =>
+      val valid = edges.filter(e => e._1 != e._2)
+      if (valid.isEmpty) true
+      else {
+        val df = valid.toDF("doc_a", "doc_b")
+        // independent reference: BFS per component, label = component min
+        val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+          .withDefaultValue(Set.empty)
+        valid.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a
+        }
+        val nodes = valid.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = scala.collection.mutable.Map.empty[Long, Long]
+        nodes.sorted.foreach { n =>
+          if (!expected.contains(n)) {
+            var comp = Set(n); var frontier = Set(n)
+            while (frontier.nonEmpty) {
+              frontier = frontier.flatMap(adj) -- comp
+              comp ++= frontier
+            }
+            val m = comp.min
+            comp.foreach(c => expected(c) = m)
+          }
+        }
+        def labels(threshold: Long) =
+          Dedup.alternatingStarCC(df, 50, threshold)._1.collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        labels(1L << 20) == expected.toMap && // driver union-find path
+          labels(0) == expected.toMap // distributed alternating-star path
+      }
+    })
+  }
+
+  test("property: hotTailJoin is multiset-identical to the plain join for any skew/hotN") {
+    import graft.operators.Relational
+    val genRows = Gen.choose(1, 120).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 500L)
+      k <- Gen.frequency( // ~half the rows share one hot key
+        5 -> Gen.const("hot"),
+        5 -> Gen.choose(0, 30).map(i => s"k$i"))
+    } yield (id, k)))
+    checkProp(Prop.forAll(genRows, Gen.choose(0, 10)) { (rows, hotN) =>
+      val fact = rows.toDF("id", "k")
+      val dim = fact.groupBy($"k").agg(count(lit(1)).as("c"))
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"),
+          r.getAs[Long]("c"))).sorted.toSeq
+      multiset(Relational.hotTailJoin(fact, dim, "k", "c", hotN)) ==
+        multiset(fact.join(dim, "k"))
+    })
+  }
 }
