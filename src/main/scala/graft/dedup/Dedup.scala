@@ -167,6 +167,54 @@ object Dedup {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Incremental exact dedup — the cross-SNAPSHOT face of [[exactDedup]]:
+    * which documents of a new ingest batch are genuinely new against an
+    * already-ingested corpus of content fingerprints? The naive plan
+    * anti-joins the whole batch against the seen set — every batch row
+    * shuffles. Here a Bloom filter over the seen fingerprints (Spark's
+    * own sketch, ~1.2 bytes/item at 1% fpp; built once per batch)
+    * prefilters in the scan stage: definitely-new rows (no false
+    * negatives) bypass the shuffle entirely, and only maybe-seen rows —
+    * true duplicates plus the fpp sliver of false positives — ride the
+    * exact anti-join verify. The result is EXACT, so the DuckDB oracle
+    * is the plain anti-join (q73); the bloom only moves work, never
+    * changes the answer.
+    *
+    * Scale honesty: the sketch must fit driver + broadcast — fine to
+    * ~10^9 seen items (~1.2 GB at 1% fpp); beyond that, partition the
+    * seen set and bloom per partition-range, or drop to the plain
+    * anti-join (set `expectedItems <= 0` to skip the bloom entirely).
+    * With dup rate d and false-positive rate p, the verify join carries
+    * (d + (1-d)·p) of the batch — at d = 1%, p = 1%, a 50× shuffle
+    * reduction.
+    */
+  def incrementalNew(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seenFps: DataFrame,
+      fpCol: String = "fp",
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val withFp = newDocs.select(
+      col(idCol).as("doc_id"),
+      contentFingerprint(trim(col(textCol))).as("fp"))
+    val seen = seenFps.select(col(fpCol).as("seen_fp"))
+    val nSeen = if (expectedItems > 0) expectedItems else seen.count()
+    if (nSeen <= 0) return withFp
+    val bloom = seen.stat.bloomFilter("seen_fp", nSeen, fpp)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val maybeSeen = SketchExprs.bloomMightContainLong(col("fp"), bits)
+    withFp.filter(!maybeSeen)
+      .unionByName(
+        withFp.filter(maybeSeen)
+          .join(seen, col("fp") === col("seen_fp"), "left_anti"))
+  }
+
   /** Connected components over near-duplicate pairs — the transitive
     * closure that turns pairwise matches into dedup CLUSTERS (A~B and B~C
     * must dedup together even when A~C was never scored). Alternating

@@ -197,6 +197,30 @@ object SketchExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** might-contain probe against a serialized
+    * org.apache.spark.util.sketch.BloomFilter (Spark's own sketch, built
+    * with DataFrameStatFunctions.bloomFilter). The bits ride the plan as
+    * a reference object (broadcast with the closure); the probe is one
+    * virtual call per row inside WholeStageCodegen. No false negatives —
+    * callers use it as an EXACT prefilter (definitely-absent rows skip
+    * downstream work; maybe-present rows get verified exactly).
+    */
+  case class BloomMightContainLong(child: Expression, bits: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bits))
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[Long])
+    def compute(v: Long): Boolean = bf.mightContainLong(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // Column-level wrappers
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
@@ -213,4 +237,7 @@ object SketchExprs {
 
   def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), planes, dims))
+
+  def bloomMightContainLong(v: Column, bits: Array[Byte]): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(v), bits))
 }

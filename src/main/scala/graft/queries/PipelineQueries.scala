@@ -46,7 +46,7 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
       q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-      q70, q71, q72)
+      q70, q71, q72, q73)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -1037,6 +1037,34 @@ object PipelineQueries {
       "vec_id", "embedding", dims = 64, subspaces = 8, k = 3)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
+  /** Incremental corpus delta (Dedup.incrementalNew): docs arriving after
+    * the first half of the corpus was ingested, minus content dups of the
+    * seen half. The bloom prefilter moves work (definitely-new rows skip
+    * the anti-join shuffle) but never changes the answer — the oracle is
+    * the plain fingerprint anti-join. */
+  def q73: Q = Q(
+    "q73_incremental_dedup",
+    Some(s"""
+      |WITH half AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+      |seen AS (
+      |  SELECT ${sqlContentFp("trim(text)")} AS fp
+      |  FROM documents, half WHERE doc_id <= mid),
+      |nw AS (
+      |  SELECT doc_id, ${sqlContentFp("trim(text)")} AS fp
+      |  FROM documents, half WHERE doc_id > mid)
+      |SELECT doc_id, fp FROM nw
+      |WHERE fp NOT IN (SELECT fp FROM seen)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(expr("max(doc_id) div 2")).head.getLong(0)
+    val seenFps = docs.filter(col("doc_id") <= mid)
+      .select(Dedup.contentFingerprint(trim(col("text"))).as("fp"))
+    Dedup.incrementalNew(
+      docs.filter(col("doc_id") > mid), "doc_id", "text", seenFps)
+      .orderBy(col("doc_id"))
   }
 
   /** End-to-end training-ready corpus — the operators composed the way a

@@ -390,6 +390,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rounds <= 12, s"chain took $rounds rounds")
   }
 
+  test("incremental dedup: bloom prefilter moves work but the result is the exact delta") {
+    // seen corpus: docs 1-3; new batch: 4 (dup of 3's text? no — craft dups)
+    val seen = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta"), // exact dup of seen 1 -> dropped
+      (11L, "brand new text"), // genuinely new
+      (12L, "gamma delta"), // dup of seen 2 -> dropped
+      (13L, "another new one")).toDF("doc_id", "text")
+    val seenFps = seen.select(Dedup.contentFingerprint(trim(col("text"))).as("fp"))
+    val out = Dedup.incrementalNew(batch, "doc_id", "text", seenFps)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out === Array(11L, 13L))
+    // empty seen set: everything is new, bloom skipped
+    val none = seenFps.filter(lit(false))
+    val all = Dedup.incrementalNew(batch, "doc_id", "text", none)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(all === Array(10L, 11L, 12L, 13L))
+  }
+
   test("connected components: driver union-find equals the distributed fixpoint") {
     // mixed topology: a chain, a triangle, an isolated pair
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
