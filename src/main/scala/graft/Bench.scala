@@ -40,7 +40,9 @@ object Bench {
     // JSON ~3x shorter (a full-precision double is ~17 chars), so a tail
     // capture can't truncate the head of the map (BENCH_r02 lost q01-q10
     // that way); the untruncated full-precision JSON also lands in a file
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would print "0,123"
+    // and corrupt the JSON contract line
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def json(f: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")

@@ -182,8 +182,10 @@ object Dedup {
     *
     * Scale honesty: the sketch must fit driver + broadcast — fine to
     * ~10^9 seen items (~1.2 GB at 1% fpp); beyond that, partition the
-    * seen set and bloom per partition-range, or drop to the plain
-    * anti-join (set `expectedItems <= 0` to skip the bloom entirely).
+    * seen set and bloom per partition-range, or pass `expectedItems = 0`
+    * to skip the bloom and take the plain anti-join. The default
+    * `expectedItems = -1` sizes the sketch with one count() pass over
+    * the (ids-only) seen frame; pass a positive estimate to skip it.
     * With dup rate d and false-positive rate p, the verify join carries
     * (d + (1-d)·p) of the batch — at d = 1%, p = 1%, a 50× shuffle
     * reduction.
@@ -196,10 +198,17 @@ object Dedup {
       fpCol: String = "fp",
       fpp: Double = 0.01,
       expectedItems: Long = -1L): DataFrame = {
+    // ids-only frames: lazy-checkpoint both so the bloom build, the
+    // prefilter branches and the verify join don't re-run the upstream
+    // plans (the batch would otherwise be re-fingerprinted per branch)
     val withFp = newDocs.select(
       col(idCol).as("doc_id"),
       contentFingerprint(trim(col(textCol))).as("fp"))
-    val seen = seenFps.select(col(fpCol).as("seen_fp"))
+      .localCheckpoint(false)
+    val seen = seenFps.select(col(fpCol).as("seen_fp")).localCheckpoint(false)
+    val antiJoin = (df: DataFrame) =>
+      df.join(seen, col("fp") === col("seen_fp"), "left_anti")
+    if (expectedItems == 0) return antiJoin(withFp) // explicit bloom opt-out
     val nSeen = if (expectedItems > 0) expectedItems else seen.count()
     if (nSeen <= 0) return withFp
     val bloom = seen.stat.bloomFilter("seen_fp", nSeen, fpp)
@@ -209,10 +218,11 @@ object Dedup {
       bos.toByteArray
     }
     val maybeSeen = SketchExprs.bloomMightContainLong(col("fp"), bits)
-    withFp.filter(!maybeSeen)
-      .unionByName(
-        withFp.filter(maybeSeen)
-          .join(seen, col("fp") === col("seen_fp"), "left_anti"))
+    // null fingerprints (null text) must behave exactly like the plain
+    // anti-join: null === seen_fp never matches, so null-fp rows are NEW
+    // — route them down the definitely-new branch, not into oblivion
+    withFp.filter(coalesce(!maybeSeen, lit(true)))
+      .unionByName(antiJoin(withFp.filter(coalesce(maybeSeen, lit(false)))))
   }
 
   /** Connected components over near-duplicate pairs — the transitive
@@ -266,11 +276,22 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true)
-    val nodes = init.select(col("u")).union(init.select(col("v")))
-      .distinct().withColumnRenamed("u", "node").localCheckpoint(true)
     var edges = init
     var cnt = edges.count()
-    if (cnt <= driverThreshold) return (driverUnionFind(init), 0)
+    // driver shortcut only for integral ids (union-find runs on longs;
+    // a lossy cast would corrupt string/decimal ids) — and its output is
+    // cast back to the input id type so BOTH paths return one schema
+    val idType = init.schema("u").dataType
+    val integral = Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType).contains(idType)
+    if (integral && cnt <= driverThreshold)
+      return (driverUnionFind(init).select(
+        col("doc_id").cast(idType).as("doc_id"),
+        col("cluster_id").cast(idType).as("cluster_id")), 0)
+    val nodes = init.select(col("u")).union(init.select(col("v")))
+      .distinct().withColumnRenamed("u", "node").localCheckpoint(true)
     var iter = 0
     var converged = cnt == 0L
     while (!converged && iter < maxIters) {

@@ -123,10 +123,13 @@ object ManifestCommit {
   }
 
   /** Delete everything the latest manifest does not reference: orphan
-    * data directories from crashed writers and superseded generations'
-    * files + manifests. Only run once no reader still holds an older
-    * manifest (the reader contract is: resolve latest, then read — a
-    * reader mid-scan of gen N must finish before N is vacuumed). */
+    * data directories from crashed writers (including their nested
+    * `_temporary/...` trees), stale `.manifest-tmp-*` staging files, and
+    * superseded generations' files + manifests. Only run once no reader
+    * still holds an older manifest AND no writer is mid-commit (a
+    * concurrent writer's staging tmp or un-published data dir looks
+    * exactly like a crash orphan — same rule as every table format's
+    * vacuum horizon). */
   def vacuum(path: String): Seq[String] = {
     val dir = Paths.get(path)
     latest(path) match {
@@ -138,11 +141,13 @@ object ManifestCommit {
         val removed = Seq.newBuilder[String]
         listDir(dir).foreach { child =>
           val name = child.getFileName.toString
-          if (name.startsWith(ManifestPrefix) && !keep.contains(child.normalize)) {
+          if ((name.startsWith(ManifestPrefix) && !keep.contains(child.normalize))
+            || name.startsWith(".manifest-tmp-")) {
             Files.delete(child); removed += name
           } else if (name.startsWith("data-") && !keepDirs.contains(child.normalize)) {
-            listDir(child).foreach(Files.delete)
-            Files.delete(child)
+            // crashed writers leave nested _temporary/... trees — delete
+            // recursively, not just one level
+            deleteRecursively(child)
             removed += name
           } else if (name.startsWith("data-") && keepDirs.contains(child.normalize)) {
             // referenced dir: drop only unreferenced files inside (e.g.
@@ -157,5 +162,10 @@ object ManifestCommit {
         }
         removed.result().sorted
     }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 }

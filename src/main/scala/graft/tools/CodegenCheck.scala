@@ -22,7 +22,15 @@ object CodegenCheck {
 
     def span(name: String, df: DataFrame): Boolean = {
       val plan = df.queryExecution.executedPlan.toString
-      val ok = plan.contains("*(") // WholeStageCodegen stage marker
+      // the kernel's Project must sit INSIDE a WholeStageCodegen stage:
+      // a fallback expression leaves a bare "Project [...]" line without
+      // the "*(n)" stage marker while the scan below still codegens, so
+      // checking for any "*(" in the whole plan would miss it
+      val fallbackProject = plan.linesIterator.exists { l =>
+        val t = l.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':')
+        t.startsWith("Project") // un-codegen'd; inside a span it prints "*(n) Project"
+      }
+      val ok = plan.contains("*(") && !fallbackProject
       println(s"[codegen] $name: ${if (ok) "WHOLE-STAGE" else "FALLBACK"}")
       if (!ok) println(plan)
       df.collect() // and it actually evaluates

@@ -49,9 +49,17 @@ class LakehouseSpec extends AnyFunSuite {
       Seq("Season", "TeamID"), root)
     assert(g1 === 1L)
     // simulate a writer that CRASHED between data write and manifest
-    // publish: a stray data directory with a valid parquet file
+    // publish: a stray data directory with a valid parquet file, a
+    // NESTED _temporary tree (what a killed Spark job leaves), and a
+    // staged-but-never-moved manifest tmp
     Seq((2024, 9, "GHOST")).toDF("Season", "TeamID", "v")
       .write.parquet(s"$root/data-99-deadbeef")
+    Files.createDirectories(
+      java.nio.file.Paths.get(root, "data-99-deadbeef", "_temporary", "0"))
+    Files.writeString(
+      java.nio.file.Paths.get(root, "data-99-deadbeef", "_temporary", "0", "task"),
+      "partial")
+    Files.writeString(java.nio.file.Paths.get(root, ".manifest-tmp-crashed"), "orphan")
     val afterCrash = ManifestCommit.read(spark, root).collect()
       .map(r => r.getInt(1) -> r.getString(2)).toMap
     assert(afterCrash === Map(1 -> "a", 2 -> "b")) // ghost invisible
@@ -77,6 +85,8 @@ class LakehouseSpec extends AnyFunSuite {
     val removed = ManifestCommit.vacuum(root)
     assert(removed.exists(_.startsWith("data-99-deadbeef")))
     assert(removed.exists(_.startsWith("_manifest-")))
+    assert(removed.contains(".manifest-tmp-crashed"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data-99-deadbeef")))
     assert(ManifestCommit.read(spark, root).collect()
       .map(r => r.getInt(1) -> r.getString(2)).toMap === Map(4 -> "d"))
   }
