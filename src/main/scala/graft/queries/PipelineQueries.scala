@@ -46,7 +46,7 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q43, q45,
       q46, q47, q51, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-      q70, q71, q72, q73)
+      q70, q71, q72, q73, q74)
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode): all
     * pairs at cos ≥ 0.4 (the synthetic embeddings top out near 0.5-0.6,
@@ -1064,6 +1064,35 @@ object PipelineQueries {
       .select(Dedup.contentFingerprint(trim(col("text"))).as("fp"))
     Dedup.incrementalNew(
       docs.filter(col("doc_id") > mid), "doc_id", "text", seenFps)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture rates APPLIED (Sampling.applyMixture): the q66 temperature
+    * rates sample the actual corpus via deterministic permille hash-mod —
+    * broadcast rate join + scan-stage filter, no shuffle; the oracle
+    * replays rates and membership bit-for-bit. */
+  def q74: Q = Q(
+    "q74_mixture_sampled",
+    Some(s"""
+      |WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT sum(n_docs) AS total FROM c),
+      |w AS (SELECT lang, pow(CAST(n_docs AS DOUBLE) / total, -0.3) AS w
+      |      FROM c CROSS JOIN t),
+      |m AS (SELECT max(w) AS mw FROM w),
+      |rates AS (
+      |  SELECT lang, CAST(floor(1000.0 * (w / mw)) AS BIGINT) AS keep_permille
+      |  FROM w CROSS JOIN m)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN rates USING (lang)
+      |WHERE ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix_v1')")} % 1000
+      |        < keep_permille
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Sampling
+    val docs = Tables.documents(s, dir)
+    val rates = Sampling.temperatureMixture(docs, "lang", alpha = 0.7)
+    Sampling.applyMixture(docs, "doc_id", "lang", rates, salt = "mix_v1")
+      .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
 

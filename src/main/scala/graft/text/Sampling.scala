@@ -62,6 +62,20 @@ object Sampling {
         expr("(n_docs * keep_permille) div 1000").as("expected_docs"))
   }
 
+  /** Apply [[temperatureMixture]] rates to the corpus — the end of the
+    * mixture pipeline: the tiny per-stratum rate table joins back via
+    * broadcast and membership is the deterministic permille hash-mod
+    * `hash(id:salt) % 1000 < keep_permille`. Scan-stage filter, no
+    * shuffle; same reproducibility contract as [[hashSample]]. */
+  def applyMixture(df: DataFrame, idCol: String, stratumCol: String,
+      rates: DataFrame, salt: String): DataFrame = {
+    val kp = rates.select(col(stratumCol), col("keep_permille"))
+    df.join(broadcast(kp), Seq(stratumCol))
+      .filter(polyHash(concat(col(idCol).cast("string"), lit(":" + salt)))
+        % 1000 < col("keep_permille"))
+      .drop("keep_permille")
+  }
+
   /** Stratified variant: per-stratum keep-percentages (e.g. language
     * rebalancing), unmatched strata keep `defaultPct`. */
   def stratifiedHashSample(
