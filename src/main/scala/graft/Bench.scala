@@ -36,24 +36,26 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // capture hygiene: per-query seconds rounded to ms keep the one-line
-    // JSON ~3x shorter (a full-precision double is ~17 chars), so a tail
-    // capture can't truncate the head of the map (BENCH_r02 lost q01-q10
-    // that way); the untruncated full-precision JSON also lands in a file
+    // capture hygiene: the driver keeps only the LAST ~2000 chars of
+    // output (BENCH_r02's line was ~3.4 KB and lost q01-q10's head), so
+    // the printed contract line uses the contract's short query keys
+    // ("q01") and ms precision — ~1 KB for 74 queries, untruncatable —
+    // while the full-name full-precision JSON lands in bench_full.json.
     // Locale.ROOT: a comma-decimal default locale would print "0,123"
     // and corrupt the JSON contract line
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def json(f: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def json(key: String => String, f: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     }
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), json(_.toString) + "\n"))
+      java.nio.file.Paths.get("bench_full.json"),
+      json(identity, _.toString) + "\n"))
     // the one-line driver contract — printed LAST so nothing follows it
-    println(json(fmt))
+    println(json(_.takeWhile(_ != '_'), fmt))
     spark.stop()
   }
 }
