@@ -989,10 +989,13 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
-  /** ADC retrieval over the q71 codes (ProductQuantize.adcTopK): corpus
-    * floats never read — each query's subspace×code distance table joins
-    * the code column and per-pair distances accumulate in subspace order
-    * (sorted fold ⇒ bit-stable doubles on both engines). */
+  /** ADC retrieval over PQ codes, WIDE plan (ProductQuantize.encodeWide +
+    * adcTopKWide): corpus floats never read; encoding is one shuffle-free
+    * projection; each query broadcasts its nested distance table and the
+    * per-pair cost is 8 array lookups + a fixed-order sum — no
+    * per-(pair, subspace) fan-out, no aggregation exchange. Bit-matches
+    * the long adcTopK form (spec-pinned), so the oracle's sorted-fold
+    * replay is unchanged. */
   def q72: Q = Q(
     "q72_pq_adc_topk",
     Some(s"""
@@ -1029,12 +1032,11 @@ object PipelineQueries {
       |""".stripMargin)) { (s, dir) =>
     import graft.sim.ProductQuantize
     val emb = Tables.embeddings(s, dir)
-    val cb = ProductQuantize.codebooks(emb, "vec_id", "embedding",
+    val model = ProductQuantize.fit(emb, "vec_id", "embedding",
       dims = 64, subspaces = 8, codebookSize = 16)
-    val codes = ProductQuantize.encode(emb, cb, "vec_id", "embedding",
-      dims = 64, subspaces = 8)
-    ProductQuantize.adcTopK(codes, emb.filter(col("vec_id") < 50), cb,
-      "vec_id", "embedding", dims = 64, subspaces = 8, k = 3)
+    val codes = ProductQuantize.encodeWide(emb, "vec_id", "embedding", model)
+    ProductQuantize.adcTopKWide(codes, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", model, k = 3)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
   }

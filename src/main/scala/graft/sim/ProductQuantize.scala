@@ -93,6 +93,102 @@ object ProductQuantize {
         col("k").as("code"), col("dist"))
   }
 
+  /** Driver-side PQ model: codebook entries as [subspace][code][dim]
+    * floats — KBs, the clusterCenters analogue. Lets the wide operators
+    * inline entries as literals so encoding/scoring stay in the scan
+    * stage with zero shuffles. */
+  final case class PqModel(
+      dims: Int, subspaces: Int, entries: Array[Array[Array[Float]]]) {
+    def sub: Int = dims / subspaces
+    def codebookSize: Int = entries(0).length
+  }
+
+  /** Fit = deterministic pivot selection (see [[codebooks]] — same LCG
+    * hash, same TakeOrdered pass), packaged as a driver-side model. */
+  def fit(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      dims: Int, subspaces: Int, codebookSize: Int): PqModel = {
+    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
+    val sub = dims / subspaces
+    val pivots = vectors
+      .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
+      .withColumn("h", lcgHash(col("pid")))
+      .orderBy(col("h"), col("pid"))
+      .limit(codebookSize)
+      .select("pvec")
+      .collect()
+    val entries = Array.tabulate(subspaces)(m =>
+      pivots.map(_.getSeq[Float](0).slice(m * sub, (m + 1) * sub).toArray))
+    PqModel(dims, subspaces, entries)
+  }
+
+  /** Squared L2 between a slice expression and a literal codebook entry —
+    * identical op order to [[encode]]'s zip_with fold. */
+  private def sqDistToEntry(slice: Column, entry: Array[Float]): Column =
+    aggregate(
+      zip_with(slice, typedLit(entry.toSeq), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Scan-stage PQ encoding: (vec_id, codes array) with codes[m] the
+    * argmin entry of subspace m — the same (dist, code) tie-break as
+    * [[encode]] via struct-min, but as ONE projection: no explode, no
+    * codebook join, no argmin window shuffle. The plan a 100 TB encode
+    * wants: the codebook rides the closure, every vector costs
+    * subspaces × codebookSize fold evaluations in its own scan task. */
+  def encodeWide(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val codeCols = (0 until model.subspaces).map { m =>
+      val slc = slice(col(vecCol), m * model.sub + 1, model.sub)
+      array_min(array((0 until model.codebookSize).map(k =>
+        struct(sqDistToEntry(slc, model.entries(m)(k)).as("d"),
+          lit(k).as("k"))): _*)).getField("k")
+    }
+    vectors.select(col(idCol).as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k over WIDE codes — the 100 TB ADC plan: each query row
+    * carries its full distance table as a nested literal-built array
+    * (qd[m][k], subspaces × codebookSize doubles, computed once per
+    * query in its own projection), the query side broadcasts, and the
+    * corpus-side cost per pair is `subspaces` array lookups + a
+    * FIXED-ORDER sum — no per-(pair, subspace) row fan-out and no
+    * aggregation exchange at all, unlike [[adcTopK]]'s long form whose
+    * pair table is subspaces× larger and must re-group it. The only
+    * shuffle left is the final per-query top-k window.
+    */
+  def adcTopKWide(
+      codesWide: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int = 3): DataFrame = {
+    val qd = array((0 until model.subspaces).map { m =>
+      val slc = slice(col(vecCol), m * model.sub + 1, model.sub)
+      array((0 until model.codebookSize).map(kk =>
+        sqDistToEntry(slc, model.entries(m)(kk))): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("qid"), qd.as("qd"))
+    // Σ_m qd[m][codes[m]]: literal m-order addition chain — the same
+    // summation order as adcTopK's sorted fold, so results bit-match
+    val adc = (0 until model.subspaces).map(m =>
+      element_at(element_at(col("qd"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    codesWide.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
   /** ADC (asymmetric distance computation) top-k — retrieval where the
     * corpus exists ONLY as PQ codes: each query precomputes its distance
     * table (subspace × codebook entry → squared L2 against the query's

@@ -195,6 +195,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(adc === expected)
   }
 
+  test("PQ wide path: encodeWide codes and adcTopKWide distances bit-match the long form") {
+    import graft.sim.ProductQuantize
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    val vecs = (0 until 35).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val model = ProductQuantize.fit(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 8)
+    val cb = ProductQuantize.codebooks(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 8)
+    // codes agree per (vector, subspace)
+    val longCodes = ProductQuantize.encode(vecs, cb, "vec_id", "embedding", dims, 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("subspace")) ->
+        r.getAs[Int]("code")).toMap
+    val wide = ProductQuantize.encodeWide(vecs, "vec_id", "embedding", model)
+    val wideCodes = wide.collect().flatMap(r =>
+      r.getSeq[Int](r.fieldIndex("codes")).zipWithIndex.map { case (c, m) =>
+        (r.getAs[Long]("vec_id"), m) -> c
+      }).toMap
+    assert(wideCodes === longCodes)
+    // ADC results agree bit-for-bit (same argmin, same summation order)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    val longAdc = rows(ProductQuantize.adcTopK(
+      ProductQuantize.encode(vecs, cb, "vec_id", "embedding", dims, 4),
+      vecs, cb, "vec_id", "embedding", dims, 4, k = 3))
+    val wideAdc = rows(ProductQuantize.adcTopKWide(
+      wide, vecs, "vec_id", "embedding", model, k = 3))
+    assert(wideAdc === longAdc)
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
