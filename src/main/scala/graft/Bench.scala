@@ -47,7 +47,10 @@ object Bench {
     def json(key: String => String, f: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-      val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // errors shortened with the SAME key mapping as queries — full names
+      // would re-inflate the line past the tail capture exactly when many
+      // queries fail, and short keys keep errors correlatable with queries
+      val errJson = errors.map("\"" + key(_) + "\"").mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     }

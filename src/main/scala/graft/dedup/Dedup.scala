@@ -295,14 +295,15 @@ object Dedup {
     var iter = 0
     var converged = cnt == 0L
     while (!converged && iter < maxIters) {
-      // one fused plan per round: small-star reads the large-star output
-      // in two branches (min-aggregate + join), but both branches hash-
-      // partition on the same key, so Catalyst's ReusedExchange runs the
-      // large-star sub-plan once. The round output checkpoints LAZILY —
-      // the count() below materializes it, so a round costs two jobs
-      // (materialize+count, except-check), the same as a label-
-      // propagation round
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // lazy checkpoint between the half-rounds: small-star reads its
+      // input in two branches (min-aggregate + join) whose exchanges have
+      // DIFFERENT children (partial agg vs raw), so ReusedExchange cannot
+      // dedupe them — without the checkpoint the large-star sub-plan
+      // would execute twice per round. Lazy (not eager) so no standalone
+      // materialization job runs: the count() below materializes the
+      // whole chain, keeping a round at two jobs (count, except-check)
+      val next = smallStar(largeStar(edges).localCheckpoint(false))
+        .localCheckpoint(false)
       val nextCnt = next.count()
       // exact set-equality check on distinct'd frames: same cardinality
       // plus next ⊆ edges ⇒ equal — and the anti-join job only runs once

@@ -775,11 +775,15 @@ object PipelineQueries {
     * transcendental is pow in identical op order on both engines. */
   def q66: Q = Q(
     "q66_mixture_rates",
-    Some("""
+    // exponent interpolated from the SAME Scala arithmetic the operator
+    // runs (alpha - 1.0): the hand-written literal -0.3 is a different
+    // double than 0.7 - 1.0 (one ulp), and pow at a floor boundary could
+    // flip keep_permille between engines
+    Some(s"""
       |WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
       |t AS (SELECT sum(n_docs) AS total FROM c),
       |w AS (SELECT lang, n_docs,
-      |             pow(CAST(n_docs AS DOUBLE) / total, -0.3) AS w
+      |             pow(CAST(n_docs AS DOUBLE) / total, ${0.7 - 1.0}) AS w
       |      FROM c CROSS JOIN t),
       |m AS (SELECT max(w) AS mw FROM w)
       |SELECT lang, n_docs,
@@ -1078,7 +1082,7 @@ object PipelineQueries {
     Some(s"""
       |WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
       |t AS (SELECT sum(n_docs) AS total FROM c),
-      |w AS (SELECT lang, pow(CAST(n_docs AS DOUBLE) / total, -0.3) AS w
+      |w AS (SELECT lang, pow(CAST(n_docs AS DOUBLE) / total, ${0.7 - 1.0}) AS w
       |      FROM c CROSS JOIN t),
       |m AS (SELECT max(w) AS mw FROM w),
       |rates AS (

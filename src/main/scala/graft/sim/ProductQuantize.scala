@@ -32,7 +32,19 @@ object ProductQuantize {
   private def lcgHash(id: Column): Column =
     (lit(1103515245L) * id + lit(12345L)) % lit(2147483648L)
 
-  /** Codebook rows (m, k, cvec): slice m of deterministic pivot k. */
+  /** Shared left-fold squared L2 — THE op-order contract: (a-b)*(a-b)
+    * accumulated in element order from a 0.0 seed. encode, adcTopK,
+    * the wide path, and the DuckDB oracle all replay exactly this
+    * sequence; keep it in one place so they cannot drift apart. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Codebook rows (m, k, cvec) derived from [[fit]]'s model — one
+    * pivot-selection implementation, two faces. */
   def codebooks(
       vectors: DataFrame,
       idCol: String,
@@ -40,24 +52,13 @@ object ProductQuantize {
       dims: Int,
       subspaces: Int,
       codebookSize: Int): DataFrame = {
-    require(dims % subspaces == 0, s"dims=$dims not divisible by subspaces=$subspaces")
-    val sub = dims / subspaces
+    val model = fit(vectors, idCol, vecCol, dims, subspaces, codebookSize)
     val spark = vectors.sparkSession
     import spark.implicits._
-    // TakeOrdered(K) — scale-safe pivot selection; K rows to the driver
-    // is a MODEL artifact (like KMeans centers), not a data collect
-    val pivots = vectors
-      .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pvec"))
-      .withColumn("h", lcgHash(col("pid")))
-      .orderBy(col("h"), col("pid"))
-      .limit(codebookSize)
-      .select("pid", "pvec")
-      .collect()
-    val entries = pivots.zipWithIndex.flatMap { case (r, k) =>
-      val vec = r.getSeq[Float](1)
-      (0 until subspaces).map(m => (m, k, vec.slice(m * sub, (m + 1) * sub).toArray))
-    }
-    entries.toSeq.toDF("m", "k", "cvec")
+    (for {
+      m <- 0 until model.subspaces
+      k <- 0 until model.codebookSize
+    } yield (m, k, model.entries(m)(k))).toDF("m", "k", "cvec")
   }
 
   /** PQ-encode every vector: one row per (vec_id, subspace) with the
@@ -76,13 +77,7 @@ object ProductQuantize {
       posexplode(array((0 until subspaces).map(m =>
         slice(col(vecCol), m * sub + 1, sub)): _*)))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("svec"))
-    // same left-fold op order as the oracle's list_reduce: (a-b)*(a-b)
-    // accumulated in element order — bit-identical doubles
-    val dist = aggregate(
-      zip_with(col("svec"), col("cvec"), (a, b) => {
-        val d = a.cast("double") - b.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    val dist = sqDist(col("svec"), col("cvec"))
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("k"))
     subvecs.join(broadcast(codebook), Seq("m"))
@@ -103,8 +98,10 @@ object ProductQuantize {
     def codebookSize: Int = entries(0).length
   }
 
-  /** Fit = deterministic pivot selection (see [[codebooks]] — same LCG
-    * hash, same TakeOrdered pass), packaged as a driver-side model. */
+  /** Fit = deterministic pivot selection: TakeOrdered(K) by LCG id-hash
+    * — scale-safe, and K pivot rows to the driver is a MODEL artifact
+    * (like KMeans centers), not a data collect. The single pivot
+    * implementation behind both [[codebooks]] and the wide path. */
   def fit(
       vectors: DataFrame, idCol: String, vecCol: String,
       dims: Int, subspaces: Int, codebookSize: Int): PqModel = {
@@ -122,14 +119,9 @@ object ProductQuantize {
     PqModel(dims, subspaces, entries)
   }
 
-  /** Squared L2 between a slice expression and a literal codebook entry —
-    * identical op order to [[encode]]'s zip_with fold. */
+  /** [[sqDist]] against a literal codebook entry. */
   private def sqDistToEntry(slice: Column, entry: Array[Float]): Column =
-    aggregate(
-      zip_with(slice, typedLit(entry.toSeq), (a, b) => {
-        val d = a.cast("double") - b.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    sqDist(slice, typedLit(entry.toSeq))
 
   /** Scan-stage PQ encoding: (vec_id, codes array) with codes[m] the
     * argmin entry of subspace m — the same (dist, code) tie-break as
@@ -216,11 +208,7 @@ object ProductQuantize {
       posexplode(array((0 until subspaces).map(m =>
         slice(col(vecCol), m * sub + 1, sub)): _*)))
       .select(col("qid"), col("pos").as("m"), col("col").as("qvec"))
-    val qdst = aggregate(
-      zip_with(col("qvec"), col("cvec"), (a, b) => {
-        val d = a.cast("double") - b.cast("double"); d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    val qdst = sqDist(col("qvec"), col("cvec"))
     val qd = qsub.join(broadcast(codebook), Seq("m"))
       .withColumn("qdst", qdst)
       .select(col("qid"), col("m").as("subspace"), col("k").as("code"), col("qdst"))

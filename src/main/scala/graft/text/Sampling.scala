@@ -14,9 +14,11 @@ import graft.functions.PolyHash.polyHash
   */
 object Sampling {
 
-  /** Bucket in [0, 100) derived from the row id and a salt. */
-  def hashBucket(id: Column, salt: String): Column =
-    polyHash(concat(id.cast("string"), lit(":" + salt))) % 100
+  /** Bucket in [0, buckets) derived from the row id and a salt — THE
+    * membership recipe every sampler here (and its oracle SQL) replays;
+    * keep it in one place so the hash/salt scheme cannot fork. */
+  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+    polyHash(concat(id.cast("string"), lit(":" + salt))) % buckets
 
   /** Keep ~pct% of rows, deterministically. */
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
@@ -71,8 +73,7 @@ object Sampling {
       rates: DataFrame, salt: String): DataFrame = {
     val kp = rates.select(col(stratumCol), col("keep_permille"))
     df.join(broadcast(kp), Seq(stratumCol))
-      .filter(polyHash(concat(col(idCol).cast("string"), lit(":" + salt)))
-        % 1000 < col("keep_permille"))
+      .filter(hashBucket(col(idCol), salt, buckets = 1000) < col("keep_permille"))
       .drop("keep_permille")
   }
 
