@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -19,12 +19,13 @@ import scala.jdk.CollectionConverters._
   *    an orphan data directory no reader ever sees — the previous
   *    generation stays the published state;
   *  - concurrent writers race on the manifest name: publication is an
-  *    ATOMIC_MOVE onto `_manifest-<gen>` which fails if the generation
-  *    is taken, and the loser re-publishes the same data files under the
-  *    next generation (on an object store, a conditional/if-none-match
-  *    put plays the same role). Note the loser's manifest does NOT
-  *    contain the winner's rows — last-writer-wins at dataset
-  *    granularity, exactly the semantics of overwrite/upsert here.
+  *    atomic hard-link onto `_manifest-<gen>` which fails if the
+  *    generation is taken (rename would silently replace it), and the
+  *    loser re-publishes the same data files under the next generation
+  *    (on an object store, a conditional/if-none-match put plays the
+  *    same role). Note the loser's manifest does NOT contain the
+  *    winner's rows — last-writer-wins at dataset granularity, exactly
+  *    the semantics of overwrite/upsert here.
   *
   * Orphans and superseded generations are reclaimed by [[vacuum]], which
   * must only run once no reader still holds an older manifest.
@@ -79,25 +80,27 @@ object ManifestCommit {
       .map(p => s"$dataDir/${p.getFileName}")
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
+    // stage the manifest content once, then publish by HARD LINK onto the
+    // generation name: link(2) is atomic with the full content visible AND
+    // fails with EEXIST if a concurrent writer claimed the generation —
+    // unlike rename, which on POSIX silently REPLACES an existing target
+    // (ATOMIC_MOVE onto a taken generation would clobber the winner's
+    // manifest). The loser retries one generation higher. An object store
+    // plays the same move with a conditional/if-none-match put.
+    val tmp = dir.resolve(s".manifest-tmp-$nonce")
+    Files.write(tmp, parts.asJava)
     var gen = firstGen
     var committed = -1L
-    while (committed < 0) {
-      // stage the manifest content in-directory, then ATOMIC_MOVE onto
-      // the generation name: the move both publishes the full content
-      // atomically AND fails (no REPLACE_EXISTING) if a concurrent
-      // writer claimed the generation first — then retry one higher
-      val tmp = dir.resolve(s".manifest-tmp-$nonce")
-      Files.write(tmp, parts.asJava)
-      try {
-        Files.move(tmp, dir.resolve(f"$ManifestPrefix$gen%010d"),
-          StandardCopyOption.ATOMIC_MOVE)
-        committed = gen
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          gen += 1
+    try {
+      while (committed < 0) {
+        try {
+          Files.createLink(dir.resolve(f"$ManifestPrefix$gen%010d"), tmp)
+          committed = gen
+        } catch {
+          case _: FileAlreadyExistsException => gen += 1
+        }
       }
-    }
+    } finally Files.deleteIfExists(tmp)
     committed
   }
 

@@ -91,6 +91,29 @@ class LakehouseSpec extends AnyFunSuite {
       .map(r => r.getInt(1) -> r.getString(2)).toMap === Map(4 -> "d"))
   }
 
+  test("manifest commit: racing writers land distinct generations, none clobbered") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft_manifest_race").resolve("t").toString
+    ManifestCommit.writeVersioned(Seq((0, "base")).toDF("id", "v"), root)
+    // 8 writers race from the same observed latest generation; the link
+    // publish must serialize them onto 8 DISTINCT generations (a rename
+    // publish would silently clobber and collapse some of them)
+    val gens = Await.result(
+      Future.sequence((1 to 8).map(i => Future {
+        ManifestCommit.writeVersioned(Seq((i, s"w$i")).toDF("id", "v"), root)
+      })), 5.minutes)
+    assert(gens.toSet.size === 8, s"generations clobbered: $gens")
+    assert(gens.forall(g => g >= 2 && g <= 9))
+    // the surviving latest generation is exactly the max-gen writer's data
+    val winner = gens.zipWithIndex.maxBy(_._1)._2 + 1
+    val rows = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows === Map(winner -> s"w$winner"))
+  }
+
   test("Season-partitioned writes prune partitions on season filters") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").resolve("t").toString
