@@ -118,6 +118,12 @@ object Relational {
     * head of a Zipf distribution is small by definition). Result equals
     * `fact.join(dim, key)` exactly: the hot/tail split is a disjoint
     * partition of the keys, reassembled by unionByName.
+    *
+    * Cost note: `fact` is consumed by two branches and `dim` by three
+    * (hot head, anti-join key set, tail join) — when either derives from
+    * an expensive sub-plan, persist/checkpoint it first; the branches
+    * re-evaluate their inputs (scan-stage work, the cheap axis — reducer
+    * skew is the expensive one this operator removes).
     */
   def hotTailJoin(
       fact: DataFrame,
