@@ -59,25 +59,50 @@ object ManifestCommit {
     * data from crashed writers and superseded generations are invisible
     * even though they share the directory. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (_, files) = latest(path).getOrElse(
+    val (gen, _) = latest(path).getOrElse(
       throw new IllegalStateException(s"no committed manifest under $path"))
-    require(files.nonEmpty, s"manifest under $path lists no files")
-    spark.read.parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
+    readAt(spark, path, gen)
+  }
+
+  /** Time travel: read a SPECIFIC committed generation (valid until a
+    * vacuum reclaims it — the same contract as table-format history).
+    * Partition columns written by [[writeVersioned]]'s `partitionBy`
+    * come back via the per-generation basePath, pruning included. */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val manifest = Paths.get(path).resolve(f"$ManifestPrefix$gen%010d")
+    require(Files.exists(manifest), s"no manifest for generation $gen under $path")
+    val files = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+    require(files.nonEmpty, s"manifest $manifest lists no files")
+    // all of a generation's files share one data dir; basePath restores
+    // partition columns from Hive-style subdirs (k=v/...) when present
+    val dataDir = Paths.get(path).resolve(files.head.takeWhile(_ != '/'))
+    spark.read.option("basePath", dataDir.toString)
+      .parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
   }
 
   /** Write `df` as a new generation and publish it. Returns the committed
     * generation number. The data write happens BEFORE any metadata
-    * becomes visible; the publish is a single atomic manifest move. */
-  def writeVersioned(df: DataFrame, path: String): Long = {
+    * becomes visible; the publish is a single atomic manifest link.
+    * `partitionBy` lands Hive-style subdirs inside the generation's data
+    * dir (manifest entries carry the relative subpaths), so readers get
+    * partition pruning via the basePath in [[readAt]]. */
+  def writeVersioned(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-$firstGen-$nonce"
-    df.write.mode(SaveMode.Overwrite).parquet(dir.resolve(dataDir).toString)
-    val parts = listDir(dir.resolve(dataDir))
-      .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
-      .map(p => s"$dataDir/${p.getFileName}")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.resolve(dataDir).toString)
+    def partFiles(p: Path): Seq[Path] = listDir(p).flatMap { c =>
+      if (Files.isDirectory(c)) partFiles(c)
+      else if (c.getFileName.toString.matches("part-.*\\.parquet")) Seq(c)
+      else Seq.empty
+    }
+    val parts = partFiles(dir.resolve(dataDir))
+      .map(p => dir.relativize(p).toString)
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
     // stage the manifest content once, then publish by HARD LINK onto the
@@ -140,27 +165,33 @@ object ManifestCommit {
       case Some((gen, files)) =>
         val keep = files.map(f => dir.resolve(f).normalize).toSet +
           dir.resolve(f"$ManifestPrefix$gen%010d").normalize
-        val keepDirs = keep.map(_.getParent)
+        // the generation's TOP data dir is the first segment of each
+        // entry — file parents may be partition subdirs (Season=.../)
+        val keepDataDirs =
+          files.map(f => dir.resolve(f.takeWhile(_ != '/')).normalize).toSet
         val removed = Seq.newBuilder[String]
+        def dropUnreferencedParts(p: Path): Unit = listDir(p).foreach { f =>
+          if (Files.isDirectory(f)) dropUnreferencedParts(f)
+          else if (f.getFileName.toString.matches("part-.*\\.parquet") &&
+            !keep.contains(f.normalize)) {
+            Files.delete(f); removed += dir.relativize(f).toString
+          }
+        }
         listDir(dir).foreach { child =>
           val name = child.getFileName.toString
           if ((name.startsWith(ManifestPrefix) && !keep.contains(child.normalize))
             || name.startsWith(".manifest-tmp-")) {
             Files.delete(child); removed += name
-          } else if (name.startsWith("data-") && !keepDirs.contains(child.normalize)) {
+          } else if (name.startsWith("data-") && !keepDataDirs.contains(child.normalize)) {
             // crashed writers leave nested _temporary/... trees — delete
             // recursively, not just one level
             deleteRecursively(child)
             removed += name
-          } else if (name.startsWith("data-") && keepDirs.contains(child.normalize)) {
-            // referenced dir: drop only unreferenced files inside (e.g.
-            // _SUCCESS markers stay harmless; part files must be kept)
-            listDir(child).foreach { f =>
-              if (f.getFileName.toString.matches("part-.*\\.parquet") &&
-                !keep.contains(f.normalize)) {
-                Files.delete(f); removed += s"$name/${f.getFileName}"
-              }
-            }
+          } else if (name.startsWith("data-") && keepDataDirs.contains(child.normalize)) {
+            // referenced dir: drop only unreferenced part files inside
+            // (recursing into partition subdirs; _SUCCESS markers stay,
+            // harmless)
+            dropUnreferencedParts(child)
           }
         }
         removed.result().sorted

@@ -91,6 +91,36 @@ class LakehouseSpec extends AnyFunSuite {
       .map(r => r.getInt(1) -> r.getString(2)).toMap === Map(4 -> "d"))
   }
 
+  test("manifest commit: partitioned generations prune, time travel reads old gens") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_manifest_part").resolve("t").toString
+    val g1 = ManifestCommit.writeVersioned(
+      Seq((2021, 1, "a"), (2022, 2, "b")).toDF("Season", "TeamID", "v"),
+      root, partitionBy = Seq("Season"))
+    val g2 = ManifestCommit.writeVersioned(
+      Seq((2021, 1, "a2"), (2022, 2, "b2"), (2023, 3, "c")).toDF("Season", "TeamID", "v"),
+      root, partitionBy = Seq("Season"))
+    // partition column restored via basePath; pruning reaches the scan
+    val cur = ManifestCommit.read(spark, root)
+    assert(cur.columns.toSet === Set("Season", "TeamID", "v"))
+    val q = cur.filter(col("Season") === 2023)
+    assert(q.collect().map(_.getAs[String]("v")) === Array("c"))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan"))
+    assert(scan.metrics("numFiles").value === 1,
+      s"partition pruning failed: ${scan.metrics("numFiles").value} files")
+    // time travel: gen 1 still readable until vacuumed
+    val old = ManifestCommit.readAt(spark, root, g1)
+      .collect().map(r => r.getAs[Int]("TeamID") -> r.getAs[String]("v")).toMap
+    assert(old === Map(1 -> "a", 2 -> "b"))
+    // vacuum keeps only g2; partitioned orphan dirs of g1 fully reclaimed
+    ManifestCommit.vacuum(root)
+    assert(ManifestCommit.read(spark, root).count() === 3)
+    assertThrows[IllegalArgumentException](ManifestCommit.readAt(spark, root, g1))
+    assert(g2 === g1 + 1)
+  }
+
   test("manifest commit: racing writers land distinct generations, none clobbered") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
