@@ -27,7 +27,11 @@ final case class PipelineConfig(
     gbtMaxDepth: Int = 5,
     gbtSubsamplingRate: Double = 0.8,
     minTrainSeason: Int = Int.MinValue,
-    maxValSeason: Int = Int.MaxValue)
+    maxValSeason: Int = Int.MaxValue,
+    /** "overwrite" (reference parity: delete-then-write per dataset) or
+      * "manifest" (ManifestCommit: crash-safe, object-store-safe
+      * generations). Beyond the reference's config surface. */
+    commitProtocol: String = "overwrite")
 
 object PipelineConfig {
 
@@ -130,7 +134,12 @@ object PipelineConfig {
       gbtMaxDepth = int(defaults.gbtMaxDepth, "modeling", "gbt", "max_depth"),
       gbtSubsamplingRate = dbl(defaults.gbtSubsamplingRate, "modeling", "gbt", "subsampling_rate"),
       minTrainSeason = int(defaults.minTrainSeason, "backtest", "min_train_season"),
-      maxValSeason = int(defaults.maxValSeason, "backtest", "max_val_season"))
+      maxValSeason = int(defaults.maxValSeason, "backtest", "max_val_season"),
+      commitProtocol = {
+        val p = str(defaults.commitProtocol, "lake", "commit_protocol").toLowerCase
+        require(p == "overwrite" || p == "manifest", s"unknown commit_protocol: $p")
+        p
+      })
   }
 
   def load(path: String): PipelineConfig =

@@ -90,12 +90,21 @@ object PipelineRunner {
         col("WScore"), col("LScore"))).as("GameId"),
       col("WTeamID"), col("LTeamID"), col("WScore"), col("LScore"))
 
-    def writeSilver(df: DataFrame, name: String): DataFrame = {
-      df.write.mode(SaveMode.Overwrite)
-        .partitionBy("Season")
-        .parquet(lake.silver(league, name))
-      spark.read.parquet(lake.silver(league, name))
-    }
+    // dataset hand-off under the configured commit protocol: reference
+    // parity is plain overwrite; "manifest" routes through ManifestCommit
+    // (crash-safe generations, object-store-safe publish) with the same
+    // Season partitioning either way
+    val manifest = config.commitProtocol == "manifest"
+    def writeRead(df: DataFrame, path: String): DataFrame =
+      if (manifest) {
+        graft.sources.ManifestCommit.writeVersioned(df, path, partitionBy = Seq("Season"))
+        graft.sources.ManifestCommit.read(spark, path)
+      } else {
+        df.write.mode(SaveMode.Overwrite).partitionBy("Season").parquet(path)
+        spark.read.parquet(path)
+      }
+    def writeSilver(df: DataFrame, name: String): DataFrame =
+      writeRead(df, lake.silver(league, name))
 
     // 02: team-season stats  05: elo  06: rolling snapshot
     val stats = writeSilver(TeamSeasonStats.build(gamesKeyed), "team_season_stats")
@@ -116,9 +125,7 @@ object PipelineRunner {
         Matchups.buildLabeled(gamesKeyed), features,
         diffCols = Seq("WinRate", "AvgPointDiff", "Elo")),
       essential = Seq("WinRateDiff", "AvgPointDiffDiff", "EloDiff"))
-    gold.write.mode(SaveMode.Overwrite).partitionBy("Season")
-      .parquet(lake.gold(league, "training_matchups"))
-    val goldRead = spark.read.parquet(lake.gold(league, "training_matchups"))
+    val goldRead = writeRead(gold, lake.gold(league, "training_matchups"))
 
     // 07: rolling backtest (season bounds from config)
     val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "EloDiff")

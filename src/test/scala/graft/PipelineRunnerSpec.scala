@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.jobs.PipelineRunner
 
 class PipelineRunnerSpec extends AnyFunSuite {
@@ -128,6 +129,30 @@ class PipelineRunnerSpec extends AnyFunSuite {
       // the caller's session conf is restored afterwards
       assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("manifest commit protocol: pipeline lands silver/gold as committed generations") {
+    val in = Files.createTempDirectory("graft_mc_in")
+    val rnd = new scala.util.Random(31)
+    val rows = for (season <- 2022 to 2023; day <- 1 to 30) yield {
+      val a = 1101 + rnd.nextInt(5); val b = 1110 + rnd.nextInt(5)
+      s"$season,$day,$a,${60 + rnd.nextInt(20)},$b,${40 + rnd.nextInt(19)},H,0"
+    }
+    Files.writeString(in.resolve("MRegularSeasonCompactResults.csv"),
+      "Season,DayNum,WTeamID,WScore,LTeamID,LScore,WLoc,NumOT\n" + rows.mkString("\n") + "\n")
+    val lake = Files.createTempDirectory("graft_mc_lake")
+    val cfg = graft.jobs.PipelineConfig(commitProtocol = "manifest")
+    val result = PipelineRunner.run(
+      spark, in.toString, lake.toString, cfg, exportCsv = None, hpoParamsPath = None)
+    assert(result.goldRows > 0)
+    // silver/gold are manifest datasets: a committed generation exists and
+    // reads back Season-partitioned through the manifest
+    val gold = lake.resolve("gold/M/training_matchups")
+    assert(Files.list(gold).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_manifest-")))
+    val read = graft.sources.ManifestCommit.read(spark, gold.toString)
+    assert(read.count() === result.goldRows)
+    assert(read.columns.contains("Season"))
   }
 
   test("missing HPO params file falls back to reference defaults") {
