@@ -58,6 +58,29 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("greedy packing stream under OUT-OF-ORDER arrival: bins stay valid, every doc packed once") {
+    // later micro-batch delivers SMALLER ids — bin numbering may differ
+    // from the batch replay (documented contract) but bins must never
+    // overfill and every doc must land exactly once
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_ooo")
+    stage(dir, "b1.parquet", fixture.drop(6)) // ids 7-12 first
+    stage(dir, "b2.parquet", fixture.take(6)) // ids 1-6 after
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = CorpusStreams.greedyPackStream(stream, "doc_id", "text",
+      capacity = 6L, nBuckets = 2, salt = "s")
+      .writeStream.format("memory").queryName("pack_ooo_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("pack_ooo_test").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted === (1L to 12L).toArray)
+    val byBin = rows.groupBy(r => (r.getAs[Int]("bucket"), r.getAs[Int]("bin_idx")))
+    assert(byBin.values.forall { bs =>
+      bs.map(_.getAs[Long]("n_tokens")).sum <= 6L || bs.length == 1
+    })
+  }
+
   test("greedy packing stream equals batch under ordered arrival; cursor spans batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cs_pack")
     stage(dir, "b1.parquet", fixture.take(6))
