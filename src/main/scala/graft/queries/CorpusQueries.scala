@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.{SemDedup, Similarity}
+import graft.text.{DupSpans, Redaction, Sharding, TextAnalysis}
+import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
+
+/** Round-4 training-data operators: semantic dedup, per-source caps,
+  * deterministic epoch sharding, PII redaction, duplicate-span
+  * detection, filtered vector search. Same oracle discipline as
+  * PipelineQueries — shared constants interpolated into both sides.
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80)
+
+  /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
+    * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
+    * fragment proven bit-identical by q69. */
+  private def sqlHyperplaneCell(bits: Int): String = {
+    val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
+      "/ 2147483648.0) - 0.5))), (a, b) -> a + b)"
+    s"""CAST(list_sum(list_transform(range(0, $bits), p ->
+       |  CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))
+       |  AS BIGINT)""".stripMargin
+  }
+
+  private def sqlDot(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def sqlCosine(a: String, b: String) =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** SemDeDup-style cell-bounded semantic dedup (SemDedup.semanticDedup):
+    * 4 hyperplane bits = 16 cells (~31 vectors each at sf0.01); a vector
+    * is dropped iff a lower-id same-cell vector sits at cos ≥ 0.4. The
+    * oracle replays cells, in-cell pairs, and the keep rule exactly. */
+  def q75: Q = Q(
+    "q75_semantic_dedup",
+    Some(s"""
+      |WITH sigs AS (
+      |  SELECT vec_id, embedding, ${sqlHyperplaneCell(4)} AS cell
+      |  FROM embeddings),
+      |losers AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4)
+      |SELECT vec_id, cell FROM sigs
+      |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+      |ORDER BY vec_id
+      |""".stripMargin)) { (s, dir) =>
+    SemDedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dims = 64, threshold = 0.4, cellBits = 4)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-source document caps — domain rate limiting (the crawl-pipeline
+    * guard against any one domain dominating the mixture): keep the top
+    * 10 docs per source by the q23 quality score, deterministic
+    * (quality desc, doc_id) tie-break, via the native GroupedTopK
+    * physical operator (heap per key, no full sort). */
+  def q76: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q76_source_caps",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT source, doc_id, text, ${sqlTokens("text")} AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, doc_id,
+        |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
+        |                 / len(toks) * 5.0, 1.0) * 0.4
+        |         + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |                       AS DOUBLE) / length(text)) * 0.2 AS quality
+        |  FROM t),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rn
+        |  FROM m)
+        |SELECT source, doc_id, quality FROM ranked WHERE rn <= 10
+        |ORDER BY source, quality DESC, doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val scored = Tables.documents(s, dir).select(
+        col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+      graft.plans.GroupedTopK.topKPerKey(
+        scored,
+        keyCols = Seq("source"),
+        order = Seq("quality" -> false, "doc_id" -> true),
+        k = 10)
+        .orderBy(col("source"), col("quality").desc, col("doc_id"))
+    }
+  }
+
+  /** Deterministic corpus shuffle + epoch sharding (Sharding.shuffleShards):
+    * 8 shards, salt "ep1"; shard membership and within-shard order from
+    * independently salted PolyHashes. The oracle replays both hashes and
+    * the (ord, id) rank. */
+  def q77: Q = Q(
+    "q77_epoch_shards",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':ep1:shard')")} % 8
+      |           AS shard,
+      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':ep1:ord')")}
+      |           AS ord_key
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |       row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+      |         AS pos
+      |FROM t ORDER BY shard, pos
+      |""".stripMargin)) { (s, dir) =>
+    Sharding.shuffleShards(Tables.documents(s, dir), "doc_id",
+      nShards = 8, salt = "ep1")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** PII redaction (Redaction.redact/matchCounts) over text carrying
+    * deterministically derived identifiers — email, phone, IPv4 appended
+    * from doc_id arithmetic IDENTICALLY on both sides, so the regexes are
+    * exercised on real matches (the synthetic corpus itself contains
+    * none) and the redacted text + per-rule counts hash-compare. */
+  def q78: Q = {
+    val Seq(email, phone, ipv4) = Redaction.Rules.map(_.pattern)
+    Q("q78_pii_redaction",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id,
+        |         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || '.org or call 555-' ||
+        |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+        |         CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |         CAST(doc_id % 250 AS VARCHAR) || ' now' AS pii
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(pii, '$email')) AS BIGINT) AS n_email,
+        |         regexp_replace(pii, '$email', '<EMAIL>', 'g') AS t1
+        |  FROM t),
+        |r2 AS (
+        |  SELECT doc_id, n_email,
+        |         CAST(len(regexp_extract_all(t1, '$phone')) AS BIGINT) AS n_phone,
+        |         regexp_replace(t1, '$phone', '<PHONE>', 'g') AS t2
+        |  FROM r1),
+        |r3 AS (
+        |  SELECT doc_id, n_email, n_phone,
+        |         CAST(len(regexp_extract_all(t2, '$ipv4')) AS BIGINT) AS n_ipv4,
+        |         regexp_replace(t2, '$ipv4', '<IP>', 'g') AS redacted
+        |  FROM r2)
+        |SELECT doc_id, n_email, n_phone, n_ipv4, redacted
+        |FROM r3 ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val pii = concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".org or call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"), lit(" now"))
+      val counts = Redaction.matchCounts(pii)
+        .map { case (name, c) => c.as(s"n_$name") }
+      Tables.documents(s, dir).select(
+        col("doc_id") +: counts :+ Redaction.redact(pii).as("redacted"): _*)
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Duplicate n-gram span coverage (DupSpans.coverage): 3-gram shingles
+    * counted corpus-wide (duplicated = count ≥ 2, within- or cross-doc),
+    * flagged starts union'd into covered token spans via the lag-window
+    * pass; the shingle-count join is the skew-proof hotTailJoin. Oracle
+    * replays shingling, counts, and the interval union. */
+  def q79: Q = Q(
+    "q79_dup_spans",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |         ${sqlShingles("toks")} AS shl
+      |  FROM t),
+      |p AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(shl) + 1),
+      |           i -> {'p': i - 1, 'g': shl[i]})) AS u
+      |  FROM s),
+      |g AS (SELECT doc_id, u.p AS spos, u.g AS g FROM p),
+      |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+      |dup AS (SELECT doc_id, spos FROM g JOIN cnt USING (g) WHERE c >= 2),
+      |cov AS (
+      |  SELECT doc_id, coalesce(least(3, spos - lag(spos) OVER
+      |           (PARTITION BY doc_id ORDER BY spos)), 3) AS contrib
+      |  FROM dup),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_shingles,
+      |         CAST(sum(contrib) AS BIGINT) AS covered_tokens
+      |  FROM cov GROUP BY doc_id),
+      |tot AS (
+      |  SELECT doc_id, n_tokens, CAST(len(shl) AS BIGINT) AS n_shingles
+      |  FROM s)
+      |SELECT tot.doc_id, tot.n_tokens, tot.n_shingles,
+      |       coalesce(a.n_dup_shingles, 0) AS n_dup_shingles,
+      |       coalesce(a.covered_tokens, 0) AS covered_tokens,
+      |       CAST(coalesce(a.covered_tokens, 0) AS DOUBLE) / tot.n_tokens
+      |         AS dup_frac
+      |FROM tot LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    DupSpans.coverage(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Metadata-filtered exact vector search (Similarity.filteredTopK):
+    * top-3 cosine neighbors sharing the query's label — the attribute
+    * match IS the join key, so no cross-label pair is ever scored. */
+  def q80: Q = Q(
+    "q80_filtered_ann",
+    Some(s"""
+      |WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      |q AS (SELECT vec_id, embedding AS qvec, label FROM e WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT q.vec_id, q.label, e.vec_id AS neighbor_id,
+      |         ${sqlCosine("q.qvec", "e.embedding")} AS cos
+      |  FROM q JOIN e ON q.label = e.label AND q.vec_id != e.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, neighbor_id) AS nn_rank
+      |  FROM scored)
+      |SELECT vec_id, label, nn_rank, neighbor_id, cos
+      |FROM ranked WHERE nn_rank <= 3
+      |ORDER BY vec_id, nn_rank
+      |""".stripMargin)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.filteredTopK(emb, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", matchCols = Seq("label"), k = 3)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
+  }
+}

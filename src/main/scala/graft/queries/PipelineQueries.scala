@@ -20,12 +20,12 @@ object PipelineQueries {
   // ---- shared DuckDB fragments, mirroring graft.functions/graft.text ----
 
   /** ≙ TextAnalysis.tokens */
-  private def sqlTokens(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
+  private[queries] def sqlTokens(src: String) = s"regexp_split_to_array(trim($src), '\\s+')"
 
   /** ≙ PolyHashImpl.hash (fold over code points, mult 131 mod 2^31-1). */
-  private def sqlCharFold(src: String): String = sqlCharFold(src, 131L)
+  private[queries] def sqlCharFold(src: String): String = sqlCharFold(src, 131L)
 
-  private def sqlCharFold(src: String, mult: Long) =
+  private[queries] def sqlCharFold(src: String, mult: Long) =
     s"""list_reduce(
        |  list_prepend(CAST(0 AS BIGINT),
        |               list_transform(string_split($src, ''), c -> ord(c))),
@@ -36,11 +36,11 @@ object PipelineQueries {
     s"(${sqlCharFold(src, 131L)}) * 2147483647 + (${sqlCharFold(src, 137L)})"
 
   /** ≙ Dedup.shingles(n=3) on pre-tokenized list `toks`. */
-  private def sqlShingles(toks: String) =
+  private[queries] def sqlShingles(toks: String) =
     s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
        |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])""".stripMargin
 
-  private def sqlInList(words: Seq[String]) =
+  private[queries] def sqlInList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val all: Seq[Q] =

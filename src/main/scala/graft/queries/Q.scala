@@ -24,7 +24,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
-      MlQueries.all ++ ExtQueries.all
+      MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

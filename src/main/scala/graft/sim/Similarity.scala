@@ -241,6 +241,45 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Metadata-filtered exact top-k — the "filtered vector search" shape
+    * every production vector store exposes (top-k among only the
+    * neighbors satisfying an attribute predicate). The filter is an
+    * EQUI-MATCH on `matchCols` expressed as the join key itself, so
+    * candidate generation never materializes a non-matching pair and no
+    * cosine is ever computed on one — filter-before-distance, the plan
+    * property that distinguishes real filtered search from
+    * post-filtering (which silently returns < k when the filter is
+    * selective). Queries broadcast (small side); ranking uses the same
+    * deterministic (−cos, neighbor id) tie-break as [[bruteForceTopK]].
+    *
+    * At scale, compose with a cell quantizer ([[ivfHashTopK]]'s cell as
+    * an extra join key) when the corpus side outgrows a per-attribute
+    * scan.
+    */
+  def filteredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      matchCols: Seq[String],
+      k: Int = 3): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("nvec") +:
+        matchCols.map(col): _*)
+    val q = queries.select(
+      col(idCol).as("vec_id") +: col(vecCol).as("qvec") +:
+        matchCols.map(col): _*)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), matchCols)
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id") +: matchCols.map(col) :+ col("rank") :+
+        col("neighbor_id") :+ col("cos"): _*)
+  }
+
   /** XOR masks enumerating all bit patterns of weight ≤ radius over
     * `bits` bits (radius ≤ 2 keeps the probe count polynomial). */
   private[graft] def hammingMasks(bits: Int, radius: Int): Seq[Long] = {

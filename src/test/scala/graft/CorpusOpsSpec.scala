@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.{SemDedup, Similarity}
+import graft.text.{DupSpans, Redaction, Sharding}
+
+/** Round-4 corpus operators: semantic dedup, PII redaction, epoch
+  * sharding, duplicate-span coverage, filtered vector search.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- SemDedup -------------------------------------------------------
+
+  private def unitVec(axis: Int, dims: Int = 8): Array[Float] =
+    Array.tabulate(dims)(i => if (i == axis) 1f else 0f)
+
+  /** Vectors along the same axis share every hyperplane sign; opposite
+    * axes differ. Scaled copies are cosine-1 duplicates. */
+  private lazy val vecs = Seq(
+    (1L, unitVec(0)),
+    (2L, unitVec(0).map(_ * 2f)), // cos=1 dup of 1, same cell
+    (3L, unitVec(0).map(_ * 5f)), // cos=1 dup of 1, same cell
+    (4L, unitVec(3)))             // orthogonal to all
+    .toDF("id", "vec")
+
+  test("semanticDedup keeps the lowest id of an in-cell duplicate group") {
+    val kept = SemDedup.semanticDedup(vecs, "id", "vec",
+      dims = 8, threshold = 0.9, cellBits = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(4L)) // nothing similar to it
+  }
+
+  test("semanticDedup drop rule is against ALL lower ids, not survivors") {
+    // chain: a~b (cos .95), b~c (cos .95), a~c (cos .81 < t) — one-pass
+    // parallel rule drops BOTH b and c (c has lower-id near-dup b even
+    // though b itself is dropped): the documented contract
+    val a = Array(1f, 0f, 0f, 0f)
+    val rot = math.Pi / 10 // 18° steps: cos 18° ≈ .951, cos 36° ≈ .809
+    def rotated(t: Double) =
+      Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f)
+    val chain = Seq((1L, a), (2L, rotated(rot)), (3L, rotated(2 * rot)))
+      .toDF("id", "vec")
+    val kept = SemDedup.semanticDedup(chain, "id", "vec",
+      dims = 4, threshold = 0.9, cellBits = 1)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("semanticDedup is independent of input partitioning") {
+    val base = SemDedup.semanticDedup(vecs, "id", "vec",
+      dims = 8, threshold = 0.9, cellBits = 3).orderBy("id").collect().toSeq
+    val shuffled = SemDedup.semanticDedup(vecs.repartition(7), "id", "vec",
+      dims = 8, threshold = 0.9, cellBits = 3).orderBy("id").collect().toSeq
+    assert(base === shuffled)
+  }
+
+  // ---- Redaction ------------------------------------------------------
+
+  private def redactOne(s: String): (String, Map[String, Long]) = {
+    val df = Seq(Tuple1(s)).toDF("t")
+    val counts = Redaction.matchCounts(col("t"))
+    val row = df.select(
+      Redaction.redact(col("t")).as("r") +:
+        counts.map { case (n, c) => c.as(n) }: _*).head
+    (row.getString(0),
+      Redaction.Rules.map(r => r.name -> row.getAs[Long](r.name)).toMap)
+  }
+
+  test("redaction replaces each PII kind with its typed token") {
+    val (r, c) = redactOne(
+      "mail a.b-c%d@ex.co, call 555-123-4567, host 192.168.0.1 ok")
+    assert(r === "mail <EMAIL>, call <PHONE>, host <IP> ok")
+    assert(c === Map("email" -> 1L, "phone" -> 1L, "ipv4" -> 1L))
+  }
+
+  test("redaction rule order: text consumed by email is not re-counted as phone") {
+    // a phone-shaped local part is spent by the email rule (which runs
+    // first), so the phone count stays 0; an IP-hosted "email" does NOT
+    // match the email pattern (alphabetic TLD required) and falls through
+    // to the IP rule — both behaviors are the documented sequencing
+    val (r1, c1) = redactOne("send to 555-123-4567@ex.co please")
+    assert(r1 === "send to <EMAIL> please")
+    assert(c1("email") === 1L && c1("phone") === 0L)
+    val (r2, c2) = redactOne("from u@10.0.0.7 at 10.0.0.9")
+    assert(r2 === "from u@<IP> at <IP>")
+    assert(c2("email") === 0L && c2("ipv4") === 2L)
+  }
+
+  test("redaction placeholders are never re-matched and counts sum to replacements") {
+    val (r, c) = redactOne("555-000-1111 555-222-3333 and 1.2.3.4")
+    assert(r === "<PHONE> <PHONE> and <IP>")
+    assert(c("phone") === 2L && c("ipv4") === 1L && c("email") === 0L)
+  }
+
+  test("phone boundaries: digits glued to a longer number do not match") {
+    val (r, c) = redactOne("id 9555-123-45678 stays")
+    assert(r === "id 9555-123-45678 stays")
+    assert(c.values.sum === 0L)
+  }
+
+  // ---- Sharding -------------------------------------------------------
+
+  private lazy val ids = (0L until 200L).toDF("doc_id")
+
+  test("shuffleShards: shards in range, positions dense 1..count per shard") {
+    val out = Sharding.shuffleShards(ids, "doc_id", nShards = 8, salt = "s1")
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(byShard.map(_.getAs[Long]("n")).sum === 200L)
+    byShard.foreach { r =>
+      assert(r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 8)
+      assert(r.getAs[Int]("lo") === 1)
+      assert(r.getAs[Int]("hi").toLong === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("d") === r.getAs[Long]("n"))
+    }
+  }
+
+  test("shuffleShards is deterministic and partitioning-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sharding.shuffleShards(df, "doc_id", 8, "s1")
+        .select("doc_id", "shard", "pos").orderBy("doc_id").collect().toSeq
+    assert(run(ids) === run(ids.repartition(13)))
+  }
+
+  test("a different salt reorders the corpus") {
+    def order(salt: String) =
+      Sharding.shuffleShards(ids, "doc_id", 8, salt)
+        .orderBy("shard", "pos").select("doc_id").as[Long].collect().toSeq
+    assert(order("epoch1") !== order("epoch2"))
+  }
+
+  test("shard order is uncorrelated with id order (it IS a shuffle)") {
+    val firstShard = Sharding.shuffleShards(ids, "doc_id", 1, "s1")
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(firstShard !== firstShard.sorted)
+  }
+
+  // ---- DupSpans -------------------------------------------------------
+
+  test("dup-span coverage unions overlapping spans and skips unique text") {
+    // "a b c d e" in docs 1&2 -> every shingle of both duplicated;
+    // doc 3 shares only its first shingle "a b c" (positions 0..2);
+    // doc 4 is fully unique
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c x y z w"),
+      (4L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val out = DupSpans.coverage(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: 3 shingles all dup: starts 0,1,2 -> covered = 3+1+1 = 5 (all)
+    assert(out(0).getAs[Long]("n_dup_shingles") === 3L)
+    assert(out(0).getAs[Long]("covered_tokens") === 5L)
+    assert(out(0).getAs[Double]("dup_frac") === 1.0)
+    // doc 3: only "a b c" dup -> covered 3 of 7
+    assert(out(2).getAs[Long]("n_dup_shingles") === 1L)
+    assert(out(2).getAs[Long]("covered_tokens") === 3L)
+    // doc 4: nothing duplicated
+    assert(out(3).getAs[Long]("n_dup_shingles") === 0L)
+    assert(out(3).getAs[Long]("covered_tokens") === 0L)
+    assert(out(3).getAs[Double]("dup_frac") === 0.0)
+  }
+
+  test("dup-span coverage counts within-doc repetition too") {
+    // "x y z x y z x y z": shingle "x y z" occurs 3 times in ONE doc
+    val docs = Seq((1L, "x y z x y z x y z"), (2L, "totally other words here"))
+      .toDF("doc_id", "text")
+    val row = DupSpans.coverage(docs, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1).head
+    // all 7 rolling shingles repeat ("x y z" ×3, "y z x" ×2, "z x y" ×2)
+    assert(row.getAs[Long]("n_dup_shingles") === 7L)
+    assert(row.getAs[Long]("covered_tokens") === 9L) // spans tile the doc
+  }
+
+  test("dup-span coverage matches hotN=0-free small-path across hotN settings") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "u v w x y")).toDF("doc_id", "text")
+    def run(hotN: Int) = DupSpans.coverage(docs, "doc_id", "text", 3, hotN)
+      .orderBy("doc_id").collect().toSeq
+    assert(run(1) === run(1024)) // hot/tail split never changes the answer
+  }
+
+  // ---- filteredTopK ---------------------------------------------------
+
+  test("filteredTopK never crosses the attribute boundary") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), "en"), (2L, Array(0.9f, 0.1f), "en"),
+      (3L, Array(1f, 0f), "de"), (4L, Array(0.95f, 0.05f), "de"),
+      (5L, Array(0f, 1f), "en"))
+      .toDF("id", "vec", "lang")
+    val out = Similarity.filteredTopK(emb, emb.filter(col("id") <= 2),
+      "id", "vec", matchCols = Seq("lang"), k = 2)
+    val pairs = out.select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    // doc 3 is an EXACT match of doc 1's vector but in another lang:
+    // must never appear
+    assert(!pairs.exists(_._2 == 3L))
+    assert(!pairs.exists(_._2 == 4L))
+    // query 1's matched neighbors are exactly {2, 5}
+    assert(pairs.filter(_._1 == 1L).map(_._2).toSet === Set(2L, 5L))
+  }
+
+  test("filteredTopK ranks by cosine with deterministic tie-break") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(1f, 0f), 0), (4L, Array(0f, 1f), 0))
+      .toDF("id", "vec", "grp")
+    val rows = Similarity.filteredTopK(emb, emb.filter(col("id") === 1),
+      "id", "vec", Seq("grp"), k = 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    // cos=1 ties broken by neighbor id; orthogonal vector ranks last
+    assert(rows === Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+}
