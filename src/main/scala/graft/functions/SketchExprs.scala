@@ -197,6 +197,105 @@ object SketchExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Streaming squared L2 between elements [off, off+entry.length) of `v`
+    * and a codebook entry — EXACTLY the `aggregate(zip_with(...))`
+    * left-fold op order the PQ oracle replays: d = x − y (double), acc +=
+    * d·d in element order from a 0.0 seed. Shared by [[PqEncode]] and
+    * [[PqDistTable]] so the encode-side and query-side distances cannot
+    * drift. */
+  private def sqDistSlice(
+      v: ArrayData, et: DataType, off: Int, entry: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < entry.length) {
+      val d = toDouble(v, et, off + i) - entry(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** PQ-encode one vector against a literal codebook
+    * ([subspace][code][dim]): codes[m] = argmin_k sqDist(slice_m, entry
+    * (m,k)) with ties to the SMALLEST k — the identical (dist, k)
+    * struct-min contract as the lambda form it replaces, which cost
+    * subspaces × codebookSize interpreted fold evaluations per row
+    * (~1k lambda calls/row at 8×16); this is one virtual call per row.
+    */
+  case class PqEncode(child: Expression, entries: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncodeKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(v: ArrayData): ArrayData = {
+      val et = elemType
+      val subspaces = entries.length
+      val sub = entries(0)(0).length
+      require(v.numElements() >= subspaces * sub,
+        s"vector has ${v.numElements()} elements, model needs ${subspaces * sub}")
+      val out = new Array[Any](subspaces)
+      var m = 0
+      while (m < subspaces) {
+        val cb = entries(m)
+        var bestD = Double.PositiveInfinity
+        var bestK = 0
+        var k = 0
+        while (k < cb.length) {
+          val d = sqDistSlice(v, et, m * sub, cb(k))
+          if (d < bestD) { bestD = d; bestK = k }
+          k += 1
+        }
+        out(m) = bestK
+        m += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Per-query ADC distance table against a literal codebook: qd[m][k] =
+    * sqDist(slice_m, entry(m,k)) — same [[sqDistSlice]] contract as
+    * [[PqEncode]], one virtual call per query row. */
+  case class PqDistTable(child: Expression, entries: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    private def elemType = child.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqDistTableKernel", this)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    def compute(v: ArrayData): ArrayData = {
+      val et = elemType
+      val subspaces = entries.length
+      val sub = entries(0)(0).length
+      require(v.numElements() >= subspaces * sub,
+        s"vector has ${v.numElements()} elements, model needs ${subspaces * sub}")
+      val out = new Array[Any](subspaces)
+      var m = 0
+      while (m < subspaces) {
+        val cb = entries(m)
+        val row = new Array[Any](cb.length)
+        var k = 0
+        while (k < cb.length) {
+          row(k) = sqDistSlice(v, et, m * sub, cb(k))
+          k += 1
+        }
+        out(m) = new GenericArrayData(row)
+        m += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** might-contain probe against a serialized
     * org.apache.spark.util.sketch.BloomFilter (Spark's own sketch, built
     * with DataFrameStatFunctions.bloomFilter). The bits ride the plan as
@@ -240,4 +339,10 @@ object SketchExprs {
 
   def bloomMightContainLong(v: Column, bits: Array[Byte]): Column =
     ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(v), bits))
+
+  def pqEncode(vec: Column, entries: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), entries))
+
+  def pqDistTable(vec: Column, entries: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqDistTable(ColumnBridge.expression(vec), entries))
 }

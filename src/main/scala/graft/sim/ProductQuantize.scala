@@ -32,10 +32,13 @@ object ProductQuantize {
   private def lcgHash(id: Column): Column =
     (lit(1103515245L) * id + lit(12345L)) % lit(2147483648L)
 
-  /** Shared left-fold squared L2 — THE op-order contract: (a-b)*(a-b)
-    * accumulated in element order from a 0.0 seed. encode, adcTopK,
-    * the wide path, and the DuckDB oracle all replay exactly this
-    * sequence; keep it in one place so they cannot drift apart. */
+  /** Left-fold squared L2 — THE op-order contract: (a-b)*(a-b)
+    * accumulated in element order from a 0.0 seed. The long-form
+    * operators ([[encode]], [[adcTopK]]) evaluate it declaratively; the
+    * wide path runs the SAME sequence inside the native
+    * SketchExprs.sqDistSlice kernel (the wide≡long equality spec pins
+    * the two against each other bit-for-bit); the DuckDB oracle replays
+    * it with list_reduce. */
   private def sqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
@@ -119,27 +122,22 @@ object ProductQuantize {
     PqModel(dims, subspaces, entries)
   }
 
-  /** [[sqDist]] against a literal codebook entry. */
-  private def sqDistToEntry(slice: Column, entry: Array[Float]): Column =
-    sqDist(slice, typedLit(entry.toSeq))
-
   /** Scan-stage PQ encoding: (vec_id, codes array) with codes[m] the
     * argmin entry of subspace m — the same (dist, code) tie-break as
-    * [[encode]] via struct-min, but as ONE projection: no explode, no
-    * codebook join, no argmin window shuffle. The plan a 100 TB encode
-    * wants: the codebook rides the closure, every vector costs
-    * subspaces × codebookSize fold evaluations in its own scan task. */
+    * [[encode]] via strict-less scan, but as ONE projection: no explode,
+    * no codebook join, no argmin window shuffle. The plan a 100 TB
+    * encode wants: the codebook rides the closure inside the native
+    * [[graft.functions.SketchExprs.PqEncode]] kernel — one virtual call
+    * per row with a tight argmin loop, vs the subspaces × codebookSize
+    * interpreted fold evaluations (~1k lambda calls/row at 8×16) the
+    * declarative array_min formulation costs. Distances and tie-breaks
+    * are bit-identical to [[encode]]'s (spec-pinned). */
   def encodeWide(
       vectors: DataFrame, idCol: String, vecCol: String,
-      model: PqModel): DataFrame = {
-    val codeCols = (0 until model.subspaces).map { m =>
-      val slc = slice(col(vecCol), m * model.sub + 1, model.sub)
-      array_min(array((0 until model.codebookSize).map(k =>
-        struct(sqDistToEntry(slc, model.entries(m)(k)).as("d"),
-          lit(k).as("k"))): _*)).getField("k")
-    }
-    vectors.select(col(idCol).as("vec_id"), array(codeCols: _*).as("codes"))
-  }
+      model: PqModel): DataFrame =
+    vectors.select(col(idCol).as("vec_id"),
+      graft.functions.SketchExprs.pqEncode(col(vecCol), model.entries)
+        .as("codes"))
 
   /** ADC top-k over WIDE codes — the 100 TB ADC plan: each query row
     * carries its full distance table as a nested literal-built array
@@ -158,12 +156,9 @@ object ProductQuantize {
       vecCol: String,
       model: PqModel,
       k: Int = 3): DataFrame = {
-    val qd = array((0 until model.subspaces).map { m =>
-      val slc = slice(col(vecCol), m * model.sub + 1, model.sub)
-      array((0 until model.codebookSize).map(kk =>
-        sqDistToEntry(slc, model.entries(m)(kk))): _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("qid"), qd.as("qd"))
+    val q = queries.select(col(idCol).as("qid"),
+      graft.functions.SketchExprs.pqDistTable(col(vecCol), model.entries)
+        .as("qd"))
     // Σ_m qd[m][codes[m]]: literal m-order addition chain — the same
     // summation order as adcTopK's sorted fold, so results bit-match
     val adc = (0 until model.subspaces).map(m =>

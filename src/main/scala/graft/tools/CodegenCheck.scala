@@ -46,7 +46,11 @@ object CodegenCheck {
       span("SimHash64", text.select(SketchExprs.simHash64(
         split(col("t"), " "), 32, 131L, 2147483647L).as("sh"))),
       span("CosineSim", vecs.select(SketchExprs.cosineSim(col("v"), col("v")).as("c"))),
-      span("HyperplaneSig", vecs.select(SketchExprs.hyperplaneSig(col("v"), 4, 8).as("s"))))
+      span("HyperplaneSig", vecs.select(SketchExprs.hyperplaneSig(col("v"), 4, 8).as("s"))), {
+        val entries = Array.tabulate(2, 4, 4)((m, k, i) => (m + k + i).toFloat)
+        span("PqEncode", vecs.select(SketchExprs.pqEncode(col("v"), entries).as("c"))) &&
+          span("PqDistTable", vecs.select(SketchExprs.pqDistTable(col("v"), entries).as("qd")))
+      })
     spark.stop()
     if (results.exists(!_)) sys.exit(1)
   }
