@@ -13,7 +13,7 @@ import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
   */
 object CorpusQueries {
 
-  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80)
+  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -217,6 +217,118 @@ object CorpusQueries {
       |""".stripMargin)) { (s, dir) =>
     DupSpans.coverage(Tables.documents(s, dir), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
+  }
+
+  /** Banded semantic dedup (SemDedup.semanticDedupBanded): the
+    * recall-configurable variant — 15 bands × 4 bits; drop iff a
+    * lower-id vector sharing ANY band bucket is at cos ≥ 0.4. The
+    * oracle replays signatures, banding, the bucket cap, candidate
+    * pairs, and the keep rule — the first hash-exact CORRECTNESS row
+    * for the banded near-dup path (q31 covers banded top-k). */
+  def q81: Q = {
+    val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+      "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
+      "/ 2147483648.0) - 0.5))), (a, b) -> a + b)"
+    Q("q81_semantic_dedup_banded",
+      Some(s"""
+        |WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |         list_sum(list_transform(range(0, 60), p ->
+        |           CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))
+        |           AS sig
+        |  FROM embeddings),
+        |banded_raw AS (
+        |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 4)) % 16 AS bucket
+        |  FROM sigs, unnest(range(0, 15)) AS u(b)),
+        |banded AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded_raw)
+        |  WHERE bsz <= 4096),
+        |losers AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id
+        |""".stripMargin)) { (s, dir) =>
+      SemDedup.semanticDedupBanded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dims = 64, threshold = 0.4,
+        bands = 15, rowsPerBand = 4)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** End-to-end corpus mixture prep — the round-4 operators composed the
+    * way a production pipeline chains them: semantic-dedup survivors
+    * (q75's cells + keep rule over the doc-aligned embeddings) → per-
+    * source caps on quality rank (q76, cap 15) → deterministic epoch
+    * shards (q77, 4 shards). One declarative plan; the oracle re-derives
+    * every stage. */
+  def q82: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q82_corpus_mixture_prep",
+      Some(s"""
+        |WITH sigs AS (
+        |  SELECT vec_id, embedding, ${sqlHyperplaneCell(4)} AS cell
+        |  FROM embeddings),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4),
+        |surv AS (
+        |  SELECT vec_id AS doc_id FROM sigs
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
+        |t AS (
+        |  SELECT d.source, d.doc_id, d.text, ${sqlTokens("d.text")} AS toks
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |m AS (
+        |  SELECT source, doc_id,
+        |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
+        |                 / len(toks) * 5.0, 1.0) * 0.4
+        |         + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+        |                       AS DOUBLE) / length(text)) * 0.2 AS quality
+        |  FROM t),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rn
+        |  FROM m),
+        |capped AS (SELECT source, doc_id FROM ranked WHERE rn <= 15),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix2:shard')")} % 4
+        |           AS shard,
+        |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix2:ord')")}
+        |           AS ord_key
+        |  FROM capped)
+        |SELECT doc_id, source, shard,
+        |       row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+        |         AS pos
+        |FROM sh ORDER BY shard, pos
+        |""".stripMargin)) { (s, dir) =>
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val survivors = SemDedup.semanticDedup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", dims = 64, threshold = 0.4, cellBits = 4)
+        .select(col("id").as("doc_id"))
+      val scored = Tables.documents(s, dir)
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+      val capped = graft.plans.GroupedTopK.topKPerKey(
+        scored,
+        keyCols = Seq("source"),
+        order = Seq("quality" -> false, "doc_id" -> true),
+        k = 15)
+        .select(col("doc_id"), col("source"))
+      Sharding.shuffleShards(capped, "doc_id", nShards = 4, salt = "mix2")
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }
   }
 
   /** Metadata-filtered exact vector search (Similarity.filteredTopK):

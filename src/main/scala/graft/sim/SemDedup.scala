@@ -60,4 +60,33 @@ object SemDedup {
     v.join(losers, Seq("id"), "left_anti")
       .select(col("id"), col("cell"))
   }
+
+  /** Banded variant — recall-CONFIGURABLE semantic dedup for when the
+    * single-cell miss rate is not acceptable: a vector is dropped iff a
+    * lower-id vector sharing ANY of the B band buckets sits at cosine ≥
+    * threshold. Pair recall at cosine t is 1 − (1 − p^r)^B (p = 1 −
+    * arccos(t)/π) versus the single-cell variant's p^cellBits — at
+    * t = 0.9 the 15×4 default recovers ≈ 99.99% of pairs where 6 single
+    * cell bits keep ~39%. Cost: bucket rows replicate B×, and candidate
+    * verification rides [[Similarity.cosineNearDupPairsBanded]]'s
+    * distinct-candidates + exact-cosine path (ids-only shuffles, bucket
+    * cap as the skew guard). Same one-pass keep rule as
+    * [[semanticDedup]]; output is the survivor id set.
+    */
+  def semanticDedupBanded(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      threshold: Double,
+      bands: Int = 15,
+      rowsPerBand: Int = 4,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val losers = Similarity.cosineNearDupPairsBanded(vectors, idCol, vecCol,
+      threshold, dims, bands, rowsPerBand, maxBucketSize)
+      .select(col("id_b").as("id"))
+      .distinct()
+    vectors.select(col(idCol).as("id"))
+      .join(losers, Seq("id"), "left_anti")
+  }
 }

@@ -51,6 +51,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("semanticDedupBanded always drops positively-scaled duplicates") {
+    // a positive scaling preserves every hyperplane sign, so an exact
+    // (cos=1) duplicate shares ALL band buckets — banded dedup can never
+    // miss it, whatever the plane geometry
+    val kept = SemDedup.semanticDedupBanded(vecs, "id", "vec",
+      dims = 8, threshold = 0.99, bands = 4, rowsPerBand = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("semanticDedup is independent of input partitioning") {
     val base = SemDedup.semanticDedup(vecs, "id", "vec",
       dims = 8, threshold = 0.9, cellBits = 3).orderBy("id").collect().toSeq

@@ -162,4 +162,76 @@ class PropertySpec extends AnyFunSuite {
         multiset(fact.join(dim, "k"))
     })
   }
+
+  test("property: dup-span coverage matches an independent set-union reference") {
+    import graft.text.DupSpans
+    checkProp(Prop.forAll(genDocs, Gen.choose(0, 4)) { (docs, hotN) =>
+      val n = 3
+      // independent reference: explicit position-set union, no windows
+      val shingled = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").toVector.sliding(n)
+          .filter(_.size == n).map(_.mkString(" ")).toVector
+      }
+      val counts = shingled.flatMap(_._2).groupBy(identity).map {
+        case (g, occ) => g -> occ.size
+      }
+      val expected = docs.map { case (id, t) =>
+        val sh = shingled.toMap.apply(id)
+        val dupPos = sh.zipWithIndex.collect {
+          case (g, p) if counts(g) >= 2 => p
+        }
+        val covered = dupPos.flatMap(p => p until p + n).toSet.size
+        (id, t.trim.split("\\s+").length.toLong, sh.size.toLong,
+          dupPos.size.toLong, covered.toLong)
+      }.sortBy(_._1)
+      val got = DupSpans.coverage(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, hotN = hotN)
+        .orderBy($"doc_id")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_shingles"), r.getAs[Long]("n_dup_shingles"),
+          r.getAs[Long]("covered_tokens")))
+        .toList
+      got == expected
+    })
+  }
+
+  test("property: redaction is idempotent and placeholder-stable for any mix") {
+    import graft.text.Redaction
+    val piece = Gen.oneOf(
+      Gen.const("plain words here"),
+      Gen.choose(0, 99).map(i => s"u$i@ex$i.org"),
+      Gen.choose(0, 99).map(i => f"555-$i%03d-${i * 7}%04d"),
+      Gen.choose(0, 200).map(i => s"10.$i.0.${i % 250}"),
+      Gen.const("<EMAIL> <PHONE> <IP>")) // pre-redacted text stays fixed
+    val genText = Gen.choose(1, 6)
+      .flatMap(k => Gen.listOfN(k, piece).map(_.mkString(" ")))
+    checkProp(Prop.forAll(Gen.listOf(genText)) { texts =>
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+      val once = df.select($"id", Redaction.redact($"t").as("r"))
+      val twice = once.select($"id", Redaction.redact($"r").as("r"))
+      once.orderBy($"id").collect().map(_.getString(1)).toSeq ==
+        twice.orderBy($"id").collect().map(_.getString(1)).toSeq
+    })
+  }
+
+  test("property: epoch shards are a bijection, dense per shard, id-set-determined") {
+    import graft.text.Sharding
+    val genIds = Gen.choose(1, 150).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-5000L, 5000L)).map(_.distinct))
+    checkProp(Prop.forAll(genIds, Gen.choose(1, 9)) { (ids, nShards) =>
+      val out = Sharding.shuffleShards(ids.toDF("doc_id"), "doc_id",
+          nShards, "pSalt")
+        .select($"doc_id", $"shard", $"pos")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val dense = out.groupBy(_._2).forall { case (_, rows) =>
+        rows.map(_._3).sorted.toSeq == (1 to rows.size)
+      }
+      out.length == ids.size &&
+        out.map(_._1).toSet == ids.toSet &&
+        out.forall { case (_, s, _) => s >= 0 && s < nShards } &&
+        dense
+    })
+  }
 }
