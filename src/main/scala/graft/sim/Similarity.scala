@@ -321,8 +321,16 @@ object Similarity {
       rowsPerBand: Int,
       maxBucketSize: Int): DataFrame = {
     val planes = bands * rowsPerBand
-    val bandedRaw = vecs
+    // materialize (id, sig) once: every caller feeds this table into a
+    // self-join (two branches) plus the bucket-size count — without the
+    // checkpoint the signature kernel (planes × dims mults per row) runs
+    // once PER BRANCH. ids+one long per row, so the materialization obeys
+    // the ids-only-through-shuffles discipline at any scale
+    val sigs = vecs
       .withColumn("sig", hyperplaneSignature(col("vec"), planes, dims))
+      .select(col("id"), col("sig"))
+      .localCheckpoint(true)
+    val bandedRaw = sigs
       .select(col("id"),
         posexplode(array((0 until bands).map { b =>
           // band value = bits [b*rowsPerBand, (b+1)*rowsPerBand)
