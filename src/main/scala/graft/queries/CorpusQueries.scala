@@ -13,7 +13,7 @@ import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
   */
 object CorpusQueries {
 
-  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82)
+  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -328,6 +328,49 @@ object CorpusQueries {
       Sharding.shuffleShards(capped, "doc_id", nShards = 4, salt = "mix2")
         .select(col("doc_id"), col("source"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))
+    }
+  }
+
+  /** Per-source corpus data card (CorpusReport.perSource): doc/token/
+    * subtoken totals, tokenizer fertility (exact-sum division),
+    * token-length histogram (contract bins), distinct-language spread.
+    * Every aggregate is an exact integer; no double ever sums across
+    * rows. */
+  def q83: Q = {
+    import graft.text.CorpusReport
+    val n = s"CAST(len(${sqlTokens("text")}) AS BIGINT)"
+    val binEdges = (None +: CorpusReport.TokenBins.map(Option(_))) zip
+      (CorpusReport.TokenBins.map(Option(_)) :+ None)
+    val binSelects = binEdges.map { case (lo, hi) =>
+      val cond = (lo, hi) match {
+        case (None, Some(h)) => s"tok_n < $h"
+        case (Some(l), Some(h)) => s"tok_n >= $l AND tok_n < $h"
+        case (Some(l), None) => s"tok_n >= $l"
+        case _ => "TRUE"
+      }
+      val name = s"bin_${lo.getOrElse(0L)}_${hi.map(_.toString).getOrElse("inf")}"
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    }.mkString(",\n         ")
+    Q("q83_corpus_report",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT source, lang, $n AS tok_n,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS sub_n
+        |  FROM documents)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(tok_n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(sub_n) AS BIGINT) AS n_subtokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       $binSelects,
+        |       CAST(sum(sub_n) AS DOUBLE) / sum(tok_n) AS fertility
+        |FROM t GROUP BY source
+        |ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      CorpusReport.perSource(Tables.documents(s, dir),
+        "source", "text", "lang")
+        .orderBy(col("source"))
     }
   }
 

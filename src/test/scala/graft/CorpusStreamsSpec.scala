@@ -58,6 +58,34 @@ class CorpusStreamsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PII redaction on a stream equals the batch projection (stateless face)") {
+    // redaction is a pure scan-stage projection — it runs UNCHANGED on a
+    // stream, which is the point: scrubbing happens at ingest, before
+    // any text is ever persisted downstream
+    import graft.text.Redaction
+    val piiDocs = (1L to 8L).map(i =>
+      i -> s"doc $i mail u$i@ex.org tel 555-000-000$i ip 10.0.0.$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_pii")
+    stage(dir, "b1.parquet", piiDocs.take(4))
+    stage(dir, "b2.parquet", piiDocs.drop(4))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Redaction.redact(col("text")).as("r"))
+    val expected = project(piiDocs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = project(stream)
+      .writeStream.format("memory").queryName("redact_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("redact_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(got === expected)
+    assert(got.values.forall(t =>
+      t.contains("<EMAIL>") && t.contains("<PHONE>") && t.contains("<IP>")))
+  }
+
   test("greedy packing stream under OUT-OF-ORDER arrival: bins stay valid, every doc packed once") {
     // later micro-batch delivers SMALLER ids — bin numbering may differ
     // from the batch replay (documented contract) but bins must never
