@@ -35,6 +35,26 @@ object CorpusQueries {
   private def sqlCosine(a: String, b: String) =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** sigs/losers CTE pair shared by q75 and q82 — cell assignment plus
+    * the one-pass lower-id keep rule (SemDedup.semanticDedup). */
+  private def sqlSemanticLosersCtes(bits: Int, threshold: Double) =
+    s"""sigs AS (
+       |  SELECT vec_id, embedding, ${sqlHyperplaneCell(bits)} AS cell
+       |  FROM embeddings),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= $threshold)""".stripMargin
+
+  /** TextAnalysis.qualityScore replay (q23's proven fragment), expecting
+    * `text` and `toks` in scope — shared by q76 and q82. */
+  private def sqlQualityExpr(sw: String) =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
+       |                 / len(toks) * 5.0, 1.0) * 0.4
+       |         + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+       |                       AS DOUBLE) / length(text)) * 0.2""".stripMargin
+
   /** SemDeDup-style cell-bounded semantic dedup (SemDedup.semanticDedup):
     * 4 hyperplane bits = 16 cells (~31 vectors each at sf0.01); a vector
     * is dropped iff a lower-id same-cell vector sits at cos ≥ 0.4. The
@@ -42,13 +62,7 @@ object CorpusQueries {
   def q75: Q = Q(
     "q75_semantic_dedup",
     Some(s"""
-      |WITH sigs AS (
-      |  SELECT vec_id, embedding, ${sqlHyperplaneCell(4)} AS cell
-      |  FROM embeddings),
-      |losers AS (
-      |  SELECT DISTINCT b.vec_id
-      |  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4)
+      |WITH ${sqlSemanticLosersCtes(4, 0.4)}
       |SELECT vec_id, cell FROM sigs
       |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
       |ORDER BY vec_id
@@ -73,11 +87,7 @@ object CorpusQueries {
         |  FROM documents),
         |m AS (
         |  SELECT source, doc_id,
-        |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-        |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
-        |                 / len(toks) * 5.0, 1.0) * 0.4
-        |         + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-        |                       AS DOUBLE) / length(text)) * 0.2 AS quality
+        |         ${sqlQualityExpr(sw)} AS quality
         |  FROM t),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY source
@@ -226,17 +236,10 @@ object CorpusQueries {
     * pairs, and the keep rule — the first hash-exact CORRECTNESS row
     * for the banded near-dup path (q31 covers banded top-k). */
   def q81: Q = {
-    val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
-      "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
-      "/ 2147483648.0) - 0.5))), (a, b) -> a + b)"
     Q("q81_semantic_dedup_banded",
       Some(s"""
         |WITH sigs AS (
-        |  SELECT vec_id, embedding,
-        |         list_sum(list_transform(range(0, 60), p ->
-        |           CASE WHEN $proj > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))
-        |           AS sig
+        |  SELECT vec_id, embedding, ${sqlHyperplaneCell(60)} AS sig
         |  FROM embeddings),
         |banded_raw AS (
         |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 4)) % 16 AS bucket
@@ -273,13 +276,7 @@ object CorpusQueries {
     val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
     Q("q82_corpus_mixture_prep",
       Some(s"""
-        |WITH sigs AS (
-        |  SELECT vec_id, embedding, ${sqlHyperplaneCell(4)} AS cell
-        |  FROM embeddings),
-        |losers AS (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM sigs a JOIN sigs b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4),
+        |WITH ${sqlSemanticLosersCtes(4, 0.4)},
         |surv AS (
         |  SELECT vec_id AS doc_id FROM sigs
         |  WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
@@ -288,11 +285,7 @@ object CorpusQueries {
         |  FROM documents d JOIN surv USING (doc_id)),
         |m AS (
         |  SELECT source, doc_id,
-        |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-        |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
-        |                 / len(toks) * 5.0, 1.0) * 0.4
-        |         + (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-        |                       AS DOUBLE) / length(text)) * 0.2 AS quality
+        |         ${sqlQualityExpr(sw)} AS quality
         |  FROM t),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY source

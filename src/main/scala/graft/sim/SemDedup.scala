@@ -49,6 +49,14 @@ object SemDedup {
       threshold: Double,
       cellBits: Int = 6): DataFrame = {
     require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
+    // the cell kernel re-evaluates once per plan branch (a-side, b-side,
+    // survivor base) — accepted deliberately, unlike bandedBuckets'
+    // (id, sig) materialization: here the kernel is cellBits (≤ a
+    // handful) planes, ~10× cheaper than a banded signature, and the
+    // alternatives are worse at scale — materializing (id, vec, cell)
+    // caches corpus-sized payloads, while an ids-only cell table must
+    // join back on id (a shuffle that costs more than the re-eval).
+    // Scan-stage re-evaluation is the cheap axis (see hotTailJoin).
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell",
         Similarity.hyperplaneSignature(col("vec"), cellBits, dims))

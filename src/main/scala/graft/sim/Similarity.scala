@@ -323,13 +323,15 @@ object Similarity {
     val planes = bands * rowsPerBand
     // materialize (id, sig) once: every caller feeds this table into a
     // self-join (two branches) plus the bucket-size count — without the
-    // checkpoint the signature kernel (planes × dims mults per row) runs
-    // once PER BRANCH. ids+one long per row, so the materialization obeys
-    // the ids-only-through-shuffles discipline at any scale
+    // cache the signature kernel (planes × dims mults per row) runs once
+    // PER BRANCH. ids+one long per row, so the materialization obeys the
+    // ids-only-through-shuffles discipline at any scale. persist (not
+    // localCheckpoint): lazy, lineage preserved — a lost executor
+    // recomputes its partitions instead of failing the query
     val sigs = vecs
       .withColumn("sig", hyperplaneSignature(col("vec"), planes, dims))
       .select(col("id"), col("sig"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandedRaw = sigs
       .select(col("id"),
         posexplode(array((0 until bands).map { b =>

@@ -19,6 +19,7 @@ object CodegenCheck {
     val ids = spark.range(3)
     val text = ids.select(concat(lit("a b c d e f "), col("id").cast("string")).as("t"))
     val vecs = ids.select(array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("v"))
+    val pqEntries = Array.tabulate(2, 4, 4)((m, k, i) => (m + k + i).toFloat)
 
     def span(name: String, df: DataFrame): Boolean = {
       val plan = df.queryExecution.executedPlan.toString
@@ -46,11 +47,9 @@ object CodegenCheck {
       span("SimHash64", text.select(SketchExprs.simHash64(
         split(col("t"), " "), 32, 131L, 2147483647L).as("sh"))),
       span("CosineSim", vecs.select(SketchExprs.cosineSim(col("v"), col("v")).as("c"))),
-      span("HyperplaneSig", vecs.select(SketchExprs.hyperplaneSig(col("v"), 4, 8).as("s"))), {
-        val entries = Array.tabulate(2, 4, 4)((m, k, i) => (m + k + i).toFloat)
-        span("PqEncode", vecs.select(SketchExprs.pqEncode(col("v"), entries).as("c"))) &&
-          span("PqDistTable", vecs.select(SketchExprs.pqDistTable(col("v"), entries).as("qd")))
-      })
+      span("HyperplaneSig", vecs.select(SketchExprs.hyperplaneSig(col("v"), 4, 8).as("s"))),
+      span("PqEncode", vecs.select(SketchExprs.pqEncode(col("v"), pqEntries).as("c"))),
+      span("PqDistTable", vecs.select(SketchExprs.pqDistTable(col("v"), pqEntries).as("qd"))))
     spark.stop()
     if (results.exists(!_)) sys.exit(1)
   }
