@@ -13,7 +13,7 @@ import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
   */
 object CorpusQueries {
 
-  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83)
+  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -365,6 +365,67 @@ object CorpusQueries {
         "source", "text", "lang")
         .orderBy(col("source"))
     }
+  }
+
+  /** Bigram conditional surprise — the KenLM-lite perplexity filter one
+    * order up from q67's unigram form: a document scores high when its
+    * bigrams are IMPROBABLE CONTINUATIONS, i.e. mean over bigram
+    * occurrences of ⌊1e6·C(w)/C(w,v)⌋ (the scaled-integer reciprocal of
+    * the conditional probability p(v|w), q47's rational trick — every
+    * intermediate an exact integer, one final exact-sum division).
+    * Gibberish word salad scores high; formulaic boilerplate scores
+    * ≈ 1e6. Both corpus-count joins (bigram AND prefix) are Zipf-skew-
+    * proof via hotTailJoin; bigram frequencies pre-aggregate per doc
+    * before anything joins (q67's discipline). */
+  def q84: Q = Q(
+    "q84_bigram_surprise",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |           range(1, greatest(len(toks) - 1, 0) + 1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w FROM b),
+      |c2 AS (SELECT g, count(*) AS c2 FROM b GROUP BY g),
+      |c1 AS (
+      |  SELECT w, count(*) AS c1
+      |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |scored AS (
+      |  SELECT bw.doc_id, ((1000000 * c1.c1) // c2.c2) AS s
+      |  FROM bw JOIN c2 USING (g) JOIN c1 USING (w)),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(s) AS DOUBLE) / count(*) AS bigram_surprise
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |       a.bigram_surprise
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    import graft.operators.Relational
+    val docs = Tables.documents(s, dir)
+    val bf = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("bf"))
+      .withColumn("w", element_at(split(col("g"), " "), 1))
+    val c2 = bf.groupBy(col("g")).agg(sum(col("bf")).as("c2"))
+    val c1 = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val perDoc = Relational.hotTailJoin(
+        Relational.hotTailJoin(bf, c2, "g", "c2", hotN = 1024),
+        c1, "w", "c1", hotN = 1024)
+      .withColumn("s", expr("(1000000 * c1) div c2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        (sum(col("bf") * col("s")).cast("double") / sum(col("bf")))
+          .as("bigram_surprise"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_surprise"))
+      .orderBy(col("doc_id"))
   }
 
   /** Metadata-filtered exact vector search (Similarity.filteredTopK):
