@@ -373,10 +373,14 @@ object CorpusQueries {
     * occurrences of ⌊1e6·C(w)/C(w,v)⌋ (the scaled-integer reciprocal of
     * the conditional probability p(v|w), q47's rational trick — every
     * intermediate an exact integer, one final exact-sum division).
-    * Gibberish word salad scores high; formulaic boilerplate scores
-    * ≈ 1e6. Both corpus-count joins (bigram AND prefix) are Zipf-skew-
-    * proof via hotTailJoin; bigram frequencies pre-aggregate per doc
-    * before anything joins (q67's discipline). */
+    * High = common prefixes taking rare continuations (unusual word
+    * ORDER); the floor 1e6 = every continuation deterministic — which
+    * includes out-of-vocabulary salad whose bigrams are self-evident
+    * (the backoff-free model's known blind spot; pair with q67, whose
+    * rare-TOKEN density catches exactly that case). Both corpus-count
+    * joins (bigram AND prefix) are Zipf-skew-proof via hotTailJoin;
+    * bigram frequencies pre-aggregate per doc before anything joins
+    * (q67's discipline). */
   def q84: Q = Q(
     "q84_bigram_surprise",
     Some(s"""

@@ -198,6 +198,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(1) === run(1024)) // hot/tail split never changes the answer
   }
 
+  // ---- CorpusReport ---------------------------------------------------
+
+  test("corpus report: integer-exact counts, bins, fertility per source") {
+    import graft.text.CorpusReport
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),        // 3 tokens
+      (2L, ("x " * 60).trim, "en", "s1"), // 60 tokens
+      (3L, "uno dos", "es", "s1"),      // 2 tokens
+      (4L, "q r s t", "en", "s2"))      // 4 tokens
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = CorpusReport.perSource(docs, "source", "text", "lang")
+      .orderBy("source").collect()
+    val s1 = rows(0)
+    assert(s1.getAs[Long]("n_docs") === 3L)
+    assert(s1.getAs[Long]("n_tokens") === 65L)
+    assert(s1.getAs[Long]("n_langs") === 2L)
+    assert(s1.getAs[Long]("bin_0_50") === 2L)   // 3- and 2-token docs
+    assert(s1.getAs[Long]("bin_50_100") === 1L) // the 60-token doc
+    // fertility: every token here is one letter-run subtoken
+    assert(s1.getAs[Double]("fertility") === 1.0)
+    assert(rows(1).getAs[Long]("n_docs") === 1L)
+  }
+
+  // ---- bigram surprise (q84 semantics) --------------------------------
+
+  test("bigram surprise: deterministic continuations floor at 1e6, " +
+    "common-prefix rare continuations score above") {
+    val q = graft.queries.Registry.byName("q84_bigram_surprise")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q84")
+    Seq(
+      (1L, "a b a b a b a b", "en", "s1"), // 'b' continues to 'a' 3 of 6 times
+      (2L, "k l m n o p q r", "en", "s1"), // every continuation deterministic
+      (3L, "a b c d a b c d", "en", "s1")) // 'b'->'c' is the rarer b-continuation
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val out = q.run(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("bigram_surprise")).toMap
+    // tokens seen nowhere else have p(v|w) = 1: the backoff-free
+    // conditional model's floor — the documented OOV property
+    assert(out(2) === 1e6)
+    // doc 3 mixes the common 'a b' with the rarer 'b c'/'d a' continuations
+    assert(out(1) < out(3))
+    assert(out.values.forall(_ >= 1e6))
+  }
+
   // ---- filteredTopK ---------------------------------------------------
 
   test("filteredTopK never crosses the attribute boundary") {
