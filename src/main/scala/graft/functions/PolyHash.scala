@@ -58,4 +58,26 @@ object PolyHash {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(PolyHash(ColumnBridge.expression(c), mult, mod))
   }
+
+  /** Salted mixing hash: polyHash applied TWICE, salt leading the outer
+    * fold — `polyHash(salt + ":" + str(polyHash(id + ":" + salt)))`.
+    *
+    * One fold is LINEAR in character values: two inputs differing in one
+    * position differ by (Δchar · mult^k) mod M — for a trailing salt
+    * that is a near-constant additive shift across every id, so "new
+    * salt" rotates an ordering instead of reshuffling it, and for short
+    * strings the fold never wraps the modulus at all (order-preserving
+    * in the id). The decimal re-stringification between the folds is
+    * the nonlinear step; the outer fold then multiplies every
+    * difference — the salt's and the id's — by `mult` per remaining
+    * char with per-step wrapping, which diffuses them through all
+    * output bits. Use THIS (never a bare salted polyHash) wherever the
+    * salt is supposed to give an independent-looking order or sample:
+    * [[graft.text.Sampling.hashBucket]], epoch sharding, balanced picks.
+    */
+  def saltedHash(id: Column, salt: String): Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    polyHash(concat(lit(salt + ":"),
+      polyHash(concat(id.cast("string"), lit(":" + salt))).cast("string")))
+  }
 }

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.{SemDedup, Similarity}
-import graft.text.{DupSpans, Redaction, Sharding, TextAnalysis}
-import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
+import graft.text.{Dsir, DupSpans, QualityRules, Redaction, Sharding, TextAnalysis}
+import PipelineQueries.{sqlCharFold, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
 
 /** Round-4 training-data operators: semantic dedup, per-source caps,
   * deterministic epoch sharding, PII redaction, duplicate-span
@@ -13,7 +13,8 @@ import PipelineQueries.{sqlCharFold, sqlInList, sqlShingles, sqlTokens}
   */
 object CorpusQueries {
 
-  val all: Seq[Q] = Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+  val all: Seq[Q] =
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -118,9 +119,9 @@ object CorpusQueries {
     Some(s"""
       |WITH t AS (
       |  SELECT doc_id,
-      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':ep1:shard')")} % 8
+      |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "ep1:shard")} % 8
       |           AS shard,
-      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':ep1:ord')")}
+      |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "ep1:ord")}
       |           AS ord_key
       |  FROM documents)
       |SELECT doc_id, shard,
@@ -294,9 +295,9 @@ object CorpusQueries {
         |capped AS (SELECT source, doc_id FROM ranked WHERE rn <= 15),
         |sh AS (
         |  SELECT doc_id, source,
-        |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix2:shard')")} % 4
+        |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "mix2:shard")} % 4
         |           AS shard,
-        |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix2:ord')")}
+        |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "mix2:ord")}
         |           AS ord_key
         |  FROM capped)
         |SELECT doc_id, source, shard,
@@ -457,5 +458,176 @@ object CorpusQueries {
       "vec_id", "embedding", matchCols = Seq("label"), k = 3)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
+  /** Gopher/C4-style document quality rules (QualityRules.gopherFlags):
+    * every threshold an integer cross-multiplication, so all eight flag
+    * bits and the keep conjunction hash-compare exactly. Demo thresholds
+    * sized to THIS corpus's 10-99-token docs (words ∈ [20,80], mean word
+    * length ∈ [3,8], ≥2 en stopwords); the rule STRUCTURE is Gopher's.
+    * The line rules are degenerate here (no newlines in testdata — one
+    * line per doc) but still exact; QualityRulesSpec exercises them on
+    * real multi-line docs. */
+  def q85: Q = {
+    val sw = sqlInList(Seq("the", "a", "and", "of", "is", "to", "in"))
+    val bl = sqlInList(Seq("lorem", "javascript"))
+    Q("q85_gopher_rules",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, text, ${sqlTokens("text")} AS toks,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS BIGINT) AS n_words,
+        |         CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(list_sum(list_transform(toks, x -> length(x)))
+        |              AS BIGINT) AS total_chars,
+        |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+        |              AS BIGINT) AS symbols,
+        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |              AS BIGINT) AS alpha_words,
+        |         CAST(len(list_filter(toks, x -> x IN $sw)) AS BIGINT)
+        |           AS stop_hits,
+        |         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]\\s')))
+        |              AS BIGINT) AS bullet_lines,
+        |         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
+        |              AS BIGINT) AS ell_lines,
+        |         CAST(len(list_filter(toks, x -> x IN $bl)) AS BIGINT)
+        |           AS block_hits
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, n_words,
+        |         (n_words >= 20 AND n_words <= 80) AS words_ok,
+        |         (total_chars >= 3 * n_words AND total_chars <= 8 * n_words)
+        |           AS word_len_ok,
+        |         (symbols * 100 <= 10 * n_words) AS symbol_ok,
+        |         (alpha_words * 100 >= 80 * n_words) AS alpha_ok,
+        |         (stop_hits >= 2) AS stopword_ok,
+        |         (bullet_lines * 100 <= 10 * n_lines) AS bullet_ok,
+        |         (ell_lines * 100 <= 30 * n_lines) AS ellipsis_ok,
+        |         (block_hits = 0) AS blocklist_ok
+        |  FROM m)
+        |SELECT *, (words_ok AND word_len_ok AND symbol_ok AND alpha_ok
+        |           AND stopword_ok AND bullet_ok AND ellipsis_ok
+        |           AND blocklist_ok) AS keep
+        |FROM f ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      QualityRules.gopherFlags(Tables.documents(s, dir), "text",
+        QualityRules.GopherParams(minWords = 20, maxWords = 80,
+          minMeanWordLen = 3, maxMeanWordLen = 8))
+        .select(col("doc_id"), col("n_words"), col("words_ok"),
+          col("word_len_ok"), col("symbol_ok"), col("alpha_ok"),
+          col("stopword_ok"), col("bullet_ok"), col("ellipsis_ok"),
+          col("blocklist_ok"), col("keep"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Duplicate-span REMOVAL (DupSpans.removeSpans): q79 detects, this
+    * deletes — exactly the token positions covered by a corpus-
+    * duplicated 3-shingle go, the unique remainder is reassembled in
+    * order. The oracle replays flagged starts, the span fan-out, the
+    * positional anti-join, and the ordered string_agg rebuild. */
+  def q86: Q = Q(
+    "q86_dup_span_removal",
+    Some(s"""
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, ${sqlShingles("toks")} AS shl FROM t),
+      |p AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(shl) + 1),
+      |           i -> {'p': i - 1, 'g': shl[i]})) AS u
+      |  FROM s),
+      |g AS (SELECT doc_id, u.p AS spos, u.g AS g FROM p),
+      |cnt AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+      |dup AS (SELECT doc_id, spos FROM g JOIN cnt USING (g) WHERE c >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, spos + o.o AS tpos
+      |  FROM dup CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) o),
+      |tokpos AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |           i -> {'p': i - 1, 'tok': toks[i]})) AS u
+      |  FROM s),
+      |tp AS (SELECT doc_id, u.p AS tpos, u.tok AS tok FROM tokpos),
+      |kept AS (
+      |  SELECT tp.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+      |         string_agg(tp.tok, ' ' ORDER BY tp.tpos) AS clean_text
+      |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+      |  WHERE cov.doc_id IS NULL
+      |  GROUP BY tp.doc_id),
+      |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM s)
+      |SELECT tot.doc_id, tot.n_tokens,
+      |       coalesce(k.kept_tokens, 0) AS kept_tokens,
+      |       coalesce(k.clean_text, '') AS clean_text
+      |FROM tot LEFT JOIN kept k USING (doc_id)
+      |ORDER BY tot.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    DupSpans.removeSpans(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-lite importance scores (Dsir.importanceScores): likelihood
+    * ratio of src1-domain vs whole-corpus unigram models, kept exact as
+    * scaled-integer weights (q67's trick on the DSIR ratio). The oracle
+    * replays smoothing, totals, integer division, and the per-doc sum. */
+  def q87: Q = Q(
+    "q87_dsir_scores",
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id, (source = 'src1') AS is_target,
+      |         unnest(${sqlTokens("text")}) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS c, bool_or(is_target) AS is_target
+      |  FROM toks GROUP BY doc_id, tok),
+      |raw AS (
+      |  SELECT tok, sum(c) + 1 AS r,
+      |         sum(CASE WHEN is_target THEN c ELSE 0 END) + 1 AS t
+      |  FROM tf GROUP BY tok),
+      |tot AS (SELECT sum(r) AS bigR, sum(t) AS bigT FROM raw),
+      |w AS (
+      |  SELECT tok, ((1000000 * t * bigR) // (r * bigT)) AS w
+      |  FROM raw CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+      |         CAST(sum(tf.c * w.w) AS BIGINT) AS dsir_score
+      |  FROM tf JOIN w USING (tok) GROUP BY tf.doc_id)
+      |SELECT doc_id, n_tokens, dsir_score,
+      |       CAST(dsir_score AS DOUBLE) / n_tokens AS dsir_per_token
+      |FROM sc ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    Dsir.importanceScores(Tables.documents(s, dir), "doc_id", "text",
+      targetPredicate = col("source") === "src1")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-balanced subsample (Sampling.cellBalancedSample over q69's
+    * hyperplane cells): at most 5 vectors per 4-bit cell, picked by
+    * deterministic salted hash — the diversity-preserving curation step.
+    * The oracle replays cells, the pick hash, and the per-cell rank. */
+  def q88: Q = Q(
+    "q88_cell_balanced_sample",
+    Some(s"""
+      |WITH sigs AS (
+      |  SELECT vec_id, ${sqlHyperplaneCell(4)} AS cell FROM embeddings),
+      |p AS (
+      |  SELECT vec_id, cell,
+      |         ${sqlSaltedHash("CAST(vec_id AS VARCHAR)", "bal")}
+      |           AS pick
+      |  FROM sigs),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cell
+      |    ORDER BY pick, vec_id) AS rn
+      |  FROM p)
+      |SELECT cell, vec_id, pick FROM r WHERE rn <= 5
+      |ORDER BY cell, pick, vec_id
+      |""".stripMargin)) { (s, dir) =>
+    val cells = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.SketchExprs.hyperplaneSig(col("embedding"), 4, 64)
+        .as("cell"))
+    graft.text.Sampling.cellBalancedSample(cells, "vec_id", "cell",
+      perCell = 5, salt = "bal")
+      .select(col("cell"), col("vec_id"), col("pick"))
+      .orderBy(col("cell"), col("pick"), col("vec_id"))
   }
 }

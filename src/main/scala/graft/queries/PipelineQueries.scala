@@ -35,6 +35,12 @@ object PipelineQueries {
   private def sqlContentFp(src: String) =
     s"(${sqlCharFold(src, 131L)}) * 2147483647 + (${sqlCharFold(src, 137L)})"
 
+  /** ≙ PolyHash.saltedHash: the double-fold salted mixing hash (outer
+    * fold over `salt:` + the inner hash's decimal digits). */
+  private[queries] def sqlSaltedHash(expr: String, salt: String): String =
+    sqlCharFold(
+      s"('$salt:' || CAST((${sqlCharFold(s"($expr || ':$salt')")}) AS VARCHAR))")
+
   /** ≙ Dedup.shingles(n=3) on pre-tokenized list `toks`. */
   private[queries] def sqlShingles(toks: String) =
     s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),
@@ -133,7 +139,7 @@ object PipelineQueries {
     Some(s"""
       |WITH b AS (
       |  SELECT doc_id, lang,
-      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':corpus_v1')")} % 100 AS bucket
+      |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "corpus_v1")} % 100 AS bucket
       |  FROM documents)
       |SELECT doc_id, lang, bucket FROM b
       |WHERE bucket < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 50 END
@@ -542,7 +548,7 @@ object PipelineQueries {
     Some(s"""
       |WITH t AS (
       |  SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh,
-      |         ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':contam_v1')")} % 100 AS bucket
+      |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "contam_v1")} % 100 AS bucket
       |  FROM documents),
       |bench AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE bucket < 10),
       |tg AS (SELECT DISTINCT gram
@@ -1090,7 +1096,7 @@ object PipelineQueries {
       |  FROM w CROSS JOIN m)
       |SELECT d.doc_id, d.lang
       |FROM documents d JOIN rates USING (lang)
-      |WHERE ${sqlCharFold("(CAST(doc_id AS VARCHAR) || ':mix_v1')")} % 1000
+      |WHERE ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "mix_v1")} % 1000
       |        < keep_permille
       |ORDER BY doc_id
       |""".stripMargin)) { (s, dir) =>

@@ -64,4 +64,58 @@ object DupSpans {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_frac"))
   }
+
+  /** Duplicate-span REMOVAL — the surgical counterpart of [[coverage]]:
+    * instead of dropping whole documents, delete exactly the token
+    * positions covered by a corpus-duplicated shingle and reassemble
+    * the survivors (Lee et al. 2022 remove the repeated substring, not
+    * the document — removal preserves the unique remainder of partially
+    * boilerplate pages that doc-level dedup would throw away).
+    *
+    * A position p in doc d is covered iff some duplicated shingle
+    * starts at s ∈ (p-n, p]. Stages: flagged starts (same hotTailJoin
+    * skew discipline as [[coverage]]) → `sequence(s, s+n-1)` fan-out →
+    * distinct covered positions → left_anti against positioned tokens →
+    * ordered re-aggregation. Everything between the count join and the
+    * final build ships (doc_id, position) pairs only; token strings
+    * ride exactly two shuffles (the shingle count and the rebuild —
+    * the rebuild one is irreducible: reassembly IS a group-by-doc).
+    *
+    * Output: doc_id, n_tokens, kept_tokens, clean_text (survivors
+    * joined with single spaces; empty string when everything was
+    * duplicated). Whitespace normalizes to single spaces — positions,
+    * not raw offsets, are the removal unit.
+    */
+  def removeSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hotN: Int = 1024): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"),
+      Dedup.shingles(col(textCol), n).as("shl"))
+    val sh = toks.select(col("doc_id"),
+      posexplode(col("shl")).as(Seq("spos", "g")))
+    val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val dupStarts = Relational.hotTailJoin(
+      sh, cnt.filter(col("c") >= 2), key = "g", weight = "c", hotN = hotN)
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + (n - 1))).as("tpos"))
+      .distinct()
+    val positioned = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val kept = positioned.join(covered, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            s => s.getField("tok")), " ").as("clean_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -16,9 +16,13 @@ object Sampling {
 
   /** Bucket in [0, buckets) derived from the row id and a salt — THE
     * membership recipe every sampler here (and its oracle SQL) replays;
-    * keep it in one place so the hash/salt scheme cannot fork. */
+    * keep it in one place so the hash/salt scheme cannot fork. Built on
+    * the double-fold [[graft.functions.PolyHash.saltedHash]] so that
+    * resampling under a new salt is an independent-looking draw, not a
+    * constant bucket rotation (see its scaladoc for why one fold fails).
+    */
   def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
-    polyHash(concat(id.cast("string"), lit(":" + salt))) % buckets
+    graft.functions.PolyHash.saltedHash(id, salt) % buckets
 
   /** Keep ~pct% of rows, deterministically. */
   def hashSample(df: DataFrame, idCol: String, pct: Int, salt: String): DataFrame =
@@ -75,6 +79,35 @@ object Sampling {
     df.join(broadcast(kp), Seq(stratumCol))
       .filter(hashBucket(col(idCol), salt, buckets = 1000) < col("keep_permille"))
       .drop("keep_permille")
+  }
+
+  /** Cluster-balanced subsample — diversity-preserving selection (the
+    * SemDeDup/SSL-prototypes curation step AFTER dedup): keep at most
+    * `perCell` rows from every cell of a precomputed partition of the
+    * space (embedding hash cells, topic clusters, source buckets…),
+    * chosen by a deterministic salted hash with id tie-break. A plain
+    * hash-mod sample keeps the cluster-size skew it was given; this one
+    * flattens it — big clusters cap at `perCell`, small ones survive
+    * whole, so rare modes are never crowded out of the sample.
+    *
+    * Runs on the native GroupedTopK physical operator: per-key bounded
+    * heaps, no full sort, spill-safe — one shuffle on the cell key.
+    *
+    * The pick is [[graft.functions.PolyHash.saltedHash]] — the
+    * double-fold matters doubly here, because a bare polyHash over a
+    * short `id:salt` string never wraps the modulus and "top-k by
+    * hash" silently degenerates to "k smallest ids" for every salt.
+    */
+  def cellBalancedSample(
+      df: DataFrame, idCol: String, cellCol: String,
+      perCell: Int, salt: String): DataFrame = {
+    val withPick = df.withColumn("pick",
+      graft.functions.PolyHash.saltedHash(col(idCol), salt))
+    graft.plans.GroupedTopK.topKPerKey(
+      withPick,
+      keyCols = Seq(cellCol),
+      order = Seq("pick" -> true, idCol -> true),
+      k = perCell)
   }
 
   /** Stratified variant: per-stratum keep-percentages (e.g. language

@@ -37,12 +37,18 @@ object Sharding {
       nShards: Int,
       salt: String): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be positive")
-    val id = col(idCol).cast("string")
+    // Double-fold saltedHash, NOT a bare salted polyHash: one fold is
+    // linear, so "epoch2" would be a near-constant additive shift of
+    // "epoch1" — a rotation of the same training order, not a fresh
+    // shuffle (see PolyHash.saltedHash). The two hashes stay
+    // independently salted so shard membership says nothing about pos.
+    val id = col(idCol)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("ord_key"), col(idCol))
     df.withColumn("shard",
-        polyHash(concat(id, lit(s":$salt:shard"))) % nShards)
-      .withColumn("ord_key", polyHash(concat(id, lit(s":$salt:ord"))))
+        graft.functions.PolyHash.saltedHash(id, s"$salt:shard") % nShards)
+      .withColumn("ord_key",
+        graft.functions.PolyHash.saltedHash(id, s"$salt:ord"))
       .withColumn("pos", row_number().over(w))
       .drop("ord_key")
   }
