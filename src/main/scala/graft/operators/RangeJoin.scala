@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join — the second join family Spark lacks natively
+  * (the first, as-of, is [[AsOf]]). For each fact row with a point
+  * coordinate `t`, find every interval row with `s <= t <= e`. With no
+  * equi-key, Spark plans a raw range predicate as
+  * BroadcastNestedLoopJoin — O(|facts| × |intervals|) work and a
+  * broadcast of one whole side, both of which are non-starters at scale.
+  *
+  * This is the bucketed formulation instead: pick a bucket width `w`,
+  * explode each interval to the buckets it covers (⌈len/w⌉+1 rows — a
+  * bounded, data-independent fan-out when intervals are bounded), map
+  * each fact to its single bucket, and equi-join on the bucket id with
+  * the exact range predicate as a residual filter. Each fact lands in
+  * exactly one bucket, so no post-join dedup is needed; the join is a
+  * plain shuffled equi-join that AQE can skew-split. Cost is one shuffle
+  * of facts + exploded intervals — linear, broadcast-free, the shape
+  * that survives 100 TB.
+  *
+  * Width tuning: w ≈ the typical interval length keeps the fan-out ≈ 2
+  * rows per interval while keeping buckets fine enough that a fact only
+  * meets intervals it plausibly overlaps. A too-small w inflates the
+  * interval side; a too-large w inflates the candidate pairs the
+  * residual filter discards. Both ends degrade linearly, not
+  * catastrophically.
+  */
+object RangeJoin {
+
+  /** Exact floor division as integer column math: `(x - pmod(x, w)) / w`
+    * is a true floor for negative coordinates too (long `div` truncates
+    * toward zero, which would split bucket −1 across the origin), and
+    * never routes through doubles (epoch-µs values exceed 2^53-safe
+    * range arithmetic soon after multiplication).
+    */
+  private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Inner interval join: every (fact, interval) pair with
+    * `interval.s <= fact.t <= interval.e` (both ends inclusive).
+    * Coordinates are integral (epoch-µs longs in the event queries).
+    * Intervals with `s > e` are empty and dropped, mirroring
+    * `BETWEEN`'s empty result on a reversed range.
+    *
+    * Output columns: all of `facts`, then all of `intervals`. Column
+    * names must be disjoint across the two sides.
+    *
+    * @param bucketWidth bucket size in coordinate units; see class doc
+    */
+  def intervalJoin(
+      facts: DataFrame,
+      tCol: String,
+      intervals: DataFrame,
+      sCol: String,
+      eCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = facts.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint: $overlap")
+    val bucket = "__rj_bucket"
+    val f = facts.withColumn(bucket, floorDiv(col(tCol), bucketWidth))
+    val i = intervals
+      .where(col(sCol) <= col(eCol))
+      .withColumn(bucket, explode(sequence(
+        floorDiv(col(sCol), bucketWidth), floorDiv(col(eCol), bucketWidth))))
+    f.join(i, Seq(bucket))
+      .where(col(tCol) >= col(sCol) && col(tCol) <= col(eCol))
+      .drop(bucket)
+  }
+}

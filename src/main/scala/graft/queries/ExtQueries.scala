@@ -10,7 +10,51 @@ import graft.operators.AsOf
 object ExtQueries {
 
   val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50,
-    q52, q53, q55, q56, q57)
+    q52, q53, q55, q56, q57, q89)
+
+  /** Bucketed interval join (RangeJoin.intervalJoin): incident windows
+    * (±30 min around high-value error events) × ALL events by pure time
+    * overlap — no equi key, the shape Spark would otherwise plan as a
+    * BroadcastNestedLoopJoin. The oracle is the raw BETWEEN join; the
+    * Spark side goes through bucket-explode + equi-join + residual
+    * filter, so hash-equality proves the bucketed rewrite exact. */
+  def q89: Q = {
+    import org.apache.spark.sql.types.DecimalType
+    Q("q89_range_join",
+      Some("""
+        |WITH ev AS (
+        |  SELECT event_id, epoch_ns(ts) // 1000 AS t_us, event_type, value
+        |  FROM events),
+        |inc AS (
+        |  SELECT event_id AS incident_id,
+        |         t_us - 1800000000 AS s_us, t_us + 1800000000 AS e_us
+        |  FROM ev WHERE event_type = 'error' AND value >= 180.0),
+        |j AS (
+        |  SELECT inc.incident_id, inc.s_us, inc.e_us, ev.value
+        |  FROM inc JOIN ev ON ev.t_us BETWEEN inc.s_us AND inc.e_us)
+        |SELECT incident_id, s_us, e_us, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1, 2, 3 ORDER BY incident_id
+        |""".stripMargin)) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), expr("ts div 1000").as("t_us"),
+        col("event_type"), col("value"))
+      val inc = ev
+        .where(col("event_type") === "error" && col("value") >= 180.0)
+        .select(col("event_id").as("incident_id"),
+          (col("t_us") - 1800000000L).as("s_us"),
+          (col("t_us") + 1800000000L).as("e_us"))
+      val facts = ev.select(col("event_id"), col("t_us"), col("value"))
+      graft.operators.RangeJoin
+        .intervalJoin(facts, "t_us", inc, "s_us", "e_us",
+          bucketWidth = 3600000000L)
+        .groupBy("incident_id", "s_us", "e_us")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 6))).cast("double")
+            .as("total_value"))
+        .orderBy(col("incident_id"))
+    }
+  }
 
   /** Sliding-window aggregation (EventStreams.slidingTypeStats): 1-hour
     * windows every 15 minutes — hour/quarter divide evenly, so each event
