@@ -14,7 +14,8 @@ import PipelineQueries.{sqlCharFold, sqlInList, sqlSaltedHash, sqlShingles, sqlT
 object CorpusQueries {
 
   val all: Seq[Q] =
-    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
+      q90)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -629,5 +630,40 @@ object CorpusQueries {
       perCell = 5, salt = "bal")
       .select(col("cell"), col("vec_id"), col("pick"))
       .orderBy(col("cell"), col("pick"), col("vec_id"))
+  }
+
+  /** Contrastive pair mining (Mining.contrastivePairs): per anchor, top
+    * positives (cos ≥ 0.4) and top HARD negatives (cos ∈ [0.25, 0.4)) from
+    * the same 4-bit hyperplane cell — the hard-negative-mining step of
+    * embedding-model training as a corpus operator. Band thresholds sized
+    * to THIS corpus (no pair exceeds cos 0.6); the structure is the
+    * standard one. The oracle replays cells, the exact cosine fold, the
+    * band split, and the per-(anchor, kind) hardest-first rank. */
+  def q90: Q = Q(
+    "q90_contrastive_pairs",
+    Some(s"""
+      |WITH e AS (
+      |  SELECT vec_id, embedding, ${sqlHyperplaneCell(4)} AS cell
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS anchor_id, b.vec_id AS pair_id,
+      |         ${sqlCosine("a.embedding", "b.embedding")} AS cos
+      |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+      |k AS (
+      |  SELECT anchor_id, pair_id, cos,
+      |         CASE WHEN cos >= 0.4 THEN 'pos'
+      |              WHEN cos >= 0.25 THEN 'hard_neg' END AS kind
+      |  FROM p WHERE cos >= 0.25),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+      |    ORDER BY cos DESC, pair_id) AS rn
+      |  FROM k)
+      |SELECT anchor_id, kind, pair_id, cos FROM r WHERE rn <= 3
+      |ORDER BY anchor_id, kind, cos DESC, pair_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.sim.Mining.contrastivePairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dims = 64,
+      tPos = 0.4, hardLo = 0.25, hardHi = 0.4, cellBits = 4, k = 3)
+      .orderBy(col("anchor_id"), col("kind"), col("cos").desc, col("pair_id"))
   }
 }
