@@ -225,6 +225,60 @@ object Dedup {
       .unionByName(antiJoin(withFp.filter(coalesce(maybeSeen, lit(false)))))
   }
 
+  /** Cross-corpus decontamination at NEAR-dup granularity: drop every
+    * `newDocs` row whose text is a near-duplicate (exact Jaccard ≥
+    * `threshold` over `n`-shingles) of ANY `oldDocs` row — deduping an
+    * incoming crawl snapshot against the already-ingested corpus, the
+    * fuzzy counterpart of [[incrementalNew]]'s exact-fingerprint gate.
+    *
+    * New docs that near-duplicate OTHER NEW docs are kept: within-batch
+    * dedup is a separate pass ([[nearDuplicatePairs]] +
+    * [[nearDupClusters]]) with its own canonical-choice policy; this
+    * operator's contract is only "nothing already represented in the
+    * corpus re-enters it".
+    *
+    * Shape: signatures on both sides (at scale the old side's profiles
+    * are computed once at ingest and stored — recomputing here is the
+    * self-contained form), band buckets joined new×old only (never
+    * old×old, the quadratic side), ids-only through the candidate
+    * distinct, exact-Jaccard verify on shingle sets attached by id, and
+    * a final left_anti on the new side. Banding miss probability at
+    * J = threshold is (1−t^r)^b — ~1e-7 at 0.8 with 16×2, which is why
+    * the all-pairs oracle matches it hash-exactly (q91).
+    */
+  def crossCorpusNearDupNew(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    // each profile feeds two branches (banding + verify side): checkpoint
+    // so shingling/minhashing runs once per side, not per branch
+    val newProf = shingleProfiles(newDocs, idCol, textCol,
+      perms = bands * rowsPerBand).localCheckpoint(true)
+    val oldProf = shingleProfiles(oldDocs, idCol, textCol,
+      perms = bands * rowsPerBand).localCheckpoint(true)
+    def banded(p: DataFrame) = p.select(col("doc_id"),
+        posexplode(bandBuckets(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = banded(newProf).as("x")
+      .join(banded(oldProf).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+      .distinct()
+    val contaminated = candidates
+      .join(newProf.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+        "new_id")
+      .join(oldProf.select(col("doc_id").as("old_id"), col("sh").as("sh_o")),
+        "old_id")
+      .filter(jaccardArrays(col("sh_n"), col("sh_o")) >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    newDocs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over near-duplicate pairs — the transitive
     * closure that turns pairwise matches into dedup CLUSTERS (A~B and B~C
     * must dedup together even when A~C was never scored). Alternating

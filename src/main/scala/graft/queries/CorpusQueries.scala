@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90)
+      q90, q91)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -665,5 +665,41 @@ object CorpusQueries {
       "vec_id", "embedding", dims = 64,
       tPos = 0.4, hardLo = 0.25, hardHi = 0.4, cellBits = 4, k = 3)
       .orderBy(col("anchor_id"), col("kind"), col("cos").desc, col("pair_id"))
+  }
+
+  /** Cross-corpus near-dup decontamination (Dedup.crossCorpusNearDupNew):
+    * an incoming batch (sources src0–src4) is admitted only where it does
+    * NOT near-duplicate (Jaccard ≥ 0.8) the already-ingested corpus (the
+    * other sources). New-vs-new near-dups are kept by contract — within-
+    * batch dedup is q28/q65's job. The oracle is ground-truth all-pairs
+    * Jaccard (banding's miss rate at 0.8 with 16×2 is ~1e-7, same
+    * argument as q28), so hash-equality proves the banded path misses
+    * nothing. */
+  def q91: Q = {
+    val newSrc = "('src0', 'src1', 'src2', 'src3', 'src4')"
+    Q("q91_cross_corpus_dedup",
+      Some(s"""
+        |WITH nw AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+        |  FROM documents WHERE source IN $newSrc),
+        |old AS (
+        |  SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+        |  FROM documents WHERE source NOT IN $newSrc)
+        |SELECT nw.doc_id, nw.source FROM nw
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM old
+        |  WHERE CAST(len(list_intersect(nw.sh, old.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(nw.sh, old.sh))) >= 0.8)
+        |ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val isNew = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      graft.dedup.Dedup.crossCorpusNearDupNew(
+        docs.where(isNew), docs.where(!isNew), "doc_id", "text",
+        threshold = 0.8)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }
   }
 }

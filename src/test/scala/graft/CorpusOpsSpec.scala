@@ -275,4 +275,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     // cos=1 ties broken by neighbor id; orthogonal vector ranks last
     assert(rows === Seq((1, 2L), (2, 3L), (3, 4L)))
   }
+
+  // ---- cross-corpus near-dup decontamination --------------------------
+
+  test("crossCorpusNearDupNew drops near-dups of OLD docs only") {
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val base = (0 until 12).map(i => s"w${i * 7 % 11}")
+    val oldDocs = Seq(
+      (1L, mk(base)),
+      (2L, mk(Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")))
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, mk(base)),                       // exact copy of old 1 → dropped
+      (11L, mk(base :+ "tail")),             // near-dup of old 1 → dropped
+      (12L, mk((0 until 12).map(i => s"x$i"))),  // novel → kept
+      (13L, mk((0 until 12).map(i => s"x$i")))   // near-dup of NEW 12 → kept
+    ).toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup
+      .crossCorpusNearDupNew(newDocs, oldDocs, "doc_id", "text",
+        threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L, 13L))
+  }
+
+  test("crossCorpusNearDupNew with an empty old corpus keeps everything") {
+    val newDocs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val oldDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val kept = graft.dedup.Dedup
+      .crossCorpusNearDupNew(newDocs, oldDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
 }
