@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91)
+      q90, q91, q92)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -701,5 +701,32 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** Context-length planning sweep (Chunking.planSweep): chunk count and
+    * padding waste per candidate max_len — the sizing table read before
+    * committing a corpus to a context length. Candidates sized to this
+    * corpus's 10–99-token docs. All integer-exact except the final
+    * division of two exact sums. */
+  def q92: Q = Q(
+    "q92_packing_plan",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT CAST(len(${sqlTokens("text")}) AS BIGINT) AS n FROM documents),
+      |c AS (SELECT n, unnest([16, 32, 64, 128]) AS max_len FROM t)
+      |SELECT CAST(max_len AS BIGINT) AS max_len,
+      |       count(*) AS docs,
+      |       CAST(sum(n) AS BIGINT) AS total_tokens,
+      |       CAST(sum((n + max_len - 1) // max_len) AS BIGINT) AS total_chunks,
+      |       CAST(sum(((n + max_len - 1) // max_len) * max_len - n) AS BIGINT)
+      |         AS total_padding,
+      |       CAST(sum(n) AS DOUBLE)
+      |         / (CAST(sum((n + max_len - 1) // max_len) AS BIGINT) * max_len)
+      |         AS fill_frac
+      |FROM c GROUP BY max_len ORDER BY max_len
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Chunking.planSweep(Tables.documents(s, dir), "text",
+      candidates = Seq(16, 32, 64, 128))
+      .orderBy(col("max_len"))
   }
 }

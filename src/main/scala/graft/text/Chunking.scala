@@ -46,4 +46,41 @@ object Chunking {
           slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  /** Context-length planning sweep — the sizing decision BEFORE chunking
+    * or packing runs: for each candidate context length, the corpus-wide
+    * chunk count and padding waste IF every doc were chunked
+    * non-overlapping at that length and each final chunk padded to it.
+    * The fill fraction (tokens / padded capacity) is what a training-
+    * batch engineer reads off to pick max_len; [[Packing.fillStats]]
+    * then measures what greedy packing actually achieves at the chosen
+    * length.
+    *
+    * Scale shape: one scan of the corpus with a |candidates|-way literal
+    * fan-out (scan-stage, data-independent), then one aggregate over
+    * |candidates| groups with map-side partials. All counts are exact
+    * integer arithmetic; the fill fraction is a single division of two
+    * exact sums, so the report is partitioning-independent.
+    */
+  def planSweep(df: DataFrame, textCol: String,
+      candidates: Seq[Int]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_ >= 1),
+      s"candidate lengths must be >= 1: $candidates")
+    val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    df.select(n.as("n_tokens"))
+      .select(col("n_tokens"),
+        explode(array(candidates.map(c => lit(c.toLong)): _*)).as("max_len"))
+      .withColumn("n_chunks",
+        expr("(n_tokens + max_len - 1) div max_len"))
+      .groupBy("max_len")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chunks")).as("total_chunks"),
+        sum(col("n_chunks") * col("max_len") - col("n_tokens"))
+          .as("total_padding"))
+      .withColumn("fill_frac",
+        col("total_tokens").cast("double") /
+          (col("total_chunks") * col("max_len")))
+  }
 }

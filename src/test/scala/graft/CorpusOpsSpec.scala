@@ -307,4 +307,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L))
   }
+
+  // ---- context-length planning sweep ----------------------------------
+
+  test("planSweep: exact chunk counts, padding, and fill per candidate") {
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),   // 5 tokens
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")),  // 16 tokens
+      (3L, (1 to 17).map(i => s"t$i").mkString(" "))   // 17 tokens
+    ).toDF("doc_id", "text")
+    val rows = graft.text.Chunking.planSweep(docs, "text", Seq(16, 8))
+      .orderBy("max_len")
+      .select("max_len", "docs", "total_tokens", "total_chunks",
+        "total_padding", "fill_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // max_len 8: chunks = 1 + 2 + 3 = 6, padding = 3 + 0 + 7 = 10
+    // max_len 16: chunks = 1 + 1 + 2 = 4, padding = 11 + 0 + 15 = 26
+    assert(rows === Seq(
+      (8L, 3L, 38L, 6L, 10L, 38.0 / 48),
+      (16L, 3L, 38L, 4L, 26L, 38.0 / 64)))
+  }
 }
