@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92)
+      q90, q91, q92, q93)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -728,5 +728,28 @@ object CorpusQueries {
     graft.text.Chunking.planSweep(Tables.documents(s, dir), "text",
       candidates = Seq(16, 32, 64, 128))
       .orderBy(col("max_len"))
+  }
+
+  /** Weighted sampling without replacement (Sampling.weightedSample):
+    * Efraimidis–Spirakis keys u^(1/w) from the deterministic salted
+    * hash, w = n_chars, global top-60. pow is the only transcendental
+    * crossing engines (q66's precedent); the oracle replays hash → u →
+    * key → rank exactly. */
+  def q93: Q = Q(
+    "q93_weighted_sample",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, source, n_chars,
+      |         pow((${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "es")} + 0.5)
+      |               / 2147483647.0,
+      |             1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |SELECT doc_id, source, n_chars, es_key FROM t
+      |ORDER BY es_key DESC, doc_id LIMIT 60
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 60, salt = "es")
+      .orderBy(col("es_key").desc, col("doc_id"))
   }
 }

@@ -110,6 +110,39 @@ object Sampling {
       k = perCell)
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (Inf. Proc. Letters 97(5), 2006): give row i the key
+    * u_i^(1/w_i) with u_i uniform in (0,1) and keep the k largest
+    * keys; the selection distribution is exactly weighted sampling
+    * without replacement. Here u_i is the deterministic
+    * [[graft.functions.PolyHash.saltedHash]] scaled into (0,1)
+    * ((h + 0.5) / mod — never exactly 0 or 1, so every key is finite
+    * and weight-sensitive), which keeps the whole sample reproducible
+    * across runs, partitionings, and engines: pow is the only
+    * transcendental and both engines evaluate it in the same op order
+    * (the q66 precedent).
+    *
+    * Scale shape: scan-stage key computation, then a global top-k via
+    * orderBy + limit — Spark plans TakeOrderedAndProject (per-partition
+    * bounded heaps merged on the driver, k rows of driver memory), NOT
+    * a full sort. Rows with weight ≤ 0 or null are excluded, matching
+    * the method's domain.
+    *
+    * Output: input columns + `es_key`, the selection key (descending =
+    * selection order — the first k survive any later truncation).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"weighted sample needs k >= 1, got $k")
+    val mod = graft.functions.PolyHash.DefaultMod
+    val u = (graft.functions.PolyHash.saltedHash(col(idCol), salt)
+      .cast("double") + lit(0.5)) / lit(mod.toDouble)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Stratified variant: per-stratum keep-percentages (e.g. language
     * rebalancing), unmatched strata keep `defaultPct`. */
   def stratifiedHashSample(

@@ -327,4 +327,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       (8L, 3L, 38L, 6L, 10L, 38.0 / 48),
       (16L, 3L, 38L, 4L, 26L, 38.0 / 64)))
   }
+
+  // ---- weighted sampling without replacement --------------------------
+
+  private lazy val weighted = {
+    val light = (1L to 200L).map(i => (i, 1L))
+    (light :+ (999L, 100000L)).toDF("id", "w")
+  }
+
+  test("weightedSample matches driver-side re-ranking of the keyed frame") {
+    import graft.text.Sampling
+    val full = weighted
+      .withColumn("es_key",
+        pow((graft.functions.PolyHash.saltedHash(col("id"), "t1")
+          .cast("double") + lit(0.5)) / lit(2147483647.0),
+          lit(1.0) / col("w").cast("double")))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val want = full.sortBy { case (id, key) => (-key, id) }.take(10)
+      .map(_._1).toSeq
+    val got = Sampling.weightedSample(weighted, "id", "w", k = 10, salt = "t1")
+      .orderBy(col("es_key").desc, col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got === want)
+  }
+
+  test("weightedSample favors heavy rows and excludes non-positive weights") {
+    import graft.text.Sampling
+    for (salt <- Seq("a", "b", "c")) {
+      val ids = Sampling.weightedSample(weighted, "id", "w", k = 10, salt)
+        .select("id").as[Long].collect().toSet
+      assert(ids.contains(999L), s"heavy row missed under salt $salt")
+    }
+    val withBad = weighted.union(Seq((500L, 0L), (501L, -3L)).toDF("id", "w"))
+    val ids = Sampling.weightedSample(withBad, "id", "w", k = 300, salt = "a")
+      .select("id").as[Long].collect().toSet
+    assert(!ids.contains(500L) && !ids.contains(501L))
+    assert(ids.size === 201)
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject, not a full sort") {
+    import graft.text.Sampling
+    val plan = Sampling.weightedSample(weighted, "id", "w", k = 5, salt = "p")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }
