@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~90 codegen-heavy queries in one JVM emit enough generated classes
+  // to fill the default 240 MB JIT code cache mid-run; once it fills,
+  // compilation stops and whichever queries run LAST execute
+  // interpreted (observed as 10-50 s spikes on the bench tail, gone in
+  // isolation). Size it so the whole suite stays JIT-compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )
