@@ -140,6 +140,19 @@ object Lakehouse {
     Files.deleteIfExists(p)
   }
 
+  /** ORC read/write — the second columnar interchange format (Spark's
+    * native ORC datasource; orc-core ships in this Spark distribution).
+    * Same scan properties as parquet: column pruning and predicate
+    * pushdown reach the reader, so a lake can mix parquet and ORC
+    * tables without plan-quality loss. Beyond the reference's surface
+    * (it is parquet-only); here for interchange with ORC-native
+    * warehouses. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** S5: single-file CSV export — coalesce(1), write to a tmp dir, then
     * move the lone part file to the artifact path
     * ≙ `jobs/04_train_and_export_submission.py:49-56`. Only the final

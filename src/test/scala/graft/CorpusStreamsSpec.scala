@@ -86,6 +86,37 @@ class CorpusStreamsSpec extends AnyFunSuite {
       t.contains("<EMAIL>") && t.contains("<PHONE>") && t.contains("<IP>")))
   }
 
+  test("gopher quality flags on a stream equal the batch flags (stateless face)") {
+    // rule filtering is scan-stage column math — it runs UNCHANGED on a
+    // stream, so quality gating can happen at ingest like redaction
+    import graft.text.QualityRules
+    val docs = (1L to 8L).map { i =>
+      val body = (1 to (i * 3).toInt).map(j => s"tok$j").mkString(" ")
+      i -> (if (i % 3 == 0) s"the a of $body" else body)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs_gopher")
+    stage(dir, "b1.parquet", docs.take(4))
+    stage(dir, "b2.parquet", docs.drop(4))
+    val p = QualityRules.GopherParams(minWords = 5, maxWords = 30)
+    def project(df: org.apache.spark.sql.DataFrame) =
+      QualityRules.gopherFlags(df, "text", p)
+        .select("doc_id", "n_words", "keep")
+    val expected = project(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = project(stream)
+      .writeStream.format("memory").queryName("gopher_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("gopher_stream_test")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(got === expected)
+    assert(expected.values.exists(_._2) && expected.values.exists(!_._2),
+      "fixture must exercise both keep outcomes")
+  }
+
   test("greedy packing stream under OUT-OF-ORDER arrival: bins stay valid, every doc packed once") {
     // later micro-batch delivers SMALLER ids — bin numbering may differ
     // from the batch replay (documented contract) but bins must never

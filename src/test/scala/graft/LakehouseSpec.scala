@@ -26,6 +26,23 @@ class LakehouseSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$lakeDir/bronze/misc/Mystery").count() === 1)
   }
 
+  test("orc round-trip preserves schema and values; filters push to the scan") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5, java.sql.Date.valueOf("2024-01-02")),
+      (2L, "b", -0.25, java.sql.Date.valueOf("2024-02-03")))
+      .toDF("id", "s", "v", "d")
+    val dir = Files.createTempDirectory("graft_orc").resolve("t").toString
+    Lakehouse.writeOrc(df, dir)
+    val back = Lakehouse.readOrc(spark, dir)
+    // files read back nullable (same as parquet): compare names + types
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // predicate pushdown reaches the ORC reader like it does parquet
+    val plan = back.filter(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"), plan)
+  }
+
   test("keyed upsert replaces matching rows and appends new ones") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_upsert").resolve("t").toString
