@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a distributed
+  * aggregate: approximate per-item counts in `depth × width` integers of
+  * state, independent of corpus size — the bounded-memory way to ask
+  * "how often does each token/n-gram occur" over 100 TB without
+  * shuffling a full vocabulary. Estimates only ever OVER-count
+  * (collisions add, never subtract): error ≤ 2N/width with probability
+  * 1 − 2^−depth.
+  *
+  * Unlike HLL's register internals (q38 stays rows-only), a CMS is
+  * DETERMINISTIC given its hash rows — here row r buckets item x at
+  * `saltedHash(x, "cms<r>") % width` — so sketch contents and estimates
+  * replay exactly in the DuckDB oracle (q94).
+  *
+  * Scale shape: build = one explode(depth) + one grouped count with
+  * map-side partials — at most depth × width rows survive per
+  * partition, so the shuffle is sketch-sized, not corpus-sized.
+  * Estimate = broadcast the (tiny) sketch against the query items and
+  * take the per-item min over rows.
+  */
+object CountMin {
+
+  /** Bucket of `item` in hash row `row` — the one recipe both the
+    * builder, the estimator, and the oracle SQL replay. */
+  def bucketFor(item: Column, row: Int, width: Int): Column =
+    PolyHash.saltedHash(item, s"cms$row") % width
+
+  /** Build the sketch: (row, bucket, cnt) with at most depth × width
+    * rows; absent (row, bucket) pairs mean a zero counter. */
+  def build(items: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape $depth x $width")
+    items
+      .select((0 until depth).map(r =>
+        bucketFor(col(itemCol), r, width).as(s"b$r")): _*)
+      .select(posexplode(array((0 until depth).map(r => col(s"b$r")): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every row of `queries`: attach
+    * `cms_est` = min over hash rows of the addressed counters. The
+    * sketch side broadcasts (it is ≤ depth × width rows by
+    * construction); items absent from every row estimate 0.
+    */
+  def estimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val q = queries
+      .select(col("*"), posexplode(array((0 until depth).map(r =>
+        bucketFor(col(itemCol), r, width)): _*)).as(Seq("row", "bucket")))
+    q.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93)
+      q90, q91, q92, q93, q94)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -751,5 +751,43 @@ object CorpusQueries {
       Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
       "doc_id", "n_chars", k = 60, salt = "es")
       .orderBy(col("es_key").desc, col("doc_id"))
+  }
+
+  /** Count-Min sketch token counts (operators/CountMin): depth 4 ×
+    * width 256 — sketch-sized (≤ 1024 counters) state regardless of
+    * corpus size. Output pairs each token's exact count with its CMS
+    * estimate; est ≥ exact always (collisions only add). Unlike HLL
+    * (q38 rows-only), the sketch is deterministic given its hash rows,
+    * so the oracle replays build + estimate exactly. */
+  def q94: Q = {
+    val d = 4
+    val w = 256
+    def arm(r: Int) =
+      s"{'r': $r, 'b': (${sqlSaltedHash("tok", s"cms$r")}) % $w}"
+    val arms = (0 until d).map(arm).mkString("[", ", ", "]")
+    Q("q94_cms_token_counts",
+      Some(s"""
+        |WITH toks AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents),
+        |b AS (SELECT tok, unnest($arms) AS u FROM toks),
+        |sketch AS (
+        |  SELECT u.r AS row, u.b AS bucket, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+        |qb AS (SELECT tok, exact_cnt, unnest($arms) AS u FROM exact)
+        |SELECT qb.tok, qb.exact_cnt,
+        |       min(coalesce(s.c, CAST(0 AS BIGINT))) AS cms_est
+        |FROM qb LEFT JOIN sketch s ON s.row = qb.u.r AND s.bucket = qb.u.b
+        |GROUP BY 1, 2 ORDER BY tok
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.CountMin
+      val toks = Tables.documents(s, dir).select(
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = CountMin.build(toks, "tok", d, w)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      CountMin.estimate(sketch, exact, "tok", d, w)
+        .select(col("tok"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("tok"))
+    }
   }
 }
