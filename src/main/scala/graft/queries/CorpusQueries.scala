@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.{SemDedup, Similarity}
 import graft.text.{Dsir, DupSpans, QualityRules, Redaction, Sharding, TextAnalysis}
-import PipelineQueries.{sqlCharFold, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
+import PipelineQueries.{sqlCharFold, sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
 
 /** Round-4 training-data operators: semantic dedup, per-source caps,
   * deterministic epoch sharding, PII redaction, duplicate-span
@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94)
+      q90, q91, q92, q93, q94, q95)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -469,50 +469,59 @@ object CorpusQueries {
     * The line rules are degenerate here (no newlines in testdata — one
     * line per doc) but still exact; QualityRulesSpec exercises them on
     * real multi-line docs. */
-  def q85: Q = {
+  /** Gopher-flag CTE chain (t85/m85/f85) over `src` — f85 carries
+    * doc_id, n_words, the eight flag bits, and the keep conjunction.
+    * Shared by q85 (the flag report) and q95 (the curation gate) so the
+    * thresholds exist once. */
+  private def sqlGopherCtes(src: String): String = {
     val sw = sqlInList(Seq("the", "a", "and", "of", "is", "to", "in"))
     val bl = sqlInList(Seq("lorem", "javascript"))
+    s"""t85 AS (
+       |  SELECT doc_id, text, ${sqlTokens("text")} AS toks,
+       |         string_split(text, chr(10)) AS lines
+       |  FROM $src),
+       |m85 AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_words,
+       |         CAST(len(lines) AS BIGINT) AS n_lines,
+       |         CAST(list_sum(list_transform(toks, x -> length(x)))
+       |              AS BIGINT) AS total_chars,
+       |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+       |              AS BIGINT) AS symbols,
+       |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |              AS BIGINT) AS alpha_words,
+       |         CAST(len(list_filter(toks, x -> x IN $sw)) AS BIGINT)
+       |           AS stop_hits,
+       |         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]\\s')))
+       |              AS BIGINT) AS bullet_lines,
+       |         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
+       |              AS BIGINT) AS ell_lines,
+       |         CAST(len(list_filter(toks, x -> x IN $bl)) AS BIGINT)
+       |           AS block_hits
+       |  FROM t85),
+       |f85 AS (
+       |  SELECT *, (words_ok AND word_len_ok AND symbol_ok AND alpha_ok
+       |             AND stopword_ok AND bullet_ok AND ellipsis_ok
+       |             AND blocklist_ok) AS keep
+       |  FROM (
+       |    SELECT doc_id, n_words,
+       |           (n_words >= 20 AND n_words <= 80) AS words_ok,
+       |           (total_chars >= 3 * n_words AND total_chars <= 8 * n_words)
+       |             AS word_len_ok,
+       |           (symbols * 100 <= 10 * n_words) AS symbol_ok,
+       |           (alpha_words * 100 >= 80 * n_words) AS alpha_ok,
+       |           (stop_hits >= 2) AS stopword_ok,
+       |           (bullet_lines * 100 <= 10 * n_lines) AS bullet_ok,
+       |           (ell_lines * 100 <= 30 * n_lines) AS ellipsis_ok,
+       |           (block_hits = 0) AS blocklist_ok
+       |    FROM m85))""".stripMargin
+  }
+
+  def q85: Q = {
     Q("q85_gopher_rules",
       Some(s"""
-        |WITH t AS (
-        |  SELECT doc_id, text, ${sqlTokens("text")} AS toks,
-        |         string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |         CAST(len(toks) AS BIGINT) AS n_words,
-        |         CAST(len(lines) AS BIGINT) AS n_lines,
-        |         CAST(list_sum(list_transform(toks, x -> length(x)))
-        |              AS BIGINT) AS total_chars,
-        |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
-        |              AS BIGINT) AS symbols,
-        |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-        |              AS BIGINT) AS alpha_words,
-        |         CAST(len(list_filter(toks, x -> x IN $sw)) AS BIGINT)
-        |           AS stop_hits,
-        |         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]\\s')))
-        |              AS BIGINT) AS bullet_lines,
-        |         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}')))
-        |              AS BIGINT) AS ell_lines,
-        |         CAST(len(list_filter(toks, x -> x IN $bl)) AS BIGINT)
-        |           AS block_hits
-        |  FROM t),
-        |f AS (
-        |  SELECT doc_id, n_words,
-        |         (n_words >= 20 AND n_words <= 80) AS words_ok,
-        |         (total_chars >= 3 * n_words AND total_chars <= 8 * n_words)
-        |           AS word_len_ok,
-        |         (symbols * 100 <= 10 * n_words) AS symbol_ok,
-        |         (alpha_words * 100 >= 80 * n_words) AS alpha_ok,
-        |         (stop_hits >= 2) AS stopword_ok,
-        |         (bullet_lines * 100 <= 10 * n_lines) AS bullet_ok,
-        |         (ell_lines * 100 <= 30 * n_lines) AS ellipsis_ok,
-        |         (block_hits = 0) AS blocklist_ok
-        |  FROM m)
-        |SELECT *, (words_ok AND word_len_ok AND symbol_ok AND alpha_ok
-        |           AND stopword_ok AND bullet_ok AND ellipsis_ok
-        |           AND blocklist_ok) AS keep
-        |FROM f ORDER BY doc_id
+        |WITH ${sqlGopherCtes("documents")}
+        |SELECT * FROM f85 ORDER BY doc_id
         |""".stripMargin)) { (s, dir) =>
       QualityRules.gopherFlags(Tables.documents(s, dir), "text",
         QualityRules.GopherParams(minWords = 20, maxWords = 80,
@@ -571,31 +580,37 @@ object CorpusQueries {
     * ratio of src1-domain vs whole-corpus unigram models, kept exact as
     * scaled-integer weights (q67's trick on the DSIR ratio). The oracle
     * replays smoothing, totals, integer division, and the per-doc sum. */
+  /** DSIR CTE chain (toks87…sc87) over `src` (needs doc_id, text,
+    * source): sc87 carries (doc_id, n_tokens, dsir_score). Shared by
+    * q87 and q95 so the smoothing/scaling recipe exists once. */
+  private def sqlDsirCtes(src: String): String =
+    s"""toks87 AS (
+       |  SELECT doc_id, (source = 'src1') AS is_target,
+       |         unnest(${sqlTokens("text")}) AS tok
+       |  FROM $src),
+       |tf87 AS (
+       |  SELECT doc_id, tok, count(*) AS c, bool_or(is_target) AS is_target
+       |  FROM toks87 GROUP BY doc_id, tok),
+       |raw87 AS (
+       |  SELECT tok, sum(c) + 1 AS r,
+       |         sum(CASE WHEN is_target THEN c ELSE 0 END) + 1 AS t
+       |  FROM tf87 GROUP BY tok),
+       |tot87 AS (SELECT sum(r) AS bigR, sum(t) AS bigT FROM raw87),
+       |w87 AS (
+       |  SELECT tok, ((1000000 * t * bigR) // (r * bigT)) AS w
+       |  FROM raw87 CROSS JOIN tot87),
+       |sc87 AS (
+       |  SELECT tf87.doc_id, CAST(sum(tf87.c) AS BIGINT) AS n_tokens,
+       |         CAST(sum(tf87.c * w87.w) AS BIGINT) AS dsir_score
+       |  FROM tf87 JOIN w87 USING (tok) GROUP BY tf87.doc_id)""".stripMargin
+
   def q87: Q = Q(
     "q87_dsir_scores",
     Some(s"""
-      |WITH toks AS (
-      |  SELECT doc_id, (source = 'src1') AS is_target,
-      |         unnest(${sqlTokens("text")}) AS tok
-      |  FROM documents),
-      |tf AS (
-      |  SELECT doc_id, tok, count(*) AS c, bool_or(is_target) AS is_target
-      |  FROM toks GROUP BY doc_id, tok),
-      |raw AS (
-      |  SELECT tok, sum(c) + 1 AS r,
-      |         sum(CASE WHEN is_target THEN c ELSE 0 END) + 1 AS t
-      |  FROM tf GROUP BY tok),
-      |tot AS (SELECT sum(r) AS bigR, sum(t) AS bigT FROM raw),
-      |w AS (
-      |  SELECT tok, ((1000000 * t * bigR) // (r * bigT)) AS w
-      |  FROM raw CROSS JOIN tot),
-      |sc AS (
-      |  SELECT tf.doc_id, CAST(sum(tf.c) AS BIGINT) AS n_tokens,
-      |         CAST(sum(tf.c * w.w) AS BIGINT) AS dsir_score
-      |  FROM tf JOIN w USING (tok) GROUP BY tf.doc_id)
+      |WITH ${sqlDsirCtes("documents")}
       |SELECT doc_id, n_tokens, dsir_score,
       |       CAST(dsir_score AS DOUBLE) / n_tokens AS dsir_per_token
-      |FROM sc ORDER BY doc_id
+      |FROM sc87 ORDER BY doc_id
       |""".stripMargin)) { (s, dir) =>
     Dsir.importanceScores(Tables.documents(s, dir), "doc_id", "text",
       targetPredicate = col("source") === "src1")
@@ -789,5 +804,62 @@ object CorpusQueries {
         .select(col("tok"), col("exact_cnt"), col("cms_est"))
         .orderBy(col("tok"))
     }
+  }
+
+  /** End-to-end curation capstone for the round-4 wave, as ONE
+    * declarative plan: Gopher quality gate (q85's thresholds) → exact
+    * dedup to the canonical copy (q26's fingerprint, min-id keep) →
+    * DSIR importance scores toward src1 (q87's recipe) → weighted
+    * sampling without replacement by DSIR score (q93's keys) → epoch
+    * shard assignment. Every stage's constants live in the shared
+    * fragment that its standalone query proves; the capstone checks the
+    * COMPOSITION hash-exactly. Scale shape: scan-stage gate, ids-only
+    * dedup shuffle, skew-proof DSIR joins, sketch-sized top-k, one
+    * final scan-stage shard tag. */
+  def q95: Q = Q(
+    "q95_curated_corpus",
+    Some(s"""
+      |WITH ${sqlGopherCtes("documents")},
+      |kept95 AS (
+      |  SELECT d.doc_id, d.text, d.source
+      |  FROM documents d JOIN f85 USING (doc_id) WHERE f85.keep),
+      |fp95 AS (
+      |  SELECT doc_id, text, source, ${sqlContentFp("trim(text)")} AS fp
+      |  FROM kept95),
+      |canon95 AS (SELECT min(doc_id) AS doc_id FROM fp95 GROUP BY fp),
+      |base95 AS (
+      |  SELECT f.doc_id, f.text, f.source FROM fp95 f
+      |  JOIN canon95 USING (doc_id)),
+      |${sqlDsirCtes("base95")},
+      |keyed95 AS (
+      |  SELECT b.doc_id, b.source, sc87.dsir_score,
+      |         pow((${sqlSaltedHash("CAST(b.doc_id AS VARCHAR)", "cur")} + 0.5)
+      |               / 2147483647.0,
+      |             1.0 / CAST(sc87.dsir_score AS DOUBLE)) AS es_key
+      |  FROM base95 b JOIN sc87 USING (doc_id)
+      |  WHERE sc87.dsir_score > 0)
+      |SELECT doc_id, source, dsir_score, es_key,
+      |       (${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "sh95")}) % 4 AS shard
+      |FROM keyed95 ORDER BY es_key DESC, doc_id LIMIT 120
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val kept = QualityRules.gopherFlags(docs, "text",
+      QualityRules.GopherParams(minWords = 20, maxWords = 80,
+        minMeanWordLen = 3, maxMeanWordLen = 8))
+      .where(col("keep")).select("doc_id", "text", "source")
+    val canon = Dedup.exactDedup(kept, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val base = kept.join(canon, Seq("doc_id"))
+    val scores = Dsir.importanceScores(base, "doc_id", "text",
+      targetPredicate = col("source") === "src1")
+    val weighted = base.select("doc_id", "source")
+      .join(scores.select(col("doc_id"), col("dsir_score")), Seq("doc_id"))
+    graft.text.Sampling.weightedSample(weighted, "doc_id", "dsir_score",
+      k = 120, salt = "cur")
+      .withColumn("shard",
+        graft.functions.PolyHash.saltedHash(col("doc_id"), "sh95") % 4)
+      .select("doc_id", "source", "dsir_score", "es_key", "shard")
+      .orderBy(col("es_key").desc, col("doc_id"))
   }
 }

@@ -32,7 +32,7 @@ object PipelineQueries {
        |  (a, c) -> (a * $mult + c) % 2147483647)""".stripMargin
 
   /** ≙ Dedup.contentFingerprint: h131 · (2^31-1) + h137. */
-  private def sqlContentFp(src: String) =
+  private[queries] def sqlContentFp(src: String) =
     s"(${sqlCharFold(src, 131L)}) * 2147483647 + (${sqlCharFold(src, 137L)})"
 
   /** ≙ PolyHash.saltedHash: the double-fold salted mixing hash (outer
