@@ -44,6 +44,17 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketches built with the SAME (depth, width): counter-wise
+    * sum. CMS is a linear sketch — merge(build(A), build(B)) ≡
+    * build(A ∪ B) exactly (spec-pinned) — which is what makes it
+    * incremental: per-micro-batch (or per-partition, per-day) sketches
+    * combine associatively with no corpus re-scan, the same contract
+    * Spark's own partial aggregation exploits. */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-query the sketch for every row of `queries`: attach
     * `cms_est` = min over hash rows of the addressed counters. The
     * sketch side broadcasts (it is ≤ depth × width rows by

@@ -69,4 +69,36 @@ object RangeJoin {
       .where(col(tCol) >= col(sCol) && col(tCol) <= col(eCol))
       .drop(bucket)
   }
+
+  /** Interval×interval overlap join: every (left, right) pair with
+    * `left.s <= right.e && right.s <= left.e` (closed intervals —
+    * touching endpoints overlap). Both sides explode to their covered
+    * buckets; a matched pair is kept ONLY in the first bucket the two
+    * ranges share (`bucket == greatest(floor(ls/w), floor(rs/w))`, which
+    * overlap guarantees both sides cover) — each pair emerges exactly
+    * once WITHOUT a distinct, so nothing re-shuffles after the join.
+    * Empty intervals (s > e) drop, mirroring the point form.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      lsCol: String,
+      leCol: String,
+      right: DataFrame,
+      rsCol: String,
+      reCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"column names must be disjoint: $overlap")
+    val bucket = "__rj_bucket"
+    def banded(df: DataFrame, s: String, e: String) =
+      df.where(col(s) <= col(e)).withColumn(bucket,
+        explode(sequence(floorDiv(col(s), bucketWidth),
+          floorDiv(col(e), bucketWidth))))
+    banded(left, lsCol, leCol).join(banded(right, rsCol, reCol), Seq(bucket))
+      .where(col(lsCol) <= col(reCol) && col(rsCol) <= col(leCol))
+      .where(col(bucket) === greatest(
+        floorDiv(col(lsCol), bucketWidth), floorDiv(col(rsCol), bucketWidth)))
+      .drop(bucket)
+  }
 }

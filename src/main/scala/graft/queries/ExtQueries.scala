@@ -10,7 +10,46 @@ import graft.operators.AsOf
 object ExtQueries {
 
   val all: Seq[Q] = Seq(q37, q38, q39, q40, q41, q42, q44, q48, q49, q50,
-    q52, q53, q55, q56, q57, q89)
+    q52, q53, q55, q56, q57, q89, q96)
+
+  /** Session-concurrency pairs (RangeJoin.overlapJoin): which user
+    * sessions were live at the same time — interval×interval overlap,
+    * the shape that would otherwise be a nested-loop join. Sessions
+    * come from q53's shared gap-sessionization fragment; the oracle is
+    * the naive overlap join, so hash-equality proves the bucketed
+    * exactly-once rewrite (first-shared-bucket keep rule) correct. */
+  def q96: Q = Q(
+    "q96_session_overlap",
+    Some(s"""
+      |WITH $sqlSessionCtes,
+      |sess AS (
+      |  SELECT user_id, min(t_us) AS s_us, max(t_us) + 1800000000 AS e_us
+      |  FROM g53 GROUP BY user_id, grp)
+      |SELECT a.user_id AS u1, a.s_us AS s1_us, b.user_id AS u2,
+      |       b.s_us AS s2_us,
+      |       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+      |ORDER BY u1, s1_us, u2, s2_us
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.RangeJoin
+    val sess = graft.streaming.EventStreams.sessionStats(Tables.events(s, dir))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+      .localCheckpoint(true) // feeds both overlap sides — compute once
+    val a = sess.select(col("user_id").as("u1"), col("s_us").as("s1_us"),
+      col("e_us").as("e1_us"))
+    val b = sess.select(col("user_id").as("u2"), col("s_us").as("s2_us"),
+      col("e_us").as("e2_us"))
+    RangeJoin.overlapJoin(a, "s1_us", "e1_us", b, "s2_us", "e2_us",
+        bucketWidth = 3600000000L)
+      .where(col("u1") < col("u2"))
+      .select(col("u1"), col("s1_us"), col("u2"), col("s2_us"),
+        (least(col("e1_us"), col("e2_us")) -
+          greatest(col("s1_us"), col("s2_us"))).as("overlap_us"))
+      .orderBy(col("u1"), col("s1_us"), col("u2"), col("s2_us"))
+  }
 
   /** Bucketed interval join (RangeJoin.intervalJoin): incident windows
     * (±30 min around high-value error events) × ALL events by pure time
@@ -130,26 +169,36 @@ object ExtQueries {
     * sessions only while the next event falls strictly inside
     * last + gap), and session_end = last event + gap. Microsecond longs
     * on both sides — no timestamp comparisons across engines. */
-  def q53: Q = Q(
-    "q53_session_stats",
-    Some("""
-      |WITH e AS (
+  /** Gap-based sessionization CTE chain (e53/o53/g53) — 30-minute gaps,
+    * session_end = last event + gap (Spark's built-in session_window
+    * semantics). Shared by q53 (per-session stats) and q96 (session
+    * concurrency) so the gap recipe exists once. */
+  // def, not val: `all` at the top of the object evaluates q53/q96
+  // during object init, BEFORE a later val would be assigned (the
+  // "WITH null" trap)
+  private def sqlSessionCtes: String =
+    """e53 AS (
       |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, value FROM events),
-      |o AS (
+      |o53 AS (
       |  SELECT *, lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS prev
-      |  FROM e),
-      |g AS (
+      |  FROM e53),
+      |g53 AS (
       |  SELECT *, sum(CASE WHEN prev IS NULL OR t_us - prev >= 1800000000
       |                     THEN 1 ELSE 0 END)
       |              OVER (PARTITION BY user_id ORDER BY t_us
       |                    ROWS UNBOUNDED PRECEDING) AS grp
-      |  FROM o)
+      |  FROM o53)""".stripMargin
+
+  def q53: Q = Q(
+    "q53_session_stats",
+    Some(s"""
+      |WITH $sqlSessionCtes
       |SELECT user_id,
       |       min(t_us) AS session_start_us,
       |       max(t_us) + 1800000000 AS session_end_us,
       |       count(*) AS n_events,
       |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
-      |FROM g GROUP BY user_id, grp
+      |FROM g53 GROUP BY user_id, grp
       |ORDER BY user_id, session_start_us
       |""".stripMargin)) { (s, dir) =>
     graft.streaming.EventStreams.sessionStats(Tables.events(s, dir))

@@ -39,6 +39,18 @@ class CountMinSpec extends AnyFunSuite {
     assert(est === exact)
   }
 
+  test("merge of split-corpus sketches equals the whole-corpus sketch") {
+    val (a, b) = (items.filter(col("x") <= "item4"),
+      items.filter(col("x") > "item4"))
+    val whole = CountMin.build(items, "x", depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = CountMin.merge(
+        CountMin.build(a, "x", depth = 4, width = 16),
+        CountMin.build(b, "x", depth = 4, width = 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
   test("absent items estimate zero at ample width") {
     val sketch = CountMin.build(items, "x", depth = 4, width = 65536)
     val est = CountMin.estimate(sketch,

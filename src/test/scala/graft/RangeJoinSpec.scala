@@ -49,6 +49,38 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
 
+  private lazy val leftIv = {
+    import spark.implicits._
+    Seq((1L, -30L, -10L), (2L, -5L, 5L), (3L, 0L, 0L), (4L, 9L, 8L),
+      (5L, -100L, 100L), (6L, 40L, 80L), (7L, 80L, 90L))
+      .toDF("lid", "ls", "le")
+  }
+  private lazy val rightIv = {
+    import spark.implicits._
+    Seq((11L, -12L, -11L), (12L, 5L, 9L), (13L, 0L, 0L), (14L, 3L, 2L),
+      (15L, 90L, 200L), (16L, -40L, -35L), (17L, 60L, 61L))
+      .toDF("rid", "rs", "re")
+  }
+
+  test("overlapJoin matches the naive overlap join, each pair exactly once") {
+    // empty intervals (s > e) are non-entities on both sides: the naive
+    // closed-interval formula would spuriously "overlap" them
+    val naive = leftIv.crossJoin(rightIv)
+      .where(col("ls") <= col("le") && col("rs") <= col("re") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(_.toSeq).toSeq.sorted(
+        Ordering.by((s: Seq[Any]) => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])))
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      val got = RangeJoin
+        .overlapJoin(leftIv, "ls", "le", rightIv, "rs", "re", w)
+        .select("lid", "rid").collect().map(_.toSeq).toSeq.sorted(
+          Ordering.by((s: Seq[Any]) => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])))
+      assert(got === naive, s"width $w diverged (duplicates or misses)")
+    }
+    // touching endpoints overlap (closed intervals): (2,[-5,5]) vs (12,[5,9])
+    assert(naive.contains(Seq(2L, 12L)))
+  }
+
   test("rejects overlapping column names and non-positive widths") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(facts, "t", intervals.withColumnRenamed("s", "t"),
