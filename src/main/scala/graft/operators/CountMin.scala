@@ -56,17 +56,33 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
 
   /** Point-query the sketch for every row of `queries`: attach
-    * `cms_est` = min over hash rows of the addressed counters. The
-    * sketch side broadcasts (it is ≤ depth × width rows by
-    * construction); items absent from every row estimate 0.
+    * `cms_est` = min over hash rows of the addressed counters. One
+    * broadcast left-join per hash row (the sketch is ≤ depth × width
+    * rows by construction, each row-slice smaller still), then a single
+    * `least` across the looked-up counters — no explode, no aggregation,
+    * NO shuffle: the query side never moves, so estimating stays
+    * scan-stage even when `queries` is itself corpus-sized. Row
+    * multiplicity is preserved exactly (duplicate query rows each get
+    * their own estimate — there is no groupBy to collapse them). Items
+    * absent from every hash row estimate 0.
     */
   def estimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
       depth: Int = 4, width: Int = 256): DataFrame = {
-    val q = queries
-      .select(col("*"), posexplode(array((0 until depth).map(r =>
-        bucketFor(col(itemCol), r, width)): _*)).as(Seq("row", "bucket")))
-    q.join(broadcast(sketch), Seq("row", "bucket"), "left")
-      .groupBy(queries.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    val clash = queries.columns.filter(c => c == "cms_est" ||
+      c.startsWith("__cms_"))
+    require(clash.isEmpty, s"query columns clash with estimator: ${clash.toSeq}")
+    val looked = (0 until depth).foldLeft(queries) { (df, r) =>
+      val slice = sketch.where(col("row") === r)
+        .select(col("bucket").as(s"__cms_b$r"), col("cnt").as(s"__cms_c$r"))
+      df.withColumn(s"__cms_b$r", bucketFor(col(itemCol), r, width))
+        .join(broadcast(slice), Seq(s"__cms_b$r"), "left")
+    }
+    val ests = (0 until depth).map(r => coalesce(col(s"__cms_c$r"), lit(0L)))
+    looked
+      .withColumn("cms_est",
+        if (depth == 1) ests.head else least(ests: _*))
+      .drop((0 until depth).flatMap(r =>
+        Seq(s"__cms_b$r", s"__cms_c$r")): _*)
   }
 }

@@ -29,14 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor division as integer column math: `(x - pmod(x, w)) / w`
-    * is a true floor for negative coordinates too (long `div` truncates
-    * toward zero, which would split bucket −1 across the origin), and
-    * never routes through doubles (epoch-µs values exceed 2^53-safe
-    * range arithmetic soon after multiplication).
+  /** Exact floor division as integer column math: `(x - pmod(x, w)) div w`
+    * is a true floor for negative coordinates too (long `div` alone
+    * truncates toward zero, which would split bucket −1 across the
+    * origin). The division is Catalyst's IntegralDivide — pure long
+    * arithmetic end to end. Column `/` would be Divide, which casts both
+    * longs to double: exact only below 2^53, so epoch-NANOsecond
+    * coordinates (~1.8e18) produce bucket labels that deviate from the
+    * true floor (e.g. 2026-01-01 in ns at width 3600000001 lands one
+    * bucket off). The deviation is monotone, which happens to keep the
+    * equi-join's matches intact, but exact floor labels are the contract
+    * every claim in this file (coverage, exactly-once, fan-out bounds)
+    * reasons about — so the arithmetic must be integral, not "close".
+    * Spec-pinned against BigInt floor division at ns magnitudes.
     */
-  private def floorDiv(c: org.apache.spark.sql.Column, w: Long) =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  private[graft] def floorDiv(c: org.apache.spark.sql.Column, w: Long) = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(c - pmod(c, lit(w))),
+      ColumnBridge.expression(lit(w))))
+  }
 
   /** Inner interval join: every (fact, interval) pair with
     * `interval.s <= fact.t <= interval.e` (both ends inclusive).

@@ -727,7 +727,8 @@ object CorpusQueries {
     "q92_packing_plan",
     Some(s"""
       |WITH t AS (
-      |  SELECT CAST(len(${sqlTokens("text")}) AS BIGINT) AS n FROM documents),
+      |  SELECT CAST(len(${sqlTokens("text")}) AS BIGINT) AS n FROM documents
+      |  WHERE text IS NOT NULL),
       |c AS (SELECT n, unnest([16, 32, 64, 128]) AS max_len FROM t)
       |SELECT CAST(max_len AS BIGINT) AS max_len,
       |       count(*) AS docs,
@@ -844,13 +845,21 @@ object CorpusQueries {
       |""".stripMargin)) { (s, dir) =>
     import graft.dedup.Dedup
     val docs = Tables.documents(s, dir)
+    // stage boundaries: `kept` feeds the dedup fingerprint AND the canon
+    // re-join; `base` feeds DSIR's tokenizer AND the weighted-sample
+    // join. Without the checkpoints every downstream branch re-runs the
+    // gate from the raw corpus scan — 36 scans of documents in the
+    // un-materialized physical plan; with them the corpus is read ONCE
+    // and each later stage starts from the previous stage's rows, the
+    // way a production curation pipeline materializes between stages.
     val kept = QualityRules.gopherFlags(docs, "text",
       QualityRules.GopherParams(minWords = 20, maxWords = 80,
         minMeanWordLen = 3, maxMeanWordLen = 8))
       .where(col("keep")).select("doc_id", "text", "source")
+      .localCheckpoint(true)
     val canon = Dedup.exactDedup(kept, "doc_id", "text")
       .select(col("canonical_id").as("doc_id"))
-    val base = kept.join(canon, Seq("doc_id"))
+    val base = kept.join(canon, Seq("doc_id")).localCheckpoint(true)
     val scores = Dsir.importanceScores(base, "doc_id", "text",
       targetPredicate = col("source") === "src1")
     val weighted = base.select("doc_id", "source")

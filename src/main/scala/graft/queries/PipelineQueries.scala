@@ -683,7 +683,8 @@ object PipelineQueries {
   def q63: Q = Q(
     "q63_chunk_windows",
     Some(s"""
-      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+      |           WHERE text IS NOT NULL),
       |c AS (
       |  SELECT doc_id, toks, len(toks) AS n,
       |         CASE WHEN len(toks) <= 32 THEN 1

@@ -49,14 +49,19 @@ object Mining {
     val v = vectors.select(col(idCol).as("anchor_id"), col(vecCol).as("vec"))
       .withColumn("cell",
         Similarity.hyperplaneSignature(col("vec"), cellBits, dims))
-    // same cell-kernel-per-branch trade as SemDedup.semanticDedup: the
-    // cell is a handful of planes, re-evaluating beats caching payloads
-    val b = v.select(col("anchor_id").as("pair_id"), col("vec").as("pvec"),
-      col("cell"))
-    val pairs = v.join(b,
-        v("cell") === b("cell") && col("anchor_id") =!= col("pair_id"))
-      .select(col("anchor_id"), col("pair_id"),
-        Similarity.cosine(col("vec"), col("pvec")).as("cos"))
+    // explicit side aliases: a self-join condition written with the
+    // parent frames' column refs (v("cell") === b("cell")) resolves only
+    // through Spark's dataset-id disambiguation heuristic (it logs
+    // "Constructing trivially true equals predicate" first) — the
+    // aliased form is unambiguous by construction. The cell kernel still
+    // re-evaluates once per side (same trade as SemDedup: a handful of
+    // planes, cheaper than materializing payloads)
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.anchor_id") =!= col("b.anchor_id"))
+      .select(col("a.anchor_id").as("anchor_id"),
+        col("b.anchor_id").as("pair_id"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
       .where(col("cos") >= lit(math.min(hardLo, tPos)))
       .withColumn("kind",
         when(col("cos") >= lit(tPos), lit("pos"))

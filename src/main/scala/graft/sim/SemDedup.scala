@@ -49,17 +49,19 @@ object SemDedup {
       threshold: Double,
       cellBits: Int = 6): DataFrame = {
     require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
-    // the cell kernel re-evaluates once per plan branch (a-side, b-side,
-    // survivor base) — accepted deliberately, unlike bandedBuckets'
-    // (id, sig) materialization: here the kernel is cellBits (≤ a
-    // handful) planes, ~10× cheaper than a banded signature, and the
-    // alternatives are worse at scale — materializing (id, vec, cell)
-    // caches corpus-sized payloads, while an ids-only cell table must
-    // join back on id (a shuffle that costs more than the re-eval).
-    // Scan-stage re-evaluation is the cheap axis (see hotTailJoin).
+    // stage boundary: (id, vec, cell) feeds three plan branches (a-side,
+    // b-side, survivor base). Without materialization each branch re-runs
+    // the corpus scan + cell kernel from the source — 3 corpus reads for
+    // one dedup pass, the cost axis that dominates at scale (the kernel
+    // re-eval itself is cheap; the repeated SCAN is not). localCheckpoint
+    // lands the rows once on executor-local storage; the trade is that a
+    // lost executor fails the query instead of recomputing its lineage —
+    // acceptable for a batch pass (rerun), decisive against re-reading
+    // a 100 TB corpus once per branch.
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell",
         Similarity.hyperplaneSignature(col("vec"), cellBits, dims))
+      .localCheckpoint(true)
     val losers = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold)
@@ -94,6 +96,9 @@ object SemDedup {
       threshold, dims, bands, rowsPerBand, maxBucketSize)
       .select(col("id_b").as("id"))
       .distinct()
+    // the survivor base re-reads only the id column (columnar pruning
+    // makes this scan ids-only); the vector payloads are scanned once,
+    // inside cosineNearDupPairsBanded's checkpointed input
     vectors.select(col(idCol).as("id"))
       .join(losers, Seq("id"), "left_anti")
   }

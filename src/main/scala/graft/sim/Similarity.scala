@@ -127,7 +127,11 @@ object Similarity {
       bands: Int = 15,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 4096): DataFrame = {
+    // stage boundary: (id, vec) feeds the signature build plus BOTH
+    // payload re-attaches below — checkpoint so the corpus is scanned
+    // once, not once per branch (see SemDedup.semanticDedup's rationale)
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
     val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
     val candIds = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

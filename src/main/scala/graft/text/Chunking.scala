@@ -20,11 +20,16 @@ object Chunking {
 
   /** Exploded chunk rows: (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
     * `chunk_idx` counts from 0; token index i of chunk c is c·stride + i.
+    * Null-text documents produce NO chunks (they are filtered before the
+    * fan-out — without the guard, Spark's legacy `size(null) = -1` would
+    * feed the chunk-count arithmetic garbage instead of propagating
+    * null).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val df2 = df.where(col(textCol).isNotNull)
     val toks = TextAnalysis.tokens(col(textCol))
     val n = size(toks)
     // ceil((n - chunkSize) / stride) + 1; the truncating cast equals
@@ -33,7 +38,7 @@ object Chunking {
     // so n >= 1).
     val nChunks = when(n <= chunkSize, lit(1))
       .otherwise((n - chunkSize + stride - 1).divide(lit(stride)).cast("int") + 1)
-    df.select(
+    df2.select(
       col(idCol).as("doc_id"),
       toks.as("toks"),
       explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
@@ -60,14 +65,17 @@ object Chunking {
     * fan-out (scan-stage, data-independent), then one aggregate over
     * |candidates| groups with map-side partials. All counts are exact
     * integer arithmetic; the fill fraction is a single division of two
-    * exact sums, so the report is partitioning-independent.
+    * exact sums, so the report is partitioning-independent. Null-text
+    * documents are excluded (same guard and rationale as [[chunk]] —
+    * `size(tokens(null))` is -1 under Spark's legacy sizeOfNull, which
+    * would silently poison every sum it reaches).
     */
   def planSweep(df: DataFrame, textCol: String,
       candidates: Seq[Int]): DataFrame = {
     require(candidates.nonEmpty && candidates.forall(_ >= 1),
       s"candidate lengths must be >= 1: $candidates")
     val n = size(TextAnalysis.tokens(col(textCol))).cast("long")
-    df.select(n.as("n_tokens"))
+    df.where(col(textCol).isNotNull).select(n.as("n_tokens"))
       .select(col("n_tokens"),
         explode(array(candidates.map(c => lit(c.toLong)): _*)).as("max_len"))
       .withColumn("n_chunks",

@@ -328,6 +328,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       (16L, 3L, 38L, 4L, 26L, 38.0 / 64)))
   }
 
+  test("planSweep and chunk exclude null-text docs instead of -1 garbage") {
+    // Spark's legacy sizeOfNull makes size(tokens(null)) = -1, which
+    // would feed chunk counts and padding sums garbage; the operator
+    // contract is that null-text docs contribute nothing
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val sweep = graft.text.Chunking.planSweep(docs, "text", Seq(8))
+      .select("docs", "total_tokens", "total_chunks", "total_padding")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sweep === Seq((1L, 3L, 1L, 5L)))
+    val chunks = graft.text.Chunking.chunk(docs, "doc_id", "text", 2, 2)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(chunks === Set((1L, 0, 2L), (1L, 1, 1L)))
+  }
+
   // ---- weighted sampling without replacement --------------------------
 
   private lazy val weighted = {

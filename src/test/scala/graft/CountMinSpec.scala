@@ -51,6 +51,27 @@ class CountMinSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("estimate preserves query-row multiplicity and stays shuffle-free") {
+    // checkpoint the sketch so the estimate plan is only the estimate
+    // (the build's own aggregation exchange is not under test here)
+    val sketch = CountMin.build(items, "x", depth = 4, width = 65536)
+      .localCheckpoint(true)
+    // duplicate query rows must each come back with their own estimate —
+    // an aggregating implementation would collapse them
+    val dupQueries = Seq("item1", "item1", "item2", "item1").toDF("x")
+    val est = CountMin.estimate(sketch, dupQueries, "x",
+      depth = 4, width = 65536)
+    assert(est.count() === 4L)
+    val got = est.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_ == ("item1", exact("item1"))) === 3)
+    assert(got.count(_ == ("item2", exact("item2"))) === 1)
+    // the query side never moves: broadcasts only, no shuffle exchange
+    val plan = est.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"estimate shuffled:\n$plan")
+  }
+
   test("absent items estimate zero at ample width") {
     val sketch = CountMin.build(items, "x", depth = 4, width = 65536)
     val est = CountMin.estimate(sketch,

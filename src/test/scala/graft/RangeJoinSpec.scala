@@ -81,6 +81,53 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naive.contains(Seq(2L, 12L)))
   }
 
+  test("floorDiv is exact above 2^53 (epoch-nanosecond coordinates)") {
+    // doubles hold integers exactly only below 2^53 ≈ 9.0e15. A
+    // double-routed division (Column `/` = Divide) misrounds
+    // ns-magnitude bucket labels — 2026-01-01T00:00Z in ns at width
+    // 3600000001 computes one bucket off the true floor. Pin
+    // floorDiv == BigInt floor division across magnitudes (> 2^53,
+    // negatives, zero) and odd widths, including the known-misrounding
+    // coordinates.
+    import spark.implicits._
+    val base = 1767225600L * 1000000000L // 2026-01-01 in ns ≈ 1.77e18
+    val coords = Seq(base, base - 1L, base + 1L, base + 999999999L,
+      -base, -base - 1L, 1767225600000093312L, 1767225600000000007L,
+      Long.MaxValue / 2, 0L, -1L, 12345L)
+    val widths = Seq(7L, 999L, 1000000007L, 3600000001L)
+    val df = coords.map(Tuple1(_)).toDF("c")
+    for (w <- widths) {
+      val got = df.select(col("c"), RangeJoin.floorDiv(col("c"), w).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (c <- coords) {
+        val expected = (BigInt(c) - (((BigInt(c) % w) + w) % w)) / w
+        assert(BigInt(got(c)) === expected,
+          s"floorDiv($c, $w) = ${got(c)}, want $expected")
+      }
+    }
+  }
+
+  test("ns-magnitude coordinates: join still matches the naive join") {
+    import spark.implicits._
+    val base = 1767225600L * 1000000000L
+    val pts = Seq(base - 1L, base, base + 1L, base + 999999999L,
+      base + 3600000001L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("fid", "t")
+    val ivs = Seq(
+      (1L, base - 3600000001L, base - 1L), // ends at a bucket edge
+      (2L, base, base + 3600000000L), // exactly one odd-width bucket
+      (3L, base - 5L, base + 5L) // straddles the edge
+    ).toDF("iid", "s", "e")
+    val naive = pts.crossJoin(ivs)
+      .where(col("t") >= col("s") && col("t") <= col("e"))
+      .select("fid", "iid").collect().map(_.toSeq).toSet
+    val got = RangeJoin.intervalJoin(pts, "t", ivs, "s", "e", 3600000001L)
+      .select("fid", "iid").collect().map(_.toSeq).toSet
+    assert(got === naive, "ns-scale coordinates misbucketed")
+    assert(naive.contains(Seq(0L, 1L)) && naive.contains(Seq(1L, 2L)) &&
+      naive.contains(Seq(0L, 3L)) && naive.contains(Seq(1L, 3L)))
+  }
+
   test("rejects overlapping column names and non-positive widths") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(facts, "t", intervals.withColumnRenamed("s", "t"),
