@@ -225,6 +225,65 @@ object Dedup {
       .unionByName(antiJoin(withFp.filter(coalesce(maybeSeen, lit(false)))))
   }
 
+  /** [[incrementalNew]] without the single-sketch driver-memory cap: the
+    * fingerprint space splits into `nRanges` disjoint ranges
+    * (`pmod(fp, nRanges)`), and each range runs the bloom-prefiltered
+    * anti-join as its OWN eagerly-materialized job — build range r's
+    * bloom from range r's seen fingerprints, prefilter range r's batch
+    * rows, verify the maybe-seen sliver, localCheckpoint the survivors,
+    * and release the sketch before range r+1 begins. Peak driver (and
+    * plan-closure) memory is ONE range's sketch ≈ total/nRanges, so the
+    * seen corpus can grow past the ~10^9-item single-sketch ceiling by
+    * raising nRanges; the trade is nRanges sequential jobs (each over
+    * 1/nRanges of both sides — total work unchanged). The eager
+    * checkpoint is what makes the memory claim true: a lazy union of all
+    * range plans would embed every range's bloom bits in one plan and
+    * re-create the single-sketch footprint.
+    *
+    * Exact like the parent: blooms have no false negatives, maybe-seen
+    * rows are verified, null-fp rows are new (spec-pinned parity with
+    * the plain anti-join, including across range boundaries).
+    */
+  def incrementalNewPartitioned(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seenFps: DataFrame,
+      fpCol: String = "fp",
+      fpp: Double = 0.01,
+      nRanges: Int = 4): DataFrame = {
+    require(nRanges >= 1, s"nRanges must be >= 1: $nRanges")
+    val withFp = newDocs.select(
+      col(idCol).as("doc_id"),
+      contentFingerprint(trim(col(textCol))).as("fp"))
+      .localCheckpoint(false)
+    val seen = seenFps.select(col(fpCol).as("seen_fp")).localCheckpoint(false)
+    def range(c: Column): Column = pmod(c, lit(nRanges.toLong))
+    val nullFp = withFp.filter(col("fp").isNull) // new by contract
+    val parts = (0 until nRanges).map { r =>
+      val batchR = withFp.filter(range(col("fp")) === r)
+      val seenR = seen.filter(range(col("seen_fp")) === r)
+      val nSeen = seenR.count()
+      val part =
+        if (nSeen <= 0) batchR
+        else {
+          val bloom = seenR.stat.bloomFilter("seen_fp", nSeen, fpp)
+          val bits = {
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            bos.toByteArray
+          }
+          val maybeSeen = SketchExprs.bloomMightContainLong(col("fp"), bits)
+          batchR.filter(!maybeSeen).unionByName(
+            batchR.filter(maybeSeen)
+              .join(seenR, col("fp") === col("seen_fp"), "left_anti"))
+        }
+      // eager: run range r NOW so its sketch can be released (see scaladoc)
+      part.localCheckpoint(true)
+    }
+    (parts :+ nullFp).reduce(_ unionByName _)
+  }
+
   /** Cross-corpus decontamination at NEAR-dup granularity: drop every
     * `newDocs` row whose text is a near-duplicate (exact Jaccard ≥
     * `threshold` over `n`-shingles) of ANY `oldDocs` row — deduping an

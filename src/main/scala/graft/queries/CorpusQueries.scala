@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95)
+      q90, q91, q92, q93, q94, q95, q97)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -231,12 +231,23 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Banded semantic dedup (SemDedup.semanticDedupBanded): the
-    * recall-configurable variant — 15 bands × 4 bits; drop iff a
-    * lower-id vector sharing ANY band bucket is at cos ≥ 0.4. The
+  /** Banded semantic dedup (SemDedup.semanticDedupBanded) in the regime
+    * banding is FOR — a true near-dup threshold with bands coarse enough
+    * to prune: 10 bands × 6 bits (64 buckets/band), drop iff a lower-id
+    * vector sharing ANY band bucket is at cos ≥ 0.8. At t = 0.8
+    * (p = 0.795) the 10×6 shape recovers 1 − (1 − p⁶)¹⁰ ≈ 94.5% of
+    * qualifying pairs while random non-dup pairs collide per band at
+    * only ~1/64 — the candidate set is a fraction of all-pairs, which is
+    * the entire point of banding (below the documented selectivity
+    * crossover, e.g. t = 0.4, the needed bands are so fine that
+    * candidates ≈ all pairs and the blocked exact scan wins; that regime
+    * lives in CorpusOpsSpec's crossover spec, not in the bench). The
     * oracle replays signatures, banding, the bucket cap, candidate
-    * pairs, and the keep rule — the first hash-exact CORRECTNESS row
-    * for the banded near-dup path (q31 covers banded top-k). */
+    * pairs, and the keep rule — the hash-exact CORRECTNESS row for the
+    * banded near-dup path (q31 covers banded top-k). On this synthetic
+    * corpus no pair reaches cos 0.8 (max ≈ 0.6), so the survivor set is
+    * the whole corpus — the candidate machinery is still exercised and
+    * replayed end-to-end on both engines. */
   def q81: Q = {
     Q("q81_semantic_dedup_banded",
       Some(s"""
@@ -244,8 +255,8 @@ object CorpusQueries {
         |  SELECT vec_id, embedding, ${sqlHyperplaneCell(60)} AS sig
         |  FROM embeddings),
         |banded_raw AS (
-        |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 4)) % 16 AS bucket
-        |  FROM sigs, unnest(range(0, 15)) AS u(b)),
+        |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 6)) % 64 AS bucket
+        |  FROM sigs, unnest(range(0, 10)) AS u(b)),
         |banded AS (
         |  SELECT * FROM (
         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
@@ -255,14 +266,14 @@ object CorpusQueries {
         |  SELECT DISTINCT y.vec_id
         |  FROM banded x JOIN banded y
         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
-        |  WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.4)
+        |  WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.8)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id
         |""".stripMargin)) { (s, dir) =>
       SemDedup.semanticDedupBanded(Tables.embeddings(s, dir),
-        "vec_id", "embedding", dims = 64, threshold = 0.4,
-        bands = 15, rowsPerBand = 4)
+        "vec_id", "embedding", dims = 64, threshold = 0.8,
+        bands = 10, rowsPerBand = 6)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id"))
     }
@@ -805,6 +816,68 @@ object CorpusQueries {
         .select(col("tok"), col("exact_cnt"), col("cms_est"))
         .orderBy(col("tok"))
     }
+  }
+
+  /** IVF-PQ composed ANN (ProductQuantize.ivfAdcTopKWide) — the
+    * canonical big-corpus vector-search layout: q69's deterministic
+    * hash-cell coarse quantizer prunes candidates to the query's
+    * Hamming-1 probed cells FIRST, then q72's PQ-ADC scores only those
+    * candidates from the query's distance table — no distance math on
+    * unprobed cells, no corpus float read. The oracle replays cells,
+    * probe masks, codes, distance tables, and the m-ordered ADC fold. */
+  def q97: Q = Q(
+    "q97_ivf_pq_ann",
+    Some(s"""
+      |WITH ${PipelineQueries.sqlPqPrelude},
+      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+      |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings),
+      |qc AS (SELECT vec_id AS qid, ${sqlHyperplaneCell(6)} AS qcell
+      |       FROM embeddings WHERE vec_id < 50),
+      |probes AS (
+      |  SELECT qid, xor(qcell, u.mask) AS cell
+      |  FROM qc, unnest([CAST(0 AS BIGINT), 1, 2, 4, 8, 16, 32]) AS u(mask)),
+      |qs AS (
+      |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
+      |  FROM embeddings, unnest(range(0, 8)) AS u(m)
+      |  WHERE vec_id < 50),
+      |qd AS (
+      |  SELECT qid, m, k AS code,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 9), i ->
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
+      |           (a, b) -> a + b) AS qdst
+      |  FROM qs JOIN cb USING (m)),
+      |cand AS (
+      |  SELECT p.qid, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN ccell c ON c.cell = p.cell
+      |  WHERE c.vec_id != p.qid),
+      |pairs AS (
+      |  SELECT cand.qid, cand.neighbor_id, co.m, qd.qdst
+      |  FROM cand
+      |  JOIN codes co ON co.vec_id = cand.neighbor_id
+      |  JOIN qd ON qd.qid = cand.qid AND qd.m = co.m AND qd.code = co.code),
+      |adc AS (
+      |  SELECT qid, neighbor_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(qdst ORDER BY m)), (a, b) -> a + b) AS adc_dist
+      |  FROM pairs GROUP BY qid, neighbor_id),
+      |rnk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
+      |  FROM adc)
+      |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
+      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    val emb = Tables.embeddings(s, dir)
+    val model = ProductQuantize.fit(emb, "vec_id", "embedding",
+      dims = 64, subspaces = 8, codebookSize = 16)
+    ProductQuantize.ivfAdcTopKWide(emb, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", model, k = 3, cellBits = 6, radius = 1)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
   }
 
   /** End-to-end curation capstone for the round-4 wave, as ONE

@@ -946,7 +946,7 @@ object PipelineQueries {
   /** Shared PQ oracle prelude ≙ ProductQuantize.codebooks + encode over
     * embeddings (64 dims, 8 subspaces, 16 LCG pivots): WITH-clause body
     * ending in `ranked` (argmin rows have rn = 1). */
-  private def sqlPqPrelude: String = {
+  private[queries] def sqlPqPrelude: String = {
     def sqDist(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |           list_transform(range(1, 9), i ->

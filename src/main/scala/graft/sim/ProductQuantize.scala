@@ -176,6 +176,70 @@ object ProductQuantize {
         col("vec_id").as("neighbor_id"), col("adc_dist"))
   }
 
+  /** IVF-PQ — the canonical large-corpus ANN layout, composed from the
+    * two oracle-able pieces this library already proves separately: the
+    * deterministic hash-cell coarse quantizer ([[Similarity.ivfHashTopK]]'s
+    * hyperplane cells + Hamming-radius probing) PRUNES candidates to the
+    * probed cells, then ADC over wide PQ codes ([[adcTopKWide]]) SCORES
+    * only those candidates from each query's distance table — cell-first,
+    * so no distance arithmetic ever runs on an unprobed-cell vector and
+    * no corpus float is ever read.
+    *
+    * Scale shape: the corpus side is ONE scan-stage projection emitting
+    * (id, cell, codes) — signature kernel + PQ-encode kernel, no shuffle;
+    * queries replicate `probes` times (Σ_{r≤radius} C(cellBits, r) rows,
+    * each carrying its KB-sized distance table) and broadcast. Candidate
+    * cost per query ≈ n · probes / 2^cellBits pairs, each costing
+    * `subspaces` array lookups + a fixed-order add chain. The only
+    * exchange in the plan is the final per-query top-k window. For a
+    * query side too large to broadcast, drop the hint and the cell key
+    * becomes a plain shuffled equi-join — still never all-pairs.
+    *
+    * Determinism: cells, probes, codes, and the m-ordered ADC sum all
+    * replay exactly in DuckDB (q97) — each (query, neighbor) pair meets
+    * at most once because a vector lives in exactly one cell and probe
+    * masks are distinct.
+    */
+  def ivfAdcTopKWide(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int = 3,
+      cellBits: Int = 6,
+      radius: Int = 1): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
+    val c = corpus.select(col(idCol).as("vec_id"),
+      Similarity.hyperplaneSignature(col(vecCol), cellBits, model.dims)
+        .as("cell"),
+      graft.functions.SketchExprs.pqEncode(col(vecCol), model.entries)
+        .as("codes"))
+    val q = queries.select(col(idCol).as("qid"),
+      Similarity.hyperplaneSignature(col(vecCol), cellBits, model.dims)
+        .as("qcell"),
+      graft.functions.SketchExprs.pqDistTable(col(vecCol), model.entries)
+        .as("qd"))
+    val probes = q.select(col("qid"), col("qd"),
+      explode(array(Similarity.hammingMasks(cellBits, radius).map(m =>
+        col("qcell").bitwiseXOR(lit(m))): _*)).as("cell"))
+    // Σ_m qd[m][codes[m]]: literal m-order addition chain (adcTopKWide's
+    // exact contract, same IEEE sequence as the oracle's ordered fold)
+    val adc = (0 until model.subspaces).map(m =>
+      element_at(element_at(col("qd"), m + 1),
+        element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
   /** ADC (asymmetric distance computation) top-k — retrieval where the
     * corpus exists ONLY as PQ codes: each query precomputes its distance
     * table (subspace × codebook entry → squared L2 against the query's

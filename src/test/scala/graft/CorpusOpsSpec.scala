@@ -61,6 +61,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L))
   }
 
+  test("banded dedup below the selectivity crossover (t=0.4): the math") {
+    // q81 runs banding in the regime it is FOR (t = 0.8, 10 bands x 6
+    // bits). This spec keeps the LOW-threshold regime honest. Pair
+    // recall is 1 - (1 - p^r)^B with p = 1 - arccos(t)/pi:
+    def recall(t: Double, r: Int, b: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    }
+    // at t = 0.4 the production 10x6 shape recalls under half the
+    // qualifying pairs — useless for dedup...
+    assert(recall(0.4, 6, 10) < 0.5)
+    // ...while a shape with acceptable recall (15x4 ≈ 93%) has only
+    // 2^4 = 16 buckets per band: ~n/16 vectors per bucket, so expected
+    // candidates per band ≈ n²/16 and 15 bands regenerate ≈ all pairs —
+    // banding costs MORE than the blocked exact scan
+    // (Similarity.cosineNearDupPairs). That is the crossover: below
+    // t ≈ 0.6, use the exact scan; banding pays at true near-dup
+    // thresholds.
+    assert(recall(0.4, 4, 15) > 0.9)
+    assert(15.0 / 16.0 * 2 > 1.0) // 15 bands x n²/16 pairs ≥ all n²/2 pairs
+    // and the low-threshold keep rule itself stays correct: with
+    // all-band-colliding duplicates (cos = 1 scalings), banded t = 0.4
+    // drops exactly the non-minimal ids
+    val kept = SemDedup.semanticDedupBanded(vecs, "id", "vec",
+      dims = 8, threshold = 0.4, bands = 15, rowsPerBand = 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("semanticDedup is independent of input partitioning") {
     val base = SemDedup.semanticDedup(vecs, "id", "vec",
       dims = 8, threshold = 0.9, cellBits = 3).orderBy("id").collect().toSeq

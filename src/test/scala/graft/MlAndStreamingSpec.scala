@@ -213,6 +213,64 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(sessions(1).getAs[Long]("n_events") === 1)
   }
 
+  test("session windows: stream equals batch across micro-batches (q53's face)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sf/events.parquet")))
+    val batchDf = graft.Tables.events(spark, sf)
+    val expected = EventStreams.sessionStats(batchDf)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))
+        -> (r.getLong(3), r.getDouble(4))).toMap
+    // three time-ordered files → three micro-batches, so sessions that
+    // straddle a file boundary must merge across batches (a single-file
+    // stream would never exercise the cross-batch state); ascending
+    // event-time order keeps every row inside the 2 h watermark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+    val sorted = batchDf.orderBy("ts").collect()
+    val third = (sorted.length + 2) / 3
+    import spark.implicits._
+    sorted.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_stage")
+      chunk.map(r => (r.getLong(r.fieldIndex("ts")),
+          r.getLong(r.fieldIndex("user_id")),
+          r.getString(r.fieldIndex("event_type")),
+          r.getDouble(r.fieldIndex("value"))))
+        .toSeq.toDF("ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = dir.resolve(s"part$i.parquet")
+          java.nio.file.Files.copy(p, dst)
+          // file source orders batches by modification time — pin it
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val streamDf = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = EventStreams.sessionStats(streamDf)
+      .writeStream.format("memory").queryName("sess_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("sess_stream_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))
+        -> (r.getLong(3), r.getDouble(4))).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
   test("stream-stream interval join attributes purchases to in-window clicks") {
     implicit val sc = spark.sqlContext
     val clickMem = MemoryStream[(Long, Long, String, Double)]

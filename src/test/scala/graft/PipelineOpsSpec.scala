@@ -228,6 +228,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(wideAdc === longAdc)
   }
 
+  test("IVF-PQ with full probe coverage equals plain ADC bit-for-bit") {
+    // cellBits = 1, radius = 1 probes masks {0, 1} — BOTH cells — so the
+    // coarse quantizer prunes nothing and ivfAdcTopKWide must reduce to
+    // exactly adcTopKWide: same candidates, same distances, same ranks.
+    // (Cell pruning itself — fewer candidates in unprobed cells — is
+    // oracle-verified in q69/q97.)
+    import graft.sim.ProductQuantize
+    val rnd = new scala.util.Random(31)
+    val dims = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val model = ProductQuantize.fit(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    val plain = rows(ProductQuantize.adcTopKWide(
+      ProductQuantize.encodeWide(vecs, "vec_id", "embedding", model),
+      vecs, "vec_id", "embedding", model, k = 3))
+    val ivf = rows(ProductQuantize.ivfAdcTopKWide(vecs, vecs,
+      "vec_id", "embedding", model, k = 3, cellBits = 1, radius = 1))
+    assert(ivf === plain)
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
@@ -441,6 +466,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     val all = Dedup.incrementalNew(batch, "doc_id", "text", none)
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(all === Array(10L, 11L, 12L, 13L))
+  }
+
+  test("partitioned-bloom incremental dedup: exact parity with the plain anti-join") {
+    // a bigger fixture with dups spread across fingerprint ranges, plus
+    // a null-text row (new by contract on every path)
+    val seenDocs = (1L to 40L).map(i => (i, s"seen document number $i"))
+      .toDF("doc_id", "text")
+    val seenFps = seenDocs
+      .select(Dedup.contentFingerprint(trim(col("text"))).as("fp"))
+    val batch = ((100L to 119L).map(i => (i, s"seen document number ${i - 95}")) ++ // dups of seen 5..24
+      (200L to 214L).map(i => (i, s"fresh text $i")) :+ // new
+      (300L, null.asInstanceOf[String])) // null text -> new
+      .toDF("doc_id", "text")
+    val plain = Dedup.incrementalNew(batch, "doc_id", "text", seenFps,
+      expectedItems = 0) // bloom opt-out = the oracle anti-join
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    for (nRanges <- Seq(1, 2, 7)) {
+      val part = Dedup.incrementalNewPartitioned(batch, "doc_id", "text",
+        seenFps, nRanges = nRanges)
+        .collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(part === plain, s"nRanges=$nRanges diverged from plain anti-join")
+    }
+    // sanity: the delta is exactly the fresh + null rows
+    assert(plain === ((200L to 214L) :+ 300L).sorted.toArray)
   }
 
   test("connected components: driver union-find equals the distributed fixpoint") {
