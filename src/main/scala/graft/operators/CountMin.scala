@@ -72,8 +72,12 @@ object CountMin {
     val clash = queries.columns.filter(c => c == "cms_est" ||
       c.startsWith("__cms_"))
     require(clash.isEmpty, s"query columns clash with estimator: ${clash.toSeq}")
+    // the sketch is sliced once per hash row — materialize it first so
+    // the (possibly corpus-sized) build plan behind it runs ONCE, not
+    // depth times; ≤ depth × width rows, so the checkpoint is trivial
+    val sk = sketch.localCheckpoint(true)
     val looked = (0 until depth).foldLeft(queries) { (df, r) =>
-      val slice = sketch.where(col("row") === r)
+      val slice = sk.where(col("row") === r)
         .select(col("bucket").as(s"__cms_b$r"), col("cnt").as(s"__cms_c$r"))
       df.withColumn(s"__cms_b$r", bucketFor(col(itemCol), r, width))
         .join(broadcast(slice), Seq(s"__cms_b$r"), "left")
