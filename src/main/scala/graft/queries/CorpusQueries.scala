@@ -423,13 +423,22 @@ object CorpusQueries {
     import graft.dedup.Dedup
     import graft.operators.Relational
     val docs = Tables.documents(s, dir)
+    // stage boundaries (the Dsir discipline): bf feeds the bigram-count
+    // aggregate AND both hotTailJoins' fact branches; c2/c1 each feed
+    // three dim branches. Checkpointing the three count tables means the
+    // corpus text is shingled/tokenized exactly twice (bigrams +
+    // unigrams) instead of once per branch — the unmaterialized physical
+    // plan scanned documents 15 times
     val bf = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("bf"))
       .withColumn("w", element_at(split(col("g"), " "), 1))
+      .localCheckpoint(true)
     val c2 = bf.groupBy(col("g")).agg(sum(col("bf")).as("c2"))
+      .localCheckpoint(true)
     val c1 = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val perDoc = Relational.hotTailJoin(
         Relational.hotTailJoin(bf, c2, "g", "c2", hotN = 1024),
         c1, "w", "c1", hotN = 1024)

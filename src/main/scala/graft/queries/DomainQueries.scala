@@ -164,9 +164,11 @@ object DomainQueries {
       |ORDER BY g.Season, g.TeamID
       |""".stripMargin)) { (s, dir) =>
     val g = games(s, dir)
+    // stage boundary: the per-team stats aggregate is the broadcast dim —
+    // checkpoint it so its games scan + aggregation runs once
     Sos.build(
       LongGames.build(g),
-      TeamSeasonStats.build(g),
+      TeamSeasonStats.build(g).localCheckpoint(true),
       Seq("SosOppWinRate" -> "WinRate", "SosOppAvgPointDiff" -> "AvgPointDiff"))
       .orderBy(col("Season"), col("TeamID"))
   }
@@ -288,8 +290,12 @@ object DomainQueries {
       |ORDER BY m.Season, m.GameId, m.label
       |""".stripMargin)) { (s, dir) =>
     val g = games(s, dir)
+    // stage boundary: the per-(Season, TeamID) stats table is a small
+    // aggregate read by BOTH broadcast attach sides — checkpoint it so
+    // the games scan + aggregation behind it runs once, not per side
     val stats = TeamSeasonStats.build(g)
       .select("Season", "TeamID", "WinRate", "AvgPointDiff")
+      .localCheckpoint(true)
     val attached = Matchups.attachFeatures(
       Matchups.buildLabeled(g), stats, diffCols = Seq("WinRate", "AvgPointDiff"))
     Matchups.dropIncomplete(attached, Seq("WinRateDiff", "AvgPointDiffDiff"))

@@ -108,11 +108,17 @@ object PipelineQueries {
       |ORDER BY doc_id, trank
       |""".stripMargin)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
+    // stage boundary: every downstream table (doc lengths, document
+    // frequencies, the scored join's fact side) is derivable from the
+    // per-doc term frequencies — checkpoint tf once and derive the rest
+    // (dl = Σ cnt per doc; dfreq = tf rows per token), so the corpus is
+    // tokenized once instead of once per branch (was 4 scans)
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val doclen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("dfreq"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val doclen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
     // N rides the plan as a broadcast 1-row aggregate (same shape as the
     // oracle's CROSS JOIN n) — no separate driver count() job, and the
     // plan re-optimizes with the real N under AQE instead of a baked
@@ -834,11 +840,16 @@ object PipelineQueries {
     // shrinks from total-tokens rows to distinct (doc, tok) rows with
     // map-side combine, and the corpus counts derive from tf instead of a
     // second token pass — sum(tf·s)/sum(tf) is integer-exact and equal to
-    // the per-token-row mean
+    // the per-token-row mean. Stage boundaries (the Dsir discipline): tf
+    // feeds the vocab count AND hotTailJoin's two fact branches, cnt
+    // feeds its three dim branches — checkpoint both so the corpus is
+    // tokenized once (was 6 scans of documents in the physical plan)
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+      .localCheckpoint(true)
     val total = cnt.agg(sum(col("c")).as("total"))
     graft.operators.Relational.hotTailJoin(tf, cnt, "tok", "c", hotN = 1024)
       .crossJoin(broadcast(total))

@@ -364,7 +364,11 @@ object Similarity {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       maxBucketSize: Int = 128): DataFrame = {
+    // stage boundary: (id, vec) feeds the signature build plus both
+    // payload re-attaches — checkpoint so the corpus is scanned once
+    // (see cosineNearDupPairsBanded)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
     val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
     // ids-only through the bucket join + distinct; vectors re-attached after
     val candIds = banded.as("x").join(banded.as("y"),

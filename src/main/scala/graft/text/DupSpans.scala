@@ -41,11 +41,19 @@ object DupSpans {
       textCol: String,
       n: Int = 3,
       hotN: Int = 1024): DataFrame = {
+    // stage boundaries: sh feeds the corpus-wide count AND hotTailJoin's
+    // two fact branches; the duplicated-shingle dim feeds its three dim
+    // branches. Checkpointing both means the corpus is shingled exactly
+    // once (the unmaterialized plan re-ran the scan per branch — 6
+    // documents scans); the dim is duplicate shingles only, far smaller
+    // than the vocabulary.
     val sh = docs.select(col(idCol).as("doc_id"),
         posexplode(Dedup.shingles(col(textCol), n)).as(Seq("spos", "g")))
+      .localCheckpoint(true)
     val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val dupDim = cnt.filter(col("c") >= 2).localCheckpoint(true)
     val dup = Relational.hotTailJoin(
-      sh, cnt.filter(col("c") >= 2), key = "g", weight = "c", hotN = hotN)
+      sh, dupDim, key = "g", weight = "c", hotN = hotN)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("spos"))
     val contrib = coalesce(
       least(lit(n), col("spos") - lag(col("spos"), 1).over(w)), lit(n))
@@ -92,14 +100,21 @@ object DupSpans {
       textCol: String,
       n: Int = 3,
       hotN: Int = 1024): DataFrame = {
+    // stage boundaries, as in [[coverage]]: toks feeds the shingle
+    // fan-out, the positioned-token side, and the totals; the
+    // duplicated-shingle dim feeds hotTailJoin's three dim branches.
+    // Re-exploding from the checkpointed toks is the cheap axis; the
+    // corpus text itself is read once.
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"),
       Dedup.shingles(col(textCol), n).as("shl"))
+      .localCheckpoint(true)
     val sh = toks.select(col("doc_id"),
       posexplode(col("shl")).as(Seq("spos", "g")))
     val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val dupStarts = Relational.hotTailJoin(
-      sh, cnt.filter(col("c") >= 2), key = "g", weight = "c", hotN = hotN)
+      sh, cnt.filter(col("c") >= 2).localCheckpoint(true),
+      key = "g", weight = "c", hotN = hotN)
     val covered = dupStarts
       .select(col("doc_id"),
         explode(sequence(col("spos"), col("spos") + (n - 1))).as("tpos"))
