@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95, q97)
+      q90, q91, q92, q93, q94, q95, q97, q98)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -887,6 +887,64 @@ object CorpusQueries {
       "vec_id", "embedding", model, k = 3, cellBits = 6, radius = 1)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
+  /** BM25 retrieval (text.Bm25.topK): more-like-this over the documents
+    * table — each query doc's distinct tokens retrieve the top-5
+    * other docs by the standard BM25 ranking function (k1 = 1.2,
+    * b = 0.75). idf crosses ln, whose last ulp is NOT cross-engine
+    * portable (JVM intrinsic vs libm — measured on this corpus), so
+    * each per-term contribution is quantized to DECIMAL(18,9) and the
+    * cross-term sum is an exact decimal sum (NOTES rule 4) — the oracle
+    * then replays every score bit-for-bit. The exact float constants
+    * (k1+1 etc.) are interpolated from the same Scala values the
+    * operator uses — shortest-decimal round-trip, the q66/q74
+    * precedent. */
+  def q98: Q = {
+    val k1 = 1.2
+    val b = 0.75
+    Q("q98_bm25_topk",
+      Some(s"""
+        |WITH toks98 AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+        |tf98 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks98 GROUP BY 1, 2),
+        |dl98 AS (SELECT doc_id, sum(tf) AS dl FROM tf98 GROUP BY 1),
+        |st98 AS (SELECT count(*) AS n, sum(dl) AS total FROM dl98),
+        |df98 AS (SELECT term, count(*) AS df FROM tf98 GROUP BY 1),
+        |qt98 AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM toks98
+        |  WHERE doc_id < 20),
+        |pairs AS (
+        |  SELECT qt98.query_id, tf98.doc_id, tf98.term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+        |                   / (CAST(df AS DOUBLE) + 0.5))
+        |         * ((CAST(tf AS DOUBLE) * ${k1 + 1.0})
+        |            / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+        |               (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / n)))))
+        |           AS contrib
+        |  FROM qt98
+        |  JOIN tf98 USING (term)
+        |  JOIN df98 USING (term)
+        |  JOIN dl98 ON dl98.doc_id = tf98.doc_id
+        |  CROSS JOIN st98
+        |  WHERE tf98.doc_id != qt98.query_id),
+        |scores AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE) AS score
+        |  FROM pairs GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |  FROM scores)
+        |SELECT query_id, rk, doc_id, score FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk
+        |""".stripMargin)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.Bm25.topK(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", k = 5, k1 = k1, b = b, excludeSelf = true)
+        .orderBy(col("query_id"), col("rk"))
+    }
   }
 
   /** End-to-end curation capstone for the round-4 wave, as ONE

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 text retrieval (Robertson & Zaragoza 2009, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond") as a relational operator — the
+  * inverted-index ranking function every search engine runs, expressed
+  * as the three dataflow stages a distributed engine wants:
+  *
+  *   1. postings: per-doc term frequencies, pre-aggregated BEFORE any
+  *      join (one row per distinct (doc, term) — the q67 discipline);
+  *   2. term statistics: document frequency → IDF per term (vocab-sized)
+  *      and the one-row (N, total-length) corpus aggregate;
+  *   3. scoring: query terms join the postings on the term key, each
+  *      (query, doc, term) contributes idf·(tf·(k1+1))/(tf + k1·(1−b +
+  *      b·dl/avgdl)), and the per-(query, doc) sum folds in TERM ORDER.
+  *
+  * Scale shape: postings and the IDF dim are eager localCheckpoints
+  * (multiply-referenced stage boundaries — the corpus is tokenized
+  * exactly once); the query-term set is small and broadcasts, so the
+  * postings table never shuffles for the match join; the per-(query,
+  * doc) aggregation is the one wide exchange; top-k rides the native
+  * [[graft.plans.GroupedTopK]] operator (bounded heap per query, no
+  * full sort). Nothing corpus-sized is ever broadcast or collected.
+  *
+  * Determinism: idf and the tf fraction are fixed IEEE expression
+  * trees, but idf crosses a transcendental (ln) whose last ulp is NOT
+  * portable across engines (JVM intrinsic vs libm disagree on ~1 in 6
+  * of this corpus's inputs — measured, not hypothetical). So each
+  * per-term contribution is quantized to DECIMAL(18,9) — seven decimal
+  * digits of slack above the 1-ulp disagreement — and the cross-term
+  * sum is an exact decimal sum: order-independent on any partitioning
+  * and bit-identical across engines (the established rule for sums of
+  * transcendental outputs; see q36/NOTES). The DuckDB oracle replays
+  * scores exactly (q98).
+  */
+object Bm25 {
+
+  /** Top-k corpus docs per query doc, scored by BM25 over whitespace
+    * tokens. `queries` needs (`idCol`, `textCol`) like `corpus`; query
+    * term sets are DISTINCT tokens (binary query weights — the common
+    * retrieval form). Output: (query_id, rk, doc_id, score), rank 1 =
+    * best, ties broken by doc id.
+    *
+    * @param excludeSelf drop corpus docs whose id equals the query id
+    *                    (for more-like-this over the same table)
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1, s"bad params k=$k k1=$k1 b=$b")
+    // stage boundary: postings feed doc lengths, document frequencies,
+    // the corpus aggregate AND the match join — one tokenization pass
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val qt = queries.select(col(idCol).as("query_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    // idf and the length norm are fixed expression trees — the oracle
+    // replays this exact op order
+    val idf = log(lit(1.0) +
+      ((col("n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val avgdl = col("total").cast("double") / col("n")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) *
+      (col("dl").cast("double") / avgdl))
+    val contrib = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + norm))
+    val matched = tf
+      .join(broadcast(qt), Seq("term"))
+    val pairs = (if (excludeSelf)
+        matched.where(col("doc_id") =!= col("query_id"))
+      else matched)
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        contrib.as("contrib"))
+    // quantize each contribution, then sum EXACTLY: decimal sums are
+    // associative, so the score is partition-order-independent and the
+    // non-portable last ulp of ln never reaches the comparison
+    val scores = pairs
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+        .cast("double").as("score"))
+    val top = graft.plans.GroupedTopK.topKPerKey(scores,
+      keyCols = Seq("query_id"),
+      order = Seq("score" -> false, "doc_id" -> true),
+      k = k)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    top
+      .withColumn("rk", row_number().over(w))
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+  }
+}

@@ -373,6 +373,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(chunks === Set((1L, 0, 2L), (1L, 1, 1L)))
   }
 
+  // ---- BM25 retrieval -------------------------------------------------
+
+  test("BM25 matches a driver-side reference; rarer terms score higher") {
+    import graft.text.Bm25
+    val docs = Seq(
+      (1L, "spark shuffle join"),
+      (2L, "spark spark spark broadcast"),
+      (3L, "shuffle partition skew salt"),
+      (4L, "join join shuffle spark"),
+      (5L, "rareword spark")).toDF("doc_id", "text")
+    val got = Bm25.topK(docs, docs.filter(col("doc_id") === 1L),
+        "doc_id", "text", k = 4, excludeSelf = true)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // driver reference: same formula, same DECIMAL(18,9) quantization
+    val corpus = Map(
+      1L -> Seq("spark", "shuffle", "join"),
+      2L -> Seq("spark", "spark", "spark", "broadcast"),
+      3L -> Seq("shuffle", "partition", "skew", "salt"),
+      4L -> Seq("join", "join", "shuffle", "spark"),
+      5L -> Seq("rareword", "spark"))
+    val n = corpus.size
+    val total = corpus.values.map(_.size).sum
+    val avgdl = total.toDouble / n
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val queryTerms = corpus(1L).distinct
+    val expected = corpus.filter(_._1 != 1L).map { case (d, toks) =>
+      val score = queryTerms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None else {
+          val df = dfm(t)
+          val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+          val norm = 1.2 * (0.25 + 0.75 * (toks.size.toDouble / avgdl))
+          Some(q9(idf * ((tf.toDouble * 2.2) / (tf.toDouble + norm))))
+        }
+      }.sum
+      d -> score.toDouble
+    }
+    val ranked = expected.toSeq.sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, s), i) => (i + 1, d, s) }
+    assert(got.toSeq === ranked)
+    // the doc containing the corpus-rare query term outranks one that
+    // merely repeats a common term
+    val rare = Bm25.topK(docs, docs.filter(col("doc_id") === 5L),
+        "doc_id", "text", k = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(rare.nonEmpty) // 'rareword' matches nothing else; spark does
+    // self-exclusion: no query doc in its own results
+    assert(!got.exists(_._2 == 1L))
+  }
+
   // ---- weighted sampling without replacement --------------------------
 
   private lazy val weighted = {
