@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95, q97, q98)
+      q90, q91, q92, q93, q94, q95, q97, q98, q99)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -944,6 +944,60 @@ object CorpusQueries {
       graft.text.Bm25.topK(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", k = 5, k1 = k1, b = b, excludeSelf = true)
         .orderBy(col("query_id"), col("rk"))
+    }
+  }
+
+  /** TextRank keywords (text.TextRank.keywords): damped PageRank over
+    * the symmetrized token co-occurrence graph, 5 power-iteration
+    * rounds, top-30 tokens. Ranks are SCALED INTEGERS (q67's trick on
+    * power iteration: teleport (3·1e9) div (20·N), damped contribution
+    * (17·((w·r) div W)) div 20), so the whole ITERATION — not just the
+    * ranking — is integer-exact and the oracle replays all five rounds
+    * as unrolled CTEs, where float PageRank could never hash-compare. */
+  def q99: Q = {
+    val iters = 5
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         sum((17 * ((e.w * r.rank) // outw.wout)) // 20) AS s
+         |  FROM e JOIN outw USING (src) JOIN r${i - 1} r ON r.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         ((3 * CAST(1000000000 AS BIGINT)) // (20 * n))
+         |           + coalesce(s, 0) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q("q99_textrank_keywords",
+      Some(s"""
+        |WITH t AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(
+        |           range(1, greatest(len(toks) - 1, 0) + 1),
+        |           i -> {'a': toks[i], 'b': toks[i+1]})) AS u
+        |  FROM t),
+        |p AS (SELECT u.a AS a, u.b AS b FROM bg WHERE u.a != u.b),
+        |e0 AS (SELECT a, b, count(*) AS c FROM p GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, sum(c) AS w FROM (
+        |    SELECT a AS src, b AS dst, c FROM e0
+        |    UNION ALL SELECT b, a, c FROM e0)
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (
+        |  SELECT node, (1000000000 // n) AS rank
+        |  FROM nodes CROSS JOIN nn),
+        |$iterCtes
+        |SELECT node AS token, rank FROM r$iters
+        |ORDER BY rank DESC, token LIMIT 30
+        |""".stripMargin)) { (s, dir) =>
+      graft.text.TextRank.keywords(Tables.documents(s, dir), "text",
+        iterations = iters, k = 30)
+        .select(col("node").as("token"), col("rank"))
+        .orderBy(col("rank").desc, col("token"))
     }
   }
 

@@ -426,6 +426,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 1L))
   }
 
+  // ---- TextRank / integer PageRank -------------------------------------
+
+  test("pageRank: integer-exact vs driver power iteration; hub ranks first") {
+    import graft.text.TextRank
+    // star (hub-x/y/z) plus a 2-chain (p-q), symmetrized
+    val raw = Seq(("hub", "x", 3L), ("hub", "y", 2L), ("hub", "z", 1L),
+      ("p", "q", 5L))
+    val edges = (raw ++ raw.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "w")
+    val got = TextRank.pageRank(edges, "src", "dst", "w", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side replication of the exact floor arithmetic
+    val adj = (raw ++ raw.map(e => (e._2, e._1, e._3)))
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val wout = adj.view.mapValues(_.map(_._2).sum).toMap
+    val nodes = adj.keySet
+    val n = nodes.size
+    val scale = 1000000000L
+    val base = (3L * scale) / (20L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 4) {
+      val recv = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((u, outs) <- adj; (v, w) <- outs)
+        recv(v) += (17L * ((w * r(u)) / wout(u))) / 20L
+      r = nodes.map(v => v -> (base + recv(v))).toMap
+    }
+    assert(got === r)
+    // the hub receives from three neighbors; chain nodes from one
+    assert(got("hub") > got("x") && got("hub") > got("p"))
+    // partitioning independence is trivial for integer math — pin it
+    val shuffled = TextRank.pageRank(edges.repartition(7), "src", "dst", "w",
+      iterations = 4).collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(shuffled === got)
+  }
+
   // ---- weighted sampling without replacement --------------------------
 
   private lazy val weighted = {
