@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95, q97, q98, q99)
+      q90, q91, q92, q93, q94, q95, q97, q98, q99, q100)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -998,6 +998,45 @@ object CorpusQueries {
         iterations = iters, k = 30)
         .select(col("node").as("token"), col("rank"))
         .orderBy(col("rank").desc, col("token"))
+    }
+  }
+
+  /** Histogram quantile sketch (operators/HistogramSketch): per-source
+    * p50/p90/p99 of document length in |sources| × |boundaries|
+    * integers of state — the bounded-memory distribution profile
+    * (where to put a length cutoff) that Spark's approx_percentile
+    * cannot oracle-check (its sketch merge is partitioning-dependent).
+    * Fixed power-of-2 boundaries make the histogram a plain grouped
+    * count and the quantile pick pure integer arithmetic — hash-exact. */
+  def q100: Q = {
+    val bounds = 0L +: (0 to 20).map(1L << _)
+    val permille = Seq(500, 900, 990)
+    val caseChain = bounds.map(b =>
+      s"CASE WHEN n_chars >= $b THEN 1 ELSE 0 END").mkString(" + ")
+    val bArr = bounds.mkString("[", ", ", "]")
+    Q("q100_length_quantile_sketch",
+      Some(s"""
+        |WITH h AS (
+        |  SELECT source, ($caseChain) - 1 AS bucket FROM documents),
+        |hist AS (SELECT source, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |         sum(cnt) OVER (PARTITION BY source) AS n
+        |  FROM hist),
+        |${permille.map(p => s"""p$p AS (
+        |  SELECT source, CAST($p AS INTEGER) AS permille,
+        |         CAST(n AS BIGINT) AS n_rows,
+        |         CAST(list_extract($bArr, min(bucket) + 1) AS BIGINT) AS est
+        |  FROM cum WHERE cum * 1000 >= n * $p GROUP BY source, n)""")
+          .mkString(",\n")}
+        |SELECT * FROM p500 UNION ALL SELECT * FROM p900
+        |UNION ALL SELECT * FROM p990
+        |ORDER BY source, permille
+        |""".stripMargin)) { (s, dir) =>
+      graft.operators.HistogramSketch.quantiles(
+        Tables.documents(s, dir), "n_chars", Seq("source"),
+        boundaries = bounds, permille = permille)
+        .orderBy(col("source"), col("permille"))
     }
   }
 

@@ -426,6 +426,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 1L))
   }
 
+  // ---- histogram quantile sketch ----------------------------------------
+
+  test("HistogramSketch: est is the exact quantile's bucket floor") {
+    import graft.operators.HistogramSketch
+    // group A: values 1..100 -> p50 exact = 50 (bucket [32,64) -> est 32),
+    // p90 = 90 -> bucket [64,128) -> est 64; group B: constant 7 -> est 4
+    val rows = (1L to 100L).map(v => ("A", v)) ++ Seq.fill(10)(("B", 7L))
+    val df = rows.toDF("grp", "v")
+    val bounds = 0L +: (0 to 10).map(1L << _)
+    val got = HistogramSketch.quantiles(df, "v", Seq("grp"),
+        boundaries = bounds, permille = Seq(500, 900))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("A", 500)) === ((100L, 32L)))
+    assert(got(("A", 900)) === ((100L, 64L)))
+    assert(got(("B", 500)) === ((10L, 4L)))
+    assert(got(("B", 900)) === ((10L, 4L)))
+    // partitioning independence (exact integer counts)
+    val shuffled = HistogramSketch.quantiles(df.repartition(7), "v",
+        Seq("grp"), boundaries = bounds, permille = Seq(500, 900))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(shuffled === got)
+    intercept[IllegalArgumentException] {
+      HistogramSketch.quantiles(df, "v", Seq("grp"), Seq(4L, 2L), Seq(500))
+    }
+    intercept[IllegalArgumentException] {
+      HistogramSketch.quantiles(df, "v", Seq("grp"), bounds, Seq(0))
+    }
+  }
+
   // ---- TextRank / integer PageRank -------------------------------------
 
   test("pageRank: integer-exact vs driver power iteration; hub ranks first") {
