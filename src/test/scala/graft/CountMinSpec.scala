@@ -72,6 +72,45 @@ class CountMinSpec extends AnyFunSuite {
       s"estimate shuffled:\n$plan")
   }
 
+  test("streaming build over micro-batches equals the batch sketch") {
+    // the sketch build is a plain grouped count, so it is ALSO a valid
+    // incremental streaming aggregate (linearity made operational):
+    // stream the items in two files/micro-batches, complete mode, and
+    // the final sketch must equal the one-shot batch build
+    val expected = CountMin.build(items, "x", depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_src")
+    val rows = items.collect().map(_.getString(0))
+    rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cms_stage")
+      chunk.toSeq.toDF("x").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = CountMin.build(stream, "x", depth = 4, width = 16)
+      .writeStream.format("memory").queryName("cms_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("cms_stream_test")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(got === expected)
+  }
+
   test("absent items estimate zero at ample width") {
     val sketch = CountMin.build(items, "x", depth = 4, width = 65536)
     val est = CountMin.estimate(sketch,
