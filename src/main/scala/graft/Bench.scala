@@ -35,14 +35,16 @@ object Bench {
     // so pass 2 pays the same cold-cache costs as pass 1 (it is a repeat
     // measurement, not a warm rerun).
     def runPass(passErrors: scala.collection.mutable.ListBuffer[String])
-        : Seq[(String, Double)] =
+        : Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            passErrors += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              passErrors += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         // cache hygiene OUTSIDE the timed window: ~90 queries share one
         // 8g JVM, and localCheckpoint'd profile tables otherwise pile up
@@ -54,16 +56,25 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        name -> t
+        (name, t, ok)
       }
     val errs1 = scala.collection.mutable.ListBuffer.empty[String]
     val errs2 = scala.collection.mutable.ListBuffer.empty[String]
     val pass1 = runPass(errs1)
     val pass2 = runPass(errs2)
-    val p2 = pass2.toMap
-    val results = pass1.map { case (n, t) => n -> math.min(t, p2(n)) }
-    // a query is an error only if BOTH passes failed (a one-pass failure
-    // under memory/box pressure still reports its surviving timing)
+    val p2 = pass2.map(r => r._1 -> r).toMap
+    // min over SUCCESSFUL timings only: a fast failure must not mask the
+    // surviving pass's real duration. A query is an error only if BOTH
+    // passes failed (then the min of the failure durations is reported,
+    // correlatable with the error key).
+    val results = pass1.map { case (n, t1, ok1) =>
+      val (_, t2, ok2) = p2(n)
+      n -> ((ok1, ok2) match {
+        case (true, false) => t1
+        case (false, true) => t2
+        case _ => math.min(t1, t2)
+      })
+    }
     val errors = errs1.toSet.intersect(errs2.toSet).toSeq.sorted
     // capture hygiene: the driver keeps only the LAST ~2000 chars of
     // output (BENCH_r02's line was ~3.4 KB and lost q01-q10's head), so
@@ -84,10 +95,13 @@ object Bench {
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson$extra,"sf":"$sfDir"}"""
     }
-    // bench_full.json additionally records both raw passes so a min that
-    // hid a one-pass spike stays diagnosable
-    def passJson(p: Seq[(String, Double)]): String =
-      p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // bench_full.json additionally records both raw passes (failed
+    // attempts marked) so a min that hid a one-pass spike or failure
+    // stays diagnosable
+    def passJson(p: Seq[(String, Double, Boolean)]): String =
+      p.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) v.toString else "\"FAIL:" + v + "\"")
+      }.mkString("{", ",", "}")
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       json(identity, _.toString,

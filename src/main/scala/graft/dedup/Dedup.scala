@@ -211,6 +211,23 @@ object Dedup {
     if (expectedItems == 0) return antiJoin(withFp) // explicit bloom opt-out
     val nSeen = if (expectedItems > 0) expectedItems else seen.count()
     if (nSeen <= 0) return withFp
+    bloomPrefilteredNew(withFp, seen, nSeen, fpp)
+  }
+
+  /** The bloom-prefiltered verified anti-join shared by
+    * [[incrementalNew]] and [[incrementalNewPartitioned]]: build a
+    * bloom over `seen` (`seen_fp`), route definitely-new `batch` rows
+    * (`fp`) past the shuffle, verify the maybe-seen sliver exactly.
+    * Null fingerprints (null text) must behave exactly like the plain
+    * anti-join: null === seen_fp never matches, so null-fp rows are NEW
+    * — routed down the definitely-new branch, not into oblivion.
+    * `nSeen` must be the (estimated) seen count, > 0.
+    */
+  private def bloomPrefilteredNew(
+      batch: DataFrame,
+      seen: DataFrame,
+      nSeen: Long,
+      fpp: Double): DataFrame = {
     val bloom = seen.stat.bloomFilter("seen_fp", nSeen, fpp)
     val bits = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -218,11 +235,9 @@ object Dedup {
       bos.toByteArray
     }
     val maybeSeen = SketchExprs.bloomMightContainLong(col("fp"), bits)
-    // null fingerprints (null text) must behave exactly like the plain
-    // anti-join: null === seen_fp never matches, so null-fp rows are NEW
-    // — route them down the definitely-new branch, not into oblivion
-    withFp.filter(coalesce(!maybeSeen, lit(true)))
-      .unionByName(antiJoin(withFp.filter(coalesce(maybeSeen, lit(false)))))
+    batch.filter(coalesce(!maybeSeen, lit(true)))
+      .unionByName(batch.filter(coalesce(maybeSeen, lit(false)))
+        .join(seen, col("fp") === col("seen_fp"), "left_anti"))
   }
 
   /** [[incrementalNew]] without the single-sketch driver-memory cap: the
@@ -266,18 +281,7 @@ object Dedup {
       val nSeen = seenR.count()
       val part =
         if (nSeen <= 0) batchR
-        else {
-          val bloom = seenR.stat.bloomFilter("seen_fp", nSeen, fpp)
-          val bits = {
-            val bos = new java.io.ByteArrayOutputStream()
-            bloom.writeTo(bos)
-            bos.toByteArray
-          }
-          val maybeSeen = SketchExprs.bloomMightContainLong(col("fp"), bits)
-          batchR.filter(!maybeSeen).unionByName(
-            batchR.filter(maybeSeen)
-              .join(seenR, col("fp") === col("seen_fp"), "left_anti"))
-        }
+        else bloomPrefilteredNew(batchR, seenR, nSeen, fpp)
       // eager: run range r NOW so its sketch can be released (see scaladoc)
       part.localCheckpoint(true)
     }

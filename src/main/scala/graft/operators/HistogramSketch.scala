@@ -27,8 +27,10 @@ object HistogramSketch {
 
   /** Per-group permille-quantile estimates of a non-negative integral
     * `valueCol`. `boundaries` must be sorted ascending and start at the
-    * minimum possible value (rows below boundaries.head would land in
-    * bucket −1 and are rejected); `permille` in (0, 1000].
+    * minimum possible value — a row below boundaries.head, or a null
+    * value, fails the query with a raise_error naming the offending
+    * value (silent mis-bucketing would shift every estimate);
+    * `permille` in (0, 1000].
     *
     * Output: group cols + (permille, n_rows, est) where est is the
     * smallest boundary b_i with |{v : v < next boundary}| ≥ ⌈n·p/1000⌉ —
@@ -45,9 +47,18 @@ object HistogramSketch {
     require(permille.nonEmpty && permille.forall(p => p > 0 && p <= 1000),
       s"permille out of (0, 1000]: $permille")
     val v = col(valueCol)
-    // bucket = (#boundaries <= v) - 1: a literal comparison chain
-    val bucket = boundaries.map(b => when(v >= lit(b), 1).otherwise(0))
+    // bucket = (#boundaries <= v) - 1: a literal comparison chain.
+    // Rows BELOW boundaries.head (or null) violate the documented
+    // contract and would land in bucket -1, silently shifting every
+    // cumulative count — reject them LOUDLY at scan time instead
+    // (raise_error evaluates only on the violating branch).
+    val chain = boundaries.map(b => when(v >= lit(b), 1).otherwise(0))
       .reduce(_ + _) - lit(1)
+    val bucket = when(v >= lit(boundaries.head), chain)
+      .otherwise(raise_error(concat(
+        lit(s"HistogramSketch: $valueCol below boundaries.head " +
+          s"(${boundaries.head}) or null: "),
+        coalesce(v.cast("string"), lit("null")))).cast("int"))
     val gcols = groupCols.map(col)
     val hist = df
       .select(gcols :+ bucket.as("__bucket"): _*)

@@ -15,7 +15,7 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95, q97, q98, q99, q100)
+      q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -1037,6 +1037,58 @@ object CorpusQueries {
         Tables.documents(s, dir), "n_chars", Seq("source"),
         boundaries = bounds, permille = permille)
         .orderBy(col("source"), col("permille"))
+    }
+  }
+
+  /** Banded semantic dedup with GUARANTEED drops in the correctness
+    * gate: the corpus is augmented with ×2-scaled copies of the first
+    * 30 vectors (positive scaling preserves every hyperplane sign, so
+    * a copy shares ALL band buckets with its original and sits at
+    * cosine ≈ 1 — it MUST drop under any correct keep rule, whatever
+    * the plane geometry). q81 runs the production regime where this
+    * corpus yields no qualifying pairs; THIS row proves the drop path
+    * itself cross-engine — the oracle replays the augmented corpus,
+    * signatures, banding, cap, exact cosine, and the lower-id keep
+    * rule, and must agree on exactly which 30 rows disappear. */
+  def q101: Q = {
+    Q("q101_banded_dedup_drops",
+      Some(s"""
+        |WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding,
+        |           x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 30),
+        |sigs AS (
+        |  SELECT vec_id, embedding, ${sqlHyperplaneCell(60)} AS sig
+        |  FROM allv),
+        |banded_raw AS (
+        |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 6)) % 64 AS bucket
+        |  FROM sigs, unnest(range(0, 10)) AS u(b)),
+        |banded AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        |    FROM banded_raw)
+        |  WHERE bsz <= 4096),
+        |losers AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.9)
+        |SELECT vec_id FROM allv
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id
+        |""".stripMargin)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      SemDedup.semanticDedupBanded(emb.unionByName(copies),
+        "vec_id", "embedding", dims = 64, threshold = 0.9,
+        bands = 10, rowsPerBand = 6)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
     }
   }
 

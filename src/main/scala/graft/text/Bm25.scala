@@ -70,6 +70,13 @@ object Bm25 {
     val qt = queries.select(col(idCol).as("query_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .distinct()
+      .localCheckpoint(true)
+    // restrict the document-frequency dim to the QUERY vocabulary before
+    // broadcasting: the corpus vocabulary is corpus-scale (millions of
+    // noise tokens) and must never ship whole — the broadcast below is
+    // query-vocabulary-sized by construction
+    val dfq = df.join(broadcast(qt.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
     // idf and the length norm are fixed expression trees — the oracle
     // replays this exact op order
     val idf = log(lit(1.0) +
@@ -85,7 +92,7 @@ object Bm25 {
     val pairs = (if (excludeSelf)
         matched.where(col("doc_id") =!= col("query_id"))
       else matched)
-      .join(broadcast(df), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),

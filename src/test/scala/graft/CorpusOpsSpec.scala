@@ -455,6 +455,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HistogramSketch.quantiles(df, "v", Seq("grp"), bounds, Seq(0))
     }
+    // a value below boundaries.head (or null) fails LOUDLY at runtime
+    // instead of silently shifting every estimate
+    val bad = intercept[Exception] {
+      HistogramSketch.quantiles(df, "v", Seq("grp"),
+        boundaries = Seq(10L, 20L), permille = Seq(500)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(bad).exists(_.contains("below boundaries.head")))
   }
 
   // ---- TextRank / integer PageRank -------------------------------------
