@@ -20,7 +20,7 @@ object CorpusQueries {
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
     * fragment proven bit-identical by q69. */
-  private def sqlHyperplaneCell(bits: Int): String = {
+  private[queries] def sqlHyperplaneCell(bits: Int): String = {
     val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
       "((CAST((1103515245 * (p * 64 + (i - 1)) + 12345) % 2147483648 AS DOUBLE) " +
@@ -30,11 +30,11 @@ object CorpusQueries {
        |  AS BIGINT)""".stripMargin
   }
 
-  private def sqlDot(a: String, b: String) =
+  private[queries] def sqlDot(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
-  private def sqlCosine(a: String, b: String) =
+  private[queries] def sqlCosine(a: String, b: String) =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
   /** sigs/losers CTE pair shared by q75 and q82 — cell assignment plus
@@ -50,7 +50,7 @@ object CorpusQueries {
 
   /** TextAnalysis.qualityScore replay (q23's proven fragment), expecting
     * `text` and `toks` in scope — shared by q76 and q82. */
-  private def sqlQualityExpr(sw: String) =
+  private[queries] def sqlQualityExpr(sw: String) =
     s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
        |         + least(CAST(len(list_filter(toks, x -> x IN $sw)) AS DOUBLE)
        |                 / len(toks) * 5.0, 1.0) * 0.4

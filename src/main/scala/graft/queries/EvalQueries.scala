@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sim.{AnnEval, Similarity}
+import graft.text.{Sampling, TextAnalysis, Versioning}
+import CorpusQueries.{sqlDot, sqlHyperplaneCell, sqlQualityExpr}
+import PipelineQueries.{sqlContentFp, sqlInList, sqlTokens}
+
+/** Round-5 evaluation + versioning operators: corpus snapshot diff,
+  * ANN recall evaluation, budget-constrained greedy selection. Same
+  * oracle discipline as the other query files — shared constants and
+  * proven SQL fragments interpolated into both sides.
+  */
+object EvalQueries {
+
+  val all: Seq[Q] = Seq(q102, q103, q104)
+
+  /** Corpus snapshot diff (Versioning.snapshotDiff): classify every id
+    * as added/removed/changed/unchanged between two snapshots by
+    * content fingerprint — what an incremental 100 TB re-run actually
+    * has to touch. Both snapshots derive deterministically from
+    * `documents`: the old one misses ids ≡ 0 (mod 7), the new one
+    * misses ids ≡ 0 (mod 5) and rewrites ids ≡ 0 (mod 3). Only
+    * (id, fp) pairs reach the full-outer join — payloads never
+    * shuffle. */
+  def q102: Q = {
+    val fp = sqlContentFp("trim(coalesce(text, ''))")
+    Q("q102_snapshot_diff",
+      Some(s"""
+        |WITH o AS (
+        |  SELECT doc_id, $fp AS old_fp FROM documents WHERE doc_id % 7 != 0),
+        |nsrc AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 != 0),
+        |n AS (SELECT doc_id, $fp AS new_fp FROM nsrc)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.old_fp != n.new_fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Versioning.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** ANN recall@3 (AnnEval.recallAtK): the q31 LSH retrieval graded
+    * against q30's exact ground truth, per query — the number that
+    * decides whether (bands, rowsPerBand, bucket cap) are safe to ship
+    * at scale. Everything after the two retrievals is ids-only. The
+    * oracle replays BOTH pipelines (q30's and q31's proven CTEs) and
+    * the hit join; recall = hits / min(n_truth, k) is an exact int/int
+    * division. */
+  def q103: Q = Q(
+    "q103_ann_recall",
+    Some(s"""
+      |WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+      |tpairs AS (
+      |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+      |         ${sqlDot("q.embedding", "c.embedding")}
+      |           / (sqrt(${sqlDot("q.embedding", "q.embedding")})
+      |              * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+      |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+      |truth AS (
+      |  SELECT vec_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM tpairs)
+      |  WHERE rk <= 3),
+      |sigs AS (
+      |  SELECT vec_id, embedding, ${sqlHyperplaneCell(32)} AS sig
+      |  FROM embeddings),
+      |banded_raw AS (
+      |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 8)) % 256 AS bucket
+      |  FROM sigs, unnest(range(0, 4)) AS u(b)),
+      |banded AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+      |    FROM banded_raw)
+      |  WHERE bsz <= 128),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id, x.embedding AS qvec,
+      |                  y.vec_id AS neighbor_id, y.embedding AS nvec
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id),
+      |scored AS (
+      |  SELECT vec_id, neighbor_id,
+      |         ${sqlDot("qvec", "nvec")}
+      |           / (sqrt(${sqlDot("qvec", "qvec")})
+      |              * sqrt(${sqlDot("nvec", "nvec")})) AS cos
+      |  FROM cand),
+      |approx AS (
+      |  SELECT vec_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 3 AND vec_id < 50),
+      |nt AS (SELECT vec_id, count(*) AS n_truth FROM truth GROUP BY vec_id),
+      |h AS (
+      |  SELECT truth.vec_id, count(*) AS hits
+      |  FROM truth JOIN approx USING (vec_id, neighbor_id)
+      |  GROUP BY truth.vec_id)
+      |SELECT nt.vec_id, nt.n_truth,
+      |       coalesce(h.hits, 0) AS hits,
+      |       CAST(coalesce(h.hits, 0) AS DOUBLE)
+      |         / CAST(least(nt.n_truth, 3) AS DOUBLE) AS recall
+      |FROM nt LEFT JOIN h ON nt.vec_id = h.vec_id
+      |ORDER BY nt.vec_id
+      |""".stripMargin)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val truth = Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 50),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dims = 64, k = 3, bands = 4, rowsPerBand = 8)
+      .filter(col("vec_id") < 50)
+    AnnEval.recallAtK(truth, approx, "vec_id", "neighbor_id", k = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Token-budget selection (Sampling.budgetSelect): keep the
+    * highest-quality prefix of the corpus whose running token sum fits
+    * a 10k-token budget — greedy curation under a budget, WITHOUT a
+    * global sort (score-bucket offsets + per-bucket windows; see the
+    * operator scaladoc). The oracle is the semantic spec — one global
+    * ordered cumulative sum — so hash-equality proves the two-phase
+    * plan computes exactly the greedy prefix. */
+  def q104: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    val budget = 10000L
+    Q("q104_budget_select",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         ${sqlQualityExpr(sw)} AS quality
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |         sum(n_tokens) OVER (
+        |           ORDER BY quality DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum_tokens
+        |  FROM m WHERE n_tokens > 0)
+        |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= $budget ORDER BY cum_tokens
+        |""".stripMargin)) { (s, dir) =>
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+      Sampling.budgetSelect(base, "doc_id", "n_tokens", "quality",
+        budget = budget)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("cum_tokens"))
+    }
+  }
+}

@@ -24,7 +24,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
-      MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all
+      MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
+      EvalQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

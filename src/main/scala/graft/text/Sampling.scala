@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PolyHash.polyHash
 
@@ -141,6 +142,66 @@ object Sampling {
       .withColumn("es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Token-budget selection — greedy data curation under a budget:
+    * rank rows by (`scoreCol` desc, `idCol` asc) and keep the longest
+    * prefix whose running `tokenCol` sum stays ≤ `budget` (token counts
+    * are positive, so the kept set IS a prefix). The naive plan is a
+    * GLOBAL ordered cumulative sum — a single-partition window that
+    * serializes the whole corpus through one task. Here the classic
+    * two-phase prefix sum makes it scale:
+    *
+    *   1. quantize the score into `floor(score · bucketScale)` integer
+    *      buckets (monotone, so bucket-major order == score order);
+    *   2. aggregate per-bucket token sums (a `bucketScale`-sized table)
+    *      and window THAT to get each bucket's starting offset;
+    *   3. buckets whose offset already exceeds the budget are dropped
+    *      before any sort — the bulk of the corpus never shuffles;
+    *   4. the survivors get offset + a within-bucket cumulative sum
+    *      (windows partitioned BY BUCKET run in parallel), and the
+    *      row-level filter `cum ≤ budget` lands exactly the greedy
+    *      prefix.
+    *
+    * `bucketScale` trades the offset-table size against per-bucket
+    * window skew: all rows of one bucket sort within one partition, so
+    * scale it to the score's resolution (1000 for a [0,1] quality
+    * score). Rows with null/non-positive token counts are excluded
+    * (they cannot consume budget and would break the prefix argument).
+    *
+    * Output: input columns + (score_bucket, cum_tokens), cum_tokens
+    * strictly increasing in selection order.
+    */
+  def budgetSelect(
+      df: DataFrame, idCol: String, tokenCol: String, scoreCol: String,
+      budget: Long, bucketScale: Int = 1000): DataFrame = {
+    require(budget >= 1, s"budgetSelect needs budget >= 1, got $budget")
+    require(bucketScale >= 1, s"bucketScale must be >= 1, got $bucketScale")
+    val rows = df
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .withColumn("score_bucket",
+        floor(col(scoreCol) * lit(bucketScale.toDouble)).cast("long"))
+    // stage boundary: the tiny per-bucket sum table feeds the offset
+    // window and the join back
+    val perBucket = rows.groupBy(col("score_bucket"))
+      .agg(sum(col(tokenCol)).as("__bsum"))
+      .localCheckpoint(true)
+    val wOff = Window.orderBy(col("score_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__offset", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      // bucket-level prune: a bucket starting at or past the budget
+      // cannot contribute a row (token counts are >= 1)
+      .where(col("__offset") < budget)
+      .select(col("score_bucket"), col("__offset"))
+    val wIn = Window.partitionBy(col("score_bucket"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .join(broadcast(offsets), Seq("score_bucket"))
+      .withColumn("cum_tokens", col("__offset") + sum(col(tokenCol)).over(wIn))
+      .where(col("cum_tokens") <= budget)
+      .drop("__offset")
   }
 
   /** Stratified variant: per-stratum keep-percentages (e.g. language

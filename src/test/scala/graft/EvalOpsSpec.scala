@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.AnnEval
+import graft.text.{Sampling, Versioning}
+
+/** Round-5 evaluation + versioning operators: snapshot diff, ANN
+  * recall@k, token-budget selection.
+  */
+class EvalOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Versioning.snapshotDiff ---------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = Versioning.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff treats null text as empty, not as absence") {
+    // id 1: null -> null is UNCHANGED (both fingerprint as ""); id 2:
+    // null -> "x" is changed. A null-fp implementation would call both
+    // 'added' because the null fp poisons the comparison.
+    val oldSnap = Seq((1L, null: String), (2L, null: String))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "x")).toDF("id", "text")
+    val got = Versioning.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("snapshotDiff ignores whitespace-only edits (trim contract)") {
+    val oldSnap = Seq((1L, "a b")).toDF("id", "text")
+    val newSnap = Seq((1L, "  a b  ")).toDF("id", "text")
+    val got = Versioning.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged"))
+  }
+
+  // ---- AnnEval.recallAtK ---------------------------------------------
+
+  private lazy val truth = Seq(
+    (1L, 10L), (1L, 11L), (1L, 12L), // full truth list
+    (2L, 20L), (2L, 21L), (2L, 22L),
+    (3L, 30L), (3L, 31L), (3L, 32L),
+    (4L, 40L))                       // short truth list (end of corpus)
+    .toDF("q", "n")
+
+  test("recallAtK: perfect, partial, and missed queries") {
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), // all 3 hit
+      (2L, 20L), (2L, 99L), (2L, 98L)) // 1 of 3; q 3 entirely absent
+      .toDF("q", "n")
+    val got = AnnEval.recallAtK(truth, approx, "q", "n", k = 3)
+      .select("q", "hits", "recall")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((3L, 1.0)))
+    assert(got(2L) == ((1L, 1.0 / 3.0)))
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
+  test("recallAtK divides by the true list size when it is below k") {
+    val approx = Seq((4L, 40L)).toDF("q", "n")
+    val row = AnnEval.recallAtK(truth, approx, "q", "n", k = 3)
+      .where($"q" === 4L).select("n_truth", "hits", "recall")
+      .as[(Long, Long, Double)].collect().head
+    assert(row == ((1L, 1L, 1.0)))
+  }
+
+  test("recallAtK is insensitive to duplicate approx rows") {
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L)).toDF("q", "n")
+    val row = AnnEval.recallAtK(truth, approx, "q", "n", k = 3)
+      .where($"q" === 1L).select("hits").as[Long].collect().head
+    assert(row == 1L)
+  }
+
+  // ---- Sampling.budgetSelect -----------------------------------------
+
+  /** The semantic spec: one global ordered cumulative sum. */
+  private def naiveBudget(
+      rows: Seq[(Long, Long, Double)], budget: Long): Seq[Long] = {
+    val ordered = rows.filter(_._2 > 0)
+      .sortBy { case (id, _, s) => (-s, id) }
+    ordered.scanLeft((0L, 0L)) { case ((_, cum), (id, n, _)) =>
+      (id, cum + n)
+    }.drop(1).takeWhile(_._2 <= budget).map(_._1)
+  }
+
+  private lazy val budgetRows: Seq[(Long, Long, Double)] =
+    (1L to 200L).map { i =>
+      // scores collide across rows (i % 13) to exercise tie-breaks,
+      // token counts vary 1..20
+      (i, (i * 7) % 20 + 1, ((i * 31) % 13).toDouble / 13.0)
+    }
+
+  test("budgetSelect equals the global-cumsum spec, ties included") {
+    val df = budgetRows.toDF("id", "toks", "score")
+    for (budget <- Seq(50L, 500L, 1200L)) {
+      val got = Sampling.budgetSelect(df, "id", "toks", "score", budget)
+        .orderBy($"cum_tokens").select("id").as[Long].collect().toSeq
+      assert(got == naiveBudget(budgetRows, budget), s"budget=$budget")
+    }
+  }
+
+  test("budgetSelect boundary: a row landing exactly on the budget is kept") {
+    val df = Seq((1L, 4L, 0.9), (2L, 6L, 0.5), (3L, 1L, 0.1))
+      .toDF("id", "toks", "score")
+    // cums: 4, 10, 11 — budget 10 keeps ids 1,2; budget 9 keeps only 1
+    val at10 = Sampling.budgetSelect(df, "id", "toks", "score", 10L)
+      .select("id").as[Long].collect().toSet
+    assert(at10 == Set(1L, 2L))
+    val at9 = Sampling.budgetSelect(df, "id", "toks", "score", 9L)
+      .select("id").as[Long].collect().toSet
+    assert(at9 == Set(1L))
+  }
+
+  test("budgetSelect result is bucketScale-independent") {
+    val df = budgetRows.toDF("id", "toks", "score")
+    def ids(scale: Int) =
+      Sampling.budgetSelect(df, "id", "toks", "score", 700L, scale)
+        .orderBy($"cum_tokens")
+        .select("id", "cum_tokens").as[(Long, Long)].collect().toSeq
+    // scale 1 collapses every score into one or two buckets (the
+    // degenerate global-window case); 7, 1000 spread them — the kept
+    // set and the running totals must not move
+    assert(ids(1) == ids(1000) && ids(7) == ids(1000))
+  }
+
+  test("budgetSelect excludes null and non-positive token rows") {
+    val df = Seq(
+      (1L, Some(5L), 0.9), (2L, None, 0.8), (3L, Some(0L), 0.7),
+      (4L, Some(-3L), 0.6), (5L, Some(5L), 0.5))
+      .toDF("id", "toks", "score")
+    val got = Sampling.budgetSelect(df, "id", "toks", "score", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L))
+  }
+}
