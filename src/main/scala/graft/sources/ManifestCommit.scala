@@ -29,13 +29,27 @@ import scala.jdk.CollectionConverters._
   *
   * Orphans and superseded generations are reclaimed by [[vacuum]], which
   * must only run once no reader still holds an older manifest.
+  *
+  * [[writeVersionedWithStats]] additionally publishes per-file zone maps
+  * (min/max per column) in a `_stats-<gen>` sidecar; [[readBetween]]
+  * uses them to open only the files a range predicate can touch — the
+  * data-skipping half of the table-format story (see its scaladoc for
+  * the crash/fallback contract).
   */
 object ManifestCommit {
 
   private val ManifestPrefix = "_manifest-"
+  private val StatsPrefix = "_stats-"
 
   private def manifestGen(p: Path): Long =
     p.getFileName.toString.stripPrefix(ManifestPrefix).toLong
+
+  /** One zone-map row: a file's min/max for one column (None = the
+    * column is all-null in that file). Values are the column's Spark
+    * string cast — numeric tags parse back exactly (shortest-decimal
+    * round-trips), date/timestamp strings are ISO and sort lexically. */
+  final case class ZoneStat(file: String, column: String, typeTag: String,
+      min: Option[String], max: Option[String])
 
   private def listDir(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
@@ -129,6 +143,153 @@ object ManifestCommit {
     committed
   }
 
+  /** Write a new generation AND collect per-file zone maps (min/max of
+    * `statsCols` per part file) into a `_stats-<gen>` sidecar — the
+    * data-skipping kernel of every table format: at 100 TB a selective
+    * scan must not OPEN 100 TB of files to find the 1% that can match.
+    *
+    * Stats collection re-reads only the new generation, column-pruned
+    * to `statsCols` + `_metadata.file_path` (footer-cheap relative to
+    * the write itself). The sidecar is written AFTER the manifest
+    * publish — a crash in between leaves a perfectly readable
+    * generation whose readers simply fall back to no skipping: stats
+    * are an optimization, never load-bearing for correctness.
+    */
+  def writeVersionedWithStats(df: DataFrame, path: String,
+      statsCols: Seq[String], partitionBy: Seq[String] = Seq.empty): Long = {
+    require(statsCols.nonEmpty, "writeVersionedWithStats needs statsCols")
+    val spark = df.sparkSession
+    val gen = writeVersioned(df, path, partitionBy)
+    val committed = readAt(spark, path, gen)
+    val tags = committed.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    statsCols.foreach(c => require(tags.contains(c), s"no column $c to collect stats for"))
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val rows = committed
+      .select(col("_metadata.file_path").as("__file") +: statsCols.map(col): _*)
+      .groupBy(col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per part file — manifest-sized, not data-sized
+    val dirAbs = Paths.get(path).toAbsolutePath.normalize.toString
+    def rel(uri: String): String = {
+      val p = if (uri.startsWith("file:")) java.net.URI.create(uri).getPath else uri
+      p.stripPrefix(dirAbs).stripPrefix("/")
+    }
+    def b64(v: String): String = java.util.Base64.getEncoder
+      .encodeToString(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val lines = rows.flatMap { r =>
+      val file = rel(r.getString(0))
+      statsCols.map { c =>
+        val mn = Option(r.getAs[String](s"__min_$c")).map(b64).getOrElse("-")
+        val mx = Option(r.getAs[String](s"__max_$c")).map(b64).getOrElse("-")
+        s"$file\t$c\t${tags(c)}\t$mn\t$mx"
+      }
+    }.sorted.toSeq
+    val dir = Paths.get(path)
+    val tmp = dir.resolve(s".stats-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, lines.asJava)
+    // the generation name is already uniquely claimed by the manifest
+    // link, so a plain atomic move cannot race another writer
+    Files.move(tmp, dir.resolve(f"$StatsPrefix$gen%010d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    gen
+  }
+
+  /** Zone maps of a committed generation, or None when the sidecar is
+    * absent (plain [[writeVersioned]], or a crash before the sidecar). */
+  def stats(path: String, gen: Long): Option[Seq[ZoneStat]] = {
+    val f = Paths.get(path).resolve(f"$StatsPrefix$gen%010d")
+    if (!Files.exists(f)) None
+    else Some(Files.readAllLines(f).asScala.toSeq.filter(_.nonEmpty).map { l =>
+      val Array(file, c, tag, mn, mx) = l.split("\t", 5)
+      def un(v: String): Option[String] =
+        if (v == "-") None
+        else Some(new String(java.util.Base64.getDecoder.decode(v),
+          java.nio.charset.StandardCharsets.UTF_8))
+      ZoneStat(file, c, tag, un(mn), un(mx))
+    })
+  }
+
+  /** Typed ordering for zone-map strings. Numerics parse exactly
+    * (shortest-decimal round-trips); date/timestamp ISO strings sort
+    * lexically; everything else falls back to Java string order, which
+    * matches Spark's UTF8String (binary UTF-8) order ONLY for ASCII —
+    * [[prunableRange]] refuses to prune non-ASCII string bounds rather
+    * than trust it. */
+  private def cmp(tag: String, a: String, b: String): Int = tag match {
+    case "byte" | "short" | "integer" | "long" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "float" | "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case t if t.startsWith("decimal") => BigDecimal(a).compare(BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  private def allAscii(s: String): Boolean = s.forall(_ < 128)
+
+  /** Can [lo, hi] be safely compared against this stat? */
+  private def prunableRange(z: ZoneStat, lo: String, hi: String): Boolean =
+    z.typeTag match {
+      case "string" =>
+        allAscii(lo) && allAscii(hi) &&
+          z.min.forall(allAscii) && z.max.forall(allAscii)
+      case _ => true
+    }
+
+  /** Does the file's [min, max] overlap [lo, hi]? All-null stats (None)
+    * never overlap a range predicate — `BETWEEN` is null-rejecting. */
+  private def overlaps(z: ZoneStat, lo: String, hi: String): Boolean =
+    (z.min, z.max) match {
+      case (Some(mn), Some(mx)) =>
+        cmp(z.typeTag, mx, lo) >= 0 && cmp(z.typeTag, mn, hi) <= 0
+      case _ => false
+    }
+
+  /** The latest generation's files split into (kept, pruned) for the
+    * range predicate `column BETWEEN lo AND hi` — exposed so callers
+    * (and specs) can observe skipping, not just benefit from it.
+    * Files without a stat row for `column` are always kept. */
+  def pruneBetween(path: String, column: String,
+      lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val (gen, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    stats(path, gen) match {
+      case None => (files, Seq.empty)
+      case Some(zs) =>
+        val byFile = zs.filter(_.column == column).map(z => z.file -> z).toMap
+        val (ls, hs) = (String.valueOf(lo), String.valueOf(hi))
+        files.partition { f =>
+          byFile.get(f) match {
+            case None => true
+            case Some(z) => !prunableRange(z, ls, hs) || overlaps(z, ls, hs)
+          }
+        }
+    }
+  }
+
+  /** Read `column BETWEEN lo AND hi` from the latest generation, opening
+    * only files whose zone maps can overlap; the residual filter keeps
+    * the result EXACT whatever the stats say (and still reaches the
+    * parquet scan for row-group pruning inside kept files). Falls back
+    * to a full-file-list scan when no sidecar exists. */
+  def readBetween(spark: SparkSession, path: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneBetween(path, column, lo, hi)
+    val dir = Paths.get(path)
+    val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (kept.nonEmpty) {
+      val dataDir = dir.resolve(kept.head.takeWhile(_ != '/'))
+      spark.read.option("basePath", dataDir.toString)
+        .parquet(kept.map(f => dir.resolve(f).toString): _*)
+        .where(residual)
+    } else {
+      // nothing can match: read the schema from the manifest's files
+      // with a constant-false filter (parquet pushdown scans no groups)
+      read(spark, path).where(residual && lit(false))
+    }
+  }
+
   /** Keyed upsert ≙ [[Lakehouse.upsertParquet]] semantics (incoming rows
     * replace same-key rows, everything else survives) on the manifest
     * protocol: the merged frame READS the current generation's files and
@@ -164,7 +325,8 @@ object ManifestCommit {
       case None => Seq.empty
       case Some((gen, files)) =>
         val keep = files.map(f => dir.resolve(f).normalize).toSet +
-          dir.resolve(f"$ManifestPrefix$gen%010d").normalize
+          dir.resolve(f"$ManifestPrefix$gen%010d").normalize +
+          dir.resolve(f"$StatsPrefix$gen%010d").normalize
         // the generation's TOP data dir is the first segment of each
         // entry — file parents may be partition subdirs (Season=.../)
         val keepDataDirs =
@@ -179,8 +341,10 @@ object ManifestCommit {
         }
         listDir(dir).foreach { child =>
           val name = child.getFileName.toString
-          if ((name.startsWith(ManifestPrefix) && !keep.contains(child.normalize))
-            || name.startsWith(".manifest-tmp-")) {
+          if (((name.startsWith(ManifestPrefix) || name.startsWith(StatsPrefix))
+              && !keep.contains(child.normalize))
+            || name.startsWith(".manifest-tmp-")
+            || name.startsWith(".stats-tmp-")) {
             Files.delete(child); removed += name
           } else if (name.startsWith("data-") && !keepDataDirs.contains(child.normalize)) {
             // crashed writers leave nested _temporary/... trees — delete

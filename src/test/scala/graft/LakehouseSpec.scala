@@ -138,6 +138,64 @@ class LakehouseSpec extends AnyFunSuite {
     assert(g2 === g1 + 1)
   }
 
+  test("manifest commit: zone maps skip files a range predicate cannot touch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_zonemap").resolve("t").toString
+    // 4 hive partitions, coalesce(1) => exactly one part file each, with
+    // deterministic disjoint id ranges [0,100) [100,200) ...
+    val df = spark.range(0, 400).select(
+      col("id"),
+      concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("name"),
+      (col("id") / 100).cast("int").as("bucket"))
+    val g1 = ManifestCommit.writeVersionedWithStats(
+      df.coalesce(1), root, statsCols = Seq("id", "name"),
+      partitionBy = Seq("bucket"))
+
+    // numeric pruning: [10, 20] lives in exactly one file
+    val (kept, pruned) = ManifestCommit.pruneBetween(root, "id", 10, 20)
+    assert(kept.size === 1 && pruned.size === 3, s"kept=$kept pruned=$pruned")
+    val got = ManifestCommit.readBetween(spark, root, "id", 10, 20)
+      .select("id").as[Long].collect().sorted
+    assert(got === (10L to 20L).toArray)
+    // the pruned read equals the unpruned read + filter (exactness)
+    val full = ManifestCommit.read(spark, root)
+      .where(col("id").between(10, 20)).select("id").as[Long].collect().sorted
+    assert(got === full)
+
+    // a range beyond every file: all pruned, empty result, schema intact
+    val (k2, p2) = ManifestCommit.pruneBetween(root, "id", 1000, 2000)
+    assert(k2.isEmpty && p2.size === 4)
+    val empty = ManifestCommit.readBetween(spark, root, "id", 1000, 2000)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("name"))
+
+    // string zone maps prune too (ASCII bounds)...
+    val (k3, p3) = ManifestCommit.pruneBetween(root, "name", "s0110", "s0120")
+    assert(k3.size === 1 && p3.size === 3)
+    // ...but non-ASCII bounds refuse to prune (UTF8String order is only
+    // trusted for ASCII) instead of silently dropping files
+    val (k4, _) = ManifestCommit.pruneBetween(root, "name", "sé", "sÿ")
+    assert(k4.size === 4)
+
+    // vacuum reclaims superseded sidecars with their generations
+    val g2 = ManifestCommit.writeVersionedWithStats(
+      df.coalesce(1), root, statsCols = Seq("id"), partitionBy = Seq("bucket"))
+    ManifestCommit.vacuum(root)
+    assert(ManifestCommit.stats(root, g1).isEmpty)
+    assert(ManifestCommit.stats(root, g2).nonEmpty)
+    // gen 2 carried stats only for id: name predicates keep every file
+    val (k5, p5) = ManifestCommit.pruneBetween(root, "name", "s0110", "s0120")
+    assert(k5.size === 4 && p5.isEmpty)
+
+    // no sidecar at all (plain writeVersioned): no pruning, still exact
+    val root2 = Files.createTempDirectory("graft_zonemap2").resolve("t").toString
+    ManifestCommit.writeVersioned(df.coalesce(1), root2, Seq("bucket"))
+    val (k6, p6) = ManifestCommit.pruneBetween(root2, "id", 10, 20)
+    assert(k6.size === 4 && p6.isEmpty)
+    assert(ManifestCommit.readBetween(spark, root2, "id", 10, 20)
+      .count() === 11)
+  }
+
   test("manifest commit: racing writers land distinct generations, none clobbered") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
