@@ -5,7 +5,7 @@ import graft.Tables
 import graft.sim.{AnnEval, Similarity}
 import graft.text.{Sampling, TextAnalysis, Versioning}
 import CorpusQueries.{sqlDot, sqlHyperplaneCell, sqlQualityExpr}
-import PipelineQueries.{sqlContentFp, sqlInList, sqlTokens}
+import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
 
 /** Round-5 evaluation + versioning operators: corpus snapshot diff,
   * ANN recall evaluation, budget-constrained greedy selection. Same
@@ -14,7 +14,96 @@ import PipelineQueries.{sqlContentFp, sqlInList, sqlTokens}
   */
 object EvalQueries {
 
-  val all: Seq[Q] = Seq(q102, q103, q104)
+  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106)
+
+  /** Per-source distribution drift (Drift.psi): PSI of each source's
+    * n_chars histogram against the whole corpus — the per-feed
+    * monitoring gate. Fixed literal boundaries make the histogram one
+    * exact grouped count; empty buckets floor at eps on both sides;
+    * each ln term quantizes to DECIMAL(18,9) and sums exactly (the
+    * q98 discipline — ln's last ulp is not cross-engine portable). */
+  def q105: Q = {
+    val bounds = Seq(0L, 100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L)
+    val eps = 1e-4
+    val chain = bounds.map(b => s"(CASE WHEN n_chars >= $b THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Q("q105_source_drift_psi",
+      Some(s"""
+        |WITH h AS (
+        |  SELECT source AS s, ($chain) - 1 AS b, count(*) AS c
+        |  FROM documents GROUP BY s, b),
+        |ps AS (SELECT s, sum(c) AS n FROM h GROUP BY s),
+        |g AS (SELECT b, sum(c) AS gc FROM h GROUP BY b),
+        |gn AS (SELECT sum(c) AS gn FROM h),
+        |grid AS (SELECT ps.s, ps.n, u.b
+        |         FROM ps, unnest(range(0, ${bounds.size})) AS u(b)),
+        |t AS (
+        |  SELECT grid.s, grid.n,
+        |         greatest(CAST(coalesce(h.c, 0) AS DOUBLE)
+        |                    / CAST(grid.n AS DOUBLE), $eps) AS p,
+        |         greatest(CAST(coalesce(g.gc, 0) AS DOUBLE)
+        |                    / CAST(gn.gn AS DOUBLE), $eps) AS q
+        |  FROM grid
+        |  LEFT JOIN h ON h.s = grid.s AND h.b = grid.b
+        |  LEFT JOIN g ON g.b = grid.b
+        |  CROSS JOIN gn)
+        |SELECT s AS source, n AS n_rows,
+        |       CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(18,9)))
+        |            AS DOUBLE) AS psi
+        |FROM t GROUP BY s, n ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      graft.text.Drift.psi(Tables.documents(s, dir), "n_chars", "source",
+        bounds, eps)
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Leakage-free split (Sampling.clusterSplit): split membership is
+    * hashed from the near-dup CLUSTER representative (q65's connected
+    * components), so no near-dup pair straddles train/val/test — the
+    * contamination a row-hash split commits on any corpus that still
+    * holds paraphrases. The oracle replays CC as a recursive CTE plus
+    * the shared salted-hash fragment. */
+  def q106: Q = {
+    val salt = "split_v1"
+    val rep = "CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)"
+    Q("q106_leakage_free_split",
+      Some(s"""
+        |WITH RECURSIVE
+        |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+        |      FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(n, m) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+        |  UNION
+        |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
+        |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |b AS (
+        |  SELECT d.doc_id,
+        |         coalesce(l.cluster_id, d.doc_id) AS rep_id,
+        |         (${sqlSaltedHash(rep, salt)}) % 100 AS bucket
+        |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+        |SELECT doc_id, rep_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.Dedup
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8))
+      Sampling.clusterSplit(docs.select("doc_id"), "doc_id", clusters,
+        trainPct = 80, valPct = 10, salt = salt)
+        .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }
+  }
 
   /** Corpus snapshot diff (Versioning.snapshotDiff): classify every id
     * as added/removed/changed/unchanged between two snapshots by

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift scoring — Population Stability Index per stratum
+  * against the whole population, over a fixed-boundary histogram. This
+  * is the monitoring primitive a 100 TB ingest pipeline runs per
+  * source/day: "has this feed's length/quality profile moved?" —
+  * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), with the conventional reading
+  * (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+  *
+  * Same fixed-boundary trick as [[graft.operators.HistogramSketch]]:
+  * because the boundaries are literals, the histogram is one exact
+  * grouped count (associative, partition-independent), and everything
+  * downstream operates on |strata| × |buckets| rows. Empty buckets are
+  * floored at `eps` on BOTH sides of the ratio (the standard PSI
+  * continuity correction — ln(0) is the alternative). ln's last ulp is
+  * not cross-engine portable, so each bucket term is quantized to
+  * DECIMAL(18,9) and the cross-bucket sum is exact — the q98/BM25
+  * discipline for sums of transcendental outputs.
+  */
+object Drift {
+
+  /** Per-stratum PSI of `valueCol`'s distribution vs the global one.
+    * `boundaries` sorted ascending, starting at the minimum possible
+    * value; a row below boundaries.head (or null) fails loudly, like
+    * HistogramSketch — silent mis-bucketing would shift every term.
+    * Output: (stratumCol, n_rows, psi) — psi is a double recovered
+    * from the exact decimal sum.
+    */
+  def psi(
+      df: DataFrame,
+      valueCol: String,
+      stratumCol: String,
+      boundaries: Seq[Long],
+      eps: Double = 1e-4): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries, "boundaries must be sorted distinct")
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    val v = col(valueCol)
+    val chain = boundaries.map(b => when(v >= lit(b), 1).otherwise(0))
+      .reduce(_ + _) - lit(1)
+    val bucket = when(v >= lit(boundaries.head), chain)
+      .otherwise(raise_error(concat(
+        lit(s"Drift.psi: $valueCol below boundaries.head " +
+          s"(${boundaries.head}) or null: "),
+        coalesce(v.cast("string"), lit("null")))).cast("int"))
+    // ONE corpus-wide exchange: the (stratum, bucket) counts; stage
+    // boundary because strata counts, global counts and the dense grid
+    // all derive from it
+    val hist = df
+      .select(col(stratumCol).as("__s"), bucket.as("__b"))
+      .groupBy(col("__s"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val perStratum = hist.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val global = hist.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
+    val globalN = hist.agg(sum(col("__c")).as("__gn"))
+    // dense strata × buckets grid so empty buckets contribute their
+    // eps-floored term instead of silently dropping out
+    val grid = perStratum.crossJoin(
+      broadcast(df.sparkSession.range(boundaries.size).select(
+        col("id").cast("int").as("__b"))))
+    def floored(c: Column, n: Column): Column =
+      greatest(c.cast("double") / n.cast("double"), lit(eps))
+    val terms = grid
+      .join(hist, Seq("__s", "__b"), "left")
+      .join(broadcast(global), Seq("__b"), "left")
+      .crossJoin(broadcast(globalN))
+      .select(col("__s"), col("__n"),
+        floored(coalesce(col("__c"), lit(0L)), col("__n")).as("__p"),
+        floored(coalesce(col("__gc"), lit(0L)), col("__gn")).as("__q"))
+      .withColumn("__term",
+        (col("__p") - col("__q")) * log(col("__p") / col("__q")))
+    terms
+      .groupBy(col("__s").as(stratumCol), col("__n").as("n_rows"))
+      .agg(sum(col("__term").cast(DecimalType(18, 9)))
+        .cast("double").as("psi"))
+  }
+}

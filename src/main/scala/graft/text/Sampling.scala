@@ -144,6 +144,41 @@ object Sampling {
       .limit(k)
   }
 
+  /** Leakage-free train/validation/test split: hash the near-dup
+    * CLUSTER representative, not the row id, so near-duplicate
+    * documents can never straddle a split boundary — the eval-set
+    * contamination a plain [[split]] silently commits whenever the
+    * corpus still contains near-dups (it almost always does; exact
+    * dedup does not catch paraphrases). `clusters` is the
+    * (id, cluster_id) labeling from
+    * [[graft.dedup.Dedup.nearDupClusters]] — rows absent from it are
+    * singletons and hash their own id; every clustered row hashes its
+    * cluster label (the cluster's min id), so the whole cluster lands
+    * in one split.
+    *
+    * Scale shape: one equi-join against the cluster labeling (itself
+    * ids-only and typically far smaller than the corpus — only docs
+    * with at least one near-dup appear), then a scan-stage hash; no
+    * other exchange. Output: input columns + (rep_id, bucket, split).
+    */
+  def clusterSplit(
+      df: DataFrame, idCol: String, clusters: DataFrame,
+      trainPct: Int, valPct: Int, salt: String): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages train=$trainPct val=$valPct")
+    val lbl = clusters.select(col("doc_id").as(idCol),
+      col("cluster_id").as("__cluster"))
+    val b = hashBucket(col("rep_id"), salt)
+    df.join(lbl, Seq(idCol), "left")
+      .withColumn("rep_id", coalesce(col("__cluster"), col(idCol)))
+      .drop("__cluster")
+      .withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Token-budget selection — greedy data curation under a budget:
     * rank rows by (`scoreCol` desc, `idCol` asc) and keep the longest
     * prefix whose running `tokenCol` sum stays ≤ `budget` (token counts

@@ -81,6 +81,107 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(row == 1L)
   }
 
+  // ---- Drift.psi ------------------------------------------------------
+
+  test("psi is zero for a stratum distributed like the population") {
+    // two strata with IDENTICAL histograms: p == q in every bucket for
+    // both strata (each is half of the population), so every term is 0.
+    // Value derives from i/2 so consecutive (odd, even) pairs share a
+    // value — stratum (i % 2) is independent of bucket ((i/2) % 4).
+    val rows = (1L to 40L).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i / 2) % 4) * 10 + 5))
+    val got = graft.text.Drift.psi(rows.toDF("s", "v"), "v", "s",
+      boundaries = Seq(0L, 10L, 20L, 30L))
+      .select("s", "psi").as[(String, Double)].collect().toMap
+    assert(got("a") == 0.0 && got("b") == 0.0)
+  }
+
+  test("psi matches a driver-side reference, eps-floored empty buckets included") {
+    val bounds = Seq(0L, 10L, 20L)
+    val eps = 1e-4
+    // stratum a: all rows in bucket 0; b: spread — a misses buckets 1,2
+    // entirely, exercising the eps floor on the p side
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 11L), ("b", 21L))
+    def bucket(v: Long) = bounds.count(v >= _) - 1
+    val cnt = rows.groupBy(r => (r._1, bucket(r._2)))
+      .view.mapValues(_.size.toLong).toMap
+    val perS = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val gN = rows.size.toLong
+    def ref(s: String): Double = bounds.indices.map { b =>
+      val p = math.max(cnt.getOrElse((s, b), 0L).toDouble / perS(s), eps)
+      val gq = math.max(
+        cnt.filter(_._1._2 == b).values.sum.toDouble / gN, eps)
+      BigDecimal((p - gq) * math.log(p / gq))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val got = graft.text.Drift.psi(rows.toDF("s", "v"), "v", "s",
+      bounds, eps)
+      .select("s", "psi").as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - ref("a")) < 1e-12, s"${got("a")} vs ${ref("a")}")
+    assert(math.abs(got("b") - ref("b")) < 1e-12)
+    assert(got("a") > 0.25, "a concentrates in one bucket: large PSI expected")
+  }
+
+  test("psi fails loudly on values below the histogram head") {
+    val ex = intercept[Exception] {
+      graft.text.Drift.psi(Seq(("a", -5L)).toDF("s", "v"), "v", "s",
+        Seq(0L, 10L)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- Sampling.clusterSplit -----------------------------------------
+
+  test("clusterSplit: clustered rows land in one split, singletons hash own id") {
+    val df = (1L to 100L).toDF("id")
+    // clusters: {1..10} -> 1, {20..24} -> 20
+    val clusters = ((1L to 10L).map(_ -> 1L) ++ (20L to 24L).map(_ -> 20L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.clusterSplit(df, "id", clusters, 80, 10, "s1")
+      .select("id", "rep_id", "split").as[(Long, Long, String)]
+      .collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 100)
+    // every member of a cluster shares the rep and the split
+    assert((1L to 10L).map(byId(_)._2).toSet == Set(1L))
+    assert((1L to 10L).map(byId(_)._3).toSet.size == 1)
+    assert((20L to 24L).map(byId(_)._2).toSet == Set(20L))
+    assert((20L to 24L).map(byId(_)._3).toSet.size == 1)
+    // singletons: rep is the row id
+    assert(byId(50L)._2 == 50L)
+    // matches the plain split for singletons (same hash recipe)
+    val plain = Sampling.hashBucket(col("id"), "s1")
+    val plainBuckets = df.where($"id" > 24L)
+      .select($"id", plain.as("b")).as[(Long, Long)].collect().toMap
+    val outBuckets = Sampling.clusterSplit(df, "id", clusters, 80, 10, "s1")
+      .where($"id" > 24L).select("id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(plainBuckets == outBuckets)
+  }
+
+  test("clusterSplit never lets a pair from the same cluster straddle splits") {
+    // adversarial shape: many two-element clusters whose members' OWN
+    // ids hash to different buckets — a row-hash split would separate
+    // most of them
+    val pairs = (1L to 50L).map(i => (i, i + 1000L))
+    val df = pairs.flatMap(p => Seq(p._1, p._2)).toDF("id")
+    val clusters = pairs.flatMap(p => Seq(p._1 -> p._1, p._2 -> p._1))
+      .toDF("doc_id", "cluster_id")
+    val split = Sampling.clusterSplit(df, "id", clusters, 60, 20, "s2")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b + 0L), s"pair ($a,$b) straddles splits")
+    }
+    // sanity: the row-hash split WOULD have straddled at least one pair
+    val rowBucket = df.select($"id",
+      Sampling.hashBucket(col("id"), "s2").as("b"))
+      .as[(Long, Long)].collect().toMap
+    def side(b: Long) = if (b < 60) "train" else if (b < 80) "val" else "test"
+    assert(pairs.exists { case (a, b) =>
+      side(rowBucket(a)) != side(rowBucket(b)) },
+      "test shape too easy: row-hash split kept every pair together")
+  }
+
   // ---- Sampling.budgetSelect -----------------------------------------
 
   /** The semantic spec: one global ordered cumulative sum. */
