@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.{AnnEval, Similarity}
-import graft.text.{Sampling, TextAnalysis, Versioning}
+import graft.text.{Sampling, Sharding, TextAnalysis, Versioning}
 import CorpusQueries.{sqlDot, sqlHyperplaneCell, sqlQualityExpr}
 import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
 
@@ -14,7 +14,109 @@ import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sql
   */
 object EvalQueries {
 
-  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106)
+  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106, q107, q108, q109)
+
+  /** Incremental aggregate maintenance (operators/IncrementalAgg): the
+    * per-custkey order profile is maintained as base state (orders
+    * before 1998) merged with an insert-only delta (1998+) — the
+    * materialized-view path where only the delta shuffles wide and the
+    * merge is a key-sized join. The oracle aggregates the WHOLE table
+    * from scratch: hash-equality proves merged state ≡ full re-agg,
+    * decimal sums exactly. */
+  def q107: Q = Q(
+    "q107_incremental_agg",
+    Some("""
+      |SELECT o_custkey, count(*) AS n_rows,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+      |         AS total,
+      |       min(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+      |           + day(o_orderdate)) AS vmin,
+      |       max(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+      |           + day(o_orderdate)) AS vmax
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.IncrementalAgg
+    // yyyymmdd long: order-preserving and timezone-free (o_orderdate is
+    // TIMESTAMP_NTZ; epoch conversion would drag session zones in)
+    val orders = Tables.orders(s, dir)
+      .withColumn("odate_key",
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+          + dayofmonth(col("o_orderdate"))).cast("long"))
+    val cutoff = "1998-01-01"
+    val base = IncrementalAgg.state(
+      orders.where(col("o_orderdate") < lit(cutoff)),
+      Seq("o_custkey"), "o_totalprice", "odate_key")
+    val delta = IncrementalAgg.state(
+      orders.where(col("o_orderdate") >= lit(cutoff)),
+      Seq("o_custkey"), "o_totalprice", "odate_key")
+    IncrementalAgg.merge(base, delta, Seq("o_custkey"))
+      .select(col("o_custkey"), col("n_rows"),
+        col("total").cast("double").as("total"), col("vmin"), col("vmax"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Curriculum interleave (Sharding.curriculumInterleave): a total
+    * training order that round-robins across quality-score difficulty
+    * buckets without ever computing a global row number — the one
+    * window is partitioned by bucket, the interleave key is scan-stage
+    * arithmetic. The oracle replays bucket, salted-hash rank and key. */
+  def q108: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    val salt = "cur_v1"
+    Q("q108_curriculum_order",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, ${sqlQualityExpr(sw)} AS quality FROM t),
+        |b AS (
+        |  SELECT doc_id, quality,
+        |         CAST(floor(quality * 10.0) AS BIGINT) AS difficulty_bucket,
+        |         ${sqlSaltedHash("CAST(doc_id AS VARCHAR)", salt + ":cur")}
+        |           AS ord_key
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, difficulty_bucket,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY difficulty_bucket
+        |           ORDER BY ord_key, doc_id) AS BIGINT) AS rank_in_bucket
+        |  FROM b)
+        |SELECT doc_id, difficulty_bucket, rank_in_bucket,
+        |       rank_in_bucket * 11 + difficulty_bucket AS interleave_key
+        |FROM r ORDER BY interleave_key
+        |""".stripMargin)) { (s, dir) =>
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+      Sharding.curriculumInterleave(scored, "doc_id", "quality",
+        bucketScale = 10, salt = salt)
+        .select(col("doc_id"), col("difficulty_bucket"),
+          col("rank_in_bucket"), col("interleave_key"))
+        .orderBy(col("interleave_key"))
+    }
+  }
+
+  /** BPE merge candidates (text/Bpe): corpus-wide adjacent char-pair
+    * frequencies over the DISTINCT vocabulary weighted by token
+    * frequency — the tokenizer-training inner loop with the explode
+    * vocabulary-sized, not corpus-sized. Top-50 by count with the
+    * deterministic pair tie-break; row 1 is BPE's next merge. */
+  def q109: Q = Q(
+    "q109_bpe_pairs",
+    Some(s"""
+      |WITH tok AS (
+      |  SELECT unnest(${sqlTokens("text")}) AS token FROM documents),
+      |tf AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+      |pairs AS (
+      |  SELECT substr(token, CAST(u.i AS INTEGER), 2) AS pair, freq
+      |  FROM tf, unnest(range(1, length(token))) AS u(i)
+      |  WHERE length(token) >= 2)
+      |SELECT pair, sum(freq) AS cnt FROM pairs
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Bpe.mergeCandidates(Tables.documents(s, dir), "text", k = 50)
+  }
 
   /** Per-source distribution drift (Drift.psi): PSI of each source's
     * n_chars histogram against the whole corpus — the per-feed

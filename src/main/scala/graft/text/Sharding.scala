@@ -52,4 +52,39 @@ object Sharding {
       .withColumn("pos", row_number().over(w))
       .drop("ord_key")
   }
+
+  /** Curriculum interleave — a training order that mixes difficulty
+    * levels evenly instead of front-loading one regime: rows bucket by
+    * `floor(score · bucketScale)`, rank within their bucket by a salted
+    * hash (id tie-break), and the emitted `interleave_key =
+    * rank_in_bucket · (bucketScale + 1) + bucket` is a TOTAL order that
+    * round-robins across buckets (first one row of every difficulty
+    * bucket, then the second of every bucket, …). Consumers sort their
+    * shard files by the key; no global row number — and therefore no
+    * global sort or single-partition window — is ever computed: the one
+    * window is partitioned by bucket (parallel, spill-safe), and the
+    * key is scan-stage arithmetic on top of it. Reproducibility is the
+    * [[Sampling]] contract: order depends only on (id, salt).
+    *
+    * `scoreCol` must land in [0, 1] (quality scores do); `bucketScale`
+    * sets how many difficulty levels interleave.
+    */
+  def curriculumInterleave(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      bucketScale: Int,
+      salt: String): DataFrame = {
+    require(bucketScale >= 1, s"bucketScale=$bucketScale must be positive")
+    val bucket = floor(col(scoreCol) * lit(bucketScale.toDouble)).cast("long")
+    val w = Window.partitionBy(col("difficulty_bucket"))
+      .orderBy(col("ord_key"), col(idCol))
+    df.withColumn("difficulty_bucket", bucket)
+      .withColumn("ord_key",
+        graft.functions.PolyHash.saltedHash(col(idCol), s"$salt:cur"))
+      .withColumn("rank_in_bucket", row_number().over(w).cast("long"))
+      .withColumn("interleave_key",
+        col("rank_in_bucket") * lit(bucketScale + 1L) + col("difficulty_bucket"))
+      .drop("ord_key")
+  }
 }
