@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Integer-exact k-sigma outlier flags over per-group series — the
+  * monitoring query ("which hours were anomalous for this event
+  * type?") made hash-exact: the textbook test |x − μ| > k·σ needs a
+  * square root and a division, both of which poison cross-engine
+  * comparison; cross-multiplying the SQUARED test by H² clears every
+  * denominator instead:
+  *
+  *   (x − ΣT/H)² > k²·(H·ΣT² − (ΣT)²)/H²
+  *     ⟺  (x·H − ΣT)² > k²·(H·ΣT² − (ΣT)²)
+  *
+  * With integral x (a scaled-decimal series), both sides are exact
+  * DECIMAL(38,0) integers — no sqrt, no division, no float anywhere
+  * (the QualityRules cross-multiplication trick applied to variance).
+  * Caller must keep magnitudes inside 38 digits: |x|·H and
+  * k²·H·Σx² must fit, i.e. |x| ≲ 10^14 at a million buckets.
+  *
+  * Scale shape: the per-group (H, ΣT, ΣT²) stats table is |groups|
+  * rows and broadcast-joins back; the series itself never reshuffles.
+  * Statistics run over the OBSERVED buckets (absent buckets do not
+  * contribute zeros — resample upstream if they should).
+  */
+object Anomaly {
+
+  /** Flag series points with |value − mean| > k·stddev, exactly.
+    * `series` holds one row per (groupCols, bucket) with an INTEGRAL
+    * `valueIntCol` (long or integral decimal). Output: input columns +
+    * is_anomaly. Groups with one row (variance undefined ⇒ rhs 0,
+    * lhs 0) flag nothing. */
+  def sigmaFlags(
+      series: DataFrame,
+      groupCols: Seq[String],
+      valueIntCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sigmaFlags needs k >= 1, got $k")
+    val t = col(valueIntCol).cast(DecimalType(38, 0))
+    // stage boundary: the series (|groups| × |buckets| rows — already
+    // aggregate-sized) feeds the stats AND the flag join; materialize
+    // it once so the upstream aggregation never re-runs per branch
+    val withT = series.withColumn("__t", t).localCheckpoint(true)
+    val stats = withT.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("__h"),
+        sum(col("__t")).as("__st"),
+        sum(col("__t") * col("__t")).as("__st2"))
+    val lhsRoot = col("__t") * col("__h") - col("__st")
+    val rhs = lit(k.toLong * k) *
+      (col("__h") * col("__st2") - col("__st") * col("__st"))
+    withT
+      .join(broadcast(stats), groupCols)
+      .withColumn("is_anomaly", lhsRoot * lhsRoot > rhs)
+      .drop("__t", "__h", "__st", "__st2")
+  }
+}

@@ -14,7 +14,44 @@ import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sql
   */
 object EvalQueries {
 
-  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106, q107, q108, q109)
+  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110)
+
+  /** Hourly anomaly flags (operators/Anomaly.sigmaFlags): which hours'
+    * total event value sat more than 3σ from that event type's hourly
+    * mean — with the k-sigma test cross-multiplied into exact
+    * DECIMAL(38,0) integer arithmetic (no sqrt, division, or float
+    * crosses engines; the oracle replays it in HUGEINT). Stats table
+    * is |event types| rows and broadcasts; the series never
+    * reshuffles. */
+  def q110: Q = Q(
+    "q110_hourly_anomalies",
+    Some("""
+      |WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) * 1000000 AS HUGEINT)
+      |           AS t_int
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS hh,
+      |         sum(t_int) AS st, sum(t_int * t_int) AS st2
+      |  FROM h GROUP BY 1)
+      |SELECT h.event_type, h.hour_bucket, CAST(h.t_int AS BIGINT) AS t_int,
+      |       (h.t_int * s.hh - s.st) * (h.t_int * s.hh - s.st)
+      |         > 9 * (s.hh * s.st2 - s.st * s.st) AS is_anomaly
+      |FROM h JOIN s USING (event_type)
+      |ORDER BY event_type, hour_bucket
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.Anomaly
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 3600000000000").as("hour_bucket"))
+      .agg((sum(col("value").cast(DecimalType(28, 6))) * lit(1000000L))
+        .cast(DecimalType(38, 0)).as("t_int"))
+    Anomaly.sigmaFlags(hourly, Seq("event_type"), "t_int", k = 3)
+      .select(col("event_type"), col("hour_bucket"),
+        col("t_int").cast("long").as("t_int"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_bucket"))
+  }
 
   /** Incremental aggregate maintenance (operators/IncrementalAgg): the
     * per-custkey order profile is maintained as base state (orders

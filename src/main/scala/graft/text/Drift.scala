@@ -35,10 +35,23 @@ object Drift {
       valueCol: String,
       stratumCol: String,
       boundaries: Seq[Long],
-      eps: Double = 1e-4): DataFrame = {
+      eps: Double = 1e-4): DataFrame =
+    psiFromHistogram(histogram(df, valueCol, stratumCol, boundaries),
+      boundaries.size, eps, stratumCol)
+
+  /** The streamable half: the (stratum, bucket, cnt) fixed-boundary
+    * histogram — a plain grouped count, so it is ALSO a valid
+    * incremental streaming aggregate (run it on a readStream in
+    * complete mode and feed each snapshot to [[psiFromHistogram]]:
+    * drift monitoring that updates per micro-batch; spec-pinned equal
+    * to the batch path). */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      stratumCol: String,
+      boundaries: Seq[Long]): DataFrame = {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
       boundaries.distinct == boundaries, "boundaries must be sorted distinct")
-    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
     val v = col(valueCol)
     val chain = boundaries.map(b => when(v >= lit(b), 1).otherwise(0))
       .reduce(_ + _) - lit(1)
@@ -47,26 +60,38 @@ object Drift {
         lit(s"Drift.psi: $valueCol below boundaries.head " +
           s"(${boundaries.head}) or null: "),
         coalesce(v.cast("string"), lit("null")))).cast("int"))
-    // ONE corpus-wide exchange: the (stratum, bucket) counts; stage
-    // boundary because strata counts, global counts and the dense grid
-    // all derive from it
-    val hist = df
-      .select(col(stratumCol).as("__s"), bucket.as("__b"))
+    df.select(col(stratumCol).as("__s"), bucket.as("__b"))
       .groupBy(col("__s"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val perStratum = hist.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
-    val global = hist.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
-    val globalN = hist.agg(sum(col("__c")).as("__gn"))
+  }
+
+  /** PSI over a prebuilt [[histogram]] (sketch-sized input; everything
+    * here is tiny). `nBuckets` = the boundary count the histogram was
+    * built with. */
+  def psiFromHistogram(
+      hist: DataFrame,
+      nBuckets: Int,
+      eps: Double = 1e-4,
+      stratumName: String = "stratum"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    require(eps > 0 && eps < 1, s"eps must be in (0,1), got $eps")
+    // stage boundary: strata counts, global counts and the dense grid
+    // all re-reference the histogram — materialize the sketch-sized
+    // table once (this also gives every reference fresh attribute ids,
+    // which a memory-sink view cannot provide for a self-join)
+    val h = hist.localCheckpoint(true)
+    val perStratum = h.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val global = h.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
+    val globalN = h.agg(sum(col("__c")).as("__gn"))
     // dense strata × buckets grid so empty buckets contribute their
     // eps-floored term instead of silently dropping out
     val grid = perStratum.crossJoin(
-      broadcast(df.sparkSession.range(boundaries.size).select(
+      broadcast(hist.sparkSession.range(nBuckets.toLong).select(
         col("id").cast("int").as("__b"))))
     def floored(c: Column, n: Column): Column =
       greatest(c.cast("double") / n.cast("double"), lit(eps))
     val terms = grid
-      .join(hist, Seq("__s", "__b"), "left")
+      .join(h, Seq("__s", "__b"), "left")
       .join(broadcast(global), Seq("__b"), "left")
       .crossJoin(broadcast(globalN))
       .select(col("__s"), col("__n"),
@@ -75,7 +100,7 @@ object Drift {
       .withColumn("__term",
         (col("__p") - col("__q")) * log(col("__p") / col("__q")))
     terms
-      .groupBy(col("__s").as(stratumCol), col("__n").as("n_rows"))
+      .groupBy(col("__s").as(stratumName), col("__n").as("n_rows"))
       .agg(sum(col("__term").cast(DecimalType(18, 9)))
         .cast("double").as("psi"))
   }

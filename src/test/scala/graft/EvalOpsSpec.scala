@@ -130,6 +130,83 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  // ---- Anomaly.sigmaFlags --------------------------------------------
+
+  test("sigmaFlags flags exactly the points beyond k sigma, per group") {
+    // group a: 9 points at 100, one at 200 — mean 110, var 900, σ=30;
+    // |200-110| = 90 = 3σ exactly, NOT > 3σ; at k=2 it flags.
+    val a = (1 to 9).map(i => ("a", i.toLong, 100L)) :+ (("a", 10L, 200L))
+    // group b: constant series — zero variance, nothing flags
+    val b = (1 to 10).map(i => ("b", i.toLong, 7L))
+    val df = (a ++ b).toDF("g", "bucket", "t")
+    def flagged(k: Int) =
+      graft.operators.Anomaly.sigmaFlags(df, Seq("g"), "t", k)
+        .where($"is_anomaly").select("g", "bucket")
+        .as[(String, Long)].collect().toSet
+    assert(flagged(2) == Set(("a", 10L))) // strict > at the boundary
+    assert(flagged(3) == Set.empty)       // 3σ exactly is not > 3σ
+  }
+
+  test("sigmaFlags groups are independent") {
+    // identical spike in both groups, but b's baseline is noisy enough
+    // to absorb it
+    val a = (1 to 20).map(i => ("a", i.toLong, 100L)) :+ (("a", 21L, 160L))
+    val bVals = Seq(40L, 160L, 40L, 160L, 40L, 160L, 40L, 160L, 40L, 160L)
+    val b = bVals.zipWithIndex.map { case (v, i) => ("b", i.toLong, v) } :+
+      (("b", 99L, 160L))
+    val got = graft.operators.Anomaly.sigmaFlags(
+      (a ++ b).toDF("g", "bucket", "t"), Seq("g"), "t", 3)
+      .where($"is_anomaly").select("g", "bucket")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 21L)))
+  }
+
+  // ---- Drift streaming face ------------------------------------------
+
+  test("streaming histogram in complete mode reproduces the batch PSI") {
+    // the fixed-boundary histogram is a plain grouped count, hence a
+    // valid incremental streaming aggregate: stream the rows in two
+    // micro-batches, complete mode, and PSI over the final snapshot
+    // must equal the one-shot batch psi()
+    val bounds = Seq(0L, 10L, 20L, 30L)
+    val rows = (1L to 60L).map(i => (s"s${i % 3}", (i * 7) % 40))
+    val batch = graft.text.Drift.psi(rows.toDF("s", "v"), "v", "s", bounds)
+      .select("s", "n_rows", "psi")
+      .as[(String, Long, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_src")
+    rows.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_drift_stage")
+      chunk.toSeq.toDF("s", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    import org.apache.spark.sql.types._
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("s", StringType),
+        StructField("v", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = graft.text.Drift.histogram(stream, "v", "s", bounds)
+      .writeStream.format("memory").queryName("drift_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = graft.text.Drift.psiFromHistogram(
+      spark.table("drift_stream_test"), bounds.size, stratumName = "s")
+      .select("s", "n_rows", "psi")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(got == batch)
+  }
+
   // ---- Sampling.clusterSplit -----------------------------------------
 
   test("clusterSplit: clustered rows land in one split, singletons hash own id") {
