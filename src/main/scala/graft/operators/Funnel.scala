@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered conversion funnels and retention cohorts — the two product
+  * analytics shapes every event warehouse answers, expressed so each
+  * needs only per-entity partitioning (no self-joins over the event
+  * log, which is the naive formulation and quadratic in events per
+  * entity).
+  */
+object Funnel {
+
+  /** Ordered funnel: for each entity, the earliest completion time of
+    * every stage, where stage k counts only at or after the entity's
+    * stage-(k−1) time (the standard "did they view, THEN click, THEN
+    * buy" semantics — an early purchase before the first view does not
+    * complete stage 3). Output: (entityCol, t_1…t_N, stages_completed)
+    * with t_k null once the funnel stalls; times are `tsCol`'s own unit.
+    *
+    * Scale shape: ONE exchange (hash by entity); the N stages are N
+    * chained Window operators over the SAME partitioning — each stage's
+    * time is a per-row window min that the next stage's filter reads —
+    * so Spark plans one shuffle + N windowed passes, never a self-join.
+    * Events per entity spill via the window sorter if they must.
+    */
+  def funnel(
+      df: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    val w = Window.partitionBy(col(entityCol))
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
+      val cond: Column =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(s"t_$i").isNotNull &&
+          col(tsCol) >= col(s"t_$i")
+      acc.withColumn(s"t_${i + 1}", min(when(cond, col(tsCol))).over(w))
+    }
+    val tCols = stages.indices.map(i => col(s"t_${i + 1}"))
+    val completed = tCols.map(t => when(t.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    // per-entity window results are constant within the partition; max
+    // collapses them to one row (and skips the all-null stalled stages)
+    val aggs = stages.indices.map(i =>
+      max(col(s"t_${i + 1}")).as(s"t_${i + 1}")) :+
+      max(completed).as("stages_completed")
+    staged.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Retention cohorts: entities cohorted by their first active day,
+    * counted by day offset — the (cohort, offset) → distinct-entities
+    * triangle behind every retention curve. `dayCol` is an integral
+    * day number (e.g. epoch-day). Exchanges: the (entity, day)
+    * dedup, the per-entity cohort window, and the final cohort count —
+    * all entity- or cohort-keyed; the raw event log is touched once. */
+  def retention(
+      df: DataFrame,
+      entityCol: String,
+      dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+    df.select(col(entityCol), col(dayCol).as("__day"))
+      .distinct()
+      .withColumn("__cohort", min(col("__day")).over(w))
+      .groupBy(col("__cohort").as("cohort_day"),
+        (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col(entityCol)).as("n_entities"))
+  }
+}

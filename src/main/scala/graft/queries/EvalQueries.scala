@@ -14,7 +14,77 @@ import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sql
   */
 object EvalQueries {
 
-  val all: Seq[Q] = Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110)
+  val all: Seq[Q] =
+    Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+
+  /** Ordered conversion funnel (operators/Funnel.funnel): per user, the
+    * earliest view, the earliest click AT OR AFTER that view, and the
+    * earliest purchase at or after that click — one exchange, three
+    * chained windows over the same partitioning, never a self-join
+    * over the event log. Times emitted at the µs contract (NOTES rule
+    * 2). */
+  def q111: Q = Q(
+    "q111_conversion_funnel",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+      |                      AND ns >= t1 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+      |                      AND ns >= t2 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |agg AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id)
+      |SELECT user_id, t1 // 1000 AS t1_us, t2 // 1000 AS t2_us,
+      |       t3 // 1000 AS t3_us,
+      |       (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+      |        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |         AS stages_completed
+      |FROM agg ORDER BY user_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Funnel
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        expr("t_1 div 1000").as("t1_us"),
+        expr("t_2 div 1000").as("t2_us"),
+        expr("t_3 div 1000").as("t3_us"),
+        col("stages_completed"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohorts (Funnel.retention): users cohorted by first
+    * active epoch-day, distinct-user counts per day offset — the
+    * retention triangle. Integer day buckets on the nanosecond
+    * timestamps, so everything hash-compares. */
+  def q112: Q = Q(
+    "q112_retention_cohorts",
+    Some("""
+      |WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |c AS (
+      |  SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+      |SELECT cohort AS cohort_day, day - cohort AS day_offset,
+      |       count(DISTINCT user_id) AS n_entities
+      |FROM c GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Funnel
+    val withDay = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    Funnel.retention(withDay, "user_id", "day")
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 
   /** Hourly anomaly flags (operators/Anomaly.sigmaFlags): which hours'
     * total event value sat more than 3σ from that event type's hourly

@@ -96,6 +96,58 @@ class IncrementalOpsSpec extends AnyFunSuite {
       s"orders look like rotations: $sharedAdjacency shared adjacencies")
   }
 
+  // ---- Funnel ----------------------------------------------------------
+
+  test("funnel only counts stages in order") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1: clean view -> click -> purchase
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchase BEFORE the first view — stage 3 must not complete
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      // u3: click exists but precedes the first view — stalls at stage 1
+      (3L, "click", 5L), (3L, "view", 10L), (3L, "purchase", 30L),
+      // u4: early purchase ignored, later one after the click counts
+      (4L, "view", 10L), (4L, "purchase", 15L), (4L, "click", 20L),
+      (4L, "purchase", 40L),
+      // u5: no stage-1 event at all
+      (5L, "click", 10L), (5L, "purchase", 20L))
+      .toDF("u", "et", "ts")
+    val got = Funnel.funnel(ev, "u", "et", "ts",
+      Seq("view", "click", "purchase"))
+      .select("u", "t_1", "t_2", "t_3", "stages_completed")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(got(2L) == ((Some(10L), Some(20L), None, 2)))
+    assert(got(3L) == ((Some(10L), None, None, 1)))
+    assert(got(4L) == ((Some(10L), Some(20L), Some(40L), 3)))
+    assert(got(5L) == ((None, None, None, 0)))
+  }
+
+  test("funnel accepts same-timestamp completion (>= semantics)") {
+    import graft.operators.Funnel
+    val ev = Seq((1L, "view", 10L), (1L, "click", 10L)).toDF("u", "et", "ts")
+    val got = Funnel.funnel(ev, "u", "et", "ts", Seq("view", "click"))
+      .select("t_1", "t_2").as[(Option[Long], Option[Long])].collect().head
+    assert(got == ((Some(10L), Some(10L))))
+  }
+
+  test("retention builds the cohort triangle, same-day dedup included") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 3L), // cohort 0; dup day 0 row
+      (2L, 0L), (2L, 3L),                     // cohort 0
+      (3L, 1L), (3L, 2L))                     // cohort 1
+      .toDF("u", "day")
+    val got = Funnel.retention(ev, "u", "day")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
   // ---- Bpe ------------------------------------------------------------
 
   test("pairCounts weights pairs by corpus token frequency") {
