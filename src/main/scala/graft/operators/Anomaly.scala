@@ -31,14 +31,26 @@ object Anomaly {
     * `series` holds one row per (groupCols, bucket) with an INTEGRAL
     * `valueIntCol` (long or integral decimal). Output: input columns +
     * is_anomaly. Groups with one row (variance undefined ⇒ rhs 0,
-    * lhs 0) flag nothing. */
+    * lhs 0) flag nothing. Null values and null group keys fail loudly
+    * (the Drift/HistogramSketch contract): a null value would count in
+    * H but not in the sums — silently corrupting the variance identity
+    * for its whole group — and a null key would vanish in the stats
+    * equi-join. */
   def sigmaFlags(
       series: DataFrame,
       groupCols: Seq[String],
       valueIntCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"sigmaFlags needs k >= 1, got $k")
-    val t = col(valueIntCol).cast(DecimalType(38, 0))
+    val v = col(valueIntCol)
+    val nullKey = groupCols.map(col(_).isNull).reduce(_ || _)
+    val t = when(nullKey, raise_error(lit(
+        s"Anomaly.sigmaFlags: null group key in ${groupCols.mkString(",")}"))
+        .cast(DecimalType(38, 0)))
+      .when(v.isNull, raise_error(lit(
+        s"Anomaly.sigmaFlags: null $valueIntCol"))
+        .cast(DecimalType(38, 0)))
+      .otherwise(v.cast(DecimalType(38, 0)))
     // stage boundary: the series (|groups| × |buckets| rows — already
     // aggregate-sized) feeds the stats AND the flag join; materialize
     // it once so the upstream aggregation never re-runs per branch

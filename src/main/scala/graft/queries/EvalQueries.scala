@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sim.{AnnEval, Similarity}
 import graft.text.{Sampling, Sharding, TextAnalysis, Versioning}
-import CorpusQueries.{sqlDot, sqlHyperplaneCell, sqlQualityExpr}
+import CorpusQueries.{sqlCosine, sqlHyperplaneCell, sqlQualityExpr}
 import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
 
 /** Round-5 evaluation + versioning operators: corpus snapshot diff,
@@ -365,9 +365,7 @@ object EvalQueries {
       |WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
       |tpairs AS (
       |  SELECT q.vec_id, c.vec_id AS neighbor_id,
-      |         ${sqlDot("q.embedding", "c.embedding")}
-      |           / (sqrt(${sqlDot("q.embedding", "q.embedding")})
-      |              * sqrt(${sqlDot("c.embedding", "c.embedding")})) AS cos
+      |         ${sqlCosine("q.embedding", "c.embedding")} AS cos
       |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
       |truth AS (
       |  SELECT vec_id, neighbor_id FROM (
@@ -393,9 +391,7 @@ object EvalQueries {
       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id),
       |scored AS (
       |  SELECT vec_id, neighbor_id,
-      |         ${sqlDot("qvec", "nvec")}
-      |           / (sqrt(${sqlDot("qvec", "qvec")})
-      |              * sqrt(${sqlDot("nvec", "nvec")})) AS cos
+      |         ${sqlCosine("qvec", "nvec")} AS cos
       |  FROM cand),
       |approx AS (
       |  SELECT vec_id, neighbor_id FROM (

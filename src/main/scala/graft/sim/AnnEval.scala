@@ -31,13 +31,13 @@ object AnnEval {
       neighborCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"recallAtK needs k >= 1, got $k")
-    // stage boundary: both retrievals are expensive subtrees referenced
-    // by multiple branches below (truth feeds the per-query counts AND
-    // the hit join) — materialize the k-rows-per-query pair lists once
-    // instead of re-running the retrievals per branch
+    // stage boundary: truth is an expensive retrieval subtree referenced
+    // by TWO branches below (the per-query counts and the hit join) —
+    // materialize its k-rows-per-query pair list once instead of
+    // re-running the retrieval per branch. approx feeds exactly one
+    // join, so its lineage already runs once: no checkpoint.
     val t = truth.select(col(queryCol), col(neighborCol)).localCheckpoint(true)
     val a = approx.select(col(queryCol), col(neighborCol)).distinct()
-      .localCheckpoint(true)
     val perQuery = t.groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_truth"))
     val hits = t.join(a, Seq(queryCol, neighborCol), "left_semi")

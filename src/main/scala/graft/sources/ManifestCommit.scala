@@ -47,7 +47,9 @@ object ManifestCommit {
   /** One zone-map row: a file's min/max for one column (None = the
     * column is all-null in that file). Values are the column's Spark
     * string cast — numeric tags parse back exactly (shortest-decimal
-    * round-trips), date/timestamp strings are ISO and sort lexically. */
+    * round-trips). Non-numeric, non-string tags (date/timestamp/...)
+    * are stored but never trusted for pruning: the caller's bound
+    * formatting need not match Spark's cast (see tryCmp). */
   final case class ZoneStat(file: String, column: String, typeTag: String,
       min: Option[String], max: Option[String])
 
@@ -87,8 +89,14 @@ object ManifestCommit {
     require(Files.exists(manifest), s"no manifest for generation $gen under $path")
     val files = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
     require(files.nonEmpty, s"manifest $manifest lists no files")
-    // all of a generation's files share one data dir; basePath restores
-    // partition columns from Hive-style subdirs (k=v/...) when present
+    readFiles(spark, path, files)
+  }
+
+  /** Read a generation's (sub)set of dataset-relative files. All of a
+    * generation's files share one data dir; basePath restores partition
+    * columns from Hive-style subdirs (k=v/...) when present. */
+  private def readFiles(spark: SparkSession, path: String,
+      files: Seq[String]): DataFrame = {
     val dataDir = Paths.get(path).resolve(files.head.takeWhile(_ != '/'))
     spark.read.option("basePath", dataDir.toString)
       .parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
@@ -212,36 +220,43 @@ object ManifestCommit {
     })
   }
 
-  /** Typed ordering for zone-map strings. Numerics parse exactly
-    * (shortest-decimal round-trips); date/timestamp ISO strings sort
-    * lexically; everything else falls back to Java string order, which
-    * matches Spark's UTF8String (binary UTF-8) order ONLY for ASCII —
-    * [[prunableRange]] refuses to prune non-ASCII string bounds rather
-    * than trust it. */
-  private def cmp(tag: String, a: String, b: String): Int = tag match {
-    case "byte" | "short" | "integer" | "long" => java.lang.Long.compare(a.toLong, b.toLong)
-    case "float" | "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
-    case t if t.startsWith("decimal") => BigDecimal(a).compare(BigDecimal(b))
-    case _ => a.compareTo(b)
+  /** Typed ordering for zone-map strings, or None when the comparison
+    * cannot be TRUSTED — unknown tag (timestamp/date/boolean/...: the
+    * caller's bound formatting need not match Spark's string cast, and
+    * a format mismatch here would silently prune files that match),
+    * a bound that fails to parse as the column's type (e.g. "10.5"
+    * against a long column), or non-ASCII strings (Java string order
+    * matches Spark's UTF8String binary-UTF-8 order only for ASCII).
+    * None always means "keep the file": mis-pruning loses rows, while
+    * keeping only costs a read. Numerics parse exactly
+    * (shortest-decimal round-trips). */
+  private def tryCmp(tag: String, a: String, b: String): Option[Int] = {
+    import scala.util.Try
+    tag match {
+      case "byte" | "short" | "integer" | "long" =>
+        Try(java.lang.Long.compare(a.toLong, b.toLong)).toOption
+      case "float" | "double" =>
+        Try(java.lang.Double.compare(a.toDouble, b.toDouble)).toOption
+      case t if t.startsWith("decimal") =>
+        Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      case "string" if allAscii(a) && allAscii(b) => Some(a.compareTo(b))
+      case _ => None
+    }
   }
 
   private def allAscii(s: String): Boolean = s.forall(_ < 128)
 
-  /** Can [lo, hi] be safely compared against this stat? */
-  private def prunableRange(z: ZoneStat, lo: String, hi: String): Boolean =
-    z.typeTag match {
-      case "string" =>
-        allAscii(lo) && allAscii(hi) &&
-          z.min.forall(allAscii) && z.max.forall(allAscii)
-      case _ => true
-    }
-
   /** Does the file's [min, max] overlap [lo, hi]? All-null stats (None)
-    * never overlap a range predicate — `BETWEEN` is null-rejecting. */
+    * never overlap a range predicate — `BETWEEN` is null-rejecting —
+    * regardless of type; an UNTRUSTED comparison (tryCmp None) counts
+    * as overlapping, so the file is kept. */
   private def overlaps(z: ZoneStat, lo: String, hi: String): Boolean =
     (z.min, z.max) match {
       case (Some(mn), Some(mx)) =>
-        cmp(z.typeTag, mx, lo) >= 0 && cmp(z.typeTag, mn, hi) <= 0
+        (tryCmp(z.typeTag, mx, lo), tryCmp(z.typeTag, mn, hi)) match {
+          case (Some(cMaxLo), Some(cMinHi)) => cMaxLo >= 0 && cMinHi <= 0
+          case _ => true
+        }
       case _ => false
     }
 
@@ -261,7 +276,7 @@ object ManifestCommit {
         files.partition { f =>
           byFile.get(f) match {
             case None => true
-            case Some(z) => !prunableRange(z, ls, hs) || overlaps(z, ls, hs)
+            case Some(z) => overlaps(z, ls, hs)
           }
         }
     }
@@ -276,13 +291,9 @@ object ManifestCommit {
       lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = pruneBetween(path, column, lo, hi)
-    val dir = Paths.get(path)
     val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (kept.nonEmpty) {
-      val dataDir = dir.resolve(kept.head.takeWhile(_ != '/'))
-      spark.read.option("basePath", dataDir.toString)
-        .parquet(kept.map(f => dir.resolve(f).toString): _*)
-        .where(residual)
+      readFiles(spark, path, kept).where(residual)
     } else {
       // nothing can match: read the schema from the manifest's files
       // with a constant-false filter (parquet pushdown scans no groups)

@@ -147,6 +147,22 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(flagged(3) == Set.empty)       // 3σ exactly is not > 3σ
   }
 
+  test("sigmaFlags fails loudly on null values and null group keys") {
+    // a null value would count in H but not in the sums — corrupting
+    // the variance for its whole group; a null key would vanish in the
+    // stats join. Both must raise, not skew.
+    val nullVal = Seq(("a", 1L, Some(10L)), ("a", 2L, None))
+      .toDF("g", "bucket", "t")
+    assertThrows[Exception] {
+      graft.operators.Anomaly.sigmaFlags(nullVal, Seq("g"), "t", 3).collect()
+    }
+    val nullKey = Seq((Some("a"), 1L, 10L), (None: Option[String], 2L, 20L))
+      .toDF("g", "bucket", "t")
+    assertThrows[Exception] {
+      graft.operators.Anomaly.sigmaFlags(nullKey, Seq("g"), "t", 3).collect()
+    }
+  }
+
   test("sigmaFlags groups are independent") {
     // identical spike in both groups, but b's baseline is noisy enough
     // to absorb it

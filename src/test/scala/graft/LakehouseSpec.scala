@@ -187,6 +187,13 @@ class LakehouseSpec extends AnyFunSuite {
     val (k5, p5) = ManifestCommit.pruneBetween(root, "name", "s0110", "s0120")
     assert(k5.size === 4 && p5.isEmpty)
 
+    // bounds that do not parse as the column's type must refuse to
+    // prune (keep everything) rather than crash or mis-compare
+    val (k7, p7) = ManifestCommit.pruneBetween(root, "id", 10.5, 20.5)
+    assert(k7.size === 4 && p7.isEmpty)
+    assert(ManifestCommit.readBetween(spark, root, "id", 10.5, 20.5)
+      .count() === 10) // residual filter still exact: ids 11..20
+
     // no sidecar at all (plain writeVersioned): no pruning, still exact
     val root2 = Files.createTempDirectory("graft_zonemap2").resolve("t").toString
     ManifestCommit.writeVersioned(df.coalesce(1), root2, Seq("bucket"))
