@@ -44,6 +44,26 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[build]] over PRE-AGGREGATED (item, weight) rows: bucket counters
+    * sum the weights instead of counting rows. By CMS linearity this
+    * equals `build` on the expanded multiset exactly (spec-pinned) —
+    * and it is the shape to prefer when a counts table already exists
+    * or feeds other consumers (the q67 pre-aggregation discipline: the
+    * corpus contributes one wordcount, the vocabulary-sized counts
+    * table fans out from there). */
+  def buildWeighted(counts: DataFrame, itemCol: String, weightCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch shape $depth x $width")
+    counts
+      .select(col(weightCol).as("__w") +: (0 until depth).map(r =>
+        bucketFor(col(itemCol), r, width).as(s"b$r")): _*)
+      .select(col("__w"),
+        posexplode(array((0 until depth).map(r => col(s"b$r")): _*))
+          .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
   /** Merge sketches built with the SAME (depth, width): counter-wise
     * sum. CMS is a linear sketch — merge(build(A), build(B)) ≡
     * build(A ∪ B) exactly (spec-pinned) — which is what makes it
@@ -54,6 +74,46 @@ object CountMin {
     sketches.reduce(_ unionByName _)
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Equi-join cardinality estimation via the CMS inner product
+    * (the AMS idea carried by CMS linearity, Cormode & Muthukrishnan
+    * §4.3): |A ⋈ B| on a key = Σ_k fA(k)·fB(k), estimated as
+    * min over hash rows r of Σ_b A[r][b]·B[r][b]. Like point queries
+    * it only ever OVER-estimates (collisions add cross terms, never
+    * subtract — spec-pinned), with error ≤ N_A·N_B/width per row. This
+    * is the sketch-sized answer to the planner question "how big would
+    * this join be?" — both inputs are summarized in depth × width
+    * integers, so the estimate costs nothing at 100 TB while the real
+    * join costs everything.
+    *
+    * Both sketches must share (depth, width) and the [[bucketFor]]
+    * recipe. Products run in DECIMAL(38,0): two corpus-sized counts
+    * multiply to ~N², past long range long before 38 digits. Output:
+    * one row, `join_size_est` DECIMAL(38,0).
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame,
+      depth: Int = 4): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1: $depth")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val a = sketchA.select(col("row"), col("bucket"),
+      col("cnt").cast(dec).as("__ca"))
+    val b = sketchB.select(col("row"), col("bucket"),
+      col("cnt").cast(dec).as("__cb"))
+    // absent (row, bucket) cells are zero counters: they contribute 0
+    // to the product, so the inner join loses nothing — EXCEPT a hash
+    // row whose sketches share no bucket at all, whose inner product
+    // is 0 and must not vanish from the min (left join from the row
+    // range, coalesce 0)
+    val ip = a.join(b, Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("__ca") * col("__cb")).as("__ip"))
+    sketchA.sparkSession.range(depth.toLong)
+      .select(col("id").cast("int").as("row"))
+      .join(ip, Seq("row"), "left")
+      .agg(min(coalesce(col("__ip"), lit(0L).cast(dec)))
+        .as("join_size_est"))
+  }
 
   /** Point-query the sketch for every row of `queries`: attach
     * `cms_est` = min over hash rows of the addressed counters. One

@@ -30,15 +30,23 @@ object Funnel {
       entityCol: String,
       typeCol: String,
       tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"stages must be non-empty and distinct: $stages")
+    require(maxGap.forall(_ > 0), s"maxGap must be positive: $maxGap")
     val w = Window.partitionBy(col(entityCol))
     val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
       val cond: Column =
         if (i == 0) col(typeCol) === stage
-        else col(typeCol) === stage && col(s"t_$i").isNotNull &&
-          col(tsCol) >= col(s"t_$i")
+        else {
+          val base = col(typeCol) === stage && col(s"t_$i").isNotNull &&
+            col(tsCol) >= col(s"t_$i")
+          // windowed funnel: each stage must land within maxGap of the
+          // previous stage's completion (tsCol's unit), the "converted
+          // within an hour" form
+          maxGap.fold(base)(g => base && col(tsCol) <= col(s"t_$i") + lit(g))
+        }
       acc.withColumn(s"t_${i + 1}", min(when(cond, col(tsCol))).over(w))
     }
     val tCols = stages.indices.map(i => col(s"t_${i + 1}"))

@@ -15,7 +15,79 @@ import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sql
 object EvalQueries {
 
   val all: Seq[Q] =
-    Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
+      q113)
+
+  /** CMS join-size estimation (CountMin.joinSizeEstimate): the
+    * cardinality of the token equi-join between two corpus halves,
+    * estimated from two 4×256 sketches via the min-over-rows inner
+    * product — the planner's "how big would this join be?" answered in
+    * sketch space. Paired with the exact Σ fA·fB so the over-estimate
+    * contract is visible in the output; both replay exactly in the
+    * oracle (HUGEINT products). */
+  def q113: Q = {
+    val d = 4
+    val w = 256
+    val srcA = "('src0', 'src1', 'src2', 'src3', 'src4')"
+    def arm(r: Int) =
+      s"{'r': $r, 'b': (${sqlSaltedHash("tok", s"cms$r")}) % $w}"
+    val arms = (0 until d).map(arm).mkString("[", ", ", "]")
+    Q("q113_cms_join_size",
+      Some(s"""
+        |WITH ta AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents
+        |  WHERE source IN $srcA),
+        |tb AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents
+        |  WHERE source NOT IN $srcA),
+        |sa AS (
+        |  SELECT u.r AS row, u.b AS bucket, count(*) AS c
+        |  FROM (SELECT tok, unnest($arms) AS u FROM ta) GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT u.r AS row, u.b AS bucket, count(*) AS c
+        |  FROM (SELECT tok, unnest($arms) AS u FROM tb) GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT sa.row, sum(CAST(sa.c AS HUGEINT) * sb.c) AS p
+        |  FROM sa JOIN sb ON sa.row = sb.row AND sa.bucket = sb.bucket
+        |  GROUP BY 1),
+        |rows AS (SELECT unnest(range(0, $d)) AS r),
+        |est AS (
+        |  SELECT min(coalesce(ip.p, 0)) AS e
+        |  FROM rows LEFT JOIN ip ON ip.row = rows.r),
+        |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+        |cb AS (SELECT tok, count(*) AS c FROM tb GROUP BY tok),
+        |ex AS (
+        |  SELECT coalesce(sum(CAST(ca.c AS HUGEINT) * cb.c), 0) AS x
+        |  FROM ca JOIN cb USING (tok))
+        |SELECT CAST(est.e AS BIGINT) AS join_size_est,
+        |       CAST(ex.x AS BIGINT) AS exact_join_size
+        |FROM est CROSS JOIN ex
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.CountMin
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, dir)
+      val isA = col("source").isin("src0", "src1", "src2", "src3", "src4")
+      // ONE corpus scan per side: the vocabulary-sized counts table is
+      // the stage boundary feeding BOTH its sketch (buildWeighted, by
+      // CMS linearity ≡ building from the raw multiset) and the exact
+      // inner product
+      def cnts(cond: org.apache.spark.sql.Column, name: String) = docs
+        .where(cond)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(name))
+        .localCheckpoint(true)
+      val (ca, cb) = (cnts(isA, "ca"), cnts(!isA, "cb"))
+      val est = CountMin.joinSizeEstimate(
+        CountMin.buildWeighted(ca, "tok", "ca", d, w),
+        CountMin.buildWeighted(cb, "tok", "cb", d, w), d)
+      val exact = ca.join(cb, Seq("tok"))
+        .agg(coalesce(sum(col("ca").cast(DecimalType(38, 0)) * col("cb")),
+          lit(0L).cast(DecimalType(38, 0))).as("x"))
+      est.crossJoin(exact)
+        .select(col("join_size_est").cast("long").as("join_size_est"),
+          col("x").cast("long").as("exact_join_size"))
+    }
+  }
 
   /** Ordered conversion funnel (operators/Funnel.funnel): per user, the
     * earliest view, the earliest click AT OR AFTER that view, and the

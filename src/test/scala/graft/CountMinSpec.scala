@@ -72,6 +72,43 @@ class CountMinSpec extends AnyFunSuite {
       s"estimate shuffled:\n$plan")
   }
 
+  test("joinSizeEstimate never under-estimates and is exact sans collisions") {
+    val a = items // item1..item12, zipf counts
+    val b = (6 to 18).flatMap(k => Seq.fill(k)(s"item$k")).toDF("x")
+    val exactJoin = {
+      val ca = a.groupBy("x").agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy("x").agg(count(lit(1)).as("cb"))
+      ca.join(cb, "x").agg(sum($"ca" * $"cb")).as[Long].collect().head
+    }
+    def est(width: Int) = CountMin.joinSizeEstimate(
+      CountMin.build(a, "x", 4, width), CountMin.build(b, "x", 4, width), 4)
+      .select($"join_size_est".cast("long")).as[Long].collect().head
+    assert(est(16) >= exactJoin, "inner product under-estimated")
+    // ample width: no collisions in any row => estimate is exact
+    assert(est(65536) === exactJoin)
+  }
+
+  test("buildWeighted on pre-aggregated counts equals build on the multiset") {
+    val counts = items.groupBy("x").agg(count(lit(1)).as("w"))
+    val viaWeights = CountMin.buildWeighted(counts, "x", "w", 4, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaRows = CountMin.build(items, "x", 4, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaWeights === viaRows)
+  }
+
+  test("joinSizeEstimate is 0 for disjoint keys at ample width") {
+    val a = Seq("a1", "a2", "a3").toDF("x")
+    val b = Seq("b1", "b2").toDF("x")
+    // wide sketches: no accidental bucket collisions, every hash row's
+    // inner product is 0 — including rows with NO shared bucket, which
+    // must count as 0 rather than vanish from the min
+    val e = CountMin.joinSizeEstimate(
+      CountMin.build(a, "x", 4, 65536), CountMin.build(b, "x", 4, 65536), 4)
+      .select($"join_size_est".cast("long")).as[Long].collect().head
+    assert(e === 0L)
+  }
+
   test("streaming build over micro-batches equals the batch sketch") {
     // the sketch build is a plain grouped count, so it is ALSO a valid
     // incremental streaming aggregate (linearity made operational):

@@ -133,6 +133,28 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(got == ((Some(10L), Some(10L))))
   }
 
+  test("funnel maxGap bounds each stage's distance from the previous one") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      // u1 clicks 5 after the view, u2 clicks 50 after — a gap of 10
+      // keeps u1's click, rejects u2's even though it is in order
+      (1L, "view", 10L), (1L, "click", 15L),
+      (2L, "view", 10L), (2L, "click", 60L),
+      // u3: an in-gap click exists later than an out-of-gap one
+      (3L, "view", 10L), (3L, "click", 60L), (3L, "view", 55L),
+      (3L, "click", 58L))
+      .toDF("u", "et", "ts")
+    val got = Funnel.funnel(ev, "u", "et", "ts", Seq("view", "click"),
+      maxGap = Some(10L))
+      .select("u", "t_2").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) == Some(15L))
+    assert(got(2L) == None)
+    // u3: first view is 10; click 58 is out of its gap BUT within the
+    // 55-view's — the operator gates on the FIRST stage-1 time only
+    // (t_1 = 10), so neither click lands in [10, 20]
+    assert(got(3L) == None)
+  }
+
   test("retention builds the cohort triangle, same-day dedup included") {
     import graft.operators.Funnel
     val ev = Seq(
