@@ -16,7 +16,58 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113)
+      q113, q114)
+
+  /** SCD2 user-state dimension (operators/Scd2): each user's
+    * event_type as a type-2 slowly-changing attribute — runs collapse,
+    * each version closes at the next change, the latest stays open
+    * (valid_to null). The Spark side runs the INCREMENTAL path:
+    * fromChangeLog up to Jan 20, then applyBatch with the rest — while
+    * the oracle rebuilds from the full log, so the hash match proves
+    * batch-apply ≡ full rebuild on real data (the q107 discipline
+    * applied to version histories). */
+  def q114: Q = {
+    val cutNs = 1705708800000000000L // 2024-01-20T00:00Z
+    Q("q114_scd2_user_state",
+      Some("""
+        |WITH e AS (
+        |  SELECT user_id, event_type AS state, epoch_ns(ts) AS ns,
+        |         event_id FROM events),
+        |ord AS (
+        |  SELECT *,
+        |         lag(state) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns, event_id)),
+        |runs AS (
+        |  SELECT user_id, state, ns, event_id FROM ord
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM state),
+        |vers AS (
+        |  SELECT user_id, state, ns AS valid_from,
+        |         lead(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id)
+        |           AS valid_to
+        |  FROM runs)
+        |SELECT user_id, state, valid_from // 1000 AS valid_from_us,
+        |       valid_to // 1000 AS valid_to_us
+        |FROM vers ORDER BY user_id, valid_from_us
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Scd2
+      val log = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts"), col("event_id"))
+      val dim = Scd2.fromChangeLog(
+        log.where(col("ts") < cutNs), "user_id", "state", "ts", "event_id")
+      // DuckDB reads TIMESTAMP(NANOS) at µs precision, so the ns
+      // timestamps surface as µs on both sides (the q111 rule); no two
+      // events share a (user, µs) at any sf, so truncation cannot
+      // reorder the log
+      Scd2.applyBatch(dim, log.where(col("ts") >= cutNs),
+        "user_id", "state", "ts", "event_id")
+        .select(col("user_id"), col("state"),
+          expr("valid_from div 1000").as("valid_from_us"),
+          expr("valid_to div 1000").as("valid_to_us"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }
+  }
 
   /** CMS join-size estimation (CountMin.joinSizeEstimate): the
     * cardinality of the token equi-join between two corpus halves,
