@@ -16,7 +16,45 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114)
+      q113, q114, q115)
+
+  /** Interval coverage (operators/Intervals.mergeOverlapping): each
+    * event opens an activity interval of `value` seconds; per user the
+    * overlapping intervals merge into maximal spans — gaps-and-islands
+    * over TRUE intervals, where a long interval can swallow later short
+    * ones (the case the lag-on-start formulation gets wrong and the
+    * spec pins). Interval ends use floor(value·1e6) so the arithmetic
+    * is one IEEE multiply + floor on both engines — no cast-rounding
+    * divergence (Spark casts truncate, DuckDB CAST rounds). */
+  def q115: Q = Q(
+    "q115_activity_coverage",
+    Some("""
+      |WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      |  FROM events),
+      |o AS (
+      |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM iv),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY s, e
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM o)
+      |SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+      |       count(*) AS n_intervals
+      |FROM g GROUP BY user_id, isl
+      |ORDER BY user_id, span_start
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Intervals
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("s"),
+        (expr("ts div 1000") +
+          floor(col("value") * lit(1000000.0)).cast("long")).as("e"))
+    Intervals.mergeOverlapping(iv, Seq("user_id"), "s", "e")
+      .orderBy(col("user_id"), col("span_start"))
+  }
 
   /** SCD2 user-state dimension (operators/Scd2): each user's
     * event_type as a type-2 slowly-changing attribute — runs collapse,
