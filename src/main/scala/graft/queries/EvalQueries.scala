@@ -16,7 +16,36 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115)
+      q113, q114, q115, q116)
+
+  /** Bloom-pruned semi-join (operators/BloomJoin.semiPruned): lineitems
+    * of urgent high-value orders, with the order-key bloom pruning the
+    * lineitem side in its scan stage so the shuffle moves only
+    * (approximate) matches — the runtime-filter idea as an explicit
+    * operator, for the dimension-too-big-to-broadcast regime. Blooms
+    * have no false negatives and the exact semi-join scrubs the false
+    * positives, so the oracle is simply the UNPRUNED semi-join: the
+    * hash match proves pruning changed nothing. */
+  def q116: Q = Q(
+    "q116_bloom_semijoin",
+    Some("""
+      |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+      |ORDER BY l_orderkey, l_linenumber
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.BloomJoin
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+    BloomJoin.semiPruned(Tables.lineitem(s, dir), "l_orderkey",
+      urgent, "o_orderkey", expectedKeys = 4000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 
   /** Interval coverage (operators/Intervals.mergeOverlapping): each
     * event opens an activity interval of `value` seconds; per user the
