@@ -16,7 +16,39 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116)
+      q113, q114, q115, q116, q117)
+
+  /** Incremental join maintenance (operators/IncrementalJoin): the
+    * orders⋈customer view advanced by insert-only deltas on BOTH sides
+    * (orders from 1997 on; customers with custkey ≥ 1200 arriving
+    * late), while the oracle joins from scratch — the hash match pins
+    * (A∪dA)⋈(B∪dB) = A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB on real data. Each
+    * delta term joins at most one corpus-sized side; the big tables
+    * never co-shuffle during maintenance. */
+  def q117: Q = Q(
+    "q117_incremental_join",
+    Some("""
+      |SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.IncrementalJoin
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_mktsegment"))
+    // o_orderdate is TIMESTAMP_NTZ — split on year(), which is
+    // timezone-free (the q107 lesson)
+    val (aO, aD) = (orders.where(year(col("o_orderdate")) < 1997),
+      orders.where(year(col("o_orderdate")) >= 1997))
+    val (bO, bD) = (cust.where(col("c_custkey") < 1200),
+      cust.where(col("c_custkey") >= 1200))
+    IncrementalJoin.maintained(
+      aO.join(bO, col("o_custkey") === col("c_custkey")),
+      aO, aD, bO, bD, "o_custkey", "c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
 
   /** Bloom-pruned semi-join (operators/BloomJoin.semiPruned): lineitems
     * of urgent high-value orders, with the order-key bloom pruning the
