@@ -16,7 +16,41 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117)
+      q113, q114, q115, q116, q117, q118)
+
+  /** Pareto-front document selection (operators/Skyline.paretoFront):
+    * documents maximizing token count while minimizing characters —
+    * the token-density frontier no WHERE clause expresses. The axes are
+    * exact integers (token count, negated n_chars), so domination is
+    * integer comparison on both engines; the oracle is the literal
+    * NOT EXISTS definition. Anti-correlated axes keep the front
+    * non-trivial; the operator still runs its two-prune path
+    * (per-partition fronts, then the global front over survivors). */
+  def q118: Q = Q(
+    "q118_pareto_docs",
+    Some(s"""
+      |WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |         len(${sqlTokens("text")}) AS n_tokens
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, n_tokens, n_chars FROM d a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d b
+      |  WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
+      |    AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars))
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Skyline
+    val d = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+    Skyline.paretoFront(d.withColumn("neg_chars", -col("n_chars")),
+      "n_tokens", "neg_chars")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Incremental join maintenance (operators/IncrementalJoin): the
     * orders⋈customer view advanced by insert-only deltas on BOTH sides
