@@ -16,7 +16,37 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118)
+      q113, q114, q115, q116, q117, q118, q119)
+
+  /** Order-independent table checksum (operators/Checksum): lineitem
+    * reduced to 64 (bucket, n_rows, checksum) rows — the anti-entropy
+    * summary two replicas exchange to find where they differ. The
+    * oracle recomputes the same canonical row hash (control-character
+    * field separator + null sentinel, shared polyhash fragments) in
+    * DuckDB, so this literally IS a cross-engine replica check: the
+    * hash match certifies multiset equality of a 6-column projection
+    * across two independent engines. Sums stay exact in
+    * DECIMAL(38,0)/HUGEINT and surface as BIGINT. */
+  def q119: Q = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus")
+    val rowStr = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
+      .mkString("concat_ws(chr(1), ", ", ", ")")
+    Q("q119_table_checksum",
+      Some(s"""
+        |WITH h AS (
+        |  SELECT (${sqlSaltedHash(rowStr, "cksum")}) AS h FROM lineitem)
+        |SELECT h % 64 AS bucket, count(*) AS n_rows,
+        |       CAST(sum(CAST(h AS HUGEINT)) AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY bucket
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Checksum
+      Checksum.bucketChecksums(Tables.lineitem(s, dir), cols, 64)
+        .select(col("bucket"), col("n_rows"),
+          col("checksum").cast("long").as("checksum"))
+        .orderBy(col("bucket"))
+    }
+  }
 
   /** Pareto-front document selection (operators/Skyline.paretoFront):
     * documents maximizing token count while minimizing characters —
