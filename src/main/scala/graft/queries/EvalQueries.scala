@@ -16,7 +16,44 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118, q119)
+      q113, q114, q115, q116, q117, q118, q119, q120)
+
+  /** Z-order cells (operators/ZOrder.zValue): events gridded on
+    * (user mod 32, day offset) and Morton-interleaved — the clustering
+    * key a lakehouse lays files out by so zone maps prune on EITHER
+    * dimension (ZOrderSpec measures the pruning itself; this query
+    * pins the bit-interleave arithmetic cross-engine, bit-for-bit).
+    * Output: one row per occupied z-cell with its population and the
+    * cell's recovered coordinates. Pure integer bit math in the scan
+    * stage; one 1024-cell aggregate. */
+  def q120: Q = {
+    val bits = 5
+    def sqlMorton(x: String, y: String) = (0 until bits).flatMap(b => Seq(
+      s"((($x >> $b) & 1) << ${2 * b})",
+      s"((($y >> $b) & 1) << ${2 * b + 1})")).mkString(" | ")
+    Q("q120_zorder_cells",
+      Some(s"""
+        |WITH g AS (
+        |  SELECT user_id % 32 AS ub,
+        |         epoch_ns(ts) // 86400000000000 - 19723 AS db
+        |  FROM events),
+        |z AS (SELECT ${sqlMorton("ub", "db")} AS z_cell, ub, db FROM g)
+        |SELECT z_cell, min(ub) AS user_cell, min(db) AS day_cell,
+        |       count(*) AS n_events
+        |FROM z GROUP BY z_cell ORDER BY z_cell
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.ZOrder
+      val g = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(32L)).as("ub"),
+        (expr("ts div 86400000000000") - lit(19723L)).as("db"))
+      g.select(ZOrder.zValue(Seq(col("ub"), col("db")), bits).as("z_cell"),
+        col("ub"), col("db"))
+        .groupBy(col("z_cell"))
+        .agg(min(col("ub")).as("user_cell"), min(col("db")).as("day_cell"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("z_cell"))
+    }
+  }
 
   /** Order-independent table checksum (operators/Checksum): lineitem
     * reduced to 64 (bucket, n_rows, checksum) rows — the anti-entropy
