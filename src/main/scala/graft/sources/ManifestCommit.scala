@@ -322,6 +322,47 @@ object ManifestCommit {
     writeVersioned(merged, path)
   }
 
+  /** Compact the latest generation's small files into ~`targetBytes`
+    * files — the OPTIMIZE/bin-packing half of the table-format story
+    * (zone maps being the other). Small files are the failure mode of
+    * incremental writes: a 100 TB table accreted in 10 MB upserts pays
+    * per-file open/footer/list costs thousands of times per scan. This
+    * rewrites the CURRENT rows into ceil(totalBytes / targetBytes)
+    * files and publishes them as a NEW generation: readers never see a
+    * half-compacted state, time travel to the pre-compaction
+    * generation keeps working until [[vacuum]], and a crash mid-rewrite
+    * leaves only an invisible orphan data dir. Row content is
+    * untouched — multiset equality under compaction is spec-pinned
+    * with [[graft.operators.Checksum]].
+    *
+    * No-op (returns the current generation) when the current layout
+    * already meets the target file count. `layout` optionally imposes
+    * an ordering on the way out (e.g. a
+    * [[graft.operators.ZOrder.layoutBy]] pass — compaction is the
+    * natural moment to re-cluster); it receives the rows and the
+    * target file count and must partition into exactly that many
+    * files' worth of partitions. `statsCols` regenerates the zone-map
+    * sidecar for the compacted generation.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      statsCols: Seq[String] = Seq.empty,
+      layout: (DataFrame, Int) => DataFrame =
+        (df, n) => df.repartition(n)): Long = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val (gen, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val dir = Paths.get(path)
+    val totalBytes = files.map(f => Files.size(dir.resolve(f))).sum
+    val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    if (nTarget >= files.size) return gen // already compact enough
+    val packed = layout(readAt(spark, path, gen), nTarget.toInt)
+    if (statsCols.nonEmpty) writeVersionedWithStats(packed, path, statsCols)
+    else writeVersioned(packed, path)
+  }
+
   /** Delete everything the latest manifest does not reference: orphan
     * data directories from crashed writers (including their nested
     * `_temporary/...` trees), stale `.manifest-tmp-*` staging files, and
