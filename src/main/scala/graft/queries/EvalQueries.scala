@@ -16,7 +16,34 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118, q119, q120)
+      q113, q114, q115, q116, q117, q118, q119, q120, q121)
+
+  /** Exact heavy hitters (operators/HeavyHitters.frequentItems):
+    * corpus tokens above 0.1% of all token occurrences — Misra–Gries
+    * candidates per partition (bounded memory), then ONE verification
+    * aggregate that collapses non-candidates map-side, so the
+    * vocabulary never shuffles. The threshold compares by integer
+    * cross-multiplication (cnt·1000 ≥ n), scale-free and exact; the
+    * oracle is the naive full groupBy with the same HAVING — the hash
+    * match proves the sketch path loses nothing. */
+  def q121: Q = Q(
+    "q121_frequent_tokens",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT unnest(${sqlTokens("text")}) AS item
+      |  FROM documents WHERE text IS NOT NULL),
+      |n AS (SELECT count(*) AS c FROM t)
+      |SELECT item, count(*) AS cnt FROM t, n
+      |GROUP BY item, n.c HAVING count(*) * 1000 >= n.c
+      |ORDER BY item
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.HeavyHitters
+    val toks = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+    HeavyHitters.frequentItems(toks, "item", num = 1L, den = 1000L)
+      .orderBy(col("item"))
+  }
 
   /** Z-order cells (operators/ZOrder.zValue): events gridded on
     * (user mod 32, day offset) and Morton-interleaved — the clustering
