@@ -16,7 +16,34 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118, q119, q120, q121)
+      q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+
+  /** Edit-distance near-dup pairs (text/FuzzyJoin.editDistancePairs):
+    * document prefixes within Levenshtein distance 2, found by the
+    * lossless length-band blocking (band width d+1, adjacent-band
+    * probe) instead of a cross product — the record-linkage fuzzy
+    * join. The oracle runs the quadratic definition; distances are
+    * exact integers in both engines. */
+  def q122: Q = Q(
+    "q122_editdist_pairs",
+    Some("""
+      |WITH p AS (
+      |  SELECT doc_id, substr(trim(text), 1, 16) AS s FROM documents
+      |  WHERE text IS NOT NULL)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       levenshtein(a.s, b.s) AS dist
+      |FROM p a JOIN p b
+      |  ON a.doc_id < b.doc_id AND abs(len(a.s) - len(b.s)) <= 2
+      | AND levenshtein(a.s, b.s) <= 2
+      |ORDER BY id_a, id_b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.FuzzyJoin
+    val p = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 16).as("s"))
+    FuzzyJoin.editDistancePairs(p, "doc_id", "s", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Exact heavy hitters (operators/HeavyHitters.frequentItems):
     * corpus tokens above 0.1% of all token occurrences — Misra–Gries

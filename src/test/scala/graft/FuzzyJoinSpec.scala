@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.FuzzyJoin
+
+/** Round-5 wave 16: length-banded edit-distance join — lossless
+  * blocking vs the naive cross product, exactly-once pairs.
+  */
+class FuzzyJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(df: DataFrame) =
+    df.select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  private def naive(df: DataFrame, d: Int) = {
+    val a = df.select($"id".as("ia"), $"s".as("sa"))
+    val b = df.select($"id".as("ib"), $"s".as("sb"))
+    a.crossJoin(b).where($"ia" < $"ib" &&
+        levenshtein($"sa", $"sb") <= d)
+      .select($"ia".as("id_a"), $"ib".as("id_b"),
+        levenshtein($"sa", $"sb").as("dist"))
+  }
+
+  test("banded join equals the cross product on random word soup") {
+    val rnd = new scala.util.Random(5)
+    val words = Vector("spark", "sprk", "spork", "stork", "join", "jon",
+      "stream", "steam", "dream", "filter", "filler", "fuller")
+    val t = (1L to 300L)
+      .map(i => (i, Seq.fill(2 + rnd.nextInt(2))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("id", "s")
+    for (d <- Seq(0, 1, 2, 3)) {
+      assert(pairs(FuzzyJoin.editDistancePairs(t, "id", "s", d)) ==
+        pairs(naive(t, d)), s"maxDist=$d")
+    }
+  }
+
+  test("pairs straddling a band boundary are found exactly once") {
+    // lengths 3 and 4 with w=2: bands 1 and 2 — adjacent-band probe
+    val t = Seq((1L, "abc"), (2L, "abcd"), (3L, "abce"), (4L, "zzzzzzz"))
+      .toDF("id", "s")
+    val got = pairs(FuzzyJoin.editDistancePairs(t, "id", "s", 1))
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("maxDist=0 is exact match, still banded") {
+    val t = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("id", "s")
+    assert(pairs(FuzzyJoin.editDistancePairs(t, "id", "s", 0)) ==
+      Seq((1L, 2L, 0)))
+  }
+
+  test("null strings drop; the plan is an equi-join, never a cross product") {
+    val t = Seq((1L, Some("ab")), (2L, Option.empty[String]), (3L, Some("ab")))
+      .toDF("id", "s")
+    val q = FuzzyJoin.editDistancePairs(t, "id", "s", 1)
+    assert(pairs(q) == Seq((1L, 3L, 0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"cross product:\n$plan")
+  }
+}
