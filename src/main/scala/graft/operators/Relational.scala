@@ -149,4 +149,37 @@ object Relational {
       perspective1: DataFrame => DataFrame,
       perspective2: DataFrame => DataFrame): DataFrame =
     perspective1(df).unionByName(perspective2(df))
+
+  /** Running distinct count: per key, how many DISTINCT `itemCol`
+    * values have appeared up to and including each row in `order` —
+    * "how many event types has this user touched so far". The naive
+    * form accumulates a set per row (quadratic state); this is the
+    * linear formulation: flag each (key, item)'s FIRST occurrence via
+    * one window, prefix-sum the flags via another. Emits
+    * `n_distinct_so_far`.
+    *
+    * Both windows cluster by `keys` (the item window merely refines
+    * the key), so Spark plans ONE exchange with two sort passes —
+    * `order` must totally order rows within a key for determinism.
+    */
+  def runningDistinct(
+      df: DataFrame,
+      keys: Seq[String],
+      itemCol: String,
+      order: Seq[Column]): DataFrame = {
+    val perItem = Window
+      .partitionBy((keys.map(col) :+ col(itemCol)): _*).orderBy(order: _*)
+    val perKey = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // hash(keys) satisfies BOTH windows' clustering ({keys} ⊆
+    // {keys, item}), but Catalyst only reuses it if the keys-grained
+    // partitioning already exists when the refined window plans —
+    // repartition first, or the item window demands its own exchange
+    // and the key window re-shuffles right after
+    df.repartition(keys.map(col): _*)
+      .withColumn("__first",
+        when(row_number().over(perItem) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_so_far", sum(col("__first")).over(perKey))
+      .drop("__first")
+  }
 }

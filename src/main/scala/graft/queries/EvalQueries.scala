@@ -16,7 +16,40 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+      q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+
+  /** Running distinct count (operators/Relational.runningDistinct):
+    * per event, how many distinct event types its user has touched so
+    * far — the linear first-occurrence-flag + prefix-sum formulation,
+    * never a per-row set. One exchange (both windows cluster by user);
+    * the oracle replays the same two windows. */
+  def q123: Q = Q(
+    "q123_running_distinct",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN row_number() OVER
+      |      (PARTITION BY user_id, event_type ORDER BY t_us, event_id) = 1
+      |    THEN 1 ELSE 0 END AS first_seen
+      |  FROM e)
+      |SELECT user_id, t_us,
+      |       sum(first_seen) OVER (PARTITION BY user_id
+      |         ORDER BY t_us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS n_distinct_so_far
+      |FROM f ORDER BY user_id, t_us
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Relational
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+    Relational.runningDistinct(e, Seq("user_id"), "event_type",
+      Seq(col("t_us"), col("event_id")))
+      .select(col("user_id"), col("t_us"), col("n_distinct_so_far"))
+      .orderBy(col("user_id"), col("t_us"))
+  }
 
   /** Edit-distance near-dup pairs (text/FuzzyJoin.editDistancePairs):
     * document prefixes within Levenshtein distance 2, found by the

@@ -336,4 +336,25 @@ class EvalOpsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 5L))
   }
+
+  // ---- Relational.runningDistinct ------------------------------------
+
+  test("runningDistinct counts first occurrences, repeats do not advance") {
+    import graft.operators.Relational
+    val e = Seq(
+      (1L, "view", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "view", 40L), (1L, "buy", 50L),
+      (2L, "view", 15L))
+      .toDF("u", "et", "t")
+    val got = Relational.runningDistinct(e, Seq("u"), "et",
+        Seq(col("t")))
+      .select("u", "t", "n_distinct_so_far")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 10L, 1L), (1L, 20L, 1L), (1L, 30L, 2L),
+      (1L, 40L, 2L), (1L, 50L, 3L), (2L, 15L, 1L)))
+    val plan = Relational.runningDistinct(e, Seq("u"), "et", Seq(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"both windows must share one user-keyed exchange:\n$plan")
+  }
 }
