@@ -227,12 +227,18 @@ object EvalQueries {
     // o_orderdate is TIMESTAMP_NTZ — split on year(), which is
     // timezone-free (the q107 lesson)
     val (aO, aD) = (orders.where(year(col("o_orderdate")) < 1997),
-      orders.where(year(col("o_orderdate")) >= 1997))
+      orders.where(year(col("o_orderdate")) >= 1997)
+        .localCheckpoint(true))
     val (bO, bD) = (cust.where(col("c_custkey") < 1200),
-      cust.where(col("c_custkey") >= 1200))
+      cust.where(col("c_custkey") >= 1200).localCheckpoint(true))
+    // between runs the maintained view is a STORED table and the
+    // deltas are the new files — checkpoints model both, so the final
+    // plan scans each base table once (the delta terms' big side),
+    // not four times
+    val oldView = aO.join(bO, col("o_custkey") === col("c_custkey"))
+      .localCheckpoint(true)
     IncrementalJoin.maintained(
-      aO.join(bO, col("o_custkey") === col("c_custkey")),
-      aO, aD, bO, bD, "o_custkey", "c_custkey")
+      oldView, aO, aD, bO, bD, "o_custkey", "c_custkey")
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
         col("o_totalprice"))
       .orderBy(col("o_orderkey"))
@@ -341,8 +347,13 @@ object EvalQueries {
       val log = Tables.events(s, dir)
         .select(col("user_id"), col("event_type").as("state"),
           col("ts"), col("event_id"))
+      // the dimension IS a stored table between runs — the eager
+      // checkpoint models that, and keeps applyBatch's three branches
+      // from re-deriving the version history thrice (3->1 events scans
+      // in the final plan)
       val dim = Scd2.fromChangeLog(
         log.where(col("ts") < cutNs), "user_id", "state", "ts", "event_id")
+        .localCheckpoint(true)
       // DuckDB reads TIMESTAMP(NANOS) at µs precision, so the ns
       // timestamps surface as µs on both sides (the q111 rule); no two
       // events share a (user, µs) at any sf, so truncation cannot

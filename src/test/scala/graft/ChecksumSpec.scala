@@ -60,6 +60,43 @@ class ChecksumSpec extends AnyFunSuite {
     assert(d2.count() >= 1L)
   }
 
+  test("streaming checksums over micro-batches equal the batch summary") {
+    // bucketChecksums is a pure grouped (count, decimal-sum) — a valid
+    // incremental complete-mode aggregate, so a replica can maintain
+    // its anti-entropy summary AS data arrives instead of rescanning
+    val expected = Checksum.bucketChecksums(t, Seq("id", "name", "flag"), 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cksum_src")
+    val rows = t.as[(Long, String, Boolean)].collect()
+    rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach { case (c, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cksum_stage")
+      c.toSeq.toDF("id", "name", "flag").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val stream = spark.readStream.schema(t.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = Checksum.bucketChecksums(stream, Seq("id", "name", "flag"), 8)
+      .writeStream.format("memory").queryName("cksum_stream_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val got = spark.table("cksum_stream_test")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    q.stop()
+    assert(got == expected)
+  }
+
   test("the summary plans as one scan + one aggregate, no extra exchange") {
     val plan = Checksum.bucketChecksums(t, Seq("id", "name"), 16)
       .queryExecution.executedPlan.toString
