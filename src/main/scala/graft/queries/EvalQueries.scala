@@ -16,7 +16,48 @@ object EvalQueries {
 
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
-      q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+      q124)
+
+  /** Time-weighted value integral (operators/TimeWeighted
+    * .stepIntegral): each event's value HOLDS until the user's next
+    * event (step interpolation, horizon = the stream's last second);
+    * per user the exact ∫value·dt and active duration — the TWAP/
+    * billing aggregate a per-sample avg gets wrong on irregular
+    * series. All arithmetic is DECIMAL(28,6)·long sums (exact both
+    * engines, NOTES rule 4: the integral and duration ship separately,
+    * division is the consumer's). */
+  def q124: Q = Q(
+    "q124_time_weighted",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+      |         CAST(value AS DECIMAL(28,6)) AS v, event_id FROM events),
+      |h AS (SELECT max(ts_s) AS hz FROM e),
+      |d AS (
+      |  SELECT user_id, v,
+      |         coalesce(lead(ts_s) OVER (PARTITION BY user_id
+      |           ORDER BY ts_s, event_id), h.hz) - ts_s AS dt
+      |  FROM e, h)
+      |SELECT user_id,
+      |       CAST(sum(v * dt) * 1000000 AS BIGINT) AS integral_micro,
+      |       CAST(sum(dt) AS BIGINT) AS active_s
+      |FROM d GROUP BY user_id ORDER BY user_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.TimeWeighted
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, dir).select(col("user_id"),
+      expr("ts div 1000000000").as("ts_s"),
+      col("value").cast(DecimalType(28, 6)).as("v"), col("event_id"))
+    val withHz = e.crossJoin(
+      broadcast(e.agg(max(col("ts_s")).as("__hz"))))
+    TimeWeighted.stepIntegral(withHz, Seq("user_id"), "ts_s", "v",
+      "event_id", col("__hz"))
+      .select(col("user_id"),
+        (col("integral") * lit(1000000L)).cast("long").as("integral_micro"),
+        col("duration").as("active_s"))
+      .orderBy(col("user_id"))
+  }
 
   /** Running distinct count (operators/Relational.runningDistinct):
     * per event, how many distinct event types its user has touched so
