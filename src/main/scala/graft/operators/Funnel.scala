@@ -78,4 +78,32 @@ object Funnel {
         (col("__day") - col("__cohort")).as("day_offset"))
       .agg(countDistinct(col(entityCol)).as("n_entities"))
   }
+
+  /** Markov transition counts — the path-analysis matrix behind "what
+    * do users do AFTER X": per entity, each consecutive event pair in
+    * (`tsCol`, `tieCol`) order contributes one (from_type, to_type)
+    * observation; an entity's last event transits to the `endMarker`
+    * sentinel so exits are first-class (rows of the matrix sum to the
+    * entity-step count, not to it-depends). Output: (from_type,
+    * to_type, n_transitions).
+    *
+    * One entity-keyed exchange feeding a lead window, then a
+    * |types|²-group aggregate with map-side partials — the event log
+    * never self-joins, same as [[funnel]].
+    */
+  def transitions(
+      df: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String,
+      endMarker: String = "(end)"): DataFrame = {
+    val ord = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.select(col(entityCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__to",
+        coalesce(lead(col(typeCol), 1).over(ord), lit(endMarker)))
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

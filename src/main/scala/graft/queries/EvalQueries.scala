@@ -17,7 +17,32 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124)
+      q124, q125)
+
+  /** Markov transition matrix (operators/Funnel.transitions): per
+    * user, each consecutive event pair in time order is one
+    * (from, to) observation, with the last event transiting to the
+    * '(end)' sentinel — path analysis without a self-join. Exact
+    * counts; the oracle replays the lead window. */
+  def q125: Q = Q(
+    "q125_event_transitions",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |         coalesce(lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ns, event_id), '(end)') AS to_type
+      |  FROM e)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM t GROUP BY 1, 2 ORDER BY from_type, to_type
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Funnel
+    Funnel.transitions(Tables.events(s, dir), "user_id", "event_type",
+      "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+  }
 
   /** Time-weighted value integral (operators/TimeWeighted
     * .stepIntegral): each event's value HOLDS until the user's next
@@ -94,10 +119,13 @@ object EvalQueries {
 
   /** Edit-distance near-dup pairs (text/FuzzyJoin.editDistancePairs):
     * document prefixes within Levenshtein distance 2, found by the
-    * lossless length-band blocking (band width d+1, adjacent-band
-    * probe) instead of a cross product — the record-linkage fuzzy
-    * join. The oracle runs the quadratic definition; distances are
-    * exact integers in both engines. */
+    * lossless PassJoin segment blocking (pigeonhole: one of d+1
+    * segments must appear verbatim, shifted ≤ d) instead of a cross
+    * product — the record-linkage fuzzy join in its hard regime,
+    * where one length dominates and plain length bands degrade to
+    * the quadratic verify (43 s → ~1 s at sf0.1). The oracle runs
+    * the quadratic definition; distances are exact integers in both
+    * engines. */
   def q122: Q = Q(
     "q122_editdist_pairs",
     Some("""
@@ -115,7 +143,7 @@ object EvalQueries {
     val p = Tables.documents(s, dir)
       .where(col("text").isNotNull)
       .select(col("doc_id"), substring(trim(col("text")), 1, 16).as("s"))
-    FuzzyJoin.editDistancePairs(p, "doc_id", "s", maxDist = 2)
+    FuzzyJoin.editDistancePairsSegmented(p, "doc_id", "s", maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
   }
 

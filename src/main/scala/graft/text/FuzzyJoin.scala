@@ -54,4 +54,85 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b")).as("dist"))
   }
+
+  /** [[editDistancePairs]] with PassJoin segment blocking layered on
+    * the length filter — for the regime where one length DOMINATES
+    * and length bands alone degrade to the quadratic within-band
+    * verify (fixed-width prefixes, codes, normalized titles).
+    *
+    * The pigeonhole theorem (PassJoin, public literature): split a
+    * into d+1 segments; any b within edit distance d contains at
+    * least ONE segment verbatim, at a position shifted by at most d.
+    * So the A side emits its d+1 segments keyed by
+    * (length, segment#, text), the B side emits every substring that
+    * could BE such a segment for partner lengths within ±d (a
+    * (2d+1)²(d+1)-way data-independent fan-out of id-plus-short-string
+    * rows), and candidates fall out of a shuffled equi-join on the
+    * segment key — then the exact threshold-Levenshtein verifies.
+    * Segments of length 0 (strings shorter than d+1) keep the theorem
+    * trivially true: an empty key matches broadly and verification
+    * stays exact, it just prunes less on those few rows.
+    *
+    * Each unordered pair can surface from either side's segmentation
+    * and several segments — candidates normalize to (min id, max id)
+    * and dedup BEFORE the verify, so Levenshtein runs once per pair.
+    */
+  def editDistancePairsSegmented(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val k = maxDist + 1
+    val base = df
+      .where(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
+    // scheme of a length-L string: segment i has
+    //   len_i = L div k + (1 if i < L mod k)  and
+    //   start_i = 1 + i*(L div k) + min(i, L mod k)
+    def floorDivK(l: org.apache.spark.sql.Column) =
+      graft.operators.RangeJoin.floorDiv(l.cast("long"), k.toLong)
+    def segLen(l: org.apache.spark.sql.Column, i: Int) =
+      floorDivK(l) + when(lit(i) < l % k, 1L).otherwise(0L)
+    def segStart(l: org.apache.spark.sql.Column, i: Int) =
+      lit(1L) + lit(i.toLong) * floorDivK(l) + least(lit(i.toLong), (l % k).cast("long"))
+    val segs = (0 until k).map { i =>
+      base.select(col("__id").as("id_a"), col("__s").as("s_a"),
+        col("__len").cast("long").as("la"), lit(i).as("i"),
+        col("__s").substr(segStart(col("__len"), i).cast("int"),
+          segLen(col("__len"), i).cast("int")).as("seg"))
+    }.reduce(_ unionByName _)
+    val probes = (for {
+      i <- 0 until k
+      dl <- -maxDist to maxDist
+      o <- -maxDist to maxDist
+    } yield {
+      val la = col("__len") + dl // the partner length this probe serves
+      base.select(col("__id").as("id_b"), col("__s").as("s_b"),
+        la.cast("long").as("la"), lit(i).as("i"),
+        // starts below 1 are invalid shifts, not from-the-end reads —
+        // emit no key for them (greatest(1,...) would fabricate one)
+        when(segStart(la, i) + o >= 1L,
+          col("__s").substr((segStart(la, i) + o).cast("int"),
+            segLen(la, i).cast("int"))).as("seg"))
+        .where(col("__len") + dl >= 1)
+        .where(col("seg").isNotNull)
+    }).reduce(_ unionByName _)
+    val cand = segs.join(probes, Seq("la", "i", "seg"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("s_a")).otherwise(col("s_b"))
+          .as("s_a"),
+        when(col("id_a") < col("id_b"), col("s_b")).otherwise(col("s_a"))
+          .as("s_b"))
+      .distinct()
+    val d = levenshtein(col("s_a"), col("s_b"), maxDist)
+    cand
+      .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+      .where(d >= 0)
+      .select(col("id_a"), col("id_b"), d.as("dist"))
+  }
 }

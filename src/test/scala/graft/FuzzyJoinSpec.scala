@@ -53,6 +53,29 @@ class FuzzyJoinSpec extends AnyFunSuite {
       Seq((1L, 2L, 0)))
   }
 
+  test("segmented join equals the banded join equals the cross product") {
+    val rnd = new scala.util.Random(9)
+    val words = Vector("alpha", "alpa", "alphas", "beta", "betta", "delta",
+      "dleta", "gamma", "gama")
+    val t = (1L to 250L)
+      .map(i => (i, Seq.fill(1 + rnd.nextInt(3))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("id", "s")
+    for (d <- Seq(0, 1, 2)) {
+      assert(pairs(FuzzyJoin.editDistancePairsSegmented(t, "id", "s", d)) ==
+        pairs(naive(t, d)), s"maxDist=$d")
+    }
+  }
+
+  test("segmented join handles strings shorter than d+1 segments") {
+    val t = Seq((1L, "a"), (2L, "b"), (3L, "ab"), (4L, "xyz"), (5L, ""))
+      .toDF("id", "s")
+    for (d <- Seq(1, 2, 3)) {
+      assert(pairs(FuzzyJoin.editDistancePairsSegmented(t, "id", "s", d)) ==
+        pairs(naive(t, d)), s"maxDist=$d")
+    }
+  }
+
   test("null strings drop; the plan is an equi-join, never a cross product") {
     val t = Seq((1L, Some("ab")), (2L, Option.empty[String]), (3L, Some("ab")))
       .toDF("id", "s")
