@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the dbt-test/Deequ idea as
+  * one operator: evaluate a battery of row-level predicates and
+  * referential checks in as few passes as the checks allow, and emit
+  * one small (check, n_rows, n_violations) report a pipeline gate can
+  * act on. At 100 TB the design constraint is pass-count: every
+  * row-level predicate rides ONE shared scan (each check is a
+  * conditional count in a single zero-group aggregate — map-side
+  * partials, no shuffle of data rows), and each referential check is
+  * one LEFT ANTI join against the referenced key set (broadcast when
+  * the key side is small, shuffled otherwise — Catalyst's call).
+  */
+object Expectations {
+
+  /** One row-level expectation: `holds` should be true for every row.
+    * Null predicate results count as VIOLATIONS (an expectation that
+    * cannot be evaluated is not satisfied — the tri-state trap made
+    * explicit). */
+  final case class Check(name: String, holds: Column)
+
+  /** Evaluate row-level `checks` over `df` in one scan. Output:
+    * (check, n_rows, n_violations), one row per check, in the given
+    * order. */
+  def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
+    val aggs = count(lit(1)).as("__n") +:
+      checks.zipWithIndex.map { case (c, i) =>
+        count(when(!coalesce(c.holds, lit(false)), 1)).as(s"__v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val report = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), col("__n").as("n_rows"),
+        col(s"__v$i").as("n_violations"))
+    }
+    one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Referential expectation: every non-null `fkCol` of `df` must
+    * exist as `pkCol` in `ref`. Output: one (check, n_rows,
+    * n_violations) row, where n_rows counts the non-null FK rows.
+    * Violations are the anti-join survivors — exact, never sampled. */
+  def refCheck(
+      name: String,
+      df: DataFrame,
+      fkCol: String,
+      ref: DataFrame,
+      pkCol: String): DataFrame = {
+    val fks = df.where(col(fkCol).isNotNull).select(col(fkCol))
+    val orphans = fks.join(ref.select(col(pkCol)),
+      col(fkCol) === col(pkCol), "left_anti")
+    fks.agg(count(lit(1)).as("n_rows")).crossJoin(
+      orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("check"), col("n_rows"), col("n_violations"))
+  }
+}

@@ -17,7 +17,61 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125)
+      q124, q125, q126)
+
+  /** Data-quality expectations (operators/Expectations): a battery of
+    * row-level predicates over lineitem evaluated in ONE shared scan
+    * (each check a conditional count in a zero-group aggregate) plus
+    * a referential check (every l_orderkey exists in orders) as one
+    * anti-join — the dbt-test/Deequ report shape with pass-count as
+    * the design constraint. Null predicate results count as
+    * violations (tri-state made explicit; the l_tax check exercises
+    * it if nulls ever appear). */
+  def q126: Q = Q(
+    "q126_quality_expectations",
+    Some("""
+      |WITH li AS (SELECT count(*) AS n FROM lineitem),
+      |rc AS (
+      |  SELECT 'qty_positive' AS "check", li.n AS n_rows,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE NOT coalesce(l_quantity > 0, FALSE)) AS n_violations
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'discount_unit_range', li.n,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE NOT coalesce(l_discount BETWEEN 0 AND 1, FALSE))
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'shipdate_present', li.n,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE l_shipdate IS NULL) FROM li
+      |  UNION ALL
+      |  SELECT 'returnflag_domain', li.n,
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE NOT coalesce(l_returnflag IN ('A','N','R'), FALSE))
+      |  FROM li
+      |  UNION ALL
+      |  SELECT 'orderkey_references_orders',
+      |         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+      |            (SELECT 1 FROM orders o
+      |             WHERE o.o_orderkey = l.l_orderkey)))
+      |SELECT * FROM rc ORDER BY "check"
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Check
+    val li = Tables.lineitem(s, dir)
+    val rows = Expectations.rowChecks(li, Seq(
+      Check("qty_positive", col("l_quantity") > 0),
+      Check("discount_unit_range",
+        col("l_discount") >= 0 && col("l_discount") <= 1),
+      Check("shipdate_present", col("l_shipdate").isNotNull),
+      Check("returnflag_domain", col("l_returnflag").isin("A", "N", "R"))))
+    val ref = Expectations.refCheck("orderkey_references_orders",
+      li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+    rows.unionByName(ref).orderBy(col("check"))
+  }
 
   /** Markov transition matrix (operators/Funnel.transitions): per
     * user, each consecutive event pair in time order is one

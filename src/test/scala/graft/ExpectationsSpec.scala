@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Expectations
+import graft.operators.Expectations.Check
+
+/** Round-5 wave 18: declarative data-quality expectations. */
+class ExpectationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("row checks count violations per check in one scan") {
+    val t = Seq((1L, 5.0), (2L, -1.0), (3L, 0.0), (4L, 2.0))
+      .toDF("id", "v")
+    val got = Expectations.rowChecks(t, Seq(
+      Check("v_positive", $"v" > 0),
+      Check("v_small", $"v" < 100),
+      Check("id_odd", $"id" % 2 === 1)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("v_positive", 4L, 2L), ("v_small", 4L, 0L),
+      ("id_odd", 4L, 2L)))
+    val plan = Expectations.rowChecks(t, Seq(Check("p", $"v" > 0)))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan").length - 1 <= 2, s"multi-scan report:\n$plan")
+  }
+
+  test("a null predicate result is a violation, not a pass") {
+    val t = Seq(Some(1.0), None, Some(-2.0)).toDF("v")
+    val got = Expectations.rowChecks(t, Seq(Check("pos", $"v" > 0)))
+      .as[(String, Long, Long)].collect().head
+    assert(got == (("pos", 3L, 2L)))
+  }
+
+  test("refCheck counts orphan foreign keys exactly, nulls exempt") {
+    val facts = Seq(Some(1L), Some(2L), Some(99L), None, Some(98L), Some(1L))
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Expectations.refCheck("fk_ok", facts, "fk", dim, "pk")
+      .as[(String, Long, Long)].collect().head
+    // 5 non-null FK rows; 99 and 98 are orphans
+    assert(got == (("fk_ok", 5L, 2L)))
+  }
+}
