@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group order statistics — `percentile_disc` semantics: the
+  * quantile is an ACTUAL data value (the rank-⌈p·n⌉ element ascending),
+  * never an interpolation. That is the right contract for latencies,
+  * sizes, and anything where "a value that occurred" matters, and it
+  * is engine-portable by construction: selecting an element cannot
+  * disagree in the last ulp the way interpolated percentile math does
+  * (NOTES rule 4 — this is the order-stat sibling of the
+  * HistogramSketch's reasoning).
+  *
+  * Quantiles are permille integers, so the target rank
+  * `⌈permille·n/1000⌉` is exact integer arithmetic end to end.
+  *
+  * Scale shape: one exchange (hash by key), one window pass
+  * (row_number + count over the same partitioning), one filter — the
+  * group's values spill through the window sorter if they must, and
+  * nothing ever collects.
+  */
+object OrderStats {
+
+  /** For each key and each `permille` in `ps`: (keys…, permille,
+    * value) with value = the rank-⌈p·n/1000⌉ element of `valueCol`
+    * ascending (nulls excluded; groups of only-null values emit
+    * nothing). Ties in `valueCol` are benign — equal values yield the
+    * same selected value whatever their internal order. */
+  def quantilesDisc(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate permilles: $ps")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(keys.map(col): _*)
+    val ranked = df
+      .where(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    // target rank per permille: ceil(p*n/1000) = (p*n + 999) div 1000,
+    // all integral; one output row per (group, permille)
+    val hits = ps.map { p =>
+      when(col("__rn") ===
+        RangeJoin.floorDiv(lit(p.toLong) * col("__n") + 999L, 1000L),
+        lit(p)).otherwise(lit(null))
+    }
+    ranked
+      .withColumn("permille", explode(array(hits: _*)))
+      .where(col("permille").isNotNull)
+      .select((keys.map(col) :+ col("permille") :+
+        col(valueCol).as("value")): _*)
+  }
+}

@@ -17,7 +17,33 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126)
+      q124, q125, q126, q127)
+
+  /** Exact order-statistic percentiles (operators/OrderStats
+    * .quantilesDisc): per-source p50/p90/p99 of document length as
+    * ACTUAL data values (rank ⌈p·n/1000⌉ ascending — percentile_disc
+    * semantics), with the rank in pure integer arithmetic. Selection
+    * cannot ulp-diverge across engines the way interpolation does;
+    * the oracle replays the same row_number selection. */
+  def q127: Q = Q(
+    "q127_exact_percentiles",
+    Some("""
+      |WITH r AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |p AS (SELECT unnest([500, 900, 990]) AS permille)
+      |SELECT source, p.permille, n_chars AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY source, permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    OrderStats.quantilesDisc(Tables.documents(s, dir), Seq("source"),
+      "n_chars", Seq(500, 900, 990))
+      .orderBy(col("source"), col("permille"))
+  }
 
   /** Data-quality expectations (operators/Expectations): a battery of
     * row-level predicates over lineitem evaluated in ONE shared scan

@@ -357,4 +357,34 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 == 1,
       s"both windows must share one user-keyed exchange:\n$plan")
   }
+
+  // ---- OrderStats.quantilesDisc --------------------------------------
+
+  test("quantilesDisc selects the exact order statistics") {
+    import graft.operators.OrderStats
+    // group a: 1..10 -> p500 is rank ceil(5)=5 -> 5; p900 rank 9; p990
+    // rank ceil(9.9)=10; group b: single value -> every p selects it
+    val t = ((1 to 10).map(v => ("a", v.toLong)) :+ ("b", 42L))
+      .toDF("g", "v")
+    val got = OrderStats.quantilesDisc(t, Seq("g"), "v",
+        Seq(500, 900, 990))
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(("a", 500, 5L), ("a", 900, 9L), ("a", 990, 10L),
+      ("b", 500, 42L), ("b", 900, 42L), ("b", 990, 42L)))
+  }
+
+  test("quantilesDisc: nulls excluded, ties benign, bad permilles refused") {
+    import graft.operators.OrderStats
+    val t = Seq(("a", Some(7L)), ("a", Some(7L)), ("a", Some(7L)),
+      ("a", Option.empty[Long])).toDF("g", "v")
+    val got = OrderStats.quantilesDisc(t, Seq("g"), "v", Seq(1000))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("a", 1000, 7L)))
+    assertThrows[IllegalArgumentException] {
+      OrderStats.quantilesDisc(t, Seq("g"), "v", Seq(0))
+    }
+    assertThrows[IllegalArgumentException] {
+      OrderStats.quantilesDisc(t, Seq("g"), "v", Seq(500, 500))
+    }
+  }
 }
