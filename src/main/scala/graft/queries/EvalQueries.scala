@@ -17,7 +17,36 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127)
+      q124, q125, q126, q127, q128)
+
+  /** CUBE with grouping_id (completing q41's ROLLUP family): all four
+    * aggregation levels over (returnflag, linestatus) in one pass,
+    * with GROUPING() disambiguating a rolled-up dimension from a null
+    * data value — the classic CUBE gotcha made explicit. Decimal sums
+    * exact; both engines compute the same 2-bit grouping id. */
+  def q128: Q = Q(
+    "q128_cube_grouping",
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS total_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("total_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("total_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
 
   /** Exact order-statistic percentiles (operators/OrderStats
     * .quantilesDisc): per-source p50/p90/p99 of document length as
