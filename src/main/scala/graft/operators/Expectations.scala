@@ -51,11 +51,14 @@ object Expectations {
       fkCol: String,
       ref: DataFrame,
       pkCol: String): DataFrame = {
+    // one LEFT join carries both counts (total and pk-miss), so each
+    // side scans exactly once — an anti-join PLUS a count would scan
+    // the fact side twice
     val fks = df.where(col(fkCol).isNotNull).select(col(fkCol))
-    val orphans = fks.join(ref.select(col(pkCol)),
-      col(fkCol) === col(pkCol), "left_anti")
-    fks.agg(count(lit(1)).as("n_rows")).crossJoin(
-      orphans.agg(count(lit(1)).as("n_violations")))
+    fks.join(ref.select(col(pkCol)).distinct(),
+        col(fkCol) === col(pkCol), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col(pkCol).isNull, 1)).as("n_violations"))
       .select(lit(name).as("check"), col("n_rows"), col("n_violations"))
   }
 }

@@ -97,28 +97,37 @@ object FuzzyJoin {
       floorDivK(l) + when(lit(i) < l % k, 1L).otherwise(0L)
     def segStart(l: org.apache.spark.sql.Column, i: Int) =
       lit(1L) + lit(i.toLong) * floorDivK(l) + least(lit(i.toLong), (l % k).cast("long"))
-    val segs = (0 until k).map { i =>
-      base.select(col("__id").as("id_a"), col("__s").as("s_a"),
-        col("__len").cast("long").as("la"), lit(i).as("i"),
+    // both fan-outs are explodes of per-row struct arrays — ONE scan
+    // each, not a union of (2d+1)²(d+1) re-scans of the source
+    val segArms = (0 until k).map { i =>
+      struct(col("__len").cast("long").as("la"), lit(i).as("i"),
         col("__s").substr(segStart(col("__len"), i).cast("int"),
           segLen(col("__len"), i).cast("int")).as("seg"))
-    }.reduce(_ unionByName _)
-    val probes = (for {
+    }
+    val segs = base
+      .select(col("__id").as("id_a"), col("__s").as("s_a"),
+        explode(array(segArms: _*)).as("__e"))
+      .select(col("id_a"), col("s_a"), col("__e.la").as("la"),
+        col("__e.i").as("i"), col("__e.seg").as("seg"))
+    val probeArms = for {
       i <- 0 until k
       dl <- -maxDist to maxDist
       o <- -maxDist to maxDist
     } yield {
-      val la = col("__len") + dl // the partner length this probe serves
-      base.select(col("__id").as("id_b"), col("__s").as("s_b"),
-        la.cast("long").as("la"), lit(i).as("i"),
-        // starts below 1 are invalid shifts, not from-the-end reads —
-        // emit no key for them (greatest(1,...) would fabricate one)
-        when(segStart(la, i) + o >= 1L,
+      val la = (col("__len") + dl).cast("long") // partner length served
+      // starts below 1 are invalid shifts, not from-the-end reads;
+      // la < 1 serves no string — both emit a null seg, filtered below
+      struct(la.as("la"), lit(i).as("i"),
+        when(la >= 1L && segStart(la, i) + o >= 1L,
           col("__s").substr((segStart(la, i) + o).cast("int"),
             segLen(la, i).cast("int"))).as("seg"))
-        .where(col("__len") + dl >= 1)
-        .where(col("seg").isNotNull)
-    }).reduce(_ unionByName _)
+    }
+    val probes = base
+      .select(col("__id").as("id_b"), col("__s").as("s_b"),
+        explode(array(probeArms: _*)).as("__e"))
+      .select(col("id_b"), col("s_b"), col("__e.la").as("la"),
+        col("__e.i").as("i"), col("__e.seg").as("seg"))
+      .where(col("seg").isNotNull)
     val cand = segs.join(probes, Seq("la", "i", "seg"))
       .where(col("id_a") =!= col("id_b"))
       .select(
