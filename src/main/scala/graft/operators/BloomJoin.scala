@@ -51,12 +51,17 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     require(expectedKeys > 0, s"expectedKeys must be > 0: $expectedKeys")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
-    val keys = dim.select(col(dimKeyCol)).localCheckpoint(false)
-    val bits = bloomBits(keys, dimKeyCol, expectedKeys, fpp)
+    require(!facts.columns.contains("__bj_key"),
+      "fact column __bj_key clashes with join internals")
+    // renamed key side: fact and dim key columns routinely SHARE a
+    // name in star schemas, and an unqualified equi-join on it would
+    // be ambiguous
+    val keys = dim.select(col(dimKeyCol).as("__bj_key")).localCheckpoint(false)
+    val bits = bloomBits(keys, "__bj_key", expectedKeys, fpp)
     facts
       .where(coalesce(
         SketchExprs.bloomMightContainLong(col(keyCol), bits), lit(false)))
-      .join(keys, col(keyCol) === col(dimKeyCol), "left_semi")
+      .join(keys, col(keyCol) === col("__bj_key"), "left_semi")
   }
 
   /** The anti complement: `facts LEFT ANTI JOIN dim`. Definite bloom
@@ -75,11 +80,13 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     require(expectedKeys > 0, s"expectedKeys must be > 0: $expectedKeys")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
-    val keys = dim.select(col(dimKeyCol)).localCheckpoint(false)
-    val bits = bloomBits(keys, dimKeyCol, expectedKeys, fpp)
+    require(!facts.columns.contains("__bj_key"),
+      "fact column __bj_key clashes with join internals")
+    val keys = dim.select(col(dimKeyCol).as("__bj_key")).localCheckpoint(false)
+    val bits = bloomBits(keys, "__bj_key", expectedKeys, fpp)
     val maybe = SketchExprs.bloomMightContainLong(col(keyCol), bits)
     facts.where(coalesce(!maybe, lit(true)))
       .unionByName(facts.where(coalesce(maybe, lit(false)))
-        .join(keys, col(keyCol) === col(dimKeyCol), "left_anti"))
+        .join(keys, col(keyCol) === col("__bj_key"), "left_anti"))
   }
 }

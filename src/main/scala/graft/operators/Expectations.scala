@@ -53,12 +53,14 @@ object Expectations {
       pkCol: String): DataFrame = {
     // one LEFT join carries both counts (total and pk-miss), so each
     // side scans exactly once — an anti-join PLUS a count would scan
-    // the fact side twice
+    // the fact side twice. The PK side is renamed: FK and PK columns
+    // routinely share a name, which would make the join ambiguous.
+    require(fkCol != "__ref_pk", "fk column clashes with check internals")
     val fks = df.where(col(fkCol).isNotNull).select(col(fkCol))
-    fks.join(ref.select(col(pkCol)).distinct(),
-        col(fkCol) === col(pkCol), "left")
+    fks.join(ref.select(col(pkCol).as("__ref_pk")).distinct(),
+        col(fkCol) === col("__ref_pk"), "left")
       .agg(count(lit(1)).as("n_rows"),
-        count(when(col(pkCol).isNull, 1)).as("n_violations"))
+        count(when(col("__ref_pk").isNull, 1)).as("n_violations"))
       .select(lit(name).as("check"), col("n_rows"), col("n_violations"))
   }
 }

@@ -11,36 +11,37 @@ import org.apache.spark.sql.functions._
   * primitive ("most tokens for fewest chars", "best quality per byte")
   * that a WHERE clause cannot express.
   *
-  * Scale shape: skylines are distributive — a row dominated within any
-  * subset is dominated globally — so the front computes in two prunes:
-  * a per-partition front (windows keyed by `spark_partition_id()`, no
-  * data movement), then the global front over the per-partition
-  * survivors. Only survivors cross the wire; for correlated data the
-  * local front is tiny. The global pass is a single-partition window —
-  * safe BECAUSE it runs on pre-pruned rows, but worst-case (perfectly
-  * anti-correlated axes) the front is the whole input and no skyline
-  * algorithm avoids materializing it.
+  * Formulation: reduce to ONE row per distinct x (`max(y)` — a keyed
+  * aggregate with map-side partials, the only full-data exchange),
+  * then a prefix max over that reduced set in x-descending order
+  * decides each x's fate: x is on the front iff its ymax exceeds the
+  * max ymax of all STRICTLY greater x. A rows-based frame on the
+  * DISTINCT-x table is exactly "strictly greater x" — no range-frame
+  * integer-spacing assumption, so fractional axes are handled
+  * correctly. Front rows come back by joining the (small) front-x set
+  * onto the input and keeping rows at their x's ymax — duplicates of
+  * a frontier point all survive, matching NOT EXISTS semantics.
   *
-  * Within one pass, domination reads off two range-framed window
-  * maxima in (x desc) order: `max(y)` over strictly-greater x (≥ y ⇒
-  * dominated), and `max(y)` over equal x (> y ⇒ dominated). Duplicate
-  * (x, y) points dominate nothing and are all kept — the NOT EXISTS
-  * oracle semantics exactly.
+  * Scale shape: one exchange for the per-x aggregate; the window
+  * passes run over |distinct x| rows (a per-partition prefix prune
+  * shrinks them before the single-partition global pass); the
+  * join-back broadcasts the front-x set, so the input is never
+  * re-shuffled. Worst case (all x distinct, perfectly anti-correlated
+  * axes) the front IS the input and no skyline algorithm avoids
+  * materializing it.
   */
 object Skyline {
 
-  private def front(df: DataFrame, part: Seq[String],
-      xCol: String, yCol: String): DataFrame = {
-    val base = Window.partitionBy(part.map(col): _*).orderBy(col(xCol).desc)
-    // range frames under desc order: "preceding" is larger x, so
-    // (unboundedPreceding, -1) spans x' > x and (0, 0) spans x' = x
-    val strict = base.rangeBetween(Window.unboundedPreceding, -1)
-    val ties = base.rangeBetween(Window.currentRow, Window.currentRow)
-    df.withColumn("__dom", coalesce(
-        max(col(yCol)).over(strict) >= col(yCol), lit(false)) ||
-        max(col(yCol)).over(ties) > col(yCol))
-      .where(!col("__dom"))
-      .drop("__dom")
+  /** Front-deciding prune over the per-x table: keep x iff ymax
+    * beats the prefix max over the given partitioning's preceding
+    * rows in x-desc order. */
+  private def prune(perX: DataFrame, part: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*)
+      .orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perX.withColumn("__pm", max(col("__ymax")).over(w))
+      .where(col("__pm").isNull || col("__ymax") > col("__pm"))
+      .drop("__pm")
   }
 
   /** The Pareto front of `df` under (max `xCol`, max `yCol`); all other
@@ -50,11 +51,17 @@ object Skyline {
     * answers nothing).
     */
   def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val clash = df.columns.filter(c => c == "__dom" || c == "__pid")
+    val clash = df.columns.filter(_.startsWith("__"))
     require(clash.isEmpty, s"columns clash with skyline internals: ${clash.toSeq}")
     val nonNull = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
-    val local = front(nonNull.withColumn("__pid", spark_partition_id()),
-      Seq("__pid"), xCol, yCol).drop("__pid")
-    front(local, Seq.empty, xCol, yCol)
+    val perX = nonNull.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__ymax"))
+    // per-partition prefix prune first (the window sees rows already
+    // reduced to distinct x), then the global pass over survivors only
+    val local = prune(perX.withColumn("__pid", spark_partition_id()),
+      Seq("__pid")).drop("__pid")
+    val frontX = prune(local, Seq.empty)
+    nonNull.join(broadcast(frontX),
+        col(xCol) === col("__x") && col(yCol) === col("__ymax"), "left_semi")
   }
 }

@@ -51,8 +51,10 @@ object ZOrder {
   /** Equal-width bucketing of `c` from [lo, hi] onto [0, 2^bits):
     * the normalization feeding [[zValue]] when the value range is
     * known. Values at `hi` land in the top bucket (inclusive upper
-    * bound); out-of-range values fail in zValue's range check rather
-    * than aliasing into a wrong bucket.
+    * bound); values OUTSIDE [lo, hi] map to 2^bits so zValue's range
+    * check fails them loudly — a clamp would silently co-locate
+    * corrupt values with legitimate boundary rows, exactly the broken
+    * locality the check exists to prevent.
     */
   def rangeBucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(lo < hi, s"need lo < hi: [$lo, $hi]")
@@ -60,7 +62,9 @@ object ZOrder {
     // integral throughout (the RangeJoin.floorDiv lesson): width
     // rounds up so (hi - lo) / width < 2^bits always holds
     val width = ((hi - lo) + n - 1) / n max 1L
-    least(RangeJoin.floorDiv(c - lit(lo), width), lit(n - 1))
+    when(c.between(lo, hi),
+      least(RangeJoin.floorDiv(c - lit(lo), width), lit(n - 1)))
+      .otherwise(lit(n))
   }
 
   /** Lay `df` out for z-locality: range-repartition into `nFiles`

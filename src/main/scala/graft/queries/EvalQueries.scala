@@ -364,7 +364,7 @@ object EvalQueries {
       |WITH d AS (
       |  SELECT doc_id, n_chars,
       |         len(${sqlTokens("text")}) AS n_tokens
-      |  FROM documents WHERE text IS NOT NULL)
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL)
       |SELECT doc_id, n_tokens, n_chars FROM d a
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM d b
@@ -465,7 +465,7 @@ object EvalQueries {
       |WITH iv AS (
       |  SELECT user_id, epoch_us(ts) AS s,
       |         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |o AS (
       |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -481,7 +481,10 @@ object EvalQueries {
       |ORDER BY user_id, span_start
       |""".stripMargin)) { (s, dir) =>
     import graft.operators.Intervals
+    // null value ⇒ null interval end: the operator's s <= e filter
+    // drops it, so the oracle must exclude it too (q92's null rule)
     val iv = Tables.events(s, dir)
+      .where(col("value").isNotNull)
       .select(col("user_id"), expr("ts div 1000").as("s"),
         (expr("ts div 1000") +
           floor(col("value") * lit(1000000.0)).cast("long")).as("e"))

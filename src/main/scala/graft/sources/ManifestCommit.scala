@@ -349,6 +349,7 @@ object ManifestCommit {
       path: String,
       targetBytes: Long,
       statsCols: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty,
       layout: (DataFrame, Int) => DataFrame =
         (df, n) => df.repartition(n)): Long = {
     require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
@@ -359,8 +360,12 @@ object ManifestCommit {
     val nTarget = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
     if (nTarget >= files.size) return gen // already compact enough
     val packed = layout(readAt(spark, path, gen), nTarget.toInt)
-    if (statsCols.nonEmpty) writeVersionedWithStats(packed, path, statsCols)
-    else writeVersioned(packed, path)
+    // a partitioned dataset must re-state partitionBy or compaction
+    // would flatten its Hive-style subdirs and readers would lose
+    // partition pruning — the caller owns the layout contract
+    if (statsCols.nonEmpty)
+      writeVersionedWithStats(packed, path, statsCols, partitionBy)
+    else writeVersioned(packed, path, partitionBy)
   }
 
   /** Delete everything the latest manifest does not reference: orphan

@@ -47,12 +47,15 @@ object FuzzyJoin {
         .as("__band"))
     val home = base.select(col("__id").as("id_b"), col("__s").as("s_b"),
       col("__band"))
+    // threshold form, computed ONCE into a column: O(d·len) per pair
+    // and shared by filter and output, vs two full O(len²) DPs
+    val d = levenshtein(col("s_a"), col("s_b"), maxDist)
     probe.join(home, Seq("__band"))
       .where(col("id_a") < col("id_b"))
       .where(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .where(levenshtein(col("s_a"), col("s_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .withColumn("dist", d)
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** [[editDistancePairs]] with PassJoin segment blocking layered on

@@ -37,6 +37,16 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(pruned.contains(99L), "null key must survive the anti-join")
   }
 
+  test("fact and dim key columns may share a name (star-schema norm)") {
+    val dimSameName = dim.withColumnRenamed("dk", "fk")
+    val plain = keys(facts.join(dim, $"fk" === $"dk", "left_semi"))
+    assert(keys(BloomJoin.semiPruned(facts, "fk", dimSameName, "fk", 400))
+      == plain)
+    val anti = BloomJoin.antiPruned(facts, "fk", dimSameName, "fk", 400)
+    assert(anti.count() ==
+      facts.join(dim, $"fk" === $"dk", "left_anti").count())
+  }
+
   test("an undersized bloom stays exact (only the fp rate degrades)") {
     val plain = keys(facts.join(dim, $"fk" === $"dk", "left_semi"))
     assert(keys(BloomJoin.semiPruned(facts, "fk", dim, "dk",

@@ -41,4 +41,13 @@ class ExpectationsSpec extends AnyFunSuite {
     // 5 non-null FK rows; 99 and 98 are orphans
     assert(got == (("fk_ok", 5L, 2L)))
   }
+
+  test("refCheck works when FK and PK share a column name, and with dup PKs") {
+    val facts = Seq(1L, 2L, 99L).toDF("customer_id")
+    val dim = Seq(1L, 1L, 2L).toDF("customer_id") // duplicate PK rows
+    val got = Expectations.refCheck("fk_ok", facts, "customer_id",
+      dim, "customer_id").as[(String, Long, Long)].collect().head
+    // dup PKs must not double-count matched facts
+    assert(got == (("fk_ok", 3L, 1L)))
+  }
 }

@@ -56,6 +56,16 @@ class SkylineSpec extends AnyFunSuite {
     assert(pts(Skyline.paretoFront(t, "x", "y")) == naive)
   }
 
+  test("fractional axes dominate correctly (no integer-spacing assumption)") {
+    // (1.0, 5.0) is dominated by (1.5, 10.0) — a range-frame
+    // formulation with an integer offset would miss the dominator in
+    // the open interval (x, x+1)
+    val t = Seq((1.0, 5.0), (1.5, 10.0), (0.2, 11.0)).toDF("x", "y")
+    val got = Skyline.paretoFront(t, "x", "y")
+      .select("x", "y").as[(Double, Double)].collect().sorted.toSeq
+    assert(got == Seq((0.2, 11.0), (1.5, 10.0)))
+  }
+
   test("a minimize axis is its negation: most y for least x") {
     val t = Seq((2L, 10L), (4L, 11L), (3L, 9L), (2L, 7L)).toDF("x", "y")
     val got = Skyline.paretoFront(

@@ -45,6 +45,19 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("values outside [lo, hi] fail through zValue, never clamp silently") {
+    intercept[Exception] {
+      Seq(1001L).toDF("v")
+        .select(ZOrder.zValue(
+          Seq(ZOrder.rangeBucket($"v", 0L, 1000L, 4)), 4)).collect()
+    }
+    intercept[Exception] {
+      Seq(-1L).toDF("v")
+        .select(ZOrder.zValue(
+          Seq(ZOrder.rangeBucket($"v", 0L, 1000L, 4)), 4)).collect()
+    }
+  }
+
   test("rangeBucket is a monotone onto-[0,2^bits) normalization") {
     val vs = Seq(0L, 1L, 499L, 500L, 999L, 1000L).toDF("v")
       .select(ZOrder.rangeBucket($"v", 0L, 1000L, 4).as("b"))
