@@ -17,7 +17,49 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128)
+      q124, q125, q126, q127, q128, q129)
+
+  /** Point-in-time dimension join — the SCD2 consumer (operators/Scd2
+    * + operators/AsOf composed): each click is joined to the user's
+    * load-state VERSION valid at that instant, where versions come
+    * from fromChangeLog over the view stream (state = high/low by
+    * view value). The oracle states the same semantics directly as
+    * "state of the last view at-or-before the click" via DuckDB's
+    * native ASOF JOIN — hash equality proves the version-table route
+    * (collapse runs, then as-of into valid_from) computes exactly the
+    * point-in-time lookup it should. */
+  def q129: Q = Q(
+    "q129_point_in_time",
+    Some("""
+      |WITH v AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN value > 250 THEN 'high' ELSE 'low' END AS state
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+      |       v.state AS asof_state
+      |FROM c ASOF LEFT JOIN v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.{AsOf, Scd2}
+    val ev = Tables.events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"),
+        when(col("value") > 250, "high").otherwise("low").as("state"),
+        expr("ts div 1000").as("ts_us"), col("event_id"))
+    // the stored dimension: run-collapsed state versions
+    val dim = Scd2.fromChangeLog(views, "user_id", "state", "ts_us",
+        "event_id")
+      .select(col("user_id"), col("state"), col("valid_from").as("ts_us"))
+      .localCheckpoint(true)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    AsOf.asOfJoin(clicks, dim, Seq("user_id"), "ts_us", Seq("state"))
+      .orderBy(col("event_id"))
+  }
 
   /** CUBE with grouping_id (completing q41's ROLLUP family): all four
     * aggregation levels over (returnflag, linestatus) in one pass,
