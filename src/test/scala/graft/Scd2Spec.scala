@@ -70,6 +70,44 @@ class Scd2Spec extends AnyFunSuite {
       (1L, Some("A"), 10L, Some(30L)), (1L, Some("B"), 30L, None)))
   }
 
+  test("streaming CDC maintenance via foreachBatch equals the batch rebuild") {
+    // the dimension lives across micro-batches as driver-held state
+    // (re-checkpointed per batch — exactly how a production foreachBatch
+    // maintains a stored table); time-ordered files so each batch is
+    // at-or-after the open versions, applyBatch's documented contract
+    val whole = canon(Scd2.fromChangeLog(log, "k", "state", "ts", "id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_src")
+    val parts = Seq(log.where($"ts" < 25), log.where($"ts" >= 25 && $"ts" < 45),
+      log.where($"ts" >= 45))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scd2_stage")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    var dim = Seq.empty[(Long, Option[String], Long, Option[Long])]
+      .toDF("k", "state", "valid_from", "valid_to")
+    val q = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        dim = Scd2.applyBatch(dim, batch, "k", "state", "ts", "id")
+          .localCheckpoint(true)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(canon(dim) == whole)
+  }
+
   test("batch-apply shuffles the batch by key but leaves closed history alone") {
     // literal dim: the plan under audit is applyBatch's own, not the
     // lineage that happened to build the dimension
