@@ -17,7 +17,36 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128, q129)
+      q124, q125, q126, q127, q128, q129, q130)
+
+  /** Exact triangle count (operators/Triangles.triangleCount) over
+    * the shared-prefix similarity graph (docs joined on their first 12
+    * chars): degree-ordered orientation counts each triangle once at
+    * its pivot and bounds wedge fan-out by O(√E) — the formulation
+    * that survives a celebrity vertex. The oracle is the naive triple
+    * join over the same edges. */
+  def q130: Q = Q(
+    "q130_triangle_count",
+    Some("""
+      |WITH p AS (
+      |  SELECT doc_id, substr(trim(text), 1, 12) AS s FROM documents
+      |  WHERE text IS NOT NULL),
+      |e AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id)
+      |SELECT count(*) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Triangles
+    val p = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 12).as("s"))
+    val edges = p.select(col("doc_id").as("a"), col("s"))
+      .join(p.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+    Triangles.triangleCount(edges, "a", "b")
+  }
 
   /** Point-in-time dimension join — the SCD2 consumer (operators/Scd2
     * + operators/AsOf composed): each click is joined to the user's
