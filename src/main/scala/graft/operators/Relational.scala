@@ -150,6 +150,33 @@ object Relational {
       perspective2: DataFrame => DataFrame): DataFrame =
     perspective1(df).unionByName(perspective2(df))
 
+  /** Per-key mode: the most frequent `valueCol` per key, smallest
+    * value winning ties (a deterministic contract — "the" mode is
+    * meaningless without one). The raw rows see ONE aggregation
+    * (count per (key, value), map-side combined); the rank-1 window
+    * then runs over the already-|key×value|-reduced counts, never
+    * over data rows. Output: keys…, mode_value, mode_count. Null
+    * values are excluded (SQL aggregate convention); keys with only
+    * nulls emit nothing.
+    */
+  def modePerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__c").desc, col(valueCol).asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select((keys.map(col) :+ col(valueCol).as("mode_value") :+
+        col("__c").as("mode_count")): _*)
+  }
+
   /** Running distinct count: per key, how many DISTINCT `itemCol`
     * values have appeared up to and including each row in `order` —
     * "how many event types has this user touched so far". The naive

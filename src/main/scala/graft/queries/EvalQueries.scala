@@ -17,7 +17,29 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130)
+      q124, q125, q126, q127, q128, q129, q130, q131)
+
+  /** Per-group mode (operators/Relational.modePerKey): each source's
+    * most frequent language, smallest value breaking ties — the
+    * deterministic mode contract. Raw rows pay one combiner-friendly
+    * aggregation; the rank-1 window runs over the reduced counts. The
+    * oracle replays the same (count desc, value asc) selection. */
+  def q131: Q = Q(
+    "q131_mode_per_group",
+    Some("""
+      |WITH c AS (
+      |  SELECT source, lang, count(*) AS c FROM documents
+      |  WHERE lang IS NOT NULL GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |            ORDER BY c DESC, lang ASC) AS rn FROM c)
+      |SELECT source, lang AS mode_value, c AS mode_count
+      |FROM r WHERE rn = 1 ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Relational
+    Relational.modePerKey(Tables.documents(s, dir), Seq("source"), "lang")
+      .orderBy(col("source"))
+  }
 
   /** Exact triangle count (operators/Triangles.triangleCount) over
     * the shared-prefix similarity graph (docs joined on their first 12

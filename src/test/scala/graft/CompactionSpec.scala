@@ -48,6 +48,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(ManifestCommit.latest(dir).get._1 == g1)
   }
 
+  test("compaction can re-cluster: a z-order layout pass tightens stats") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(21)
+    val pts = Seq.fill(4000)((rnd.nextInt(1024).toLong,
+      rnd.nextInt(1024).toLong)).toDF("a", "b")
+    val dir = freshDir
+    ManifestCommit.writeVersionedWithStats(
+      pts.repartition(16), dir, Seq("a", "b"))
+    // compaction is the natural re-clustering moment: pack 16 files
+    // into 4, laying out by the Morton code of (a, b)
+    ManifestCommit.compact(spark, dir, targetBytes = 20_000L,
+      statsCols = Seq("a", "b"),
+      layout = (df, n) => ZOrder.layoutBy(
+        df.withColumn("za", ZOrder.rangeBucket(col("a"), 0L, 1023L, 5))
+          .withColumn("zb", ZOrder.rangeBucket(col("b"), 0L, 1023L, 5)),
+        Seq("za", "zb"), 5, n).drop("za", "zb"))
+    val files = ManifestCommit.latest(dir).get._2
+    assert(files.size < 16, s"still ${files.size} files")
+    // zone maps must now prune on b, which the random layout cannot
+    val (kept, skipped) = ManifestCommit.pruneBetween(dir, "b", 0L, 120L)
+    assert(skipped.nonEmpty,
+      s"z-ordered compaction should skip files on b (kept ${kept.size})")
+    // and rows are untouched
+    assert(ManifestCommit.read(spark, dir).count() == 4000L)
+  }
+
   test("compaction regenerates zone-map stats for the new generation") {
     val dir = freshDir
     ManifestCommit.writeVersionedWithStats(

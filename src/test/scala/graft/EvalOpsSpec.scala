@@ -358,6 +358,20 @@ class EvalOpsSpec extends AnyFunSuite {
       s"both windows must share one user-keyed exchange:\n$plan")
   }
 
+  // ---- Relational.modePerKey -----------------------------------------
+
+  test("modePerKey picks the most frequent value, smallest on ties") {
+    import graft.operators.Relational
+    val t = Seq(("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "q"), ("b", "p"),          // tie: p wins (smallest)
+      ("c", Option.empty[String].orNull))
+      .toDF("g", "v")
+    val got = Relational.modePerKey(t, Seq("g"), "v")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    // c had only nulls -> absent
+    assert(got == Seq(("a", "x", 2L), ("b", "p", 1L)))
+  }
+
   // ---- OrderStats.quantilesDisc --------------------------------------
 
   test("quantilesDisc selects the exact order statistics") {
