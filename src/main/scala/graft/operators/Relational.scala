@@ -150,6 +150,68 @@ object Relational {
       perspective2: DataFrame => DataFrame): DataFrame =
     perspective1(df).unionByName(perspective2(df))
 
+  /** Forward fill (last observation carried forward): per key, nulls
+    * in `valueCol` take the most recent non-null value in `order` —
+    * the standard imputation for sparse observations on a dense
+    * timeline (a price known only at trades, a setting known only at
+    * changes). Rows before the first observation stay null. Emits
+    * `<valueCol>_filled`; one exchange, one window pass.
+    *
+    * `order` must totally order rows within a key — with ties the
+    * "last" observation is undefined and the fill nondeterministic.
+    */
+  def forwardFill(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Sequence gap detection: the missing ranges of an integral
+    * `seqCol` expected dense over the whole input — each output row a
+    * hole `(gap_start, gap_end)` inclusive. The data-quality check
+    * behind "did we drop messages", WITHOUT the naive global sort or
+    * a join against a generated ideal sequence (a second corpus at
+    * 100 TB).
+    *
+    * Scale shape: ids bucket by `seq div bucketSize`; within-bucket
+    * holes come from a lead window PARTITIONED BY BUCKET (distributed,
+    * spill-safe), and holes that cross or swallow bucket boundaries
+    * come from a lead over the per-bucket (min, max) summaries —
+    * |ids|/bucketSize rows, the only single-partition pass. Duplicate
+    * sequence values are benign (difference 0 is no hole).
+    */
+  def sequenceGaps(
+      df: DataFrame,
+      seqCol: String,
+      bucketSize: Long = 1L << 20): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize must be >= 2: $bucketSize")
+    val ids = df.select(col(seqCol).as("__seq"))
+      .where(col("__seq").isNotNull)
+      .withColumn("__b", graft.operators.RangeJoin.floorDiv(
+        col("__seq"), bucketSize))
+    val within = ids
+      .withColumn("__next",
+        lead(col("__seq"), 1).over(
+          Window.partitionBy(col("__b")).orderBy(col("__seq"))))
+      .where(col("__next") > col("__seq") + 1)
+      .select((col("__seq") + 1).as("gap_start"),
+        (col("__next") - 1).as("gap_end"))
+    val summaries = ids.groupBy(col("__b"))
+      .agg(min(col("__seq")).as("__mn"), max(col("__seq")).as("__mx"))
+    val across = summaries
+      .withColumn("__nextMn",
+        lead(col("__mn"), 1).over(Window.orderBy(col("__b"))))
+      .where(col("__nextMn") > col("__mx") + 1)
+      .select((col("__mx") + 1).as("gap_start"),
+        (col("__nextMn") - 1).as("gap_end"))
+    within.unionByName(across)
+  }
+
   /** Per-key mode: the most frequent `valueCol` per key, smallest
     * value winning ties (a deterministic contract — "the" mode is
     * meaningless without one). The raw rows see ONE aggregation

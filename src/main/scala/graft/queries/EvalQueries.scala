@@ -17,7 +17,65 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+
+  /** Forward fill / LOCF (operators/Relational.forwardFill): the
+    * purchase price is known only AT purchases; every event carries
+    * the user's most recent purchase value forward (null before the
+    * first). Prices quantize to micro-units (floor(v·1e6), one IEEE
+    * multiply) so the carried value is integer-exact cross-engine. */
+  def q132: Q = Q(
+    "q132_forward_fill",
+    Some("""
+      |WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ns,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(floor(value * 1000000) AS BIGINT) END AS pv
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |         ORDER BY ns, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS pv_filled
+      |FROM e ORDER BY event_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Relational
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      when(col("event_type") === "purchase",
+        floor(col("value") * lit(1000000.0)).cast("long")).as("pv"))
+    Relational.forwardFill(e, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), "pv")
+      .select(col("event_id"), col("user_id"), col("pv_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sequence gap detection (operators/Relational.sequenceGaps): holes
+    * in the global event-id sequence AFTER a planted drop (ids
+    * divisible by 97 filtered out) — the "did we lose messages" check
+    * with a non-empty answer, q101's planted-proof discipline. Gaps
+    * compute bucket-parallel (lead within id-buckets) with only the
+    * per-bucket (min, max) summaries crossing a single partition; the
+    * oracle is the naive global lead. A small bucketSize exercises
+    * the cross-bucket reconciliation on real data. */
+  def q133: Q = Q(
+    "q133_sequence_gaps",
+    Some("""
+      |WITH e AS (
+      |  SELECT event_id FROM events WHERE event_id % 97 <> 0),
+      |g AS (
+      |  SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt
+      |  FROM e)
+      |SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end
+      |FROM g WHERE nxt > event_id + 1
+      |ORDER BY gap_start
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Relational
+    Relational.sequenceGaps(
+      Tables.events(s, dir).where(pmod(col("event_id"), lit(97L)) =!= 0),
+      "event_id", bucketSize = 256L)
+      .orderBy(col("gap_start"))
+  }
 
   /** Per-group mode (operators/Relational.modePerKey): each source's
     * most frequent language, smallest value breaking ties — the

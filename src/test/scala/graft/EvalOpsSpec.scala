@@ -358,6 +358,37 @@ class EvalOpsSpec extends AnyFunSuite {
       s"both windows must share one user-keyed exchange:\n$plan")
   }
 
+  // ---- Relational.forwardFill / sequenceGaps -------------------------
+
+  test("forwardFill carries the last observation, null before the first") {
+    import graft.operators.Relational
+    val t = Seq((1L, 10L, Option.empty[Long]), (1L, 20L, Some(5L)),
+      (1L, 30L, None), (1L, 40L, Some(7L)), (1L, 50L, None),
+      (2L, 10L, None)).toDF("k", "ts", "v")
+    val got = Relational.forwardFill(t, Seq("k"), Seq(col("ts")), "v")
+      .select("k", "ts", "v_filled")
+      .as[(Long, Long, Option[Long])].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1L, 10L, None), (1L, 20L, Some(5L)),
+      (1L, 30L, Some(5L)), (1L, 40L, Some(7L)), (1L, 50L, Some(7L)),
+      (2L, 10L, None)))
+  }
+
+  test("sequenceGaps finds within-bucket, boundary, and whole-bucket holes") {
+    import graft.operators.Relational
+    // bucketSize 10: ids 1..35 minus {4}, {9,10,11} (straddles the
+    // 9|10 boundary), all of 20..29 (a whole missing bucket)
+    val present = (1L to 35L)
+      .filterNot(i => i == 4L || (i >= 9 && i <= 11) || (i >= 20 && i <= 29))
+    val got = Relational.sequenceGaps(present.toDF("id"), "id", 10L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((4L, 4L), (9L, 11L), (20L, 29L)))
+    // duplicates are benign
+    val dup = Relational.sequenceGaps(
+      Seq(1L, 2L, 2L, 3L, 7L).toDF("id"), "id", 10L)
+      .as[(Long, Long)].collect().toSeq
+    assert(dup == Seq((4L, 6L)))
+  }
+
   // ---- Relational.modePerKey -----------------------------------------
 
   test("modePerKey picks the most frequent value, smallest on ties") {
