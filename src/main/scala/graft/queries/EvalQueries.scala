@@ -17,7 +17,32 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+
+  /** Single-pass numeric profile (operators/Profile.numeric): the
+    * data-catalog summary of five lineitem columns — rows, nulls,
+    * min, max — in ONE scan (all aggregates side by side, then a
+    * constant melt), not one scan per column. min/max are selections
+    * of stored values: exact cross-engine even for doubles. */
+  def q134: Q = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_partkey")
+    val arms = cols.map(c => s"""
+      |  SELECT '$c' AS "column", count(*) AS n_rows,
+      |         count(*) FILTER ($c IS NULL) AS n_null,
+      |         CAST(min($c) AS DOUBLE) AS min_d,
+      |         CAST(max($c) AS DOUBLE) AS max_d
+      |  FROM lineitem""".stripMargin).mkString("\n  UNION ALL")
+    Q("q134_numeric_profile",
+      Some(s"""
+        |SELECT * FROM ($arms)
+        |ORDER BY "column"
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Profile
+      Profile.numeric(Tables.lineitem(s, dir), cols)
+        .orderBy(col("column"))
+    }
+  }
 
   /** Forward fill / LOCF (operators/Relational.forwardFill): the
     * purchase price is known only AT purchases; every event carries
