@@ -40,6 +40,7 @@ object ManifestCommit {
 
   private val ManifestPrefix = "_manifest-"
   private val StatsPrefix = "_stats-"
+  private val BloomPrefix = "_bloom-"
 
   private def manifestGen(p: Path): Long =
     p.getFileName.toString.stripPrefix(ManifestPrefix).toLong
@@ -203,6 +204,78 @@ object ManifestCommit {
     Files.move(tmp, dir.resolve(f"$StatsPrefix$gen%010d"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     gen
+  }
+
+  /** Build a per-file BLOOM index sidecar `_bloom-<gen>` over an
+    * integral `column` of the LATEST generation — the point-lookup
+    * complement of zone maps: min/max prunes range scans on sorted-ish
+    * layouts, a bloom prunes `column = v` probes on ANY layout (the
+    * Delta bloom-index idea on the manifest protocol). Each committed
+    * file gets its own filter sized to its row count; like the stats
+    * sidecar it is written AFTER the generation is live, so a crash
+    * merely degrades point reads to no skipping — never correctness.
+    *
+    * Build cost: one column-pruned read per part file (driver-looped
+    * jobs — the sidecar builder's cost class, same as stats
+    * collection). Returns the indexed generation.
+    */
+  def writeBloomIndex(spark: SparkSession, path: String, column: String,
+      fpp: Double = 0.01): Long = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    val (gen, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val dir = Paths.get(path)
+    val lines = files.sorted.map { f =>
+      val one = spark.read.parquet(dir.resolve(f).toString)
+        .select(org.apache.spark.sql.functions.col(column))
+        .where(org.apache.spark.sql.functions.col(column).isNotNull)
+      val n = one.count()
+      val bloom = one.stat.bloomFilter(column, math.max(n, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val b = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      s"$f\t$column\t$b"
+    }
+    val tmp = dir.resolve(s".bloom-tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, dir.resolve(f"$BloomPrefix$gen%010d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    gen
+  }
+
+  /** The files of the latest generation that MIGHT contain
+    * `column = value`, per the bloom sidecar: (kept, skipped). Files
+    * not covered by a sidecar (absent, other column, crash) are kept —
+    * a bloom miss PROVES absence, absence of a bloom proves nothing.
+    */
+  def prunePoint(path: String, column: String,
+      value: Long): (Seq[String], Seq[String]) = {
+    val (gen, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val f = Paths.get(path).resolve(f"$BloomPrefix$gen%010d")
+    if (!Files.exists(f)) return (files, Seq.empty)
+    val blooms = Files.readAllLines(f).asScala.filter(_.nonEmpty).flatMap {
+      l =>
+        val Array(file, c, b) = l.split("\t", 3)
+        if (c != column) None
+        else Some(file -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b))))
+    }.toMap
+    files.partition(f => blooms.get(f).forall(_.mightContainLong(value)))
+  }
+
+  /** Read `column = value` from the latest generation, opening only
+    * files whose blooms might contain it; the exact filter keeps the
+    * result correct at any false-positive rate (and pushes into the
+    * parquet scan for row-group pruning inside kept files). */
+  def readPoint(spark: SparkSession, path: String, column: String,
+      value: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunePoint(path, column, value)
+    val residual = col(column) === lit(value)
+    if (kept.nonEmpty) readFiles(spark, path, kept).where(residual)
+    else read(spark, path).where(residual && lit(false))
   }
 
   /** Zone maps of a committed generation, or None when the sidecar is
@@ -383,7 +456,8 @@ object ManifestCommit {
       case Some((gen, files)) =>
         val keep = files.map(f => dir.resolve(f).normalize).toSet +
           dir.resolve(f"$ManifestPrefix$gen%010d").normalize +
-          dir.resolve(f"$StatsPrefix$gen%010d").normalize
+          dir.resolve(f"$StatsPrefix$gen%010d").normalize +
+          dir.resolve(f"$BloomPrefix$gen%010d").normalize
         // the generation's TOP data dir is the first segment of each
         // entry — file parents may be partition subdirs (Season=.../)
         val keepDataDirs =
@@ -398,10 +472,12 @@ object ManifestCommit {
         }
         listDir(dir).foreach { child =>
           val name = child.getFileName.toString
-          if (((name.startsWith(ManifestPrefix) || name.startsWith(StatsPrefix))
+          if (((name.startsWith(ManifestPrefix) || name.startsWith(StatsPrefix)
+              || name.startsWith(BloomPrefix))
               && !keep.contains(child.normalize))
             || name.startsWith(".manifest-tmp-")
-            || name.startsWith(".stats-tmp-")) {
+            || name.startsWith(".stats-tmp-")
+            || name.startsWith(".bloom-tmp-")) {
             Files.delete(child); removed += name
           } else if (name.startsWith("data-") && !keepDataDirs.contains(child.normalize)) {
             // crashed writers leave nested _temporary/... trees — delete
