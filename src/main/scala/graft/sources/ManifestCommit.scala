@@ -93,14 +93,25 @@ object ManifestCommit {
     readFiles(spark, path, files)
   }
 
-  /** Read a generation's (sub)set of dataset-relative files. All of a
-    * generation's files share one data dir; basePath restores partition
-    * columns from Hive-style subdirs (k=v/...) when present. */
+  /** Read a manifest's (sub)set of dataset-relative files. The
+    * basePath is the DATASET ROOT, not a generation dir: a manifest
+    * may reference files from several generations' data dirs (e.g.
+    * after [[deleteWhere]] republishes untouched files in place), and
+    * partition discovery only parses `k=v` segments, so the
+    * `data-<gen>-<nonce>` level is transparently skipped while
+    * Hive-style partition columns still come back. */
   private def readFiles(spark: SparkSession, path: String,
       files: Seq[String]): DataFrame = {
-    val dataDir = Paths.get(path).resolve(files.head.takeWhile(_ != '/'))
-    spark.read.option("basePath", dataDir.toString)
+    spark.read.option("basePath", Paths.get(path).toString)
       .parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
+  }
+
+  /** Recursively list the part files under a data dir (partitioned
+    * writes nest them in k=v subdirs). */
+  private def partFilesUnder(p: Path): Seq[Path] = listDir(p).flatMap { c =>
+    if (Files.isDirectory(c)) partFilesUnder(c)
+    else if (c.getFileName.toString.matches("part-.*\\.parquet")) Seq(c)
+    else Seq.empty
   }
 
   /** Write `df` as a new generation and publish it. Returns the committed
@@ -119,22 +130,23 @@ object ManifestCommit {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.resolve(dataDir).toString)
-    def partFiles(p: Path): Seq[Path] = listDir(p).flatMap { c =>
-      if (Files.isDirectory(c)) partFiles(c)
-      else if (c.getFileName.toString.matches("part-.*\\.parquet")) Seq(c)
-      else Seq.empty
-    }
-    val parts = partFiles(dir.resolve(dataDir))
+    val parts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
-    // stage the manifest content once, then publish by HARD LINK onto the
-    // generation name: link(2) is atomic with the full content visible AND
-    // fails with EEXIST if a concurrent writer claimed the generation —
-    // unlike rename, which on POSIX silently REPLACES an existing target
-    // (ATOMIC_MOVE onto a taken generation would clobber the winner's
-    // manifest). The loser retries one generation higher. An object store
-    // plays the same move with a conditional/if-none-match put.
+    publish(dir, parts, firstGen, nonce)
+  }
+
+  /** Stage the manifest content once, then publish by HARD LINK onto
+    * the generation name: link(2) is atomic with the full content
+    * visible AND fails with EEXIST if a concurrent writer claimed the
+    * generation — unlike rename, which on POSIX silently REPLACES an
+    * existing target (ATOMIC_MOVE onto a taken generation would
+    * clobber the winner's manifest). The loser retries one generation
+    * higher. An object store plays the same move with a
+    * conditional/if-none-match put. */
+  private def publish(dir: Path, parts: Seq[String], firstGen: Long,
+      nonce: String): Long = {
     val tmp = dir.resolve(s".manifest-tmp-$nonce")
     Files.write(tmp, parts.asJava)
     var gen = firstGen
@@ -393,6 +405,67 @@ object ManifestCommit {
       case None => incoming
     }
     writeVersioned(merged, path)
+  }
+
+  /** Copy-on-write DELETE: remove every row of the latest generation
+    * matching `condition`, REWRITING ONLY THE FILES THAT CONTAIN such
+    * rows — untouched files are referenced in place by the new
+    * manifest, byte-identical and never copied. This is the
+    * table-format delete kernel (GDPR erasure, retention enforcement):
+    * at 100 TB, deleting one user's rows must cost proportional to
+    * the files that hold them — which a clustered layout
+    * ([[graft.operators.ZOrder]], partitioning) makes few — not a
+    * full-corpus rewrite.
+    *
+    * Mechanics: one predicate-pushed, `_metadata`-projected pass finds
+    * the affected files; their surviving rows (rows where `condition`
+    * is false or NULL — SQL DELETE semantics) are rewritten into a
+    * fresh data dir; the new manifest lists untouched + rewritten
+    * files and publishes atomically. Time travel to the pre-delete
+    * generation keeps working until [[vacuum]], which reclaims the
+    * affected originals while keeping the shared untouched files
+    * (they are referenced by the latest manifest).
+    *
+    * Returns the new generation, or the current one when nothing
+    * matches.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val (gen, files) = latest(path).getOrElse(
+      throw new IllegalStateException(s"no committed manifest under $path"))
+    val dir = Paths.get(path)
+    val dirAbs = dir.toAbsolutePath.normalize.toString
+    def rel(uri: String): String = {
+      val p = if (uri.startsWith("file:")) java.net.URI.create(uri).getPath
+        else uri
+      p.stripPrefix(dirAbs).stripPrefix("/")
+    }
+    val affected = readFiles(spark, path, files)
+      .where(condition)
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(r => rel(r.getString(0))).toSet
+    if (affected.isEmpty) return gen
+    val untouched = files.filterNot(affected)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val survivors = readFiles(spark, path, affected.toSeq.sorted)
+      .where(not(coalesce(condition, lit(false))))
+    val newParts =
+      if (survivors.isEmpty) Seq.empty
+      else {
+        val dataDir = s"data-${gen + 1}-$nonce"
+        val w = survivors.write.mode(SaveMode.Overwrite)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(dir.resolve(dataDir).toString)
+        partFilesUnder(dir.resolve(dataDir))
+          .map(p => dir.relativize(p).toString)
+      }
+    val manifest = (untouched ++ newParts).sorted
+    require(manifest.nonEmpty,
+      "deleteWhere would delete every row of every file; write an empty " +
+        "generation explicitly if that is intended")
+    publish(dir, manifest, gen + 1, nonce)
   }
 
   /** Compact the latest generation's small files into ~`targetBytes`
