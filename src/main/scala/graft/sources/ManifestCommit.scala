@@ -468,6 +468,60 @@ object ManifestCommit {
     publish(dir, manifest, gen + 1, nonce)
   }
 
+  /** Copy-on-write keyed UPSERT — [[upsert]]'s semantics (incoming
+    * rows replace same-key rows) at [[deleteWhere]]'s cost: only the
+    * files CONTAINING a matched key rewrite; everything else is
+    * referenced in place. The plain [[upsert]] rewrites the whole
+    * dataset every run — correct, but at 100 TB the nightly 0.1%
+    * upsert must touch 0.1% of files (clustered layouts make the
+    * affected set small), not 100%.
+    *
+    * The affected-file probe is one `_metadata`-projected semi join
+    * against the (broadcastable) incoming key set; survivors of the
+    * affected files are anti-joined on the key and rewritten together
+    * with ALL incoming rows into the new data dir.
+    */
+  def upsertByKey(
+      spark: SparkSession,
+      incoming: DataFrame,
+      keyCol: String,
+      path: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    val (gen, files) = latest(path).getOrElse {
+      return writeVersioned(incoming, path, partitionBy)
+    }
+    val dir = Paths.get(path)
+    val dirAbs = dir.toAbsolutePath.normalize.toString
+    def rel(uri: String): String = {
+      val p = if (uri.startsWith("file:")) java.net.URI.create(uri).getPath
+        else uri
+      p.stripPrefix(dirAbs).stripPrefix("/")
+    }
+    val keys = incoming.select(col(keyCol)).distinct().localCheckpoint(true)
+    // project the hidden _metadata column BEFORE the join — it only
+    // resolves against the file-source relation itself
+    val affected = readFiles(spark, path, files)
+      .select(col("_metadata.file_path").as("__file"), col(keyCol))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__file"))
+      .distinct().collect().map(r => rel(r.getString(0))).toSet
+    val untouched = files.filterNot(affected)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val survivors =
+      if (affected.isEmpty) incoming
+      else readFiles(spark, path, affected.toSeq.sorted)
+        .join(keys, Seq(keyCol), "left_anti")
+        .unionByName(incoming)
+    val dataDir = s"data-${gen + 1}-$nonce"
+    val w = survivors.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir.resolve(dataDir).toString)
+    val newParts = partFilesUnder(dir.resolve(dataDir))
+      .map(p => dir.relativize(p).toString)
+    publish(dir, (untouched ++ newParts).sorted, gen + 1, nonce)
+  }
+
   /** Compact the latest generation's small files into ~`targetBytes`
     * files — the OPTIMIZE/bin-packing half of the table-format story
     * (zone maps being the other). Small files are the failure mode of

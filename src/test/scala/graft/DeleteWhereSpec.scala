@@ -35,6 +35,31 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(ManifestCommit.read(spark, dir).count() == 8000L - 21L)
   }
 
+  test("upsertByKey rewrites only the files holding matched keys") {
+    val dir = Files.createTempDirectory("cowup").toString
+    val rows = (1L to 8000L).map(i => (i, i * 10)).toDF("id", "v")
+    val g1 = ManifestCommit.writeVersioned(
+      rows.repartitionByRange(8, $"id"), dir)
+    val before = ManifestCommit.latest(dir).get._2.toSet
+    // update 3 clustered keys + insert 2 new ones
+    val incoming = Seq((100L, -1L), (101L, -2L), (102L, -3L),
+      (9001L, -4L), (9002L, -5L)).toDF("id", "v")
+    val g2 = ManifestCommit.upsertByKey(spark, incoming, "id", dir)
+    assert(g2 > g1)
+    val after = ManifestCommit.latest(dir).get._2.toSet
+    assert(before.intersect(after).size == 7,
+      s"expected 7 shared files, got ${before.intersect(after).size}")
+    val got = ManifestCommit.read(spark, dir)
+    assert(got.count() == 8002L)
+    assert(got.where($"id" === 100L).select("v").as[Long].head() == -1L)
+    assert(got.where($"id" === 9002L).select("v").as[Long].head() == -5L)
+    assert(got.where($"id" === 200L).select("v").as[Long].head() == 2000L)
+    // first write into an empty dataset degrades to writeVersioned
+    val dir2 = Files.createTempDirectory("cowup2").toString
+    ManifestCommit.upsertByKey(spark, incoming, "id", dir2)
+    assert(ManifestCommit.read(spark, dir2).count() == 5L)
+  }
+
   test("null-condition rows survive (SQL DELETE semantics); no-op returns gen") {
     val dir = Files.createTempDirectory("delw2").toString
     val rows = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
