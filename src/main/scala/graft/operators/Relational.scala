@@ -239,6 +239,35 @@ object Relational {
         col("__c").as("mode_count")): _*)
   }
 
+  /** Unpivot / melt: widen-by-column → lengthen-by-row, turning each
+    * input row into one row per value column — the inverse of pivot
+    * and the shape feeding "metric as data" consumers (dashboards,
+    * per-metric thresholds, the [[Profile]] report). A NARROW
+    * operation: the struct-array explode fans out inside the scan
+    * stage, no shuffle, no per-column re-scan (melting N columns with
+    * N selects reads the table N times).
+    *
+    * All `valueCols` must share (or be castable to) one type — the
+    * melted `value` column has a single schema slot. Nulls pass
+    * through as null values (the row is kept, like SQL UNPIVOT
+    * INCLUDE NULLS), so row count is exactly |df| · |valueCols|.
+    */
+  def melt(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      varName: String = "metric",
+      valName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    require(valueCols.distinct.size == valueCols.size,
+      s"duplicate value columns: $valueCols")
+    val arms = valueCols.map(c =>
+      struct(lit(c).as(varName), col(c).as(valName)))
+    df.select(idCols.map(col) :+ explode(array(arms: _*)).as("__m"): _*)
+      .select(idCols.map(col) :+ col(s"__m.$varName") :+
+        col(s"__m.$valName"): _*)
+  }
+
   /** Running distinct count: per key, how many DISTINCT `itemCol`
     * values have appeared up to and including each row in `order` —
     * "how many event types has this user touched so far". The naive

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped second-moment statistics — Pearson correlation and ordinary
+  * least-squares fit (slope/intercept) per group — computed the way
+  * that is exact AND engine-portable: every accumulation is a sum of
+  * INTEGERS in DECIMAL(38,0) (both engines sum decimals exactly, in
+  * any order), and the handful of derived floating-point values are
+  * each produced by ONE pinned sequence of IEEE ops over those exact
+  * sums (cast-once, then divide/sqrt — correctly-rounded operations
+  * that every IEEE-754 engine agrees on bit-for-bit). `corr`/`covar_pop`
+  * built-ins accumulate doubles in partition order and are therefore
+  * not reproducible across engines — or even across two runs with
+  * different partitioning; this formulation is.
+  *
+  * Inputs must already be integral (quantize doubles to fixed-point
+  * first, e.g. `floor(v * 100)` for cents — the repo-wide discipline).
+  *
+  * Scale shape: one scan, one partial-aggregated group-by exchange of
+  * six decimal sums per group — the minimal shuffle for any grouped
+  * statistic. No window, no second pass, no data-row shuffle.
+  *
+  * Overflow headroom: with |x|,|y| < 10^9 and n < 10^12 rows,
+  * n·Σxy < 10^{12+9+9+12} = 10^42 exceeds DECIMAL(38); keep the
+  * quantized magnitudes under ~10^7 for 100 TB-scale row counts
+  * (n·Σxy ≲ 10^{12+7+7+12} = 10^38). The sums themselves (Σxy ≤ 10^26)
+  * have ample room; it is the n·Σxy cross term that bounds the domain.
+  */
+object Stats {
+
+  /** Per-group n, exact moment sums, and derived (corr, slope,
+    * intercept) for y ≈ slope·x + intercept. `xCol`/`yCol` must be
+    * integral-valued columns. Null x or y drops the row (pairwise
+    * deletion, the SQL aggregate convention). Groups with zero
+    * x-variance yield null slope/intercept/corr; zero y-variance
+    * yields corr null but a valid (flat) fit.
+    */
+  def linearFit(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df
+      .where(xCol.isNotNull && yCol.isNotNull)
+      .select(keys.map(col) ++ Seq(
+        xCol.cast("decimal(18,0)").as("__x"),
+        yCol.cast("decimal(18,0)").as("__y")): _*)
+    val sums = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast(d38).as("sx"),
+      sum(col("__y")).cast(d38).as("sy"),
+      sum((col("__x") * col("__y")).cast(d38)).cast(d38).as("sxy"),
+      sum((col("__x") * col("__x")).cast(d38)).cast(d38).as("sxx"),
+      sum((col("__y") * col("__y")).cast(d38)).cast(d38).as("syy"))
+    // Exact integer determinants, then ONE cast each to double. The
+    // subtraction happens in decimal (exact); only the final cast and
+    // the divisions/sqrts below are floating — all correctly rounded,
+    // so both engines produce the identical bit pattern.
+    val nD = col("n").cast(d38)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast(d38)
+    val dx = (nD * col("sxx") - col("sx") * col("sx")).cast(d38)
+    val dy = (nD * col("syy") - col("sy") * col("sy")).cast(d38)
+    val withDet = sums
+      .withColumn("__num_d", num.cast("double"))
+      .withColumn("__dx_d", dx.cast("double"))
+      .withColumn("__dy_d", dy.cast("double"))
+    val slope = when(col("__dx_d") > 0d, col("__num_d") / col("__dx_d"))
+    val corr = when(col("__dx_d") > 0d && col("__dy_d") > 0d,
+      col("__num_d") / (sqrt(col("__dx_d")) * sqrt(col("__dy_d"))))
+    // intercept = (Σy − slope·Σx) / n, evaluated in double with the
+    // same op order the oracle states: cast(sy), slope·cast(sx),
+    // subtract, divide by cast(n).
+    val intercept = when(col("__dx_d") > 0d,
+      (col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double"))
+    withDet.select(keys.map(col) ++ Seq(
+      col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+      corr.as("corr"), slope.as("slope"), intercept.as("intercept")): _*)
+  }
+}
