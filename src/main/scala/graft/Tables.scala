@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic tables (see TESTDATA.md).
   * Plain parquet scans — Catalyst pushes filters/column pruning into the
@@ -12,13 +14,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for; read it as epoch-nanos LongType (monotonic, so every
-      // ordering/windowing semantic is unchanged).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** events.ts is parquet TIMESTAMP(NANOS). The engine contract is
+    * epoch-nanos LongType (monotonic long arithmetic everywhere).
+    * Spark version drift changes what the scan yields:
+    *   - ≤4.0 with `spark.sql.legacy.parquet.nanosAsLong`: LongType already.
+    *   - 4.1+: the legacy conf is gone; the scan yields TIMESTAMP_NTZ at
+    *     µs precision. Normalize explicitly: with session tz pinned to UTC
+    *     the NTZ wall time IS the UTC instant, so
+    *     `unix_micros(cast ts as timestamp) * 1000` reproduces epoch-ns at
+    *     µs precision — the same precision DuckDB's oracle comparisons use.
+    * Schema-adaptive so the same jar works on either Spark.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as $other — expected LongType or TIMESTAMP(_NTZ); " +
+          "check Spark version / parquet reader behavior (see NOTES rule 2)")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")

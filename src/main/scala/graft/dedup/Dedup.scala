@@ -1,4 +1,5 @@
 package graft.dedup
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -112,7 +113,7 @@ object Dedup {
     // profiles feed three plan branches (banding + both pair sides):
     // materialize once instead of recomputing shingles per branch
     val prof = shingleProfiles(df, idCol, textCol, perms = bands * rowsPerBand)
-      .localCheckpoint(true)
+      .materialize()
     val sets = prof.select(col("doc_id"), col("sh"))
     lshCandidatePairs(prof, bands, rowsPerBand)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -204,8 +205,8 @@ object Dedup {
     val withFp = newDocs.select(
       col(idCol).as("doc_id"),
       contentFingerprint(trim(col(textCol))).as("fp"))
-      .localCheckpoint(false)
-    val seen = seenFps.select(col(fpCol).as("seen_fp")).localCheckpoint(false)
+      .materialize(eager = false)
+    val seen = seenFps.select(col(fpCol).as("seen_fp")).materialize(eager = false)
     val antiJoin = (df: DataFrame) =>
       df.join(seen, col("fp") === col("seen_fp"), "left_anti")
     if (expectedItems == 0) return antiJoin(withFp) // explicit bloom opt-out
@@ -271,8 +272,8 @@ object Dedup {
     val withFp = newDocs.select(
       col(idCol).as("doc_id"),
       contentFingerprint(trim(col(textCol))).as("fp"))
-      .localCheckpoint(false)
-    val seen = seenFps.select(col(fpCol).as("seen_fp")).localCheckpoint(false)
+      .materialize(eager = false)
+    val seen = seenFps.select(col(fpCol).as("seen_fp")).materialize(eager = false)
     def range(c: Column): Column = pmod(c, lit(nRanges.toLong))
     val nullFp = withFp.filter(col("fp").isNull) // new by contract
     val parts = (0 until nRanges).map { r =>
@@ -283,7 +284,7 @@ object Dedup {
         if (nSeen <= 0) batchR
         else bloomPrefilteredNew(batchR, seenR, nSeen, fpp)
       // eager: run range r NOW so its sketch can be released (see scaladoc)
-      part.localCheckpoint(true)
+      part.materialize()
     }
     (parts :+ nullFp).reduce(_ unionByName _)
   }
@@ -320,9 +321,9 @@ object Dedup {
     // each profile feeds two branches (banding + verify side): checkpoint
     // so shingling/minhashing runs once per side, not per branch
     val newProf = shingleProfiles(newDocs, idCol, textCol,
-      perms = bands * rowsPerBand).localCheckpoint(true)
+      perms = bands * rowsPerBand).materialize()
     val oldProf = shingleProfiles(oldDocs, idCol, textCol,
-      perms = bands * rowsPerBand).localCheckpoint(true)
+      perms = bands * rowsPerBand).materialize()
     def banded(p: DataFrame) = p.select(col("doc_id"),
         posexplode(bandBuckets(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
@@ -392,7 +393,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().materialize()
     var edges = init
     var cnt = edges.count()
     // driver shortcut only for integral ids (union-find runs on longs;
@@ -408,7 +409,7 @@ object Dedup {
         col("doc_id").cast(idType).as("doc_id"),
         col("cluster_id").cast(idType).as("cluster_id")), 0)
     val nodes = init.select(col("u")).union(init.select(col("v")))
-      .distinct().withColumnRenamed("u", "node").localCheckpoint(true)
+      .distinct().withColumnRenamed("u", "node").materialize()
     var iter = 0
     var converged = cnt == 0L
     while (!converged && iter < maxIters) {
@@ -419,8 +420,8 @@ object Dedup {
       // would execute twice per round. Lazy (not eager) so no standalone
       // materialization job runs: the count() below materializes the
       // whole chain, keeping a round at two jobs (count, except-check)
-      val next = smallStar(largeStar(edges).localCheckpoint(false))
-        .localCheckpoint(false)
+      val next = smallStar(largeStar(edges).materialize(eager = false))
+        .materialize(eager = false)
       val nextCnt = next.count()
       // exact set-equality check on distinct'd frames: same cardinality
       // plus next ⊆ edges ⇒ equal — and the anti-join job only runs once

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -54,7 +55,7 @@ object Anomaly {
     // stage boundary: the series (|groups| × |buckets| rows — already
     // aggregate-sized) feeds the stats AND the flag join; materialize
     // it once so the upstream aggregation never re-runs per branch
-    val withT = series.withColumn("__t", t).localCheckpoint(true)
+    val withT = series.withColumn("__t", t).materialize()
     val stats = withT.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).cast(DecimalType(38, 0)).as("__h"),

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object Basket {
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize()
     val totals = items.agg(countDistinct(col("__b")).as("n_baskets"))
     val supp = items.groupBy(col("__i")).agg(count(lit(1)).as("__supp"))
       .where(col("__supp") >= minItemSupport)

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object BloomJoin {
     // renamed key side: fact and dim key columns routinely SHARE a
     // name in star schemas, and an unqualified equi-join on it would
     // be ambiguous
-    val keys = dim.select(col(dimKeyCol).as("__bj_key")).localCheckpoint(false)
+    val keys = dim.select(col(dimKeyCol).as("__bj_key")).materialize(eager = false)
     val bits = bloomBits(keys, "__bj_key", expectedKeys, fpp)
     facts
       .where(coalesce(
@@ -82,7 +83,7 @@ object BloomJoin {
     require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
     require(!facts.columns.contains("__bj_key"),
       "fact column __bj_key clashes with join internals")
-    val keys = dim.select(col(dimKeyCol).as("__bj_key")).localCheckpoint(false)
+    val keys = dim.select(col(dimKeyCol).as("__bj_key")).materialize(eager = false)
     val bits = bloomBits(keys, "__bj_key", expectedKeys, fpp)
     val maybe = SketchExprs.bloomMightContainLong(col(keyCol), bits)
     facts.where(coalesce(!maybe, lit(true)))

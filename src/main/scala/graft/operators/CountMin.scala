@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -135,7 +136,7 @@ object CountMin {
     // the sketch is sliced once per hash row — materialize it first so
     // the (possibly corpus-sized) build plan behind it runs ONCE, not
     // depth times; ≤ depth × width rows, so the checkpoint is trivial
-    val sk = sketch.localCheckpoint(true)
+    val sk = sketch.materialize()
     val looked = (0 until depth).foldLeft(queries) { (df, r) =>
       val slice = sk.where(col("row") === r)
         .select(col("bucket").as(s"__cms_b$r"), col("cnt").as(s"__cms_c$r"))

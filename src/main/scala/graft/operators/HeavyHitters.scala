@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
@@ -74,7 +75,7 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       // candidate-sized: materialize once so the threshold read and the
       // output filter share one scan-2 execution (stage-boundary rule)
-      .localCheckpoint(true)
+      .materialize()
     val total = counts.agg(sum(col("cnt")).as("__n"))
     counts.where(col("item").isNotNull)
       .crossJoin(broadcast(total))

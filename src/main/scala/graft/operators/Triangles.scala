@@ -1,4 +1,5 @@
 package graft.operators
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -34,7 +35,7 @@ object Triangles {
     * `edges` (any direction, duplicates tolerated). Output: one row,
     * `n_triangles` long. */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+    val canon = canonical(edges, srcCol, dstCol).materialize()
     val deg = canon.select(explode(array(col("src"), col("dst"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): strictly increasing along every edge, so
@@ -51,7 +52,7 @@ object Triangles {
           .otherwise(struct(col("dst").as("u"), col("src").as("w")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"))
-      .localCheckpoint(true)
+      .materialize()
     val wedges = oriented.select(col("u"), col("w").as("w1"))
       .join(oriented.select(col("u"), col("w").as("w2")), Seq("u"))
       .where(col("w1") < col("w2"))

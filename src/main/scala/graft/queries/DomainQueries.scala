@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,7 +169,7 @@ object DomainQueries {
     // checkpoint it so its games scan + aggregation runs once
     Sos.build(
       LongGames.build(g),
-      TeamSeasonStats.build(g).localCheckpoint(true),
+      TeamSeasonStats.build(g).materialize(),
       Seq("SosOppWinRate" -> "WinRate", "SosOppAvgPointDiff" -> "AvgPointDiff"))
       .orderBy(col("Season"), col("TeamID"))
   }
@@ -295,7 +296,7 @@ object DomainQueries {
     // the games scan + aggregation behind it runs once, not per side
     val stats = TeamSeasonStats.build(g)
       .select("Season", "TeamID", "WinRate", "AvgPointDiff")
-      .localCheckpoint(true)
+      .materialize()
     val attached = Matchups.attachFeatures(
       Matchups.buildLabeled(g), stats, diffCols = Seq("WinRate", "AvgPointDiff"))
     Matchups.dropIncomplete(attached, Seq("WinRateDiff", "AvgPointDiffDiff"))

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -188,7 +189,7 @@ object EvalQueries {
     val dim = Scd2.fromChangeLog(views, "user_id", "state", "ts_us",
         "event_id")
       .select(col("user_id"), col("state"), col("valid_from").as("ts_us"))
-      .localCheckpoint(true)
+      .materialize()
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
     AsOf.asOfJoin(clicks, dim, Seq("user_id"), "ts_us", Seq("state"))
@@ -582,15 +583,15 @@ object EvalQueries {
     // timezone-free (the q107 lesson)
     val (aO, aD) = (orders.where(year(col("o_orderdate")) < 1997),
       orders.where(year(col("o_orderdate")) >= 1997)
-        .localCheckpoint(true))
+        .materialize())
     val (bO, bD) = (cust.where(col("c_custkey") < 1200),
-      cust.where(col("c_custkey") >= 1200).localCheckpoint(true))
+      cust.where(col("c_custkey") >= 1200).materialize())
     // between runs the maintained view is a STORED table and the
     // deltas are the new files — checkpoints model both, so the final
     // plan scans each base table once (the delta terms' big side),
     // not four times
     val oldView = aO.join(bO, col("o_custkey") === col("c_custkey"))
-      .localCheckpoint(true)
+      .materialize()
     IncrementalJoin.maintained(
       oldView, aO, aD, bO, bD, "o_custkey", "c_custkey")
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
@@ -710,7 +711,7 @@ object EvalQueries {
       // in the final plan)
       val dim = Scd2.fromChangeLog(
         log.where(col("ts") < cutNs), "user_id", "state", "ts", "event_id")
-        .localCheckpoint(true)
+        .materialize()
       // DuckDB reads TIMESTAMP(NANOS) at µs precision, so the ns
       // timestamps surface as µs on both sides (the q111 rule); no two
       // events share a (user, µs) at any sf, so truncation cannot
@@ -781,7 +782,7 @@ object EvalQueries {
         .where(cond)
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as(name))
-        .localCheckpoint(true)
+        .materialize()
       val (ca, cb) = (cnts(isA, "ca"), cnts(!isA, "cb"))
       val est = CountMin.joinSizeEstimate(
         CountMin.buildWeighted(ca, "tok", "ca", d, w),

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -37,7 +38,7 @@ object ExtQueries {
       .select(col("user_id"),
         unix_micros(col("session_start")).as("s_us"),
         unix_micros(col("session_end")).as("e_us"))
-      .localCheckpoint(true) // feeds both overlap sides — compute once
+      .materialize() // feeds both overlap sides — compute once
     val a = sess.select(col("user_id").as("u1"), col("s_us").as("s1_us"),
       col("e_us").as("e1_us"))
     val b = sess.select(col("user_id").as("u2"), col("s_us").as("s2_us"),

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,7 +117,7 @@ object PipelineQueries {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .materialize()
     val doclen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
     // N rides the plan as a broadcast 1-row aggregate (same shape as the
@@ -847,9 +848,9 @@ object PipelineQueries {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialize()
     val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
-      .localCheckpoint(true)
+      .materialize()
     val total = cnt.agg(sum(col("c")).as("total"))
     graft.operators.Relational.hotTailJoin(tf, cnt, "tok", "c", hotN = 1024)
       .crossJoin(broadcast(total))

@@ -1,4 +1,5 @@
 package graft.sim
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -36,7 +37,7 @@ object AnnEval {
     // materialize its k-rows-per-query pair list once instead of
     // re-running the retrieval per branch. approx feeds exactly one
     // join, so its lineage already runs once: no checkpoint.
-    val t = truth.select(col(queryCol), col(neighborCol)).localCheckpoint(true)
+    val t = truth.select(col(queryCol), col(neighborCol)).materialize()
     val a = approx.select(col(queryCol), col(neighborCol)).distinct()
     val perQuery = t.groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_truth"))

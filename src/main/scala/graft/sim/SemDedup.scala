@@ -1,4 +1,5 @@
 package graft.sim
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -61,7 +62,7 @@ object SemDedup {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell",
         Similarity.hyperplaneSignature(col("vec"), cellBits, dims))
-      .localCheckpoint(true)
+      .materialize()
     val losers = v.as("a").join(v.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= threshold)

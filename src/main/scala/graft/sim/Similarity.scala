@@ -1,4 +1,5 @@
 package graft.sim
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -131,7 +132,7 @@ object Similarity {
     // payload re-attaches below — checkpoint so the corpus is scanned
     // once, not once per branch (see SemDedup.semanticDedup's rationale)
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true)
+      .materialize()
     val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
     val candIds = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -368,7 +369,7 @@ object Similarity {
     // payload re-attaches — checkpoint so the corpus is scanned once
     // (see cosineNearDupPairsBanded)
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .localCheckpoint(true)
+      .materialize()
     val banded = bandedBuckets(vecs, dims, bands, rowsPerBand, maxBucketSize)
     // ids-only through the bucket join + distinct; vectors re-attached after
     val candIds = banded.as("x").join(banded.as("y"),

@@ -1,4 +1,5 @@
 package graft.sources
+import graft.Materialize.MatOps
 
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -498,7 +499,7 @@ object ManifestCommit {
         else uri
       p.stripPrefix(dirAbs).stripPrefix("/")
     }
-    val keys = incoming.select(col(keyCol)).distinct().localCheckpoint(true)
+    val keys = incoming.select(col(keyCol)).distinct().materialize()
     // project the hidden _metadata column BEFORE the join — it only
     // resolves against the file-source relation itself
     val affected = readFiles(spark, path, files)

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -61,16 +62,16 @@ object Bm25 {
     val tf = corpus.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .materialize()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true)
+      .materialize()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+      .materialize()
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
     val qt = queries.select(col(idCol).as("query_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .distinct()
-      .localCheckpoint(true)
+      .materialize()
     // restrict the document-frequency dim to the QUERY vocabulary before
     // broadcasting: the corpus vocabulary is corpus-scale (millions of
     // noise tokens) and must never ship whole — the broadcast below is

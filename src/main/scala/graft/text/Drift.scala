@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -79,7 +80,7 @@ object Drift {
     // all re-reference the histogram — materialize the sketch-sized
     // table once (this also gives every reference fresh attribute ids,
     // which a memory-sink view cannot provide for a self-join)
-    val h = hist.localCheckpoint(true)
+    val h = hist.materialize()
     val perStratum = h.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
     val global = h.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
     val globalN = h.agg(sum(col("__c")).as("__gn"))

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -60,7 +61,7 @@ object Dsir {
     // side — checkpoint so tokenization runs once (see scaladoc)
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"), max(col("is_target")).as("is_target"))
-      .localCheckpoint(true)
+      .materialize()
     val raw = tf.groupBy(col("tok"))
       .agg((sum(col("c")) + 1L).as("r"),
         (sum(when(col("is_target"), col("c")).otherwise(0L)) + 1L).as("t"))
@@ -69,7 +70,7 @@ object Dsir {
     val weighted = raw.crossJoin(broadcast(totals))
       .select(col("tok"), col("r"),
         expr("(1000000 * t * bigR) div (r * bigT)").as("w"))
-      .localCheckpoint(true)
+      .materialize()
     val scored = Relational.hotTailJoin(
         tf.select(col("doc_id"), col("tok"), col("c")),
         weighted, key = "tok", weight = "r", hotN = hotN)

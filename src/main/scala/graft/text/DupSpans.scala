@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -41,17 +42,17 @@ object DupSpans {
       textCol: String,
       n: Int = 3,
       hotN: Int = 1024): DataFrame = {
-    // stage boundaries: sh feeds the corpus-wide count AND hotTailJoin's
-    // two fact branches; the duplicated-shingle dim feeds its three dim
-    // branches. Checkpointing both means the corpus is shingled exactly
-    // once (the unmaterialized plan re-ran the scan per branch — 6
-    // documents scans); the dim is duplicate shingles only, far smaller
-    // than the vocabulary.
+    // stage boundary: ONLY the duplicated-shingle dim is materialized —
+    // duplicate shingles only, far smaller than the vocabulary, and it
+    // feeds hotTailJoin's three dim branches. The exploded shingle table
+    // `sh` is deliberately NOT materialized: it is ~n× the corpus, so
+    // writing it to block storage costs more than re-deriving the
+    // explode from the (column-pruned) scan in each branch that needs
+    // it — re-scan beats re-store for fan-outs.
     val sh = docs.select(col(idCol).as("doc_id"),
         posexplode(Dedup.shingles(col(textCol), n)).as(Seq("spos", "g")))
-      .localCheckpoint(true)
     val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
-    val dupDim = cnt.filter(col("c") >= 2).localCheckpoint(true)
+    val dupDim = cnt.filter(col("c") >= 2).materialize()
     val dup = Relational.hotTailJoin(
       sh, dupDim, key = "g", weight = "c", hotN = hotN)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("spos"))
@@ -100,20 +101,19 @@ object DupSpans {
       textCol: String,
       n: Int = 3,
       hotN: Int = 1024): DataFrame = {
-    // stage boundaries, as in [[coverage]]: toks feeds the shingle
-    // fan-out, the positioned-token side, and the totals; the
-    // duplicated-shingle dim feeds hotTailJoin's three dim branches.
-    // Re-exploding from the checkpointed toks is the cheap axis; the
-    // corpus text itself is read once.
+    // stage boundary, as in [[coverage]]: only the duplicated-shingle
+    // dim is materialized. `toks` carries the full tokens+shingles
+    // arrays (≳2× the corpus) — storing it would cost more than
+    // re-tokenizing from the pruned text scan in each branch, so each
+    // branch re-derives its explode from the scan.
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"),
       Dedup.shingles(col(textCol), n).as("shl"))
-      .localCheckpoint(true)
     val sh = toks.select(col("doc_id"),
       posexplode(col("shl")).as(Seq("spos", "g")))
     val cnt = sh.groupBy(col("g")).agg(count(lit(1)).as("c"))
     val dupStarts = Relational.hotTailJoin(
-      sh, cnt.filter(col("c") >= 2).localCheckpoint(true),
+      sh, cnt.filter(col("c") >= 2).materialize(),
       key = "g", weight = "c", hotN = hotN)
     val covered = dupStarts
       .select(col("doc_id"),

@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -56,7 +57,7 @@ object Sampling {
   def temperatureMixture(df: DataFrame, stratumCol: String,
       alpha: Double): DataFrame = {
     val counts = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("n_docs")).localCheckpoint(true)
+      .agg(count(lit(1)).as("n_docs")).materialize()
     val total = counts.agg(sum(col("n_docs")).as("total"))
     val w = counts.crossJoin(broadcast(total))
       .withColumn("w",
@@ -220,7 +221,7 @@ object Sampling {
     // window and the join back
     val perBucket = rows.groupBy(col("score_bucket"))
       .agg(sum(col(tokenCol)).as("__bsum"))
-      .localCheckpoint(true)
+      .materialize()
     val wOff = Window.orderBy(col("score_bucket").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perBucket

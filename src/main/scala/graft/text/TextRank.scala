@@ -1,4 +1,5 @@
 package graft.text
+import graft.Materialize.MatOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -52,18 +53,18 @@ object TextRank {
     require(iterations >= 1 && scale >= 1000L,
       s"bad params iterations=$iterations scale=$scale")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).as("w")).localCheckpoint(true)
+      col(wCol).as("w")).materialize()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-      .localCheckpoint(true)
+      .materialize()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().materialize()
     val n = nodes.count()
     require(n > 0, "empty graph")
     val init = scale / n
     val base = (3L * scale) / (20L * n)
     var ranks = nodes.select(col("node"), lit(init).as("rank"))
-      .localCheckpoint(true)
+      .materialize()
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(outw, Seq("src"))
@@ -75,7 +76,7 @@ object TextRank {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+        .materialize()
     }
     ranks
   }

@@ -1,4 +1,5 @@
 package graft.tools
+import graft.Materialize.MatOps
 import org.apache.spark.sql.SparkSession
 
 /** Diagnostic: round count + wall split of q65's stages at a given SF. */
@@ -13,7 +14,7 @@ object CcProbe {
     val docs = graft.Tables.documents(spark, sfDir)
     var t0 = System.nanoTime()
     val pairs = graft.dedup.Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8)
-      .localCheckpoint(true)
+      .materialize()
     val nPairs = pairs.count()
     println(f"[ccprobe] pairs: $nPairs rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     t0 = System.nanoTime()

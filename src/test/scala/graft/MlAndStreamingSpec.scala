@@ -113,10 +113,13 @@ class MlAndStreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(src), dir.resolve("events.parquet"))
-    val streamDf = spark.readStream
-      .schema(batchDf.schema)
+    // readStream needs the RAW file schema (ts may be TIMESTAMP_NTZ under
+    // Spark 4.1+); normalize to the epoch-ns long contract after the scan
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamDf = graft.Tables.normalizeEventTs(spark.readStream
+      .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+      .parquet(dir.toString))
     val q = EventStreams.hourlyTypeStats(streamDf)
       .writeStream.format("memory").queryName("file_stream_test")
       .outputMode("complete").start()
@@ -141,10 +144,11 @@ class MlAndStreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_slide_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
-    val streamDf = spark.readStream
-      .schema(batchDf.schema)
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamDf = graft.Tables.normalizeEventTs(spark.readStream
+      .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
+      .parquet(dir.toString))
     val q = EventStreams.slidingTypeStats(streamDf)
       .writeStream.format("memory").queryName("slide_stream_test")
       .outputMode("complete").start()
