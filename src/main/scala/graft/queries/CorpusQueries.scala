@@ -992,7 +992,7 @@ object CorpusQueries {
         |  SELECT node, (1000000000 // n) AS rank
         |  FROM nodes CROSS JOIN nn),
         |$iterCtes
-        |SELECT node AS token, rank FROM r$iters
+        |SELECT node AS token, CAST(rank AS BIGINT) AS rank FROM r$iters
         |ORDER BY rank DESC, token LIMIT 30
         |""".stripMargin)) { (s, dir) =>
       graft.text.TextRank.keywords(Tables.documents(s, dir), "text",

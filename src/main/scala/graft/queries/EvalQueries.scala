@@ -387,10 +387,10 @@ object EvalQueries {
       |    THEN 1 ELSE 0 END AS first_seen
       |  FROM e)
       |SELECT user_id, t_us,
-      |       sum(first_seen) OVER (PARTITION BY user_id
+      |       CAST(sum(first_seen) OVER (PARTITION BY user_id
       |         ORDER BY t_us, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |         AS n_distinct_so_far
+      |         AS BIGINT) AS n_distinct_so_far
       |FROM f ORDER BY user_id, t_us
       |""".stripMargin)) { (s, dir) =>
     import graft.operators.Relational
@@ -998,7 +998,7 @@ object EvalQueries {
       |  SELECT substr(token, CAST(u.i AS INTEGER), 2) AS pair, freq
       |  FROM tf, unnest(range(1, length(token))) AS u(i)
       |  WHERE length(token) >= 2)
-      |SELECT pair, sum(freq) AS cnt FROM pairs
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
       |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
       |""".stripMargin)) { (s, dir) =>
     graft.text.Bpe.mergeCandidates(Tables.documents(s, dir), "text", k = 50)
@@ -1008,8 +1008,11 @@ object EvalQueries {
     * n_chars histogram against the whole corpus — the per-feed
     * monitoring gate. Fixed literal boundaries make the histogram one
     * exact grouped count; empty buckets floor at eps on both sides;
-    * each ln term quantizes to DECIMAL(18,9) and sums exactly (the
-    * q98 discipline — ln's last ulp is not cross-engine portable). */
+    * each bucket term quantizes to DECIMAL(18,9) with one cast of the
+    * double product and sums at scale 9, whose numerator stays < 2^53
+    * so the final decimal→double recovery is exact in both engines
+    * (see Drift.psiFromHistogram for why finer-grained quantization
+    * is NOT portable). */
   def q105: Q = {
     val bounds = Seq(0L, 100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L)
     val eps = 1e-4
@@ -1020,7 +1023,7 @@ object EvalQueries {
         |WITH h AS (
         |  SELECT source AS s, ($chain) - 1 AS b, count(*) AS c
         |  FROM documents GROUP BY s, b),
-        |ps AS (SELECT s, sum(c) AS n FROM h GROUP BY s),
+        |ps AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY s),
         |g AS (SELECT b, sum(c) AS gc FROM h GROUP BY b),
         |gn AS (SELECT sum(c) AS gn FROM h),
         |grid AS (SELECT ps.s, ps.n, u.b
@@ -1218,23 +1221,30 @@ object EvalQueries {
         |  WHERE text IS NOT NULL),
         |m AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |         ${sqlQualityExpr(sw)} AS quality
+        |         CAST(CAST(${sqlQualityExpr(sw)} AS DECIMAL(18,9))
+        |              AS DOUBLE) AS quality
         |  FROM t),
         |c AS (
         |  SELECT doc_id, quality, n_tokens,
-        |         sum(n_tokens) OVER (
+        |         CAST(sum(n_tokens) OVER (
         |           ORDER BY quality DESC, doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |           AS cum_tokens
+        |           AS BIGINT) AS cum_tokens
         |  FROM m WHERE n_tokens > 0)
         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= $budget ORDER BY cum_tokens
         |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
       val sw0 = TextAnalysis.LangStopwords.head._2
+      // quality is quantized to DECIMAL(18,9) and recovered as a double
+      // in BOTH engines: ordering (and the emitted bytes) then depend on
+      // a ≤9-decimal-digit value, immune to cross-engine double-ulp /
+      // representation drift at the driver's hash boundary (VERDICT r5 #3)
       val base = Tables.documents(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.qualityScore(col("text"), sw0).as("quality"))
+        TextAnalysis.qualityScore(col("text"), sw0)
+          .cast(DecimalType(18, 9)).cast("double").as("quality"))
       Sampling.budgetSelect(base, "doc_id", "n_tokens", "quality",
         budget = budget)
         .select(col("doc_id"), col("quality"), col("n_tokens"),

@@ -98,6 +98,15 @@ object Drift {
       .select(col("__s"), col("__n"),
         floored(coalesce(col("__c"), lit(0L)), col("__n")).as("__p"),
         floored(coalesce(col("__gc"), lit(0L)), col("__gn")).as("__q"))
+      // each bucket term quantizes to DECIMAL(18,9) as ONE cast of the
+      // double product, and the cross-bucket sum stays at scale 9: the
+      // scale-9 sum's integer numerator is < 2^53, so the final
+      // decimal→double conversion is exact in both engines. (Quantizing
+      // the factors separately and multiplying in decimal pushes the
+      // sum to scale 18, whose >2^53 numerator double-rounds in
+      // DuckDB's int128→double path — an observed 1-ulp divergence.
+      // Decimal RESCALING is no escape either: DuckDB truncates decimal
+      // downcasts where Spark rounds HALF_UP.)
       .withColumn("__term",
         (col("__p") - col("__q")) * log(col("__p") / col("__q")))
     terms

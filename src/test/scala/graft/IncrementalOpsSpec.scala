@@ -198,4 +198,21 @@ class IncrementalOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("aa", 2L), ("bb", 2L)))
   }
+
+  test("pairCounts pairs are CODE POINTS on multibyte tokens (pinned contract)") {
+    // the pair unit is the Unicode code point, NOT the byte and NOT the
+    // grapheme cluster: 'é' composed (U+00E9) is one symbol; 'e'+combining
+    // acute (U+0065 U+0301) is two. DuckDB 1.x substr/length agree with
+    // this, which is what keeps the q109 oracle comparable cross-engine.
+    val composed = "café"          // 4 code points: c a f é
+    val decomposed = "café"       // 5 code points: c a f e ´
+    val cjk = "日本語"      // 日本語, 3 code points
+    val df = Seq(s"$composed $decomposed $cjk").toDF("text")
+    val got = Bpe.pairCounts(df, "text").as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "ca" -> 2L, "af" -> 2L,
+      "fé" -> 1L,                  // composed pair
+      "fe" -> 1L, "é" -> 1L,      // decomposed splits into two pairs
+      "日本" -> 1L, "本語" -> 1L))
+  }
 }

@@ -40,6 +40,19 @@ for name in sorted(oracle):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
         fails += 1
         continue
+    # the driver's hasher is representation-sensitive: an int64 Spark
+    # column vs a float64 oracle column (DuckDB sum(BIGINT) -> HUGEINT
+    # -> float64) hashes 123 vs 123.0 differently even though == passes.
+    # Flag dtype-KIND divergence as a failure so the local gate is at
+    # least as strict as the driver's.
+    kinds = [c for c in got.columns
+             if (got[c].dtype.kind in "iu") != (exp[c].dtype.kind in "iu")]
+    if kinds:
+        print(f"FAIL {name}: dtype kind mismatch in {kinds}: " +
+              ", ".join(f"{c} spark={got[c].dtype} oracle={exp[c].dtype}"
+                        for c in kinds))
+        fails += 1
+        continue
     bad = []
     for c in got.columns:
         g, e = got[c], exp[c]
