@@ -30,9 +30,12 @@ import graft.functions.PolyHash
   */
 object LinearCount {
 
-  /** The mergeable sketch: distinct (keys…, bucket) rows. Null values
-    * drop (COUNT DISTINCT convention). `m` must be a power of two (the
-    * u/m division is then exact in double). */
+  /** The mergeable sketch: distinct (keys…, bucket, m) rows. Null
+    * values drop (COUNT DISTINCT convention). `m` must be a power of
+    * two (the u/m division is then exact in double) and rides along as
+    * a column, so a sketch is self-describing: [[estimate]] reads m
+    * from the rows instead of trusting a caller-repeated parameter —
+    * the silent-mismatch hazard is structurally gone. */
   def sketch(
       df: DataFrame,
       keys: Seq[String],
@@ -43,23 +46,38 @@ object LinearCount {
     df.where(col(valueCol).isNotNull)
       .select(keys.map(col) :+
         pmod(PolyHash.saltedHash(col(valueCol), salt), lit(m.toLong))
-          .as("bucket"): _*)
+          .as("bucket") :+ lit(m.toLong).as("m"): _*)
       .distinct()
   }
 
   /** Per-group occupied-bucket count and quantized estimate from a
-    * [[sketch]] (or any union of sketches built with the same m/salt).
-    * Output: (keys…, d, est) — d exact, est null iff saturated. */
-  def estimate(sk: DataFrame, keys: Seq[String], m: Int): DataFrame = {
-    require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    * [[sketch]] or ANY DataFrame union of sketches built with the same
+    * m/salt: `countDistinct(bucket)` makes duplicate (keys, bucket)
+    * rows from overlapping shards harmless (a plain union keeps them),
+    * and m comes from the sketch itself — a union that mixes different
+    * m fails loudly instead of estimating garbage.
+    * Output: (keys…, m, d, est) — d exact, est null iff saturated.
+    * The est product is DECIMAL(10,0)·DECIMAL(18,9) = scale 9, whose
+    * integer numerator stays < 2^53, so the decimal→double recovery is
+    * exact cross-engine (a scale-18 product would double-round in
+    * DuckDB's int128→double path). */
+  def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
     sk.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("d"))
+      .agg(countDistinct(col("bucket")).as("d"),
+        min(col("m")).as("__mlo"), max(col("m")).as("__mhi"))
+      .withColumn("m",
+        when(col("__mlo") === col("__mhi"), col("__mlo"))
+          .otherwise(raise_error(concat(
+            lit("LinearCount.estimate: union mixes sketches of different m: "),
+            col("__mlo"), lit(" vs "), col("__mhi"))).cast("long")))
       .withColumn("est",
-        when(col("d") < m,
-          (-lit(m.toLong).cast(DecimalType(18, 9))) *
-            log((lit(m.toLong) - col("d")).cast("double") / lit(m.toDouble))
+        when(col("d") < col("m"),
+          (-col("m").cast(DecimalType(10, 0))) *
+            log((col("m") - col("d")).cast("double") /
+                col("m").cast("double"))
               .cast(DecimalType(18, 9)))
           .cast("double"))
+      .select((keys.map(col) :+ col("m") :+ col("d") :+ col("est")): _*)
   }
 
   /** One-shot: sketch then estimate. */
@@ -69,5 +87,5 @@ object LinearCount {
       valueCol: String,
       m: Int = 4096,
       salt: String = "lc"): DataFrame =
-    estimate(sketch(df, keys, valueCol, m, salt), keys, m)
+    estimate(sketch(df, keys, valueCol, m, salt), keys)
 }

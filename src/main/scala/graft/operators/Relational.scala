@@ -261,11 +261,15 @@ object Relational {
     require(valueCols.nonEmpty, "at least one value column")
     require(valueCols.distinct.size == valueCols.size,
       s"duplicate value columns: $valueCols")
+    // temp name chosen to never collide with an idCol; fields read via
+    // getField, so a varName/valName holding dots or backticks is fine
+    val tmp = Iterator.from(0).map(i => s"__melt_$i")
+      .find(n => !idCols.contains(n)).get
     val arms = valueCols.map(c =>
       struct(lit(c).as(varName), col(c).as(valName)))
-    df.select(idCols.map(col) :+ explode(array(arms: _*)).as("__m"): _*)
-      .select(idCols.map(col) :+ col(s"__m.$varName") :+
-        col(s"__m.$valName"): _*)
+    df.select(idCols.map(col) :+ explode(array(arms: _*)).as(tmp): _*)
+      .select(idCols.map(col) :+ col(tmp).getField(varName).as(varName) :+
+        col(tmp).getField(valName).as(valName): _*)
   }
 
   /** Running distinct count: per key, how many DISTINCT `itemCol`

@@ -33,9 +33,14 @@ object Stats {
   /** Per-group n, exact moment sums, and derived (corr, slope,
     * intercept) for y ≈ slope·x + intercept. `xCol`/`yCol` must be
     * integral-valued columns. Null x or y drops the row (pairwise
-    * deletion, the SQL aggregate convention). Groups with zero
-    * x-variance yield null slope/intercept/corr; zero y-variance
-    * yields corr null but a valid (flat) fit.
+    * deletion, the SQL aggregate convention) — and so does a value the
+    * DECIMAL(18,0) cast cannot represent (|v| ≥ 10^18 nulls under
+    * non-ANSI semantics): the null filter runs on the CAST columns, so
+    * n and the moment sums always see the same rows. (Filtering before
+    * the cast would count a row whose sums skipped it — a silently
+    * skewed fit.) Groups with zero x-variance yield null
+    * slope/intercept/corr; zero y-variance yields corr null but a
+    * valid (flat) fit.
     */
   def linearFit(
       df: DataFrame,
@@ -44,10 +49,10 @@ object Stats {
       yCol: Column): DataFrame = {
     val d38 = "decimal(38,0)"
     val base = df
-      .where(xCol.isNotNull && yCol.isNotNull)
       .select(keys.map(col) ++ Seq(
         xCol.cast("decimal(18,0)").as("__x"),
         yCol.cast("decimal(18,0)").as("__y")): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
     val sums = base.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(col("__x")).cast(d38).as("sx"),

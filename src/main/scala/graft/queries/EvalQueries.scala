@@ -18,7 +18,45 @@ object EvalQueries {
   val all: Seq[Q] =
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
+      q135)
+
+  /** Linear-counting distinct estimate (operators/LinearCount): per
+    * source, approximate distinct-token count from the occupied-bucket
+    * sketch — the deterministic COUNT DISTINCT sketch (occupied-bucket
+    * SET, not HLL registers), so the oracle replays it verbatim. The
+    * est product is DECIMAL(10,0)·DECIMAL(18,9) → scale 9: numerator
+    * < 2^53, so decimal→double recovery is exact in both engines. */
+  def q135: Q = {
+    val m = 256
+    Q("q135_distinct_estimate",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT DISTINCT source,
+        |         (${sqlSaltedHash("token", "lc")}) % $m AS bucket
+        |  FROM tok WHERE token IS NOT NULL),
+        |agg AS (
+        |  SELECT source, CAST(count(DISTINCT bucket) AS BIGINT) AS d
+        |  FROM b GROUP BY source)
+        |SELECT source, CAST($m AS BIGINT) AS m, d,
+        |       CASE WHEN d < $m THEN CAST(
+        |         CAST(-$m AS DECIMAL(10,0)) *
+        |         CAST(ln(CAST($m - d AS DOUBLE) / CAST($m AS DOUBLE))
+        |              AS DECIMAL(18,9))
+        |         AS DOUBLE) END AS est
+        |FROM agg ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.LinearCount
+      val toks = Tables.documents(s, dir).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      LinearCount.distinctEstimate(toks, Seq("source"), "token",
+        m = m, salt = "lc")
+        .orderBy(col("source"))
+    }
+  }
 
   /** Single-pass numeric profile (operators/Profile.numeric): the
     * data-catalog summary of five lineitem columns — rows, nulls,
