@@ -26,6 +26,14 @@ object Bench {
       Tables.lineitem, Tables.orders, Tables.customer,
       Tables.events, Tables.documents, Tables.embeddings)
       .foreach(t => scala.util.Try(t(spark, sfDir).count()))
+    // env-drift tripwire (round 5 lost 17 queries to a silent conf
+    // no-op): print the fingerprint every round; a broken schema
+    // contract becomes one pointed stderr line, and the bench still
+    // runs so the driver sees exactly which queries die
+    val envFp = scala.util.Try(graft.tools.EnvCheck.assertContract(spark, sfDir))
+      .fold(e => { System.err.println(s"[env] ${e.getMessage}"); "CONTRACT BROKEN" },
+        identity)
+    System.err.println(s"[env] $envFp")
     // Contention self-defense: the whole suite runs TWICE and each query
     // reports the MIN of its two timings. A shared box can inflate any
     // single measurement several-fold (one driver round recorded 210 s

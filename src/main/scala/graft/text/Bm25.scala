@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   *      (query, doc, term) contributes idf·(tf·(k1+1))/(tf + k1·(1−b +
   *      b·dl/avgdl)), and the per-(query, doc) sum folds in TERM ORDER.
   *
-  * Scale shape: postings and the IDF dim are eager localCheckpoints
-  * (multiply-referenced stage boundaries — the corpus is tokenized
-  * exactly once); the query-term set is small and broadcasts, so the
-  * postings table never shuffles for the match join; the per-(query,
-  * doc) aggregation is the one wide exchange; top-k rides the native
-  * [[graft.plans.GroupedTopK]] operator (bounded heap per query, no
-  * full sort). Nothing corpus-sized is ever broadcast or collected.
+  * Scale shape: build-once / query-many. [[buildIndexTable]] pays the
+  * corpus tokenization + postings shuffle ONCE and (via [[writeIndex]])
+  * persists a flat posting-list dataset through ManifestCommit
+  * generations; [[topKFromIndex]] is the cheap half — the query-term
+  * set is small and broadcasts, so the stored index never shuffles for
+  * the match join; the per-(query, doc) aggregation is the one wide
+  * exchange; top-k rides the native [[graft.plans.GroupedTopK]]
+  * operator (bounded heap per query, no full sort). Nothing
+  * corpus-sized is ever broadcast or collected. Re-running queries
+  * against a 100 TB corpus re-reads the (much smaller) index, not the
+  * corpus.
   *
   * Determinism: idf and the tf fraction are fixed IEEE expression
   * trees, but idf crosses a transcendental (ln) whose last ulp is NOT
@@ -38,17 +42,46 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** Top-k corpus docs per query doc, scored by BM25 over whitespace
-    * tokens. `queries` needs (`idCol`, `textCol`) like `corpus`; query
-    * term sets are DISTINCT tokens (binary query weights — the common
-    * retrieval form). Output: (query_id, rk, doc_id, score), rank 1 =
-    * best, ties broken by doc id.
-    *
-    * @param excludeSelf drop corpus docs whose id equals the query id
-    *                    (for more-like-this over the same table)
-    */
-  def topK(
-      corpus: DataFrame,
+  /** The stored inverted index: one flat posting-list table
+    * (term-major), denormalized so a single dataset carries everything
+    * scoring needs — (term, doc_id, tf, dl, df, n, total). The
+    * constant (n, total) corpus stats repeat per row; columnar
+    * encoding stores the repetition in a handful of bytes. Built once
+    * per corpus generation, re-scored per query batch — the
+    * build-once/query-many split a search index IS. */
+  def buildIndexTable(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // stage boundary: postings feed doc lengths, document frequencies
+    // and the corpus aggregate — one tokenization pass
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .materialize()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    tf.join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("n"), col("total"))
+  }
+
+  /** Persist the index as a ManifestCommit dataset (atomic generations
+    * — a re-build publishes a new generation, readers never see a
+    * half-written index). */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    graft.sources.ManifestCommit.writeVersioned(
+      buildIndexTable(corpus, idCol, textCol), path)
+
+  /** Score query docs against a stored index (the cheap half: no
+    * corpus scan, no tokenization of anything but the queries).
+    * `index` is [[buildIndexTable]]'s shape, read back from storage or
+    * passed through directly. */
+  def topKFromIndex(
+      index: DataFrame,
       queries: DataFrame,
       idCol: String,
       textCol: String,
@@ -57,29 +90,15 @@ object Bm25 {
       b: Double = 0.75,
       excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1, s"bad params k=$k k1=$k1 b=$b")
-    // stage boundary: postings feed doc lengths, document frequencies,
-    // the corpus aggregate AND the match join — one tokenization pass
-    val tf = corpus.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .materialize()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .materialize()
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .materialize()
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
     val qt = queries.select(col(idCol).as("query_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .distinct()
       .materialize()
-    // restrict the document-frequency dim to the QUERY vocabulary before
-    // broadcasting: the corpus vocabulary is corpus-scale (millions of
-    // noise tokens) and must never ship whole — the broadcast below is
-    // query-vocabulary-sized by construction
-    val dfq = df.join(broadcast(qt.select(col("term")).distinct()),
-      Seq("term"), "left_semi")
     // idf and the length norm are fixed expression trees — the oracle
-    // replays this exact op order
+    // replays this exact op order. The flat index carries df/dl/n/total
+    // on every posting row, so the match join (query-vocab broadcast
+    // against the term-keyed postings) is the ONLY join in the query
+    // path — the index never shuffles.
     val idf = log(lit(1.0) +
       ((col("n") - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -88,14 +107,11 @@ object Bm25 {
       (col("dl").cast("double") / avgdl))
     val contrib = idf * ((col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + norm))
-    val matched = tf
+    val matched = index
       .join(broadcast(qt), Seq("term"))
     val pairs = (if (excludeSelf)
         matched.where(col("doc_id") =!= col("query_id"))
       else matched)
-      .join(broadcast(dfq), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),
         contrib.as("contrib"))
     // quantize each contribution, then sum EXACTLY: decimal sums are
@@ -117,4 +133,26 @@ object Bm25 {
       .withColumn("rk", row_number().over(w))
       .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
   }
+
+  /** Top-k corpus docs per query doc, scored by BM25 over whitespace
+    * tokens — the one-shot form: [[buildIndexTable]] then
+    * [[topKFromIndex]]. `queries` needs (`idCol`, `textCol`) like
+    * `corpus`; query term sets are DISTINCT tokens (binary query
+    * weights — the common retrieval form). Output: (query_id, rk,
+    * doc_id, score), rank 1 = best, ties broken by doc id.
+    *
+    * @param excludeSelf drop corpus docs whose id equals the query id
+    *                    (for more-like-this over the same table)
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame =
+    topKFromIndex(buildIndexTable(corpus, idCol, textCol), queries,
+      idCol, textCol, k, k1, b, excludeSelf)
 }

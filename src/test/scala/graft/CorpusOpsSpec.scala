@@ -426,6 +426,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 1L))
   }
 
+  test("BM25 stored-index round-trip: write + read + score == direct topK") {
+    import graft.text.Bm25
+    import graft.sources.ManifestCommit
+    val docs = Seq(
+      (1L, "spark shuffle join"),
+      (2L, "spark spark spark broadcast"),
+      (3L, "shuffle partition skew salt"),
+      (4L, "join join shuffle spark"),
+      (5L, "rareword spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Bm25.writeIndex(docs, "doc_id", "text", dir)
+    val stored = Bm25.topKFromIndex(ManifestCommit.read(spark, dir),
+        docs.filter(col("doc_id") <= 2L), "doc_id", "text",
+        k = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val direct = Bm25.topK(docs, docs.filter(col("doc_id") <= 2L),
+        "doc_id", "text", k = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(stored === direct)
+    // a rebuild publishes a NEW generation atomically
+    Bm25.writeIndex(docs, "doc_id", "text", dir)
+    assert(ManifestCommit.latest(dir).map(_._1) === Some(2L))
+  }
+
   // ---- histogram quantile sketch ----------------------------------------
 
   test("HistogramSketch: est is the exact quantile's bucket floor") {
