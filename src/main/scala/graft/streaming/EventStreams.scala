@@ -99,6 +99,60 @@ object EventStreams {
         col("click_id"), col("click_time"), col("purchase_time"))
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, event_time_us: Long)
+  case class FunnelProgress(
+      user_id: Long, stage_times_us: Array[Long], stages_completed: Int)
+
+  /** Streaming-native ordered funnel — [[graft.operators.Funnel.funnel]]'s
+    * semantics carried incrementally in O(#stages) state per user: the
+    * earliest completion time of every stage, where stage k counts only
+    * at or after the user's stage-(k−1) time. Each micro-batch emits an
+    * updated [[FunnelProgress]] snapshot for users whose funnel moved
+    * (update-mode output; `stage_times_us` holds −1 for uncompleted
+    * stages, and `stages_completed` is the prefix length — times are
+    * set-once, so snapshots are monotone and the latest one per user is
+    * the funnel state).
+    *
+    * Contract: per-user event-TIME-ordered delivery across micro-batches
+    * (the file-source tests stage time-sorted files; a production feed
+    * would sort within watermark holds). With in-order delivery the
+    * final snapshot equals the batch funnel exactly — pinned by
+    * MlAndStreamingSpec. Dual-mode: on a batch Dataset the same code
+    * runs with one group call per user. At scale, pair with a state TTL
+    * (ProcessingTimeTimeout) to evict abandoned funnels; the state per
+    * user is a fixed #stages-length array either way.
+    */
+  def funnelStream(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[Array[Long]]) =>
+          val times = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
+          var changed = false
+          rows.toSeq.sortBy(_.event_time_us).foreach { e =>
+            stageIdx.get(e.event_type).foreach { k =>
+              val prevOk = k == 0 ||
+                (times(k - 1) >= 0 && e.event_time_us >= times(k - 1))
+              if (times(k) < 0 && prevOk) {
+                times(k) = e.event_time_us
+                changed = true
+              }
+            }
+          }
+          state.update(times)
+          if (changed)
+            Iterator(FunnelProgress(userId, times.clone(), times.count(_ >= 0)))
+          else Iterator.empty
+      }
+  }
+
   case class SessionEvent(user_id: Long, event_time_us: Long, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class UserSession(

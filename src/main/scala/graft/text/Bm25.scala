@@ -69,12 +69,18 @@ object Bm25 {
 
   /** Persist the index as a ManifestCommit dataset (atomic generations
     * — a re-build publishes a new generation, readers never see a
-    * half-written index). */
+    * half-written index). The index is term-hash-partitioned across
+    * `nFiles` files: a small index would otherwise AQE-coalesce into
+    * ONE file, and the scoring expansion over a 1-file index runs
+    * single-threaded (measured 4× on the whole query path). Term-hash
+    * layout also keeps each term's posting list in one file — the
+    * skip-friendly layout for a future term-pruned read. */
   def writeIndex(
       corpus: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
+      path: String, nFiles: Int = 32): Unit =
     graft.sources.ManifestCommit.writeVersioned(
-      buildIndexTable(corpus, idCol, textCol), path)
+      buildIndexTable(corpus, idCol, textCol)
+        .repartition(nFiles, col("term")), path)
 
   /** Score query docs against a stored index (the cheap half: no
     * corpus scan, no tokenization of anything but the queries).

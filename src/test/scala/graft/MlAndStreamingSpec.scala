@@ -297,6 +297,81 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("amount") === 9.99)
   }
 
+  test("streaming funnel: stream equals batch across micro-batches (q111's face)") {
+    import EventStreams.FunnelEvent
+    val sf = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sf/events.parquet")))
+    val stages = Seq("view", "click", "purchase")
+    val batchDf = graft.Tables.events(spark, sf)
+    // batch reference: the window-chain funnel, times at the µs contract
+    val expected = graft.operators.Funnel.funnel(
+        batchDf, "user_id", "event_type", "ts", stages)
+      .collect().map { r =>
+        def us(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i) / 1000L
+        r.getLong(0) -> ((us(1), us(2), us(3)), r.getInt(4))
+      }.toMap
+    // three event-time-ordered files → three micro-batches: funnels that
+    // straddle a file boundary must resume from cross-batch state
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_src")
+    val sorted = batchDf.orderBy("ts").collect()
+    val third = (sorted.length + 2) / 3
+    sorted.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_stage")
+      chunk.map(r => (r.getLong(r.fieldIndex("user_id")),
+          r.getString(r.fieldIndex("event_type")),
+          r.getLong(r.fieldIndex("ts")) / 1000L))
+        .toSeq.toDF("user_id", "event_type", "event_time_us")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          val dst = dir.resolve(s"part$i.parquet")
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    val streamDf = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event_time_us", org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .as[FunnelEvent]
+    val q = EventStreams.funnelStream(streamDf, stages)
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // snapshots are monotone (times set-once): latest per user = the one
+    // with the most completed stages
+    val got = spark.table("funnel_stream_test")
+      .collect().map { r =>
+        val times = r.getSeq[Long](1)
+        r.getLong(0) -> ((times(0), times(1), times(2)), r.getInt(2))
+      }.groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2._2)._2 }
+    q.stop()
+    // batch emits every user that completed ≥ stage 1; the stream emits
+    // only users whose funnel MOVED — identical sets here since every
+    // emitted user moved at least once
+    val expectedMoved = expected.filter(_._2._2 > 0)
+    assert(got === expectedMoved)
+    // dual-mode: the same operator over the batch frame agrees
+    val batchGot = EventStreams.funnelStream(
+        batchDf.select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("event_time_us")).as[FunnelEvent], stages)
+      .collect().map(p =>
+        p.user_id -> ((p.stage_times_us(0), p.stage_times_us(1),
+          p.stage_times_us(2)), p.stages_completed)).toMap
+    assert(batchGot === expectedMoved)
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val gap = 1000000L // 1s in µs
     val events = Seq(
