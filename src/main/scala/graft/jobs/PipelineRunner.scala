@@ -196,7 +196,7 @@ object PipelineRunner {
       gbtMaxIters: Seq[Int] = Seq(80, 120),
       gbtSubsampling: Seq[Double] = Seq(0.7, 0.9)): HpoParams.HpoResult = {
     val full = Modeling.fillMissing(gold, featureCols).cache()
-    val valSeason = full.agg(max(col("Season"))).head.getInt(0)
+    val valSeason = full.agg(max(col("Season"))).head().getInt(0)
     val train = full.filter(col("Season") < valSeason)
     val holdout = full.filter(col("Season") === valSeason)
     val lrTvs = Tuning.tuneLr(train, featureCols, lrRegParams, lrElasticNets, lrMaxIter)

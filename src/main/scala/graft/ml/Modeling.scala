@@ -84,7 +84,7 @@ object Modeling {
       .evaluate(scored)
     val ll = scored
       .select(logLossTerm(col("label"), probOf()).as("ll"))
-      .agg(avg(col("ll"))).head.getDouble(0)
+      .agg(avg(col("ll"))).head().getDouble(0)
     (auc, ll)
   }
 

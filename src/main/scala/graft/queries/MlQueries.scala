@@ -30,7 +30,7 @@ object MlQueries {
       Matchups.attachFeatures(
         Matchups.buildLabeled(g), stats, diffCols = Seq("WinRate", "AvgPointDiff")),
       Seq("WinRateDiff", "AvgPointDiffDiff")).cache()
-    val maxSeason = feats.agg(max(col("Season"))).head.getInt(0)
+    val maxSeason = feats.agg(max(col("Season"))).head().getInt(0)
     val train = feats.filter(col("Season") < maxSeason)
     val test = feats.filter(col("Season") === maxSeason)
     val featureCols = Seq("WinRateDiff", "AvgPointDiffDiff", "T1_WinRate", "T2_WinRate")

@@ -1084,7 +1084,7 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin)) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val mid = docs.agg(expr("max(doc_id) div 2")).head.getLong(0)
+    val mid = docs.agg(expr("max(doc_id) div 2")).head().getLong(0)
     val seenFps = docs.filter(col("doc_id") <= mid)
       .select(Dedup.contentFingerprint(trim(col("text"))).as("fp"))
     Dedup.incrementalNew(
