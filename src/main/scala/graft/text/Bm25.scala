@@ -158,7 +158,16 @@ object Bm25 {
       k: Int = 10,
       k1: Double = 1.2,
       b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame =
-    topKFromIndex(buildIndexTable(corpus, idCol, textCol), queries,
-      idCol, textCol, k, k1, b, excludeSelf)
+      excludeSelf: Boolean = false): DataFrame = {
+    // spread the in-memory index by term with an EXPLICIT partition
+    // count before scoring: AQE otherwise coalesces the small index to
+    // ~1 partition and the (postings × queries) scoring expansion —
+    // the expensive part — runs single-threaded (the same failure the
+    // stored path fixes with term-bucketed files; measured 2.4× on the
+    // one-shot path at sf0.1)
+    val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    topKFromIndex(
+      buildIndexTable(corpus, idCol, textCol).repartition(n, col("term")),
+      queries, idCol, textCol, k, k1, b, excludeSelf)
+  }
 }
