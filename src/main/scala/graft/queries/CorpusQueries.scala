@@ -16,7 +16,8 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-      q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137)
+      q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137,
+      q138, q139)
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
@@ -886,6 +887,108 @@ object CorpusQueries {
       dims = 64, subspaces = 8, codebookSize = 16)
     ProductQuantize.ivfAdcTopKWide(emb, emb.filter(col("vec_id") < 50),
       "vec_id", "embedding", model, k = 3, cellBits = 6, radius = 1)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
+  /** IVF-PQ index BUILD face (sim/ProductQuantize.buildIvfPqIndex): the
+    * stored ANN artifact q139 queries — per vector, its hyperplane cell
+    * (coarse quantizer) and its PQ code per subspace, emitted long-form
+    * for the oracle (the stored table keeps codes wide). Every step —
+    * LCG pivot choice, slicing, argmin with (dist, k) tie-break, cell
+    * bits — replays exactly in DuckDB (q71/q97's proven fragments). */
+  def q138: Q = Q(
+    "q138_ivfpq_index",
+    Some(s"""
+      |WITH ${PipelineQueries.sqlPqPrelude},
+      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+      |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings)
+      |SELECT c.vec_id, CAST(c.m AS INTEGER) AS subspace,
+      |       CAST(c.code AS INTEGER) AS code, ccell.cell
+      |FROM codes c JOIN ccell USING (vec_id)
+      |ORDER BY c.vec_id, subspace
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    val emb = Tables.embeddings(s, dir)
+    val model = ProductQuantize.fit(emb, "vec_id", "embedding",
+      dims = 64, subspaces = 8, codebookSize = 16)
+    ProductQuantize.buildIvfPqIndex(emb, "vec_id", "embedding",
+        model, cellBits = 6)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")),
+        col("cell"))
+      .select(col("vec_id"), col("subspace"), col("code"), col("cell"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** IVF-PQ QUERY face over a STORED index
+    * (ProductQuantize.ivfAdcFromIndex): cells + codes come from the
+    * ManifestCommit-published index (model table + cell-partitioned
+    * codes), not the embeddings — no corpus float is read on the query
+    * path. The oracle rebuilds from raw embeddings (q97's exact CTEs),
+    * so the hash match proves stored-index ANN ≡ direct ANN. */
+  def q139: Q = Q(
+    "q139_ann_stored_query",
+    Some(s"""
+      |WITH ${PipelineQueries.sqlPqPrelude},
+      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+      |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings),
+      |qc AS (SELECT vec_id AS qid, ${sqlHyperplaneCell(6)} AS qcell
+      |       FROM embeddings WHERE vec_id < 50),
+      |probes AS (
+      |  SELECT qid, xor(qcell, u.mask) AS cell
+      |  FROM qc, unnest([CAST(0 AS BIGINT), 1, 2, 4, 8, 16, 32]) AS u(mask)),
+      |qs AS (
+      |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
+      |  FROM embeddings, unnest(range(0, 8)) AS u(m)
+      |  WHERE vec_id < 50),
+      |qd AS (
+      |  SELECT qid, m, k AS code,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 9), i ->
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
+      |           (a, b) -> a + b) AS qdst
+      |  FROM qs JOIN cb USING (m)),
+      |cand AS (
+      |  SELECT p.qid, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN ccell c ON c.cell = p.cell
+      |  WHERE c.vec_id != p.qid),
+      |pairs AS (
+      |  SELECT cand.qid, cand.neighbor_id, co.m, qd.qdst
+      |  FROM cand
+      |  JOIN codes co ON co.vec_id = cand.neighbor_id
+      |  JOIN qd ON qd.qid = cand.qid AND qd.m = co.m AND qd.code = co.code),
+      |adc AS (
+      |  SELECT qid, neighbor_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(qdst ORDER BY m)), (a, b) -> a + b) AS adc_dist
+      |  FROM pairs GROUP BY qid, neighbor_id),
+      |rnk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
+      |  FROM adc)
+      |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
+      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    import graft.sources.ManifestCommit
+    val emb = Tables.embeddings(s, dir)
+    // publish once per (format version, sf dir) generation; later runs
+    // only read — the stored-index discipline (q137's pattern)
+    val idxPath = s"/tmp/graft_ivfpq_idx_v1_${math.abs(dir.hashCode.toLong)}"
+    if (ManifestCommit.latest(s"$idxPath/codes").isEmpty) {
+      val model = ProductQuantize.fit(emb, "vec_id", "embedding",
+        dims = 64, subspaces = 8, codebookSize = 16)
+      ProductQuantize.writeIvfPqIndex(emb, "vec_id", "embedding",
+        model, cellBits = 6, idxPath)
+    }
+    val model = ProductQuantize.modelFromTable(
+      ManifestCommit.read(s, s"$idxPath/model"))
+    ProductQuantize.ivfAdcFromIndex(
+        ManifestCommit.read(s, s"$idxPath/codes"),
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        model, k = 3, cellBits = 6, radius = 1)
       .withColumnRenamed("rank", "nn_rank")
       .orderBy(col("vec_id"), col("nn_rank"))
   }

@@ -208,13 +208,96 @@ object ProductQuantize {
       model: PqModel,
       k: Int = 3,
       cellBits: Int = 6,
-      radius: Int = 1): DataFrame = {
+      radius: Int = 1): DataFrame =
+    ivfAdcFromIndex(
+      buildIvfPqIndex(corpus, idCol, vecCol, model, cellBits),
+      queries, idCol, vecCol, model, k, cellBits, radius)
+
+  /** The stored IVF-PQ index: one scan-stage projection emitting
+    * (vec_id, cell, codes, cell_bits) — hyperplane cell for coarse
+    * pruning, wide PQ codes for ADC scoring, and the cell geometry
+    * carried as a column so a stored index is self-describing (the
+    * query face validates its cellBits against it and fails loudly on
+    * a mismatch instead of probing garbage cells). */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      cellBits: Int = 6): DataFrame = {
     require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
-    val c = corpus.select(col(idCol).as("vec_id"),
+    corpus.select(col(idCol).as("vec_id"),
       Similarity.hyperplaneSignature(col(vecCol), cellBits, model.dims)
         .as("cell"),
       graft.functions.SketchExprs.pqEncode(col(vecCol), model.entries)
-        .as("codes"))
+        .as("codes"),
+      lit(cellBits).as("cell_bits"))
+  }
+
+  /** The PQ model as a table — (m, k, cvec) codebook rows, the storable
+    * twin of the driver-side [[PqModel]] (KBs; ManifestCommit'd next to
+    * the codes by [[writeIvfPqIndex]]). */
+  def modelTable(spark: org.apache.spark.sql.SparkSession,
+      model: PqModel): DataFrame = {
+    import spark.implicits._
+    (for {
+      m <- 0 until model.subspaces
+      k <- 0 until model.codebookSize
+    } yield (m, k, model.entries(m)(k).toSeq)).toDF("m", "k", "cvec")
+  }
+
+  /** Rebuild the driver-side model from a [[modelTable]] read. */
+  def modelFromTable(df: DataFrame): PqModel = {
+    val rows = df.select(col("m"), col("k"), col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "empty PQ model table")
+    val subspaces = rows.map(_._1).max + 1
+    val codebookSize = rows.map(_._2).max + 1
+    val entries = Array.ofDim[Array[Float]](subspaces, codebookSize)
+    rows.foreach { case (m, k, v) => entries(m)(k) = v }
+    PqModel(subspaces * rows.head._3.length, subspaces,
+      entries.map(_.toArray))
+  }
+
+  /** Persist model + codes as ManifestCommit datasets (`path/model`,
+    * `path/codes`). Codes are cell-hash-partitioned across `nFiles`:
+    * each cell's posting of codes lands in one file — the IVF layout,
+    * and the same small-index parallelism guard as Bm25.writeIndex. */
+  def writeIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel, cellBits: Int, path: String,
+      nFiles: Int = 32): Unit = {
+    graft.sources.ManifestCommit.writeVersioned(
+      modelTable(corpus.sparkSession, model), s"$path/model")
+    graft.sources.ManifestCommit.writeVersioned(
+      buildIvfPqIndex(corpus, idCol, vecCol, model, cellBits)
+        .repartition(nFiles, col("cell")), s"$path/codes")
+  }
+
+  /** IVF-PQ scoring over a prebuilt index ([[buildIvfPqIndex]]'s shape,
+    * in-memory or read back from [[writeIvfPqIndex]] storage): probe
+    * cells within Hamming `radius` of each query's cell, ADC-score only
+    * the probed candidates from the query's distance table. No corpus
+    * float is ever read — the entire point of querying from stored
+    * codes. The `cell_bits` column is validated against `cellBits`
+    * inside the scan (no extra job) and mismatches fail loudly. */
+  def ivfAdcFromIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: PqModel,
+      k: Int = 3,
+      cellBits: Int = 6,
+      radius: Int = 1): DataFrame = {
+    require(cellBits >= 1 && cellBits <= 62, s"cellBits=$cellBits out of range")
+    val c = index.withColumn("__cb_ok",
+        when(col("cell_bits") === lit(cellBits), lit(true))
+          .otherwise(raise_error(concat(
+            lit("ivfAdcFromIndex: index built with cell_bits="),
+            col("cell_bits"),
+            lit(s", queried with cellBits=$cellBits"))).cast("boolean")))
+      .where(col("__cb_ok"))
     val q = queries.select(col(idCol).as("qid"),
       Similarity.hyperplaneSignature(col(vecCol), cellBits, model.dims)
         .as("qcell"),

@@ -253,6 +253,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf === plain)
   }
 
+  test("IVF-PQ stored-index round-trip: write + read + score == direct, mixed cellBits fails") {
+    import graft.sim.ProductQuantize
+    import graft.sources.ManifestCommit
+    val rnd = new scala.util.Random(47)
+    val dims = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val model = ProductQuantize.fit(vecs, "vec_id", "embedding",
+      dims, subspaces = 4, codebookSize = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    ProductQuantize.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      model, cellBits = 2, path)
+    // model table round-trips bit-exactly
+    val model2 = ProductQuantize.modelFromTable(
+      ManifestCommit.read(spark, s"$path/model"))
+    assert(model2.dims === model.dims &&
+      model2.subspaces === model.subspaces)
+    assert(model2.entries.flatten.flatten.toSeq ===
+      model.entries.flatten.flatten.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    val stored = rows(ProductQuantize.ivfAdcFromIndex(
+      ManifestCommit.read(spark, s"$path/codes"), vecs,
+      "vec_id", "embedding", model2, k = 3, cellBits = 2, radius = 1))
+    val direct = rows(ProductQuantize.ivfAdcTopKWide(vecs, vecs,
+      "vec_id", "embedding", model, k = 3, cellBits = 2, radius = 1))
+    assert(stored === direct)
+    // querying with the wrong cell geometry fails loudly
+    val e = intercept[Exception] {
+      ProductQuantize.ivfAdcFromIndex(
+        ManifestCommit.read(spark, s"$path/codes"), vecs,
+        "vec_id", "embedding", model2, k = 3, cellBits = 3, radius = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("cell_bits")))
+  }
+
   test("blocked exact near-dup pairs equal brute-force all-pairs, without broadcasting the corpus") {
     val rnd = new scala.util.Random(11)
     val dims = 16
