@@ -87,10 +87,19 @@ object FuzzyJoin {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     val k = maxDist + 1
-    val base = df
+    val base0 = df
       .where(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
+    // the (2d+1)²(d+1)-arm probe explode multiplies whatever
+    // parallelism the scan delivers: a small input arrives as ONE
+    // parquet split and the fan-out + segment join then run
+    // near-single-threaded. Spread ONLY when the scan is narrower than
+    // the session's shuffle width — a wide (100 TB) input already has
+    // the parallelism and must not pay a corpus-sized reshuffle.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base =
+      if (base0.rdd.getNumPartitions < n) base0.repartition(n) else base0
     // scheme of a length-L string: segment i has
     //   len_i = L div k + (1 if i < L mod k)  and
     //   start_i = 1 + i*(L div k) + min(i, L mod k)
