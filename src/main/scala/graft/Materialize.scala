@@ -26,6 +26,15 @@ import org.apache.spark.storage.StorageLevel
   * Select with `spark.graft.materialize.mode` (session conf, read at
   * call time so tests can flip it per-query).
   *
+  * Measured trade (tools/MatModeProbe, sf0.1, local[32]): `persist` is
+  * neutral on DAG-shaped pipelines (q98 3.6→3.6 s, q68 2.4→2.4 s) but
+  * costs on ITERATIVE ones because lineage is retained and each
+  * round's plan re-includes all prior rounds (q99 TextRank 2.3→5.7 s
+  * over 5 rounds). On a cluster, pick `persist` for DAG pipelines and
+  * reliable `checkpoint` (which truncates lineage AND survives
+  * executor loss) for iteration — exactly the split Spark's own
+  * GraphX/ML iterate-with-checkpoint guidance prescribes.
+  *
   * What to materialize is a separate discipline from how (see
   * VERDICT r5 #2): only sub-corpus-sized reductions (count dims,
   * dedup survivors, postings) — never an exploded fan-out, where
