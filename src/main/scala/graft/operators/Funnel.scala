@@ -79,6 +79,24 @@ object Funnel {
       .agg(countDistinct(col(entityCol)).as("n_entities"))
   }
 
+  /** Incremental activity-dim maintenance — the streaming face of
+    * [[retention]]: fold a new event batch into the stored distinct
+    * (entity, day) activity table. The dim is the COMPACT state
+    * (|entities| × |active days|, orders of magnitude below the event
+    * log), so a foreachBatch loop keeps it current with one
+    * ids-only distinct exchange per batch and recomputes the
+    * (cohort, offset) triangle from the dim whenever it is read —
+    * the stored-dim discipline (SCD2's applyBatch shape) applied to
+    * retention. Stream ≡ batch pinned in MlAndStreamingSpec. */
+  def activityUpsert(
+      dim: DataFrame,
+      batch: DataFrame,
+      entityCol: String,
+      dayCol: String): DataFrame =
+    dim.select(col(entityCol), col(dayCol))
+      .union(batch.select(col(entityCol), col(dayCol)))
+      .distinct()
+
   /** Markov transition counts — the path-analysis matrix behind "what
     * do users do AFTER X": per entity, each consecutive event pair in
     * (`tsCol`, `tieCol`) order contributes one (from_type, to_type)

@@ -372,6 +372,54 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(batchGot === expectedMoved)
   }
 
+  test("streaming retention: foreachBatch-maintained activity dim equals batch (q112's face)") {
+    val sf = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$sf/events.parquet")))
+    val batchDf = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val expected = graft.operators.Funnel.retention(batchDf, "user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // three files → three micro-batches; the activity dim carries the
+    // distinct (user, day) state across them
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret_src")
+    val rows = batchDf.collect()
+    val third = (rows.length + 2) / 3
+    rows.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ret_stage")
+      chunk.map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.toDF("user_id", "day")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    var activity = Seq.empty[(Long, Long)].toDF("user_id", "day")
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          _: Long) =>
+        activity = graft.operators.Funnel.activityUpsert(
+          activity, batch, "user_id", "day").localCheckpoint(true)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val got = graft.operators.Funnel.retention(activity, "user_id", "day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val gap = 1000000L // 1s in µs
     val events = Seq(
