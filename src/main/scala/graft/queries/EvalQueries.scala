@@ -19,7 +19,59 @@ object EvalQueries {
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135)
+      q135, q140)
+
+  /** Two-sample snapshot drift (Drift.psiBetween): per-source PSI of
+    * the n_chars distribution between an earlier 90%-crawl snapshot
+    * and the current corpus — the generation gate a versioned ingest
+    * runs before publishing (q102's snapshot framing + q105's PSI
+    * discipline composed). Same cross-engine rules as q105: exact
+    * grouped-count histograms, eps floors on both sides, one decimal
+    * cast of the double product, scale-9 sum. */
+  def q140: Q = {
+    val bounds = Seq(0L, 100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L)
+    val eps = 1e-4
+    val chain = bounds.map(b => s"(CASE WHEN n_chars >= $b THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Q("q140_snapshot_drift",
+      Some(s"""
+        |WITH olds AS (
+        |  SELECT source, n_chars FROM documents WHERE doc_id % 10 != 0),
+        |news AS (SELECT source, n_chars FROM documents),
+        |ha AS (
+        |  SELECT source AS s, ($chain) - 1 AS b, count(*) AS c
+        |  FROM olds GROUP BY s, b),
+        |hb AS (
+        |  SELECT source AS s, ($chain) - 1 AS b, count(*) AS c
+        |  FROM news GROUP BY s, b),
+        |na AS (SELECT s, CAST(sum(c) AS BIGINT) AS na FROM ha GROUP BY s),
+        |nb AS (SELECT s, CAST(sum(c) AS BIGINT) AS nb FROM hb GROUP BY s),
+        |strata AS (
+        |  SELECT coalesce(na.s, nb.s) AS s, na, nb
+        |  FROM na FULL OUTER JOIN nb ON na.s = nb.s),
+        |grid AS (SELECT strata.s, strata.na, strata.nb, u.b
+        |         FROM strata, unnest(range(0, ${bounds.size})) AS u(b)),
+        |t AS (
+        |  SELECT grid.s, grid.na, grid.nb,
+        |         greatest(coalesce(CAST(coalesce(ha.c, 0) AS DOUBLE)
+        |                    / CAST(grid.na AS DOUBLE), 0.0), $eps) AS p,
+        |         greatest(coalesce(CAST(coalesce(hb.c, 0) AS DOUBLE)
+        |                    / CAST(grid.nb AS DOUBLE), 0.0), $eps) AS q
+        |  FROM grid
+        |  LEFT JOIN ha ON ha.s = grid.s AND ha.b = grid.b
+        |  LEFT JOIN hb ON hb.s = grid.s AND hb.b = grid.b)
+        |SELECT s AS source, na AS n_a, nb AS n_b,
+        |       CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(18,9)))
+        |            AS DOUBLE) AS psi
+        |FROM t GROUP BY s, na, nb ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.text.Drift.psiBetween(
+        docs.where(col("doc_id") % 10 =!= 0), docs,
+        "n_chars", "source", bounds, eps)
+        .orderBy(col("source"))
+    }
+  }
 
   /** Linear-counting distinct estimate (operators/LinearCount): per
     * source, approximate distinct-token count from the occupied-bucket

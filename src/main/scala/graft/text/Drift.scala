@@ -66,6 +66,51 @@ object Drift {
       .agg(count(lit(1)).as("__c"))
   }
 
+  /** Two-sample PSI: distribution drift of `valueCol` BETWEEN two
+    * datasets (e.g. two corpus generations / snapshots) per stratum —
+    * the generation-gate a versioned ingest pipeline runs before
+    * publishing: "did this source's profile move since the last good
+    * snapshot?". Both sides histogram with the same literal
+    * boundaries (each one exact grouped count), and the PSI fold is
+    * the same eps-floored, product-quantized, scale-9-summed term as
+    * [[psiFromHistogram]] — identical cross-engine discipline.
+    * Output: (stratumCol, n_a, n_b, psi); a stratum absent from one
+    * side contributes every bucket at the eps floor (maximal drift
+    * signal, not a dropped row).
+    */
+  def psiBetween(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      stratumCol: String,
+      boundaries: Seq[Long],
+      eps: Double = 1e-4): DataFrame = {
+    val ha = histogram(a, valueCol, stratumCol, boundaries).materialize()
+    val hb = histogram(b, valueCol, stratumCol, boundaries).materialize()
+    val na = ha.groupBy(col("__s")).agg(sum(col("__c")).as("__na"))
+    val nb = hb.groupBy(col("__s")).agg(sum(col("__c")).as("__nb"))
+    val strata = na.join(nb, Seq("__s"), "full_outer")
+    val grid = strata.crossJoin(
+      broadcast(a.sparkSession.range(boundaries.size.toLong).select(
+        col("id").cast("int").as("__b"))))
+    def floored(c: Column, n: Column): Column =
+      greatest(coalesce(c.cast("double") / n.cast("double"), lit(0.0)),
+        lit(eps))
+    val terms = grid
+      .join(ha.withColumnRenamed("__c", "__ca"), Seq("__s", "__b"), "left")
+      .join(hb.withColumnRenamed("__c", "__cb"), Seq("__s", "__b"), "left")
+      .select(col("__s"), col("__na"), col("__nb"),
+        floored(coalesce(col("__ca"), lit(0L)), col("__na")).as("__p"),
+        floored(coalesce(col("__cb"), lit(0L)), col("__nb")).as("__q"))
+      .withColumn("__term",
+        (col("__p") - col("__q")) * log(col("__p") / col("__q")))
+    terms
+      .groupBy(col("__s").as(stratumCol),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
+      .agg(sum(col("__term").cast(DecimalType(18, 9)))
+        .cast("double").as("psi"))
+  }
+
   /** PSI over a prebuilt [[histogram]] (sketch-sized input; everything
     * here is tiny). `nBuckets` = the boundary count the histogram was
     * built with. */

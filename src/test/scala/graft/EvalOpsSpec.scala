@@ -130,6 +130,38 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("psiBetween: zero for identical sides, positive for a shifted stratum") {
+    val bounds = Seq(0L, 10L, 20L)
+    val a = Seq(("x", 1L), ("x", 11L), ("x", 21L), ("y", 1L), ("y", 1L))
+      .toDF("s", "v")
+    // identical snapshots → psi exactly 0 for every stratum
+    val same = graft.text.Drift.psiBetween(a, a, "v", "s", bounds)
+      .select("s", "psi").as[(String, Double)].collect().toMap
+    assert(same("x") == 0.0 && same("y") == 0.0)
+    // y shifts all its mass to the top bucket in the new snapshot
+    val b = Seq(("x", 1L), ("x", 11L), ("x", 21L), ("y", 21L), ("y", 21L))
+      .toDF("s", "v")
+    val drift = graft.text.Drift.psiBetween(a, b, "v", "s", bounds)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(drift("x")._3 == 0.0)
+    assert(drift("y")._3 > 1.0, s"shifted stratum must show large PSI: ${drift("y")}")
+    assert(drift("y")._1 === 2L && drift("y")._2 === 2L)
+  }
+
+  test("psiBetween: a stratum absent from one side floors at eps, not dropped") {
+    val bounds = Seq(0L, 10L)
+    val a = Seq(("x", 1L), ("gone", 1L)).toDF("s", "v")
+    val b = Seq(("x", 1L), ("new", 11L)).toDF("s", "v")
+    val got = graft.text.Drift.psiBetween(a, b, "v", "s", bounds)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet === Set("x", "gone", "new"))
+    // one-sided strata: every present-side bucket term compares against
+    // the eps floor — a large positive signal, never silence
+    assert(got("gone") > 1.0 && got("new") > 1.0)
+    assert(got("x") == 0.0)
+  }
+
   // ---- Anomaly.sigmaFlags --------------------------------------------
 
   test("sigmaFlags flags exactly the points beyond k sigma, per group") {

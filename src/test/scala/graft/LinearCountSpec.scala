@@ -57,6 +57,33 @@ class LinearCountSpec extends AnyFunSuite {
     assert(out.isNullAt(1))
   }
 
+  test("streaming face: stateful dropDuplicates sketch across micro-batches == batch") {
+    // the sketch IS a distinct (keys, bucket, m) set, so its streaming
+    // face is dropDuplicates state: duplicates arriving in LATER
+    // micro-batches are suppressed cross-batch, and estimate() over the
+    // accumulated sink equals the batch one-shot
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(String, String)]
+    val sketch = LinearCount.sketch(
+      mem.toDF().toDF("grp", "v"), Seq("grp"), "v", m = 256)
+      .dropDuplicates("grp", "bucket", "m")
+    val q = sketch.writeStream.format("memory").queryName("lc_stream_test")
+      .outputMode("append").start()
+    mem.addData((0 until 60).map(i => ("g", s"value_$i")): _*)
+    q.processAllAvailable()
+    mem.addData((30 until 90).map(i => ("g", s"value_$i")): _*) // 30 dupes
+    q.processAllAvailable()
+    q.stop()
+    val streamed = LinearCount.estimate(
+      spark.table("lc_stream_test"), Seq("grp"))
+      .select("d", "est").as[(Long, Double)].head()
+    val batch = LinearCount.distinctEstimate(
+      docs(0 until 90), Seq("grp"), "v", m = 256)
+      .select("d", "est").as[(Long, Double)].head()
+    assert(streamed === batch)
+  }
+
   test("null values drop (COUNT DISTINCT convention)") {
     val df = Seq(("g", Some("a")), ("g", None), ("g", Some("b")))
       .toDF("grp", "v")
