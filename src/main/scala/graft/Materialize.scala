@@ -49,15 +49,36 @@ object Materialize {
       * `eager` forces computation now (all modes); lazy still truncates
       * lineage (local/checkpoint) or marks for caching (persist) but
       * defers the work to the first action.
+      *
+      * `truncate = true` demands LINEAGE TRUNCATION regardless of the
+      * session mode — the contract per-iteration call sites (TextRank
+      * rounds, connected-components rounds) need: under `persist` each
+      * round's plan would otherwise re-include every prior round
+      * (measured superlinear, see the probe numbers above). In persist
+      * mode a truncating site upgrades to reliable checkpoint when a
+      * checkpoint dir is set, else localCheckpoint.
       */
-    def materialize(eager: Boolean = true): DataFrame = {
-      df.sparkSession.conf.get(ModeKey, "local") match {
+    def materialize(
+        eager: Boolean = true,
+        truncate: Boolean = false): DataFrame = {
+      val mode = df.sparkSession.conf.get(ModeKey, "local")
+      mode match {
+        case "persist" if truncate =>
+          if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            df.checkpoint(eager)
+          else df.localCheckpoint(eager)
         case "persist" =>
           val p = df.persist(StorageLevel.MEMORY_AND_DISK)
           if (eager) p.count()
           p
         case "checkpoint" => df.checkpoint(eager)
-        case _            => df.localCheckpoint(eager)
+        case "local"      => df.localCheckpoint(eager)
+        case other =>
+          // an unrecognized mode must fail loudly: silently falling back
+          // to localCheckpoint would reintroduce exactly the
+          // lost-executor fragility the operator configured away
+          throw new IllegalArgumentException(
+            s"$ModeKey='$other' — expected one of local | persist | checkpoint")
       }
     }
   }

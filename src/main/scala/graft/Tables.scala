@@ -14,6 +14,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // Spark ≤4.0 refuses TIMESTAMP(NANOS) parquet outright unless this
+      // legacy conf maps it to LongType; on 4.1+ the conf no longer
+      // exists and setting it is a harmless no-op (the scan yields
+      // TIMESTAMP_NTZ instead). Set it best-effort so ONE jar reads the
+      // file on either line, then normalize whatever arrived.
+      scala.util.Try(
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }
@@ -33,6 +42,15 @@ object Tables {
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => df
       case Some(TimestampNTZType) | Some(TimestampType) =>
+        // the NTZ→instant cast reads the wall time in the SESSION
+        // timezone: anything but UTC shifts every epoch value by the
+        // zone offset while the column type stays bigint — a silent
+        // corruption no schema check can catch, so fail loudly here
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.normalizeEventTs needs spark.sql.session.timeZone=UTC " +
+            s"(got '$tz'): the TIMESTAMP_NTZ wall time is only the UTC " +
+            "instant under a UTC session")
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other =>
         throw new IllegalStateException(

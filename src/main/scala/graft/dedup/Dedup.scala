@@ -420,8 +420,9 @@ object Dedup {
       // would execute twice per round. Lazy (not eager) so no standalone
       // materialization job runs: the count() below materializes the
       // whole chain, keeping a round at two jobs (count, except-check)
-      val next = smallStar(largeStar(edges).materialize(eager = false))
-        .materialize(eager = false)
+      val next = smallStar(
+          largeStar(edges).materialize(eager = false, truncate = true))
+        .materialize(eager = false, truncate = true) // per-round: constant depth
       val nextCnt = next.count()
       // exact set-equality check on distinct'd frames: same cardinality
       // plus next ⊆ edges ⇒ equal — and the anti-join job only runs once

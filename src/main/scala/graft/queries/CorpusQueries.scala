@@ -22,6 +22,15 @@ object CorpusQueries {
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact
     * fragment proven bit-identical by q69. */
+  /** Content fingerprint of a source table file for stored-index cache
+    * paths: path + length + mtime, so a regenerated testdata file gets
+    * a fresh index path and a stale /tmp survivor is never read. */
+  private[queries] def sourceFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    java.lang.Long.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode.toLong & 0xffffffffL)
+  }
+
   private[queries] def sqlHyperplaneCell(bits: Int): String = {
     val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
@@ -974,9 +983,12 @@ object CorpusQueries {
     import graft.sim.ProductQuantize
     import graft.sources.ManifestCommit
     val emb = Tables.embeddings(s, dir)
-    // publish once per (format version, sf dir) generation; later runs
-    // only read — the stored-index discipline (q137's pattern)
-    val idxPath = s"/tmp/graft_ivfpq_idx_v1_${math.abs(dir.hashCode.toLong)}"
+    // publish once per (format version, source-content fingerprint);
+    // later runs only read — the stored-index discipline (q137's
+    // pattern). The fingerprint covers the source file's length+mtime,
+    // so regenerated testdata can never silently feed a stale index.
+    val idxPath =
+      s"/tmp/graft_ivfpq_idx_v1_${sourceFingerprint(dir, "embeddings")}"
     if (ManifestCommit.latest(s"$idxPath/codes").isEmpty) {
       val model = ProductQuantize.fit(emb, "vec_id", "embedding",
         dims = 64, subspaces = 8, codebookSize = 16)
@@ -1127,11 +1139,14 @@ object CorpusQueries {
         |""".stripMargin)) { (s, dir) =>
       import graft.sources.ManifestCommit
       val docs = Tables.documents(s, dir)
-      // one stored index per (format version, sf dir); the first run
-      // of a generation publishes it, later runs only read. v1 in the
-      // path = schema version — bump when the index layout changes so
-      // a stale /tmp survivor can never feed the new reader
-      val idxPath = s"/tmp/graft_bm25_idx_v1_${math.abs(dir.hashCode.toLong)}"
+      // one stored index per (format version, source-content
+      // fingerprint); the first run of a generation publishes it, later
+      // runs only read. v1 = layout version (bump on schema change);
+      // the fingerprint covers the source file's length+mtime, so
+      // neither a layout change NOR regenerated testdata can feed a
+      // stale /tmp survivor to the reader
+      val idxPath =
+        s"/tmp/graft_bm25_idx_v1_${sourceFingerprint(dir, "documents")}"
       if (ManifestCommit.latest(idxPath).isEmpty)
         graft.text.Bm25.writeIndex(docs, "doc_id", "text", idxPath)
       graft.text.Bm25.topKFromIndex(ManifestCommit.read(s, idxPath),

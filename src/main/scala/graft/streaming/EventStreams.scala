@@ -136,7 +136,15 @@ object EventStreams {
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[Array[Long]]) =>
           val times = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
           var changed = false
-          rows.toSeq.sortBy(_.event_time_us).foreach { e =>
+          // tie-break by STAGE INDEX: the batch funnel's gate is
+          // ts >= t_prev (same-timestamp completion counts), so a
+          // same-ts (view, click) pair must process view first or the
+          // click is dropped forever (times are set-once) and stream
+          // would diverge from batch — spec-pinned
+          rows.toSeq
+            .sortBy(e => (e.event_time_us,
+              stageIdx.getOrElse(e.event_type, Int.MaxValue)))
+            .foreach { e =>
             stageIdx.get(e.event_type).foreach { k =>
               val prevOk = k == 0 ||
                 (times(k - 1) >= 0 && e.event_time_us >= times(k - 1))

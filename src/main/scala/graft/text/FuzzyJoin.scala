@@ -94,12 +94,24 @@ object FuzzyJoin {
     // the (2d+1)²(d+1)-arm probe explode multiplies whatever
     // parallelism the scan delivers: a small input arrives as ONE
     // parquet split and the fan-out + segment join then run
-    // near-single-threaded. Spread ONLY when the scan is narrower than
-    // the session's shuffle width — a wide (100 TB) input already has
-    // the parallelism and must not pay a corpus-sized reshuffle.
+    // near-single-threaded. Spread ONLY when (a) the input plan is
+    // scan-shaped — a plan containing a shuffle-introducing node
+    // already has shuffle-width parallelism, AND probing `.rdd` on it
+    // would EXECUTE those upstream stages once for the probe and again
+    // for the real job (AQE finalizes stages on rdd access) — and
+    // (b) the scan is narrower than the session's shuffle width. A
+    // wide (100 TB) input passes neither test and never pays a
+    // corpus-sized reshuffle; on a scan-only plan `.rdd` just lists
+    // files, no job runs.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasShuffle = base0.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: Distinct | _: RepartitionOperation) => p
+    }.nonEmpty
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val base =
-      if (base0.rdd.getNumPartitions < n) base0.repartition(n) else base0
+      if (!hasShuffle && base0.rdd.getNumPartitions < n) base0.repartition(n)
+      else base0
     // scheme of a length-L string: segment i has
     //   len_i = L div k + (1 if i < L mod k)  and
     //   start_i = 1 + i*(L div k) + min(i, L mod k)

@@ -76,7 +76,7 @@ object TextRank {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("rank"))
-        .materialize()
+        .materialize(truncate = true) // per-round: plans must stay constant-depth
     }
     ranks
   }

@@ -12,23 +12,25 @@ import graft.Tables
   */
 object EnvCheck {
 
-  /** One line: Spark/Java versions plus the delivered events.ts type. */
-  def fingerprint(spark: SparkSession, sfDir: String): String = {
-    val tsType = scala.util.Try(
+  private def eventsTsType(spark: SparkSession, sfDir: String): String =
+    scala.util.Try(
       Tables.events(spark, sfDir).schema("ts").dataType.simpleString)
       .getOrElse("UNREADABLE")
+
+  private def line(spark: SparkSession, tsType: String): String =
     s"spark=${spark.version} java=${System.getProperty("java.version")} " +
       s"scala=${scala.util.Properties.versionNumberString} events.ts=$tsType"
-  }
+
+  /** One line: Spark/Java versions plus the delivered events.ts type. */
+  def fingerprint(spark: SparkSession, sfDir: String): String =
+    line(spark, eventsTsType(spark, sfDir))
 
   /** Loud assertion of the schema contract. Returns the fingerprint so
     * callers can log it; throws with a pointed message when the engine
     * no longer delivers the epoch-ns long contract. */
   def assertContract(spark: SparkSession, sfDir: String): String = {
-    val fp = fingerprint(spark, sfDir)
-    val tsType = scala.util.Try(
-      Tables.events(spark, sfDir).schema("ts").dataType.simpleString)
-      .getOrElse("UNREADABLE")
+    val tsType = eventsTsType(spark, sfDir)
+    val fp = line(spark, tsType)
     require(tsType == "bigint",
       s"ENV DRIFT: events.ts must reach queries as epoch-ns bigint but " +
         s"arrived as '$tsType' [$fp] — check Tables.normalizeEventTs " +

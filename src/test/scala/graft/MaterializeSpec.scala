@@ -39,6 +39,26 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset(Materialize.ModeKey)
   }
 
+  test("an unrecognized mode fails loudly instead of silently going local") {
+    spark.conf.set(Materialize.ModeKey, "Persist") // wrong case: typo-shaped
+    try {
+      val e = intercept[IllegalArgumentException](sample.materialize())
+      assert(e.getMessage.contains("Persist"))
+    } finally spark.conf.unset(Materialize.ModeKey)
+  }
+
+  test("truncate=true under persist mode still truncates lineage (iterative contract)") {
+    spark.conf.set(Materialize.ModeKey, "persist")
+    try {
+      val m = sample.materialize(truncate = true)
+      // lineage truncation surfaces as a LogicalRDD leaf, not a persisted
+      // view of the original plan
+      assert(m.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD",
+        m.queryExecution.analyzed.getClass.toString)
+      assert(asSet(m) === expected)
+    } finally spark.conf.unset(Materialize.ModeKey)
+  }
+
   test("checkpoint mode writes to the reliable checkpoint dir, rows unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)

@@ -420,6 +420,22 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("funnelStream counts same-timestamp stage completions like the batch funnel") {
+    import EventStreams.FunnelEvent
+    // view and click share t=100; purchase follows. The batch funnel's
+    // gate is ts >= t_prev, so all three stages complete — the stream
+    // must agree regardless of arrival order within the batch
+    val events = Seq(
+      FunnelEvent(1L, "click", 100L),    // arrives BEFORE its view
+      FunnelEvent(1L, "view", 100L),
+      FunnelEvent(1L, "purchase", 200L)).toDS()
+    val got = EventStreams.funnelStream(events, Seq("view", "click", "purchase"))
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.stages_completed === 3)
+    assert(got.head.stage_times_us.toSeq === Seq(100L, 100L, 200L))
+  }
+
   test("sessionize splits on inactivity gaps and aggregates per session") {
     val gap = 1000000L // 1s in µs
     val events = Seq(
