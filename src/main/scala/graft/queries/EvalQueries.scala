@@ -19,7 +19,36 @@ object EvalQueries {
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q140)
+      q135, q140, q141)
+
+  /** Per-doc token Shannon entropy (TextAnalysis.tokenEntropy): the
+    * repetitive/templated-text quality signal — boilerplate scores low,
+    * natural text high. ln terms quantize to DECIMAL(18,9) before the
+    * exact cross-token sum (q105's discipline), so the oracle replays
+    * every entropy bit-for-bit. */
+  def q141: Q = Q(
+    "q141_token_entropy",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+      |wn AS (
+      |  SELECT doc_id, tok, c,
+      |         sum(c) OVER (PARTITION BY doc_id) AS n
+      |  FROM tf)
+      |SELECT doc_id,
+      |       CAST(max(n) AS BIGINT) AS n_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(sum(CAST(
+      |         -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |         AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+      |FROM wn GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
 
   /** Two-sample snapshot drift (Drift.psiBetween): per-source PSI of
     * the n_chars distribution between an earlier 90%-crawl snapshot

@@ -88,4 +88,40 @@ object TextAnalysis {
     * native codegen'd PolyHash expression.
     */
   def fingerprint(text: Column): Column = polyHash(trim(text))
+
+  /** Per-document token Shannon entropy — the repetitive/templated-text
+    * signal quality pipelines pair with [[QualityRules]]: H = −Σ_t
+    * (c_t/n)·ln(c_t/n) over the doc's OWN token distribution. A
+    * boilerplate page repeating ten tokens scores ≪ a natural-language
+    * page of the same length; H = 0 for single-token docs.
+    *
+    * Relational form (never a per-row set): explode → per-(doc, token)
+    * count with map-side partials, per-doc total as a window over the
+    * SAME doc partitioning (no extra exchange), then one per-doc sum.
+    * ln crosses the non-portable libm ulp, so each term quantizes to
+    * DECIMAL(18,9) and the cross-token sum is exact — the q98/q105
+    * discipline; the oracle replays it verbatim (q141).
+    *
+    * Output: (doc_id, n_tokens, n_distinct, entropy).
+    */
+  def tokenEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+    val p = col("c").cast("double") / col("n")
+    tf.withColumn("n", sum(col("c")).over(w))
+      .withColumn("term", (-p * log(p)).cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), // constant within the doc
+        count(lit(1)).as("n_distinct"),
+        sum(col("term")).cast("double").as("entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"))
+  }
 }

@@ -183,4 +183,24 @@ class QualityOpsSpec extends AnyFunSuite {
     assert(preserved < 10,
       s"$preserved/199 adjacent pairs survived resalting — rotation, not shuffle")
   }
+
+  test("tokenEntropy: repetitive text scores low, uniform distinct text at ln(n)") {
+    val docs = Seq(
+      (1L, "a a a a a a a a"),            // 1 distinct token -> H = 0
+      (2L, "a b c d e f g h"),           // uniform over 8 -> H = ln(8)
+      (3L, "a a a a a a a b")).toDF("doc_id", "text") // skewed
+    val got = graft.text.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((8L, 1L, 0.0)))
+    // each of the 8 uniform terms quantizes BEFORE the sum (the
+    // operator's contract), so the reference is 8 × q9(term)
+    assert(got(2L)._3 === 8 * q9(-(1.0 / 8) * math.log(1.0 / 8)))
+    val skew = q9(-(7.0 / 8) * math.log(7.0 / 8)) + q9(-(1.0 / 8) * math.log(1.0 / 8))
+    assert(math.abs(got(3L)._3 - skew) < 1e-12)
+    // the quality-signal ordering: boilerplate < skewed < uniform
+    assert(got(1L)._3 < got(3L)._3 && got(3L)._3 < got(2L)._3)
+  }
 }
