@@ -18,6 +18,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // env-drift tripwire (see tools/EnvCheck): a broken schema contract
+    // surfaces as one pointed line at the top of the correctness run
+    // instead of 17 cryptic per-query failures
+    scala.util.Try(graft.tools.EnvCheck.assertContract(spark, sfDir))
+      .fold(e => System.err.println(s"[env] ${e.getMessage}"),
+        fp => System.err.println(s"[env] $fp"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
