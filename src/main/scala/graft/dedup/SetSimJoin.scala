@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via prefix filtering (PPJoin's core,
+  * Xiao et al. 2008) — the COMPLETE counterpart to the LSH banding in
+  * [[Dedup.nearDuplicatePairs]]: banding trades recall for speed (a
+  * near-dup pair can miss every band), while the prefix filter is
+  * lossless — two sets with Jaccard ≥ t MUST share an element within
+  * each other's first `|s| − ⌈t·|s|⌉ + 1` elements under ANY agreed
+  * global element order, so generating candidates only from prefixes
+  * provably drops no qualifying pair. Use this when the dedup decision
+  * must be exact (legal/contractual dedup, eval decontamination);
+  * banding when approximate recall is acceptable.
+  *
+  * The global order is (document frequency ASC, element ASC): rarest
+  * elements first. That is also the skew story — candidates are only
+  * generated from PREFIX elements, and rarity-first ordering means a
+  * hot element (appearing in half the corpus) only lands in a prefix
+  * when a set has nothing rarer, so the per-element candidate lists
+  * the equi-join fans out stay small by construction. Everything is
+  * integer-exact: the threshold test is the cross-multiplied
+  * `inter·100 ≥ t100·(|a|+|b|−inter)` — no float division.
+  *
+  * Scale shape: one explode for frequencies (vocabulary-sized agg),
+  * one per-set sort (window-free: sort_array inside the row), a
+  * prefix-only equi-join (ids+sizes shuffle, prefix-bounded fan-out),
+  * a distinct on candidate pairs, and two id-keyed joins to fetch the
+  * set arrays for the exact verify (array_intersect, codegen'd
+  * row-wise — candidate-sized work, never all-pairs).
+  */
+object SetSimJoin {
+
+  /** All pairs (a, b), a < b, with Jaccard(setA, setB) ≥ t100/100 over
+    * the DISTINCT elements of `setCol` (an array column; duplicates
+    * and nulls inside the array are dropped). Output: (a, b, inter,
+    * uni) with inter/uni the exact intersection/union sizes. Empty
+    * sets match nothing (Jaccard undefined). */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      t100: Int): DataFrame = {
+    require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100]: $t100")
+    val elems = df
+      .select(col(idCol).as("__id"), explode(col(setCol)).as("__e"))
+      .where(col("__e").isNotNull)
+      .distinct()
+    val freq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
+    // Rarity-first canonical order, realized per set as one in-row
+    // sort_array over (df, elem) structs — no window, no global sort.
+    val sorted = elems.join(freq, "__e")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__e"))))
+        .as("__se"))
+      .select(col("__id"),
+        expr("transform(__se, x -> x.__e)").as("__elems"),
+        size(col("__se")).cast("long").as("__n"))
+    // prefix length: n − ⌈t·n⌉ + 1, exact integer arithmetic (div).
+    val prefix = sorted.withColumn("__p",
+      expr(s"__n - (($t100 * __n + 99) div 100) + 1"))
+    val pref = prefix
+      .select(col("__id"), col("__n"),
+        explode(expr("slice(__elems, 1, greatest(cast(__p as int), 0))"))
+          .as("__e"))
+    val cands = pref.as("pa").join(pref.as("pb"),
+        col("pa.__e") === col("pb.__e") &&
+          col("pa.__id") < col("pb.__id") &&
+          col("pa.__n") * 100 >= lit(t100.toLong) * col("pb.__n") &&
+          col("pb.__n") * 100 >= lit(t100.toLong) * col("pa.__n"))
+      .select(col("pa.__id").as("__a"), col("pb.__id").as("__b"))
+      .distinct()
+    val setsA = sorted.select(col("__id").as("__a"),
+      col("__elems").as("__ea"), col("__n").as("__na"))
+    val setsB = sorted.select(col("__id").as("__b"),
+      col("__elems").as("__eb"), col("__n").as("__nb"))
+    cands.join(setsA, "__a").join(setsB, "__b")
+      .withColumn("inter",
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .where(col("inter") * 100 >= lit(t100.toLong) * col("uni"))
+      .select(col("__a").as("a"), col("__b").as("b"), col("inter"),
+        col("uni"))
+  }
+}

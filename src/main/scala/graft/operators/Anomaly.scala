@@ -69,4 +69,49 @@ object Anomaly {
       .withColumn("is_anomaly", lhsRoot * lhsRoot > rhs)
       .drop("__t", "__h", "__st", "__st2")
   }
+
+  /** Robust outlier flags: |x − median| > k·MAD, with median and MAD
+    * (median absolute deviation) as EXACT order statistics
+    * (percentile_disc lower-median over integers — [[OrderStats]]'s
+    * rank selection), so unlike [[sigmaFlags]] a single wild value
+    * cannot drag the threshold toward itself — the robust test a
+    * corpus-quality gate wants for length/size distributions with
+    * heavy tails. Zero floats end to end: selected medians, integer
+    * absolute deviations, one integer cross-compare.
+    *
+    * Output: input columns + (median, abs_dev, mad, is_outlier).
+    * Null group keys or values fail loudly (the sigmaFlags contract —
+    * a null would silently vanish from one side of the rank math).
+    *
+    * Scale shape: two order-statistic passes (each one hash exchange +
+    * window sort over the group, spill-safe) and two broadcast joins
+    * of |groups|-sized medians; the series itself is scanned per pass
+    * but never materialized — the only state that persists is
+    * group-sized. */
+  def madFlags(
+      series: DataFrame,
+      groupCols: Seq[String],
+      valueIntCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"madFlags needs k >= 1, got $k")
+    val v = col(valueIntCol)
+    val nullKey = groupCols.map(col(_).isNull).reduce(_ || _)
+    val checked = series.withColumn(valueIntCol,
+      when(nullKey, raise_error(lit(
+          s"Anomaly.madFlags: null group key in ${groupCols.mkString(",")}"))
+          .cast("long"))
+        .when(v.isNull, raise_error(lit(
+          s"Anomaly.madFlags: null $valueIntCol")).cast("long"))
+        .otherwise(v))
+    val med = OrderStats.quantilesDisc(checked, groupCols, valueIntCol,
+        Seq(500))
+      .drop("permille").withColumnRenamed("value", "median")
+    val withDev = checked.join(broadcast(med), groupCols)
+      .withColumn("abs_dev", abs(v - col("median")))
+    val mad = OrderStats.quantilesDisc(withDev, groupCols, "abs_dev",
+        Seq(500))
+      .drop("permille").withColumnRenamed("value", "mad")
+    withDev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("abs_dev") > lit(k.toLong) * col("mad"))
+  }
 }

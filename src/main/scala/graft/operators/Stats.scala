@@ -34,8 +34,8 @@ object Stats {
     * intercept) for y ≈ slope·x + intercept. `xCol`/`yCol` must be
     * integral-valued columns. Null x or y drops the row (pairwise
     * deletion, the SQL aggregate convention) — and so does a value the
-    * DECIMAL(18,0) cast cannot represent (|v| ≥ 10^18 nulls under
-    * non-ANSI semantics): the null filter runs on the CAST columns, so
+    * DECIMAL(18,0) try_cast cannot represent (|v| ≥ 10^18 nulls under
+    * either ANSI setting): the null filter runs on the CAST columns, so
     * n and the moment sums always see the same rows. (Filtering before
     * the cast would count a row whose sums skipped it — a silently
     * skewed fit.) Groups with zero x-variance yield null
@@ -48,10 +48,15 @@ object Stats {
       xCol: Column,
       yCol: Column): DataFrame = {
     val d38 = "decimal(38,0)"
+    // try_cast, not cast: under ANSI mode (Spark 4's default) a plain
+    // cast of an unrepresentable value THROWS; the documented contract
+    // is null-then-drop under either ANSI setting, with n counting
+    // exactly the rows the sums saw.
     val base = df
       .select(keys.map(col) ++ Seq(
-        xCol.cast("decimal(18,0)").as("__x"),
-        yCol.cast("decimal(18,0)").as("__y")): _*)
+        xCol.as("__x0"), yCol.as("__y0")): _*)
+      .withColumn("__x", expr("try_cast(__x0 AS decimal(18,0))"))
+      .withColumn("__y", expr("try_cast(__y0 AS decimal(18,0))"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
     val sums = base.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),

@@ -19,7 +19,193 @@ object EvalQueries {
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q140, q141)
+      q135, q140, q141, q142, q143, q144, q145)
+
+  /** Exact set-similarity join (dedup/SetSimJoin.jaccardPairs): all
+    * document pairs with shingle-set Jaccard ≥ 0.5 via PPJoin prefix
+    * filtering — the LOSSLESS near-dup join (q28's LSH banding can
+    * miss a qualifying pair; the prefix filter provably cannot). The
+    * oracle is the naive shared-element quadratic join, so equality
+    * proves the pruning dropped nothing. Threshold test is the
+    * cross-multiplied integer compare — no float anywhere. */
+  def q145: Q = Q(
+    "q145_setsim_join",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(${sqlShingles("toks")}) AS s
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT pair.a, pair.b, CAST(inter AS BIGINT) AS inter,
+      |       CAST(na.c + nb.c - inter AS BIGINT) AS uni
+      |FROM pair
+      |JOIN n na ON na.doc_id = pair.a
+      |JOIN n nb ON nb.doc_id = pair.b
+      |WHERE inter * 100 >= 50 * (na.c + nb.c - inter)
+      |ORDER BY a, b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.{Dedup, SetSimJoin}
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    SetSimJoin.jaccardPairs(sets, "doc_id", "sh", 50)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Robust MAD outliers (operators/Anomaly.madFlags): per-source
+    * |n_chars − median| > 3·MAD flags — the heavy-tail-safe sibling of
+    * q110's k-sigma test (one wild document cannot drag a median the
+    * way it drags a mean). Both medians are exact rank-⌈n/2⌉ order
+    * statistics (q127's percentile_disc discipline), so every column
+    * is integer arithmetic end to end — no float anywhere. */
+  def q144: Q = Q(
+    "q144_mad_outliers",
+    Some("""
+      |WITH r AS (SELECT doc_id, source, n_chars FROM documents),
+      |med AS (
+      |  SELECT source, value AS median FROM (
+      |    SELECT source, n_chars AS value,
+      |           row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |             AS rn,
+      |           count(*) OVER (PARTITION BY source) AS n
+      |    FROM r) WHERE rn = (500 * n + 999) // 1000),
+      |dev AS (
+      |  SELECT r.doc_id, r.source, r.n_chars, med.median,
+      |         abs(r.n_chars - med.median) AS abs_dev
+      |  FROM r JOIN med USING (source)),
+      |mad AS (
+      |  SELECT source, value AS mad FROM (
+      |    SELECT source, abs_dev AS value,
+      |           row_number() OVER (PARTITION BY source ORDER BY abs_dev)
+      |             AS rn,
+      |           count(*) OVER (PARTITION BY source) AS n
+      |    FROM dev) WHERE rn = (500 * n + 999) // 1000)
+      |SELECT dev.doc_id, dev.source, dev.n_chars, dev.median, dev.abs_dev,
+      |       mad.mad, dev.abs_dev > 3 * mad.mad AS is_outlier
+      |FROM dev JOIN mad USING (source)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Anomaly
+    Anomaly.madFlags(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      Seq("source"), "n_chars", 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** HLL register sketch (operators/HyperLogLog): per-source distinct-
+    * token estimate from 64 max-trailing-zero registers — the fixed-
+    * size mergeable cardinality sketch (LinearCount's occupied-bucket
+    * set saturates; registers never do). The oracle replays the whole
+    * pipeline: salted PolyHash, bit split, rho CASE chain, per-register
+    * max, exact 2^(−r) decimal terms, and the single pinned divide by
+    * the shared α·m² literal. est takes the paper's small-range branch
+    * (quantized-ln linear counting) when est_raw ≤ 2.5m. */
+  def q143: Q = {
+    val m = 64
+    val cap = graft.operators.HyperLogLog.RhoCap
+    val rhoCase = (1 until cap)
+      .map(k => s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    val termCase = (0 to cap)
+      .map(r =>
+        s"WHEN r = $r THEN CAST(${graft.operators.HyperLogLog.termLiteral(r)}"
+          + " AS DECIMAL(14,12))")
+      .mkString(" ")
+    val aM2 = graft.operators.HyperLogLog.alphaM2(m)
+    Q("q143_hll_distinct",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source, (${sqlSaltedHash("token", "hll")}) AS hv
+        |  FROM tok WHERE token IS NOT NULL),
+        |w AS (SELECT source, hv % $m AS bucket, hv // $m AS w FROM h),
+        |reg AS (
+        |  SELECT source, bucket, max(CASE $rhoCase ELSE $cap END) AS r
+        |  FROM w GROUP BY source, bucket),
+        |agg AS (
+        |  SELECT source, count(*) AS occ, sum(r) AS sum_r,
+        |         sum(CASE $termCase END) AS occ_terms
+        |  FROM reg GROUP BY source),
+        |d AS (
+        |  SELECT source, occ, sum_r,
+        |         CAST(CAST($m - occ AS DECIMAL(38,12))
+        |              + CAST(occ_terms AS DECIMAL(38,12)) AS DOUBLE) AS denom
+        |  FROM agg),
+        |e AS (
+        |  SELECT source, occ, sum_r, $aM2 / denom AS est_raw FROM d)
+        |SELECT source, CAST($m AS BIGINT) AS m,
+        |       CAST($m - occ AS BIGINT) AS v_empty,
+        |       CAST(sum_r AS BIGINT) AS sum_r, est_raw,
+        |       CASE WHEN est_raw <= CAST($m AS DOUBLE) * 2.5
+        |                 AND $m - occ > 0
+        |            THEN CAST(CAST(-$m AS DECIMAL(10,0)) *
+        |                   CAST(ln(CAST($m - occ AS DOUBLE)
+        |                           / CAST($m AS DOUBLE)) AS DECIMAL(18,9))
+        |                 AS DOUBLE)
+        |            ELSE est_raw END AS est
+        |FROM e ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      HyperLogLog.distinctEstimate(toks, Seq("source"), "token", m, "hll")
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Grouped linear fit (operators/Stats.linearFit): per-source OLS of
+    * token count against character count — the chars-per-token drift
+    * profile a corpus card tracks per source. All six moment sums are
+    * exact DECIMAL(38,0) integer sums (order-free in both engines);
+    * determinants stay < 2^53 at every sf (n ≤ 250/source, x ≤ ~580,
+    * y ≤ 100 → n·Σxx ≲ 8·10^9), so the single decimal→double cast is
+    * exact and the derived corr/slope/intercept are one pinned IEEE op
+    * sequence — bit-identical cross-engine with no quantization step. */
+  def q142: Q = Q(
+    "q142_linear_fit",
+    Some(s"""
+      |WITH b AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+      |         CAST(len(${sqlTokens("text")}) AS BIGINT) AS y
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY source),
+      |d AS (
+      |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) AS num_d,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx_d,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS dy_d
+      |  FROM s)
+      |SELECT source, n, sx, sy, sxy, sxx, syy,
+      |       CASE WHEN dx_d > 0 AND dy_d > 0
+      |            THEN num_d / (sqrt(dx_d) * sqrt(dy_d)) END AS corr,
+      |       CASE WHEN dx_d > 0 THEN num_d / dx_d END AS slope,
+      |       CASE WHEN dx_d > 0 THEN
+      |         (CAST(sy AS DOUBLE) - (num_d / dx_d) * CAST(sx AS DOUBLE))
+      |           / CAST(n AS DOUBLE) END AS intercept
+      |FROM d ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Stats
+    Stats.linearFit(Tables.documents(s, dir), Seq("source"),
+        col("n_chars"), TextAnalysis.tokenCount(col("text")))
+      .select(col("source"), col("n"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+        col("sxy").cast("long").as("sxy"), col("sxx").cast("long").as("sxx"),
+        col("syy").cast("long").as("syy"),
+        col("corr"), col("slope"), col("intercept"))
+      .orderBy(col("source"))
+  }
 
   /** Per-doc token Shannon entropy (TextAnalysis.tokenEntropy): the
     * repetitive/templated-text quality signal — boilerplate scores low,

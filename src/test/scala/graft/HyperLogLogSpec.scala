@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PolyHashImpl
+import graft.operators.HyperLogLog
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-6: HLL register sketch — register values vs a JVM-side
+  * reference, shard-merge ≡ whole-input sketch, estimate sanity, the
+  * small-range branch, and the mixed-m tripwire.
+  */
+class HyperLogLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val m = 64
+
+  /** JVM reference for the sketch's hash→bucket/rho pipeline. */
+  private def refRegister(v: String): (Long, Int) = {
+    val mod = 2147483647L
+    def poly(s: String) = PolyHashImpl.hash(UTF8String.fromString(s), 131L, mod)
+    val h = poly("hll:" + poly(v + ":hll").toString)
+    val w = h >> 6
+    val rho =
+      if (w == 0) HyperLogLog.RhoCap
+      else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1,
+        HyperLogLog.RhoCap)
+    (h & (m - 1), rho)
+  }
+
+  test("registers equal the JVM trailing-zero reference") {
+    val vals = (1 to 200).map(i => s"tok$i")
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val got = HyperLogLog.sketch(df, Seq("g"), "v", m)
+      .select("bucket", "r").as[(Long, Int)].collect().toMap
+    val exp = vals.map(refRegister).groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got == exp)
+  }
+
+  test("merge of disjoint shards equals the whole-input sketch") {
+    val a = (1 to 150).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val b = (151 to 300).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val whole = (1 to 300).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val merged = HyperLogLog.estimate(
+      HyperLogLog.merge(
+        HyperLogLog.sketch(a, Seq("g"), "v", m)
+          .unionByName(HyperLogLog.sketch(b, Seq("g"), "v", m)),
+        Seq("g")),
+      Seq("g")).head()
+    val direct = HyperLogLog.estimate(
+      HyperLogLog.sketch(whole, Seq("g"), "v", m), Seq("g")).head()
+    assert(merged == direct)
+  }
+
+  test("estimate lands within HLL's error envelope") {
+    val n = 2000
+    val df = (1 to n).map(i => ("g", s"item$i")).toDF("g", "v")
+    val est = HyperLogLog.distinctEstimate(df, Seq("g"), "v", m)
+      .select("est").head().getDouble(0)
+    // 1.04/sqrt(64) ≈ 13% stderr; allow 4 sigma.
+    assert(math.abs(est - n) < n * 0.52, s"est $est vs $n")
+  }
+
+  test("small-range branch: tiny sets use quantized linear counting") {
+    val df = (1 to 10).map(i => ("g", s"u$i")).toDF("g", "v")
+    val r = HyperLogLog.distinctEstimate(df, Seq("g"), "v", m).head()
+    val vEmpty = r.getAs[Long]("v_empty")
+    assert(vEmpty > 0)
+    val expected = BigDecimal(-m) *
+      BigDecimal(math.log(vEmpty.toDouble / m))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(r.getAs[Double]("est") == expected.toDouble)
+    // 10 distinct values rarely collide in 64 buckets; the estimate
+    // must at least be in the right decade.
+    assert(r.getAs[Double]("est") > 4 && r.getAs[Double]("est") < 25)
+  }
+
+  test("duplicates do not move the registers") {
+    val once = (1 to 50).map(i => ("g", s"d$i")).toDF("g", "v")
+    val thrice = (1 to 50).flatMap(i => Seq.fill(3)(("g", s"d$i")))
+      .toDF("g", "v")
+    assert(HyperLogLog.distinctEstimate(once, Seq("g"), "v", m).head() ==
+      HyperLogLog.distinctEstimate(thrice, Seq("g"), "v", m).head())
+  }
+
+  test("mixing m in one union fails loudly") {
+    val a = HyperLogLog.sketch(Seq(("g", "x")).toDF("g", "v"), Seq("g"), "v", 64)
+    val b = HyperLogLog.sketch(Seq(("g", "y")).toDF("g", "v"), Seq("g"), "v", 128)
+    val ex = intercept[Exception] {
+      HyperLogLog.estimate(a.unionByName(b), Seq("g")).collect()
+    }
+    assert(ex.getMessage.contains("different m"))
+  }
+}
