@@ -19,7 +19,156 @@ object EvalQueries {
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q140, q141, q142, q143, q144, q145)
+      q135, q140, q141, q142, q143, q144, q145, q146, q147)
+
+  /** Reciprocal-rank fusion (sim/Fusion.rrf): hybrid retrieval — fuse
+    * the exact cosine run (q30) with the LSH run (q31) by summed
+    * 1/(60+rank), the calibration-free way to combine incomparable
+    * score scales. Each reciprocal term is one pinned IEEE divide
+    * quantized to DECIMAL(18,9) before the order-free decimal sum, so
+    * the fused ranking is bit-identical cross-engine. The oracle
+    * replays BOTH retrieval pipelines (q103's replay) plus the fusion
+    * arithmetic. */
+  def q147: Q = Q(
+    "q147_rrf_fusion",
+    Some(s"""
+      |WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+      |tpairs AS (
+      |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+      |         ${sqlCosine("q.embedding", "c.embedding")} AS cos
+      |  FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+      |truth_r AS (
+      |  SELECT vec_id, neighbor_id, rk FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM tpairs)
+      |  WHERE rk <= 3),
+      |sigs AS (
+      |  SELECT vec_id, embedding, ${sqlHyperplaneCell(32)} AS sig
+      |  FROM embeddings),
+      |banded_raw AS (
+      |  SELECT vec_id, embedding, u.b AS band, (sig >> (u.b * 8)) % 256 AS bucket
+      |  FROM sigs, unnest(range(0, 4)) AS u(b)),
+      |banded AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+      |    FROM banded_raw)
+      |  WHERE bsz <= 128),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id, x.embedding AS qvec,
+      |                  y.vec_id AS neighbor_id, y.embedding AS nvec
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id != y.vec_id),
+      |scored AS (
+      |  SELECT vec_id, neighbor_id,
+      |         ${sqlCosine("qvec", "nvec")} AS cos
+      |  FROM cand),
+      |approx_r AS (
+      |  SELECT vec_id, neighbor_id, rk FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+      |    FROM scored)
+      |  WHERE rk <= 3 AND vec_id < 50),
+      |u AS (
+      |  SELECT vec_id, neighbor_id,
+      |         CAST(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+      |              + CAST(rk AS DOUBLE)) AS DECIMAL(18,9)) AS term
+      |  FROM truth_r
+      |  UNION ALL
+      |  SELECT vec_id, neighbor_id,
+      |         CAST(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+      |              + CAST(rk AS DOUBLE)) AS DECIMAL(18,9)) AS term
+      |  FROM approx_r),
+      |f AS (
+      |  SELECT vec_id, neighbor_id, sum(term) AS s
+      |  FROM u GROUP BY vec_id, neighbor_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY s DESC, neighbor_id) AS fused_rank
+      |  FROM f)
+      |SELECT vec_id, fused_rank, neighbor_id, CAST(s AS DOUBLE) AS rrf
+      |FROM r WHERE fused_rank <= 3 ORDER BY vec_id, fused_rank
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.Fusion
+    val emb = Tables.embeddings(s, dir)
+    val bf = Similarity.bruteForceTopK(
+      corpus = emb, queries = emb.filter(col("vec_id") < 50),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dims = 64, k = 3, bands = 4, rowsPerBand = 8)
+      .filter(col("vec_id") < 50)
+    Fusion.rrf(Seq(bf, lsh), "vec_id", "neighbor_id", "rank", k = 3)
+      .orderBy(col("vec_id"), col("fused_rank"))
+  }
+
+  /** Sorted-neighborhood blocking (dedup/SortedNeighborhood): order
+    * documents by length, slide a w=3 window, verify each candidate
+    * pair with exact shingle Jaccard — the entity-resolution blocking
+    * strategy that replaces the all-pairs token join with ONE sort.
+    * The rank is bucket-parallel (two-phase prefix sum — never a
+    * single-partition window); the oracle replays the identical
+    * window-pair semantics with a flat row_number, so equality also
+    * proves the distributed rank ≡ the global rank. */
+  def q146: Q = Q(
+    "q146_sorted_neighborhood",
+    Some(s"""
+      |WITH r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+      |  FROM documents),
+      |cand AS (
+      |  SELECT ra.doc_id AS a, rb.doc_id AS b, rb.rn - ra.rn AS dist
+      |  FROM r ra JOIN r rb ON rb.rn > ra.rn AND rb.rn <= ra.rn + 3),
+      |t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(${sqlShingles("toks")}) AS s
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+      |i AS (
+      |  SELECT c.a, c.b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a
+      |  JOIN sh sb ON sb.doc_id = c.b AND sb.s = sa.s
+      |  GROUP BY c.a, c.b)
+      |SELECT cand.a AS a, cand.b AS b, CAST(dist AS BIGINT) AS dist,
+      |       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+      |       CAST(coalesce(na.c, 0) + coalesce(nb.c, 0)
+      |            - coalesce(i.inter, 0) AS BIGINT) AS uni,
+      |       (coalesce(na.c, 0) + coalesce(nb.c, 0)
+      |          - coalesce(i.inter, 0) > 0)
+      |         AND coalesce(i.inter, 0) * 100 >=
+      |             50 * (coalesce(na.c, 0) + coalesce(nb.c, 0)
+      |                   - coalesce(i.inter, 0)) AS is_match
+      |FROM cand
+      |LEFT JOIN i ON i.a = cand.a AND i.b = cand.b
+      |LEFT JOIN n na ON na.doc_id = cand.a
+      |LEFT JOIN n nb ON nb.doc_id = cand.b
+      |ORDER BY cand.a, cand.b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.{Dedup, SortedNeighborhood}
+    val docs = Tables.documents(s, dir)
+    val cands = SortedNeighborhood.candidatePairs(
+      docs.select(col("doc_id"), col("n_chars"),
+        expr("n_chars div 16").as("len_bucket")),
+      "doc_id", "len_bucket", Seq("n_chars"), 3)
+    val sized = docs
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("__sh"))
+      .withColumn("__n", size(col("__sh")).cast("long"))
+    cands
+      .join(sized.select(col("doc_id").as("a"), col("__sh").as("__sa"),
+        col("__n").as("__na")), "a")
+      .join(sized.select(col("doc_id").as("b"), col("__sh").as("__sb"),
+        col("__n").as("__nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("uni", col("__na") + col("__nb") - col("inter"))
+      .withColumn("is_match",
+        col("uni") > 0 && col("inter") * 100 >= lit(50L) * col("uni"))
+      .select(col("a"), col("b"), col("dist"), col("inter"), col("uni"),
+        col("is_match"))
+      .orderBy(col("a"), col("b"))
+  }
 
   /** Exact set-similarity join (dedup/SetSimJoin.jaccardPairs): all
     * document pairs with shingle-set Jaccard ≥ 0.5 via PPJoin prefix
