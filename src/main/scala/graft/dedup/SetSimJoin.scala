@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Exact set-similarity join via prefix filtering (PPJoin's core,
   * Xiao et al. 2008) — the COMPLETE counterpart to the LSH banding in
@@ -50,6 +51,10 @@ object SetSimJoin {
     val freq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
     // Rarity-first canonical order, realized per set as one in-row
     // sort_array over (df, elem) structs — no window, no global sort.
+    // Stage boundary: this table feeds THREE consumers (prefix probes
+    // + both verify sides); it is set-dim-sized (one array per id, ≈
+    // the input's own footprint, not a fan-out), so materializing it
+    // saves two full explode+join+collect rebuilds.
     val sorted = elems.join(freq, "__e")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__e"))))
@@ -57,20 +62,37 @@ object SetSimJoin {
       .select(col("__id"),
         expr("transform(__se, x -> x.__e)").as("__elems"),
         size(col("__se")).cast("long").as("__n"))
+      .materialize()
     // prefix length: n − ⌈t·n⌉ + 1, exact integer arithmetic (div).
     val prefix = sorted.withColumn("__p",
       expr(s"__n - (($t100 * __n + 99) div 100) + 1"))
     val pref = prefix
       .select(col("__id"), col("__n"),
-        explode(expr("slice(__elems, 1, greatest(cast(__p as int), 0))"))
-          .as("__e"))
+        posexplode(expr("slice(__elems, 1, greatest(cast(__p as int), 0))")))
+      .withColumnRenamed("col", "__e")
+      .withColumn("__pos", col("pos") + 1).drop("pos")
+    // Positional filter (PPJoin proper): reduce each pair to its FIRST
+    // shared prefix element (min position on both sides — the same
+    // element achieves both minima, because common elements appear in
+    // the same relative order under a shared global order). At that
+    // element no earlier overlap exists, so
+    //   overlap ≤ 1 + min(na − pa, nb − pb)
+    // is a SOUND upper bound, and a pair that cannot reach the minimal
+    // overlap α = ⌈t/(1+t)·(na+nb)⌉ is pruned before any array ever
+    // ships to it — this is what keeps the verify join candidate-
+    // bounded instead of shared-element-bounded.
     val cands = pref.as("pa").join(pref.as("pb"),
         col("pa.__e") === col("pb.__e") &&
           col("pa.__id") < col("pb.__id") &&
           col("pa.__n") * 100 >= lit(t100.toLong) * col("pb.__n") &&
           col("pb.__n") * 100 >= lit(t100.toLong) * col("pa.__n"))
-      .select(col("pa.__id").as("__a"), col("pb.__id").as("__b"))
-      .distinct()
+      .groupBy(col("pa.__id").as("__a"), col("pb.__id").as("__b"))
+      .agg(min(col("pa.__pos")).as("__posa"), min(col("pb.__pos")).as("__posb"),
+        min(col("pa.__n")).as("__pna"), min(col("pb.__n")).as("__pnb"))
+      .where((lit(1L) +
+          least(col("__pna") - col("__posa"), col("__pnb") - col("__posb")))
+          * (100L + t100) >= lit(t100.toLong) * (col("__pna") + col("__pnb")))
+      .select(col("__a"), col("__b"))
     val setsA = sorted.select(col("__id").as("__a"),
       col("__elems").as("__ea"), col("__n").as("__na"))
     val setsB = sorted.select(col("__id").as("__b"),
