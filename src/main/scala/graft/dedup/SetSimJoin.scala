@@ -38,12 +38,11 @@ object SetSimJoin {
     * and nulls inside the array are dropped). Output: (a, b, inter,
     * uni) with inter/uni the exact intersection/union sizes. Empty
     * sets match nothing (Jaccard undefined). */
-  def jaccardPairs(
-      df: DataFrame,
-      idCol: String,
-      setCol: String,
-      t100: Int): DataFrame = {
-    require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100]: $t100")
+  /** Canonical per-set form shared by both joins: (id, elems sorted
+    * rarity-first, n). Set-dim-sized and consumed by several branches,
+    * so it materializes once. */
+  private def canonicalSets(
+      df: DataFrame, idCol: String, setCol: String): DataFrame = {
     val elems = df
       .select(col(idCol).as("__id"), explode(col(setCol)).as("__e"))
       .where(col("__e").isNotNull)
@@ -51,11 +50,7 @@ object SetSimJoin {
     val freq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
     // Rarity-first canonical order, realized per set as one in-row
     // sort_array over (df, elem) structs — no window, no global sort.
-    // Stage boundary: this table feeds THREE consumers (prefix probes
-    // + both verify sides); it is set-dim-sized (one array per id, ≈
-    // the input's own footprint, not a fan-out), so materializing it
-    // saves two full explode+join+collect rebuilds.
-    val sorted = elems.join(freq, "__e")
+    elems.join(freq, "__e")
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__e"))))
         .as("__se"))
@@ -63,14 +58,26 @@ object SetSimJoin {
         expr("transform(__se, x -> x.__e)").as("__elems"),
         size(col("__se")).cast("long").as("__n"))
       .materialize()
-    // prefix length: n − ⌈t·n⌉ + 1, exact integer arithmetic (div).
-    val prefix = sorted.withColumn("__p",
-      expr(s"__n - (($t100 * __n + 99) div 100) + 1"))
-    val pref = prefix
+  }
+
+  /** Prefix probes: one row per (id, element, 1-based position) over
+    * the first `n − ⌈t·n⌉ + 1` elements of each canonical set. */
+  private def prefixProbes(sorted: DataFrame, t100: Int): DataFrame =
+    sorted.withColumn("__p",
+        expr(s"__n - (($t100 * __n + 99) div 100) + 1"))
       .select(col("__id"), col("__n"),
         posexplode(expr("slice(__elems, 1, greatest(cast(__p as int), 0))")))
       .withColumnRenamed("col", "__e")
       .withColumn("__pos", col("pos") + 1).drop("pos")
+
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      t100: Int): DataFrame = {
+    require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100]: $t100")
+    val sorted = canonicalSets(df, idCol, setCol)
+    val pref = prefixProbes(sorted, t100)
     // Positional filter (PPJoin proper): reduce each pair to its FIRST
     // shared prefix element (min position on both sides — the same
     // element achieves both minima, because common elements appear in
@@ -104,5 +111,46 @@ object SetSimJoin {
       .where(col("inter") * 100 >= lit(t100.toLong) * col("uni"))
       .select(col("__a").as("a"), col("__b").as("b"), col("inter"),
         col("uni"))
+  }
+
+  /** Directional containment join: all ordered pairs (a, b), a ≠ b,
+    * with |A∩B| ≥ t·|A| — "document a is (nearly) contained in b", the
+    * quote/extension dedup relation Jaccard misses (a 100-word quote
+    * inside a 10k-word page has tiny Jaccard but full containment).
+    * Same prefix-filter machinery, asymmetric: only the CONTAINED side
+    * needs a prefix (an A with |A∩B| ≥ t|A| must place a shared
+    * element within its first |A|−⌈t|A|⌉+1), while B indexes every
+    * element; the positional filter keeps pairs only when A's suffix
+    * after the first shared element can still reach ⌈t·|A|⌉. Output:
+    * (a, b, inter, n_a, n_b). Empty A matches nothing. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      t100: Int): DataFrame = {
+    require(t100 >= 1 && t100 <= 100, s"t100 must be in [1,100]: $t100")
+    val sorted = canonicalSets(df, idCol, setCol)
+    val pref = prefixProbes(sorted, t100)
+    val allElems = sorted
+      .select(col("__id").as("__bid"), explode(col("__elems")).as("__e"))
+    val cand = pref.as("pa").join(allElems.as("pb"),
+        col("pa.__e") === col("pb.__e") && col("pa.__id") =!= col("pb.__bid"))
+      .groupBy(col("pa.__id").as("__a"), col("pb.__bid").as("__b"))
+      .agg(min(col("pa.__pos")).as("__posa"), min(col("pa.__n")).as("__pna"))
+      // A-side positional filter: overlap ≤ 1 + (|A| − pa) at the first
+      // shared element; prune when that cannot reach ⌈t·|A|⌉.
+      .where((lit(1L) + col("__pna") - col("__posa")) * 100L >=
+        lit(t100.toLong) * col("__pna"))
+      .select(col("__a"), col("__b"))
+    val setsA = sorted.select(col("__id").as("__a"),
+      col("__elems").as("__ea"), col("__n").as("__na"))
+    val setsB = sorted.select(col("__id").as("__b"),
+      col("__elems").as("__eb"), col("__n").as("__nb"))
+    cand.join(setsA, "__a").join(setsB, "__b")
+      .withColumn("inter",
+        size(array_intersect(col("__ea"), col("__eb"))).cast("long"))
+      .where(col("inter") * 100 >= lit(t100.toLong) * col("__na"))
+      .select(col("__a").as("a"), col("__b").as("b"), col("inter"),
+        col("__na").as("n_a"), col("__nb").as("n_b"))
   }
 }

@@ -19,7 +19,100 @@ object EvalQueries {
     Seq(q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112,
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-      q135, q140, q141, q142, q143, q144, q145, q146, q147)
+      q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
+      q150)
+
+  /** Rendezvous/HRW sharding (text/Sharding.rendezvousAssign): stable
+    * shard assignment by per-(id, shard) weight argmax — growing the
+    * shard count moves only ~1/(n+1) of the corpus where hash-mod
+    * moves nearly all of it. The oracle replays the weight draw with
+    * the shared salted-hash fragment and picks the winner with a
+    * row_number; the Spark side uses a partial-aggregated max(struct)
+    * — hash equality proves argmax ≡ ranked-first. */
+  def q148: Q = {
+    val nShards = 8
+    Q("q148_rendezvous_shards",
+      Some(s"""
+        |WITH s AS (SELECT unnest(range(0, $nShards)) AS shard),
+        |w AS (
+        |  SELECT doc_id, s.shard,
+        |         (${sqlSaltedHash(
+                     "(CAST(doc_id AS VARCHAR) || '#' || CAST(s.shard AS VARCHAR))",
+                     "ep0:hrw")}) AS w
+        |  FROM documents, s),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+        |  FROM w)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, w
+        |FROM r WHERE rn = 1 ORDER BY doc_id
+        |""".stripMargin)) { (s, dir) =>
+      Sharding.rendezvousAssign(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", nShards, "ep0")
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** k-anonymity gate (text/Privacy.kAnonymity): flag documents whose
+    * (lang, 100-char length bucket) quasi-identifier class has fewer
+    * than 10 members — the release check before publishing metadata-
+    * bearing corpora. Pure integer counting; the corpus never
+    * shuffles (QI-combination dim joined back broadcast). */
+  def q149: Q = Q(
+    "q149_k_anonymity",
+    Some("""
+      |WITH b AS (
+      |  SELECT doc_id, lang, n_chars // 100 AS len_bucket FROM documents),
+      |c AS (
+      |  SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS qi_count
+      |  FROM b GROUP BY lang, len_bucket)
+      |SELECT b.doc_id, b.lang, b.len_bucket, c.qi_count,
+      |       c.qi_count < 10 AS is_suppressed
+      |FROM b JOIN c USING (lang, len_bucket)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Privacy
+    Privacy.kAnonymity(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 100").as("len_bucket")),
+      Seq("lang", "len_bucket"), 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Directional containment join (SetSimJoin.containmentPairs):
+    * |A∩B| ≥ 0.9·|A| over shingle sets — catches a document quoted or
+    * extended inside another, which symmetric Jaccard misses when the
+    * container is much larger. Oracle is the naive shared-element
+    * quadratic join, proving the asymmetric prefix + positional
+    * pruning dropped nothing. */
+  def q150: Q = Q(
+    "q150_containment_join",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(${sqlShingles("toks")}) AS s
+      |  FROM t),
+      |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT pair.a AS a, pair.b AS b, CAST(inter AS BIGINT) AS inter,
+      |       CAST(na.c AS BIGINT) AS n_a, CAST(nb.c AS BIGINT) AS n_b
+      |FROM pair
+      |JOIN n na ON na.doc_id = pair.a
+      |JOIN n nb ON nb.doc_id = pair.b
+      |WHERE inter * 100 >= 90 * na.c
+      |ORDER BY pair.a, pair.b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.{Dedup, SetSimJoin}
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    SetSimJoin.containmentPairs(sets, "doc_id", "sh", 90)
+      .orderBy(col("a"), col("b"))
+  }
 
   /** Reciprocal-rank fusion (sim/Fusion.rrf): hybrid retrieval — fuse
     * the exact cosine run (q30) with the LSH run (q31) by summed

@@ -87,4 +87,41 @@ object Sharding {
         col("rank_in_bucket") * lit(bucketScale + 1L) + col("difficulty_bucket"))
       .drop("ord_key")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the STABLE
+    * alternative to [[shuffleShards]]'s hash-mod: each (id, shard)
+    * pair gets an independent salted-hash weight and the id goes to
+    * the argmax shard. Growing nShards → nShards+1 moves ONLY the ids
+    * whose new shard wins its weight draw — an expected 1/(nShards+1)
+    * of the corpus — where hash-mod reshuffles nearly everything. That
+    * stability is what incremental re-sharding, cache affinity, and
+    * consistent writer assignment want at 100 TB (re-shard = rewrite
+    * one new shard's worth of data, not the corpus).
+    *
+    * Output: input columns + (shard, w) — w the winning 31-bit weight,
+    * kept so downstream can audit the draw. Ties (hash collisions
+    * across shards) break toward the smaller shard id,
+    * deterministically. Scale shape: an nShards-way row explode
+    * immediately reduced by a partial-aggregated max — the exchange
+    * carries one row per id, never the fan-out.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be positive")
+    val w = graft.functions.PolyHash.saltedHash(
+      concat(col(idCol).cast("string"), lit("#"), col("__s").cast("string")),
+      s"$salt:hrw")
+    val winners = df
+      .select(col(idCol), explode(sequence(lit(0), lit(nShards - 1)))
+        .as("__s"))
+      .withColumn("__w", w)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__w"), (-col("__s")).as("__negs"))).as("__win"))
+      .select(col(idCol), (-col("__win.__negs")).cast("long").as("shard"),
+        col("__win.__w").as("w"))
+    df.join(winners, idCol)
+  }
 }

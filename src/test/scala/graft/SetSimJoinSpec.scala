@@ -58,6 +58,38 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(pairs(df, 50).isEmpty)
   }
 
+  private def naiveContain(
+      rows: Seq[(Long, Seq[String])], t100: Int): Seq[(Long, Long, Long)] =
+    (for {
+      (a, sa0) <- rows; (b, sb0) <- rows if a != b
+      sa = sa0.toSet; sb = sb0.toSet
+      inter = (sa & sb).size.toLong
+      if sa.nonEmpty && inter * 100 >= t100 * sa.size
+    } yield (a, b, inter)).sortBy(p => (p._1, p._2))
+
+  private def contain(rows: Seq[(Long, Seq[String])], t100: Int) =
+    SetSimJoin.containmentPairs(rows.toDF("id", "s"), "id", "s", t100)
+      .select("a", "b", "inter").as[(Long, Long, Long)]
+      .collect().sortBy(p => (p._1, p._2)).toSeq
+
+  test("containment matches the naive directional join exactly") {
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b"),                       // fully inside 2 and 3
+      2L -> Seq("a", "b", "c", "d", "e", "f"),
+      3L -> Seq("a", "b", "z"),
+      4L -> Seq("q", "r"),
+      5L -> Seq.empty)
+    for (t <- Seq(50, 90, 100))
+      assert(contain(rows, t) == naiveContain(rows, t), s"t100=$t")
+  }
+
+  test("containment is directional: the quote is in the page, not back") {
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b"),
+      2L -> (Seq("a", "b") ++ (1 to 20).map(i => s"x$i")))
+    assert(contain(rows, 100) == Seq((1L, 2L, 2L)))
+  }
+
   test("skewed hot element: rare-first prefixes still find all pairs") {
     // "hot" is in every set; pairs must still be exact.
     val rows: Seq[(Long, Seq[String])] =
