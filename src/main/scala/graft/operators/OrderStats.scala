@@ -57,4 +57,31 @@ object OrderStats {
       .select((keys.map(col) :+ col("permille") :+
         col(valueCol).as("value")): _*)
   }
+
+  /** Equal-frequency binning: assign each row the bin index
+    * `#{boundaries < value}` where the boundaries are the exact
+    * [[quantilesDisc]] values at `ps` — quartile/decile feature
+    * discretization with the same no-interpolation portability
+    * contract (a row equal to a boundary falls in the LOWER bin; tied
+    * boundaries collapse their bins, deterministically). Output: input
+    * columns + `bin` ∈ [0, |ps|].
+    *
+    * Scale shape: the boundary table is |groups|·|ps| rows, collected
+    * per group into one array column and broadcast back — the data
+    * rows never shuffle; the bin is scan-stage array arithmetic. */
+  def equalFrequencyBins(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    val bounds = quantilesDisc(df, keys, valueCol, ps)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col("value")).as("__bs"))
+      .select(keys.map(c => col(c).as(s"__k_$c")) :+ col("__bs"): _*)
+    val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.join(broadcast(bounds), cond)
+      .withColumn("bin",
+        expr(s"size(filter(__bs, b -> $valueCol > b))").cast("long"))
+      .drop((keys.map(c => s"__k_$c") :+ "__bs"): _*)
+  }
 }

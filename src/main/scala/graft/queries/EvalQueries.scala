@@ -20,7 +20,75 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150)
+      q150, q151, q152)
+
+  /** Feature hashing (text/FeatureHash.hashedBagOfWords): signed
+    * hashing-trick bag-of-words into 32 dims — vocabulary-free
+    * featurization (no dictionary state at any scale). One hash per
+    * distinct token per doc; dim = low bits, sign = the next bit;
+    * value = Σ ±tf, integer-exact and fully replayed by the oracle. */
+  def q151: Q = {
+    val dims = 32
+    Q("q151_feature_hashing",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IS NOT NULL GROUP BY doc_id, tok),
+        |h AS (
+        |  SELECT doc_id, tf, (${sqlSaltedHash("tok", "fh")}) AS hv
+        |  FROM tf),
+        |s AS (
+        |  SELECT doc_id, hv % $dims AS dim,
+        |         CASE WHEN (hv // $dims) % 2 = 1 THEN 1 ELSE -1 END * tf
+        |           AS term
+        |  FROM h)
+        |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+        |       CAST(sum(term) AS BIGINT) AS value
+        |FROM s GROUP BY doc_id, dim
+        |HAVING CAST(sum(term) AS BIGINT) != 0
+        |ORDER BY doc_id, dim
+        |""".stripMargin)) { (s, dir) =>
+      import graft.text.FeatureHash
+      FeatureHash.hashedBagOfWords(Tables.documents(s, dir), "doc_id",
+        "text", dims, "fh")
+        .orderBy(col("doc_id"), col("dim"))
+    }
+  }
+
+  /** Equal-frequency binning (OrderStats.equalFrequencyBins): per-
+    * source quartile bin for every document's length — exact
+    * percentile_disc boundaries (q127's discipline), bin = count of
+    * boundaries strictly below the value, broadcast boundary arrays,
+    * zero data-row shuffles. */
+  def q152: Q = Q(
+    "q152_quartile_bins",
+    Some("""
+      |WITH r AS (
+      |  SELECT source, n_chars AS value,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |p AS (SELECT unnest([250, 500, 750]) AS permille),
+      |bnd AS (
+      |  SELECT source, value FROM r JOIN p
+      |    ON r.rn = (p.permille * r.n + 999) // 1000)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |       CAST(sum(CASE WHEN d.n_chars > bnd.value THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS bin
+      |FROM documents d JOIN bnd USING (source)
+      |GROUP BY d.doc_id, d.source, d.n_chars
+      |ORDER BY d.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    OrderStats.equalFrequencyBins(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      Seq("source"), "n_chars", Seq(250, 500, 750))
+      .orderBy(col("doc_id"))
+  }
 
   /** Rendezvous/HRW sharding (text/Sharding.rendezvousAssign): stable
     * shard assignment by per-(id, shard) weight argmax — growing the
