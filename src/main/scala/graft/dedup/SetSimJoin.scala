@@ -132,14 +132,24 @@ object SetSimJoin {
     val sorted = canonicalSets(df, idCol, setCol)
     val pref = prefixProbes(sorted, t100)
     val allElems = sorted
-      .select(col("__id").as("__bid"), explode(col("__elems")).as("__e"))
+      .select(col("__id").as("__bid"), col("__n").as("__bn"),
+        posexplode(col("__elems")))
+      .withColumnRenamed("col", "__e")
+      .withColumn("__bpos", col("pos") + 1).drop("pos")
+    // Length filter in the join itself (|A∩B| ≥ t|A| forces |B| ≥ t|A|),
+    // then the two-sided positional filter at the pair's FIRST shared
+    // element: overlap ≤ 1 + min(|A|−pa, |B|−pb) there (no earlier
+    // shared element exists, by minimality under the common order), so
+    // pairs whose suffixes cannot reach ⌈t·|A|⌉ never reach the verify.
     val cand = pref.as("pa").join(allElems.as("pb"),
-        col("pa.__e") === col("pb.__e") && col("pa.__id") =!= col("pb.__bid"))
+        col("pa.__e") === col("pb.__e") &&
+          col("pa.__id") =!= col("pb.__bid") &&
+          col("pb.__bn") * 100 >= lit(t100.toLong) * col("pa.__n"))
       .groupBy(col("pa.__id").as("__a"), col("pb.__bid").as("__b"))
-      .agg(min(col("pa.__pos")).as("__posa"), min(col("pa.__n")).as("__pna"))
-      // A-side positional filter: overlap ≤ 1 + (|A| − pa) at the first
-      // shared element; prune when that cannot reach ⌈t·|A|⌉.
-      .where((lit(1L) + col("__pna") - col("__posa")) * 100L >=
+      .agg(min(col("pa.__pos")).as("__posa"), min(col("pa.__n")).as("__pna"),
+        min(col("pb.__bpos")).as("__posb"), min(col("pb.__bn")).as("__pnb"))
+      .where((lit(1L) + least(col("__pna") - col("__posa"),
+          col("__pnb") - col("__posb"))) * 100L >=
         lit(t100.toLong) * col("__pna"))
       .select(col("__a"), col("__b"))
     val setsA = sorted.select(col("__id").as("__a"),

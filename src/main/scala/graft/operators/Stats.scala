@@ -90,4 +90,53 @@ object Stats {
       col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
       corr.as("corr"), slope.as("slope"), intercept.as("intercept")): _*)
   }
+
+  /** Per-group Gini coefficient over a non-negative integral column —
+    * the concentration metric a corpus data card reports ("is this
+    * source a few huge documents or many small ones?"), also the
+    * shard-balance check for size distributions. Uses the rank
+    * identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over values sorted
+    * ascending: numerator and denominator are EXACT DECIMAL(38,0)
+    * integers (rank·value products summed decimally), and the single
+    * division is the only floating op — bit-identical cross-engine.
+    * Tied values make Σ i·xᵢ invariant to their internal order, so no
+    * tie-break affects the result (one is still fixed, by id, for the
+    * window's determinism).
+    *
+    * Scale shape: one per-group window sort (spill-safe, parallel
+    * across groups) feeding one partial-aggregated exchange of three
+    * decimal sums per group. Null values drop; groups with Σx = 0
+    * yield null gini.
+    *
+    * Output: (keys…, n, sum_x, num, den, gini).
+    */
+  def gini(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val sums = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__i", row_number().over(w).cast(d38))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast(d38)).cast(d38).as("sum_x"),
+        sum((col("__i") * col(valueCol).cast(d38)).cast(d38)).cast(d38)
+          .as("__six"))
+    val nD = col("n").cast(d38)
+    val num = (lit(2).cast(d38) * col("__six") -
+      (nD + lit(1).cast(d38)) * col("sum_x")).cast(d38)
+    val den = (nD * col("sum_x")).cast(d38)
+    sums
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .withColumn("gini",
+        when(col("den") > 0,
+          col("num").cast("double") / col("den").cast("double")))
+      .drop("__six")
+  }
 }

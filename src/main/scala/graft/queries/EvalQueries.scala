@@ -20,7 +20,42 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152)
+      q150, q151, q152, q153)
+
+  /** Per-source Gini coefficient (operators/Stats.gini): length-
+    * concentration for the data card — rank identity over ascending
+    * lengths, numerator/denominator exact DECIMAL(38,0) integers, one
+    * pinned IEEE divide. num stays < 2^53 at every test sf, so the
+    * decimal→double casts are exact both engines. */
+  def q153: Q = Q(
+    "q153_gini_concentration",
+    Some("""
+      |WITH r AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars, doc_id) AS i
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_x,
+      |         CAST(sum(CAST(i AS HUGEINT) * n_chars) AS BIGINT) AS six
+      |  FROM r GROUP BY source)
+      |SELECT source, n, sum_x,
+      |       CAST(2 * six - (n + 1) * sum_x AS BIGINT) AS num,
+      |       CAST(n * sum_x AS BIGINT) AS den,
+      |       CASE WHEN n * sum_x > 0 THEN
+      |         CAST(2 * six - (n + 1) * sum_x AS DOUBLE)
+      |           / CAST(n * sum_x AS DOUBLE) END AS gini
+      |FROM s ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Stats
+    Stats.gini(Tables.documents(s, dir), Seq("source"), "n_chars", "doc_id")
+      .select(col("source"), col("n"),
+        col("sum_x").cast("long").as("sum_x"),
+        col("num").cast("long").as("num"), col("den").cast("long").as("den"),
+        col("gini"))
+      .orderBy(col("source"))
+  }
 
   /** Feature hashing (text/FeatureHash.hashedBagOfWords): signed
     * hashing-trick bag-of-words into 32 dims — vocabulary-free

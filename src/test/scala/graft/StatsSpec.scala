@@ -69,6 +69,34 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getDecimal(1).longValueExact == 3L)
   }
 
+  private def giniOf(values: Seq[Long]): Option[Double] = {
+    val rows = values.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    val r = Stats.gini(rows.toDF("g", "id", "v"), Seq("g"), "v", "id")
+      .select("gini").head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("gini: perfect equality is 0") {
+    assert(giniOf(Seq(5L, 5L, 5L, 5L)).contains(0.0))
+  }
+
+  test("gini: total concentration approaches (n-1)/n") {
+    assert(giniOf(Seq(0L, 0L, 0L, 100L)).contains(0.75))
+  }
+
+  test("gini: textbook example") {
+    // values 1,2,3,4: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40.
+    assert(giniOf(Seq(1L, 2L, 3L, 4L)).contains(0.25))
+  }
+
+  test("gini: all-zero group yields null") {
+    assert(giniOf(Seq(0L, 0L)).isEmpty)
+  }
+
+  test("gini: tie order cannot move the result") {
+    assert(giniOf(Seq(3L, 1L, 3L, 3L, 1L)) == giniOf(Seq(1L, 1L, 3L, 3L, 3L)))
+  }
+
   test("groups are independent") {
     val out = fit(Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 1L, 5L),
         ("b", 2L, 3L)))
