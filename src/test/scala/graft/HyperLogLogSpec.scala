@@ -85,6 +85,34 @@ class HyperLogLogSpec extends AnyFunSuite {
       HyperLogLog.distinctEstimate(thrice, Seq("g"), "v", m).head())
   }
 
+  test("stored-sketch face: generations maintain cardinality without rescans") {
+    // The BM25/IVF-PQ stored-index discipline applied to sketches: each
+    // ManifestCommit generation holds the MERGED registers; an ingest
+    // batch sketches only its delta and merges against the prior
+    // generation — sketch-sized work, the corpus is never rescanned.
+    import graft.sources.ManifestCommit
+    val dir = java.nio.file.Files.createTempDirectory("hll_store").toString
+    val batch1 = (1 to 120).map(i => ("g", s"v$i")).toDF("g", "v")
+    val batch2 = (100 to 200).map(i => ("g", s"v$i")).toDF("g", "v")
+    val g1 = ManifestCommit.writeVersioned(
+      HyperLogLog.sketch(batch1, Seq("g"), "v", m), dir)
+    val merged = HyperLogLog.merge(
+      ManifestCommit.readAt(spark, dir, g1)
+        .unionByName(HyperLogLog.sketch(batch2, Seq("g"), "v", m)),
+      Seq("g"))
+    val g2 = ManifestCommit.writeVersioned(merged, dir)
+    val fromStore = HyperLogLog.estimate(
+      ManifestCommit.readAt(spark, dir, g2), Seq("g")).head()
+    val direct = HyperLogLog.estimate(
+      HyperLogLog.sketch(batch1.unionByName(batch2), Seq("g"), "v", m),
+      Seq("g")).head()
+    assert(fromStore == direct)
+    // time travel still sees the batch-1-only registers
+    assert(HyperLogLog.estimate(ManifestCommit.readAt(spark, dir, g1),
+      Seq("g")).head() !=
+      fromStore)
+  }
+
   test("mixing m in one union fails loudly") {
     val a = HyperLogLog.sketch(Seq(("g", "x")).toDF("g", "v"), Seq("g"), "v", 64)
     val b = HyperLogLog.sketch(Seq(("g", "y")).toDF("g", "v"), Seq("g"), "v", 128)
