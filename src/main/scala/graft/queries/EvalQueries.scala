@@ -20,7 +20,73 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153)
+      q150, q151, q152, q153, q154)
+
+  /** Zipf-law fit (composition: token counts → SortedNeighborhood.
+    * globalRank → Stats.linearFit): regress ln(freq) on ln(rank) over
+    * the top-200 tokens — the corpus-health check that a natural-
+    * language source follows freq ∝ rank^(−s) with s ≈ 1 (templated or
+    * synthetic text bends the curve). The rank is the bucket-parallel
+    * global rank (bucket = −freq, never a single-partition window);
+    * both logs quantize to 0.001 (floor of ln·1000 — integer inputs
+    * keep every moment determinant < 2^53, so the derived slope/corr
+    * stay one exact IEEE op sequence). */
+  def q154: Q = Q(
+    "q154_zipf_fit",
+    Some(s"""
+      |WITH tok AS (
+      |  SELECT unnest(${sqlTokens("text")}) AS tok FROM documents),
+      |f AS (
+      |  SELECT tok, count(*) AS freq FROM tok
+      |  WHERE tok IS NOT NULL GROUP BY tok),
+      |r AS (
+      |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+      |  FROM f),
+      |xy AS (
+      |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+      |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+      |  FROM r WHERE rank <= 200),
+      |s AS (
+      |  SELECT 'all' AS corpus, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM xy),
+      |d AS (
+      |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) AS num_d,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx_d,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS dy_d
+      |  FROM s)
+      |SELECT corpus, n, sx, sy, sxy, sxx, syy,
+      |       CASE WHEN dx_d > 0 AND dy_d > 0
+      |            THEN num_d / (sqrt(dx_d) * sqrt(dy_d)) END AS corr,
+      |       CASE WHEN dx_d > 0 THEN num_d / dx_d END AS slope,
+      |       CASE WHEN dx_d > 0 THEN
+      |         (CAST(sy AS DOUBLE) - (num_d / dx_d) * CAST(sx AS DOUBLE))
+      |           / CAST(n AS DOUBLE) END AS intercept
+      |FROM d
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.SortedNeighborhood
+    import graft.operators.Stats
+    val freq = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = SortedNeighborhood.globalRank(
+      freq.withColumn("negfreq", -col("freq")), "tok", "negfreq", Seq.empty)
+      .where(col("__rank") <= 200)
+    Stats.linearFit(
+      ranked.withColumn("corpus", lit("all")),
+      Seq("corpus"),
+      floor(log(col("__rank").cast("double")) * 1000).cast("long"),
+      floor(log(col("freq").cast("double")) * 1000).cast("long"))
+      .select(col("corpus"), col("n"),
+        col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+        col("sxy").cast("long").as("sxy"), col("sxx").cast("long").as("sxx"),
+        col("syy").cast("long").as("syy"),
+        col("corr"), col("slope"), col("intercept"))
+  }
 
   /** Per-source Gini coefficient (operators/Stats.gini): length-
     * concentration for the data card — rank identity over ascending

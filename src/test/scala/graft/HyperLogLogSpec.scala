@@ -113,6 +113,27 @@ class HyperLogLogSpec extends AnyFunSuite {
       fromStore)
   }
 
+  test("streaming face: complete-mode registers equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = HyperLogLog.sketch(mem.toDF.toDF("g", "v"), Seq("g"), "v", m)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1 to 80).map(i => ("g", s"s$i")): _*)
+      q.processAllAvailable()
+      mem.addData((60 to 150).map(i => ("g", s"s$i")): _*)
+      q.processAllAvailable()
+      val streamed = HyperLogLog.estimate(spark.table("hll_regs"),
+        Seq("g")).head()
+      val batch = HyperLogLog.estimate(
+        HyperLogLog.sketch((1 to 150).map(i => ("g", s"s$i")).toDF("g", "v"),
+          Seq("g"), "v", m), Seq("g")).head()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("mixing m in one union fails loudly") {
     val a = HyperLogLog.sketch(Seq(("g", "x")).toDF("g", "v"), Seq("g"), "v", 64)
     val b = HyperLogLog.sketch(Seq(("g", "y")).toDF("g", "v"), Seq("g"), "v", 128)

@@ -234,4 +234,54 @@ class PropertySpec extends AnyFunSuite {
         dense
     })
   }
+
+  // small element alphabet forces collisions, shared elements, and
+  // threshold-boundary pairs — the inputs that stress prefix+positional
+  // pruning soundness
+  private val genSets: Gen[List[(Long, List[String])]] =
+    Gen.choose(2, 25).flatMap { n =>
+      Gen.sequence[List[(Long, List[String])], (Long, List[String])](
+        (0 until n).map { i =>
+          Gen.choose(0, 8).flatMap(sz =>
+            Gen.listOfN(sz, Gen.oneOf((1 to 12).map(k => s"e$k"))))
+            .map(es => (i.toLong, es))
+        }.toList)
+    }
+
+  test("property: prefix-filter Jaccard join equals the naive join for ANY sets") {
+    import graft.dedup.SetSimJoin
+    checkProp(Prop.forAll(genSets, Gen.oneOf(30, 50, 67, 80, 100)) {
+      (rows, t100) =>
+        val got = SetSimJoin.jaccardPairs(rows.toDF("id", "s"), "id", "s",
+            t100)
+          .select("a", "b", "inter", "uni")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        val want = (for {
+          (a, sa0) <- rows; (b, sb0) <- rows if a < b
+          sa = sa0.toSet; sb = sb0.toSet
+          inter = (sa & sb).size.toLong
+          uni = (sa | sb).size.toLong
+          if uni > 0 && inter * 100 >= t100 * uni
+        } yield (a, b, inter, uni)).toSet
+        got == want
+    })
+  }
+
+  test("property: containment join equals the naive directional join for ANY sets") {
+    import graft.dedup.SetSimJoin
+    checkProp(Prop.forAll(genSets, Gen.oneOf(40, 60, 90, 100)) {
+      (rows, t100) =>
+        val got = SetSimJoin.containmentPairs(rows.toDF("id", "s"), "id",
+            "s", t100)
+          .select("a", "b", "inter")
+          .as[(Long, Long, Long)].collect().toSet
+        val want = (for {
+          (a, sa0) <- rows; (b, sb0) <- rows if a != b
+          sa = sa0.toSet; sb = sb0.toSet
+          inter = (sa & sb).size.toLong
+          if sa.nonEmpty && inter * 100 >= t100 * sa.size
+        } yield (a, b, inter)).toSet
+        got == want
+    })
+  }
 }
