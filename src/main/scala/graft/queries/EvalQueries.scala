@@ -20,7 +20,55 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154)
+      q150, q151, q152, q153, q154, q155)
+
+  /** 2-core of the shared-prefix similarity graph (operators/KCore):
+    * q130's graph peeled until every surviving doc keeps ≥ 2
+    * templated neighbors — isolates boilerplate FAMILIES where pair
+    * counting understates. Fixed 4-round synchronous peel; the oracle
+    * replays the identical round chain as generated CTEs, so
+    * hash-equality proves each round's degree/filter/semi-join
+    * cascade. */
+  def q155: Q = {
+    val k = 2
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM e${r - 1}
+         |    UNION ALL SELECT b AS node FROM e${r - 1})
+         |  GROUP BY node),
+         |alive$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN alive$r x ON x.node = e.a
+         |  JOIN alive$r y ON y.node = e.b)""".stripMargin
+    }.mkString(",\n")
+    Q("q155_kcore",
+      Some(s"""
+        |WITH p AS (
+        |  SELECT doc_id, substr(trim(text), 1, 12) AS s FROM documents
+        |  WHERE text IS NOT NULL),
+        |e0 AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id),
+        |$roundCtes
+        |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e$rounds
+        |  UNION ALL SELECT b AS node FROM e$rounds)
+        |GROUP BY node ORDER BY node
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.KCore
+      val p = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), substring(trim(col("text")), 1, 12).as("s"))
+      val edges = p.select(col("doc_id").as("a"), col("s"))
+        .join(p.select(col("doc_id").as("b"), col("s")), Seq("s"))
+        .where(col("a") < col("b"))
+      KCore.kCorePeel(edges, "a", "b", k, rounds)
+        .orderBy(col("node"))
+    }
+  }
 
   /** Zipf-law fit (composition: token counts → SortedNeighborhood.
     * globalRank → Stats.linearFit): regress ln(freq) on ln(rank) over
