@@ -20,7 +20,39 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155)
+      q150, q151, q152, q153, q154, q155, q156)
+
+  /** Sampled-aggregate calibration (Sampling.sampleEstimate): per
+    * source, exact count/char-sum next to the 20%-hash-sample scaled
+    * estimates and signed errors — the evidence table for "is the
+    * cheap estimator good enough" before trusting it at scale. One
+    * scan, one exchange: the sample is a conditional aggregate inside
+    * the same partial aggregation, never a second pass. */
+  def q156: Q = Q(
+    "q156_sample_calibration",
+    Some(s"""
+      |WITH b AS (
+      |  SELECT source, n_chars,
+      |         (${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "cal")}) % 100
+      |           AS bucket
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS exact_n,
+      |         CAST(sum(n_chars) AS BIGINT) AS exact_sum,
+      |         CAST(count(CASE WHEN bucket < 20 THEN 1 END) * 5 AS BIGINT)
+      |           AS est_n,
+      |         CAST(coalesce(sum(CASE WHEN bucket < 20 THEN n_chars END), 0)
+      |              * 5 AS BIGINT) AS est_sum
+      |  FROM b GROUP BY source)
+      |SELECT source, exact_n, exact_sum, est_n, est_sum,
+      |       est_n - exact_n AS err_n, est_sum - exact_sum AS err_sum
+      |FROM g ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    Sampling.sampleEstimate(
+      Tables.documents(s, dir), Seq("source"), "doc_id", "n_chars",
+      pct = 20, salt = "cal")
+      .orderBy(col("source"))
+  }
 
   /** 2-core of the shared-prefix similarity graph (operators/KCore):
     * q130's graph peeled until every surviving doc keeps ≥ 2

@@ -627,4 +627,34 @@ object ManifestCommit {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+
+  /** One schema-drift finding between two generations. `change` is
+    * "added" | "removed" | "type_changed"; types are Spark simpleString
+    * ("absent" for the missing side). */
+  final case class SchemaChange(
+      column: String, change: String, fromType: String, toType: String)
+
+  /** Detect schema drift between two committed generations — the
+    * ingest tripwire a versioned dataset runs before publishing
+    * (round 5's environment drift was exactly an unnoticed type
+    * change; this makes the same class of break a one-line report for
+    * DATA, not just the env). Footer-only work: schemas come from the
+    * generations' parquet metadata, nothing scans. Columns are
+    * compared by name; order changes are not drift. */
+  def schemaDiff(spark: SparkSession, path: String,
+      fromGen: Long, toGen: Long): Seq[SchemaChange] = {
+    def fields(g: Long): Map[String, String] =
+      readAt(spark, path, g).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val a = fields(fromGen)
+    val b = fields(toGen)
+    val added = (b.keySet -- a.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "added", "absent", b(c)))
+    val removed = (a.keySet -- b.keySet).toSeq.sorted
+      .map(c => SchemaChange(c, "removed", a(c), "absent"))
+    val changed = (a.keySet & b.keySet).toSeq.sorted
+      .filter(c => a(c) != b(c))
+      .map(c => SchemaChange(c, "type_changed", a(c), b(c)))
+    added ++ removed ++ changed
+  }
 }

@@ -240,6 +240,38 @@ object Sampling {
       .drop("__offset")
   }
 
+  /** Sampled-aggregate accuracy report: per group, the EXACT count and
+    * sum next to the `pct`%-hash-sample scaled estimates and their
+    * signed errors — the calibration table that tells you whether the
+    * cheap estimator is good enough before you point it at 100 TB
+    * (where the exact pass is the expensive one and this report, run
+    * once on a slice, is the evidence). Deterministic sample (salted
+    * hash, not RNG), integer arithmetic throughout: `pct` must divide
+    * 100 so the scale factor is an exact integer.
+    *
+    * Scale shape: one scan feeds both aggregates (conditional sums on
+    * the bucket predicate — the sample is a filter inside the same
+    * partial aggregation, not a second pass), one group-by exchange.
+    * Output: (keys…, exact_n, exact_sum, est_n, est_sum, err_n,
+    * err_sum). */
+  def sampleEstimate(
+      df: DataFrame, keys: Seq[String], idCol: String, valueCol: String,
+      pct: Int, salt: String): DataFrame = {
+    require(pct >= 1 && pct <= 100 && 100 % pct == 0,
+      s"pct must divide 100: $pct")
+    val scale = (100 / pct).toLong
+    val inSample = hashBucket(col(idCol), salt) < pct
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("exact_n"),
+        sum(col(valueCol)).cast("long").as("exact_sum"),
+        (count(when(inSample, lit(1))) * scale).as("est_n"),
+        (coalesce(sum(when(inSample, col(valueCol))), lit(0L)) * scale)
+          .cast("long").as("est_sum"))
+      .withColumn("err_n", col("est_n") - col("exact_n"))
+      .withColumn("err_sum", col("est_sum") - col("exact_sum"))
+  }
+
   /** Stratified variant: per-stratum keep-percentages (e.g. language
     * rebalancing), unmatched strata keep `defaultPct`. */
   def stratifiedHashSample(
