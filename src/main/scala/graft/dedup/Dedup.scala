@@ -150,6 +150,56 @@ object Dedup {
   def simHash(text: Column, bits: Int = 32): Column =
     SketchExprs.simHash64(TextAnalysis.tokens(text), bits, PolyHash.DefaultMult, Mod)
 
+  /** SimHash Hamming-distance join (Manku et al. 2007 — the web-crawl
+    * dedup design): all pairs whose 32-bit SimHash signatures differ
+    * in ≤ `maxDist` bits. Pigeonhole-EXACT candidate generation: the
+    * signature splits into maxDist+1 equal bands, and two signatures
+    * within Hamming maxDist MUST agree exactly on at least one band —
+    * so banding here is lossless (unlike MinHash banding, which is
+    * probabilistic). The verify is one codegen'd
+    * bit_count(xor) per candidate. This is the near-dup join to reach
+    * for when documents are long and shingle sets are too heavy to
+    * ship: the WHOLE document becomes 4 bytes, and the join shuffles
+    * only (band, 8-bit value, id) rows.
+    *
+    * `maxDist + 1` must divide 32 (use 1, 3, 7, 15). Output: (a, b,
+    * hamming), a < b, ordered nowhere (orderBy downstream).
+    *
+    * Scale shape: one scan → signature (native kernel, scan-stage) →
+    * (maxDist+1)-way band explode of ids-only rows → band-bucket
+    * equi-join → distinct pairs → one bit-op verify. Hot buckets
+    * (identical near-empty docs) fan out quadratically — the same
+    * contract as every banding join here; cap upstream if the corpus
+    * has giant identical-signature classes. */
+  def simHashHammingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && 32 % (maxDist + 1) == 0,
+      s"maxDist+1 must divide 32: $maxDist")
+    val bands = maxDist + 1
+    val bandBits = 32 / bands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("__id"),
+      simHash(col(textCol)).as("__sig"))
+    val banded = sig.select(col("__id"), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("__b"))
+      .withColumn("__bv",
+        expr(s"shiftright(__sig, $bandBits * __b)").bitwiseAND(lit(mask)))
+      .select("__id", "__sig", "__b", "__bv")
+    banded.as("x").join(banded.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__bv") === col("y.__bv") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.__sig").as("__sa"), col("y.__sig").as("__sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Streaming (cross-micro-batch) exact dedup for incremental corpus
     * ingestion: keep the FIRST-arriving row per content fingerprint.
     * `dropDuplicatesWithinWatermark` bounds the dedup state to the

@@ -6,7 +6,7 @@ import graft.Tables
 import graft.sim.{AnnEval, Similarity}
 import graft.text.{Sampling, Sharding, TextAnalysis, Versioning}
 import CorpusQueries.{sqlCosine, sqlHyperplaneCell, sqlQualityExpr}
-import PipelineQueries.{sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlTokens}
+import PipelineQueries.{sqlCharFold, sqlContentFp, sqlInList, sqlSaltedHash, sqlShingles, sqlSimhash, sqlTokens}
 
 /** Round-5 evaluation + versioning operators: corpus snapshot diff,
   * ANN recall evaluation, budget-constrained greedy selection. Same
@@ -20,7 +20,33 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156)
+      q150, q151, q152, q153, q154, q155, q156, q157)
+
+  /** SimHash Hamming join (Dedup.simHashHammingPairs — the Manku 2007
+    * crawl-dedup design): all pairs with ≤ 1 differing signature bit,
+    * found by pigeonhole-EXACT 16-bit banding (a pair within Hamming 1
+    * must agree exactly on one of the two halves — lossless, unlike
+    * MinHash banding). Whole documents travel as 4 bytes. The oracle
+    * is the naive all-pairs bit_count(xor), so equality proves the
+    * banding dropped nothing. */
+  def q157: Q = Q(
+    "q157_simhash_hamming_join",
+    Some(s"""
+      |WITH t AS (SELECT doc_id,
+      |                  list_transform(${sqlTokens("text")},
+      |                                 w -> ${sqlCharFold("w")}) AS hs
+      |           FROM documents),
+      |sig AS (SELECT doc_id, ${sqlSimhash("hs")} AS s FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |         CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+      |SELECT a, b, hamming FROM p WHERE hamming <= 1 ORDER BY a, b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    Dedup.simHashHammingPairs(Tables.documents(s, dir), "doc_id", "text", 1)
+      .orderBy(col("a"), col("b"))
+  }
 
   /** Sampled-aggregate calibration (Sampling.sampleEstimate): per
     * source, exact count/char-sum next to the 20%-hash-sample scaled

@@ -333,6 +333,18 @@ object PipelineQueries {
   }
 
   /** SimHash signatures (32-bit, ±1 votes per token-hash bit). */
+  /** ≙ Dedup.simHash over pre-hashed token list `hs` (32-bit majority
+    * vote per bit). Shared by q29 and the Hamming-join oracle. */
+  private[queries] def sqlSimhash(hs: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 32), b ->
+       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform($hs, h -> CASE WHEN (h >> b) % 2 = 1
+       |                                        THEN 1 ELSE -1 END)),
+       |           (a, v) -> a + v) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+       |  (a, v) -> a + v)""".stripMargin
+
   def q29: Q = Q(
     "q29_simhash",
     Some(s"""
@@ -340,14 +352,7 @@ object PipelineQueries {
       |                  list_transform(${sqlTokens("text")}, w -> ${sqlCharFold("w")}) AS hs
       |           FROM documents)
       |SELECT doc_id,
-      |       list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |         list_transform(range(0, 32), b ->
-      |           CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |                  list_transform(hs, h -> CASE WHEN (h >> b) % 2 = 1
-      |                                               THEN 1 ELSE -1 END)),
-      |                  (a, v) -> a + v) > 0
-      |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
-      |         (a, v) -> a + v) AS simhash
+      |       ${sqlSimhash("hs")} AS simhash
       |FROM t ORDER BY doc_id
       |""".stripMargin)) { (s, dir) =>
     Tables.documents(s, dir).select(
