@@ -20,7 +20,54 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158)
+
+  /** Cardinality profile (Profile.cardinality): the data-catalog
+    * report — per column: rows, nulls, LinearCount distinct estimate —
+    * from one zero-group null pass plus ONE sketch pass over the
+    * stacked columns (never a countDistinct shuffle per column). The
+    * oracle replays the stack, the null counts, and q135's sketch
+    * estimate per column. */
+  def q158: Q = {
+    val m = 256
+    Q("q158_cardinality_profile",
+      Some(s"""
+        |WITH stacked AS (
+        |  SELECT 'lang' AS "column", lang AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |nulls AS (
+        |  SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT)
+        |           AS n_nulls
+        |  FROM stacked GROUP BY "column"),
+        |b AS (
+        |  SELECT DISTINCT "column",
+        |         (${sqlSaltedHash("v", "prof")}) % $m AS bucket
+        |  FROM stacked WHERE v IS NOT NULL),
+        |agg AS (
+        |  SELECT "column", CAST(count(DISTINCT bucket) AS BIGINT) AS d
+        |  FROM b GROUP BY "column")
+        |SELECT n."column" AS "column", n.n_rows, n.n_nulls,
+        |       CASE WHEN a.d IS NOT NULL THEN CAST($m AS BIGINT) END AS m,
+        |       a.d,
+        |       CASE WHEN a.d < $m THEN CAST(
+        |         CAST(-$m AS DECIMAL(10,0)) *
+        |         CAST(ln(CAST($m - a.d AS DOUBLE) / CAST($m AS DOUBLE))
+        |              AS DECIMAL(18,9))
+        |         AS DOUBLE) END AS est
+        |FROM nulls n LEFT JOIN agg a USING ("column")
+        |ORDER BY "column"
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Profile
+      Profile.cardinality(
+        Tables.documents(s, dir).select("lang", "source", "n_chars"),
+        Seq("lang", "source", "n_chars"), m, "prof")
+        .orderBy(col("column"))
+    }
+  }
 
   /** SimHash Hamming join (Dedup.simHashHammingPairs — the Manku 2007
     * crawl-dedup design): all pairs with ≤ 1 differing signature bit,

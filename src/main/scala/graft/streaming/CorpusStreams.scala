@@ -74,4 +74,57 @@ object CorpusStreams {
           out.iterator
       }
   }
+
+  final case class ResIn(group: String, id: Long, es_key: Double)
+  final case class ResState(version: Long, top: List[(Double, Long)])
+  final case class ResOut(
+      group: String, version: Long, rank: Int, id: Long, es_key: Double)
+
+  /** Streaming weighted reservoir (Efraimidis–Spirakis top-k by
+    * u^(1/w), the same deterministic salted-hash keys as
+    * `Sampling.weightedSample`) — per group, the k highest-key items
+    * seen so far, carried across micro-batches as O(k) group state.
+    * Because the keys are data-deterministic (no RNG state), the
+    * reservoir after ANY arrival order equals the batch operator over
+    * the same rows — the property the spec pins, and the reason this
+    * face composes with replay/backfill (re-running the stream cannot
+    * change the sample).
+    *
+    * Emits the full reservoir after every batch, stamped with a
+    * monotonically increasing state version; readers take the max
+    * version per group (Update-mode sinks see one row set per batch).
+    */
+  def weightedReservoirStream(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int, salt: String): Dataset[ResOut] = {
+    require(k >= 1, s"reservoir needs k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mod = graft.functions.PolyHash.DefaultMod
+    val u = (graft.functions.PolyHash.saltedHash(col(idCol), salt)
+      .cast("double") + lit(0.5)) / lit(mod.toDouble)
+    val src = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("es_key"))
+      .as[ResIn]
+    src.groupByKey(_.group)
+      .flatMapGroupsWithState[ResState, ResOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group, rows, state) =>
+          val prev = state.getOption.getOrElse(ResState(0L, Nil))
+          // merge batch into the O(k) reservoir: higher key wins,
+          // ties break toward the smaller id (the batch tie rule)
+          val merged = (prev.top ++ rows.map(r => (r.es_key, r.id)))
+            .distinct // re-delivered ids carry identical keys: idempotent
+            .sortBy { case (es, id) => (-es, id) }
+            .take(k)
+          val st = ResState(prev.version + 1, merged)
+          state.update(st)
+          merged.zipWithIndex.iterator.map { case ((es, id), i) =>
+            ResOut(group, st.version, i + 1, id, es)
+          }
+      }
+  }
 }

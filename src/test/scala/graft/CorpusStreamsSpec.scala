@@ -172,4 +172,35 @@ class CorpusStreamsSpec extends AnyFunSuite {
     }
     assert(batch2Continues, "no bin spanned the micro-batch boundary — fixture too weak")
   }
+
+  test("streaming weighted reservoir equals the batch sample, any arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CorpusStreams
+    import graft.text.Sampling
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows: Seq[(Long, Long)] =
+      (1L to 40L).map(i => i -> (i % 7 + 1)) // (id, weight)
+    val mem = MemoryStream[(Long, Long)]
+    val q = CorpusStreams.weightedReservoirStream(
+      mem.toDF.toDF("id", "w").withColumn("g", lit("all")),
+      "g", "id", "w", k = 5, salt = "res1")
+      .writeStream.format("memory").queryName("res_out")
+      .outputMode("update").start()
+    try {
+      // arrival order deliberately scrambled + one re-delivery
+      val (b1, b2) = rows.reverse.splitAt(15)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2 ++ b1.take(3): _*)
+      q.processAllAvailable()
+      val out = spark.table("res_out")
+      val maxV = out.agg(max("version")).head().getLong(0)
+      val streamed = out.where(col("version") === maxV)
+        .orderBy("rank").select("id").as[Long].collect().toSeq
+      val batch = Sampling.weightedSample(
+        rows.toDF("id", "w"), "id", "w", k = 5, salt = "res1")
+        .select("id").as[Long].collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
