@@ -58,6 +58,34 @@ object OrderStats {
         col(valueCol).as("value")): _*)
   }
 
+  /** Rank normalization to integer permille — the monotone feature
+    * transform (percent_rank scaled to [0, 1000]) that makes heavy-
+    * tailed columns comparable across groups without touching floats:
+    * permille = (rank−1)·1000 div (n−1), with rank() semantics (ties
+    * share the rank of their first member, so equal values ALWAYS map
+    * to equal permilles — row_number would split them by an arbitrary
+    * tiebreak, which is wrong for a feature). Single-member groups map
+    * to 0.
+    *
+    * Scale shape: one hash exchange per group + one window pass
+    * (rank + count share the partitioning), no joins. Output: input
+    * columns + `permille`. Null values drop. */
+  def rankNormalize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(keys.map(col): _*)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__rk", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("permille",
+        when(col("__n") > 1,
+          expr("((__rk - 1) * 1000) div (__n - 1)")).otherwise(lit(0L)))
+      .drop("__rk", "__n")
+  }
+
   /** Equal-frequency binning: assign each row the bin index
     * `#{boundaries < value}` where the boundaries are the exact
     * [[quantilesDisc]] values at `ps` — quartile/decile feature

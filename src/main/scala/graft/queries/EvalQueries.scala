@@ -20,7 +20,32 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+
+  /** Rank normalization (OrderStats.rankNormalize): per-source integer
+    * permille percent-rank of document length — the monotone feature
+    * transform with tie-safety (equal lengths always share a
+    * permille; rank(), never row_number). Pure integer arithmetic,
+    * one window pass. */
+  def q159: Q = Q(
+    "q159_rank_normalize",
+    Some("""
+      |SELECT doc_id, source, n_chars,
+      |       CASE WHEN n > 1 THEN ((rk - 1) * 1000) // (n - 1)
+      |            ELSE 0 END AS permille
+      |FROM (
+      |  SELECT doc_id, source, n_chars,
+      |         rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    OrderStats.rankNormalize(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      Seq("source"), "n_chars")
+      .orderBy(col("doc_id"))
+  }
 
   /** Cardinality profile (Profile.cardinality): the data-catalog
     * report — per column: rows, nulls, LinearCount distinct estimate —

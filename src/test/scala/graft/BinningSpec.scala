@@ -28,6 +28,23 @@ class BinningSpec extends AnyFunSuite {
     assert(bins(rows, Seq(250, 500, 750)).forall(_._3 == 0L))
   }
 
+  private def norm(rows: Seq[(String, Long)]) =
+    OrderStats.rankNormalize(rows.toDF("g", "v"), Seq("g"), "v")
+      .select("g", "v", "permille").as[(String, Long, Long)]
+      .collect().toSeq.sorted
+
+  test("rankNormalize: endpoints 0 and 1000, ties share a permille") {
+    val out = norm(Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L),
+      ("a", 40L)))
+    // ranks: 10→1, 20→2, 20→2, 30→4, 40→5; n=5 → (r-1)*1000 div 4
+    assert(out.map(r => r._2 -> r._3).distinct.sorted ==
+      Seq(10L -> 0L, 20L -> 250L, 30L -> 750L, 40L -> 1000L))
+  }
+
+  test("rankNormalize: a singleton group maps to 0") {
+    assert(norm(Seq(("a", 99L))) == Seq(("a", 99L, 0L)))
+  }
+
   test("groups bin independently") {
     val rows = (1L to 4L).map(("a", _)) ++ (101L to 104L).map(("b", _))
     val out = bins(rows, Seq(500))
