@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Interval coverage — merge overlapping intervals into maximal spans
   * (gaps-and-islands over true intervals, not points) and read the
@@ -78,5 +79,58 @@ object Intervals {
       .where(col("__next").isNotNull && col("__next") > col("span_end") + 1)
       .select(keys :+ col("span_end").as("gap_start") :+
         col("__next").as("gap_end"): _*)
+  }
+
+  /** Concurrency profile — per time bucket, how many intervals are
+    * active (interval stabbing count): the capacity question ("peak
+    * concurrent sessions per hour") answered WITHOUT a range join of
+    * intervals against the bucket grid. Each interval contributes one
+    * +1 at its start bucket and one −1 after its end bucket; two
+    * prefix sums over the grid recover the active count exactly:
+    * active(b) = #\{start ≤ b\} − #\{end < b\}.
+    *
+    * Scale shape: the interval table reduces to two bucket-keyed count
+    * aggregations (partial-combined, |buckets|-bounded); the only
+    * non-parallel step is the prefix sum over the GRID, which is
+    * calendar-bounded (a year of hours is 8 760 rows) — a deliberate
+    * single-partition window over a tiny table, never over data. The
+    * grid bounds are two driver-side scalars (the M3 collect rule).
+    *
+    * Output: (bucket, n_starts, n_ends, n_active) for every bucket in
+    * [min start-bucket, max end-bucket]. Intervals with s > e drop. */
+  def concurrencyProfile(
+      df: DataFrame,
+      sCol: String,
+      eCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1: $bucketWidth")
+    val spark = df.sparkSession
+    val b = df.where(col(sCol) <= col(eCol))
+      .select(expr(s"$sCol div $bucketWidth").as("__sb"),
+        expr(s"$eCol div $bucketWidth").as("__eb"))
+      .materialize()
+    val bounds = b.agg(min(col("__sb")), max(col("__eb"))).head()
+    if (bounds.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("bucket", "n_starts", "n_ends", "n_active")
+    }
+    val starts = b.groupBy(col("__sb").as("bucket"))
+      .agg(count(lit(1)).as("__ns"))
+    val ends = b.groupBy(col("__eb").as("bucket"))
+      .agg(count(lit(1)).as("__ne"))
+    val grid = spark.range(bounds.getLong(0), bounds.getLong(1) + 1)
+      .toDF("bucket")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(starts, Seq("bucket"), "left")
+      .join(ends, Seq("bucket"), "left")
+      .withColumn("n_starts", coalesce(col("__ns"), lit(0L)))
+      .withColumn("n_ends", coalesce(col("__ne"), lit(0L)))
+      .withColumn("__cs", sum(col("n_starts")).over(w))
+      .withColumn("__ce", sum(col("n_ends")).over(w))
+      .withColumn("n_active", col("__cs") - (col("__ce") - col("n_ends")))
+      .select("bucket", "n_starts", "n_ends", "n_active")
   }
 }

@@ -20,7 +20,64 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+
+  /** Session concurrency profile (Intervals.concurrencyProfile): how
+    * many user sessions are active in each hour — interval stabbing
+    * answered with two bucket-count aggregations and a prefix sum over
+    * the calendar-bounded grid, never a range join of sessions against
+    * buckets. Sessions are the 30-minute-gap merge of each user's
+    * event points (q115's machinery, maxGap face). The ORACLE is the
+    * naive grid × sessions containment join — the semantic spec the
+    * prefix-sum plan must reproduce exactly. */
+  def q160: Q = {
+    val gapUs = 1800000000L // 30 min
+    val hourUs = 3600000000L
+    Q("q160_session_concurrency",
+      Some(s"""
+        |WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) AS e
+        |  FROM events),
+        |o AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS pm
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN pm IS NULL OR s > pm + $gapUs
+        |                     THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             AS isl
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, min(s) AS ss, max(e) AS se
+        |  FROM g GROUP BY user_id, isl),
+        |sb AS (SELECT ss // $hourUs AS sbk, se // $hourUs AS ebk FROM sess),
+        |bounds AS (SELECT min(sbk) AS lo, max(ebk) AS hi FROM sb),
+        |grid AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS bucket FROM bounds)
+        |SELECT grid.bucket,
+        |       CAST(sum(CASE WHEN sb.sbk = grid.bucket THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_starts,
+        |       CAST(sum(CASE WHEN sb.ebk = grid.bucket THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_ends,
+        |       CAST(sum(CASE WHEN sb.sbk <= grid.bucket
+        |                      AND grid.bucket <= sb.ebk THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_active
+        |FROM grid CROSS JOIN sb
+        |GROUP BY grid.bucket ORDER BY grid.bucket
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Intervals
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("s"),
+          expr("ts div 1000").as("e"))
+      val sess = Intervals.mergeOverlapping(iv, Seq("user_id"), "s", "e",
+        maxGap = gapUs)
+      Intervals.concurrencyProfile(sess, "span_start", "span_end", hourUs)
+        .orderBy(col("bucket"))
+    }
+  }
 
   /** Rank normalization (OrderStats.rankNormalize): per-source integer
     * permille percent-rank of document length — the monotone feature
