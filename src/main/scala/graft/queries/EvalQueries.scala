@@ -20,7 +20,59 @@ object EvalQueries {
       q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
+      q161)
+
+  /** Transcript assembly with loss-mask offsets (text/Transcript):
+    * each user's event stream becomes role-tagged turns — keep the
+    * trailing 5 (context truncation drops the OLDEST), 1-based
+    * chronological turn index, and exact character offsets into the
+    * newline-joined transcript (what loss masking consumes). One
+    * exchange: every window shares the conversation partitioning. */
+  def q161: Q = Q(
+    "q161_transcript_turns",
+    Some("""
+      |WITH t AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+      |              ELSE 'assistant' END AS role,
+      |         event_type || ':' ||
+      |           CAST(coalesce(CAST(floor(value * 100) AS BIGINT), -1)
+      |                AS VARCHAR) AS content
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rec
+      |  FROM t),
+      |k AS (SELECT * FROM r WHERE rec <= 5),
+      |o AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS turn_idx,
+      |         length(role) + 2 + length(content) AS len
+      |  FROM k),
+      |f AS (
+      |  SELECT *, coalesce(sum(len + 1) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS start_off
+      |  FROM o)
+      |SELECT user_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, content,
+      |       CAST(start_off AS BIGINT) AS start_off,
+      |       CAST(start_off + len AS BIGINT) AS end_off
+      |FROM f ORDER BY user_id, turn_idx
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Transcript
+    Transcript.turns(
+      Tables.events(s, dir),
+      "user_id", "ts", "event_id",
+      role = when(col("event_type").isin("click", "view"), lit("user"))
+        .otherwise(lit("assistant")),
+      content = concat(col("event_type"), lit(":"),
+        coalesce(floor(col("value") * 100).cast("long"), lit(-1L))
+          .cast("string")),
+      lastK = 5)
+      .orderBy(col("user_id"), col("turn_idx"))
+  }
 
   /** Session concurrency profile (Intervals.concurrencyProfile): how
     * many user sessions are active in each hour — interval stabbing
