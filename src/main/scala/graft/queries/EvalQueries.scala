@@ -21,7 +21,19 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161)
+      q161, q162)
+
+  /** Compression-ratio quality signal (text/Compressibility): per-doc
+    * deflate ratio — the language-agnostic repetition detector
+    * (boilerplate compresses; natural text does not). zlib exists only
+    * JVM-side, so this row is rows-only at the driver BY DESIGN (no
+    * oracle pretends otherwise); determinism and the
+    * repetitive-vs-natural ordering are spec-pinned. */
+  def q162: Q = Q("q162_compressibility", None) { (s, dir) =>
+    import graft.text.Compressibility
+    Compressibility.deflateRatio(Tables.documents(s, dir), "doc_id", "text")
+      .toDF().orderBy(col("doc_id"))
+  }
 
   /** Transcript assembly with loss-mask offsets (text/Transcript):
     * each user's event stream becomes role-tagged turns — keep the
