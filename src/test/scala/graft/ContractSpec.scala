@@ -23,7 +23,8 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly === Set(
       "q35_train_score_blend", // MLlib training: metrics-tolerance, not hashes
       "q38_approx_sketches",   // HLL internals differ across engines
-      "q55_ivf_ann"))          // KMeans quantizer is fp-order sensitive
+      "q55_ivf_ann",           // KMeans quantizer is fp-order sensitive
+      "q162_compressibility")) // zlib is JVM-side; no SQL engine replays it
   }
 
   test("typed Dataset views of domain frames round-trip") {
