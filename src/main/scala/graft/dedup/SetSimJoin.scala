@@ -40,12 +40,24 @@ object SetSimJoin {
     * sets match nothing (Jaccard undefined). */
   /** Canonical per-set form shared by both joins: (id, elems sorted
     * rarity-first, n). Set-dim-sized and consumed by several branches,
-    * so it materializes once. */
+    * so it materializes once.
+    *
+    * Elements travel as their ~62-bit content fingerprint, not the
+    * string: every downstream shuffle (distinct, frequency join,
+    * candidate equi-join) carries 8-byte keys instead of ~30-byte
+    * shingle text, per-set sorting compares longs, and the verify's
+    * array_intersect hashes longs — the exact-dedup fingerprint
+    * discipline (q26) applied to set elements. Exactness contract:
+    * distinct elements colliding on the fingerprint would merge; at
+    * 2^62 the expected collision count is ~n²/2^63 — vanishing below
+    * corpus scales where this operator is usable at all, and the
+    * DuckDB oracle (which joins on the raw strings) would catch one. */
   private def canonicalSets(
       df: DataFrame, idCol: String, setCol: String): DataFrame = {
     val elems = df
-      .select(col(idCol).as("__id"), explode(col(setCol)).as("__e"))
-      .where(col("__e").isNotNull)
+      .select(col(idCol).as("__id"), explode(col(setCol)).as("__e0"))
+      .where(col("__e0").isNotNull)
+      .select(col("__id"), Dedup.contentFingerprint(col("__e0")).as("__e"))
       .distinct()
     val freq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
     // Rarity-first canonical order, realized per set as one in-row
