@@ -21,7 +21,56 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162)
+      q161, q162, q163)
+
+  /** Embedding centroid drift (sim/EmbeddingDrift): per-stratum cosine
+    * between the 90%-snapshot and full-corpus centroid directions —
+    * the vector sibling of the q140 PSI gate. Components quantize to
+    * fixed-point at the scan; cosine-of-centroids = cosine-of-SUMS
+    * (scale-invariant, so no mean division), integer dot products
+    * exact in DECIMAL/HUGEINT, one pinned IEEE divide. */
+  def q163: Q = Q(
+    "q163_embedding_drift",
+    Some("""
+      |WITH qa AS (
+      |  SELECT vec_id % 4 AS g, u.d AS dim,
+      |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 1000)
+      |              AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(0, 64)) AS u(d)
+      |  WHERE vec_id % 10 != 0),
+      |qb AS (
+      |  SELECT vec_id % 4 AS g, u.d AS dim,
+      |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 1000)
+      |              AS BIGINT) AS q
+      |  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+      |sa AS (SELECT g, dim, sum(q) AS s, count(*) AS n
+      |       FROM qa GROUP BY g, dim),
+      |sb AS (SELECT g, dim, sum(q) AS s, count(*) AS n
+      |       FROM qb GROUP BY g, dim),
+      |j AS (
+      |  SELECT sa.g, max(sa.n) AS n_a, max(sb.n) AS n_b,
+      |         sum(CAST(sa.s AS HUGEINT) * sb.s) AS dot,
+      |         sum(CAST(sa.s AS HUGEINT) * sa.s) AS na2,
+      |         sum(CAST(sb.s AS HUGEINT) * sb.s) AS nb2
+      |  FROM sa JOIN sb ON sa.g = sb.g AND sa.dim = sb.dim
+      |  GROUP BY sa.g)
+      |SELECT g AS stratum, CAST(n_a AS BIGINT) AS n_a,
+      |       CAST(n_b AS BIGINT) AS n_b, CAST(dot AS BIGINT) AS dot,
+      |       CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2,
+      |       CASE WHEN na2 > 0 AND nb2 > 0 THEN
+      |         CAST(dot AS DOUBLE)
+      |           / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+      |       END AS cos
+      |FROM j ORDER BY stratum
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.EmbeddingDrift
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("stratum", col("vec_id") % 4)
+    EmbeddingDrift.centroidDrift(
+      emb.where(col("vec_id") % 10 =!= 0), emb,
+      "stratum", "embedding", dims = 64)
+      .orderBy(col("stratum"))
+  }
 
   /** Compression-ratio quality signal (text/Compressibility): per-doc
     * deflate ratio — the language-agnostic repetition detector
