@@ -21,7 +21,91 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163)
+      q161, q162, q163, q164)
+
+  /** MinHash estimator calibration (composition: SetSimJoin exact
+    * pairs × q27 signatures): for every pair with exact Jaccard ≥ 0.3,
+    * the 32-perm signature-agreement estimate next to the exact value
+    * and its signed error — the evidence table for "how much recall/
+    * precision does the sketch buy" before trusting banding at scale
+    * (q156's calibration discipline applied to MinHash). All integer
+    * permilles. */
+  def q164: Q = {
+    import graft.dedup.Dedup
+    val perms = (0 until 32).map(p => s"[${Dedup.permA(p)}, ${Dedup.permB(p)}]")
+      .mkString("[", ", ", "]")
+    Q("q164_minhash_calibration",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(${sqlShingles("toks")}) AS s
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |px AS (
+        |  SELECT pair.a, pair.b, inter,
+        |         na.c + nb.c - inter AS uni
+        |  FROM pair
+        |  JOIN n na ON na.doc_id = pair.a
+        |  JOIN n nb ON nb.doc_id = pair.b
+        |  WHERE inter * 100 >= 30 * (na.c + nb.c - inter)),
+        |shl AS (SELECT doc_id, ${sqlShingles("toks")} AS shingles FROM t),
+        |hh AS (SELECT doc_id,
+        |              list_transform(shingles, s0 -> ${sqlCharFold("s0")})
+        |                AS hashes
+        |       FROM shl),
+        |sig AS (SELECT doc_id,
+        |               list_transform($perms, ab ->
+        |                 coalesce(list_min(list_transform(hashes,
+        |                   h -> (h * ab[1] + ab[2]) % ${Dedup.Mod})),
+        |                   ${Dedup.Mod})) AS sg
+        |        FROM hh),
+        |e AS (
+        |  SELECT px.a, px.b, px.inter, px.uni,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, 33), i ->
+        |             CASE WHEN sa.sg[i] = sb.sg[i]
+        |                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |             END)),
+        |           (x, v) -> x + v) AS agree
+        |  FROM px
+        |  JOIN sig sa ON sa.doc_id = px.a
+        |  JOIN sig sb ON sb.doc_id = px.b)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(uni AS BIGINT) AS uni, CAST(agree AS BIGINT) AS agree,
+        |       CAST(agree * 1000 // 32 AS BIGINT) AS est_permille,
+        |       CAST(inter * 1000 // uni AS BIGINT) AS exact_permille,
+        |       CAST(agree * 1000 // 32 - inter * 1000 // uni AS BIGINT)
+        |         AS err_permille
+        |FROM e ORDER BY a, b
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.{Dedup, SetSimJoin}
+      val docs = Tables.documents(s, dir)
+      val pairs = SetSimJoin.jaccardPairs(
+        docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh")),
+        "doc_id", "sh", 30)
+      val sigs = docs.select(col("doc_id"),
+        Dedup.minHashSignature(col("text"), perms = 32).as("sg"))
+      pairs
+        .join(sigs.select(col("doc_id").as("a"), col("sg").as("__sa")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("sg").as("__sb")), "b")
+        .withColumn("agree",
+          aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("est_permille", expr("(agree * 1000) div 32"))
+        .withColumn("exact_permille", expr("(inter * 1000) div uni"))
+        .withColumn("err_permille",
+          col("est_permille") - col("exact_permille"))
+        .select(col("a"), col("b"), col("inter"), col("uni"), col("agree"),
+          col("est_permille"), col("exact_permille"), col("err_permille"))
+        .orderBy(col("a"), col("b"))
+    }
+  }
 
   /** Embedding centroid drift (sim/EmbeddingDrift): per-stratum cosine
     * between the 90%-snapshot and full-corpus centroid directions —
