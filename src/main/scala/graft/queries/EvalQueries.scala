@@ -21,7 +21,64 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163, q164)
+      q161, q162, q163, q164, q165)
+
+  /** Weak-supervision votes (text/WeakSupervision.voteAggregate): four
+    * deterministic labeling rules (length band, language whitelist
+    * with abstain, token band, distinct-token ratio) vote keep/drop
+    * per doc; the aggregate majority + margin is the routing signal.
+    * Entirely scan-stage integer arithmetic — zero exchanges before
+    * the output sort. */
+  def q165: Q = Q(
+    "q165_weak_supervision",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         ${sqlTokens("text")} AS toks
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_chars BETWEEN 100 AND 520 THEN 1 ELSE -1 END
+      |           AS r1,
+      |         CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS r2,
+      |         CASE WHEN len(toks) BETWEEN 20 AND 95 THEN 1 ELSE -1 END
+      |           AS r3,
+      |         CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+      |              THEN 1 ELSE -1 END AS r4
+      |  FROM t),
+      |a AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r3 = 1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r4 = 1 THEN 1 ELSE 0 END) AS n_keep,
+      |         (CASE WHEN r1 = -1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r2 = -1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r3 = -1 THEN 1 ELSE 0 END
+      |          + CASE WHEN r4 = -1 THEN 1 ELSE 0 END) AS n_drop
+      |  FROM v)
+      |SELECT doc_id, CAST(n_keep AS BIGINT) AS n_keep,
+      |       CAST(n_drop AS BIGINT) AS n_drop,
+      |       CASE WHEN n_keep > n_drop THEN 'keep'
+      |            WHEN n_drop > n_keep THEN 'drop'
+      |            ELSE 'abstain' END AS majority,
+      |       CAST(abs(n_keep - n_drop) AS BIGINT) AS margin
+      |FROM a ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.WeakSupervision
+    val toks = TextAnalysis.tokens(col("text"))
+    WeakSupervision.voteAggregate(
+      Tables.documents(s, dir),
+      Seq(
+        when(col("n_chars").between(100, 520), 1).otherwise(-1),
+        when(col("lang").isin("en", "de"), 1).otherwise(0),
+        when(size(toks).between(20, 95), 1).otherwise(-1),
+        when(size(array_distinct(toks)) * 2 >= size(toks), 1)
+          .otherwise(-1)))
+      .select(col("doc_id"), col("n_keep"), col("n_drop"), col("majority"),
+        col("margin"))
+      .orderBy(col("doc_id"))
+  }
 
   /** MinHash estimator calibration (composition: SetSimJoin exact
     * pairs × q27 signatures): for every pair with exact Jaccard ≥ 0.3,
