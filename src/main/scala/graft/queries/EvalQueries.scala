@@ -21,7 +21,68 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163, q164, q165)
+      q161, q162, q163, q164, q165, q166)
+
+  /** MMR diverse selection (text/MmrSelect): greedy top-5 by
+    * λ·quality − (1−λ)·max-Jaccard-to-selected over the top-40
+    * quality-prefiltered pool — the few-shot/demo-set builder (pure
+    * top-k returns near-copies). The prefilter is distributed; the
+    * inherently sequential greedy runs over the bounded pool. The
+    * oracle replays the ENTIRE greedy as five generated CTE rounds
+    * (argmax, then re-score against the union of picks), so
+    * hash-equality proves every pick and tie-break. */
+  def q166: Q = {
+    val simExpr =
+      """CASE WHEN len(c.sh) + len(s.sh) - len(list_intersect(c.sh, s.sh)) = 0
+        |     THEN 0
+        |     ELSE 1000 * len(list_intersect(c.sh, s.sh))
+        |          // (len(c.sh) + len(s.sh) - len(list_intersect(c.sh, s.sh)))
+        |END""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      s"""sc$r AS (
+         |  SELECT c.doc_id, c.q, c.sh, max($simExpr) AS msim
+         |  FROM top c CROSS JOIN all${r - 1} s
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM all${r - 1})
+         |  GROUP BY c.doc_id, c.q, c.sh),
+         |sel$r AS (
+         |  SELECT doc_id, q, sh, msim, $r AS r FROM sc$r
+         |  ORDER BY 70 * q - 30 * msim DESC, doc_id LIMIT 1),
+         |all$r AS (SELECT * FROM all${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q("q166_mmr_selection",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |c0 AS (
+        |  SELECT doc_id,
+        |         1000 * len(list_distinct(toks)) // len(toks) AS q,
+        |         list_distinct(${sqlShingles("toks")}) AS sh
+        |  FROM t),
+        |top AS (SELECT * FROM c0 ORDER BY q DESC, doc_id LIMIT 40),
+        |sel1 AS (
+        |  SELECT doc_id, q, sh, CAST(0 AS BIGINT) AS msim, 1 AS r
+        |  FROM top ORDER BY 70 * q DESC, doc_id LIMIT 1),
+        |all1 AS (SELECT * FROM sel1),
+        |$rounds
+        |SELECT doc_id, CAST(r AS BIGINT) AS sel_rank,
+        |       CAST(q AS BIGINT) AS quality,
+        |       CAST(msim AS BIGINT) AS max_sim_permille
+        |FROM all5 ORDER BY sel_rank
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.Dedup
+      import graft.text.MmrSelect
+      val cand = Tables.documents(s, dir)
+        .withColumn("__toks", TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          expr("(1000 * size(array_distinct(__toks))) div size(__toks)")
+            .as("q"),
+          array_distinct(Dedup.shingles(col("text"))).as("sh"))
+      val top = cand.orderBy(col("q").desc, col("doc_id")).limit(40)
+      MmrSelect.select(top, "doc_id", "q", "sh", k = 5, lam100 = 70)
+        .orderBy(col("sel_rank"))
+    }
+  }
 
   /** Weak-supervision votes (text/WeakSupervision.voteAggregate): four
     * deterministic labeling rules (length band, language whitelist
