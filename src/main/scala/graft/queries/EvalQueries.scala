@@ -21,7 +21,117 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163, q164, q165, q166)
+      q161, q162, q163, q164, q165, q166, q167, q168)
+
+  /** Coordinated (universe) sampling across a join: orders and
+    * lineitem each keep the rows whose SHARED key (orderkey) hashes
+    * under 20% — so the join of the samples IS a 20% sample of the
+    * join, the property independent per-table sampling lacks (two 20%
+    * Bernoulli samples intersect at 4%). Per nation: exact revenue vs
+    * the ×5-scaled estimate and its signed error — q156's calibration
+    * discipline for join pipelines. */
+  def q167: Q = Q(
+    "q167_coordinated_sample",
+    Some(s"""
+      |WITH so AS (
+      |  SELECT * FROM orders
+      |  WHERE (${sqlSaltedHash("CAST(o_orderkey AS VARCHAR)", "cs")})
+      |        % 100 < 20),
+      |sl AS (
+      |  SELECT * FROM lineitem
+      |  WHERE (${sqlSaltedHash("CAST(l_orderkey AS VARCHAR)", "cs")})
+      |        % 100 < 20),
+      |ex AS (
+      |  SELECT n_name, count(*) AS n_exact,
+      |         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |                       AS DECIMAL(28,6))) AS DOUBLE) AS exact_rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |es AS (
+      |  SELECT n_name, count(*) AS n_sample,
+      |         CAST(5 * sum(CAST(l_extendedprice * (1 - l_discount)
+      |                           AS DECIMAL(28,6))) AS DOUBLE) AS est_rev
+      |  FROM sl
+      |  JOIN so ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT ex.n_name AS n_name, CAST(n_exact AS BIGINT) AS n_exact,
+      |       CAST(coalesce(n_sample, 0) AS BIGINT) AS n_sample,
+      |       exact_rev, coalesce(est_rev, 0.0) AS est_rev,
+      |       coalesce(est_rev, 0.0) - exact_rev AS err_rev
+      |FROM ex LEFT JOIN es ON ex.n_name = es.n_name
+      |ORDER BY ex.n_name
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Sampling
+    def pipeline(li: org.apache.spark.sql.DataFrame,
+        ord: org.apache.spark.sql.DataFrame, scaleBy: Int,
+        nC: String, revC: String) =
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as(nC),
+          (lit(scaleBy) * sum((col("l_extendedprice") *
+              (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))))
+            .cast("double").as(revC))
+    val ex = pipeline(Tables.lineitem(s, dir), Tables.orders(s, dir), 1,
+      "n_exact", "exact_rev")
+    val es = pipeline(
+      Tables.lineitem(s, dir)
+        .where(Sampling.hashBucket(col("l_orderkey"), "cs") < 20),
+      Tables.orders(s, dir)
+        .where(Sampling.hashBucket(col("o_orderkey"), "cs") < 20), 5,
+      "n_sample", "est_rev")
+    ex.join(es.withColumnRenamed("n_name", "__n2"),
+        col("n_name") === col("__n2"), "left")
+      .select(col("n_name"), col("n_exact"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        col("exact_rev"),
+        coalesce(col("est_rev"), lit(0.0)).as("est_rev"),
+        (coalesce(col("est_rev"), lit(0.0)) - col("exact_rev"))
+          .as("err_rev"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Time-decayed aggregates (operators/TimeDecay.decayedAgg): per
+    * event type, the 24h-half-life decayed count and value sum against
+    * the corpus max timestamp — trending/freshness weighting. Integer
+    * ages, one shared decay-rate literal, every exp() output quantized
+    * to DECIMAL(18,9) before the order-free sum (the ln/PSI discipline
+    * applied to exp). */
+  def q168: Q = {
+    val rate = graft.operators.TimeDecay.decayRate(24)
+    Q("q168_time_decayed_counts",
+      Some(s"""
+        |WITH r AS (SELECT max(epoch_ns(ts)) AS ref FROM events),
+        |a AS (
+        |  SELECT event_type, value,
+        |         (r.ref - epoch_ns(ts)) // 3600000000000 AS age_h
+        |  FROM events CROSS JOIN r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(exp(CAST(age_h AS DOUBLE) * ($rate))
+        |                     AS DECIMAL(18,9))) AS DOUBLE)
+        |         AS decayed_count,
+        |       CAST(sum(CASE WHEN value IS NOT NULL THEN
+        |                CAST(exp(CAST(age_h AS DOUBLE) * ($rate))
+        |                     AS DECIMAL(12,6))
+        |                * CAST(value AS DECIMAL(12,3)) END) AS DOUBLE)
+        |         AS decayed_value
+        |FROM a GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.TimeDecay
+      TimeDecay.decayedAgg(Tables.events(s, dir), Seq("event_type"),
+        "ts", "value", halfLifeHours = 24)
+        .orderBy(col("event_type"))
+    }
+  }
 
   /** MMR diverse selection (text/MmrSelect): greedy top-5 by
     * λ·quality − (1−λ)·max-Jaccard-to-selected over the top-40
