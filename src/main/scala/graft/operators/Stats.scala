@@ -139,4 +139,58 @@ object Stats {
           col("num").cast("double") / col("den").cast("double")))
       .drop("__six")
   }
+
+  /** Per-group ranking AUC (Mann–Whitney U with average-rank ties) —
+    * "does this score actually separate the positives?", the
+    * model-free evaluation a curation pipeline runs on every quality /
+    * relevance signal before trusting it for selection.
+    *
+    * Computed over per-score counts, never per-row ranks: aggregate to
+    * (keys, score, n_pos, n_neg), prefix-sum negatives over the
+    * DISTINCT-score table, and fold
+    * 2U = Σ_s p_s·(2·negBelow_s + q_s) — the tied-pair term q_s
+    * contributing the ½ credit without ever leaving integers. AUC is
+    * then the ONE floating divide 2U / (2·n1·n0). Identical-score rows
+    * collapse before the window, so the sort is over the score
+    * vocabulary (bounded for any quantized signal), not the data — at
+    * 100 TB the exchange carries (keys, score) partial counts and the
+    * window runs on a dim-sized table.
+    *
+    * `scoreCol` must be integral-valued (quantize doubles first —
+    * repo-wide discipline); `labelCol` must be a 0/1 integral column.
+    * Rows with null score or label drop. Groups lacking both classes
+    * yield null auc (n_pos, n_neg still reported).
+    *
+    * Output: (keys…, n_pos, n_neg, u2, auc), u2 = 2·U.
+    */
+  def rankAuc(
+      df: DataFrame,
+      keys: Seq[String],
+      labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perScore = df
+      .select(keys.map(col) ++ Seq(
+        labelCol.cast("long").as("__y"), scoreCol.cast("long").as("__s")): _*)
+      .where(col("__y").isNotNull && col("__s").isNotNull)
+      .groupBy(keys.map(col) :+ col("__s"): _*)
+      .agg(sum(col("__y")).as("__p"),
+        (count(lit(1)) - sum(col("__y"))).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__s").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sums = perScore
+      .withColumn("__nb", coalesce(sum(col("__q")).over(w), lit(0L)))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__q")).as("n_neg"),
+        sum((col("__p").cast(d38) *
+          (lit(2).cast(d38) * col("__nb") + col("__q"))).cast(d38))
+          .cast(d38).as("u2"))
+    sums.withColumn("auc",
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("u2").cast("double") /
+          (lit(2d) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
 }

@@ -21,7 +21,108 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163, q164, q165, q166, q167, q168)
+      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+
+  /** Ranking AUC of the quality signal as an English detector, per
+    * source (Stats.rankAuc): Mann–Whitney with average-rank ties over
+    * per-score COUNTS — the window runs on the distinct-score table,
+    * never per-row; 2U stays an exact integer and the one divide is
+    * pinned. The score is the DECIMAL(18,9)-quantized quality ×1e9
+    * (integral, q104's representation discipline), so tie structure is
+    * identical cross-engine. */
+  def q170: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q170_quality_auc",
+      Some(s"""
+        |WITH t0 AS (
+        |  SELECT source, lang, text, ${sqlTokens("text")} AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT source,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         CAST(CAST(${sqlQualityExpr(sw)} AS DECIMAL(18,9))
+        |              * 1000000000 AS BIGINT) AS s
+        |  FROM t0 WHERE len(toks) > 0),
+        |g AS (
+        |  SELECT source, s, CAST(sum(y) AS BIGINT) AS p,
+        |         CAST(count(*) - sum(y) AS BIGINT) AS q
+        |  FROM t GROUP BY source, s),
+        |c AS (
+        |  SELECT source, s, p, q,
+        |         CAST(coalesce(sum(q) OVER (
+        |           PARTITION BY source ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS nb
+        |  FROM g),
+        |u AS (
+        |  SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+        |         CAST(sum(q) AS BIGINT) AS n_neg,
+        |         CAST(sum(CAST(p AS HUGEINT) * (2 * nb + q)) AS BIGINT) AS u2
+        |  FROM c GROUP BY source)
+        |SELECT source, n_pos, n_neg, u2,
+        |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |         CAST(u2 AS DOUBLE)
+        |           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |       END AS auc
+        |FROM u ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val base = Tables.documents(s, dir)
+        .where(col("text").isNotNull &&
+          TextAnalysis.tokenCount(col("text")) > 0)
+        .select(col("source"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"),
+          (TextAnalysis.qualityScore(col("text"), sw0)
+            .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+            .as("s"))
+      graft.operators.Stats.rankAuc(base, Seq("source"), col("y"), col("s"))
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          col("u2").cast("long").as("u2"), col("auc"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Market-basket frequent pairs (operators/Basket.frequentPairs):
+    * supplier pairs co-occurring within an order, A-priori-pruned
+    * before any pair is generated, with lift as an exact scaled
+    * integer (⌊1e6·N·c_xy/(c_x·c_y)⌋ — DECIMAL(38,0) interior here,
+    * HUGEINT in the oracle). The self-join shuffles only on the basket
+    * id; supports stay vocabulary-sized broadcasts. */
+  def q169: Q = Q(
+    "q169_basket_pairs",
+    Some("""
+      |WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      |tot AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+      |supp AS (
+      |  SELECT i, count(*) AS supp FROM items GROUP BY i
+      |  HAVING count(*) >= 50),
+      |freq AS (SELECT items.b, items.i FROM items JOIN supp USING (i)),
+      |pairs AS (
+      |  SELECT x.i AS item_a, y.i AS item_b, count(*) AS pair_support
+      |  FROM freq x JOIN freq y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY x.i, y.i
+      |  HAVING count(*) >= 10)
+      |SELECT item_a, item_b,
+      |       CAST(pair_support AS BIGINT) AS pair_support,
+      |       CAST(sa.supp AS BIGINT) AS supp_a,
+      |       CAST(sb.supp AS BIGINT) AS supp_b,
+      |       CAST((CAST(1000000 AS HUGEINT) * n_baskets * pair_support)
+      |            // (CAST(sa.supp AS HUGEINT) * sb.supp)
+      |            AS BIGINT) AS lift_ppm
+      |FROM pairs
+      |JOIN supp sa ON pairs.item_a = sa.i
+      |JOIN supp sb ON pairs.item_b = sb.i
+      |CROSS JOIN tot
+      |ORDER BY item_a, item_b
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.Basket.frequentPairs(Tables.lineitem(s, dir),
+        "l_orderkey", "l_suppkey",
+        minItemSupport = 50L, minPairSupport = 10L)
+      .orderBy(col("item_a"), col("item_b"))
+  }
 
   /** Coordinated (universe) sampling across a join: orders and
     * lineitem each keep the rows whose SHARED key (orderkey) hashes
