@@ -21,7 +21,86 @@ object EvalQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
-      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
+      q172)
+
+  /** Contiguous event trigram patterns (operators/Sequences
+    * .kgramCounts): every 3-step path through the event log with its
+    * occurrence count and entity support — q125's Markov transitions
+    * one order up, still ONE per-user window (leads share the sort)
+    * and a pattern-vocabulary-sized aggregate. */
+  def q172: Q = Q(
+    "q172_event_trigrams",
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS t, event_type
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type AS s0,
+      |         lead(event_type, 1) OVER w AS s1,
+      |         lead(event_type, 2) OVER w AS s2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      |SELECT s0 || ' ' || s1 || ' ' || s2 AS kgram,
+      |       CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+      |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.Sequences.kgramCounts(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type", k = 3)
+      .orderBy(col("kgram"))
+  }
+
+  /** Last-touch conversion attribution (operators/Attribution
+    * .lastTouch): every purchase credited to the user's most recent
+    * click/view/signup within 48 h, rolled up per channel — one
+    * per-user window over the log, never a conversions×touches
+    * self-join. The oracle states the identical strictly-preceding
+    * (ts, id) frame with IGNORE NULLS carries, so eligibility and the
+    * same-timestamp tie rule are pinned cross-engine. */
+  def q171: Q = {
+    val lookback = 48L * 3600L * 1000000000L // 48h in ns
+    Q("q171_attribution",
+      Some(s"""
+        |WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS t, event_type, value
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, t, event_type, value,
+        |         last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                         THEN t END IGNORE NULLS) OVER w AS lt,
+        |         last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                         THEN event_type END IGNORE NULLS) OVER w AS lc
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT CASE WHEN lt IS NOT NULL AND t - lt <= $lookback
+        |              THEN lc ELSE '(none)' END AS attributed_channel,
+        |         user_id, value
+        |  FROM a WHERE event_type = 'purchase')
+        |SELECT attributed_channel,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM c GROUP BY attributed_channel
+        |ORDER BY attributed_channel
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      graft.operators.Attribution.lastTouch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          convType = "purchase",
+          touchTypes = Seq("click", "view", "signup"),
+          lookback = lookback)
+        .groupBy(col("attributed_channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(28, 6))).cast("double")
+            .as("total_value"))
+        .orderBy(col("attributed_channel"))
+    }
+  }
 
   /** Ranking AUC of the quality signal as an English detector, per
     * source (Stats.rankAuc): Mann–Whitney with average-rank ties over

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Attribution
+
+/** Round-6: last-touch attribution — window eligibility (strictly
+  * preceding under (ts, id)), lookback expiry, latest-touch-wins. */
+class AttributionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long, String)], lookback: Long = 100L) =
+    Attribution.lastTouch(
+      rows.toDF("u", "ts", "id", "typ"),
+      "u", "ts", "id", "typ",
+      convType = "buy", touchTypes = Seq("click", "view"),
+      lookback = lookback)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("attributed_channel"),
+          Option(r.getAs[Any]("touch_ts")).map(_.asInstanceOf[Long])))
+      .toMap
+
+  test("latest eligible touch wins") {
+    val out = run(Seq(
+      ("a", 10L, 1L, "click"), ("a", 20L, 2L, "view"), ("a", 30L, 3L, "buy")))
+    assert(out(3L) == (("view", Some(20L))))
+  }
+
+  test("conversion with no preceding touch -> (none)") {
+    val out = run(Seq(("a", 10L, 1L, "buy"), ("a", 20L, 2L, "click")))
+    assert(out(1L) == (("(none)", None)))
+  }
+
+  test("touch older than the lookback -> (none)") {
+    val out = run(Seq(
+      ("a", 10L, 1L, "click"), ("a", 500L, 2L, "buy")), lookback = 100L)
+    assert(out(2L) == (("(none)", None)))
+  }
+
+  test("same-ts tie: smaller-id touch counts, larger-id does not") {
+    val out = run(Seq(
+      ("a", 10L, 1L, "click"), ("a", 10L, 2L, "buy"),
+      ("b", 10L, 9L, "buy"), ("b", 10L, 8L, "view")))
+    assert(out(2L) == (("click", Some(10L))))
+    assert(out(9L) == (("view", Some(10L))))
+  }
+
+  test("a preceding conversion is not a touch") {
+    val out = run(Seq(
+      ("a", 10L, 1L, "click"), ("a", 20L, 2L, "buy"), ("a", 30L, 3L, "buy")))
+    assert(out(2L) == (("click", Some(10L))))
+    assert(out(3L) == (("click", Some(10L)))) // still the click, not the buy
+  }
+
+  test("attribution is per-entity — other users' touches never leak") {
+    val out = run(Seq(("a", 10L, 1L, "click"), ("b", 20L, 2L, "buy")))
+    assert(out(2L) == (("(none)", None)))
+  }
+
+  test("convType listed as a touch type is rejected") {
+    intercept[IllegalArgumentException] {
+      Attribution.lastTouch(Seq(("a", 1L, 1L, "x")).toDF("u", "ts", "id", "typ"),
+        "u", "ts", "id", "typ", "buy", Seq("buy", "click"), 10L)
+    }
+  }
+}
