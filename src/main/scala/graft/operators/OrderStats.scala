@@ -112,4 +112,57 @@ object OrderStats {
         expr(s"size(filter(__bs, b -> $valueCol > b))").cast("long"))
       .drop((keys.map(c => s"__k_$c") :+ "__bs"): _*)
   }
+
+  /** Winsorized per-group stats — the robust mean a data card reports
+    * when a handful of outliers would otherwise own the average: clip
+    * every value into the exact [p_lo, p_hi] ORDER-STATISTIC bounds
+    * (actual data values via [[quantilesDisc]], so the clip points are
+    * engine-portable by construction), then aggregate the clipped
+    * column with an exact decimal sum and ONE pinned divide for the
+    * mean. Reports how many rows each side clipped — the "how much did
+    * robustness cost" number that decides whether the raw mean was
+    * trustworthy.
+    *
+    * `valueCol` must be integral (the repo-wide quantize-first rule).
+    * Scale shape: the quantile pass is one exchange + window; the
+    * bounds table is group-sized and broadcasts back onto a second
+    * scan whose aggregate is map-side partial — data rows never
+    * shuffle for the clip.
+    *
+    * Output: (keys…, n, lo, hi, n_clipped_lo, n_clipped_hi,
+    * winsor_mean).
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      loPermille: Int,
+      hiPermille: Int): DataFrame = {
+    require(loPermille < hiPermille,
+      s"lo must be < hi: $loPermille >= $hiPermille")
+    val d38 = "decimal(38,0)"
+    val qs = quantilesDisc(df, keys, valueCol, Seq(loPermille, hiPermille))
+    val bounds = qs
+      .groupBy(keys.map(col): _*)
+      .agg(min(when(col("permille") === loPermille, col("value"))).as("lo"),
+        min(when(col("permille") === hiPermille, col("value"))).as("hi"))
+      .select(keys.map(c => col(c).as(s"__k_$c")) :+ col("lo") :+ col("hi"): _*)
+    val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), cond)
+      .withColumn("__c",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"),
+        sum(when(col(valueCol) < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col(valueCol) > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(col("__c").cast(d38)).cast(d38).as("__sum"))
+      .withColumn("winsor_mean",
+        col("__sum").cast("double") / col("n").cast("double"))
+      .drop("__sum")
+  }
 }

@@ -22,7 +22,114 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172)
+      q172, q173, q174)
+
+  /** Sparse TF-IDF cosine pairs (sim/SparseSim.tfidfCosinePairs) over
+    * bigram terms: posting-list candidates (term-keyed self-join,
+    * df ≤ 150 stop-term prune = quality AND skew bound), milli-scaled
+    * integer idf from a DECIMAL(18,9)-quantized ln, exact decimal
+    * dots/norms, one pinned cosine divide. At minCos 0.5 this
+    * surfaces exactly the planted near-duplicate pairs — the lexical
+    * cross-check of q28's MinHash path. */
+  def q174: Q = Q(
+    "q174_tfidf_cosine_pairs",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |           range(1, greatest(len(toks) - 1, 0) + 1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |tf AS (SELECT doc_id, g, count(*) AS tf FROM b GROUP BY doc_id, g),
+      |tot AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |dfreq AS (
+      |  SELECT g, count(*) AS df FROM tf GROUP BY g
+      |  HAVING count(*) <= 150),
+      |w AS (
+      |  SELECT g, CAST(floor(CAST(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+      |                             AS DECIMAL(18,9)) * 1000) AS BIGINT) AS w
+      |  FROM dfreq CROSS JOIN tot),
+      |c AS (
+      |  SELECT tf.doc_id, tf.g, tf.tf * w.w AS c
+      |  FROM tf JOIN w USING (g)),
+      |norms AS (
+      |  SELECT doc_id, sum(CAST(c AS HUGEINT) * c) AS n2
+      |  FROM c GROUP BY doc_id),
+      |dots AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         sum(CAST(x.c AS HUGEINT) * y.c) AS dot
+      |  FROM c x JOIN c y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT doc_a, doc_b, dot, na.n2 AS norm_a, nb.n2 AS norm_b,
+      |         CAST(dot AS DOUBLE)
+      |           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+      |           AS cos
+      |  FROM dots
+      |  JOIN norms na ON dots.doc_a = na.doc_id
+      |  JOIN norms nb ON dots.doc_b = nb.doc_id)
+      |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+      |       CAST(norm_a AS BIGINT) AS norm_a,
+      |       CAST(norm_b AS BIGINT) AS norm_b, cos
+      |FROM cos WHERE cos >= 0.5
+      |ORDER BY doc_a, doc_b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    graft.sim.SparseSim.tfidfCosinePairs(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        "doc_id", Dedup.shingles(col("text"), 2),
+        maxDf = 150L, minCos = 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        col("dot").cast("long").as("dot"),
+        col("norm_a").cast("long").as("norm_a"),
+        col("norm_b").cast("long").as("norm_b"), col("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Winsorized per-source length stats (OrderStats.winsorizedStats):
+    * document sizes clipped into the exact [p10, p90] order-statistic
+    * bounds before averaging — the robust data-card mean plus the
+    * "how many rows did robustness clip" counts. Bounds are actual
+    * data values (q127's rank selection), the mean is an exact decimal
+    * sum with one pinned divide. */
+  def q173: Q = Q(
+    "q173_winsorized_lengths",
+    Some("""
+      |WITH r AS (
+      |  SELECT source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |b AS (
+      |  SELECT source,
+      |         min(CASE WHEN rn = (100 * n + 999) // 1000
+      |                  THEN n_chars END) AS lo,
+      |         min(CASE WHEN rn = (900 * n + 999) // 1000
+      |                  THEN n_chars END) AS hi
+      |  FROM r GROUP BY source),
+      |c AS (
+      |  SELECT d.source, d.n_chars, b.lo, b.hi,
+      |         least(greatest(d.n_chars, b.lo), b.hi) AS cv
+      |  FROM documents d JOIN b USING (source)
+      |  WHERE d.n_chars IS NOT NULL)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(lo) AS BIGINT) AS lo,
+      |       CAST(min(hi) AS BIGINT) AS hi,
+      |       CAST(sum(CASE WHEN n_chars < lo THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clipped_lo,
+      |       CAST(sum(CASE WHEN n_chars > hi THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_clipped_hi,
+      |       CAST(sum(CAST(cv AS HUGEINT)) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS winsor_mean
+      |FROM c GROUP BY source ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.OrderStats.winsorizedStats(Tables.documents(s, dir),
+        Seq("source"), "n_chars", loPermille = 100, hiPermille = 900)
+      .orderBy(col("source"))
+  }
 
   /** Contiguous event trigram patterns (operators/Sequences
     * .kgramCounts): every 3-step path through the event log with its
