@@ -22,7 +22,134 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172, q173, q174)
+      q172, q173, q174, q175, q176)
+
+  /** Label-propagation communities (operators/LabelProp.propagate)
+    * over q155's shared-prefix similarity graph: 4 synchronous rounds,
+    * plurality vote with min-label ties — deterministic, so the oracle
+    * unrolls every round as CTEs (the TextRank discipline applied to
+    * LPA) and the driver hash pins each round's join+count+top-1
+    * exactly. */
+  def q176: Q = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT adj.v, l.lab, count(*) AS c
+         |  FROM adj JOIN l${r - 1} l ON adj.u = l.v
+         |  GROUP BY 1, 2),
+         |p$r AS (
+         |  SELECT v, lab FROM (
+         |    SELECT v, lab,
+         |           row_number() OVER (PARTITION BY v
+         |                              ORDER BY c DESC, lab) AS rn
+         |    FROM c$r)
+         |  WHERE rn = 1),
+         |l$r AS (
+         |  SELECT l.v, coalesce(p.lab, l.lab) AS lab
+         |  FROM l${r - 1} l LEFT JOIN p$r p ON l.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    Q("q176_label_propagation",
+      Some(s"""
+        |WITH pr AS (
+        |  SELECT doc_id, substr(trim(text), 1, 12) AS s FROM documents
+        |  WHERE text IS NOT NULL),
+        |e0 AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM pr x JOIN pr y ON x.s = y.s AND x.doc_id < y.doc_id),
+        |adj AS (
+        |  SELECT a AS v, b AS u FROM e0
+        |  UNION ALL SELECT b AS v, a AS u FROM e0),
+        |l0 AS (SELECT v, v AS lab FROM (SELECT DISTINCT v FROM adj)),
+        |$roundCtes
+        |SELECT v AS node, lab AS label FROM l$rounds ORDER BY node
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.LabelProp
+      val p = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), substring(trim(col("text")), 1, 12).as("s"))
+      val edges = p.select(col("doc_id").as("a"), col("s"))
+        .join(p.select(col("doc_id").as("b"), col("s")), Seq("s"))
+        .where(col("a") < col("b"))
+      LabelProp.propagate(edges, "a", "b", rounds)
+        .orderBy(col("node"))
+    }
+  }
+
+  /** Pairwise Cohen's kappa between q165's four labeling rules
+    * (WeakSupervision.pairwiseKappa): chance-corrected agreement from
+    * the exact contingency table — κ = (N·A − P)/(N² − P) with every
+    * term an integer, so the driver hash pins the whole computation;
+    * the self-pairing fans out k²/2 per doc then collapses to a
+    * ≤ 9·C(k,2)-row dim. The redundancy report a rule set needs
+    * before anyone trusts its majority votes. */
+  def q175: Q = Q(
+    "q175_rule_kappa",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, lang, n_chars, ${sqlTokens("text")} AS toks
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id,
+      |         CASE WHEN n_chars BETWEEN 100 AND 520 THEN 1 ELSE -1 END
+      |           AS r1,
+      |         CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS r2,
+      |         CASE WHEN len(toks) BETWEEN 20 AND 95 THEN 1 ELSE -1 END
+      |           AS r3,
+      |         CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+      |              THEN 1 ELSE -1 END AS r4
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, 'r1' AS rule, r1 AS vote FROM v
+      |  UNION ALL SELECT doc_id, 'r2', r2 FROM v
+      |  UNION ALL SELECT doc_id, 'r3', r3 FROM v
+      |  UNION ALL SELECT doc_id, 'r4', r4 FROM v),
+      |j AS (
+      |  SELECT x.rule AS rule_a, y.rule AS rule_b,
+      |         x.vote AS va, y.vote AS vb, count(*) AS n
+      |  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.rule < y.rule
+      |  GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT rule_a, rule_b, sum(n) AS n,
+      |         sum(CASE WHEN va = vb THEN n ELSE 0 END) AS agree
+      |  FROM j GROUP BY 1, 2),
+      |rm AS (SELECT rule_a, rule_b, va, sum(n) AS na FROM j GROUP BY 1,2,3),
+      |cm AS (SELECT rule_a, rule_b, vb, sum(n) AS nb FROM j GROUP BY 1,2,3),
+      |p AS (
+      |  SELECT rm.rule_a, rm.rule_b, sum(CAST(na AS HUGEINT) * nb) AS p
+      |  FROM rm JOIN cm ON rm.rule_a = cm.rule_a AND rm.rule_b = cm.rule_b
+      |                 AND rm.va = cm.vb
+      |  GROUP BY 1, 2)
+      |SELECT tot.rule_a, tot.rule_b,
+      |       CAST(tot.n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+      |       CAST(CAST(tot.n AS HUGEINT) * agree - coalesce(p, 0)
+      |            AS BIGINT) AS num,
+      |       CAST(CAST(tot.n AS HUGEINT) * tot.n - coalesce(p, 0)
+      |            AS BIGINT) AS den,
+      |       CASE WHEN CAST(tot.n AS HUGEINT) * tot.n - coalesce(p, 0) != 0
+      |            THEN
+      |         CAST(CAST(tot.n AS HUGEINT) * agree - coalesce(p, 0) AS DOUBLE)
+      |           / CAST(CAST(tot.n AS HUGEINT) * tot.n - coalesce(p, 0)
+      |                  AS DOUBLE)
+      |       END AS kappa
+      |FROM tot
+      |LEFT JOIN p ON tot.rule_a = p.rule_a AND tot.rule_b = p.rule_b
+      |ORDER BY tot.rule_a, tot.rule_b
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.WeakSupervision
+    val toks = TextAnalysis.tokens(col("text"))
+    WeakSupervision.pairwiseKappa(
+        Tables.documents(s, dir), "doc_id",
+        Seq(
+          "r1" -> when(col("n_chars").between(100, 520), 1).otherwise(-1),
+          "r2" -> when(col("lang").isin("en", "de"), 1).otherwise(0),
+          "r3" -> when(size(toks).between(20, 95), 1).otherwise(-1),
+          "r4" -> when(size(array_distinct(toks)) * 2 >= size(toks), 1)
+            .otherwise(-1)))
+      .select(col("rule_a"), col("rule_b"), col("n"), col("agree"),
+        col("num").cast("long").as("num"),
+        col("den").cast("long").as("den"), col("kappa"))
+      .orderBy(col("rule_a"), col("rule_b"))
+  }
 
   /** Sparse TF-IDF cosine pairs (sim/SparseSim.tfidfCosinePairs) over
     * bigram terms: posting-list candidates (term-keyed self-join,
