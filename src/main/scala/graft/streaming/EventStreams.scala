@@ -223,4 +223,55 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  case class AttrEvent(
+      user_id: Long, event_time_us: Long, event_id: Long, event_type: String)
+  case class AttrConversion(
+      user_id: Long, event_id: Long, event_time_us: Long,
+      attributed_channel: String)
+  case class TouchState(ts: Long, id: Long, channel: String)
+
+  /** Streaming last-touch attribution — [[graft.operators.Attribution
+    * .lastTouch]]'s streaming face: conversions attribute as they
+    * arrive, with the per-user "most recent touch" carried as O(1)
+    * GroupState (ts, id, channel) across micro-batches.
+    *
+    * Within a batch of rows the same (ts, id) sort as the batch
+    * window's frame decides eligibility: a touch processes before a
+    * conversion iff it sorts strictly before it — so a same-timestamp
+    * touch with a larger id does NOT get credit, exactly like the
+    * batch frame. Stream ≡ batch holds when micro-batches arrive in
+    * event-time order (the file-source contract every face here
+    * documents); dual-mode: the same operator over a batch Dataset is
+    * the one-batch special case.
+    */
+  def attributionStream(
+      events: Dataset[AttrEvent],
+      convType: String,
+      touchTypes: Set[String],
+      lookbackUs: Long): Dataset[AttrConversion] = {
+    require(!touchTypes.contains(convType),
+      "convType in touchTypes would let a conversion credit itself")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttrConversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[AttrEvent], state: GroupState[TouchState]) =>
+          var touch: Option[TouchState] = state.getOption
+          val out = Seq.newBuilder[AttrConversion]
+          rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
+            if (e.event_type == convType) {
+              val credited = touch.filter(t =>
+                e.event_time_us - t.ts <= lookbackUs)
+              out += AttrConversion(userId, e.event_id, e.event_time_us,
+                credited.map(_.channel).getOrElse("(none)"))
+            } else if (touchTypes.contains(e.event_type)) {
+              touch = Some(TouchState(e.event_time_us, e.event_id, e.event_type))
+            }
+          }
+          touch.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }
