@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -84,10 +86,14 @@ object WeakSupervision {
       col("vote").as("__va"))
     val y = m.select(col(idCol), col("rule").as("rule_b"),
       col("vote").as("__vb"))
+    // joint is the ≤ 9·C(k,2)-row contingency dim feeding THREE
+    // reductions (totals, row marginals, col marginals) — materialize
+    // it so the data-sized self-pairing runs once, not three times
     val joint = x.join(y, Seq(idCol))
       .where(col("rule_a") < col("rule_b"))
       .groupBy(col("rule_a"), col("rule_b"), col("__va"), col("__vb"))
       .agg(count(lit(1)).as("__n"))
+      .materialize()
     val tot = joint.groupBy(col("rule_a"), col("rule_b"))
       .agg(sum(col("__n")).as("n"),
         sum(when(col("__va") === col("__vb"), col("__n")).otherwise(0L))
