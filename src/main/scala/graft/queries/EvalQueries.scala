@@ -22,7 +22,137 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172, q173, q174, q175, q176)
+      q172, q173, q174, q175, q176, q177, q178)
+
+  /** Score-reliability bins — q170's ranking verdict made actionable:
+    * the quantized quality score cut into 10 fixed-width bins, each
+    * reporting its English rate as an exact ppm integer plus the exact
+    * decimal mean score. A monotone rate column = the score is
+    * calibratable; a flat one = the AUC was luck. ONE scan, a
+    * 10-row aggregate. */
+  def q177: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q177_score_reliability",
+      Some(s"""
+        |WITH t0 AS (
+        |  SELECT lang, text, ${sqlTokens("text")} AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         CAST(CAST(${sqlQualityExpr(sw)} AS DECIMAL(18,9))
+        |              * 1000000000 AS BIGINT) AS s
+        |  FROM t0 WHERE len(toks) > 0)
+        |SELECT least(s * 10 // 1000000000, 9) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS rate_ppm,
+        |       CAST(sum(CAST(s AS HUGEINT)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS mean_score
+        |FROM t GROUP BY 1 ORDER BY bin
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull &&
+          TextAnalysis.tokenCount(col("text")) > 0)
+        .select(
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (TextAnalysis.qualityScore(col("text"), sw0)
+            .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+            .as("s"))
+        .groupBy(least(expr("(s * 10) div 1000000000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          expr("(1000000 * sum(y)) div count(1)").as("rate_ppm"),
+          (sum(col("s").cast("decimal(38,0)")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_score"))
+        .orderBy(col("bin"))
+    }
+  }
+
+  /** Entity-resolution capstone (composition: SortedNeighborhood
+    * blocking → exact-Jaccard verify → adaptive-CC clustering): every
+    * document labeled with its resolved entity, the entity's size, and
+    * whether this row is the canonical (min-id) representative — the
+    * master-data table an ER pipeline publishes. Candidates come from
+    * q146's rank window (never a cross join), the verify is the
+    * cross-multiplied integer Jaccard at 0.5, and the transitive
+    * closure is q65's CC (driver union-find at this edge count, the
+    * distributed fixpoint above 2^20 edges — identical labels). The
+    * oracle replays blocking + verify + a recursive reach CTE. */
+  def q178: Q = Q(
+    "q178_entity_resolution",
+    Some(s"""
+      |WITH RECURSIVE
+      |r AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+      |  FROM documents),
+      |cand AS (
+      |  SELECT ra.doc_id AS a, rb.doc_id AS b
+      |  FROM r ra JOIN r rb ON rb.rn > ra.rn AND rb.rn <= ra.rn + 3),
+      |t AS (
+      |  SELECT doc_id,
+      |         list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |  FROM documents),
+      |m AS (
+      |  SELECT cand.a AS u, cand.b AS v
+      |  FROM cand
+      |  JOIN t ta ON ta.doc_id = cand.a
+      |  JOIN t tb ON tb.doc_id = cand.b
+      |  WHERE len(ta.sh) + len(tb.sh)
+      |          - len(list_intersect(ta.sh, tb.sh)) > 0
+      |    AND len(list_intersect(ta.sh, tb.sh)) * 100 >=
+      |        50 * (len(ta.sh) + len(tb.sh)
+      |              - len(list_intersect(ta.sh, tb.sh)))),
+      |e AS (SELECT u, v FROM m UNION SELECT v, u FROM m),
+      |reach(n, m) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+      |  UNION
+      |  SELECT e.v, r2.m FROM reach r2 JOIN e ON e.u = r2.n),
+      |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+      |ent AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS entity_id
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+      |sz AS (SELECT entity_id, count(*) AS entity_size FROM ent GROUP BY 1)
+      |SELECT ent.doc_id, ent.entity_id,
+      |       CAST(sz.entity_size AS BIGINT) AS entity_size,
+      |       ent.doc_id = ent.entity_id AS is_canonical
+      |FROM ent JOIN sz USING (entity_id)
+      |ORDER BY ent.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.{Dedup, SortedNeighborhood}
+    val docs = Tables.documents(s, dir)
+    val cands = SortedNeighborhood.candidatePairs(
+      docs.select(col("doc_id"), col("n_chars"),
+        expr("n_chars div 16").as("len_bucket")),
+      "doc_id", "len_bucket", Seq("n_chars"), 3)
+    val sized = docs
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("__sh"))
+      .withColumn("__n", size(col("__sh")).cast("long"))
+    val matches = cands
+      .join(sized.select(col("doc_id").as("a"), col("__sh").as("__sa"),
+        col("__n").as("__na")), "a")
+      .join(sized.select(col("doc_id").as("b"), col("__sh").as("__sb"),
+        col("__n").as("__nb")), "b")
+      .withColumn("__i",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__u", col("__na") + col("__nb") - col("__i"))
+      .where(col("__u") > 0 && col("__i") * 100 >= lit(50L) * col("__u"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val clusters = Dedup.nearDupClusters(matches)
+    val ent = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("entity_id"))
+    val sizes = ent.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("entity_size"))
+    ent.join(sizes, Seq("entity_id"))
+      .select(col("doc_id"), col("entity_id"), col("entity_size"),
+        (col("doc_id") === col("entity_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Label-propagation communities (operators/LabelProp.propagate)
     * over q155's shared-prefix similarity graph: 4 synchronous rounds,
