@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -192,5 +194,77 @@ object Stats {
       when(col("n_pos") > 0 && col("n_neg") > 0,
         col("u2").cast("double") /
           (lit(2d) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
+
+  /** Per-group chi-square goodness-of-fit against stated category
+    * weights — the distribution test behind "are events uniform over
+    * the hour of day?", "do these amounts follow Benford's law?",
+    * "does this shard's category mix match the corpus?".
+    *
+    * Expected weights are integer ppm per category (the caller
+    * quantizes irrational laws like Benford once, as literals — both
+    * engines then test against the SAME stated law). With E_c =
+    * n·e_c/10⁶, each term (o_c−E_c)²/E_c reduces to the integer-exact
+    * rational (10⁶·o_c − n·e_c)² / (10⁶·n·e_c); the one double divide
+    * per term is pinned, the term is quantized to DECIMAL(18,9), and
+    * the statistic is the exact decimal sum of the quantized terms —
+    * order-free (the q105/PSI discipline; a raw double Σ would depend
+    * on category order).
+    *
+    * Zero-count categories still contribute ((0−E)²/E — omitting them
+    * understates the statistic), via an expected-grid cross join.
+    * Observations in categories NOT in the expected set are counted in
+    * `n_unexpected` and EXCLUDED from the statistic — a nonzero value
+    * means the stated law doesn't cover the data and the test is
+    * unusable as-is; callers gate on it.
+    *
+    * Scale shape: one (keys, category) partial-aggregated exchange,
+    * then every reduction runs on the category-dim-sized table; the
+    * expected weights broadcast. Domain: n·10⁶ must stay within
+    * DECIMAL(38) after squaring — n per group below ~10¹² rows.
+    *
+    * Output: (keys…, n, n_unexpected, chi2).
+    */
+  def chiSquareGof(
+      df: DataFrame,
+      keys: Seq[String],
+      categoryCol: Column,
+      expectedPpm: Seq[(String, Long)]): DataFrame = {
+    require(expectedPpm.nonEmpty, "at least one expected category")
+    require(expectedPpm.map(_._1).distinct.size == expectedPpm.size,
+      "duplicate expected categories")
+    require(expectedPpm.forall(_._2 > 0), "expected ppm must be positive")
+    val d38 = "decimal(38,0)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp = expectedPpm.toDF("__cat", "__eppm")
+    val obs = df
+      .select(keys.map(col) :+ categoryCol.cast("string").as("__cat"): _*)
+      .where(col("__cat").isNotNull)
+      .groupBy(keys.map(col) :+ col("__cat"): _*)
+      .agg(count(lit(1)).as("__o"))
+      .materialize() // category dim; feeds totals + the grid join
+    val matched = obs.join(broadcast(exp), Seq("__cat"), "left")
+    val tot = matched.groupBy(keys.map(col): _*)
+      .agg(sum(when(col("__eppm").isNotNull, col("__o")).otherwise(0L))
+          .as("n"),
+        sum(when(col("__eppm").isNull, col("__o")).otherwise(0L))
+          .as("n_unexpected"))
+    val grid = tot.crossJoin(broadcast(exp))
+      .join(obs.withColumnRenamed("__o", "__oc"), keys :+ "__cat", "left")
+      .withColumn("__oc", coalesce(col("__oc"), lit(0L)))
+    val num = (lit(1000000L).cast(d38) * col("__oc") -
+      col("n").cast(d38) * col("__eppm")).cast(d38)
+    val den = (lit(1000000L).cast(d38) * col("n") * col("__eppm")).cast(d38)
+    grid
+      .withColumn("__t",
+        when(col("n") > 0,
+          ((num * num).cast(d38).cast("double") / den.cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 9))))
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("n")).as("n"),
+        min(col("n_unexpected")).as("n_unexpected"),
+        sum(col("__t")).cast("double").as("chi2"))
   }
 }

@@ -22,7 +22,105 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172, q173, q174, q175, q176, q177, q178)
+      q172, q173, q174, q175, q176, q177, q178, q179, q180)
+
+  /** Hour-of-day uniformity test per event type (Stats.chiSquareGof):
+    * χ² against a stated uniform law (41666 ppm × 24 hours — the
+    * STATED weights are the contract, so no 1/24 rational ever meets a
+    * float). Every term is the exact rational
+    * (10⁶·o − n·e)²/(10⁶·n·e), quantized to DECIMAL(18,9) before the
+    * order-free sum — the PSI discipline for goodness-of-fit. */
+  def q179: Q = {
+    val expSql = (0 until 24)
+      .map(h => s"SELECT '$h' AS cat, 41666 AS eppm").mkString(" UNION ALL ")
+    Q("q179_hourly_uniformity",
+      Some(s"""
+        |WITH ev AS (
+        |  SELECT event_type,
+        |         CAST((epoch_ns(ts) // 3600000000000) % 24 AS VARCHAR) AS h
+        |  FROM events),
+        |obs AS (SELECT event_type, h, count(*) AS o FROM ev GROUP BY 1, 2),
+        |exp AS ($expSql),
+        |tot AS (SELECT event_type, sum(o) AS n FROM obs GROUP BY 1),
+        |grid AS (
+        |  SELECT tot.event_type, tot.n, exp.cat, exp.eppm,
+        |         coalesce(obs.o, 0) AS o
+        |  FROM tot CROSS JOIN exp
+        |  LEFT JOIN obs ON obs.event_type = tot.event_type
+        |                AND obs.h = exp.cat),
+        |terms AS (
+        |  SELECT event_type, n,
+        |         CAST(CAST((1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   * (1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   AS DOUBLE)
+        |              / CAST(1000000 * CAST(n AS HUGEINT) * eppm AS DOUBLE)
+        |              AS DECIMAL(18,9)) AS t
+        |  FROM grid)
+        |SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS n_unexpected,
+        |       CAST(sum(t) AS DOUBLE) AS chi2
+        |FROM terms GROUP BY event_type ORDER BY event_type
+        |""".stripMargin)) { (s, dir) =>
+      val hoursScala = (0 until 24).map(h => h.toString -> 41666L)
+      graft.operators.Stats.chiSquareGof(
+          Tables.events(s, dir),
+          Seq("event_type"),
+          expr("CAST((ts div 3600000000000) % 24 AS STRING)"),
+          hoursScala)
+        .orderBy(col("event_type"))
+    }
+  }
+
+  /** Benford first-digit test over order prices (Stats.chiSquareGof):
+    * the fraud/synthetic-data screen — first digits of
+    * l_extendedprice against the Benford ppm law (quantized once as
+    * shared literals). Digit extraction goes through an exact long
+    * floor then substring of the INTEGER's string (a double's string
+    * is not cross-engine; a bigint's is). */
+  def q180: Q = {
+    val benford = Seq("1" -> 301029L, "2" -> 176091L, "3" -> 124938L,
+      "4" -> 96910L, "5" -> 79181L, "6" -> 66946L, "7" -> 57991L,
+      "8" -> 51152L, "9" -> 45757L)
+    val expSql = benford
+      .map { case (d, p) => s"SELECT '$d' AS cat, $p AS eppm" }
+      .mkString(" UNION ALL ")
+    Q("q180_benford_prices",
+      Some(s"""
+        |WITH src AS (
+        |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS d
+        |  FROM lineitem WHERE l_extendedprice >= 1),
+        |obs AS (SELECT d, count(*) AS o FROM src GROUP BY 1),
+        |exp AS ($expSql),
+        |tot AS (
+        |  SELECT sum(CASE WHEN exp.cat IS NOT NULL THEN o ELSE 0 END) AS n,
+        |         sum(CASE WHEN exp.cat IS NULL THEN o ELSE 0 END) AS nu
+        |  FROM obs LEFT JOIN exp ON obs.d = exp.cat),
+        |grid AS (
+        |  SELECT tot.n, tot.nu, exp.cat, exp.eppm, coalesce(obs.o, 0) AS o
+        |  FROM tot CROSS JOIN exp
+        |  LEFT JOIN obs ON obs.d = exp.cat),
+        |terms AS (
+        |  SELECT n, nu,
+        |         CAST(CAST((1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   * (1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   AS DOUBLE)
+        |              / CAST(1000000 * CAST(n AS HUGEINT) * eppm AS DOUBLE)
+        |              AS DECIMAL(18,9)) AS t
+        |  FROM grid)
+        |SELECT CAST(min(n) AS BIGINT) AS n,
+        |       CAST(min(nu) AS BIGINT) AS n_unexpected,
+        |       CAST(sum(t) AS DOUBLE) AS chi2
+        |FROM terms
+        |""".stripMargin)) { (s, dir) =>
+      graft.operators.Stats.chiSquareGof(
+        Tables.lineitem(s, dir).where(col("l_extendedprice") >= 1),
+        Seq(),
+        expr("substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) " +
+          "AS STRING), 1, 1)"),
+        benford)
+    }
+  }
 
   /** Score-reliability bins — q170's ranking verdict made actionable:
     * the quantized quality score cut into 10 fixed-width bins, each
