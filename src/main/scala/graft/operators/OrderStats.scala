@@ -113,6 +113,47 @@ object OrderStats {
       .drop((keys.map(c => s"__k_$c") :+ "__bs"): _*)
   }
 
+  /** Quantile normalization — replace each value with the GLOBAL
+    * order statistic at its within-group percent rank, so every
+    * group's distribution maps onto the corpus distribution (the
+    * cross-source feature alignment trick: "length 400 from src3" and
+    * "length 90 from src7" both become "the corpus p62 length"). All
+    * rank arithmetic is integer ([[rankNormalize]]'s permille +
+    * [[quantilesDisc]]'s ⌈p·N/1000⌉ selection), and the normalized
+    * value is an actual datum — nothing interpolates, so the result is
+    * engine-exact.
+    *
+    * Scale shape: one group exchange (per-group permille), one
+    * bucket-parallel global rank (value-bucketed — never a
+    * single-partition window), then the ≤1001-row permille→value dim
+    * broadcasts back onto the rows. Null value/id rows drop.
+    *
+    * Output: input columns + (permille, normalized).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val clean = df.where(col(valueCol).isNotNull && col(idCol).isNotNull)
+    val withP = rankNormalize(clean, keys, valueCol)
+    val ranked = graft.dedup.SortedNeighborhood
+      .globalRank(clean.select(col(idCol), col(valueCol)),
+        idCol, valueCol, Seq())
+    val nTot = ranked.agg(max(col("__rank")).as("__N"))
+    val spark = df.sparkSession
+    val targets = spark.range(0, 1001)
+      .select(col("id").as("permille"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__rank",
+        greatest(lit(1L), expr("(permille * __N + 999) div 1000")))
+      .select(col("permille"), col("__rank"))
+    val qvals = ranked
+      .join(broadcast(targets), Seq("__rank"))
+      .select(col("permille"), col(valueCol).as("normalized"))
+    withP.join(broadcast(qvals), Seq("permille"))
+  }
+
   /** Winsorized per-group stats — the robust mean a data card reports
     * when a handful of outliers would otherwise own the average: clip
     * every value into the exact [p_lo, p_hi] ORDER-STATISTIC bounds

@@ -22,7 +22,94 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172, q173, q174, q175, q176, q177, q178, q179, q180)
+      q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+
+  /** PMI collocations (text/Collocations.pmiPairs): adjacent token
+    * pairs scored by ln(c_wv·T1²/(T2·c_w·c_v)) — the exact integer
+    * rational inside one pinned divide, ln quantized to DECIMAL(18,9),
+    * emitted as ⌊1000·q9⌋. T2 counts ALL bigrams (the rare-pair prune
+    * happens after the totals, before the joins). */
+  def q182: Q = Q(
+    "q182_pmi_collocations",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |u AS (SELECT unnest(toks) AS w FROM t),
+      |c1 AS (SELECT w, count(*) AS c_w FROM u GROUP BY w),
+      |b AS (
+      |  SELECT unnest(list_transform(
+      |           range(1, greatest(len(toks) - 1, 0) + 1),
+      |           i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t),
+      |bi_all AS (SELECT g, count(*) AS c_pair FROM b GROUP BY g),
+      |t1 AS (SELECT sum(c_w) AS t1 FROM c1),
+      |t2 AS (SELECT sum(c_pair) AS t2 FROM bi_all),
+      |bi AS (
+      |  SELECT string_split(g, ' ')[1] AS w, string_split(g, ' ')[2] AS v,
+      |         c_pair
+      |  FROM bi_all WHERE c_pair >= 30)
+      |SELECT bi.w, bi.v, CAST(bi.c_pair AS BIGINT) AS c_pair,
+      |       CAST(cw.c_w AS BIGINT) AS c_w,
+      |       CAST(cv.c_w AS BIGINT) AS c_v,
+      |       CAST(floor(CAST(ln(
+      |         CAST(CAST(bi.c_pair AS HUGEINT) * t1.t1 * t1.t1 AS DOUBLE)
+      |           / CAST(CAST(t2.t2 AS HUGEINT) * cw.c_w * cv.c_w AS DOUBLE))
+      |         AS DECIMAL(18,9)) * 1000) AS BIGINT) AS pmi_milli
+      |FROM bi
+      |JOIN c1 cw ON bi.w = cw.w
+      |JOIN c1 cv ON bi.v = cv.w
+      |CROSS JOIN t1 CROSS JOIN t2
+      |ORDER BY bi.w, bi.v
+      |""".stripMargin)) { (s, dir) =>
+    graft.text.Collocations.pmiPairs(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        col("text"), minCount = 30L)
+      .orderBy(col("w"), col("v"))
+  }
+
+  /** Quantile normalization (OrderStats.quantileNormalize): every
+    * document's length re-expressed as the CORPUS length at its
+    * within-source percent rank — cross-source feature alignment with
+    * pure integer rank math (q159's permille × q127's rank selection;
+    * the normalized value is an actual datum, nothing interpolates).
+    * The permille→value dim is ≤1001 rows and broadcasts. */
+  def q181: Q = Q(
+    "q181_quantile_normalize",
+    Some("""
+      |WITH c AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, source, n_chars,
+      |         CASE WHEN cnt > 1 THEN ((rk - 1) * 1000) // (cnt - 1)
+      |              ELSE 0 END AS permille
+      |  FROM (SELECT *,
+      |               rank() OVER (PARTITION BY source ORDER BY n_chars)
+      |                 AS rk,
+      |               count(*) OVER (PARTITION BY source) AS cnt
+      |        FROM c)),
+      |r AS (
+      |  SELECT n_chars,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+      |  FROM c),
+      |n AS (SELECT count(*) AS cnt FROM c),
+      |t AS (
+      |  SELECT p AS permille,
+      |         greatest(1, (p * cnt + 999) // 1000) AS rnk
+      |  FROM (SELECT unnest(range(0, 1001)) AS p) CROSS JOIN n),
+      |q AS (SELECT t.permille, r.n_chars AS normalized FROM t JOIN r USING (rnk))
+      |SELECT g.doc_id, g.source, g.n_chars, g.permille, q.normalized
+      |FROM g JOIN q USING (permille)
+      |ORDER BY g.doc_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.OrderStats.quantileNormalize(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("permille"), col("normalized"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Hour-of-day uniformity test per event type (Stats.chiSquareGof):
     * χ² against a stated uniform law (41666 ppm × 24 hours — the
