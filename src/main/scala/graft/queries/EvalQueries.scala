@@ -22,7 +22,125 @@ object EvalQueries {
       q135, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
-      q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+      q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
+      q183, q184)
+
+  /** DuckDB expression for RandomProject.projectMilli: per output dim
+    * j, Σ_i s_ij·⌊1000·vec[i]⌋ with the salt-derived ±1 literals
+    * interpolated (the MinHash-perms discipline — published constants
+    * shared into both engines). */
+  private def sqlJlProj(vec: String, inDims: Int, outDims: Int,
+      salt: String): String = {
+    val comps = (0 until outDims).map { j =>
+      val signs = (0 until inDims)
+        .map(i => graft.sim.RandomProject.sign(i, j, salt))
+        .mkString("[", ", ", "]")
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, ${inDims + 1}),
+         |    i -> CAST($signs[i] AS BIGINT)
+         |         * CAST(floor(CAST($vec[i] AS DOUBLE) * 1000) AS BIGINT))),
+         |  (x, y) -> x + y)""".stripMargin
+    }
+    comps.mkString("[", ",\n", "]")
+  }
+
+  /** JL random projection (sim/RandomProject.projectMilli): 64-dim
+    * float embeddings squeezed to 16 exact integer dims through a
+    * salt-derived ±1 matrix — scan-stage only, zero exchanges; the
+    * whole projection is hash-comparable because milli-quantization
+    * and the sign literals are shared constants. */
+  def q183: Q = Q(
+    "q183_jl_projection",
+    // arrays never meet the driver hasher (q27's rule): emit the fold
+    // checksum + the exact integer norm of each projected vector
+    Some(s"""
+      |WITH p AS (
+      |  SELECT vec_id, ${sqlJlProj("embedding", 64, 16, "jl_v1")} AS proj
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |       list_reduce(list_prepend(CAST(0 AS BIGINT), proj),
+      |                   (a, v) -> (a * 31 + v) % 2147483647)
+      |         AS proj_checksum,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |              list_transform(proj, v -> CAST(v AS HUGEINT) * v)),
+      |              (a, v) -> a + v) AS BIGINT) AS norm2
+      |FROM p ORDER BY vec_id
+      |""".stripMargin)) { (s, dir) =>
+    graft.sim.RandomProject.projectMilli(
+        Tables.embeddings(s, dir), col("embedding"), 64, 16, "jl_v1")
+      .select(col("vec_id"),
+        expr("aggregate(proj, CAST(0 AS BIGINT), " +
+          "(a, v) -> (a * 31 + v) % 2147483647)").as("proj_checksum"),
+        expr("aggregate(proj, CAST(0 AS DECIMAL(38,0)), " +
+          "(a, v) -> CAST(a + CAST(v AS DECIMAL(38,0)) * v " +
+          "AS DECIMAL(38,0)))").cast("long").as("norm2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** JL distance-preservation calibration (q156's discipline applied
+    * to q183): every pair among the first 50 vectors scored with the
+    * ORIGINAL float cosine next to the PROJECTED integer cosine and
+    * the signed error — the evidence that 16 dims preserve enough
+    * geometry before an index switches to them. Projected dots/norms
+    * are exact longs; each cosine is one pinned divide. */
+  def q184: Q = Q(
+    "q184_jl_calibration",
+    Some(s"""
+      |WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         ${sqlJlProj("embedding", 64, 16, "jl_v1")} AS proj
+      |  FROM embeddings WHERE vec_id < 50),
+      |p AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |         ${sqlCosine("a.embedding", "b.embedding")} AS cos_orig,
+      |         CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |                list_transform(range(1, 17),
+      |                  i -> CAST(a.proj[i] AS HUGEINT) * b.proj[i])),
+      |                (x, y) -> x + y) AS DOUBLE)
+      |           / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |                list_transform(range(1, 17),
+      |                  i -> CAST(a.proj[i] AS HUGEINT) * a.proj[i])),
+      |                (x, y) -> x + y) AS DOUBLE))
+      |              * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |                list_transform(range(1, 17),
+      |                  i -> CAST(b.proj[i] AS HUGEINT) * b.proj[i])),
+      |                (x, y) -> x + y) AS DOUBLE))) AS cos_proj
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT va, vb, cos_orig, cos_proj, cos_proj - cos_orig AS err
+      |FROM p ORDER BY va, vb
+      |""".stripMargin)) { (s, dir) =>
+    val base = graft.sim.RandomProject.projectMilli(
+        Tables.embeddings(s, dir).where(col("vec_id") < 50),
+        col("embedding"), 64, 16, "jl_v1")
+      .select(col("vec_id"), col("embedding"), col("proj"))
+    import org.apache.spark.sql.Column
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+          (x, y) => (x.cast("decimal(38,0)") * y).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"),
+        (acc, v) => (acc + v).cast("decimal(38,0)"))
+    val x = base.select(col("vec_id").as("va"),
+      col("embedding").as("__ea"), col("proj").as("__pa"))
+    val y = base.select(col("vec_id").as("vb"),
+      col("embedding").as("__eb"), col("proj").as("__pb"))
+    x.join(y, col("va") < col("vb"))
+      .withColumn("cos_orig",
+        dot(col("__ea"), col("__eb")) /
+          (sqrt(dot(col("__ea"), col("__ea"))) *
+            sqrt(dot(col("__eb"), col("__eb")))))
+      .withColumn("cos_proj",
+        dotL(col("__pa"), col("__pb")).cast("double") /
+          (sqrt(dotL(col("__pa"), col("__pa")).cast("double")) *
+            sqrt(dotL(col("__pb"), col("__pb")).cast("double"))))
+      .withColumn("err", col("cos_proj") - col("cos_orig"))
+      .select(col("va"), col("vb"), col("cos_orig"), col("cos_proj"),
+        col("err"))
+      .orderBy(col("va"), col("vb"))
+  }
 
   /** PMI collocations (text/Collocations.pmiPairs): adjacent token
     * pairs scored by ln(c_wv·T1²/(T2·c_w·c_v)) — the exact integer
