@@ -42,6 +42,7 @@ object ManifestCommit {
   private val ManifestPrefix = "_manifest-"
   private val StatsPrefix = "_stats-"
   private val BloomPrefix = "_bloom-"
+  private val TxnPrefix = "#txn="
 
   private def manifestGen(p: Path): Long =
     p.getFileName.toString.stripPrefix(ManifestPrefix).toLong
@@ -69,7 +70,9 @@ object ManifestCommit {
     if (manifests.isEmpty) None
     else {
       val m = manifests.maxBy(manifestGen)
-      Some(manifestGen(m) -> Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty))
+      // "#"-prefixed lines are metadata (streaming txn markers), not files
+      Some(manifestGen(m) -> Files.readAllLines(m).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#")))
     }
   }
 
@@ -89,7 +92,8 @@ object ManifestCommit {
   def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
     val manifest = Paths.get(path).resolve(f"$ManifestPrefix$gen%010d")
     require(Files.exists(manifest), s"no manifest for generation $gen under $path")
-    val files = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+    val files = Files.readAllLines(manifest).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
     require(files.nonEmpty, s"manifest $manifest lists no files")
     readFiles(spark, path, files)
   }
@@ -136,6 +140,73 @@ object ManifestCommit {
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
     publish(dir, parts, firstGen, nonce)
+  }
+
+  /** The (appId:batchId) transaction markers carried by the LATEST
+    * manifest — the replay ledger [[appendBatch]] consults. Markers
+    * accumulate forward through append commits (one short line per
+    * batch), so the newest manifest alone holds the full history and
+    * [[vacuum]] (which keeps only that manifest) never loses replay
+    * protection. A non-append writer ([[writeVersioned]], [[compact]],
+    * …) starts a fresh manifest WITHOUT markers — it resets stream
+    * txn history, which is why a streaming table wants exactly one
+    * writer: its query. */
+  def committedTxns(path: String): Set[String] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Set.empty
+    val manifests = listDir(dir)
+      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+    if (manifests.isEmpty) Set.empty
+    else Files.readAllLines(manifests.maxBy(manifestGen)).asScala
+      .filter(_.startsWith(TxnPrefix))
+      .map(_.stripPrefix(TxnPrefix)).toSet
+  }
+
+  /** Idempotent exactly-once streaming APPEND — the foreachBatch sink
+    * for this table format: each micro-batch lands as a new generation
+    * whose manifest lists the previous generation's files + the new
+    * data files + a `#txn=appId:batchId` marker line. The marker
+    * commits ATOMICALLY with the data (it lives inside the manifest,
+    * and the manifest publish is one hard link), so a replayed batch —
+    * Structured Streaming's at-least-once redelivery after a crash —
+    * is detected by [[committedTxns]] and skipped without writing:
+    * at-least-once delivery × idempotent commit = exactly-once tables.
+    *
+    * Single-writer contract (the streaming norm): concurrent
+    * non-append writers can interleave manifests that drop marker
+    * history or files; one streaming query owns the table.
+    *
+    * @return Some(generation) if committed, None if this
+    *         (appId, batchId) was already committed (replay)
+    */
+  def appendBatch(
+      batch: DataFrame,
+      path: String,
+      appId: String,
+      batchId: Long,
+      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains(":") && !appId.contains("\n"),
+      s"appId must be non-empty without ':' or newline: '$appId'")
+    val key = s"$appId:$batchId"
+    val prevTxns = committedTxns(path)
+    if (prevTxns.contains(key)) return None
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val prev = latest(path)
+    val prevFiles = prev.map(_._2).getOrElse(Seq.empty)
+    val firstGen = prev.map(_._1).getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data-$firstGen-$nonce"
+    val writer = batch.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.resolve(dataDir).toString)
+    val newParts = partFilesUnder(dir.resolve(dataDir))
+      .map(p => dir.relativize(p).toString)
+    require(newParts.nonEmpty,
+      s"parquet write produced no part files in $dataDir")
+    val markers = (prevTxns + key).toSeq.sorted.map(TxnPrefix + _)
+    Some(publish(dir, (prevFiles ++ newParts).sorted ++ markers,
+      firstGen, nonce))
   }
 
   /** Stage the manifest content once, then publish by HARD LINK onto
