@@ -17,7 +17,73 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
       q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137,
-      q138, q139)
+      q138, q139, q185)
+
+  /** INCREMENTALLY-maintained BM25 (Bm25.appendPostings →
+    * indexFromPostings → topKFromIndex): the corpus ingested as two
+    * exactly-once append generations of NORMALIZED postings (no baked
+    * global stats — a new doc's rows are independent of every existing
+    * row), stats re-derived at read time. The oracle scores the FULL
+    * corpus from scratch, so hash-equality proves append-maintained ≡
+    * rebuilt — q107's merged-equals-full discipline applied to a
+    * search index. */
+  def q185: Q = {
+    val k1 = 1.2
+    val b = 0.75
+    Q("q185_bm25_incremental",
+      Some(s"""
+        |WITH toks98 AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+        |tf98 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks98 GROUP BY 1, 2),
+        |dl98 AS (SELECT doc_id, sum(tf) AS dl FROM tf98 GROUP BY 1),
+        |st98 AS (SELECT count(*) AS n, sum(dl) AS total FROM dl98),
+        |df98 AS (SELECT term, count(*) AS df FROM tf98 GROUP BY 1),
+        |qt98 AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM toks98
+        |  WHERE doc_id < 10),
+        |pairs AS (
+        |  SELECT qt98.query_id, tf98.doc_id, tf98.term,
+        |         ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
+        |                   / (CAST(df AS DOUBLE) + 0.5))
+        |         * ((CAST(tf AS DOUBLE) * ${k1 + 1.0})
+        |            / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+        |               (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / n)))))
+        |           AS contrib
+        |  FROM qt98
+        |  JOIN tf98 USING (term)
+        |  JOIN df98 USING (term)
+        |  JOIN dl98 ON dl98.doc_id = tf98.doc_id
+        |  CROSS JOIN st98
+        |  WHERE tf98.doc_id != qt98.query_id),
+        |scores AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(sum(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE) AS score
+        |  FROM pairs GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        |  FROM scores)
+        |SELECT query_id, rk, doc_id, score FROM ranked WHERE rk <= 4
+        |ORDER BY query_id, rk
+        |""".stripMargin)) { (s, dir) =>
+      import graft.sources.ManifestCommit
+      val docs = Tables.documents(s, dir)
+      val idxPath =
+        s"/tmp/graft_bm25_pinc_v1_${sourceFingerprint(dir, "documents")}"
+      if (ManifestCommit.latest(idxPath).isEmpty) {
+        graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxPath, "pinc", 0L)
+        graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", idxPath, "pinc", 1L)
+      }
+      graft.text.Bm25.topKFromIndex(
+        graft.text.Bm25.indexFromPostings(ManifestCommit.read(s, idxPath)),
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        k = 4, k1 = k1, b = b, excludeSelf = true)
+        .orderBy(col("query_id"), col("rk"))
+    }
+  }
 
   /** DuckDB replay of SketchExprs.hyperplaneSig over `embeddings.embedding`
     * (64 dims): bit p set iff the LCG-plane projection is > 0 — the exact

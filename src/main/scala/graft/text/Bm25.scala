@@ -170,4 +170,57 @@ object Bm25 {
       buildIndexTable(corpus, idCol, textCol).repartition(n, col("term")),
       queries, idCol, textCol, k, k1, b, excludeSelf)
   }
+
+  /** NORMALIZED postings — (term, doc_id, tf, dl) without the baked
+    * df/n/total snapshot — the shape that supports INCREMENTAL index
+    * maintenance: a new document's posting rows are independent of
+    * every existing row (its dl is its own length), so appending docs
+    * is a pure append, while the flat [[buildIndexTable]] shape would
+    * need every row rewritten (df/n/total change globally with each
+    * ingest). Corpus-level stats are re-derived at read time by
+    * [[indexFromPostings]] — dim-sized aggregations over the stored
+    * postings, paid once per query session, not once per ingest.
+    * Append-only contract: updating or deleting a document requires a
+    * rebuild (or [[graft.sources.ManifestCommit.deleteWhere]] on its
+    * doc_id before re-appending). */
+  def postingsTable(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .materialize()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Exactly-once incremental ingest: the new docs' normalized
+    * postings appended as one ManifestCommit generation keyed by
+    * (appId, batchId) — [[graft.sources.ManifestCommit.appendBatch]]'s
+    * replay protection makes a foreachBatch pipeline of this an
+    * exactly-once index maintainer. Term-bucketed across `nFiles` so
+    * reads stay parallel (the stored-index layout rule). */
+  def appendPostings(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, appId: String, batchId: Long,
+      nFiles: Int = 32): Option[Long] =
+    graft.sources.ManifestCommit.appendBatch(
+      postingsTable(newDocs, idCol, textCol)
+        .repartition(nFiles, col("term")),
+      path, appId, batchId)
+
+  /** Rebuild the flat scoring shape from stored normalized postings:
+    * df per term, corpus n/total from the per-doc lengths — the same
+    * schema [[buildIndexTable]] emits, so [[topKFromIndex]] runs
+    * unchanged on top. */
+  def indexFromPostings(postings: DataFrame): DataFrame = {
+    val p = postings.materialize()
+    val docs = p.select(col("doc_id"), col("dl")).distinct()
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val df = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("n"), col("total"))
+  }
 }
