@@ -274,4 +274,43 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  case class KgramOccurrence(user_id: Long, last_event_id: Long, kgram: String)
+
+  /** Streaming k-gram emission — [[graft.operators.Sequences
+    * .kgramCounts]]'s streaming face: each contiguous k-gram of a
+    * user's event types is emitted EXACTLY ONCE, as soon as its last
+    * event arrives, with the trailing k−1 events carried as O(k)
+    * GroupState so patterns span micro-batches. Aggregating the
+    * occurrences downstream (count per kgram) reproduces the batch
+    * operator's counts; the per-occurrence form is emitted here
+    * because it is the append-mode-friendly shape (each row is final
+    * the moment it appears).
+    *
+    * Within a batch, rows process in (ts, id) order — the batch
+    * window's sort — so stream ≡ batch holds under the usual
+    * time-ordered-micro-batch file-source contract.
+    */
+  def kgramStream(
+      events: Dataset[AttrEvent],
+      k: Int): Dataset[KgramOccurrence] = {
+    require(k >= 2 && k <= 8, s"k must be in [2, 8], got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[String], KgramOccurrence](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[AttrEvent], state: GroupState[Seq[String]]) =>
+          var tail: Seq[String] = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[KgramOccurrence]
+          rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
+            val window = tail :+ e.event_type
+            if (window.size == k)
+              out += KgramOccurrence(userId, e.event_id, window.mkString(" "))
+            tail = window.takeRight(k - 1)
+          }
+          state.update(tail)
+          out.result().iterator
+      }
+  }
 }
