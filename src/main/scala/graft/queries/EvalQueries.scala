@@ -23,7 +23,82 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184)
+      q183, q184, q186)
+
+  /** Personalized PageRank (TextRank.personalizedPageRank): teleport
+    * restricted to the src0 documents over q176's shared-prefix
+    * similarity graph — "how much does the trusted core endorse this
+    * doc", the seed-propagation scoring for graph-based curation.
+    * Scaled-integer iteration (q99's discipline), oracle unrolls all
+    * 4 rounds with the seed-gated teleport term. */
+  def q186: Q = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT e.dst AS node,
+         |         sum((17 * ((e.w * l.rank) // outw.wout)) // 20) AS s
+         |  FROM e JOIN outw USING (src)
+         |  JOIN l${r - 1} l ON l.node = e.src
+         |  GROUP BY 1),
+         |l$r AS (
+         |  SELECT n.node,
+         |         (CASE WHEN sd.node IS NOT NULL
+         |               THEN (3000000000 // (20 * ns.s)) ELSE 0 END
+         |          + coalesce(c.s, 0)) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN seeds sd ON n.node = sd.node
+         |  LEFT JOIN c$r c ON n.node = c.node
+         |  CROSS JOIN ns)""".stripMargin
+    }.mkString(",\n")
+    Q("q186_personalized_pagerank",
+      Some(s"""
+        |WITH pr AS (
+        |  SELECT doc_id, substr(trim(text), 1, 12) AS sx FROM documents
+        |  WHERE text IS NOT NULL),
+        |p0 AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM pr x JOIN pr y ON x.sx = y.sx AND x.doc_id < y.doc_id),
+        |e AS (
+        |  SELECT a AS src, b AS dst, CAST(1 AS BIGINT) AS w FROM p0
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst, CAST(1 AS BIGINT) AS w FROM p0),
+        |outw AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |seeds AS (
+        |  SELECT DISTINCT d.doc_id AS node FROM documents d
+        |  JOIN nodes n ON n.node = d.doc_id
+        |  WHERE d.source = 'src0'),
+        |ns AS (SELECT count(*) AS s FROM seeds),
+        |l0 AS (
+        |  SELECT n.node,
+        |         CASE WHEN sd.node IS NOT NULL
+        |              THEN (1000000000 // ns.s) ELSE 0 END AS rank
+        |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+        |  CROSS JOIN ns),
+        |$roundCtes
+        |SELECT node, CAST(rank AS BIGINT) AS rank
+        |FROM l$rounds ORDER BY node
+        |""".stripMargin)) { (s, dir) =>
+      import graft.text.TextRank
+      val docs = Tables.documents(s, dir)
+      val p = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), substring(trim(col("text")), 1, 12).as("sx"))
+      val pairs = p.select(col("doc_id").as("a"), col("sx"))
+        .join(p.select(col("doc_id").as("b"), col("sx")), Seq("sx"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("w"))
+        .unionByName(pairs
+          .select(col("b").as("src"), col("a").as("dst"), lit(1L).as("w")))
+      TextRank.personalizedPageRank(edges, "src", "dst", "w",
+          docs.where(col("source") === "src0"), "doc_id",
+          iterations = rounds)
+        .orderBy(col("node"))
+    }
+  }
 
   /** DuckDB expression for RandomProject.projectMilli: per output dim
     * j, Σ_i s_ij·⌊1000·vec[i]⌋ with the salt-derived ±1 literals

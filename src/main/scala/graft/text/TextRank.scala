@@ -81,6 +81,65 @@ object TextRank {
     ranks
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport restricted
+    * to a SEED set: rank becomes "importance relative to the seeds"
+    * (random walks restart at seeds only), the propagation trick
+    * behind seed-based quality scoring of a document graph (trusted
+    * sources push mass to whatever they link/resemble) and
+    * related-item expansion from a labeled core. Same scaled-integer
+    * discipline — seeds get teleport (3·scale) div (20·S) and initial
+    * mass scale div S; non-seeds start (and teleport) at zero — so the
+    * whole iteration stays hash-exact. Seeds outside the graph are
+    * ignored; S counts the ones present. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 1000L,
+      s"bad params iterations=$iterations scale=$scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).as("w")).materialize()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .materialize()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().materialize()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "leftsemi")
+      .withColumn("__seed", lit(1L))
+      .materialize()
+    val sCount = sd.count()
+    require(sCount > 0, "no seed appears in the graph")
+    val init = scale / sCount
+    val base = (3L * scale) / (20L * sCount)
+    def withSeedFlag(df: DataFrame): DataFrame =
+      df.join(sd, Seq("node"), "left")
+    var ranks = withSeedFlag(nodes)
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(init)).otherwise(lit(0L))
+          .as("rank"))
+      .materialize()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(outw, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(17 * ((w * rank) div wout)) div 20").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = withSeedFlag(nodes).join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("rank"))
+        .materialize(truncate = true) // per-round: constant-depth plans
+    }
+    ranks
+  }
+
   /** TextRank keywords: rank tokens by PageRank over the symmetrized
     * adjacent-token (bigram) co-occurrence graph; top-k by (rank desc,
     * token). Self-loops (a token repeated back-to-back) are dropped.
