@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -58,6 +60,49 @@ object Funnel {
       max(col(s"t_${i + 1}")).as(s"t_${i + 1}")) :+
       max(completed).as("stages_completed")
     staged.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Rolling distinct actives — DAU next to trailing-`window`-day
+    * distinct actives (WAU for window = 7) and the stickiness ratio,
+    * per observed day. The sliding DISTINCT count is the one rolling
+    * metric a window frame cannot express (distinct doesn't decompose
+    * over frames); the exact scale-shape is contribution explode: each
+    * deduped (entity, day) row contributes to the `window` days it
+    * keeps the entity active in, then a second dedup + count per day —
+    * a bounded ×window fan-out of id-sized rows, never a range
+    * self-join of the log. Days with no events emit nothing (and
+    * contribute nothing to later windows' denominators — the observed-
+    * calendar contract; left-join a calendar dim upstream if gap days
+    * must appear).
+    *
+    * Output: (day, dau, rolling_actives, stickiness_ppm) with
+    * stickiness_ppm = ⌊10⁶·dau/rolling⌋.
+    */
+  def rollingActives(
+      df: DataFrame,
+      entityCol: String,
+      dayCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1 && window <= 370, s"window in [1, 370]: $window")
+    val active = df
+      .where(col(entityCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(entityCol).as("__e"), col(dayCol).cast("long").as("__d"))
+      .distinct()
+      .materialize() // feeds dau, the contribution explode, and the calendar
+    val days = active.select(col("__d").as("day")).distinct()
+    val dau = active.groupBy(col("__d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val rolling = active
+      .withColumn("__off", explode(sequence(lit(0), lit(window - 1))))
+      .select(col("__e"), (col("__d") + col("__off")).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "leftsemi")
+      .groupBy(col("day")).agg(count(lit(1)).as("rolling_actives"))
+    dau.join(rolling, Seq("day"))
+      .withColumn("stickiness_ppm",
+        expr("(1000000 * dau) div rolling_actives"))
+      .select(col("day"), col("dau"), col("rolling_actives"),
+        col("stickiness_ppm"))
   }
 
   /** Retention cohorts: entities cohorted by their first active day,

@@ -23,7 +23,91 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186)
+      q183, q184, q186, q187, q188)
+
+  /** Funnel conversion-latency percentiles (composition: Funnel.funnel
+    * → OrderStats.quantilesDisc): among users who completed
+    * view→click→purchase, the exact p25/p50/p75/p90/p99 of the
+    * view-to-purchase latency — "how long does conversion take", in
+    * actual observed µs (no interpolation). */
+  def q187: Q = Q(
+    "q187_funnel_latency",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+      |                      AND ns >= t1 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+      |                      AND ns >= t2 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |agg AS (
+      |  SELECT user_id, max(t1) AS t1, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id),
+      |lat AS (
+      |  SELECT (t3 - t1) // 1000 AS lat_us FROM agg
+      |  WHERE t3 IS NOT NULL),
+      |r AS (
+      |  SELECT 'all' AS scope, lat_us,
+      |         row_number() OVER (ORDER BY lat_us) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM lat),
+      |p AS (SELECT unnest([250, 500, 750, 900, 990]) AS permille)
+      |SELECT r.scope, p.permille, r.lat_us AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.{Funnel, OrderStats}
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val lat = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .where(col("t_3").isNotNull)
+      .select(lit("all").as("scope"),
+        expr("(t_3 - t_1) div 1000").as("lat_us"))
+    OrderStats.quantilesDisc(lat, Seq("scope"), "lat_us",
+        Seq(250, 500, 750, 900, 990))
+      .orderBy(col("permille"))
+  }
+
+  /** Rolling 7-day distinct actives (Funnel.rollingActives): per
+    * observed day, DAU / trailing-7-day actives / stickiness — the
+    * engagement profile whose sliding DISTINCT no window frame can
+    * express; the exact shape is a bounded ×7 contribution explode of
+    * deduped (user, day) rows, never a range self-join. */
+  def q188: Q = Q(
+    "q188_rolling_actives",
+    Some("""
+      |WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM a),
+      |dau AS (SELECT d AS day, count(*) AS dau FROM a GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT user_id, d + off AS day
+      |  FROM a, unnest(range(0, 7)) AS u(off)),
+      |rolling AS (
+      |  SELECT c.day, count(*) AS rolling_actives
+      |  FROM contrib c JOIN days USING (day)
+      |  GROUP BY c.day)
+      |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+      |       CAST(rolling.rolling_actives AS BIGINT) AS rolling_actives,
+      |       CAST((1000000 * dau.dau) // rolling.rolling_actives
+      |            AS BIGINT) AS stickiness_ppm
+      |FROM dau JOIN rolling USING (day)
+      |ORDER BY dau.day
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.Funnel.rollingActives(
+        Tables.events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("d")),
+        "user_id", "d", window = 7)
+      .orderBy(col("day"))
+  }
 
   /** Personalized PageRank (TextRank.personalizedPageRank): teleport
     * restricted to the src0 documents over q176's shared-prefix
