@@ -23,7 +23,111 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186, q187, q188)
+      q183, q184, q186, q187, q188, q189, q190)
+
+  /** Autocorrelation function of the daily event-count series
+    * (composition: daily counts → per-lag self-join → Stats.linearFit
+    * with keys = lag): ACF at lags 1-7, each lag's corr from exact
+    * integer moment sums — the seasonality probe ("is there a weekly
+    * cycle?") with q142's no-quantization exactness. The series dim is
+    * day-sized, so the lag joins are dim joins. */
+  def q189: Q = Q(
+    "q189_daily_autocorrelation",
+    Some("""
+      |WITH c AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+      |         CAST(count(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1),
+      |lags AS (SELECT unnest(range(1, 8)) AS lag),
+      |b AS (
+      |  SELECT lags.lag, prev.v AS x, cur.v AS y
+      |  FROM lags
+      |  JOIN c cur ON TRUE
+      |  JOIN c prev ON prev.d = cur.d - lags.lag),
+      |s AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY lag),
+      |d AS (
+      |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) AS num_d,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx_d,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS dy_d
+      |  FROM s)
+      |SELECT lag, n,
+      |       CASE WHEN dx_d > 0 AND dy_d > 0
+      |            THEN num_d / (sqrt(dx_d) * sqrt(dy_d)) END AS acf
+      |FROM d ORDER BY lag
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Stats
+    val c = Tables.events(s, dir)
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("v"))
+      .materialize() // day-sized series dim feeding both join legs ×7 lags
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val pairs = lags.crossJoin(c.select(col("d").as("__dc"), col("v").as("y")))
+      .join(c.select(col("d").as("__dp"), col("v").as("x")),
+        col("__dp") === col("__dc") - col("lag"))
+    Stats.linearFit(pairs, Seq("lag"), col("x"), col("y"))
+      .select(col("lag"), col("n"), col("corr").as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** Shard-balance audit (composition: Sharding.rendezvousAssign →
+    * Stats.chiSquareGof): documents rendezvous-assigned to 8 shards,
+    * the mix tested against the uniform 125000-ppm law — the "is my
+    * sharding actually balanced" gate a 100 TB writer runs before
+    * committing a layout. */
+  def q190: Q = {
+    val nShards = 8
+    val expSql = (0 until nShards)
+      .map(i => s"SELECT '$i' AS cat, 125000 AS eppm")
+      .mkString(" UNION ALL ")
+    Q("q190_shard_balance",
+      Some(s"""
+        |WITH s AS (SELECT unnest(range(0, $nShards)) AS shard),
+        |wt AS (
+        |  SELECT doc_id, s.shard,
+        |         (${sqlSaltedHash(
+                     "(CAST(doc_id AS VARCHAR) || '#' || CAST(s.shard AS VARCHAR))",
+                     "rdv_v1:hrw")}) AS w
+        |  FROM documents, s),
+        |asg AS (
+        |  SELECT doc_id, CAST(shard AS VARCHAR) AS shard FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+        |    FROM wt)
+        |  WHERE rn = 1),
+        |obs AS (SELECT shard, count(*) AS o FROM asg GROUP BY 1),
+        |exp AS ($expSql),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (
+        |  SELECT tot.n, exp.cat, exp.eppm, coalesce(obs.o, 0) AS o
+        |  FROM tot CROSS JOIN exp
+        |  LEFT JOIN obs ON obs.shard = exp.cat),
+        |terms AS (
+        |  SELECT n,
+        |         CAST(CAST((1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   * (1000000 * CAST(o AS HUGEINT) - n * eppm)
+        |                   AS DOUBLE)
+        |              / CAST(1000000 * CAST(n AS HUGEINT) * eppm AS DOUBLE)
+        |              AS DECIMAL(18,9)) AS t
+        |  FROM grid)
+        |SELECT CAST(min(n) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS n_unexpected,
+        |       CAST(sum(t) AS DOUBLE) AS chi2
+        |FROM terms
+        |""".stripMargin)) { (s, dir) =>
+      import graft.text.Sharding
+      val asg = Sharding.rendezvousAssign(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", nShards,
+        "rdv_v1")
+      graft.operators.Stats.chiSquareGof(asg, Seq(), col("shard"),
+        (0 until nShards).map(i => i.toString -> 125000L))
+    }
+  }
 
   /** Funnel conversion-latency percentiles (composition: Funnel.funnel
     * → OrderStats.quantilesDisc): among users who completed
