@@ -104,6 +104,29 @@ object HyperLogLog {
             col("__mlo"), lit(" vs "), col("__mhi"))).cast("long")))
       .drop("__mlo", "__mhi")
 
+  /** Rolling merged sketches over the trailing `window` integral
+    * periods — the sliding-DISTINCT sketch: register max DECOMPOSES
+    * over windows (unlike distinct counts), so "7-day uniques per day"
+    * is a bounded ×window contribution explode of REGISTER rows
+    * (m per period, not data-sized) followed by the ordinary merge —
+    * at 100 TB the slide costs m·window·#periods tiny rows where the
+    * exact form re-touches every (entity, period). Only periods
+    * present in the input emit (the observed-calendar contract shared
+    * with [[Funnel.rollingActives]], its exact sibling). */
+  def rollingMerge(
+      sk: DataFrame,
+      periodCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1 && window <= 370, s"window in [1, 370]: $window")
+    val obs = sk.select(col(periodCol)).distinct()
+    val shifted = sk
+      .withColumn("__off", explode(sequence(lit(0), lit(window - 1))))
+      .withColumn(periodCol, col(periodCol) + col("__off"))
+      .drop("__off")
+      .join(obs, Seq(periodCol), "leftsemi")
+    merge(shifted, Seq(periodCol))
+  }
+
   /** Per-group estimate from a sketch (or [[merge]] output):
     * (keys…, m, v_empty, sum_r, est_raw, est). est_raw is the raw HLL
     * estimate α·m²/Σ2^(−r); est applies the paper's small-range

@@ -23,7 +23,100 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186, q187, q188, q189, q190)
+      q183, q184, q186, q187, q188, q189, q190, q191)
+
+  /** Sliding-window HLL vs exact rolling actives (HyperLogLog
+    * .rollingMerge × Funnel.rollingActives): 7-day distinct users per
+    * day, exact AND sketch-estimated side by side with the signed
+    * error — register max decomposes over windows, so the sketch
+    * slide costs m·7 register rows per day where the exact form
+    * re-touches every (user, day); this is the number that licenses
+    * switching at 100 TB (q156's calibration discipline on sketches).
+    * Every register and the estimate replay exactly in the oracle. */
+  def q191: Q = {
+    val m = 64
+    val cap = graft.operators.HyperLogLog.RhoCap
+    val rhoCase = (1 until cap)
+      .map(k => s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    val termCase = (0 to cap)
+      .map(r =>
+        s"WHEN r = $r THEN CAST(${graft.operators.HyperLogLog.termLiteral(r)}"
+          + " AS DECIMAL(14,12))")
+      .mkString(" ")
+    val aM2 = graft.operators.HyperLogLog.alphaM2(m)
+    Q("q191_rolling_hll",
+      Some(s"""
+        |WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM a),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, d + off AS day
+        |  FROM a, unnest(range(0, 7)) AS u(off)),
+        |exact AS (
+        |  SELECT c.day, count(*) AS rolling_exact
+        |  FROM contrib c JOIN days USING (day)
+        |  GROUP BY c.day),
+        |h AS (
+        |  SELECT DISTINCT d,
+        |         (${sqlSaltedHash("CAST(user_id AS VARCHAR)", "hll")}) AS hv
+        |  FROM a),
+        |w AS (SELECT d, hv % $m AS bucket, hv // $m AS w FROM h),
+        |reg AS (
+        |  SELECT d, bucket, max(CASE $rhoCase ELSE $cap END) AS r
+        |  FROM w GROUP BY d, bucket),
+        |roll AS (
+        |  SELECT rd.day, rg.bucket, max(rg.r) AS r
+        |  FROM (SELECT d, d + off AS day
+        |        FROM (SELECT DISTINCT d FROM reg), unnest(range(0, 7)) AS u(off)) rd
+        |  JOIN days USING (day)
+        |  JOIN reg rg ON rg.d = rd.d
+        |  GROUP BY rd.day, rg.bucket),
+        |agg AS (
+        |  SELECT day, count(*) AS occ, sum(r) AS sum_r,
+        |         sum(CASE $termCase END) AS occ_terms
+        |  FROM roll GROUP BY day),
+        |dd AS (
+        |  SELECT day, occ, sum_r,
+        |         CAST(CAST($m - occ AS DECIMAL(38,12))
+        |              + CAST(occ_terms AS DECIMAL(38,12)) AS DOUBLE) AS denom
+        |  FROM agg),
+        |e AS (
+        |  SELECT day, occ, sum_r, $aM2 / denom AS est_raw FROM dd),
+        |est AS (
+        |  SELECT day, CAST($m - occ AS BIGINT) AS v_empty,
+        |         CAST(sum_r AS BIGINT) AS sum_r,
+        |         CASE WHEN est_raw <= CAST($m AS DOUBLE) * 2.5
+        |                   AND $m - occ > 0
+        |              THEN CAST(CAST(-$m AS DECIMAL(10,0)) *
+        |                     CAST(ln(CAST($m - occ AS DOUBLE)
+        |                             / CAST($m AS DOUBLE)) AS DECIMAL(18,9))
+        |                   AS DOUBLE)
+        |              ELSE est_raw END AS est
+        |  FROM e)
+        |SELECT est.day, CAST(exact.rolling_exact AS BIGINT) AS rolling_exact,
+        |       est.v_empty, est.sum_r, est.est,
+        |       est.est - CAST(exact.rolling_exact AS DOUBLE) AS err
+        |FROM est JOIN exact ON est.day = exact.day
+        |ORDER BY est.day
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Funnel, HyperLogLog}
+      val a = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      val exact = Funnel.rollingActives(a, "user_id", "d", window = 7)
+        .select(col("day"), col("rolling_actives").as("rolling_exact"))
+      val sk = HyperLogLog.sketch(a.distinct(), Seq("d"), "user_id", m, "hll")
+      val est = HyperLogLog.estimate(
+          HyperLogLog.rollingMerge(sk, "d", window = 7), Seq("d"))
+        .select(col("d").as("day"), col("v_empty"), col("sum_r"), col("est"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("rolling_exact"), col("v_empty"),
+          col("sum_r"), col("est"),
+          (col("est") - col("rolling_exact").cast("double")).as("err"))
+        .orderBy(col("day"))
+    }
+  }
 
   /** Autocorrelation function of the daily event-count series
     * (composition: daily counts → per-lag self-join → Stats.linearFit

@@ -142,4 +142,30 @@ class HyperLogLogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("different m"))
   }
+
+  test("rollingMerge equals sketching each window's unioned data") {
+    import org.apache.spark.sql.functions.col
+    // users per day: day0 {a,b}, day1 {b,c}, day2 {d}; window 2
+    val rows = Seq((0L, "a"), (0L, "b"), (1L, "b"), (1L, "c"), (2L, "d"))
+    val sk = HyperLogLog.sketch(rows.toDF("d", "v"), Seq("d"), "v", 64)
+    val rolled = HyperLogLog.estimate(
+        HyperLogLog.rollingMerge(sk, "d", window = 2), Seq("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    def direct(days: Seq[Long]) = HyperLogLog.estimate(
+      HyperLogLog.sketch(rows.filter(r => days.contains(r._1))
+          .map { case (_, v) => ("w", v) }.toDF("d", "v"),
+        Seq("d"), "v", 64), Seq("d")).head().getDouble(5)
+    assert(rolled(0L) == direct(Seq(0L)))
+    assert(rolled(1L) == direct(Seq(0L, 1L)))
+    assert(rolled(2L) == direct(Seq(1L, 2L)))
+  }
+
+  test("rollingMerge emits only observed periods") {
+    val sk = HyperLogLog.sketch(Seq((0L, "a"), (5L, "b")).toDF("d", "v"),
+      Seq("d"), "v", 64)
+    val days = HyperLogLog.rollingMerge(sk, "d", window = 3)
+      .select("d").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(days == Set(0L, 5L)) // no ghost days 1, 2, 6, 7
+  }
 }
