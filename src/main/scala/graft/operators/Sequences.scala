@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Only complete windows count: an entity with fewer than k events
   * contributes nothing; the last k−1 positions of each log likewise.
-  * Ordering ties break by `idCol`, so the pattern multiset is
-  * deterministic and cross-engine replayable.
+  * A NULL event type occupies its position but forms no pattern —
+  * every window containing it is dropped (all k slots are
+  * null-checked; checking only the leads would mislabel a
+  * null-leading window as a (k−1)-gram). Ordering ties break by
+  * `idCol`, so the pattern multiset is deterministic and cross-engine
+  * replayable.
   */
 object Sequences {
 
@@ -45,7 +49,7 @@ object Sequences {
     val slots = col(typeCol).as("__s0") +: steps
     events
       .select(col(entityCol) +: slots: _*)
-      .where((1 until k).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .where((0 until k).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
       .withColumn("kgram",
         concat_ws(" ", (0 until k).map(i => col(s"__s$i")): _*))
       .groupBy(col("kgram"))

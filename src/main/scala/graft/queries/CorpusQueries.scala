@@ -71,12 +71,15 @@ object CorpusQueries {
       val docs = Tables.documents(s, dir)
       val idxPath =
         s"/tmp/graft_bm25_pinc_v1_${sourceFingerprint(dir, "documents")}"
-      if (ManifestCommit.latest(idxPath).isEmpty) {
-        graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 0),
-          "doc_id", "text", idxPath, "pinc", 0L)
-        graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 1),
-          "doc_id", "text", idxPath, "pinc", 1L)
-      }
+      // NO latest().isEmpty guard: appendBatch is idempotent by
+      // (appId, batchId), so calling both ingests unconditionally is
+      // self-healing — a crash between them leaves batch 0 committed
+      // and the next run simply lands batch 1 (a presence guard would
+      // wedge the half-built index forever)
+      graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", idxPath, "pinc", 0L)
+      graft.text.Bm25.appendPostings(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", idxPath, "pinc", 1L)
       graft.text.Bm25.topKFromIndex(
         graft.text.Bm25.indexFromPostings(ManifestCommit.read(s, idxPath)),
         docs.filter(col("doc_id") < 10), "doc_id", "text",

@@ -746,7 +746,7 @@ object EvalQueries {
       |r AS (
       |  SELECT doc_id,
       |         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       |cand AS (
       |  SELECT ra.doc_id AS a, rb.doc_id AS b
       |  FROM r ra JOIN r rb ON rb.rn > ra.rn AND rb.rn <= ra.rn + 3),
@@ -1067,7 +1067,8 @@ object EvalQueries {
       |SELECT s0 || ' ' || s1 || ' ' || s2 AS kgram,
       |       CAST(count(*) AS BIGINT) AS n_occurrences,
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
-      |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+      |FROM s
+      |WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
       |GROUP BY 1 ORDER BY 1
       |""".stripMargin)) { (s, dir) =>
     graft.operators.Sequences.kgramCounts(Tables.events(s, dir),

@@ -139,28 +139,46 @@ object ManifestCommit {
       .map(p => dir.relativize(p).toString)
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
-    publish(dir, parts, firstGen, nonce)
+    // carry the streaming txn ledger through full rewrites too — a
+    // maintenance write must not reopen the door to batch replays
+    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce)
   }
+
+  /** Latest manifest's RAW lines (files + metadata markers), one read
+    * — the shared parse [[latest]]/[[committedTxns]]/[[appendBatch]]
+    * derive from (one LIST+GET per consult, not two). */
+  private def latestRaw(path: String): Option[(Long, Seq[String])] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return None
+    val manifests = listDir(dir)
+      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+    if (manifests.isEmpty) None
+    else {
+      val m = manifests.maxBy(manifestGen)
+      Some(manifestGen(m) ->
+        Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  private def txnsOf(lines: Seq[String]): Set[String] =
+    lines.filter(_.startsWith(TxnPrefix)).map(_.stripPrefix(TxnPrefix)).toSet
+
+  private def filesOf(lines: Seq[String]): Seq[String] =
+    lines.filterNot(_.startsWith("#"))
 
   /** The (appId:batchId) transaction markers carried by the LATEST
     * manifest — the replay ledger [[appendBatch]] consults. Markers
-    * accumulate forward through append commits (one short line per
-    * batch), so the newest manifest alone holds the full history and
-    * [[vacuum]] (which keeps only that manifest) never loses replay
-    * protection. A non-append writer ([[writeVersioned]], [[compact]],
-    * …) starts a fresh manifest WITHOUT markers — it resets stream
-    * txn history, which is why a streaming table wants exactly one
-    * writer: its query. */
-  def committedTxns(path: String): Set[String] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) return Set.empty
-    val manifests = listDir(dir)
-      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
-    if (manifests.isEmpty) Set.empty
-    else Files.readAllLines(manifests.maxBy(manifestGen)).asScala
-      .filter(_.startsWith(TxnPrefix))
-      .map(_.stripPrefix(TxnPrefix)).toSet
-  }
+    * accumulate forward through EVERY manifest-publishing operation
+    * (append, delete, upsert, compact, full rewrite — each carries the
+    * previous manifest's markers), so the newest manifest alone holds
+    * the full history and [[vacuum]] (which keeps only that manifest)
+    * never loses replay protection. */
+  def committedTxns(path: String): Set[String] =
+    latestRaw(path).map(r => txnsOf(r._2)).getOrElse(Set.empty)
+
+  /** Marker lines to carry into a successor manifest. */
+  private def carriedMarkers(path: String): Seq[String] =
+    committedTxns(path).toSeq.sorted.map(TxnPrefix + _)
 
   /** Idempotent exactly-once streaming APPEND — the foreachBatch sink
     * for this table format: each micro-batch lands as a new generation
@@ -188,22 +206,26 @@ object ManifestCommit {
     require(appId.nonEmpty && !appId.contains(":") && !appId.contains("\n"),
       s"appId must be non-empty without ':' or newline: '$appId'")
     val key = s"$appId:$batchId"
-    val prevTxns = committedTxns(path)
-    if (prevTxns.contains(key)) return None
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val prev = latest(path)
-    val prevFiles = prev.map(_._2).getOrElse(Seq.empty)
+    // ONE manifest read serves both the replay check and the file list
+    val prev = latestRaw(path)
+    val prevTxns = prev.map(r => txnsOf(r._2)).getOrElse(Set.empty)
+    if (prevTxns.contains(key)) return None
+    val prevFiles = prev.map(r => filesOf(r._2)).getOrElse(Seq.empty)
     val firstGen = prev.map(_._1).getOrElse(0L) + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-$firstGen-$nonce"
     val writer = batch.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.resolve(dataDir).toString)
+    // an EMPTY partitioned batch writes no part files (dynamic-partition
+    // writers open files on the first row) — that is a legal streaming
+    // micro-batch, and it must still COMMIT its marker or the query
+    // crashes here and replays forever; publish a marker-only
+    // generation carrying the previous files
     val newParts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
-    require(newParts.nonEmpty,
-      s"parquet write produced no part files in $dataDir")
     val markers = (prevTxns + key).toSeq.sorted.map(TxnPrefix + _)
     Some(publish(dir, (prevFiles ++ newParts).sorted ++ markers,
       firstGen, nonce))
@@ -537,7 +559,7 @@ object ManifestCommit {
     require(manifest.nonEmpty,
       "deleteWhere would delete every row of every file; write an empty " +
         "generation explicitly if that is intended")
-    publish(dir, manifest, gen + 1, nonce)
+    publish(dir, manifest ++ carriedMarkers(path), gen + 1, nonce)
   }
 
   /** Copy-on-write keyed UPSERT — [[upsert]]'s semantics (incoming
@@ -591,7 +613,8 @@ object ManifestCommit {
       .parquet(dir.resolve(dataDir).toString)
     val newParts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
-    publish(dir, (untouched ++ newParts).sorted, gen + 1, nonce)
+    publish(dir, (untouched ++ newParts).sorted ++ carriedMarkers(path),
+      gen + 1, nonce)
   }
 
   /** Compact the latest generation's small files into ~`targetBytes`

@@ -305,7 +305,9 @@ object EventStreams {
           val out = Seq.newBuilder[KgramOccurrence]
           rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
             val window = tail :+ e.event_type
-            if (window.size == k)
+            // null types occupy their slot but form no pattern — the
+            // batch operator's contract (all k slots null-checked)
+            if (window.size == k && window.forall(_ != null))
               out += KgramOccurrence(userId, e.event_id, window.mkString(" "))
             tail = window.takeRight(k - 1)
           }

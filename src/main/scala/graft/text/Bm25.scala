@@ -50,22 +50,12 @@ object Bm25 {
     * per corpus generation, re-scored per query batch — the
     * build-once/query-many split a search index IS. */
   def buildIndexTable(
-      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // stage boundary: postings feed doc lengths, document frequencies
-    // and the corpus aggregate — one tokenization pass
-    val tf = corpus.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .materialize()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
-    tf.join(dl, Seq("doc_id"))
-      .join(df, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("df"), col("n"), col("total"))
-  }
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ONE definition of the index math: the flat shape is exactly the
+    // normalized postings + read-time stats (keeping a second copy of
+    // the tf/dl derivation here would let the two paths drift and
+    // silently break q185's append-maintained ≡ rebuilt invariant)
+    indexFromPostings(postingsTable(corpus, idCol, textCol))
 
   /** Persist the index as a ManifestCommit dataset (atomic generations
     * — a re-build publishes a new generation, readers never see a

@@ -59,6 +59,40 @@ class AppendStreamSpec extends AnyFunSuite {
     assert(ManifestCommit.read(spark, path).count() == 2L)
   }
 
+  test("an empty partitioned micro-batch still commits its marker") {
+    val path = tmp()
+    ManifestCommit.appendBatch(Seq((1L, "a")).toDF("id", "p"), path,
+      "app", 0L, partitionBy = Seq("p"))
+    // all rows filtered out -> dynamic-partition write creates NO part
+    // files; the commit must still land (marker-only generation) or the
+    // streaming query would crash and replay forever
+    val g = ManifestCommit.appendBatch(
+      Seq((1L, "a")).toDF("id", "p").where(col("id") < 0), path,
+      "app", 1L, partitionBy = Seq("p"))
+    assert(g.isDefined)
+    assert(ManifestCommit.committedTxns(path) == Set("app:0", "app:1"))
+    assert(ManifestCommit.read(spark, path).count() == 1L)
+    // and the replayed empty batch is a no-op
+    assert(ManifestCommit.appendBatch(
+      Seq((9L, "z")).toDF("id", "p"), path, "app", 1L,
+      partitionBy = Seq("p")).isEmpty)
+  }
+
+  test("deleteWhere and full rewrites preserve the txn ledger") {
+    val path = tmp()
+    (0L to 1L).foreach(b => ManifestCommit.appendBatch(
+      Seq((b, s"v$b")).toDF("id", "v"), path, "app", b))
+    ManifestCommit.deleteWhere(spark, path, col("id") === 0L)
+    assert(ManifestCommit.committedTxns(path) == Set("app:0", "app:1"))
+    // a maintenance rewrite (compact path goes through writeVersioned)
+    ManifestCommit.writeVersioned(
+      ManifestCommit.read(spark, path), path)
+    assert(ManifestCommit.committedTxns(path) == Set("app:0", "app:1"))
+    // replay after maintenance is still a no-op
+    assert(ManifestCommit.appendBatch(
+      Seq((0L, "v0")).toDF("id", "v"), path, "app", 0L).isEmpty)
+  }
+
   test("different appIds do not collide") {
     val path = tmp()
     assert(ManifestCommit.appendBatch(

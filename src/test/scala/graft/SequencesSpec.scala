@@ -47,4 +47,17 @@ class SequencesSpec extends AnyFunSuite {
       ("a", 1L, 2L, "c"), ("a", 1L, 1L, "v")), k = 2)
     assert(out == Map("v c" -> ((1L, 1L))))
   }
+
+  test("a null type occupies its slot but forms no pattern") {
+    val df = Seq(
+      ("a", 1L, 1L, Option.empty[String]), ("a", 2L, 2L, Some("v")),
+      ("a", 3L, 3L, Some("c"))).toDF("u", "ts", "id", "typ")
+    val out = Sequences.kgramCounts(df, "u", "ts", "id", "typ", 3)
+      .collect()
+    // NOT a mislabeled "v c" bigram, and no "null v c" trigram either
+    assert(out.isEmpty)
+    val out2 = Sequences.kgramCounts(df, "u", "ts", "id", "typ", 2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(out2 == Set("v c")) // the window clear of the null survives
+  }
 }
