@@ -23,7 +23,131 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186, q187, q188, q189, q190, q191)
+      q183, q184, q186, q187, q188, q189, q190, q191, q192, q193)
+
+  /** Funnel stage-conversion report (over Funnel.funnel): the per-user
+    * stage table collapsed to the marketing-facing shape — entities
+    * reaching each stage, step conversion ppm (vs previous stage) and
+    * overall conversion ppm (vs stage 1), all exact integer
+    * divisions. */
+  def q192: Q = Q(
+    "q192_funnel_report",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ns FROM events),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+      |                      AND ns >= t1 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+      |                      AND ns >= t2 THEN ns END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |agg AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id),
+      |c AS (
+      |  SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3
+      |  FROM agg),
+      |stages AS (
+      |  SELECT 1 AS stage, 'view' AS name, n1 AS reached, n1 AS prev,
+      |         n1 AS first FROM c
+      |  UNION ALL SELECT 2, 'click', n2, n1, n1 FROM c
+      |  UNION ALL SELECT 3, 'purchase', n3, n2, n1 FROM c)
+      |SELECT CAST(stage AS BIGINT) AS stage, name,
+      |       CAST(reached AS BIGINT) AS reached,
+      |       CAST(CASE WHEN prev > 0 THEN (1000000 * reached) // prev END
+      |            AS BIGINT) AS step_ppm,
+      |       CAST(CASE WHEN first > 0 THEN (1000000 * reached) // first END
+      |            AS BIGINT) AS overall_ppm
+      |FROM stages ORDER BY stage
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Funnel
+    val stages = Seq("view", "click", "purchase")
+    val f = Funnel.funnel(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts")),
+        "user_id", "event_type", "ts", stages)
+      .agg(count(col("t_1")).as("n1"), count(col("t_2")).as("n2"),
+        count(col("t_3")).as("n3"))
+      .materialize() // 1-row dim feeding all three stage rows
+    val rows = Seq((1, "view", "n1", "n1"), (2, "click", "n2", "n1"),
+      (3, "purchase", "n3", "n2"))
+    rows.map { case (i, name, reached, prev) =>
+      f.select(lit(i.toLong).as("stage"), lit(name).as("name"),
+        col(reached).as("reached"),
+        expr(s"CASE WHEN $prev > 0 THEN (1000000 * $reached) div $prev END")
+          .as("step_ppm"),
+        expr(s"CASE WHEN n1 > 0 THEN (1000000 * $reached) div n1 END")
+          .as("overall_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  /** Deterministic A/B split + two-proportion z-test (composition:
+    * Sampling.hashBucket → exact counts → one pinned IEEE sequence):
+    * users hash-split 50/50, outcome = "ever purchased", and the
+    * pooled z statistic computed from exact integers with the stated
+    * op order — the experiment-readout shape, reproducible to the
+    * bit because the split is content-addressed, never random. */
+  def q193: Q = Q(
+    "q193_ab_ztest",
+    Some(s"""
+      |WITH u AS (
+      |  SELECT user_id,
+      |         CASE WHEN (${sqlSaltedHash("CAST(user_id AS VARCHAR)", "ab_v1")})
+      |                   % 100 < 50 THEN 'A' ELSE 'B' END AS arm,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM u)
+      |SELECT n_a, x_a, n_b, x_b,
+      |       CASE WHEN n_a > 0 AND n_b > 0
+      |                 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+      |         (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |         / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |                * (1.0 - CAST(x_a + x_b AS DOUBLE)
+      |                         / CAST(n_a + n_b AS DOUBLE))
+      |                * (1.0 / CAST(n_a AS DOUBLE)
+      |                   + 1.0 / CAST(n_b AS DOUBLE)))
+      |       END AS z
+      |FROM c
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.Sampling
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("y"))
+      .withColumn("arm",
+        when(Sampling.hashBucket(col("user_id"), "ab_v1") < 50, "A")
+          .otherwise("B"))
+    val c = u.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("y").cast("long")).otherwise(0L))
+        .as("x_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("y").cast("long")).otherwise(0L))
+        .as("x_b"))
+    val pd = col("x_a").cast("double") / col("n_a").cast("double") -
+      col("x_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = pd / sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    c.withColumn("z",
+      when(col("n_a") > 0 && col("n_b") > 0 &&
+        col("x_a") + col("x_b") > 0 &&
+        col("x_a") + col("x_b") < col("n_a") + col("n_b"), z))
+  }
 
   /** Sliding-window HLL vs exact rolling actives (HyperLogLog
     * .rollingMerge × Funnel.rollingActives): 7-day distinct users per
