@@ -17,7 +17,85 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
       q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137,
-      q138, q139, q185)
+      q138, q139, q185, q194)
+
+  /** INCREMENTALLY-maintained IVF-PQ ANN (ProductQuantize
+    * .appendIvfPqCodes): the corpus ingested as two exactly-once code
+    * generations against a frozen stored model, queried from storage —
+    * q185's append-maintained ≡ rebuilt discipline for vectors. Code
+    * rows are per-vector independent under a frozen model, so the
+    * oracle is exactly q139's full-build replay. The model write is
+    * guarded by presence; the code ingests are UNGUARDED (idempotent
+    * by (appId, batchId)) so a crash between them self-heals. */
+  def q194: Q = Q(
+    "q194_ann_incremental",
+    Some(s"""
+      |WITH ${PipelineQueries.sqlPqPrelude},
+      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+      |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings),
+      |qc AS (SELECT vec_id AS qid, ${sqlHyperplaneCell(6)} AS qcell
+      |       FROM embeddings WHERE vec_id < 40),
+      |probes AS (
+      |  SELECT qid, xor(qcell, u.mask) AS cell
+      |  FROM qc, unnest([CAST(0 AS BIGINT), 1, 2, 4, 8, 16, 32]) AS u(mask)),
+      |qs AS (
+      |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
+      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
+      |  FROM embeddings, unnest(range(0, 8)) AS u(m)
+      |  WHERE vec_id < 40),
+      |qd AS (
+      |  SELECT qid, m, k AS code,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 9), i ->
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
+      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
+      |           (a, b) -> a + b) AS qdst
+      |  FROM qs JOIN cb USING (m)),
+      |cand AS (
+      |  SELECT p.qid, c.vec_id AS neighbor_id
+      |  FROM probes p JOIN ccell c ON c.cell = p.cell
+      |  WHERE c.vec_id != p.qid),
+      |pairs AS (
+      |  SELECT cand.qid, cand.neighbor_id, co.m, qd.qdst
+      |  FROM cand
+      |  JOIN codes co ON co.vec_id = cand.neighbor_id
+      |  JOIN qd ON qd.qid = cand.qid AND qd.m = co.m AND qd.code = co.code),
+      |adc AS (
+      |  SELECT qid, neighbor_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(qdst ORDER BY m)), (a, b) -> a + b) AS adc_dist
+      |  FROM pairs GROUP BY qid, neighbor_id),
+      |rnk AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
+      |  FROM adc)
+      |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
+      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sim.ProductQuantize
+    import graft.sources.ManifestCommit
+    val emb = Tables.embeddings(s, dir)
+    val idxPath =
+      s"/tmp/graft_ivfpq_inc_v1_${sourceFingerprint(dir, "embeddings")}"
+    if (ManifestCommit.latest(s"$idxPath/model").isEmpty) {
+      val model = ProductQuantize.fit(emb, "vec_id", "embedding",
+        dims = 64, subspaces = 8, codebookSize = 16)
+      ManifestCommit.writeVersioned(
+        ProductQuantize.modelTable(s, model), s"$idxPath/model")
+    }
+    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idxPath, "annq", 0L, cellBits = 6)
+    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", idxPath, "annq", 1L, cellBits = 6)
+    val model = ProductQuantize.modelFromTable(
+      ManifestCommit.read(s, s"$idxPath/model"))
+    ProductQuantize.ivfAdcFromIndex(
+        ManifestCommit.read(s, s"$idxPath/codes"),
+        emb.filter(col("vec_id") < 40), "vec_id", "embedding",
+        model, k = 3, cellBits = 6, radius = 1)
+      .withColumnRenamed("rank", "nn_rank")
+      .orderBy(col("vec_id"), col("nn_rank"))
+  }
 
   /** INCREMENTALLY-maintained BM25 (Bm25.appendPostings →
     * indexFromPostings → topKFromIndex): the corpus ingested as two

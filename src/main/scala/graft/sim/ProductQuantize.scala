@@ -274,6 +274,38 @@ object ProductQuantize {
         .repartition(nFiles, col("cell")), s"$path/codes")
   }
 
+  /** Incremental ANN ingest — new vectors encoded against the STORED
+    * model and appended to the cell-partitioned codes table as one
+    * exactly-once generation ([[graft.sources.ManifestCommit
+    * .appendBatch]]'s replay ledger makes a foreachBatch pipeline of
+    * this an exactly-once index maintainer, the Bm25.appendPostings
+    * pattern for vectors). Code rows are per-vector independent once
+    * the model is frozen, so appending is sound by construction; the
+    * model does NOT retrain on ingest — the standard IVF practice —
+    * and the moment frozen-model drift costs recall is exactly what
+    * the embedding-drift gate (q163) and recall calibration (q103)
+    * measure. `cell_bits` is read from the model path's sibling codes
+    * table contract via the `cellBits` param (must match the stored
+    * layout — the self-describing column is validated by the reader).
+    */
+  def appendIvfPqCodes(
+      newVectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      appId: String,
+      batchId: Long,
+      cellBits: Int = 6,
+      nFiles: Int = 32): Option[Long] = {
+    val spark = newVectors.sparkSession
+    val model = modelFromTable(
+      graft.sources.ManifestCommit.read(spark, s"$path/model"))
+    graft.sources.ManifestCommit.appendBatch(
+      buildIvfPqIndex(newVectors, idCol, vecCol, model, cellBits)
+        .repartition(nFiles, col("cell")),
+      s"$path/codes", appId, batchId)
+  }
+
   /** IVF-PQ scoring over a prebuilt index ([[buildIvfPqIndex]]'s shape,
     * in-memory or read back from [[writeIvfPqIndex]] storage): probe
     * cells within Hamming `radius` of each query's cell, ADC-score only
