@@ -663,6 +663,30 @@ object ManifestCommit {
     else writeVersioned(packed, path, partitionBy)
   }
 
+  /** OPTIMIZE scheduling for append-accreted tables: compact only when
+    * the latest manifest references more than `maxFiles` files — the
+    * trigger a streaming ingest pipeline calls after every batch so
+    * small-file buildup self-heals without a separate maintenance job
+    * paying a rewrite per trigger. Returns Some(new generation) when a
+    * compaction ran, None when the table is already within budget. The
+    * txn ledger survives ([[compact]] publishes through
+    * [[writeVersioned]], which carries markers), so replay protection
+    * holds across maintenance. */
+  def compactIfNeeded(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long,
+      maxFiles: Int,
+      statsCols: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    latest(path) match {
+      case Some((_, files)) if files.size > maxFiles =>
+        Some(compact(spark, path, targetBytes, statsCols, partitionBy))
+      case _ => None
+    }
+  }
+
   /** Delete everything the latest manifest does not reference: orphan
     * data directories from crashed writers (including their nested
     * `_temporary/...` trees), stale `.manifest-tmp-*` staging files, and

@@ -102,6 +102,27 @@ class AppendStreamSpec extends AnyFunSuite {
     assert(ManifestCommit.read(spark, path).count() == 2L)
   }
 
+  test("compactIfNeeded self-heals small-file buildup and keeps the ledger") {
+    val path = tmp()
+    (0L to 3L).foreach(b => ManifestCommit.appendBatch(
+      Seq((b, s"v$b")).toDF("id", "v"), path, "app", b))
+    val before = ManifestCommit.latest(path).get._2.size
+    assert(before == 4)
+    // within budget -> no-op
+    assert(ManifestCommit.compactIfNeeded(spark, path,
+      targetBytes = 1L << 20, maxFiles = 10).isEmpty)
+    // over budget -> compacts, rows and replay protection intact
+    val g = ManifestCommit.compactIfNeeded(spark, path,
+      targetBytes = 1L << 20, maxFiles = 2)
+    assert(g.isDefined)
+    assert(ManifestCommit.latest(path).get._2.size < before)
+    assert(ManifestCommit.read(spark, path).count() == 4L)
+    assert(ManifestCommit.committedTxns(path) ==
+      Set("app:0", "app:1", "app:2", "app:3"))
+    assert(ManifestCommit.appendBatch(
+      Seq((0L, "v0")).toDF("id", "v"), path, "app", 0L).isEmpty)
+  }
+
   test("foreachBatch restart without checkpoint re-delivers — table unchanged") {
     // deterministic micro-batching: one file per trigger, lexicographic
     // file order -> restarting the query re-plays the same (appId,
