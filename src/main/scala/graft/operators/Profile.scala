@@ -40,6 +40,68 @@ object Profile {
     one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Higher-moment shape profile per group — skewness and excess
+    * kurtosis from EXACT integer power sums (Σx, Σx², Σx³, Σx⁴ in
+    * DECIMAL(38,0)), the distribution-shape diagnostic behind "is this
+    * source's length distribution lognormal-ish or two-regime?". The
+    * built-in skewness/kurtosis aggregates accumulate doubles in
+    * partition order (not reproducible — q142's reasoning); this
+    * formulation pushes ONE partial-aggregated exchange of four
+    * decimal sums and derives both stats by a pinned IEEE sequence
+    * over the exact central-moment combinations:
+    *   m2 = (n·Σx² − (Σx)²) / n²         (×n² kept integral)
+    *   m3 = (n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³) / n³
+    *   m4 = (n³·Σx⁴ − 4n²·Σx·Σx³ + 6n·(Σx)²·Σx² − 3(Σx)⁴) / n⁴
+    *   skew = m3/m2^1.5, ex_kurt = m4/m2² − 3.
+    * Domain: |x| and n must keep n³·Σx⁴ inside DECIMAL(38) — with
+    * |x| ≤ 10³ that is n ≲ 10⁶ rows per group; quantize/winsorize
+    * bigger magnitudes first (the operator raises on overflow rather
+    * than silently wrapping — decimal arithmetic throws).
+    *
+    * Output: (keys…, n, skewness, ex_kurtosis), nulls when m2 = 0. */
+  def shape(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df
+      .select(keys.map(col) :+
+        expr(s"try_cast($valueCol AS decimal(18,0))").as("__x"): _*)
+      .where(col("__x").isNotNull)
+    val sums = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).cast(d38).as("s1"),
+      sum((col("__x") * col("__x")).cast(d38)).cast(d38).as("s2"),
+      sum((col("__x") * col("__x") * col("__x")).cast(d38)).cast(d38)
+        .as("s3"),
+      sum((col("__x") * col("__x") * col("__x") * col("__x")).cast(d38))
+        .cast(d38).as("s4"))
+    val nD = col("n").cast(d38)
+    // scaled central moments (×n^k) as exact integers, ONE cast each
+    val m2n2 = (nD * col("s2") - col("s1") * col("s1")).cast(d38)
+    val m3n3 = (nD * nD * col("s3") -
+      lit(3).cast(d38) * nD * col("s1") * col("s2") +
+      lit(2).cast(d38) * col("s1") * col("s1") * col("s1")).cast(d38)
+    val m4n4 = (nD * nD * nD * col("s4") -
+      lit(4).cast(d38) * nD * nD * col("s1") * col("s3") +
+      lit(6).cast(d38) * nD * col("s1") * col("s1") * col("s2") -
+      lit(3).cast(d38) * col("s1") * col("s1") * col("s1") * col("s1"))
+      .cast(d38)
+    val withM = sums
+      .withColumn("__m2", m2n2.cast("double"))
+      .withColumn("__m3", m3n3.cast("double"))
+      .withColumn("__m4", m4n4.cast("double"))
+    // the n powers cancel exactly in both ratios:
+    // skew = (m3n3/n³) / (m2n2/n²)^1.5 = m3n3 / m2n2^1.5
+    val skew = when(col("__m2") > 0d,
+      col("__m3") / (sqrt(col("__m2")) * col("__m2")))
+    // kurt = (m4n4/n⁴) / (m2n2/n²)² − 3 = m4n4 / m2n2² − 3
+    val kurt = when(col("__m2") > 0d,
+      col("__m4") / (col("__m2") * col("__m2")) - lit(3d))
+    withM.select(keys.map(col) ++ Seq(col("n"),
+      skew.as("skewness"), kurt.as("ex_kurtosis")): _*)
+  }
+
   /** Cardinality profile — per column: rows, nulls, and the
     * [[LinearCount]] distinct ESTIMATE — the data-catalog sketch that
     * [[numeric]] deliberately omits (exact countDistinct per column is

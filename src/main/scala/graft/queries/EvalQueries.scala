@@ -23,7 +23,45 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186, q187, q188, q189, q190, q191, q192, q193)
+      q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195)
+
+  /** Per-source length-distribution shape (Profile.shape): skewness +
+    * excess kurtosis from exact integer power sums — the "is this
+    * source one regime or two" diagnostic next to q173's robust mean
+    * and q134's basic profile. Central-moment combinations stay exact
+    * integers (HUGEINT/decimal); the n powers cancel in both ratios so
+    * each stat is one pinned IEEE sequence. */
+  def q195: Q = Q(
+    "q195_length_shape",
+    Some("""
+      |WITH b AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(x) AS HUGEINT) AS s1,
+      |         CAST(sum(x * x) AS HUGEINT) AS s2,
+      |         CAST(sum(x * x * x) AS HUGEINT) AS s3,
+      |         CAST(sum(x * x * x * x) AS HUGEINT) AS s4
+      |  FROM b GROUP BY source),
+      |m AS (
+      |  SELECT source, n,
+      |         CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2,
+      |         CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      |              AS DOUBLE) AS m3,
+      |         CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+      |              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      |              AS DOUBLE) AS m4
+      |  FROM s)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * m2) END AS skewness,
+      |       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ex_kurtosis
+      |FROM m ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    graft.operators.Profile.shape(Tables.documents(s, dir),
+        Seq("source"), "n_chars")
+      .orderBy(col("source"))
+  }
 
   /** Funnel stage-conversion report (over Funnel.funnel): the per-user
     * stage table collapsed to the marketing-facing shape — entities
