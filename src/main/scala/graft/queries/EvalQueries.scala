@@ -23,7 +23,268 @@ object EvalQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
-      q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195)
+      q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195,
+      q196, q197, q198, q199, q200)
+
+  /** Decile gain chart for the quality score (q170/q177's cumulative
+    * face): documents ranked by score desc, cut into 10 equal-count
+    * deciles, each reporting the cumulative share of positives
+    * captured so far — "read the top 30% of the corpus by this score
+    * and you have X% of the English docs". All integer ranks and ppm
+    * divisions; the window runs over the 10-row decile dim. */
+  def q196: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    Q("q196_score_gain_chart",
+      Some(s"""
+        |WITH t0 AS (
+        |  SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         CAST(CAST(${sqlQualityExpr(sw)} AS DECIMAL(18,9))
+        |              * 1000000000 AS BIGINT) AS s
+        |  FROM t0 WHERE len(toks) > 0),
+        |r AS (
+        |  SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+        |         count(*) OVER () AS n, sum(y) OVER () AS tot
+        |  FROM t),
+        |d AS (
+        |  SELECT least(((rk - 1) * 10) // n, 9) AS decile, y, n, tot
+        |  FROM r),
+        |g AS (
+        |  SELECT decile, count(*) AS n_docs, sum(y) AS n_pos,
+        |         min(tot) AS tot
+        |  FROM d GROUP BY decile)
+        |SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(n_pos AS BIGINT) AS n_pos,
+        |       CAST((1000000 * sum(n_pos) OVER (ORDER BY decile
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |            // tot AS BIGINT) AS cum_capture_ppm
+        |FROM g ORDER BY decile
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val base = Tables.documents(s, dir)
+        .where(col("text").isNotNull &&
+          TextAnalysis.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (TextAnalysis.qualityScore(col("text"), sw0)
+            .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+            .as("s"))
+      // tie-break on doc_id: a tied score group can straddle a decile
+      // boundary with MIXED labels, so the rank must be total and
+      // identical cross-engine, not merely stable
+      val wRk = Window.orderBy(col("s").desc, col("doc_id"))
+      val wAll = Window.partitionBy()
+      val r = base
+        .withColumn("rk", row_number().over(wRk))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("y")).over(wAll))
+      val g = r
+        .withColumn("decile",
+          least(expr("((rk - 1) * 10) div n"), lit(9L)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+          min(col("tot")).as("__tot"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("__cum", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          expr("(1000000 * __cum) div __tot").as("cum_capture_ppm"))
+        .orderBy(col("decile"))
+    }
+  }
+
+  /** RFM profile (recency / frequency / monetary per user): the
+    * segmentation table behind lifecycle marketing and value-weighted
+    * sampling — recency in integer days from the corpus horizon,
+    * purchase count, exact decimal spend, plus the monetary permille
+    * rank (OrderStats.rankNormalize) for cross-user comparability. */
+  def q197: Q = Q(
+    "q197_rfm_profile",
+    Some("""
+      |WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |h AS (SELECT max(t) AS horizon FROM p),
+      |rfm AS (
+      |  SELECT user_id,
+      |         CAST((h.horizon - max(t)) // 86400000000000 AS BIGINT)
+      |           AS recency_days,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+      |           AS monetary
+      |  FROM p CROSS JOIN h GROUP BY user_id, h.horizon),
+      |rk AS (
+      |  SELECT *, rank() OVER (ORDER BY monetary) AS r,
+      |         count(*) OVER () AS n
+      |  FROM rfm)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |       CAST(CASE WHEN n > 1 THEN ((r - 1) * 1000) // (n - 1)
+      |                 ELSE 0 END AS BIGINT) AS monetary_permille
+      |FROM rk ORDER BY user_id
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    import graft.operators.OrderStats
+    val p = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .materialize() // feeds the horizon scalar AND the per-user rollup
+    val h = p.agg(max(col("ts")).as("__h"))
+    val rfm = p.crossJoin(broadcast(h))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("(max(__h) - max(ts)) div 86400000000000").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(DecimalType(28, 6))).cast("double")
+          .as("monetary"))
+      .withColumn("__scope", lit("all")) // rankNormalize needs a key
+    OrderStats.rankNormalize(rfm, Seq("__scope"), "monetary")
+      .withColumnRenamed("permille", "monetary_permille")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("monetary_permille"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Ship-lead-time percentiles by order priority (composition:
+    * integer epoch-day delta → OrderStats.quantilesDisc): the
+    * operations SLA table — exact order-stat p50/p90/p99 of days from
+    * order to line shipment, per priority class. Day math is
+    * epoch-microsecond integer division — timezone-free on both
+    * engines. */
+  def q198: Q = Q(
+    "q198_leadtime_percentiles",
+    Some("""
+      |WITH lt AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+      |           // 86400000000 AS lead_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |r AS (
+      |  SELECT priority, lead_days,
+      |         row_number() OVER (PARTITION BY priority
+      |                            ORDER BY lead_days) AS rn,
+      |         count(*) OVER (PARTITION BY priority) AS n
+      |  FROM lt),
+      |p AS (SELECT unnest([500, 900, 990]) AS permille)
+      |SELECT r.priority, p.permille, r.lead_days AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY priority, permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    val lt = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+          .as("lead_days"))
+    OrderStats.quantilesDisc(lt, Seq("priority"), "lead_days",
+        Seq(500, 900, 990))
+      .orderBy(col("priority"), col("permille"))
+  }
+
+  /** Lorenz curve of customer revenue (q153's Gini made visible):
+    * customers ranked by revenue ascending, the cumulative revenue
+    * share at each customer-decile boundary — "the bottom 70% of
+    * customers hold X% of revenue". Revenue quantizes to exact cents
+    * before any ranking, so ranks, cumulative sums, and the ppm shares
+    * are all integers. */
+  def q199: Q = Q(
+    "q199_revenue_lorenz",
+    Some("""
+      |WITH rev AS (
+      |  SELECT o_custkey AS cust,
+      |         CAST(sum(CAST(o_totalprice * 100 AS HUGEINT)) AS HUGEINT)
+      |           AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT cust, cents,
+      |         row_number() OVER (ORDER BY cents, cust) AS rk,
+      |         count(*) OVER () AS n,
+      |         sum(cents) OVER () AS tot,
+      |         sum(cents) OVER (ORDER BY cents, cust
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum
+      |  FROM rev),
+      |p AS (SELECT unnest(range(1, 11)) AS decile)
+      |SELECT p.decile, CAST(r.rk AS BIGINT) AS n_customers,
+      |       CAST((1000000 * r.cum) // r.tot AS BIGINT) AS cum_share_ppm
+      |FROM r JOIN p ON r.rk = (CAST(p.decile AS BIGINT) * r.n + 9) // 10
+      |ORDER BY p.decile
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("cents"))
+    val wR = Window.orderBy(col("cents"), col("cust"))
+    val wAll = Window.partitionBy()
+    val r = rev
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("cents")).over(wAll))
+      .withColumn("cum", sum(col("cents")).over(
+        wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val deciles = s.range(1, 11).select(col("id").as("decile"))
+    r.join(broadcast(deciles),
+        col("rk") === expr("(decile * n + 9) div 10"))
+      .select(col("decile"), col("rk").as("n_customers"),
+        expr("CAST((1000000 * cum) div tot AS BIGINT)")
+          .as("cum_share_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Cohort LTV curve (q112's retention triangle weighted by value):
+    * users cohorted by first active day; per (cohort, age) the exact
+    * decimal value sum and its running cumulative — the
+    * lifetime-value-by-age table every growth model calibrates
+    * against. The cumulative window runs over the cohort×age dim, not
+    * the log. */
+  def q200: Q = Q(
+    "q200_cohort_ltv",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d, value
+      |  FROM events),
+      |c AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id),
+      |v AS (
+      |  SELECT c.cohort, e.d - c.cohort AS age,
+      |         sum(CAST(e.value AS DECIMAL(28,6))) AS val
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY c.cohort, e.d - c.cohort),
+      |n AS (SELECT cohort, count(*) AS cohort_users FROM c GROUP BY cohort)
+      |SELECT v.cohort, v.age,
+      |       CAST(n.cohort_users AS BIGINT) AS cohort_users,
+      |       CAST(v.val AS DOUBLE) AS value_at_age,
+      |       CAST(sum(v.val) OVER (PARTITION BY v.cohort ORDER BY v.age
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS DOUBLE) AS cum_value
+      |FROM v JOIN n ON v.cohort = n.cohort
+      |ORDER BY v.cohort, v.age
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        col("value"))
+      .materialize() // feeds the cohort dim and the value rollup
+    val c = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      .materialize()
+    val v = e.join(c, Seq("user_id"))
+      .groupBy(col("cohort"), (col("d") - col("cohort")).as("age"))
+      .agg(sum(col("value").cast(DecimalType(28, 6))).as("__val"))
+    val n = c.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.join(n, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("cohort_users"),
+        col("__val").cast("double").as("value_at_age"),
+        sum(col("__val")).over(wCum).cast("double").as("cum_value"))
+      .orderBy(col("cohort"), col("age"))
+  }
 
   /** Per-source length-distribution shape (Profile.shape): skewness +
     * excess kurtosis from exact integer power sums — the "is this
