@@ -86,22 +86,33 @@ object MultiModal {
     * match no container (the decode-queue routing key). */
   def imageDims(payload: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    def beInt(off: Int, len: Int) =
-      conv(hex(substring(payload, off, len)), 16, 10).cast("int")
-    def leInt(off: Int, len: Int) = {
+    // dimensions surface as LONG: a 4-byte field tops out at 2^32−1,
+    // which overflows an ANSI int cast (Spark 4 default) — a corrupt
+    // header would then CRASH the scan this function runs first on,
+    // instead of parsing to an absurd value the downstream filter
+    // drops. (NOTES ANSI rule: sniffing must never throw.)
+    def beLong(off: Int, len: Int) =
+      conv(hex(substring(payload, off, len)), 16, 10).cast("long")
+    def leLong(off: Int, len: Int) = {
       val rev = (0 until len).reverse
         .map(i => hex(substring(payload, off + i, 1)))
-      conv(concat(rev: _*), 16, 10).cast("int")
+      conv(concat(rev: _*), 16, 10).cast("long")
+    }
+    // BMP biHeight is SIGNED: negative = top-down row order (a
+    // legitimate variant) — surface the magnitude
+    def leSigned32(off: Int) = {
+      val u = leLong(off, 4)
+      when(u > 2147483647L, u - 4294967296L).otherwise(u)
     }
     val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val isGif = substring(payload, 1, 4).cast("string") === "GIF8"
     val isBmp = substring(payload, 1, 2).cast("string") === "BM"
     when(isPng, struct(lit("png").as("format"),
-        beInt(17, 4).as("width"), beInt(21, 4).as("height")))
+        beLong(17, 4).as("width"), beLong(21, 4).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
-        leInt(7, 2).as("width"), leInt(9, 2).as("height")))
+        leLong(7, 2).as("width"), leLong(9, 2).as("height")))
       .when(isBmp, struct(lit("bmp").as("format"),
-        leInt(19, 4).as("width"), leInt(23, 4).as("height")))
+        leSigned32(19).as("width"), abs(leSigned32(23)).as("height")))
   }
 
   /** Partition-wise "decode + feature extract". In production this is

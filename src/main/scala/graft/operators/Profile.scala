@@ -53,10 +53,14 @@ object Profile {
     *   m3 = (n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³) / n³
     *   m4 = (n³·Σx⁴ − 4n²·Σx·Σx³ + 6n·(Σx)²·Σx² − 3(Σx)⁴) / n⁴
     *   skew = m3/m2^1.5, ex_kurt = m4/m2² − 3.
-    * Domain: |x| and n must keep n³·Σx⁴ inside DECIMAL(38) — with
-    * |x| ≤ 10³ that is n ≲ 10⁶ rows per group; quantize/winsorize
-    * bigger magnitudes first (the operator raises on overflow rather
-    * than silently wrapping — decimal arithmetic throws).
+    * Domain: an input the DECIMAL(18,0) try_cast cannot represent
+    * (|v| ≥ 10^18) nulls and DROPS the row under either ANSI setting —
+    * n counts exactly the rows the sums saw (linearFit's pairwise
+    * convention; the oracle states the same TRY_CAST). Within the
+    * admitted domain the moment COMBINATIONS must stay inside
+    * DECIMAL(38): with |x| ≤ 10³ that is n ≲ 10⁶ rows per group —
+    * quantize/winsorize bigger magnitudes first; combination overflow
+    * raises (decimal arithmetic throws), it never wraps.
     *
     * Output: (keys…, n, skewness, ex_kurtosis), nulls when m2 = 0. */
   def shape(

@@ -19,22 +19,16 @@ object CorpusQueries {
       q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137,
       q138, q139, q185, q194)
 
-  /** INCREMENTALLY-maintained IVF-PQ ANN (ProductQuantize
-    * .appendIvfPqCodes): the corpus ingested as two exactly-once code
-    * generations against a frozen stored model, queried from storage —
-    * q185's append-maintained ≡ rebuilt discipline for vectors. Code
-    * rows are per-vector independent under a frozen model, so the
-    * oracle is exactly q139's full-build replay. The model write is
-    * guarded by presence; the code ingests are UNGUARDED (idempotent
-    * by (appId, batchId)) so a crash between them self-heals. */
-  def q194: Q = Q(
-    "q194_ann_incremental",
-    Some(s"""
-      |WITH ${PipelineQueries.sqlPqPrelude},
-      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
+  /** The shared IVF-PQ ADC oracle body (after sqlPqPrelude): probe
+    * cells at Hamming radius 1, score candidates via the per-subspace
+    * distance table, top-3 per query — q139 (stored full build) and
+    * q194 (incremental appends) replay EXACTLY this chain, so fixes to
+    * the fold/masks/tie-break land once. */
+  private[queries] def sqlIvfAdcOracle(maxQid: Int): String =
+    s"""codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
       |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings),
       |qc AS (SELECT vec_id AS qid, ${sqlHyperplaneCell(6)} AS qcell
-      |       FROM embeddings WHERE vec_id < 40),
+      |       FROM embeddings WHERE vec_id < $maxQid),
       |probes AS (
       |  SELECT qid, xor(qcell, u.mask) AS cell
       |  FROM qc, unnest([CAST(0 AS BIGINT), 1, 2, 4, 8, 16, 32]) AS u(mask)),
@@ -42,7 +36,7 @@ object CorpusQueries {
       |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
       |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
       |  FROM embeddings, unnest(range(0, 8)) AS u(m)
-      |  WHERE vec_id < 40),
+      |  WHERE vec_id < $maxQid),
       |qd AS (
       |  SELECT qid, m, k AS code,
       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -70,7 +64,21 @@ object CorpusQueries {
       |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
       |  FROM adc)
       |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
-      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** INCREMENTALLY-maintained IVF-PQ ANN (ProductQuantize
+    * .appendIvfPqCodes): the corpus ingested as two exactly-once code
+    * generations against a frozen stored model, queried from storage —
+    * q185's append-maintained ≡ rebuilt discipline for vectors. Code
+    * rows are per-vector independent under a frozen model, so the
+    * oracle is exactly q139's full-build replay. The model write is
+    * guarded by presence; the code ingests are UNGUARDED (idempotent
+    * by (appId, batchId)) so a crash between them self-heals. */
+  def q194: Q = Q(
+    "q194_ann_incremental",
+    Some(s"""
+      |WITH ${PipelineQueries.sqlPqPrelude},
+      |${sqlIvfAdcOracle(40)}
       |""".stripMargin)) { (s, dir) =>
     import graft.sim.ProductQuantize
     import graft.sources.ManifestCommit
@@ -83,12 +91,15 @@ object CorpusQueries {
       ManifestCommit.writeVersioned(
         ProductQuantize.modelTable(s, model), s"$idxPath/model")
     }
-    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 0),
-      "vec_id", "embedding", idxPath, "annq", 0L, cellBits = 6)
-    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 1),
-      "vec_id", "embedding", idxPath, "annq", 1L, cellBits = 6)
+    // ONE model read serves both ingests and the scoring pass
     val model = ProductQuantize.modelFromTable(
       ManifestCommit.read(s, s"$idxPath/model"))
+    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idxPath, "annq", 0L, cellBits = 6,
+      preloadedModel = Some(model))
+    ProductQuantize.appendIvfPqCodes(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", idxPath, "annq", 1L, cellBits = 6,
+      preloadedModel = Some(model))
     ProductQuantize.ivfAdcFromIndex(
         ManifestCommit.read(s, s"$idxPath/codes"),
         emb.filter(col("vec_id") < 40), "vec_id", "embedding",
@@ -1086,46 +1097,7 @@ object CorpusQueries {
     "q139_ann_stored_query",
     Some(s"""
       |WITH ${PipelineQueries.sqlPqPrelude},
-      |codes AS (SELECT vec_id, m, k AS code FROM ranked WHERE rn = 1),
-      |ccell AS (SELECT vec_id, ${sqlHyperplaneCell(6)} AS cell FROM embeddings),
-      |qc AS (SELECT vec_id AS qid, ${sqlHyperplaneCell(6)} AS qcell
-      |       FROM embeddings WHERE vec_id < 50),
-      |probes AS (
-      |  SELECT qid, xor(qcell, u.mask) AS cell
-      |  FROM qc, unnest([CAST(0 AS BIGINT), 1, 2, 4, 8, 16, 32]) AS u(mask)),
-      |qs AS (
-      |  SELECT vec_id AS qid, CAST(u.m AS INTEGER) AS m,
-      |         list_slice(embedding, u.m * 8 + 1, u.m * 8 + 8) AS qvec
-      |  FROM embeddings, unnest(range(0, 8)) AS u(m)
-      |  WHERE vec_id < 50),
-      |qd AS (
-      |  SELECT qid, m, k AS code,
-      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |           list_transform(range(1, 9), i ->
-      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)) *
-      |             (CAST(qvec[i] AS DOUBLE) - CAST(cvec[i] AS DOUBLE)))),
-      |           (a, b) -> a + b) AS qdst
-      |  FROM qs JOIN cb USING (m)),
-      |cand AS (
-      |  SELECT p.qid, c.vec_id AS neighbor_id
-      |  FROM probes p JOIN ccell c ON c.cell = p.cell
-      |  WHERE c.vec_id != p.qid),
-      |pairs AS (
-      |  SELECT cand.qid, cand.neighbor_id, co.m, qd.qdst
-      |  FROM cand
-      |  JOIN codes co ON co.vec_id = cand.neighbor_id
-      |  JOIN qd ON qd.qid = cand.qid AND qd.m = co.m AND qd.code = co.code),
-      |adc AS (
-      |  SELECT qid, neighbor_id,
-      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |           list(qdst ORDER BY m)), (a, b) -> a + b) AS adc_dist
-      |  FROM pairs GROUP BY qid, neighbor_id),
-      |rnk AS (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS nn_rank
-      |  FROM adc)
-      |SELECT qid AS vec_id, nn_rank, neighbor_id, adc_dist
-      |FROM rnk WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank
+      |${sqlIvfAdcOracle(50)}
       |""".stripMargin)) { (s, dir) =>
     import graft.sim.ProductQuantize
     import graft.sources.ManifestCommit

@@ -296,14 +296,16 @@ object EvalQueries {
     "q195_length_shape",
     Some("""
       |WITH b AS (
-      |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
-      |  WHERE n_chars IS NOT NULL),
+      |  SELECT source, CAST(TRY_CAST(n_chars AS DECIMAL(18,0)) AS HUGEINT)
+      |           AS x
+      |  FROM documents
+      |  WHERE TRY_CAST(n_chars AS DECIMAL(18,0)) IS NOT NULL),
       |s AS (
       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
-      |         CAST(sum(x) AS HUGEINT) AS s1,
-      |         CAST(sum(x * x) AS HUGEINT) AS s2,
-      |         CAST(sum(x * x * x) AS HUGEINT) AS s3,
-      |         CAST(sum(x * x * x * x) AS HUGEINT) AS s4
+      |         sum(x) AS s1,
+      |         sum(x * x) AS s2,
+      |         sum(x * x * x) AS s3,
+      |         sum(x * x * x * x) AS s4
       |  FROM b GROUP BY source),
       |m AS (
       |  SELECT source, n,

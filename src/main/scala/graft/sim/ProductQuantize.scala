@@ -296,10 +296,14 @@ object ProductQuantize {
       appId: String,
       batchId: Long,
       cellBits: Int = 6,
-      nFiles: Int = 32): Option[Long] = {
+      nFiles: Int = 32,
+      preloadedModel: Option[PqModel] = None): Option[Long] = {
     val spark = newVectors.sparkSession
-    val model = modelFromTable(
-      graft.sources.ManifestCommit.read(spark, s"$path/model"))
+    // the model is identical for every batch of a maintenance run —
+    // pass it preloaded to skip a storage read + driver collect per
+    // ingest (it only ever changes on an explicit refit/rebuild)
+    val model = preloadedModel.getOrElse(modelFromTable(
+      graft.sources.ManifestCommit.read(spark, s"$path/model")))
     graft.sources.ManifestCommit.appendBatch(
       buildIvfPqIndex(newVectors, idCol, vecCol, model, cellBits)
         .repartition(nFiles, col("cell")),

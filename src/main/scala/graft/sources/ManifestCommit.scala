@@ -681,8 +681,14 @@ object ManifestCommit {
       partitionBy: Seq[String] = Seq.empty): Option[Long] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     latest(path) match {
-      case Some((_, files)) if files.size > maxFiles =>
-        Some(compact(spark, path, targetBytes, statsCols, partitionBy))
+      case Some((gen, files)) if files.size > maxFiles =>
+        // compact() itself no-ops (returns the CURRENT gen) when the
+        // bin-packing target needs >= the existing file count — e.g.
+        // many files that are each already target-sized. Surfacing
+        // that as Some(<old gen>) would log a compaction that never
+        // happened while the file count keeps growing; report honestly
+        val out = compact(spark, path, targetBytes, statsCols, partitionBy)
+        if (out == gen) None else Some(out)
       case _ => None
     }
   }

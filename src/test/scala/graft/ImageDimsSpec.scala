@@ -44,25 +44,39 @@ class ImageDimsSpec extends AnyFunSuite {
       .select(col("id"), col("d.format"), col("d.width"), col("d.height"))
       .collect()
       .map(r => r.getLong(0) ->
-        (Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Int]),
-          Option(r.get(3)).map(_.asInstanceOf[Int])))
+        (Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
       .toMap
 
   test("PNG IHDR big-endian dimensions parse exactly") {
     val out = sniff(Seq(pngHeader(1920, 1080), pngHeader(1, 16777216)))
-    assert(out(0L) == ((Some("png"), Some(1920), Some(1080))))
-    assert(out(1L) == ((Some("png"), Some(1), Some(16777216))))
+    assert(out(0L) == ((Some("png"), Some(1920L), Some(1080L))))
+    assert(out(1L) == ((Some("png"), Some(1L), Some(16777216L))))
   }
 
   test("GIF little-endian uint16 dimensions parse exactly") {
     val out = sniff(Seq(gifHeader(640, 480), gifHeader(65535, 1)))
-    assert(out(0L) == ((Some("gif"), Some(640), Some(480))))
-    assert(out(1L) == ((Some("gif"), Some(65535), Some(1))))
+    assert(out(0L) == ((Some("gif"), Some(640L), Some(480L))))
+    assert(out(1L) == ((Some("gif"), Some(65535L), Some(1L))))
   }
 
   test("BMP little-endian int32 dimensions parse exactly") {
     val out = sniff(Seq(bmpHeader(800, 600)))
-    assert(out(0L) == ((Some("bmp"), Some(800), Some(600))))
+    assert(out(0L) == ((Some("bmp"), Some(800L), Some(600L))))
+  }
+
+  test("a top-down BMP (negative height) surfaces its magnitude, no ANSI crash") {
+    val out = sniff(Seq(bmpHeader(800, -600)))
+    assert(out(0L) == ((Some("bmp"), Some(800L), Some(600L))))
+  }
+
+  test("magic-prefixed junk with absurd dimension bytes parses without throwing") {
+    // "BM" + 0xFF padding: 4-byte fields read as huge unsigned values —
+    // an ANSI int cast would CRASH the scan; longs absorb it and the
+    // absurd dims fall to downstream range filters
+    val junk = ("BM" + "\u00ff" * 24).getBytes("ISO-8859-1")
+    val out = sniff(Seq(junk))
+    assert(out(0L)._1.contains("bmp"))
   }
 
   test("unknown payloads route to null (the decode-queue reject lane)") {
