@@ -41,6 +41,32 @@ object Expectations {
     one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
   }
 
+  /** In-flight expectations — [[rowChecks]]'s metrics piggybacked on
+    * the MAIN query via `Dataset.observe`: the pipeline's own action
+    * (its write, its count) evaluates the checks as accumulator-style
+    * observed metrics, so monitoring costs ZERO extra passes — at
+    * 100 TB a separate rowChecks scan is a second read of the corpus;
+    * this is the same aggregates attached to the read you were doing
+    * anyway. Returns the instrumented frame (pass it onward in place
+    * of `df`) and the [[org.apache.spark.sql.Observation]] — after any
+    * action on the returned frame, `obs.get` yields
+    * `n_rows` plus one `viol_<name>` count per check. The numbers
+    * describe exactly the rows THAT ACTION processed (post-pushdown),
+    * which is the honest monitoring contract.
+    */
+  def observed(df: DataFrame, checks: Seq[Check])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("n_rows") +:
+      checks.map(c =>
+        count(when(!coalesce(c.holds, lit(false)), 1))
+          .as(s"viol_${c.name}"))
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Referential expectation: every non-null `fkCol` of `df` must
     * exist as `pkCol` in `ref`. Output: one (check, n_rows,
     * n_violations) row, where n_rows counts the non-null FK rows.

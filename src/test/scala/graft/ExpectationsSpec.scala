@@ -50,4 +50,31 @@ class ExpectationsSpec extends AnyFunSuite {
     // dup PKs must not double-count matched facts
     assert(got == (("fk_ok", 3L, 1L)))
   }
+
+  test("observed checks ride the main action — zero extra passes") {
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5), (2, -1), (3, 0), (4, 7)).toDF("id", "v")
+    val (instrumented, obs) = Expectations.observed(df, Seq(
+      Expectations.Check("v_positive", col("v") > 0),
+      Expectations.Check("id_small", col("id") < 4)))
+    // the pipeline's OWN action evaluates the metrics
+    assert(instrumented.count() == 4L)
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("viol_v_positive") == 2L) // -1 and 0
+    assert(m("viol_id_small") == 1L)   // id 4
+  }
+
+  test("observed metrics describe the rows the action processed") {
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 5), (2, -1)).toDF("id", "v")
+    val (instrumented, obs) = Expectations.observed(df, Seq(
+      Expectations.Check("v_positive", col("v") > 0)))
+    // a downstream filter BELOW the observe still sees both rows
+    // (observe sits where it was attached)
+    instrumented.where(col("v") > 0).count()
+    assert(obs.get("n_rows") == 2L)
+  }
 }
