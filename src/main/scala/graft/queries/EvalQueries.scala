@@ -24,7 +24,127 @@ object EvalQueries {
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
       q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195,
-      q196, q197, q198, q199, q200)
+      q196, q197, q198, q199, q200, q201, q202)
+
+  /** Dedup-threshold sweep (SetSimJoin.jaccardPairs × Dedup
+    * .nearDupClusters at t ∈ {50, 70, 90}): per threshold the exact
+    * pair count, clustered-doc count, cluster count, and how many docs
+    * a keep-one-per-cluster pass would DROP — the evidence table for
+    * choosing a dedup threshold before committing a 100 TB pass
+    * (PPJoin is lossless, so the sweep is exact, not recall-shaped).
+    * The oracle replays the naive pair join + recursive-CC per
+    * threshold. */
+  def q201: Q = {
+    val thresholds = Seq(50, 70, 90)
+    val perT = thresholds.map { t =>
+      s"""(WITH RECURSIVE pair AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) * 100 >=
+         |         $t * ((SELECT c FROM n WHERE doc_id = a.doc_id)
+         |               + (SELECT c FROM n WHERE doc_id = b.doc_id)
+         |               - count(*))),
+         |e AS (SELECT u, v FROM pair UNION SELECT v, u FROM pair),
+         |reach(x, y) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+         |  UNION
+         |  SELECT e.v, r.y FROM reach r JOIN e ON e.u = r.x),
+         |lbl AS (SELECT x, min(y) AS root FROM reach GROUP BY x)
+         |SELECT CAST($t * 10 AS BIGINT) AS threshold_permille,
+         |       CAST((SELECT count(*) FROM pair) AS BIGINT) AS n_pairs,
+         |       CAST(count(*) AS BIGINT) AS n_clustered_docs,
+         |       CAST(count(DISTINCT root) AS BIGINT) AS n_clusters,
+         |       CAST(count(*) - count(DISTINCT root) AS BIGINT)
+         |         AS n_dropped
+         |FROM lbl)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q("q201_dedup_threshold_sweep",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, unnest(${sqlShingles("toks")}) AS s
+        |  FROM t),
+        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id)
+        |SELECT * FROM (
+        |$perT
+        |) ORDER BY threshold_permille
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.{Dedup, SetSimJoin}
+      val sets = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        .materialize() // one shingling feeds all three sweep points
+      val rows = thresholds.map { t =>
+        val pairs = SetSimJoin.jaccardPairs(sets, "doc_id", "sh", t)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+          .materialize() // feeds the pair count AND the clustering
+        val clusters = Dedup.nearDupClusters(pairs)
+        val agg = clusters.agg(
+          count(lit(1)).as("n_clustered_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        agg.crossJoin(broadcast(
+            pairs.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(t.toLong * 10).as("threshold_permille"),
+            col("n_pairs"), col("n_clustered_docs"), col("n_clusters"),
+            (col("n_clustered_docs") - col("n_clusters")).as("n_dropped"))
+      }
+      rows.reduce(_ unionByName _).orderBy(col("threshold_permille"))
+    }
+  }
+
+  /** Global clustering coefficient (q130's triangles over q155's
+    * graph, closed into the standard metric): 3·triangles / wedges as
+    * an exact ppm integer, wedges = Σ deg·(deg−1)/2 — "how cliquish is
+    * the similarity graph" (near-1 = template families, near-0 =
+    * chains), one degree aggregate + the existing oriented triangle
+    * count. */
+  def q202: Q = Q(
+    "q202_clustering_coefficient",
+    Some("""
+      |WITH p AS (
+      |  SELECT doc_id, substr(trim(text), 1, 12) AS s FROM documents
+      |  WHERE text IS NOT NULL),
+      |e AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM p x JOIN p y ON x.s = y.s AND x.doc_id < y.doc_id),
+      |tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY node),
+      |w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg)
+      |SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+      |       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+      |       CAST(CASE WHEN w.n_wedges > 0
+      |                 THEN (1000000 * 3 * tri.n_triangles) // w.n_wedges
+      |            END AS BIGINT) AS coefficient_ppm
+      |FROM tri CROSS JOIN w
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Triangles
+    val p = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 12).as("s"))
+    val edges = p.select(col("doc_id").as("a"), col("s"))
+      .join(p.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .materialize() // feeds the triangle count AND the degree sum
+    val tri = Triangles.triangleCount(edges, "a", "b")
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(deg))
+      .select(col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") > 0,
+          expr("(1000000 * 3 * n_triangles) div n_wedges"))
+          .as("coefficient_ppm"))
+  }
 
   /** Decile gain chart for the quality score (q170/q177's cumulative
     * face): documents ranked by score desc, cut into 10 equal-count
