@@ -72,4 +72,70 @@ object Attribution {
       .withColumn("touch_ts", when(col("__ok"), col("__lt")))
       .drop("__lt", "__lc", "__ok")
   }
+
+  /** Linear (multi-touch) attribution — every eligible touch shares
+    * the conversion's credit equally, the model marketing teams run
+    * next to [[lastTouch]] when a single-touch story under-credits
+    * upper-funnel channels. Eligibility is the same contract as
+    * lastTouch (sorts strictly before the conversion under (ts, id),
+    * within `lookback`), so the two models are directly comparable.
+    *
+    * Shape: conversions join touches ON THE ENTITY KEY with the
+    * window predicate — per-entity cost conv_e·touch_e, which is the
+    * honest cost of any multi-touch model (each conversion must SEE
+    * each of its touches to credit it); globally this is Σ_e of
+    * bounded per-entity products, keyed and partitioned by entity,
+    * never a cross join. Credits are exact rationals quantized to
+    * DECIMAL(18,9) per (conversion, channel) — n_ch/n_total — so the
+    * per-channel sums are order-free exact decimal sums (the PSI
+    * discipline), and a conversion's credits always total ~1 (±1e-9
+    * per channel from the quantization floor).
+    *
+    * Output: one row per (conversion, channel) with n_channel_touches,
+    * n_total_touches, credit DECIMAL(18,9); conversions with NO
+    * eligible touch emit a single ('(none)', 0, 0, 1.0) row.
+    */
+  def linearTouch(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    require(!touchTypes.contains(convType),
+      "convType in touchTypes would let a conversion credit itself")
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(entityCol).as("__e"), col(tsCol).as("__cts"),
+        col(idCol).as("conversion_id"))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("__e"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("channel"))
+    val eligible = convs.join(touches, Seq("__e"))
+      .where((col("__tts") < col("__cts") ||
+          (col("__tts") === col("__cts") && col("__tid") < col("conversion_id"))) &&
+        col("__cts") - col("__tts") <= lookback)
+    val perChannel = eligible
+      .groupBy(col("conversion_id"), col("channel"))
+      .agg(count(lit(1)).as("n_channel_touches"))
+    val totals = perChannel.groupBy(col("conversion_id"))
+      .agg(sum(col("n_channel_touches")).as("n_total_touches"))
+    val credited = perChannel.join(totals, Seq("conversion_id"))
+      .withColumn("credit",
+        (col("n_channel_touches").cast("double") /
+          col("n_total_touches").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+    val uncredited = convs.select(col("conversion_id"))
+      .join(totals, Seq("conversion_id"), "left_anti")
+      .select(col("conversion_id"), lit("(none)").as("channel"),
+        lit(0L).as("n_channel_touches"), lit(0L).as("n_total_touches"),
+        lit(1).cast(org.apache.spark.sql.types.DecimalType(18, 9))
+          .as("credit"))
+    credited
+      .select(col("conversion_id"), col("channel"),
+        col("n_channel_touches"), col("n_total_touches"), col("credit"))
+      .unionByName(uncredited)
+  }
 }

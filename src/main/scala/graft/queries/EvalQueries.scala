@@ -24,7 +24,60 @@ object EvalQueries {
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
       q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195,
-      q196, q197, q198, q199, q200, q201, q202)
+      q196, q197, q198, q199, q200, q201, q202, q203)
+
+  /** Linear multi-touch attribution (Attribution.linearTouch rolled up
+    * per channel) next to q171's last-touch counts — the two models a
+    * marketing readout compares: last-touch over-credits the closer,
+    * linear spreads credit over every eligible touch. Credits are
+    * exact rationals quantized to DECIMAL(18,9) per (conversion,
+    * channel), so the per-channel sums are order-free exact decimal
+    * sums. */
+  def q203: Q = {
+    val lookback = 48L * 3600L * 1000000000L
+    Q("q203_linear_attribution",
+      Some(s"""
+        |WITH c AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS tts, event_id AS tid,
+        |         event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |elig AS (
+        |  SELECT cid, channel FROM c JOIN t USING (e)
+        |  WHERE (tts < cts OR (tts = cts AND tid < cid))
+        |    AND cts - tts <= $lookback),
+        |pc AS (
+        |  SELECT cid, channel, count(*) AS nch FROM elig GROUP BY 1, 2),
+        |tot AS (SELECT cid, sum(nch) AS ntot FROM pc GROUP BY 1),
+        |cr AS (
+        |  SELECT pc.cid, pc.channel,
+        |         CAST(CAST(nch AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |              AS DECIMAL(18,9)) AS credit
+        |  FROM pc JOIN tot USING (cid)),
+        |un AS (
+        |  SELECT c.cid, '(none)' AS channel,
+        |         CAST(1 AS DECIMAL(18,9)) AS credit
+        |  FROM c LEFT JOIN tot ON c.cid = tot.cid
+        |  WHERE tot.cid IS NULL)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(credit) AS DOUBLE) AS credit_sum
+        |FROM (SELECT channel, credit FROM cr
+        |      UNION ALL SELECT channel, credit FROM un)
+        |GROUP BY channel ORDER BY channel
+        |""".stripMargin)) { (s, dir) =>
+      graft.operators.Attribution.linearTouch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          convType = "purchase",
+          touchTypes = Seq("click", "view", "signup"),
+          lookback = lookback)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("credit")).cast("double").as("credit_sum"))
+        .orderBy(col("channel"))
+    }
+  }
 
   /** Dedup-threshold sweep (SetSimJoin.jaccardPairs × Dedup
     * .nearDupClusters at t ∈ {50, 70, 90}): per threshold the exact

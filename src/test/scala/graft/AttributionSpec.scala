@@ -64,4 +64,48 @@ class AttributionSpec extends AnyFunSuite {
         "u", "ts", "id", "typ", "buy", Seq("buy", "click"), 10L)
     }
   }
+
+  private def linear(rows: Seq[(String, Long, Long, String)],
+      lookback: Long = 100L) =
+    Attribution.linearTouch(rows.toDF("u", "ts", "id", "typ"),
+        "u", "ts", "id", "typ", "buy", Seq("click", "view"), lookback)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3),
+          r.getDecimal(4).doubleValue()))
+      .toMap
+
+  test("linear: touches split the credit by channel counts") {
+    // 2 clicks + 1 view before the buy -> click 2/3, view 1/3
+    val out = linear(Seq(
+      ("a", 10L, 1L, "click"), ("a", 20L, 2L, "click"),
+      ("a", 30L, 3L, "view"), ("a", 40L, 4L, "buy")))
+    assert(out((4L, "click")) == ((2L, 3L, 0.666666667))) // HALF_UP at 9dp
+    assert(out((4L, "view")) == ((1L, 3L, 0.333333333)))
+  }
+
+  test("linear: lookback and the strictly-before rule gate eligibility") {
+    val out = linear(Seq(
+      ("a", 1L, 1L, "click"), // expired (lookback 100, conv at 500)
+      ("a", 450L, 2L, "view"),
+      ("a", 500L, 3L, "buy"),
+      ("a", 500L, 4L, "click")), lookback = 100L) // same-ts, larger id
+    assert(out((3L, "view")) == ((1L, 1L, 1.0)))
+    assert(!out.contains((3L, "click")))
+  }
+
+  test("linear: a conversion with no eligible touch gets the (none) row") {
+    val out = linear(Seq(("a", 10L, 1L, "buy")))
+    assert(out((1L, "(none)")) == ((0L, 0L, 1.0)))
+  }
+
+  test("linear agrees with lastTouch when exactly one touch is eligible") {
+    val rows = Seq(("a", 10L, 1L, "view"), ("a", 20L, 2L, "buy"))
+    val lin = linear(rows)
+    assert(lin((2L, "view")) == ((1L, 1L, 1.0)))
+    val last = Attribution.lastTouch(rows.toDF("u", "ts", "id", "typ"),
+        "u", "ts", "id", "typ", "buy", Seq("click", "view"), 100L)
+      .collect().head.getAs[String]("attributed_channel")
+    assert(last == "view")
+  }
 }
