@@ -17,7 +17,58 @@ object CorpusQueries {
   val all: Seq[Q] =
     Seq(q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
       q90, q91, q92, q93, q94, q95, q97, q98, q99, q100, q101, q136, q137,
-      q138, q139, q185, q194)
+      q138, q139, q185, q194, q204)
+
+  /** Per-language quality-gate disparity (QualityRules.gopherFlags
+    * sliced by lang): each slice's keep rate next to the corpus rate
+    * and the exact disparity ratio — the fairness-style audit that
+    * catches a "quality" gate that is really an English detector
+    * (Gopher-rule stopword lists are language-biased by construction;
+    * this row quantifies by how much). All integer: rate_ppm =
+    * ⌊10⁶·keep/n⌋, disparity_ppm = ⌊10⁶·keep_l·n_tot/(n_l·keep_tot)⌋. */
+  def q204: Q = Q(
+    "q204_quality_gate_disparity",
+    Some(s"""
+      |WITH ${sqlGopherCtes("documents")},
+      |j AS (
+      |  SELECT d.lang, f85.keep FROM f85
+      |  JOIN documents d ON d.doc_id = f85.doc_id),
+      |slice AS (
+      |  SELECT lang, count(*) AS n,
+      |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+      |  FROM j GROUP BY lang),
+      |tot AS (SELECT sum(n) AS n_tot, sum(n_keep) AS keep_tot FROM slice)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |       CAST(n_keep AS BIGINT) AS n_keep,
+      |       CAST((1000000 * n_keep) // n AS BIGINT) AS keep_ppm,
+      |       CAST(CASE WHEN n * keep_tot > 0 THEN
+      |              (1000000 * CAST(n_keep AS HUGEINT) * n_tot)
+      |                // (CAST(n AS HUGEINT) * keep_tot)
+      |            END AS BIGINT) AS disparity_ppm
+      |FROM slice CROSS JOIN tot
+      |ORDER BY lang
+      |""".stripMargin)) { (s, dir) =>
+    import graft.text.QualityRules
+    // q85's parameterization — sqlGopherCtes bakes these thresholds
+    val flagged = QualityRules.gopherFlags(
+      Tables.documents(s, dir), "text",
+      QualityRules.GopherParams(minWords = 20, maxWords = 80,
+        minMeanWordLen = 3, maxMeanWordLen = 8))
+    val slice = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .materialize() // slice dim feeds the totals and the output
+    val tot = slice.agg(sum(col("n")).as("__n_tot"),
+      sum(col("n_keep")).as("__keep_tot"))
+    slice.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"), col("n_keep"),
+        expr("(1000000 * n_keep) div n").as("keep_ppm"),
+        when(col("n") * col("__keep_tot") > 0,
+          expr("""(1000000 * CAST(n_keep AS DECIMAL(38,0)) * __n_tot)
+                 div (CAST(n AS DECIMAL(38,0)) * __keep_tot)"""))
+          .cast("long").as("disparity_ppm"))
+      .orderBy(col("lang"))
+  }
 
   /** The shared IVF-PQ ADC oracle body (after sqlPqPrelude): probe
     * cells at Hamming radius 1, score candidates via the per-subspace

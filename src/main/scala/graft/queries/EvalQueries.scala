@@ -24,7 +24,89 @@ object EvalQueries {
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
       q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195,
-      q196, q197, q198, q199, q200, q201, q202, q203)
+      q196, q197, q198, q199, q200, q201, q202, q203, q205, q206)
+
+  /** Near-dup cluster-size distribution (q65's clusters → size
+    * histogram): how many 2-doc pairs vs giant template families the
+    * dedup graph holds — the shape that decides whether keep-one
+    * dedup is a trim or a massacre. Two dim-sized reductions over the
+    * CC labels; the oracle replays CC with the recursive reach CTE. */
+  def q205: Q = Q(
+    "q205_cluster_size_distribution",
+    Some(s"""
+      |WITH RECURSIVE
+      |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |      FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |reach(x, y) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+      |  UNION
+      |  SELECT e.v, r.y FROM reach r JOIN e ON e.u = r.x),
+      |lbl AS (SELECT x, min(y) AS root FROM reach GROUP BY x),
+      |sz AS (SELECT root, count(*) AS cluster_size FROM lbl GROUP BY root)
+      |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM sz GROUP BY cluster_size ORDER BY cluster_size
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val clusters = Dedup.nearDupClusters(
+      Dedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8))
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Daily burstiness / Fano factor per event type: variance-to-mean
+    * of the daily count series as the exact rational
+    * (n·Σx² − (Σx)²) / (n·Σx) with ONE pinned divide — F ≈ 1 is
+    * Poisson-like traffic, F ≫ 1 is bursty (campaign spikes, outages);
+    * the capacity-planning number next to q179's uniformity test. */
+  def q206: Q = Q(
+    "q206_daily_fano",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(x) AS HUGEINT) AS s1,
+      |         CAST(sum(x * x) AS HUGEINT) AS s2
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |       CAST(n * s2 - s1 * s1 AS BIGINT) AS num,
+      |       CAST(n * s1 AS BIGINT) AS den,
+      |       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE)
+      |         AS fano
+      |FROM s ORDER BY event_type
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val d38 = "decimal(38,0)"
+    c.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).cast(d38).as("__s1"),
+        sum((col("x") * col("x")).cast(d38)).cast(d38).as("__s2"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days").cast(d38) * col("__s2") - col("__s1") * col("__s1"))
+          .cast(d38).cast("long").as("num"),
+        (col("n_days").cast(d38) * col("__s1")).cast(d38).cast("long")
+          .as("den"),
+        ((col("n_days").cast(d38) * col("__s2") -
+          col("__s1") * col("__s1")).cast(d38).cast("double") /
+          (col("n_days").cast(d38) * col("__s1")).cast(d38).cast("double"))
+          .as("fano"))
+      .orderBy(col("event_type"))
+  }
 
   /** Linear multi-touch attribution (Attribution.linearTouch rolled up
     * per channel) next to q171's last-touch counts — the two models a
