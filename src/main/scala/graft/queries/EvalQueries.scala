@@ -24,7 +24,134 @@ object EvalQueries {
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170, q171,
       q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182,
       q183, q184, q186, q187, q188, q189, q190, q191, q192, q193, q195,
-      q196, q197, q198, q199, q200, q201, q202, q203, q205, q206)
+      q196, q197, q198, q199, q200, q201, q202, q203, q205, q206,
+      q207, q208, q209)
+
+  /** Keyword-in-context concordance (KWIC): every occurrence of a
+    * target term with its ±2-token context — the corpus-inspection
+    * tool behind "how is this word actually used" (sense checks,
+    * PII-context review, tokenizer debugging). The term filter runs
+    * scan-stage BEFORE any context is sliced, so cost scales with
+    * occurrences, not corpus size. */
+  def q207: Q = {
+    val term = "data"
+    Q("q207_kwic_concordance",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |hits AS (
+        |  SELECT doc_id, toks, u.p AS pos1
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(p)
+        |  WHERE toks[u.p] = '$term')
+        |SELECT doc_id, CAST(pos1 - 1 AS BIGINT) AS pos,
+        |       coalesce(array_to_string(
+        |         list_slice(toks, greatest(1, pos1 - 2), pos1 - 1), ' '),
+        |         '') AS left_ctx,
+        |       coalesce(array_to_string(
+        |         list_slice(toks, pos1 + 1, pos1 + 2), ' '), '')
+        |         AS right_ctx
+        |FROM hits ORDER BY doc_id, pos
+        |""".stripMargin)) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      t.select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "__w")))
+        .where(col("__w") === term)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          concat_ws(" ",
+            slice(col("toks"), greatest(lit(1), col("pos") - 1),
+              least(col("pos"), lit(2)))).as("left_ctx"),
+          concat_ws(" ", slice(col("toks"), col("pos") + 2, lit(2)))
+            .as("right_ctx"))
+        .orderBy(col("doc_id"), col("pos"))
+    }
+  }
+
+  /** Lexical richness per source: type-token ratio and hapax share as
+    * exact ppm integers — templated/boilerplate sources score low TTR
+    * and low hapax (everything repeats); natural prose scores high.
+    * The vocabulary reductions are dim-sized; one corpus scan. */
+  def q208: Q = Q(
+    "q208_lexical_richness",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT source, unnest(${sqlTokens("text")}) AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |f AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+      |         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM f GROUP BY source)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_types AS BIGINT) AS n_types,
+      |       CAST(n_hapax AS BIGINT) AS n_hapax,
+      |       CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+      |       CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm
+      |FROM agg ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) div n_types").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary coverage curve: what share of all token OCCURRENCES
+    * the top-k most frequent types cover, at k = 5, 10, 15, … 30 —
+    * the tokenizer-vocab sizing evidence ("how big must the vocab be
+    * before OOV is rare"). Rank the frequency dim once (ties broken by
+    * token for a total cross-engine order), cumulative-sum it, read
+    * the curve at the k boundaries. */
+  def q209: Q = Q(
+    "q209_vocab_coverage",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT unnest(${sqlTokens("text")}) AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |f AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+      |r AS (
+      |  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+      |         sum(c) OVER () AS tot,
+      |         sum(c) OVER (ORDER BY c DESC, w
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM f),
+      |k AS (SELECT unnest([5, 10, 15, 20, 25, 30]) AS top_k)
+      |SELECT k.top_k, CAST(r.cum AS BIGINT) AS covered_tokens,
+      |       CAST(r.tot AS BIGINT) AS total_tokens,
+      |       CAST((1000000 * r.cum) // r.tot AS BIGINT) AS coverage_ppm
+      |FROM k JOIN r ON r.rk = k.top_k
+      |ORDER BY k.top_k
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val wR = Window.orderBy(col("c").desc, col("w"))
+    val r = f
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("cum", sum(col("c")).over(
+        wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = s.range(1, 7).select((col("id") * 5).as("top_k"))
+    r.join(broadcast(ks), col("rk") === col("top_k"))
+      .select(col("top_k"), col("cum").as("covered_tokens"),
+        col("tot").as("total_tokens"),
+        expr("(1000000 * cum) div tot").as("coverage_ppm"))
+      .orderBy(col("top_k"))
+  }
 
   /** Near-dup cluster-size distribution (q65's clusters → size
     * histogram): how many 2-doc pairs vs giant template families the
