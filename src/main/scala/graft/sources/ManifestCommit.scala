@@ -144,6 +144,50 @@ object ManifestCommit {
     publish(dir, parts ++ carriedMarkers(path), firstGen, nonce)
   }
 
+  /** Write-audit-publish: the data files are written and the quality
+    * gate evaluated BEFORE the manifest link goes live — a failing
+    * expectation leaves the previous generation as the published
+    * state and the staged files as an invisible orphan ([[vacuum]]
+    * reclaims them). This is the WAP pattern every serious table
+    * pipeline runs: bad data must never become readable, and with
+    * [[graft.operators.Expectations.observed]] the audit metrics ride
+    * the write itself — validation costs ZERO extra passes over `df`.
+    *
+    * Returns the committed generation; throws IllegalStateException
+    * (naming each failing check and its violation count) without
+    * publishing when any check has violations.
+    */
+  def writeVersionedChecked(
+      df: DataFrame,
+      path: String,
+      checks: Seq[graft.operators.Expectations.Check],
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(checks.nonEmpty, "at least one check (else use writeVersioned)")
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data-$firstGen-$nonce"
+    val (instrumented, obs) =
+      graft.operators.Expectations.observed(df, checks)
+    val writer = instrumented.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.resolve(dataDir).toString)
+    val metrics = obs.get
+    val failing = checks
+      .map(c => c.name -> metrics(s"viol_${c.name}").asInstanceOf[Long])
+      .filter(_._2 > 0)
+    if (failing.nonEmpty)
+      throw new IllegalStateException(
+        "write-audit-publish aborted, staged generation NOT published: " +
+          failing.map { case (n, v) => s"$n=$v" }.mkString(", "))
+    val parts = partFilesUnder(dir.resolve(dataDir))
+      .map(p => dir.relativize(p).toString)
+      .sorted
+    require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
+    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce)
+  }
+
   /** Latest manifest's RAW lines (files + metadata markers), one read
     * — the shared parse [[latest]]/[[committedTxns]]/[[appendBatch]]
     * derive from (one LIST+GET per consult, not two). */
