@@ -58,7 +58,10 @@ object Attribution {
       .orderBy(col(tsCol).asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val isTouch = col(typeCol).isin(touchTypes: _*)
-    val attributed = events
+    // NULL entities drop in BOTH attribution models (a window would
+    // lump them into one pseudo-entity; the join would drop them —
+    // aligning on drop keeps lastTouch and linearTouch comparable)
+    val attributed = events.where(col(entityCol).isNotNull)
       .withColumn("__lt",
         last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
       .withColumn("__lc",
@@ -107,7 +110,9 @@ object Attribution {
     require(lookback > 0, "lookback must be positive")
     require(!touchTypes.contains(convType),
       "convType in touchTypes would let a conversion credit itself")
-    val convs = events.where(col(typeCol) === convType)
+    // NULL entities drop (the lastTouch-aligned contract — see above)
+    val convs = events.where(col(typeCol) === convType &&
+        col(entityCol).isNotNull)
       .select(col(entityCol).as("__e"), col(tsCol).as("__cts"),
         col(idCol).as("conversion_id"))
     val touches = events.where(col(typeCol).isin(touchTypes: _*))

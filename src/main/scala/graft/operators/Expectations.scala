@@ -22,16 +22,27 @@ object Expectations {
     * explicit). */
   final case class Check(name: String, holds: Column)
 
+  /** One check's violation count — the tri-state rule (null predicate
+    * = violation) exists HERE once; rowChecks and observed both
+    * aggregate this expression, so the one-shot report and the
+    * in-flight metrics can never disagree on what a violation is. */
+  private def violationCount(c: Check) =
+    count(when(!coalesce(c.holds, lit(false)), 1))
+
+  private def validate(checks: Seq[Check]): Unit = {
+    require(checks.nonEmpty, "at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
+  }
+
   /** Evaluate row-level `checks` over `df` in one scan. Output:
     * (check, n_rows, n_violations), one row per check, in the given
     * order. */
   def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "at least one check")
-    require(checks.map(_.name).distinct.size == checks.size,
-      s"duplicate check names: ${checks.map(_.name)}")
+    validate(checks)
     val aggs = count(lit(1)).as("__n") +:
       checks.zipWithIndex.map { case (c, i) =>
-        count(when(!coalesce(c.holds, lit(false)), 1)).as(s"__v$i")
+        violationCount(c).as(s"__v$i")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val report = checks.zipWithIndex.map { case (c, i) =>
@@ -56,14 +67,10 @@ object Expectations {
     */
   def observed(df: DataFrame, checks: Seq[Check])
       : (DataFrame, org.apache.spark.sql.Observation) = {
-    require(checks.nonEmpty, "at least one check")
-    require(checks.map(_.name).distinct.size == checks.size,
-      s"duplicate check names: ${checks.map(_.name)}")
+    validate(checks)
     val obs = org.apache.spark.sql.Observation()
     val aggs = count(lit(1)).as("n_rows") +:
-      checks.map(c =>
-        count(when(!coalesce(c.holds, lit(false)), 1))
-          .as(s"viol_${c.name}"))
+      checks.map(c => violationCount(c).as(s"viol_${c.name}"))
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 

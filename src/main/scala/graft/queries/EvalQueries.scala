@@ -56,7 +56,10 @@ object EvalQueries {
       val t = Tables.documents(s, dir)
         .where(col("text").isNotNull)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      t.select(col("doc_id"), col("toks"),
+      // prune non-matching DOCUMENTS before the explode: the generate
+      // stage then scales with matching docs, not total corpus tokens
+      t.where(array_contains(col("toks"), term))
+        .select(col("doc_id"), col("toks"),
           posexplode(col("toks")).as(Seq("pos", "__w")))
         .where(col("__w") === term)
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -162,20 +165,9 @@ object EvalQueries {
     "q205_cluster_size_distribution",
     Some(s"""
       |WITH RECURSIVE
-      |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
-      |      FROM documents),
-      |p AS (
-      |  SELECT a.doc_id AS u, b.doc_id AS v
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-      |reach(x, y) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
-      |  UNION
-      |  SELECT e.v, r.y FROM reach r JOIN e ON e.u = r.x),
-      |lbl AS (SELECT x, min(y) AS root FROM reach GROUP BY x),
-      |sz AS (SELECT root, count(*) AS cluster_size FROM lbl GROUP BY root)
+      |${PipelineQueries.sqlNearDupCcCtes},
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl
+      |       GROUP BY cluster_id)
       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
       |       CAST(count(*) AS BIGINT) AS n_clusters
       |FROM sz GROUP BY cluster_size ORDER BY cluster_size
@@ -4456,19 +4448,7 @@ object EvalQueries {
     Q("q106_leakage_free_split",
       Some(s"""
         |WITH RECURSIVE
-        |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
-        |      FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(n, m) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
-        |  UNION
-        |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
-        |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |${PipelineQueries.sqlNearDupCcCtes},
         |b AS (
         |  SELECT d.doc_id,
         |         coalesce(l.cluster_id, d.doc_id) AS rep_id,

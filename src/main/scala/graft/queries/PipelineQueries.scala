@@ -753,6 +753,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared near-dup connected-components oracle chain (t/p/e/reach/
+    * lbl over `documents` at Jaccard ≥ 0.8): `lbl` carries (doc_id,
+    * cluster_id). The ground-truth cluster definition exists ONCE —
+    * q65, q106 and q205 all interpolate this block (the sqlGopherCtes
+    * discipline applied to clustering). Callers open WITH RECURSIVE. */
+  private[queries] def sqlNearDupCcCtes: String =
+    s"""t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+       |      FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+       |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+       |reach(n, m) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
+       |  UNION
+       |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
+       |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)""".stripMargin
+
   /** Near-duplicate CLUSTERS (Dedup.nearDupClusters): connected components
     * over the q28 pairs via alternating large-star/small-star (O(log n)
     * rounds on any topology); the oracle computes the same components with
@@ -762,19 +782,7 @@ object PipelineQueries {
     "q65_neardup_clusters",
     Some(s"""
       |WITH RECURSIVE
-      |t AS (SELECT doc_id, list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
-      |      FROM documents),
-      |p AS (
-      |  SELECT a.doc_id AS u, b.doc_id AS v
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-      |reach(n, m) AS (
-      |  SELECT u, u FROM (SELECT DISTINCT u FROM e) nn(u)
-      |  UNION
-      |  SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.n),
-      |lbl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+      |$sqlNearDupCcCtes
       |SELECT doc_id, cluster_id,
       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM lbl ORDER BY doc_id

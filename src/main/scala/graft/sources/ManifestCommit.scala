@@ -126,15 +126,29 @@ object ManifestCommit {
     * dir (manifest entries carry the relative subpaths), so readers get
     * partition pruning via the basePath in [[readAt]]. */
   def writeVersioned(df: DataFrame, path: String,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty): Long =
+    stageAndPublish(df, path, partitionBy, () => ())
+
+  /** The ONE stage-and-publish body (gen/nonce/data-dir naming, the
+    * partitioned write, part discovery, marker carry, atomic publish)
+    * shared by [[writeVersioned]] and [[writeVersionedChecked]] —
+    * `afterWrite` runs between the data write and the publish and may
+    * THROW to abort with the staged files left as an invisible,
+    * vacuumable orphan. */
+  private def stageAndPublish(
+      frame: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      afterWrite: () => Unit): Long = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-$firstGen-$nonce"
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val writer = frame.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.resolve(dataDir).toString)
+    afterWrite()
     val parts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
       .sorted
@@ -163,29 +177,18 @@ object ManifestCommit {
       checks: Seq[graft.operators.Expectations.Check],
       partitionBy: Seq[String] = Seq.empty): Long = {
     require(checks.nonEmpty, "at least one check (else use writeVersioned)")
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = s"data-$firstGen-$nonce"
     val (instrumented, obs) =
       graft.operators.Expectations.observed(df, checks)
-    val writer = instrumented.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dir.resolve(dataDir).toString)
-    val metrics = obs.get
-    val failing = checks
-      .map(c => c.name -> metrics(s"viol_${c.name}").asInstanceOf[Long])
-      .filter(_._2 > 0)
-    if (failing.nonEmpty)
-      throw new IllegalStateException(
-        "write-audit-publish aborted, staged generation NOT published: " +
-          failing.map { case (n, v) => s"$n=$v" }.mkString(", "))
-    val parts = partFilesUnder(dir.resolve(dataDir))
-      .map(p => dir.relativize(p).toString)
-      .sorted
-    require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
-    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce)
+    stageAndPublish(instrumented, path, partitionBy, () => {
+      val metrics = obs.get
+      val failing = checks
+        .map(c => c.name -> metrics(s"viol_${c.name}").asInstanceOf[Long])
+        .filter(_._2 > 0)
+      if (failing.nonEmpty)
+        throw new IllegalStateException(
+          "write-audit-publish aborted, staged generation NOT published: " +
+            failing.map { case (n, v) => s"$n=$v" }.mkString(", "))
+    })
   }
 
   /** Latest manifest's RAW lines (files + metadata markers), one read
