@@ -52,6 +52,46 @@ object Expectations {
     one.select(explode(array(report: _*)).as("r")).select(col("r.*"))
   }
 
+  /** The metrics side of [[observed]]: `get` blocks (bounded) for the
+    * next action's observed metrics and returns them as a name→value
+    * map. Implemented with a plain QueryExecutionListener on a
+    * STRING-named `observe` — deliberately NOT
+    * [[org.apache.spark.sql.Observation]]: registering an Observation
+    * initializes the session's ObservationManager, a non-serializable
+    * field that then poisons EVERY later closure capturing the session
+    * transitively — including any fitted MLlib model whose training
+    * summary holds the session (`model.transform` captures the model;
+    * "Task not serializable: ObservationManager" three stages later).
+    * Found the hard way: one Observation in a spec made unrelated
+    * pipeline tests fail. */
+  final class ObservedHandle private[Expectations] (
+      name: String, spark: org.apache.spark.sql.SparkSession) {
+    @volatile private var row: Option[org.apache.spark.sql.Row] = None
+    private val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get(name).foreach(r => row = Some(r))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+
+    /** Metrics of the first action that ran the instrumented frame.
+      * The listener bus is asynchronous — waits up to `timeoutMs`. */
+    def get(timeoutMs: Long = 30000): Map[String, Any] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (row.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
+      spark.listenerManager.unregister(listener)
+      val r = row.getOrElse(throw new IllegalStateException(
+        "no observed metrics arrived — did an action run on the " +
+          "instrumented frame?"))
+      r.schema.fieldNames.zip(r.toSeq).toMap
+    }
+  }
+
   /** In-flight expectations — [[rowChecks]]'s metrics piggybacked on
     * the MAIN query via `Dataset.observe`: the pipeline's own action
     * (its write, its count) evaluates the checks as accumulator-style
@@ -59,19 +99,21 @@ object Expectations {
     * 100 TB a separate rowChecks scan is a second read of the corpus;
     * this is the same aggregates attached to the read you were doing
     * anyway. Returns the instrumented frame (pass it onward in place
-    * of `df`) and the [[org.apache.spark.sql.Observation]] — after any
-    * action on the returned frame, `obs.get` yields
-    * `n_rows` plus one `viol_<name>` count per check. The numbers
-    * describe exactly the rows THAT ACTION processed (post-pushdown),
-    * which is the honest monitoring contract.
+    * of `df`) and an [[ObservedHandle]] — after any action on the
+    * returned frame, `handle.get()` yields `n_rows` plus one
+    * `viol_<name>` count per check. The numbers describe exactly the
+    * rows THAT ACTION processed (post-pushdown), which is the honest
+    * monitoring contract.
     */
   def observed(df: DataFrame, checks: Seq[Check])
-      : (DataFrame, org.apache.spark.sql.Observation) = {
+      : (DataFrame, ObservedHandle) = {
     validate(checks)
-    val obs = org.apache.spark.sql.Observation()
+    val name = "graft_obs_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val aggs = count(lit(1)).as("n_rows") +:
       checks.map(c => violationCount(c).as(s"viol_${c.name}"))
-    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+    val handle = new ObservedHandle(name, df.sparkSession)
+    (df.observe(name, aggs.head, aggs.tail: _*), handle)
   }
 
   /** Referential expectation: every non-null `fkCol` of `df` must

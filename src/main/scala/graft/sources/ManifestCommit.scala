@@ -180,7 +180,7 @@ object ManifestCommit {
     val (instrumented, obs) =
       graft.operators.Expectations.observed(df, checks)
     stageAndPublish(instrumented, path, partitionBy, () => {
-      val metrics = obs.get
+      val metrics = obs.get()
       val failing = checks
         .map(c => c.name -> metrics(s"viol_${c.name}").asInstanceOf[Long])
         .filter(_._2 > 0)

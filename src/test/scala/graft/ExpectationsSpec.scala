@@ -60,7 +60,7 @@ class ExpectationsSpec extends AnyFunSuite {
       Expectations.Check("id_small", col("id") < 4)))
     // the pipeline's OWN action evaluates the metrics
     assert(instrumented.count() == 4L)
-    val m = obs.get
+    val m = obs.get()
     assert(m("n_rows") == 4L)
     assert(m("viol_v_positive") == 2L) // -1 and 0
     assert(m("viol_id_small") == 1L)   // id 4
@@ -75,6 +75,27 @@ class ExpectationsSpec extends AnyFunSuite {
     // a downstream filter BELOW the observe still sees both rows
     // (observe sits where it was attached)
     instrumented.where(col("v") > 0).count()
-    assert(obs.get("n_rows") == 2L)
+    assert(obs.get()("n_rows") == 2L)
+  }
+
+  test("observed() must not poison later ML-model closure serialization") {
+    import graft.operators.Expectations
+    import org.apache.spark.sql.functions._
+    // regression: the Observation-object API initializes the session's
+    // non-serializable ObservationManager; any fitted model whose
+    // training summary holds the session then fails Task-serialization
+    // in transform. The string-named observe must not arm that mine.
+    val (inst, obs) = Expectations.observed(
+      Seq((1, 2)).toDF("a", "b"),
+      Seq(Expectations.Check("a_pos", col("a") > 0)))
+    inst.count(); obs.get()
+    val train = Seq((0.0, 0.1), (1.0, 0.9), (0.0, 0.2), (1.0, 0.8))
+      .toDF("label", "x")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(train)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .fit(assembled) // carries a trainingSummary referencing the session
+    assert(model.transform(assembled).count() == 4L)
   }
 }
