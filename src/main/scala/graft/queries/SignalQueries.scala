@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GroupedTopK
+import graft.text.TextAnalysis
+import PipelineQueries.sqlTokens
+
+/** Round-6 tail: user-signal and corpus-signal analytics — streaks,
+  * CUSUM change detection, integer EWMA smoothing, distinctive-term
+  * extraction, conjunctive boolean retrieval. Same oracle discipline
+  * as the rest of the registry: exact integer/decimal arithmetic at
+  * every cross-engine comparison point, total output orders, scaled
+  * rationals instead of floats.
+  */
+object SignalQueries {
+
+  val all: Seq[Q] = Seq(q210, q211, q212, q213, q214)
+
+  /** Per-user activity streaks: gaps-and-islands over DISTINCT active
+    * days (epoch-day of any event). The island id is the classic
+    * `day − row_number()` difference — consecutive days share it, any
+    * gap shifts it. All integers; one exchange on user_id (the
+    * day-level distinct, the window, and both rollups all cluster by
+    * user, so Spark reuses the same hash partitioning end-to-end). */
+  def q210: Q = Q(
+    "q210_activity_streaks",
+    Some("""
+      |WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, d,
+      |         d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |           AS grp
+      |  FROM d),
+      |s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(sum(len) AS BIGINT) AS n_active_days
+      |FROM s GROUP BY user_id ORDER BY user_id
+      |""".stripMargin)) { (s, dir) =>
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct()
+    val grp = days.withColumn("grp",
+      col("d") - row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d"))))
+    grp.groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CUSUM change-point alarms on the per-type daily event count. The
+    * classic recursive form S_i = max(0, S_{i−1} + (x_i − k)) is not a
+    * window function, but its closed form is: with P_i the prefix sum
+    * of deviations, S_i = P_i − min(0, min_{j≤i} P_j) — two ordinary
+    * cumulative windows, no fold operator needed. Allowance k is the
+    * per-type integer mean; alarm when S exceeds 2k. All integers;
+    * everything after the daily rollup is dim-sized (types × days). */
+  def q211: Q = Q(
+    "q211_cusum_alarms",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, d, x,
+      |         sum(x) OVER (PARTITION BY event_type) //
+      |           count(*) OVER (PARTITION BY event_type) AS k
+      |  FROM c),
+      |f AS (
+      |  SELECT event_type, d, x, k,
+      |         sum(x - k) OVER (PARTITION BY event_type ORDER BY d
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+      |  FROM p),
+      |g AS (
+      |  SELECT event_type, d, x, k,
+      |         pf - least(0, min(pf) OVER (PARTITION BY event_type
+      |           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |           CURRENT ROW)) AS cusum
+      |  FROM f)
+      |SELECT event_type, CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+      |       CAST(cusum AS BIGINT) AS cusum,
+      |       CAST(CASE WHEN cusum > 2 * k THEN 1 ELSE 0 END AS BIGINT)
+      |         AS alarm
+      |FROM g ORDER BY event_type, d
+      |""".stripMargin)) { (s, dir) =>
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("__stot", sum(col("x")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("k", expr("__stot div __n"))
+      .withColumn("pf", sum(col("x") - col("k")).over(wOrd))
+      .withColumn("cusum",
+        col("pf") - least(lit(0L), min(col("pf")).over(wOrd)))
+      .select(col("event_type"), col("d"), col("x"), col("cusum"),
+        when(col("cusum") > lit(2) * col("k"), 1L).otherwise(0L)
+          .as("alarm"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Integer EWMA (α = 1/4) over each type's daily series — the
+    * smoothed "where is this metric settling" signal, in exact
+    * arithmetic: state lives in integer micro-units and each step is
+    * s′ = (3s + x) div 4 (all operands positive, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree). The fold runs over a
+    * day-sorted in-group array (bounded: one element per day) with
+    * `aggregate`, whose left-to-right order is exactly DuckDB's
+    * `list_reduce` — same op sequence, same integers. Value flows
+    * through an exact DECIMAL(18,6) sum before the micro cast. */
+  def q212: Q = Q(
+    "q212_ewma_daily",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+      |              AS BIGINT) AS vm
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         list(x * 1000000 ORDER BY d) AS xs,
+      |         list(vm ORDER BY d) AS vs
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      |       CAST(list_reduce(xs, (s, x) -> (3 * s + x) // 4) AS BIGINT)
+      |         AS ewma_count_micro,
+      |       CAST(list_reduce(vs, (s, x) -> (3 * s + x) // 4) AS BIGINT)
+      |         AS ewma_value_micro
+      |FROM a ORDER BY event_type
+      |""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("vm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("d"), col("x"), col("vm"))))
+          .as("__arr"))
+      .select(col("event_type"), col("n_days"),
+        expr("""aggregate(slice(transform(__arr, e -> e.x * 1000000),
+                2, size(__arr) - 1),
+                element_at(transform(__arr, e -> e.x * 1000000), 1),
+                (s, x) -> (3 * s + x) div 4)""").as("ewma_count_micro"),
+        expr("""aggregate(slice(transform(__arr, e -> e.vm),
+                2, size(__arr) - 1),
+                element_at(transform(__arr, e -> e.vm), 1),
+                (s, x) -> (3 * s + x) div 4)""").as("ewma_value_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Distinctive terms per source — the "what vocabulary marks this
+    * slice" signal behind data-card term clouds and source tagging.
+    * Smoothed relative-rate ratio in exact permille:
+    * 1000·c_s·(T−T_s) div ((c−c_s+1)·T_s) compares the term's rate in
+    * the source against its rate elsewhere (+1 on the outside count so
+    * source-exclusive terms stay finite). Everything after the token
+    * rollup is vocabulary-dim sized; totals are broadcast; top-5 per
+    * source via the spill-safe GroupedTopK operator, ties by term. */
+  def q213: Q = {
+    val minSupport = 3
+    Q("q213_distinctive_terms",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |cs AS (SELECT source, w, count(*) AS c_s FROM t GROUP BY 1, 2),
+        |g AS (SELECT w, sum(c_s) AS c FROM cs GROUP BY w),
+        |srct AS (SELECT source, sum(c_s) AS t_s FROM cs GROUP BY source),
+        |tot AS (SELECT sum(c_s) AS t FROM cs),
+        |r AS (
+        |  SELECT cs.source, cs.w, c_s,
+        |         (1000 * c_s * (t - t_s)) // ((c - c_s + 1) * t_s)
+        |           AS ratio_pm
+        |  FROM cs JOIN g USING (w) JOIN srct USING (source)
+        |  CROSS JOIN tot
+        |  WHERE c_s >= $minSupport),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY ratio_pm DESC, w) AS rk
+        |  FROM r)
+        |SELECT source, w, CAST(c_s AS BIGINT) AS c_s,
+        |       CAST(ratio_pm AS BIGINT) AS ratio_pm
+        |FROM rk WHERE rk <= 5 ORDER BY source, ratio_pm DESC, w
+        |""".stripMargin)) { (s, dir) =>
+      val cs = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_s"))
+      val g = cs.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
+      val srcT = cs.groupBy(col("source")).agg(sum(col("c_s")).as("t_s"))
+      val tot = cs.agg(sum(col("c_s")).as("t"))
+      val r = cs
+        .join(g, "w")
+        .join(broadcast(srcT), "source")
+        .crossJoin(broadcast(tot))
+        .where(col("c_s") >= minSupport)
+        .select(col("source"), col("w"), col("c_s"),
+          expr("(1000 * c_s * (t - t_s)) div ((c - c_s + 1) * t_s)")
+            .as("ratio_pm"))
+      GroupedTopK.topKPerKey(r, Seq("source"),
+          Seq(("ratio_pm", false), ("w", true)), k = 5)
+        .select(col("source"), col("w"), col("c_s"), col("ratio_pm"))
+        .orderBy(col("source"), col("ratio_pm").desc, col("w"))
+    }
+  }
+
+  /** Conjunctive boolean retrieval: documents containing ALL query
+    * terms (token-exact), ranked by total term frequency — the AND
+    * face the BM25 family (q98/q136/q137) doesn't cover. The corpus is
+    * pruned scan-stage with substring `contains` (a superset of the
+    * token match, so lossless) BEFORE any explode, so the generate
+    * stage scales with candidate docs, not the corpus; the rest is
+    * ids-only. Global top-20 via TakeOrderedAndProject (no full sort). */
+  def q214: Q = {
+    val terms = Seq("join", "hash", "scan")
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    Q("q214_boolean_retrieval",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, unnest(${sqlTokens("text")}) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM t
+        |  WHERE w IN $inList GROUP BY 1, 2),
+        |hits AS (
+        |  SELECT doc_id, sum(tf) AS tf_total FROM p
+        |  GROUP BY doc_id HAVING count(*) = ${terms.size})
+        |SELECT doc_id, CAST(tf_total AS BIGINT) AS tf_total
+        |FROM hits ORDER BY tf_total DESC, doc_id LIMIT 20
+        |""".stripMargin)) { (s, dir) =>
+      val pruned = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .where(terms.map(t => col("text").contains(t)).reduce(_ && _))
+      pruned
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .where(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n_terms"), sum(col("tf")).as("tf_total"))
+        .where(col("__n_terms") === terms.size)
+        .select(col("doc_id"), col("tf_total"))
+        .orderBy(col("tf_total").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+}
