@@ -39,7 +39,8 @@ object GraftFunctions {
     "graft_simhash" -> { es =>
       SketchExprs.SimHash64(es.head, 32, PolyHash.DefaultMult, Dedup.Mod)
     },
-    "graft_cosine" -> { es => SketchExprs.CosineSim(es.head, es(1)) })
+    "graft_cosine" -> { es => SketchExprs.CosineSim(es.head, es(1)) },
+    "graft_canonical" -> { es => TextNorm.CanonicalText(es.head) })
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

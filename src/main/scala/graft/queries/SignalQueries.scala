@@ -5,18 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.plans.GroupedTopK
 import graft.text.TextAnalysis
-import PipelineQueries.sqlTokens
+import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
 
 /** Round-6 tail: user-signal and corpus-signal analytics — streaks,
   * CUSUM change detection, integer EWMA smoothing, distinctive-term
-  * extraction, conjunctive boolean retrieval. Same oracle discipline
-  * as the rest of the registry: exact integer/decimal arithmetic at
-  * every cross-engine comparison point, total output orders, scaled
-  * rationals instead of floats.
+  * extraction, conjunctive boolean retrieval, stratified allocation,
+  * session paths, canonical dedup, co-occurrence, weekly seasonality.
+  * Same oracle discipline as the rest of the registry: exact
+  * integer/decimal arithmetic at every cross-engine comparison point,
+  * total output orders, scaled rationals instead of floats.
   */
 object SignalQueries {
 
-  val all: Seq[Q] = Seq(q210, q211, q212, q213, q214)
+  val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
+    q218, q219)
 
   /** Per-user activity streaks: gaps-and-islands over DISTINCT active
     * days (epoch-day of any event). The island id is the classic
@@ -259,5 +261,254 @@ object SignalQueries {
         .orderBy(col("tf_total").desc, col("doc_id"))
         .limit(20)
     }
+  }
+
+  /** Stratified sampling with exact largest-remainder allocation
+    * (Hamilton's method): a budget of 100 docs is split across lang
+    * strata proportionally — integer base quotas, the leftover units
+    * going to the largest remainders (ties by lang) — then each
+    * stratum contributes exactly its quota, chosen by deterministic
+    * salted-hash rank. Unlike per-row Bernoulli sampling the quota is
+    * EXACT, not expected. Allocation math runs on the strata dim
+    * (broadcast-sized; the single-partition windows touch only that
+    * dim); the corpus-side work is one window per stratum. */
+  def q215: Q = {
+    val budget = 100
+    Q("q215_stratified_quota_sample",
+      Some(s"""
+        |WITH s AS (
+        |  SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |q AS (
+        |  SELECT lang, n_s,
+        |         ($budget * n_s) // (sum(n_s) OVER ()) AS base,
+        |         ($budget * n_s) % (sum(n_s) OVER ()) AS rem
+        |  FROM s),
+        |e AS (
+        |  SELECT lang, n_s, base,
+        |         row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |         $budget - sum(base) OVER () AS extras
+        |  FROM q),
+        |alloc AS (
+        |  SELECT lang, n_s,
+        |         base + CASE WHEN rk <= extras THEN 1 ELSE 0 END AS quota
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |         (${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "strat")}) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY hv, doc_id) AS srk
+        |  FROM h)
+        |SELECT r.lang, CAST(a.n_s AS BIGINT) AS n_s,
+        |       CAST(a.quota AS BIGINT) AS quota, r.doc_id
+        |FROM r JOIN alloc a ON a.lang = r.lang
+        |WHERE r.srk <= a.quota
+        |ORDER BY r.lang, r.doc_id
+        |""".stripMargin)) { (s, dir) =>
+      import graft.functions.PolyHash
+      val docs = Tables.documents(s, dir)
+      val wDim = Window.partitionBy()
+      val alloc = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        .withColumn("__n", sum(col("n_s")).over(wDim))
+        .withColumn("base", expr(s"($budget * n_s) div __n"))
+        .withColumn("rem", expr(s"($budget * n_s) % __n"))
+        .withColumn("extras", lit(budget) - sum(col("base")).over(wDim))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("quota", col("base") +
+          when(col("rk") <= col("extras"), 1L).otherwise(0L))
+        .select(col("lang"), col("n_s"), col("quota"))
+      val ranked = docs
+        .select(col("doc_id"), col("lang"),
+          PolyHash.saltedHash(col("doc_id"), "strat").as("hv"))
+        .withColumn("srk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("hv"), col("doc_id"))))
+      ranked.join(broadcast(alloc), "lang")
+        .where(col("srk") <= col("quota"))
+        .select(col("lang"), col("n_s"), col("quota"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }
+  }
+
+  /** Session path mining: each gap-sessionized visit (q53's 30-minute
+    * recipe) becomes its first-5-event-type path string; paths are
+    * counted and the top-20 reported — the "how do users actually move
+    * through the product" table. The per-session array is bounded by
+    * the slice, the path vocabulary is tiny, and the heavy lifting is
+    * the same one user-keyed exchange the session operators share. */
+  def q216: Q = Q(
+    "q216_session_paths",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+      |         event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t_us) OVER (PARTITION BY user_id
+      |    ORDER BY t_us, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                          OR t_us - prev >= 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |p AS (
+      |  SELECT user_id, grp,
+      |         array_to_string(list_slice(
+      |           list(event_type ORDER BY t_us, event_id), 1, 5), '>')
+      |           AS path
+      |  FROM g GROUP BY user_id, grp)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("t_us"), 1).over(wo))
+      .withColumn("grp", sum(
+        when(col("prev").isNull ||
+          col("t_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("t_us"), col("event_id"),
+        col("event_type")))).as("__arr"))
+      .select(array_join(
+        slice(transform(col("__arr"), e => e.getField("event_type")),
+          1, 5), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Canonicalizing exact dedup: NFC + casefold + whitespace-collapse
+    * via the native [[graft.functions.TextNorm.CanonicalText]] kernel,
+    * THEN the usual 62-bit content fingerprint — so "Hello  World" and
+    * "hello world" (and é-precomposed vs é-combining) land on one
+    * fingerprint. Only (fp, id) ever shuffles; the oracle replays the
+    * chain with DuckDB's nfc_normalize. */
+  def q217: Q = {
+    val canon =
+      s"""regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"""
+    Q("q217_canonical_dedup",
+      Some(s"""
+        |WITH c AS (
+        |  SELECT doc_id, (${sqlContentFp(s"($canon)")}) AS fp
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM c GROUP BY fp)
+        |SELECT CAST(keep_id AS BIGINT) AS keep_id,
+        |       CAST(n_copies AS BIGINT) AS n_copies,
+        |       CAST(fp AS BIGINT) AS fp
+        |FROM g ORDER BY keep_id
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.Dedup
+      import graft.functions.TextNorm
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          Dedup.contentFingerprint(TextNorm.canonicalText(col("text")))
+            .as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("fp"))
+        .orderBy(col("keep_id"))
+    }
+  }
+
+  /** Item-item co-occurrence similarity over the user→event-type
+    * bipartite graph — the collaborative-filtering primitive. Squared
+    * cosine in exact ppm (10⁶·co²/(n_a·n_b)) avoids the irrational
+    * sqrt while preserving the ranking. Pairs are generated per user
+    * from the SORTED distinct-type array (bounded fan-out, no
+    * self-join); type marginals broadcast. */
+  def q218: Q = Q(
+    "q218_type_cooccurrence",
+    Some("""
+      |WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT event_type, count(*) AS n_u FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS t_a, b.event_type AS t_b,
+      |         count(*) AS co
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |                     AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT t_a, t_b, CAST(co AS BIGINT) AS co,
+      |       CAST(na.n_u AS BIGINT) AS n_a,
+      |       CAST(nb.n_u AS BIGINT) AS n_b,
+      |       CAST((1000000 * co * co) // (na.n_u * nb.n_u) AS BIGINT)
+      |         AS cos2_ppm
+      |FROM p JOIN n na ON na.event_type = p.t_a
+      |       JOIN n nb ON nb.event_type = p.t_b
+      |ORDER BY t_a, t_b
+      |""".stripMargin)) { (s, dir) =>
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val n = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_u"))
+    val pairs = ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            b -> struct(a AS t_a, b AS t_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.t_a"), col("p.t_b"))
+      .groupBy(col("t_a"), col("t_b")).agg(count(lit(1)).as("co"))
+    pairs
+      .join(broadcast(n.select(col("event_type").as("t_a"),
+        col("n_u").as("n_a"))), "t_a")
+      .join(broadcast(n.select(col("event_type").as("t_b"),
+        col("n_u").as("n_b"))), "t_b")
+      .select(col("t_a"), col("t_b"), col("co"), col("n_a"), col("n_b"),
+        expr("(1000000 * co * co) div (n_a * n_b)").as("cos2_ppm"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
+  /** Weekly-phase seasonality index per event type: epoch-day mod 7
+    * buckets each day into its weekly phase (calendar-free, so both
+    * engines agree by construction), and the index compares the
+    * phase's mean daily count against the type's overall mean as an
+    * exact cross-multiplied ppm — >10⁶ means "this weekday runs hot".
+    * Everything after the daily rollup is dim-sized. */
+  def q219: Q = Q(
+    "q219_weekly_phase_index",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, d % 7 AS phase, sum(x) AS s_p,
+      |         count(*) AS n_p
+      |  FROM c GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, sum(s_p) AS s_tot, sum(n_p) AS n_tot
+      |  FROM p GROUP BY 1)
+      |SELECT p.event_type, CAST(phase AS BIGINT) AS phase,
+      |       CAST(s_p AS BIGINT) AS s_p, CAST(n_p AS BIGINT) AS n_p,
+      |       CAST((1000000 * s_p * n_tot) // (n_p * s_tot) AS BIGINT)
+      |         AS index_ppm
+      |FROM p JOIN t ON t.event_type = p.event_type
+      |ORDER BY p.event_type, phase
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val p = c.groupBy(col("event_type"), expr("d % 7").as("phase"))
+      .agg(sum(col("x")).as("s_p"), count(lit(1)).as("n_p"))
+    val t = p.groupBy(col("event_type"))
+      .agg(sum(col("s_p")).as("s_tot"), sum(col("n_p")).as("n_tot"))
+    p.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("phase"), col("s_p"), col("n_p"),
+        expr("(1000000 * s_p * n_tot) div (n_p * s_tot)").as("index_ppm"))
+      .orderBy(col("event_type"), col("phase"))
   }
 }

@@ -106,4 +106,96 @@ class SignalQueriesSpec extends AnyFunSuite {
       .select($"doc_id", $"tf_total").as[(Long, Long)].collect().toSeq
     assert(got == Seq((4L, 5L), (1L, 3L)))
   }
+
+  test("canonical text folds NFC, case, and whitespace runs") {
+    import graft.functions.TextNorm
+    val precomposed = "Café  du   Monde"       // é as U+00E9
+    val combining = "café du monde"            // e + U+0301
+    val df = Seq(precomposed, combining, "  café   DU  monde ")
+      .toDF("text")
+      .select(TextNorm.canonicalText($"text").as("c"))
+    val got = df.as[String].collect().toSeq
+    assert(got.toSet == Set("café du monde"))
+    // null stays null
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextNorm.canonicalText($"text")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("canonical fingerprints unify visually-identical docs") {
+    import graft.dedup.Dedup
+    import graft.functions.TextNorm
+    val docs = Seq((1L, "Hello   World"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val got = docs
+      .select($"doc_id",
+        Dedup.contentFingerprint(TextNorm.canonicalText($"text")).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("keep"), count(lit(1)).as("n"))
+      .orderBy($"keep").as[(Long, Long, Long)].collect().toSeq
+      .map { case (_, k, n) => (k, n) }
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("largest-remainder quotas sum exactly to the budget") {
+    // strata 7/5/3 of N=15, budget 10: exact shares 4.67/3.33/2.0 →
+    // bases 4/3/2 (sum 9), one extra to the largest remainder (a: .67)
+    val docs = (1 to 7).map(i => (i.toLong, "a")) ++
+      (8 to 12).map(i => (i.toLong, "b")) ++
+      (13 to 15).map(i => (i.toLong, "c"))
+    val df = docs.toDF("doc_id", "lang")
+    val wDim = Window.partitionBy()
+    val alloc = df.groupBy($"lang").agg(count(lit(1)).as("n_s"))
+      .withColumn("__n", sum($"n_s").over(wDim))
+      .withColumn("base", expr("(10 * n_s) div __n"))
+      .withColumn("rem", expr("(10 * n_s) % __n"))
+      .withColumn("extras", lit(10) - sum($"base").over(wDim))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"rem".desc, $"lang")))
+      .withColumn("quota", $"base" +
+        when($"rk" <= $"extras", 1L).otherwise(0L))
+      .select($"lang", $"quota").orderBy($"lang")
+      .as[(String, Long)].collect().toSeq
+    assert(alloc == Seq(("a", 5L), ("b", 3L), ("c", 2L)))
+    assert(alloc.map(_._2).sum == 10L)
+  }
+
+  test("session paths: gap splits sessions, path truncates at 5") {
+    val us = 1000000L // µs per second
+    val events = Seq(
+      // user 1, session 1: 6 events 1 min apart → path truncated to 5
+      (1L, 0L * us), (2L, 60L * us), (3L, 120L * us), (4L, 180L * us),
+      (5L, 240L * us), (6L, 300L * us),
+      // user 1, session 2 after a 40-min gap
+      (7L, 2700L * us), (8L, 2760L * us))
+      .map { case (id, t) => (1L, t, id, s"e$id") }
+      .toDF("user_id", "t_us", "event_id", "event_type")
+    val wo = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    val got = events
+      .withColumn("prev", lag($"t_us", 1).over(wo))
+      .withColumn("grp", sum(
+        when($"prev".isNull || $"t_us" - $"prev" >= 1800000000L, 1L)
+          .otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy($"user_id", $"grp")
+      .agg(array_sort(collect_list(struct($"t_us", $"event_id",
+        $"event_type"))).as("arr"))
+      .select(array_join(
+        slice(transform($"arr", e => e.getField("event_type")), 1, 5),
+        ">").as("path"))
+      .orderBy($"path").as[String].collect().toSeq
+    assert(got == Seq("e1>e2>e3>e4>e5", "e7>e8"))
+  }
+
+  test("sorted-array pair expansion emits each unordered pair once") {
+    val got = Seq(Seq("a", "b", "c", "d")).toDF("ts")
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            b -> struct(a AS t_a, b AS t_b))))""".stripMargin))
+        .as("p"))
+      .select($"p.t_a", $"p.t_b").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")))
+  }
 }
