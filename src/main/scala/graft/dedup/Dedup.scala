@@ -368,6 +368,28 @@ object Dedup {
       threshold: Double = 0.8,
       bands: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
+    val contaminated =
+      crossCorpusNearDupPairs(newDocs, oldDocs, idCol, textCol,
+          threshold, bands, rowsPerBand)
+        .select(col("doc_a").as(idCol))
+        .distinct()
+    newDocs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** The pair face of [[crossCorpusNearDupNew]]: every verified
+    * (new, old) near-dup pair as (doc_a = new id, doc_b = old id,
+    * jaccard) — same new×old-only banding (never the quadratic
+    * old×old side), same exact-Jaccard verify. This is the edge feed
+    * [[incrementalClusters]] needs; the anti-join face above is the
+    * decontamination policy applied to it. */
+  def crossCorpusNearDupPairs(
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
     // each profile feeds two branches (banding + verify side): checkpoint
     // so shingling/minhashing runs once per side, not per branch
     val newProf = shingleProfiles(newDocs, idCol, textCol,
@@ -382,15 +404,49 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
       .distinct()
-    val contaminated = candidates
+    candidates
       .join(newProf.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
         "new_id")
       .join(oldProf.select(col("doc_id").as("old_id"), col("sh").as("sh_o")),
         "old_id")
-      .filter(jaccardArrays(col("sh_n"), col("sh_o")) >= threshold)
-      .select(col("new_id").as(idCol))
-      .distinct()
-    newDocs.join(contaminated, Seq(idCol), "left_anti")
+      .withColumn("jaccard", jaccardArrays(col("sh_n"), col("sh_o")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as("doc_a"), col("old_id").as("doc_b"),
+        col("jaccard"))
+  }
+
+  /** Incremental near-dup CLUSTER maintenance: fold a batch of new
+    * docs into an existing label map without re-clustering the corpus.
+    * The full rebuild's pair set decomposes as old×old ∪ new×new ∪
+    * new×old; the old×old term is already summarized by `oldLabels` —
+    * replacing those edges with each component's spanning star
+    * (doc → cluster_id) preserves connectivity EXACTLY, so
+    * CC(star(oldLabels) ∪ pairs(new×new) ∪ pairs(new×old)) has the
+    * same components as CC over the full rebuild's pairs. Nothing
+    * old×old is ever banded or verified again: per-batch cost is
+    * O(new×corpus banding + |labels| star edges), not O(corpus²).
+    * Labels stay component-min on the UNION, so a new doc bridging two
+    * old clusters merges them under the smaller cluster_id — exactly
+    * what the rebuild would produce (proven hash-exact vs the
+    * all-pairs oracle in q221).
+    */
+  def incrementalClusters(
+      oldLabels: DataFrame,
+      newDocs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val star = oldLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val newNew = nearDuplicatePairs(newDocs, idCol, textCol,
+      threshold, bands, rowsPerBand).select("doc_a", "doc_b")
+    val newOld = crossCorpusNearDupPairs(newDocs, oldDocs, idCol, textCol,
+      threshold, bands, rowsPerBand).select("doc_a", "doc_b")
+    nearDupClusters(star.unionByName(newNew).unionByName(newOld))
   }
 
   /** Connected components over near-duplicate pairs — the transitive

@@ -1,10 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.plans.GroupedTopK
-import graft.text.TextAnalysis
+import graft.text.{Sampling, TextAnalysis}
 import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
 
 /** Round-6 tail: user-signal and corpus-signal analytics — streaks,
@@ -18,7 +19,7 @@ import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
 object SignalQueries {
 
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219)
+    q218, q219, q220, q221, q222, q223, q224)
 
   /** Per-user activity streaks: gaps-and-islands over DISTINCT active
     * days (epoch-day of any event). The island id is the classic
@@ -510,5 +511,229 @@ object SignalQueries {
       .select(col("event_type"), col("phase"), col("s_p"), col("n_p"),
         expr("(1000000 * s_p * n_tot) div (n_p * s_tot)").as("index_ppm"))
       .orderBy(col("event_type"), col("phase"))
+  }
+
+  /** Source-vocabulary overlap matrix: exact token-set Jaccard between
+    * every source pair — the corpus-composition view that flags two
+    * feeds as mirrors of each other BEFORE doc-level dedup ever runs.
+    * |A∩B| comes from the term-posting self-join (vocab-dim keys, the
+    * scale-safe way — never doc×doc), set sizes broadcast, Jaccard as
+    * exact ppm. Pairs with zero overlap carry no posting row and are
+    * absent by construction (documented contract). */
+  def q220: Q = Q(
+    "q220_source_vocab_overlap",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(${sqlTokens("text")}) AS w
+      |    FROM documents WHERE text IS NOT NULL)),
+      |n AS (SELECT source, count(*) AS nv FROM t GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS s_a, b.source AS s_b, count(*) AS inter
+      |  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s_a, s_b, CAST(inter AS BIGINT) AS inter,
+      |       CAST(na.nv AS BIGINT) AS n_a, CAST(nb.nv AS BIGINT) AS n_b,
+      |       CAST((1000000 * inter) // (na.nv + nb.nv - inter) AS BIGINT)
+      |         AS jacc_ppm
+      |FROM i JOIN n na ON na.source = i.s_a
+      |       JOIN n nb ON nb.source = i.s_b
+      |ORDER BY s_a, s_b
+      |""".stripMargin)) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val i = t.as("a")
+      .join(t.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s_a"), col("b.source").as("s_b"))
+      .agg(count(lit(1)).as("inter"))
+    i.join(broadcast(n.select(col("source").as("s_a"),
+        col("nv").as("n_a"))), "s_a")
+      .join(broadcast(n.select(col("source").as("s_b"),
+        col("nv").as("n_b"))), "s_b")
+      .select(col("s_a"), col("s_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        expr("(1000000 * inter) div (n_a + n_b - inter)").as("jacc_ppm"))
+      .orderBy(col("s_a"), col("s_b"))
+  }
+
+  /** Incremental near-dup cluster maintenance, proven against the full
+    * rebuild: docs split 80/20 into "already ingested" and "new
+    * batch"; the old corpus is clustered once, then
+    * [[graft.dedup.Dedup.incrementalClusters]] folds the batch in via
+    * spanning-star edges + new×new + new×old banding — never re-pairing
+    * old×old. The oracle is the ALL-pairs recursive-CTE rebuild over
+    * the whole corpus, so a hash match proves incremental ≡ rebuild
+    * (including merges where a new doc bridges two old clusters). */
+  def q221: Q = Q(
+    "q221_incremental_clusters",
+    Some(s"""
+      |WITH RECURSIVE
+      |${PipelineQueries.sqlNearDupCcCtes}
+      |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val oldDocs = docs.where(col("doc_id") % 5 =!= 0)
+    val newDocs = docs.where(col("doc_id") % 5 === 0)
+    val oldLabels = Dedup.nearDupClusters(
+      Dedup.nearDuplicatePairs(oldDocs, "doc_id", "text", threshold = 0.8))
+    Dedup.incrementalClusters(oldLabels, newDocs, oldDocs,
+        "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trending terms between two corpus snapshots (earlier half vs
+    * later half by doc id): the later snapshot's top-30 terms with
+    * their rank shift against the earlier snapshot and a newcomer
+    * flag — the "what vocabulary is entering the corpus" monitor that
+    * catches topic drift and spam bursts between crawls. Ranks are
+    * row_number over (count DESC, term) — total, so both engines
+    * agree on ties. Frequency dims only; the corpus is scanned once
+    * per snapshot. */
+  def q222: Q = Q(
+    "q222_trending_terms",
+    Some(s"""
+      |WITH bounds AS (
+      |  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS mid
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(${sqlTokens("text")}) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (
+      |  SELECT w, count(*) AS c_a,
+      |         row_number() OVER (ORDER BY count(*) DESC, w) AS rank_a
+      |  FROM t CROSS JOIN bounds WHERE doc_id < mid GROUP BY w),
+      |b AS (
+      |  SELECT w, count(*) AS c_b,
+      |         row_number() OVER (ORDER BY count(*) DESC, w) AS rank_b
+      |  FROM t CROSS JOIN bounds WHERE doc_id >= mid GROUP BY w)
+      |SELECT b.w, CAST(rank_b AS BIGINT) AS rank_b,
+      |       CAST(c_b AS BIGINT) AS c_b,
+      |       CAST(rank_a AS BIGINT) AS rank_a,
+      |       CAST(rank_a - rank_b AS BIGINT) AS rank_gain,
+      |       CAST(CASE WHEN rank_a IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS newcomer
+      |FROM b LEFT JOIN a ON a.w = b.w
+      |WHERE rank_b <= 30
+      |ORDER BY rank_b
+      |""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(
+      expr("(min(doc_id) + max(doc_id) + 1) div 2").as("mid"))
+    val t = docs.where(col("text").isNotNull)
+      .crossJoin(broadcast(mid))
+      .select(col("doc_id"), col("mid"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+    def ranked(half: DataFrame, cName: String, rName: String) = half
+      .groupBy(col("w")).agg(count(lit(1)).as(cName))
+      .withColumn(rName,
+        row_number().over(Window.orderBy(col(cName).desc, col("w"))))
+    val a = ranked(t.where(col("doc_id") < col("mid")), "c_a", "rank_a")
+    val b = ranked(t.where(col("doc_id") >= col("mid")), "c_b", "rank_b")
+    b.join(a.select(col("w"), col("rank_a")), Seq("w"), "left")
+      .where(col("rank_b") <= 30)
+      .select(col("w"), col("rank_b"), col("c_b"), col("rank_a"),
+        (col("rank_a") - col("rank_b")).as("rank_gain"),
+        when(col("rank_a").isNull, 1L).otherwise(0L).as("newcomer"))
+      .orderBy(col("rank_b"))
+  }
+
+  /** Token-budget water-filling: the per-source cap L such that
+    * Σ min(n_s, L) fits a 60 % token budget — the standard
+    * "rate-limit the mega-sources, keep the small ones whole" mixture
+    * rule, computed EXACTLY on the source dim. Sorted ascending, the
+    * used(L) curve is linear inside each interval [n_{i−1}, n_i), so
+    * the level is the one row whose candidate
+    * (budget − prefix_{i−1}) div (m−i+1) lands in its interval; if
+    * the budget covers everything no row is valid and every source
+    * keeps all tokens (coalesce path). All integer; the search runs
+    * on window prefix sums over the dim, never the corpus. */
+  def q223: Q = Q(
+    "q223_water_filling_caps",
+    Some(s"""
+      |WITH cs AS (
+      |  SELECT source, count(*) AS n_s FROM (
+      |    SELECT source, unnest(${sqlTokens("text")}) AS w
+      |    FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY source),
+      |o AS (
+      |  SELECT source, n_s,
+      |         row_number() OVER (ORDER BY n_s, source) AS i,
+      |         count(*) OVER () AS m,
+      |         sum(n_s) OVER () AS tot,
+      |         coalesce(sum(n_s) OVER (ORDER BY n_s, source
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS pfx,
+      |         coalesce(lag(n_s) OVER (ORDER BY n_s, source), 0) AS lo
+      |  FROM cs),
+      |cand AS (
+      |  SELECT ((tot * 3) // 5 - pfx) // (m - i + 1) AS lvl, lo,
+      |         n_s AS hi
+      |  FROM o),
+      |level AS (
+      |  SELECT min(lvl) AS lvl FROM cand
+      |  WHERE lvl >= lo AND lvl < hi)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+      |       CAST(least(n_s, coalesce(lvl, n_s)) AS BIGINT) AS cap
+      |FROM cs CROSS JOIN level ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    val cs = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    Sampling.waterFillCaps(cs, Seq("source"), "n_s",
+        budgetNum = 3, budgetDen = 5)
+      .orderBy(col("source"))
+  }
+
+  /** Inter-arrival-time percentiles per event type: exact
+    * order-statistic p50/p90/p99 of the gap (µs) between a user's
+    * consecutive events of the same type — the latency-style
+    * distribution view of event cadence. Deltas come from one lag
+    * window per (user, type); percentiles from the shared
+    * OrderStats.quantilesDisc integer-rank operator. */
+  def q224: Q = Q(
+    "q224_interarrival_percentiles",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+      |         event_id
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |         t_us - lag(t_us) OVER (PARTITION BY user_id, event_type
+      |           ORDER BY t_us, event_id) AS delta_us
+      |  FROM e),
+      |v AS (SELECT event_type, delta_us FROM d
+      |      WHERE delta_us IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, delta_us,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY delta_us) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |p AS (SELECT unnest([500, 900, 990]) AS permille)
+      |SELECT r.event_type, p.permille, r.delta_us AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY event_type, permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    val wo = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(wo))
+      .where(col("delta_us").isNotNull)
+      .select(col("event_type"), col("delta_us"))
+    OrderStats.quantilesDisc(d, Seq("event_type"), "delta_us",
+        Seq(500, 900, 990))
+      .orderBy(col("event_type"), col("permille"))
   }
 }

@@ -272,6 +272,44 @@ object Sampling {
       .withColumn("err_sum", col("est_sum") - col("exact_sum"))
   }
 
+  /** Water-filling caps over a count dim: the exact level L such that
+    * Σ min(n, L) fits a `budgetNum/budgetDen` fraction of the total —
+    * the "rate-limit the mega-sources, keep the small ones whole"
+    * mixture rule. With the dim sorted ascending, used(L) is linear on
+    * each interval [n_{i−1}, n_i): prefix_{i−1} + (m−i+1)·L, so the
+    * level is the unique row whose candidate
+    * (budget − prefix_{i−1}) div (m−i+1) lands inside its own
+    * interval; when the budget covers the whole total no row is valid
+    * and every key keeps its full count (the coalesce path). All
+    * integer arithmetic; the search is window prefix sums over the
+    * DIM, never the corpus. Output: keyCols + nCol + `cap`. */
+  def waterFillCaps(
+      counts: DataFrame, keyCols: Seq[String], nCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction must be >= 0: $budgetNum/$budgetDen")
+    val wDim = Window.partitionBy()
+    val wOrd = Window.orderBy(col(nCol) +: keyCols.map(col): _*)
+    val level = counts
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__m", count(lit(1)).over(wDim))
+      .withColumn("__tot", sum(col(nCol)).over(wDim))
+      .withColumn("__pfx", coalesce(sum(col(nCol)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__lo",
+        coalesce(lag(col(nCol), 1).over(wOrd), lit(0L)))
+      .select(
+        expr(s"((__tot * $budgetNum) div $budgetDen - __pfx)" +
+          " div (__m - __i + 1)").as("__lvl"),
+        col("__lo"), col(nCol).as("__hi"))
+      .where(col("__lvl") >= col("__lo") && col("__lvl") < col("__hi"))
+      .agg(min(col("__lvl")).as("__lvl"))
+    counts.crossJoin(broadcast(level))
+      .select(keyCols.map(col) :+ col(nCol) :+
+        least(col(nCol), coalesce(col("__lvl"), col(nCol))).as("cap"): _*)
+  }
+
   /** Stratified variant: per-stratum keep-percentages (e.g. language
     * rebalancing), unmatched strata keep `defaultPct`. */
   def stratifiedHashSample(
