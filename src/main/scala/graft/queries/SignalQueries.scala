@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 import graft.Tables
+import graft.text.Sharding
 import graft.plans.GroupedTopK
 import graft.text.{Sampling, TextAnalysis}
 import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
@@ -19,7 +21,45 @@ import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
 object SignalQueries {
 
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
-    q218, q219, q220, q221, q222, q223, q224)
+    q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
+    q229)
+
+  /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
+    * over a register relation `rel` keyed by `keys` — the q143 est
+    * chain, factored so sketch-algebra compositions (q225) can
+    * estimate several register sets in one oracle. */
+  private def sqlHllEstCtes(
+      tag: String, rel: String, keys: Seq[String]): String = {
+    val m = 64
+    val cap = graft.operators.HyperLogLog.RhoCap
+    val termCase = (0 to cap)
+      .map(r =>
+        s"WHEN r = $r THEN CAST(${graft.operators.HyperLogLog.termLiteral(r)}"
+          + " AS DECIMAL(14,12))")
+      .mkString(" ")
+    val aM2 = graft.operators.HyperLogLog.alphaM2(m)
+    val ks = keys.mkString(", ")
+    s"""agg_$tag AS (
+       |  SELECT $ks, count(*) AS occ,
+       |         sum(CASE $termCase END) AS occ_terms
+       |  FROM $rel GROUP BY $ks),
+       |d_$tag AS (
+       |  SELECT $ks, occ,
+       |         CAST(CAST($m - occ AS DECIMAL(38,12))
+       |              + CAST(occ_terms AS DECIMAL(38,12)) AS DOUBLE)
+       |           AS denom
+       |  FROM agg_$tag),
+       |est_$tag AS (
+       |  SELECT $ks,
+       |         CASE WHEN $aM2 / denom <= CAST($m AS DOUBLE) * 2.5
+       |                   AND $m - occ > 0
+       |              THEN CAST(CAST(-$m AS DECIMAL(10,0)) *
+       |                     CAST(ln(CAST($m - occ AS DOUBLE)
+       |                             / CAST($m AS DOUBLE)) AS DECIMAL(18,9))
+       |                   AS DOUBLE)
+       |              ELSE $aM2 / denom END AS est
+       |  FROM d_$tag)""".stripMargin
+  }
 
   /** Per-user activity streaks: gaps-and-islands over DISTINCT active
     * days (epoch-day of any event). The island id is the classic
@@ -735,5 +775,337 @@ object SignalQueries {
     OrderStats.quantilesDisc(d, Seq("event_type"), "delta_us",
         Seq(500, 900, 990))
       .orderBy(col("event_type"), col("permille"))
+  }
+
+  /** HLL set algebra: pairwise source-vocabulary OVERLAP estimated by
+    * inclusion–exclusion on the q143 register sketches — est(A) +
+    * est(B) − est(A∪B), where the union sketch is just the per-bucket
+    * register max (the mergeability that makes HLL the 100 TB
+    * cardinality tool: fixed-size sketches compose into any set-union
+    * question with no data re-scan). Per-pair union registers are
+    * dim-sized (pairs × m); the exact overlap from q220's posting join
+    * rides along so the row is its own calibration. */
+  def q225: Q = {
+    val cap = graft.operators.HyperLogLog.RhoCap
+    val rhoCase = (1 until cap)
+      .map(k => s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    Q("q225_hll_overlap",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |dt AS (SELECT DISTINCT source, token FROM tok),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |         (${sqlSaltedHash("token", "hll")}) AS hv
+        |  FROM tok WHERE token IS NOT NULL),
+        |w AS (SELECT source, hv % 64 AS bucket, hv // 64 AS w FROM h),
+        |reg AS (
+        |  SELECT source, bucket, max(CASE $rhoCase ELSE $cap END) AS r
+        |  FROM w GROUP BY source, bucket),
+        |srcs AS (SELECT DISTINCT source FROM reg),
+        |pairs AS (
+        |  SELECT a.source AS s_a, b.source AS s_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |preg AS (
+        |  SELECT s_a, s_b, bucket, max(r) AS r
+        |  FROM pairs p JOIN reg
+        |    ON reg.source = p.s_a OR reg.source = p.s_b
+        |  GROUP BY s_a, s_b, bucket),
+        |${sqlHllEstCtes("s", "reg", Seq("source"))},
+        |${sqlHllEstCtes("p", "preg", Seq("s_a", "s_b"))},
+        |ex AS (
+        |  SELECT a.source AS s_a, b.source AS s_b, count(*) AS inter
+        |  FROM dt a JOIN dt b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ep.s_a, ep.s_b, ea.est AS est_a, eb.est AS est_b,
+        |       ep.est AS est_union,
+        |       ea.est + eb.est - ep.est AS est_overlap,
+        |       CAST(coalesce(ex.inter, 0) AS BIGINT) AS exact_overlap
+        |FROM est_p ep
+        |JOIN est_s ea ON ea.source = ep.s_a
+        |JOIN est_s eb ON eb.source = ep.s_b
+        |LEFT JOIN ex ON ex.s_a = ep.s_a AND ex.s_b = ep.s_b
+        |ORDER BY ep.s_a, ep.s_b
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val toks = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // registers feed three branches (per-source est, pair tagging,
+      // srcs dim): materialize the ~sources×m row dim once
+      val sk = HyperLogLog.sketch(toks, Seq("source"), "token",
+        m = 64, salt = "hll").materialize()
+      val estS = HyperLogLog.estimate(sk, Seq("source"))
+        .select(col("source"), col("est"))
+      val srcs = sk.select(col("source")).distinct()
+      val prs = srcs.withColumnRenamed("source", "s_a")
+        .crossJoin(srcs.withColumnRenamed("source", "s_b"))
+        .where(col("s_a") < col("s_b"))
+      val tagged = broadcast(prs)
+        .join(sk,
+          col("source") === col("s_a") || col("source") === col("s_b"))
+        .select(col("s_a"), col("s_b"), col("bucket"), col("r"),
+          col("m"))
+      val estP = HyperLogLog.estimate(
+          HyperLogLog.merge(tagged, Seq("s_a", "s_b")),
+          Seq("s_a", "s_b"))
+        .select(col("s_a"), col("s_b"), col("est").as("est_union"))
+      val dt = toks.distinct()
+      val ex = dt.withColumnRenamed("source", "s_a")
+        .join(dt.withColumnRenamed("source", "s_b")
+            .withColumnRenamed("token", "__tb"),
+          col("token") === col("__tb") && col("s_a") < col("s_b"))
+        .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("inter"))
+      estP
+        .join(broadcast(estS.select(col("source").as("s_a"),
+          col("est").as("est_a"))), "s_a")
+        .join(broadcast(estS.select(col("source").as("s_b"),
+          col("est").as("est_b"))), "s_b")
+        .join(ex, Seq("s_a", "s_b"), "left")
+        .select(col("s_a"), col("s_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union"))
+            .as("est_overlap"),
+          coalesce(col("inter"), lit(0L)).as("exact_overlap"))
+        .orderBy(col("s_a"), col("s_b"))
+    }
+  }
+
+  /** Markov next-event backtest: first-order transition counts
+    * trained on the earlier half of the event calendar predict each
+    * type's most likely successor (ties to the smaller type); the
+    * later half scores top-1 accuracy in exact ppm. Boundary-spanning
+    * pairs (prev in train, next in test) belong to neither period —
+    * the rule both engines state identically. Transition and
+    * prediction tables are type×type dims. */
+  def q226: Q = Q(
+    "q226_markov_backtest",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+      |         event_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |bounds AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM e),
+      |s AS (
+      |  SELECT event_type, d,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS next_type,
+      |         lead(d) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS next_d
+      |  FROM e),
+      |tr AS (
+      |  SELECT event_type AS prev, next_type AS nxt, count(*) AS c
+      |  FROM s CROSS JOIN bounds
+      |  WHERE next_type IS NOT NULL AND d < mid AND next_d < mid
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT prev, nxt AS predicted FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY prev
+      |      ORDER BY c DESC, nxt) AS rk FROM tr)
+      |  WHERE rk = 1),
+      |te AS (
+      |  SELECT event_type AS prev, next_type AS nxt
+      |  FROM s CROSS JOIN bounds
+      |  WHERE next_type IS NOT NULL AND d >= mid AND next_d >= mid)
+      |SELECT te.prev AS prev_type, p.predicted,
+      |       CAST(count(*) AS BIGINT) AS n_test,
+      |       CAST(sum(CASE WHEN te.nxt = p.predicted THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_correct,
+      |       CAST((1000000 * sum(CASE WHEN te.nxt = p.predicted
+      |                                THEN 1 ELSE 0 END)) // count(*)
+      |            AS BIGINT) AS acc_ppm
+      |FROM te JOIN pred p ON p.prev = te.prev
+      |GROUP BY te.prev, p.predicted
+      |ORDER BY prev_type
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"),
+        expr("ts div 86400000000000").as("d"))
+    val mid = e.agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val sPairs = e
+      .withColumn("next_type", lead(col("event_type"), 1).over(wo))
+      .withColumn("next_d", lead(col("d"), 1).over(wo))
+      .where(col("next_type").isNotNull)
+      .crossJoin(broadcast(mid))
+    val tr = sPairs
+      .where(col("d") < col("mid") && col("next_d") < col("mid"))
+      .groupBy(col("event_type").as("prev"),
+        col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val pred = tr
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("prev"))
+          .orderBy(col("c").desc, col("nxt"))))
+      .where(col("rk") === 1)
+      .select(col("prev"), col("nxt").as("predicted"))
+    sPairs
+      .where(col("d") >= col("mid") && col("next_d") >= col("mid"))
+      .select(col("event_type").as("prev"), col("next_type").as("nxt"))
+      .join(broadcast(pred), "prev")
+      .groupBy(col("prev").as("prev_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("prev_type"), col("predicted"), col("n_test"),
+        col("n_correct"),
+        expr("(1000000 * n_correct) div n_test").as("acc_ppm"))
+      .orderBy(col("prev_type"))
+  }
+
+  /** Capture–recapture (Lincoln–Petersen) corpus-size estimate: two
+    * independent 20 % deterministic hash samples; the overlap rate
+    * recovers the population size as n1·n2 div m12 — the
+    * sampling-theory sanity check that needs no full count at
+    * estimate time (here the true count rides along as calibration).
+    * One scan, one tiny global aggregate. */
+  def q227: Q = Q(
+    "q227_capture_recapture",
+    Some(s"""
+      |WITH f AS (
+      |  SELECT doc_id,
+      |         (${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "cap1")})
+      |           % 100 < 20 AS in1,
+      |         (${sqlSaltedHash("CAST(doc_id AS VARCHAR)", "cap2")})
+      |           % 100 < 20 AS in2
+      |  FROM documents),
+      |a AS (
+      |  SELECT count(*) AS n_total,
+      |         sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS n1,
+      |         sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS n2,
+      |         sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS m12
+      |  FROM f)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(m12 AS BIGINT) AS m12,
+      |       CAST(CASE WHEN m12 > 0 THEN (n1 * n2) // m12 END AS BIGINT)
+      |         AS est_total,
+      |       CAST(n_total AS BIGINT) AS true_total
+      |FROM a
+      |""".stripMargin)) { (s, dir) =>
+    val in1 = Sampling.hashBucket(col("doc_id"), "cap1") < 20
+    val in2 = Sampling.hashBucket(col("doc_id"), "cap2") < 20
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(in1, 1L).otherwise(0L)).as("n1"),
+        sum(when(in2, 1L).otherwise(0L)).as("n2"),
+        sum(when(in1 && in2, 1L).otherwise(0L)).as("m12"))
+      .select(col("n1"), col("n2"), col("m12"),
+        when(col("m12") > 0, expr("(n1 * n2) div m12")).as("est_total"),
+        col("n_total").as("true_total"))
+  }
+
+  /** Rendezvous failover: HRW assignment over the named node set
+    * {n0…n7}, then the same assignment with n3 dead — the
+    * minimal-movement property made visible: ONLY n3's keys move
+    * (every other key's per-node hashes are untouched, so its argmax
+    * stands), and they scatter to the survivors by the same hash
+    * order. Per-node doc counts and moved counts, exact. */
+  def q228: Q = {
+    val nodes = (0 to 7).map(i => s"n$i")
+    val nodeList = nodes.map(n => s"'$n'").mkString("[", ", ", "]")
+    Q("q228_rendezvous_failover",
+      Some(s"""
+        |WITH nodes AS (SELECT unnest($nodeList) AS node),
+        |w AS (
+        |  SELECT doc_id, node,
+        |         (${sqlSaltedHash(
+                     "(CAST(doc_id AS VARCHAR) || '#' || node)",
+                     "fo:hrw")}) AS w
+        |  FROM documents, nodes),
+        |r1 AS (
+        |  SELECT doc_id, node FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, node) AS rn FROM w)
+        |  WHERE rn = 1),
+        |r2 AS (
+        |  SELECT doc_id, node FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, node) AS rn FROM w WHERE node <> 'n3')
+        |  WHERE rn = 1),
+        |j AS (
+        |  SELECT r1.node AS node_before, r2.node AS node_after
+        |  FROM r1 JOIN r2 USING (doc_id))
+        |SELECT node_before, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN node_before <> node_after
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |FROM j GROUP BY node_before ORDER BY node_before
+        |""".stripMargin)) { (s, dir) =>
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val before = Sharding.rendezvousAssignNodes(ids, "doc_id",
+          nodes, "fo")
+        .select(col("doc_id"), col("node").as("node_before"))
+      val after = Sharding.rendezvousAssignNodes(ids, "doc_id",
+          nodes.filterNot(_ == "n3"), "fo")
+        .select(col("doc_id"), col("node").as("node_after"))
+      before.join(after, "doc_id")
+        .groupBy(col("node_before"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("node_before") =!= col("node_after"), 1L)
+            .otherwise(0L)).as("n_moved"))
+        .orderBy(col("node_before"))
+    }
+  }
+
+  /** Bigram conditional entropy per source — H(next | prev) in exact
+    * integer micro-nats: each bigram contributes c_ab · ⌊10⁶·ln(c_a/
+    * c_ab)⌋ (the ln quantized through DECIMAL(18,9) then floored, the
+    * q182 transcendental discipline), summed as integers and divided
+    * once. Low entropy = templated/predictable text, high = diverse
+    * prose — the sequence-level cousin of q141's unigram entropy. */
+  def q229: Q = Q(
+    "q229_bigram_entropy",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT source, ${sqlTokens("text")} AS toks FROM documents
+      |  WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT source, toks[i] AS a, toks[i + 1] AS b
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+      |cab AS (
+      |  SELECT source, a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2, 3),
+      |ca AS (SELECT source, a, sum(c_ab) AS c_a FROM cab GROUP BY 1, 2),
+      |n AS (SELECT source, sum(c_ab) AS n_bg FROM cab GROUP BY 1),
+      |terms AS (
+      |  SELECT cab.source,
+      |         c_ab * CAST(floor(CAST(ln(CAST(c_a AS DOUBLE)
+      |                / CAST(c_ab AS DOUBLE)) AS DECIMAL(18,9))
+      |              * 1000000) AS BIGINT) AS term
+      |  FROM cab JOIN ca ON ca.source = cab.source AND ca.a = cab.a)
+      |SELECT s.source, CAST(n.n_bg AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(sum(s.term) AS BIGINT) // n.n_bg AS BIGINT)
+      |         AS entropy_micronats
+      |FROM terms s JOIN n ON n.source = s.source
+      |GROUP BY s.source, n.n_bg ORDER BY s.source
+      |""".stripMargin)) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+    val bg = t
+      .select(col("source"), explode(expr(
+        """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  (x, i) -> struct(x AS a, toks[i + 1] AS b))""".stripMargin))
+        .as("p"))
+      .select(col("source"), col("p.a"), col("p.b"))
+    val cab = bg.groupBy(col("source"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy(col("source"), col("a"))
+      .agg(sum(col("c_ab")).as("c_a"))
+    val n = cab.groupBy(col("source")).agg(sum(col("c_ab")).as("n_bg"))
+    cab.join(ca, Seq("source", "a"))
+      .select(col("source"),
+        (col("c_ab") * floor(log(col("c_a").cast("double") /
+          col("c_ab").cast("double")).cast("decimal(18,9)") * 1000000)
+          .cast("long")).as("term"))
+      .groupBy(col("source")).agg(sum(col("term")).as("__tsum"))
+      .join(broadcast(n), "source")
+      .select(col("source"), col("n_bg").as("n_bigrams"),
+        expr("__tsum div n_bg").as("entropy_micronats"))
+      .orderBy(col("source"))
   }
 }

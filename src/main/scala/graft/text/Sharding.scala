@@ -124,4 +124,43 @@ object Sharding {
         col("__win.__w").as("w"))
     df.join(winners, idCol)
   }
+
+  /** [[rendezvousAssign]] over an explicit NODE-LABEL set — the form
+    * operations actually run: nodes have names, and a failover removes
+    * one from the middle of the set (integer-shard HRW can only shrink
+    * from the end). Winner = highest hash, ties to the smallest label.
+    * Removing a node moves EXACTLY that node's keys (every other key's
+    * per-node hashes, and therefore its argmax, are unchanged) — the
+    * minimal-movement property q228 pins against the oracle. Labels
+    * must not contain '#' (the id#node separator would be ambiguous).
+    * Output: df columns + `node` + `w`. */
+  def rendezvousAssignNodes(
+      df: DataFrame,
+      idCol: String,
+      nodes: Seq[String],
+      salt: String): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      s"nodes must be non-empty and distinct: $nodes")
+    require(nodes.forall(!_.contains("#")),
+      s"node labels must not contain '#': $nodes")
+    val w = graft.functions.PolyHash.saltedHash(
+      concat(col(idCol).cast("string"), lit("#"), col("__node")),
+      s"$salt:hrw")
+    val scored = df
+      .select(col(idCol),
+        explode(array(nodes.map(lit): _*)).as("__node"))
+      .withColumn("__w", w)
+    // two id-keyed reductions instead of one struct-max: the tiebreak
+    // wants the SMALLEST label at the HIGHEST hash, and strings can't
+    // be order-negated inside a struct max. The best-hash side is
+    // renamed outright before the self-join (column-reference
+    // disambiguation on derived frames silently degenerates).
+    val best = scored.groupBy(col(idCol)).agg(max(col("__w")).as("__bw"))
+      .withColumnRenamed(idCol, "__bid")
+    val winners = scored
+      .join(best, col(idCol) === col("__bid") && col("__w") === col("__bw"))
+      .groupBy(col(idCol))
+      .agg(min(col("__node")).as("node"), min(col("__w")).as("w"))
+    df.join(winners, idCol)
+  }
 }

@@ -187,6 +187,74 @@ class SignalQueriesSpec extends AnyFunSuite {
     assert(got == Seq("e1>e2>e3>e4>e5", "e7>e8"))
   }
 
+  test("rendezvous node failover moves ONLY the dead node's keys") {
+    import graft.text.Sharding
+    val nodes = Seq("n0", "n1", "n2", "n3")
+    val ids = (1L to 200L).toDF("id")
+    val before = Sharding.rendezvousAssignNodes(ids, "id", nodes, "t")
+      .select($"id", $"node".as("nb"))
+    val after = Sharding.rendezvousAssignNodes(ids, "id",
+        nodes.filterNot(_ == "n2"), "t")
+      .select($"id", $"node".as("na"))
+    val j = before.join(after, "id").collect()
+    assert(j.forall { r =>
+      val (nb, na) = (r.getAs[String]("nb"), r.getAs[String]("na"))
+      if (nb == "n2") na != "n2" else na == nb
+    })
+    // and some keys actually lived on the dead node
+    assert(j.count(_.getAs[String]("nb") == "n2") > 0)
+  }
+
+  test("rendezvous node labels with '#' are rejected") {
+    import graft.text.Sharding
+    val ids = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sharding.rendezvousAssignNodes(ids, "id", Seq("a#b"), "t")
+    }
+  }
+
+  test("HLL inclusion-exclusion: identical sets overlap at est exactly") {
+    import graft.operators.HyperLogLog
+    // two sources with the SAME tokens → same registers → union
+    // registers identical → est_overlap = estA + estB − estU = estA
+    val rows = (1 to 300).flatMap(i => Seq(("sA", s"tok$i"), ("sB", s"tok$i")))
+    val sk = HyperLogLog.sketch(rows.toDF("source", "tok"),
+      Seq("source"), "tok", m = 64, salt = "hll")
+    val est = HyperLogLog.estimate(sk, Seq("source"))
+      .select($"source", $"est").as[(String, Double)].collect().toMap
+    val union = HyperLogLog.estimate(
+      HyperLogLog.merge(sk.withColumn("source", lit("u")), Seq("source")),
+      Seq("source")).select($"est").as[Double].head()
+    assert(est("sA") == est("sB"))
+    assert(union == est("sA")) // same registers merge to themselves
+    assert(est("sA") + est("sB") - union == est("sA"))
+  }
+
+  test("bigram entropy: deterministic successors give zero micro-nats") {
+    val docs = Seq(("det", "x y x y x y x y"),
+      ("mix", "a b a c a b a c a d")).toDF("source", "text")
+    val t = docs.select($"source", split(trim($"text"), "\\s+").as("toks"))
+    val bg = t.select($"source", explode(expr(
+      """transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |  (x, i) -> struct(x AS a, toks[i + 1] AS b))""".stripMargin))
+      .as("p")).select($"source", $"p.a", $"p.b")
+    val cab = bg.groupBy($"source", $"a", $"b")
+      .agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy($"source", $"a").agg(sum($"c_ab").as("c_a"))
+    val n = cab.groupBy($"source").agg(sum($"c_ab").as("n_bg"))
+    val got = cab.join(ca, Seq("source", "a"))
+      .select($"source",
+        ($"c_ab" * floor(log($"c_a".cast("double") /
+          $"c_ab".cast("double")).cast("decimal(18,9)") * 1000000)
+          .cast("long")).as("term"))
+      .groupBy($"source").agg(sum($"term").as("ts"))
+      .join(n, "source")
+      .select($"source", expr("ts div n_bg").as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(got("det") == 0L)       // every prev has one successor
+    assert(got("mix") > 0L)        // 'a' branches three ways
+  }
+
   test("sorted-array pair expansion emits each unordered pair once") {
     val got = Seq(Seq("a", "b", "c", "d")).toDF("ts")
       .select(explode(expr(
