@@ -115,6 +115,44 @@ object MultiModal {
         leSigned32(19).as("width"), abs(leSigned32(23)).as("height")))
   }
 
+  /** REAL (not stubbed) audio-container sniffing, [[imageDims]]'s
+    * sibling for WAV: channel count, sample rate, bit depth, payload
+    * size, and duration parsed straight from the RIFF header bytes —
+    * the scan-stage routing/filter pass (drop >5-minute clips, route
+    * by sample rate) that runs before any audio decoder. Canonical
+    * PCM layout only ("fmt " as the first chunk at offset 13, "data"
+    * at 37) — files with INFO/LIST chunks first return null and fall
+    * through to the decode queue, which is the correct conservative
+    * contract for a header sniff. All little-endian fields via the
+    * byte-reverse + conv idiom; LONG arithmetic throughout (ANSI rule:
+    * sniffing must never throw on corrupt bytes).
+    *
+    * Returns struct(channels, sample_rate, bits_per_sample,
+    * n_data_bytes, duration_ms); duration is null when the byte rate
+    * field is 0 (corrupt) rather than a division crash. */
+  def wavMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def leLong(off: Int, len: Int) = {
+      val rev = (0 until len).reverse
+        .map(i => hex(substring(payload, off + i, 1)))
+      conv(concat(rev: _*), 16, 10).cast("long")
+    }
+    val isWav = substring(payload, 1, 4).cast("string") === "RIFF" &&
+      substring(payload, 9, 4).cast("string") === "WAVE" &&
+      substring(payload, 13, 4).cast("string") === "fmt " &&
+      substring(payload, 37, 4).cast("string") === "data"
+    val byteRate = leLong(29, 4)
+    val dataBytes = leLong(41, 4)
+    when(isWav, struct(
+      leLong(23, 2).as("channels"),
+      leLong(25, 4).as("sample_rate"),
+      leLong(35, 2).as("bits_per_sample"),
+      dataBytes.as("n_data_bytes"),
+      when(byteRate > 0,
+        floor((dataBytes * lit(1000L)).cast("double") /
+          byteRate.cast("double")).cast("long")).as("duration_ms")))
+  }
+
   /** Partition-wise "decode + feature extract". In production this is
     * where an image/audio codec runs once per batch with reused native
     * buffers; mapPartitions keeps that lifecycle explicit (one codec

@@ -713,7 +713,7 @@ object CorpusQueries {
     * doc_id, n_words, the eight flag bits, and the keep conjunction.
     * Shared by q85 (the flag report) and q95 (the curation gate) so the
     * thresholds exist once. */
-  private def sqlGopherCtes(src: String): String = {
+  private[queries] def sqlGopherCtes(src: String): String = {
     val sw = sqlInList(Seq("the", "a", "and", "of", "is", "to", "in"))
     val bl = sqlInList(Seq("lorem", "javascript"))
     s"""t85 AS (

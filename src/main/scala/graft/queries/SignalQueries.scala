@@ -8,7 +8,7 @@ import graft.Tables
 import graft.text.Sharding
 import graft.plans.GroupedTopK
 import graft.text.{Sampling, TextAnalysis}
-import PipelineQueries.{sqlContentFp, sqlSaltedHash, sqlTokens}
+import PipelineQueries.{sqlCharFold, sqlContentFp, sqlSaltedHash, sqlShingles, sqlTokens}
 
 /** Round-6 tail: user-signal and corpus-signal analytics — streaks,
   * CUSUM change detection, integer EWMA smoothing, distinctive-term
@@ -22,7 +22,7 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229)
+    q229, q230, q231, q232)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -1107,5 +1107,243 @@ object SignalQueries {
       .select(col("source"), col("n_bg").as("n_bigrams"),
         expr("__tsum div n_bg").as("entropy_micronats"))
       .orderBy(col("source"))
+  }
+
+  /** IVF coarse-quantizer refresh step on int8 codes: every vector
+    * assigned to its nearest stored centroid by EXACT integer squared
+    * distance (the int8-code trick from q62 — distances are sums of
+    * (a−b)² over byte codes, no floats anywhere), then each cell's
+    * refreshed centroid is the per-dimension floor-mean of its
+    * members. The index-maintenance loop ANN systems run nightly:
+    * reassignment counts + distortion (Σd²) + a checksum of the new
+    * centroid codes, all BIGINT-exact. Centroids broadcast; the
+    * corpus never self-joins. */
+  def q230: Q = {
+    val k = 8
+    Q("q230_ivf_centroid_refresh",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |              AS DOUBLE) AS m
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE floor(CAST(x AS DOUBLE) * 127.0 / m) END
+        |    AS INTEGER)) AS qa
+        |  FROM e),
+        |c AS (SELECT vec_id AS cid, qa AS ca FROM qv WHERE vec_id < $k),
+        |d AS (
+        |  SELECT qv.vec_id, c.cid,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, 65), i ->
+        |             CAST(qv.qa[i] - c.ca[i] AS BIGINT)
+        |               * (qv.qa[i] - c.ca[i]))),
+        |           (a, b) -> a + b) AS d2
+        |  FROM qv CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, cid, d2 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cid) AS rn FROM d)
+        |  WHERE rn = 1),
+        |dim AS (
+        |  SELECT a.cid, u.i,
+        |         sum(CAST(q.qa[u.i] AS BIGINT)) AS s, count(*) AS n
+        |  FROM asg a JOIN qv q ON q.vec_id = a.vec_id,
+        |       unnest(range(1, 65)) AS u(i)
+        |  GROUP BY a.cid, u.i),
+        |nc AS (
+        |  SELECT cid, sum(CASE WHEN s >= 0 THEN s // n
+        |                       ELSE -((-s + n - 1) // n) END) AS checksum
+        |  FROM dim GROUP BY cid)
+        |SELECT a.cid AS centroid_id,
+        |       CAST(count(*) AS BIGINT) AS n_assigned,
+        |       CAST(sum(a.d2) AS BIGINT) AS distortion,
+        |       CAST(nc.checksum AS BIGINT) AS new_code_checksum
+        |FROM asg a JOIN nc ON nc.cid = a.cid
+        |GROUP BY a.cid, nc.checksum ORDER BY centroid_id
+        |""".stripMargin)) { (s, dir) =>
+      import graft.sim.Quantize
+      val qv = Quantize.quantizedCodes(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("embedding", "qa")
+      val cents = qv.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("qa").as("ca"))
+      val asg = qv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), expr(
+          """aggregate(zip_with(qa, ca,
+            |  (x, y) -> CAST(x - y AS BIGINT) * (x - y)),
+            |  0L, (a, b) -> a + b)""".stripMargin).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2"), col("cid"))))
+        .where(col("rn") === 1)
+        .drop("rn")
+        .materialize() // feeds both the per-dim refresh and the rollup
+      val dim = asg.join(qv, "vec_id")
+        .select(col("cid"), posexplode(col("qa")).as(Seq("i", "v")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("v").cast("long")).as("s"), count(lit(1)).as("n"))
+      // floor division toward −∞ on possibly-negative sums (Spark div
+      // truncates toward zero; DuckDB // floors — state it explicitly)
+      val nc = dim
+        .select(col("cid"), when(col("s") >= 0, expr("s div n"))
+          .otherwise(-expr("(-s + n - 1) div n")).as("fm"))
+        .groupBy(col("cid")).agg(sum(col("fm")).as("new_code_checksum"))
+      asg.groupBy(col("cid").as("centroid_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("d2")).as("distortion"))
+        .join(broadcast(nc.withColumnRenamed("cid", "centroid_id")),
+          "centroid_id")
+        .select(col("centroid_id"), col("n_assigned"), col("distortion"),
+          col("new_code_checksum"))
+        .orderBy(col("centroid_id"))
+    }
+  }
+
+  /** LSH banding catch-rate calibration: for every doc pair (ids
+    * < 200; an eval-by-sampling face, like q164), did ANY of the 16
+    * two-row bands collide? Bucketed by exact-Jaccard decile this is
+    * the EMPIRICAL s-curve 1−(1−J²)¹⁶ — the evidence behind q28's
+    * "banding loses nothing at 0.8" claim, and the tuning table you
+    * consult before changing bands×rows. Signatures computed once per
+    * doc; the pair stage compares 32-slot arrays, ids+sigs only. */
+  def q231: Q = {
+    val perms = (0 until 32).map(p => s"[${graft.dedup.Dedup.permA(p)}, ${graft.dedup.Dedup.permB(p)}]")
+      .mkString("[", ", ", "]")
+    Q("q231_lsh_catch_calibration",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+        |  WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(${sqlShingles("toks")}) AS shingles
+        |  FROM t),
+        |pro AS (
+        |  SELECT doc_id, shingles,
+        |         list_transform($perms, ab ->
+        |           coalesce(list_min(list_transform(
+        |             list_transform(shingles, s0 -> ${sqlCharFold("s0")}),
+        |             h -> (h * ab[1] + ab[2]) % ${graft.dedup.Dedup.Mod})),
+        |             ${graft.dedup.Dedup.Mod})) AS sg
+        |  FROM sh WHERE len(shingles) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |           AS j,
+        |         len(list_filter(range(0, 16), i ->
+        |           a.sg[2 * i + 1] = b.sg[2 * i + 1]
+        |           AND a.sg[2 * i + 2] = b.sg[2 * i + 2])) > 0 AS caught
+        |  FROM pro a JOIN pro b ON a.doc_id < b.doc_id)
+        |SELECT CAST(least(9, CAST(floor(j * 10) AS BIGINT)) AS BIGINT)
+        |         AS j_decile,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_caught,
+        |       CAST((1000000 * sum(CASE WHEN caught THEN 1 ELSE 0 END))
+        |            // count(*) AS BIGINT) AS catch_ppm
+        |FROM p GROUP BY 1 ORDER BY j_decile
+        |""".stripMargin)) { (s, dir) =>
+      import graft.dedup.Dedup
+      val pro = Dedup.shingleProfiles(
+          Tables.documents(s, dir).where(col("doc_id") < 200),
+          "doc_id", "text")
+        .where(size(col("sh")) > 0)
+      val a = pro.select(col("doc_id").as("da"), col("sh").as("sh_a"),
+        col("sig").as("sg_a"))
+      val b = pro.select(col("doc_id").as("db"), col("sh").as("sh_b"),
+        col("sig").as("sg_b"))
+      a.join(b, col("da") < col("db"))
+        .select(
+          Dedup.jaccardArrays(col("sh_a"), col("sh_b")).as("j"),
+          expr("""exists(sequence(0, 15), i ->
+            |  element_at(sg_a, 2 * i + 1) = element_at(sg_b, 2 * i + 1)
+            |  AND element_at(sg_a, 2 * i + 2)
+            |      = element_at(sg_b, 2 * i + 2))""".stripMargin)
+            .as("caught"))
+        .groupBy(least(lit(9L), floor(col("j") * 10).cast("long"))
+          .as("j_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+        .select(col("j_decile"), col("n_pairs"), col("n_caught"),
+          expr("(1000000 * n_caught) div n_pairs").as("catch_ppm"))
+        .orderBy(col("j_decile"))
+    }
+  }
+
+  /** Does near-duplication predict low quality? The 2×2 contingency
+    * between "doc is in some 0.8-Jaccard pair" and "doc fails the
+    * Gopher gate", summarized as an exact odds ratio in ppm — the
+    * corpus-health question behind "dedup first or filter first".
+    * Near-dup membership from the q28 banding+verify pairs (ids
+    * only); quality flags from the shared q85 gate. One row. */
+  def q232: Q = Q(
+    "q232_dup_quality_odds",
+    Some(s"""
+      |WITH ${CorpusQueries.sqlGopherCtes("documents")},
+      |t2 AS (SELECT doc_id,
+      |              list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |       FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |dup AS (SELECT DISTINCT doc_id FROM
+      |          (SELECT da AS doc_id FROM pr
+      |           UNION ALL SELECT db FROM pr)),
+      |f AS (
+      |  SELECT f85.doc_id, NOT f85.keep AS lowq,
+      |         dup.doc_id IS NOT NULL AS is_dup
+      |  FROM f85 LEFT JOIN dup ON dup.doc_id = f85.doc_id),
+      |cells AS (
+      |  SELECT sum(CASE WHEN is_dup AND lowq THEN 1 ELSE 0 END) AS a,
+      |         sum(CASE WHEN is_dup AND NOT lowq THEN 1 ELSE 0 END) AS b,
+      |         sum(CASE WHEN NOT is_dup AND lowq THEN 1 ELSE 0 END) AS c,
+      |         sum(CASE WHEN NOT is_dup AND NOT lowq THEN 1 ELSE 0 END)
+      |           AS d
+      |  FROM f)
+      |SELECT CAST(a AS BIGINT) AS dup_lowq,
+      |       CAST(b AS BIGINT) AS dup_good,
+      |       CAST(c AS BIGINT) AS nodup_lowq,
+      |       CAST(d AS BIGINT) AS nodup_good,
+      |       CAST(CASE WHEN b * c > 0 THEN (1000000 * a * d) // (b * c)
+      |            END AS BIGINT) AS odds_ratio_ppm
+      |FROM cells
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    import graft.text.QualityRules
+    val docs = Tables.documents(s, dir)
+    val dup = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      .select(col("doc_a").as("doc_id"))
+      .unionByName(Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8).select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    val flagged = QualityRules.gopherFlags(docs, "text",
+      QualityRules.GopherParams(minWords = 20, maxWords = 80,
+        minMeanWordLen = 3, maxMeanWordLen = 8))
+    flagged.select(col("doc_id"), (!col("keep")).as("lowq"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("lowq"), coalesce(col("is_dup"), lit(false)).as("dup"))
+      .agg(
+        sum(when(col("dup") && col("lowq"), 1L).otherwise(0L))
+          .as("dup_lowq"),
+        sum(when(col("dup") && !col("lowq"), 1L).otherwise(0L))
+          .as("dup_good"),
+        sum(when(!col("dup") && col("lowq"), 1L).otherwise(0L))
+          .as("nodup_lowq"),
+        sum(when(!col("dup") && !col("lowq"), 1L).otherwise(0L))
+          .as("nodup_good"))
+      .select(col("dup_lowq"), col("dup_good"), col("nodup_lowq"),
+        col("nodup_good"),
+        when(col("dup_good") * col("nodup_lowq") > 0,
+          expr("(1000000 * dup_lowq * nodup_good)" +
+            " div (dup_good * nodup_lowq)")).as("odds_ratio_ppm"))
   }
 }

@@ -748,6 +748,58 @@ object ManifestCommit {
     * concurrent writer's staging tmp or un-published data dir looks
     * exactly like a crash orphan — same rule as every table format's
     * vacuum horizon). */
+  /** Retention policy: expire every generation except the newest
+    * `keepLast` — the bounded form of time travel every production
+    * table runs (Delta's RETAIN, Iceberg's expire_snapshots). Deletes
+    * the expired manifests (+ their stats/bloom sidecars) and every
+    * part file referenced ONLY by expired generations; a file shared
+    * with a surviving generation stays (append-mode manifests
+    * re-reference old files, so reference counting is per-file, not
+    * per-generation). Time travel keeps working for every surviving
+    * generation, and the streaming txn ledger survives because
+    * markers are carried forward into the newest manifest
+    * ([[appendBatch]]'s contract). Returns the deleted entries.
+    *
+    * Unlike [[vacuum]] (which keeps only the LATEST generation's
+    * files and exists for orphan cleanup), this is the policy knob:
+    * `expireGenerations(p, 1)` + `vacuum(p)` is maximal reclamation.
+    */
+  def expireGenerations(path: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val manifests = listDir(dir)
+      .filter(_.getFileName.toString.startsWith(ManifestPrefix))
+      .sortBy(manifestGen)
+    if (manifests.size <= keepLast) return Seq.empty
+    val (expired, survivors) =
+      manifests.splitAt(manifests.size - keepLast)
+    def filesIn(m: Path): Seq[String] =
+      Files.readAllLines(m).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val keepFiles =
+      survivors.flatMap(filesIn).map(f => dir.resolve(f).normalize).toSet
+    val removed = Seq.newBuilder[String]
+    // drop expired-only part files first (while their manifests still
+    // name them), then the expired manifests + sidecars
+    expired.flatMap(filesIn).distinct.foreach { f =>
+      val p = dir.resolve(f).normalize
+      if (!keepFiles.contains(p) && Files.exists(p)) {
+        Files.delete(p); removed += f
+      }
+    }
+    expired.foreach { m =>
+      val gen = manifestGen(m)
+      Seq(m, dir.resolve(f"$StatsPrefix$gen%010d"),
+        dir.resolve(f"$BloomPrefix$gen%010d")).foreach { p =>
+        if (Files.exists(p)) {
+          Files.delete(p); removed += p.getFileName.toString
+        }
+      }
+    }
+    removed.result()
+  }
+
   def vacuum(path: String): Seq[String] = {
     val dir = Paths.get(path)
     latest(path) match {
