@@ -22,7 +22,7 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232)
+    q229, q230, q231, q232, q233, q234, q235, q236, q237)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -1345,5 +1345,327 @@ object SignalQueries {
         when(col("dup_good") * col("nodup_lowq") > 0,
           expr("(1000000 * dup_lowq * nodup_good)" +
             " div (dup_good * nodup_lowq)")).as("odds_ratio_ppm"))
+  }
+
+  /** Near-dup provenance per source: does duplication live WITHIN a
+    * feed (re-posts — dedup per source suffices) or ACROSS feeds
+    * (mirrors — dedup must be global)? Same-source pairs count once,
+    * cross-source pairs count toward BOTH sources (stated
+    * convention); dup-doc counts are distinct docs in any pair. Pairs
+    * from the q28 banding+verify path; everything after is ids+source
+    * dims. */
+  def q233: Q = Q(
+    "q233_dup_provenance",
+    Some(s"""
+      |WITH t2 AS (SELECT doc_id, source,
+      |              list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |            FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |         a.source AS sa, b.source AS sb
+      |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |same AS (SELECT sa AS source, count(*) AS c FROM pr
+      |         WHERE sa = sb GROUP BY 1),
+      |crossp AS (
+      |  SELECT source, count(*) AS c FROM (
+      |    SELECT sa AS source FROM pr WHERE sa <> sb
+      |    UNION ALL SELECT sb FROM pr WHERE sa <> sb)
+      |  GROUP BY source),
+      |dup AS (
+      |  SELECT source, count(DISTINCT doc_id) AS c FROM (
+      |    SELECT da AS doc_id, sa AS source FROM pr
+      |    UNION ALL SELECT db, sb FROM pr)
+      |  GROUP BY source),
+      |n AS (SELECT source, count(*) AS n_docs FROM documents
+      |      GROUP BY source)
+      |SELECT n.source, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(coalesce(dup.c, 0) AS BIGINT) AS n_dup_docs,
+      |       CAST(coalesce(same.c, 0) AS BIGINT) AS same_source_pairs,
+      |       CAST(coalesce(crossp.c, 0) AS BIGINT) AS cross_source_pairs
+      |FROM n LEFT JOIN same ON same.source = n.source
+      |       LEFT JOIN crossp ON crossp.source = n.source
+      |       LEFT JOIN dup ON dup.source = n.source
+      |ORDER BY n.source
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pr = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        threshold = 0.8)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("sb")), "doc_b")
+      .materialize() // ids+sources only; feeds three rollups
+    val same = pr.where(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source")).agg(count(lit(1)).as("sp"))
+    val crossp = pr.where(col("sa") =!= col("sb"))
+      .select(col("sa").as("source"))
+      .unionByName(pr.where(col("sa") =!= col("sb"))
+        .select(col("sb").as("source")))
+      .groupBy(col("source")).agg(count(lit(1)).as("cp"))
+    val dup = pr.select(col("doc_a").as("doc_id"),
+        col("sa").as("source"))
+      .unionByName(pr.select(col("doc_b").as("doc_id"),
+        col("sb").as("source")))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(same), Seq("source"), "left")
+      .join(broadcast(crossp), Seq("source"), "left")
+      .join(broadcast(dup), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("sp"), lit(0L)).as("same_source_pairs"),
+        coalesce(col("cp"), lit(0L)).as("cross_source_pairs"))
+      .orderBy(col("source"))
+  }
+
+  /** Session-level event-type lift: P(A,B in one session) against
+    * independence, as exact cross-multiplied ppm —
+    * 10⁶·co·S div (n_a·n_b). The association-rule view at session
+    * granularity (q169's basket lift is per-order; q218's
+    * co-occurrence is per-user-lifetime). Per-session type sets are
+    * tiny sorted arrays; pair fan-out is bounded by the type
+    * vocabulary, never a self-join. */
+  def q234: Q = Q(
+    "q234_session_lift",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+      |         event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t_us) OVER (PARTITION BY user_id
+      |    ORDER BY t_us, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                          OR t_us - prev >= 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |st AS (SELECT DISTINCT user_id, grp, event_type FROM g),
+      |stot AS (SELECT count(DISTINCT (user_id, grp)) AS s
+      |         FROM g),
+      |na AS (SELECT event_type, count(*) AS n_u FROM st GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS t_a, b.event_type AS t_b,
+      |         count(*) AS co
+      |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.grp = b.grp
+      |                      AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT t_a, t_b, CAST(co AS BIGINT) AS co,
+      |       CAST(x.n_u AS BIGINT) AS n_a, CAST(y.n_u AS BIGINT) AS n_b,
+      |       CAST(stot.s AS BIGINT) AS n_sessions,
+      |       CAST((1000000 * co * stot.s) // (x.n_u * y.n_u) AS BIGINT)
+      |         AS lift_ppm
+      |FROM p JOIN na x ON x.event_type = p.t_a
+      |       JOIN na y ON y.event_type = p.t_b
+      |CROSS JOIN stot
+      |ORDER BY t_a, t_b
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val st = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("t_us"), 1).over(wo))
+      .withColumn("grp", sum(
+        when(col("prev").isNull ||
+          col("t_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("user_id"), col("grp"), col("event_type"))
+      .distinct()
+      .materialize() // session-type dim feeds marginals + pairs + total
+    val sTot = st.select(col("user_id"), col("grp")).distinct()
+      .agg(count(lit(1)).as("s"))
+    val na = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_u"))
+    val pairs = st.groupBy(col("user_id"), col("grp"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            b -> struct(a AS t_a, b AS t_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.t_a"), col("p.t_b"))
+      .groupBy(col("t_a"), col("t_b")).agg(count(lit(1)).as("co"))
+    pairs
+      .join(broadcast(na.select(col("event_type").as("t_a"),
+        col("n_u").as("n_a"))), "t_a")
+      .join(broadcast(na.select(col("event_type").as("t_b"),
+        col("n_u").as("n_b"))), "t_b")
+      .crossJoin(broadcast(sTot))
+      .select(col("t_a"), col("t_b"), col("co"), col("n_a"),
+        col("n_b"), col("s").as("n_sessions"),
+        expr("(1000000 * co * s) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
+  /** Hill tail-index estimate for the token-frequency power law:
+    * over the top-k=100 frequencies x_1 ≥ … ≥ x_k, Hill's estimator
+    * is mean ln(x_i/x_k) — in exact integer micro-nats via the
+    * quantized-ln discipline, with α (the Zipf exponent's tail
+    * sibling) as its integer-milli reciprocal. The corpus-health scalar
+    * that distinguishes natural Zipfian text from templated spam.
+    * One frequency dim, one 100-row reduction. */
+  def q235: Q = {
+    val k = 20
+    Q("q235_hill_tail_index",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |f AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+        |top AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+        |  FROM f ORDER BY c DESC, w LIMIT $k),
+        |xk AS (SELECT c AS x_k FROM top WHERE rk = $k),
+        |h AS (
+        |  SELECT sum(CAST(floor(CAST(ln(CAST(top.c AS DOUBLE)
+        |           / CAST(xk.x_k AS DOUBLE)) AS DECIMAL(18,9))
+        |           * 1000000) AS BIGINT)) AS hsum
+        |  FROM top CROSS JOIN xk WHERE top.rk < $k)
+        |SELECT CAST($k AS BIGINT) AS k, CAST(xk.x_k AS BIGINT) AS x_k,
+        |       CAST(h.hsum // ($k - 1) AS BIGINT) AS hill_micronats,
+        |       CAST(CASE WHEN h.hsum > 0
+        |                 THEN ${(k - 1).toLong * 1000000000L} // h.hsum
+        |            END AS BIGINT) AS alpha_milli
+        |FROM h CROSS JOIN xk
+        |""".stripMargin)) { (s, dir) =>
+      val f = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val top = f
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .where(col("rk") <= k)
+        .select(col("c"), col("rk"))
+        .materialize() // 100-row dim feeds x_k and the sum
+      val xk = top.where(col("rk") === k).select(col("c").as("x_k"))
+      top.where(col("rk") < k)
+        .crossJoin(broadcast(xk))
+        .agg(sum(floor(log(col("c").cast("double") /
+          col("x_k").cast("double")).cast("decimal(18,9)") * 1000000)
+          .cast("long")).as("hsum"),
+          min(col("x_k")).as("x_k"))
+        .select(lit(k.toLong).as("k"), col("x_k"),
+          expr(s"hsum div ${k - 1}").as("hill_micronats"),
+          when(col("hsum") > 0,
+            expr(s"${(k - 1).toLong * 1000000000L}L div hsum"))
+            .as("alpha_milli"))
+    }
+  }
+
+  /** Co-visitation within a trailing window: event-type pairs where B
+    * follows A within the next 3 events of the same user — the
+    * recommender co-occurrence signal at INTERACTION range (tighter
+    * than q234's whole-session granularity). Three lead columns, one
+    * user-keyed window pass, unordered pairs normalized (least,
+    * greatest), self-transitions excluded. */
+  def q236: Q = Q(
+    "q236_covisitation",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+      |         event_id
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type AS a,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS b1,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS b2,
+      |         lead(event_type, 3) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS b3
+      |  FROM e),
+      |p AS (
+      |  SELECT least(a, b) AS t_a, greatest(a, b) AS t_b FROM (
+      |    SELECT a, b1 AS b FROM l WHERE b1 IS NOT NULL
+      |    UNION ALL SELECT a, b2 FROM l WHERE b2 IS NOT NULL
+      |    UNION ALL SELECT a, b3 FROM l WHERE b3 IS NOT NULL)
+      |  WHERE a <> b)
+      |SELECT t_a, t_b, CAST(count(*) AS BIGINT) AS n_covisits
+      |FROM p GROUP BY t_a, t_b ORDER BY t_a, t_b
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val l = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("b1", lead(col("event_type"), 1).over(wo))
+      .withColumn("b2", lead(col("event_type"), 2).over(wo))
+      .withColumn("b3", lead(col("event_type"), 3).over(wo))
+      .select(col("event_type").as("a"), col("b1"), col("b2"),
+        col("b3"))
+    l.select(col("a"), explode(array(col("b1"), col("b2"), col("b3")))
+        .as("b"))
+      .where(col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("t_a"),
+        greatest(col("a"), col("b")).as("t_b"))
+      .groupBy(col("t_a"), col("t_b"))
+      .agg(count(lit(1)).as("n_covisits"))
+      .orderBy(col("t_a"), col("t_b"))
+  }
+
+  /** Greedy maximum-coverage selection (MmrSelect.coverSelect): the 5
+    * documents that together cover the most distinct vocabulary,
+    * picked from a top-40 pool by the classic (1−1/e) set-cover
+    * greedy — tokenizer-corpus and eval-set construction. The oracle
+    * replays every pick with chained CTEs; covered_total is the
+    * running sum of gains (exact by construction). */
+  def q237: Q = {
+    val rounds = (2 to 5).map { r =>
+      s"""g$r AS (
+         |  SELECT p.doc_id, p.dt,
+         |         len(list_filter(p.dt,
+         |           w -> NOT list_contains(cv.cov, w))) AS gain
+         |  FROM pool p CROSS JOIN cov${r - 1} cv
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM all${r - 1})),
+         |sel$r AS (
+         |  SELECT doc_id, dt, gain, $r AS r FROM g$r
+         |  ORDER BY gain DESC, doc_id LIMIT 1),
+         |cov$r AS (
+         |  SELECT list_distinct(list_concat(cv.cov, s.dt)) AS cov
+         |  FROM cov${r - 1} cv CROSS JOIN sel$r s),
+         |all$r AS (SELECT doc_id, gain, r FROM all${r - 1}
+         |          UNION ALL SELECT doc_id, gain, r FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q("q237_greedy_coverage",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+        |  WHERE text IS NOT NULL),
+        |c0 AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+        |pool AS (SELECT * FROM c0 ORDER BY len(dt) DESC, doc_id
+        |         LIMIT 40),
+        |sel1 AS (SELECT doc_id, dt, len(dt) AS gain, 1 AS r FROM pool
+        |         ORDER BY len(dt) DESC, doc_id LIMIT 1),
+        |cov1 AS (SELECT dt AS cov FROM sel1),
+        |all1 AS (SELECT doc_id, gain, r FROM sel1),
+        |$rounds
+        |SELECT doc_id, CAST(r AS BIGINT) AS sel_rank,
+        |       CAST(gain AS BIGINT) AS gain,
+        |       CAST(sum(gain) OVER (ORDER BY r) AS BIGINT)
+        |         AS covered_total
+        |FROM all5 ORDER BY sel_rank
+        |""".stripMargin)) { (s, dir) =>
+      import graft.text.MmrSelect
+      val cand = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.tokens(col("text"))).as("dt"))
+      val pool = cand
+        .orderBy(size(col("dt")).desc, col("doc_id")).limit(40)
+      MmrSelect.coverSelect(pool, "doc_id", "dt", k = 5)
+        .orderBy(col("sel_rank"))
+    }
   }
 }

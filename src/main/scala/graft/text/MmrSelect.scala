@@ -77,4 +77,48 @@ object MmrSelect {
     selected.toSeq
       .toDF(idCol, "sel_rank", "quality", "max_sim_permille")
   }
+
+  /** Greedy maximum-coverage selection — [[select]]'s submodular
+    * sibling: each step picks the row adding the most NEW elements to
+    * the covered set (ties by id), the classic (1−1/e)-approximate
+    * set-cover greedy. The "which k documents teach the tokenizer the
+    * most vocabulary" / "which k tests cover the most branches"
+    * selector. Same bounded-pool contract as MMR: distributed
+    * prefilter first, then a deliberate driver loop over ≤100k
+    * candidates (step t depends on the union of steps 1..t−1 — not a
+    * parallel shape). Output: (idCol, sel_rank, gain, covered_total),
+    * all integers, ties by id — an oracle replays every pick. */
+  def coverSelect(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pool = df
+      .select(col(idCol).cast("long"), col(setCol))
+      .as[(Long, Seq[String])]
+      .collect()
+    require(pool.length <= 100000,
+      s"cover pool has ${pool.length} candidates — prefilter below 100k")
+    val sets = pool.map { case (id, s) => id -> s.toSet }.toMap
+    val remaining =
+      scala.collection.mutable.Set(pool.map(_._1): _*)
+    var covered = Set.empty[String]
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (id, rank, gain, total)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val pick = remaining.minBy { id =>
+        (-(sets(id) -- covered).size.toLong, id) // max gain, then min id
+      }
+      val gain = (sets(pick) -- covered).size.toLong
+      covered = covered ++ sets(pick)
+      selected += ((pick, rank.toLong, gain, covered.size.toLong))
+      remaining.remove(pick)
+      rank += 1
+    }
+    selected.toSeq.toDF(idCol, "sel_rank", "gain", "covered_total")
+  }
 }

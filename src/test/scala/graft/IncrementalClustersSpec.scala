@@ -77,6 +77,29 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(caps.map(_._3).sum == 78L)
   }
 
+  test("greedy coverage picks max NEW gain each round, ties by id") {
+    import graft.text.MmrSelect
+    // doc 1 covers {a,b,c}; doc 2 covers {c,d}; doc 3 covers {d,e,f};
+    // greedy: pick 1 (gain 3) — then doc 3 gains 3 vs doc 2's 1 —
+    // pick 3 — then doc 2 gains only 1 (d,f covered)
+    val pool = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("c", "d")),
+      (3L, Seq("d", "e", "f"))).toDF("id", "s")
+    val got = MmrSelect.coverSelect(pool, "id", "s", k = 3)
+      .orderBy($"sel_rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 3L), (3L, 2L, 3L, 6L),
+      (2L, 3L, 0L, 6L)))
+  }
+
+  test("greedy coverage ties break by smallest id") {
+    import graft.text.MmrSelect
+    val pool = Seq((5L, Seq("x", "y")), (2L, Seq("p", "q")))
+      .toDF("id", "s")
+    val first = MmrSelect.coverSelect(pool, "id", "s", k = 1)
+      .select($"id").as[Long].head()
+    assert(first == 2L)
+  }
+
   test("water-filling: budget covering the total keeps everything") {
     val cs = Seq(("a", 10L), ("b", 20L)).toDF("k", "n")
     val caps = Sampling.waterFillCaps(cs, Seq("k"), "n", 1, 1)
