@@ -22,7 +22,8 @@ object SignalQueries {
 
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
-    q229, q230, q231, q232, q233, q234, q235, q236, q237)
+    q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
+    q240, q241)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -1667,5 +1668,247 @@ object SignalQueries {
       MmrSelect.coverSelect(pool, "doc_id", "dt", k = 5)
         .orderBy(col("sel_rank"))
     }
+  }
+
+  /** Session exit analysis: the LAST event type of each gap session,
+    * split by whether the session converted (contains a purchase) —
+    * the "where do non-converting sessions die" diagnosis. Share is
+    * exact ppm within each converted/non-converted cohort. One
+    * user-keyed exchange end-to-end. */
+  def q238: Q = Q(
+    "q238_session_exit_types",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+      |         event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t_us) OVER (PARTITION BY user_id
+      |    ORDER BY t_us, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                          OR t_us - prev >= 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |lastev AS (
+      |  SELECT user_id, grp, event_type AS exit_type FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, grp
+      |      ORDER BY t_us DESC, event_id DESC) AS rn FROM g)
+      |  WHERE rn = 1),
+      |conv AS (
+      |  SELECT user_id, grp,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           AS converted
+      |  FROM g GROUP BY user_id, grp),
+      |s AS (
+      |  SELECT l.user_id, l.grp, c.converted, l.exit_type
+      |  FROM lastev l JOIN conv c USING (user_id, grp)),
+      |c AS (
+      |  SELECT converted, exit_type, count(*) AS n_sessions
+      |  FROM s GROUP BY 1, 2),
+      |t AS (SELECT converted, sum(n_sessions) AS n_tot FROM c
+      |      GROUP BY 1)
+      |SELECT c.converted AS converted, c.exit_type,
+      |       CAST(n_sessions AS BIGINT) AS n_sessions,
+      |       CAST((1000000 * n_sessions) // t.n_tot AS BIGINT)
+      |         AS share_ppm
+      |FROM c JOIN t ON t.converted = c.converted
+      |ORDER BY converted, exit_type
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("t_us"), 1).over(wo))
+      .withColumn("grp", sum(
+        when(col("prev").isNull ||
+          col("t_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"),
+        max_by(col("event_type"), struct(col("t_us"), col("event_id")))
+          .as("exit_type"))
+    val c = sess.groupBy(col("converted"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val t = c.groupBy(col("converted"))
+      .agg(sum(col("n_sessions")).as("n_tot"))
+    c.join(broadcast(t), "converted")
+      .select(col("converted"), col("exit_type"), col("n_sessions"),
+        expr("(1000000 * n_sessions) div n_tot").as("share_ppm"))
+      .orderBy(col("converted"), col("exit_type"))
+  }
+
+  /** Attribution model disagreement: last-touch conversion counts
+    * next to linear multi-touch credit per channel, with the signed
+    * delta — the table that decides whether the cheaper single-touch
+    * model is good enough for budget allocation. Same eligibility
+    * contract on both models (q171/q203's operators), so the deltas
+    * are pure model effects, not data effects. */
+  def q239: Q = {
+    val lookback = 48L * 3600L * 1000000000L
+    Q("q239_attribution_disagreement",
+      Some(s"""
+        |WITH c AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS tts, event_id AS tid,
+        |         event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |elig AS (
+        |  SELECT cid, channel, tts, tid FROM c JOIN t USING (e)
+        |  WHERE (tts < cts OR (tts = cts AND tid < cid))
+        |    AND cts - tts <= $lookback),
+        |lt AS (
+        |  SELECT cid, channel FROM (
+        |    SELECT cid, channel, row_number() OVER (PARTITION BY cid
+        |      ORDER BY tts DESC, tid DESC) AS rn
+        |    FROM elig) WHERE rn = 1),
+        |ltc AS (SELECT channel, count(*) AS lt_conversions FROM lt
+        |        GROUP BY channel),
+        |pc AS (
+        |  SELECT cid, channel, count(*) AS nch FROM elig GROUP BY 1, 2),
+        |tot AS (SELECT cid, sum(nch) AS ntot FROM pc GROUP BY 1),
+        |lin AS (
+        |  SELECT channel,
+        |         CAST(sum(CAST(CAST(nch AS DOUBLE) / CAST(ntot AS DOUBLE)
+        |              AS DECIMAL(18,9))) AS DOUBLE) AS linear_credit
+        |  FROM pc JOIN tot USING (cid) GROUP BY channel)
+        |SELECT ltc.channel,
+        |       CAST(lt_conversions AS BIGINT) AS lt_conversions,
+        |       lin.linear_credit,
+        |       CAST(lt_conversions AS DOUBLE) - lin.linear_credit
+        |         AS delta
+        |FROM ltc JOIN lin ON lin.channel = ltc.channel
+        |ORDER BY ltc.channel
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Attribution
+      val ev = Tables.events(s, dir)
+      val touches = Seq("click", "view", "signup")
+      val lt = Attribution.lastTouch(ev, "user_id", "ts", "event_id",
+          "event_type", convType = "purchase", touchTypes = touches,
+          lookback = lookback)
+        .where(col("attributed_channel") =!= "(none)")
+        .groupBy(col("attributed_channel").as("channel"))
+        .agg(count(lit(1)).as("lt_conversions"))
+      val lin = Attribution.linearTouch(ev, "user_id", "ts", "event_id",
+          "event_type", convType = "purchase", touchTypes = touches,
+          lookback = lookback)
+        .where(col("channel") =!= "(none)")
+        .groupBy(col("channel"))
+        .agg(sum(col("credit")).cast("double").as("linear_credit"))
+      lt.join(lin, "channel")
+        .select(col("channel"), col("lt_conversions"),
+          col("linear_credit"),
+          (col("lt_conversions").cast("double") - col("linear_credit"))
+            .as("delta"))
+        .orderBy(col("channel"))
+    }
+  }
+
+  /** Late-shipment league table: per supplier the exact ppm of line
+    * items shipped more than 90 days after the order date (the
+    * synthetic schema carries no commit/receipt dates) — the
+    * TPC-H-flavored SLA report. The fact-fact join shuffles on
+    * orderkey, the per-supplier rollup follows, and only THEN does the
+    * supplier-dim name attach broadcast (names never ride the wide
+    * shuffle). Worst 15 suppliers with ≥ 20 items, ties by key;
+    * day delta in epoch-µs integers (both DATE columns explicitly
+    * cast — unix_micros rejects NTZ). */
+  def q240: Q = Q(
+    "q240_late_shipments",
+    Some("""
+      |WITH f AS (
+      |  SELECT l_suppkey AS suppkey, count(*) AS n_items,
+      |         sum(CASE WHEN (epoch_us(l.l_shipdate)
+      |                        - epoch_us(o.o_orderdate))
+      |                       // 86400000000 > 90
+      |                  THEN 1 ELSE 0 END) AS n_late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT f.suppkey, s.s_name, n_items, n_late,
+      |         (1000000 * n_late) // n_items AS late_ppm
+      |  FROM f JOIN supplier s ON s.s_suppkey = f.suppkey
+      |  WHERE n_items >= 20)
+      |SELECT suppkey, s_name, CAST(n_items AS BIGINT) AS n_items,
+      |       CAST(n_late AS BIGINT) AS n_late,
+      |       CAST(late_ppm AS BIGINT) AS late_ppm
+      |FROM j ORDER BY late_ppm DESC, suppkey LIMIT 15
+      |""".stripMargin)) { (s, dir) =>
+    val f = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(expr(
+          "(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)))" +
+            " div 86400000000 > 90"), 1L).otherwise(0L)).as("n_late"))
+      .where(col("n_items") >= 20)
+    f.join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))),
+        "suppkey")
+      .select(col("suppkey"), col("s_name"), col("n_items"),
+        col("n_late"),
+        expr("(1000000 * n_late) div n_items").as("late_ppm"))
+      .orderBy(col("late_ppm").desc, col("suppkey"))
+      .limit(15)
+  }
+
+  /** Power-of-two latency histogram (HdrHistogram's idea, exactly):
+    * inter-arrival gaps bucketed by BINARY MAGNITUDE — bucket = number
+    * of binary digits, computed as the length of the base-2 string
+    * rendering, which both engines produce identically (no float log2
+    * at bucket boundaries, where an ulp flips the bucket). Constant
+    * bucket count regardless of range; the standard latency-profile
+    * form at scale. */
+  def q241: Q = Q(
+    "q241_latency_log2_histogram",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+      |         event_id
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |         t_us - lag(t_us) OVER (PARTITION BY user_id, event_type
+      |           ORDER BY t_us, event_id) AS delta_us
+      |  FROM e),
+      |b AS (
+      |  SELECT event_type,
+      |         CAST(length(bin(delta_us)) AS BIGINT) AS bucket
+      |  FROM d WHERE delta_us IS NOT NULL)
+      |SELECT event_type, bucket,
+      |       CAST(CASE WHEN bucket = 1 THEN 0
+      |            ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS BIGINT)
+      |         AS bucket_lo_us,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+      .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(wo))
+      .where(col("delta_us").isNotNull)
+      .select(col("event_type"),
+        length(conv(col("delta_us"), 10, 2)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        when(col("bucket") === 1, 0L)
+          .otherwise(expr("shiftleft(1L, CAST(bucket - 1 AS INT))"))
+          .as("bucket_lo_us"),
+        col("n"))
+      .orderBy(col("event_type"), col("bucket"))
   }
 }

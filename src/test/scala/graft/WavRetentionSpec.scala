@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.MultiModal
@@ -76,6 +78,38 @@ class WavRetentionSpec extends AnyFunSuite {
       .select("v").as[String].head() == "v4")
     // idempotent / no-op when within policy
     assert(ManifestCommit.expireGenerations(dir, keepLast = 2).isEmpty)
+  }
+
+  test("GDPR purge runbook: delete + expire + vacuum removes the bytes") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-purge").toString
+    ManifestCommit.writeVersioned(
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+        .toDF("uid", "name"), dir)
+    // CoW delete rewrites only affected files into a NEW generation —
+    // but the old generation still holds the bytes (time travel)
+    ManifestCommit.deleteWhere(spark, dir, col("uid") === 2L)
+    assert(ManifestCommit.read(spark, dir).count() == 2L)
+    def bytesOnDisk: Boolean = {
+      val root = java.nio.file.Paths.get(dir)
+      val stream = java.nio.file.Files.walk(root)
+      try stream.iterator().asScala.exists { p =>
+          java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          new String(java.nio.file.Files.readAllBytes(p), "ISO-8859-1")
+            .contains("bob")
+        }
+      finally stream.close()
+    }
+    assert(bytesOnDisk) // pre-expiry: the old generation still has bob
+    // the purge runbook: expire history, then vacuum orphans
+    ManifestCommit.expireGenerations(dir, keepLast = 1)
+    ManifestCommit.vacuum(dir)
+    assert(!bytesOnDisk) // physically gone, not just unreadable
+    assert(ManifestCommit.read(spark, dir)
+      .orderBy(col("uid")).select("name")
+      .as[String].collect().toSeq == Seq("alice", "carol"))
   }
 
   test("expireGenerations keeps files shared with surviving generations") {
