@@ -304,4 +304,32 @@ object Relational {
       .withColumn("n_distinct_so_far", sum(col("__first")).over(perKey))
       .drop("__first")
   }
+
+  /** Join-skew pre-flight report: the top-k join keys by OUTPUT
+    * fan-out (left count × right count) with both side counts — the
+    * table you read BEFORE launching a big join, because one hot key
+    * producing 10¹⁰ output rows is invisible in input sizes and fatal
+    * at runtime (it is also exactly what AQE's skew split and the
+    * salting operators here exist to absorb; this report tells you
+    * WHICH keys need them). Two grouped counts + a key-dim full
+    * join — never touches the joined output it predicts. Keys present
+    * on only one side product to 0 (they emit nothing in an inner
+    * join) but still report their one-sided counts. */
+  def joinSkewReport(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val l = left.groupBy(col(leftKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("l_count"))
+    val r = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("r_count"))
+    l.join(r, Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("l_count"), lit(0L)).as("l_count"),
+        coalesce(col("r_count"), lit(0L)).as("r_count"))
+      .withColumn("output_rows", col("l_count") * col("r_count"))
+      .orderBy(col("output_rows").desc, col("key"))
+      .limit(topK)
+  }
 }

@@ -7,6 +7,7 @@ import graft.Materialize.MatOps
 import graft.Tables
 import graft.text.Sharding
 import graft.plans.GroupedTopK
+import graft.sim.Similarity
 import graft.text.{Sampling, TextAnalysis}
 import PipelineQueries.{sqlCharFold, sqlContentFp, sqlSaltedHash, sqlShingles, sqlTokens}
 
@@ -23,7 +24,7 @@ object SignalQueries {
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241)
+    q240, q241, q242, q243, q244, q245)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -1910,5 +1911,284 @@ object SignalQueries {
           .as("bucket_lo_us"),
         col("n"))
       .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Quantization recall: int8-code cosine top-3 (q62's retrieval)
+    * scored against float-cosine truth (q30's), per query — the
+    * "what does 4× compression cost in recall" evidence before
+    * switching the serving index to codes. Both retrievals are exact
+    * replays of the proven operators; the overlap join is ids-only. */
+  def q242: Q = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    Q("q242_quantized_recall",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |              AS DOUBLE) AS m
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(
+        |    CASE WHEN m = 0 THEN 0
+        |         ELSE floor(CAST(x AS DOUBLE) * 127.0 / m) END
+        |    AS INTEGER)) AS qa
+        |  FROM e),
+        |tq AS (SELECT vec_id, embedding FROM e WHERE vec_id < 50),
+        |tp AS (
+        |  SELECT tq.vec_id, c.vec_id AS neighbor_id,
+        |         ${dot("tq.embedding", "c.embedding")}
+        |           / (sqrt(${dot("tq.embedding", "tq.embedding")})
+        |              * sqrt(${dot("c.embedding", "c.embedding")})) AS cos
+        |  FROM tq JOIN e c ON tq.vec_id != c.vec_id),
+        |truth AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, neighbor_id) AS rn FROM tp)
+        |  WHERE rn <= 3),
+        |aq AS (SELECT vec_id, qa FROM qv WHERE vec_id < 50),
+        |ap AS (
+        |  SELECT aq.vec_id, c.vec_id AS neighbor_id,
+        |         ${dot("aq.qa", "c.qa")}
+        |           / (sqrt(${dot("aq.qa", "aq.qa")})
+        |              * sqrt(${dot("c.qa", "c.qa")})) AS cos
+        |  FROM aq JOIN qv c ON aq.vec_id != c.vec_id),
+        |approx AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, neighbor_id) AS rn FROM ap)
+        |  WHERE rn <= 3),
+        |mt AS (
+        |  SELECT t.vec_id, count(*) AS n_match
+        |  FROM truth t JOIN approx a
+        |    ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+        |  GROUP BY t.vec_id),
+        |qs AS (SELECT DISTINCT vec_id FROM truth)
+        |SELECT qs.vec_id, CAST(coalesce(mt.n_match, 0) AS BIGINT)
+        |         AS n_match,
+        |       CAST((1000000 * coalesce(mt.n_match, 0)) // 3 AS BIGINT)
+        |         AS recall_ppm
+        |FROM qs LEFT JOIN mt ON mt.vec_id = qs.vec_id
+        |ORDER BY qs.vec_id
+        |""".stripMargin)) { (s, dir) =>
+      import graft.sim.Quantize
+      val emb = Tables.embeddings(s, dir)
+      val truth = Similarity.bruteForceTopK(
+          corpus = emb, queries = emb.filter(col("vec_id") < 50),
+          idCol = "vec_id", vecCol = "embedding", k = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+        .materialize() // feeds both the query-id dim and the overlap
+      val codes = Quantize.quantizedCodes(emb, "vec_id", "embedding")
+      val approx = Similarity.bruteForceTopK(
+          corpus = codes, queries = codes.filter(col("vec_id") < 50),
+          idCol = "vec_id", vecCol = "embedding", k = 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      val mt = truth.join(approx, Seq("vec_id", "neighbor_id"),
+          "leftsemi")
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_match"))
+      truth.select(col("vec_id")).distinct()
+        .join(mt, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"),
+          expr("(1000000 * coalesce(n_match, 0)) div 3")
+            .as("recall_ppm"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** Time-to-conversion inside a session: for converting sessions,
+    * exact p50/p90 of µs from session start to the FIRST purchase,
+    * keyed by the session's entry event type — "which front doors
+    * convert fast". Sessionization's one user exchange, then
+    * dim-sized order statistics via quantilesDisc. */
+  def q243: Q = Q(
+    "q243_time_to_conversion",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+      |         event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t_us) OVER (PARTITION BY user_id
+      |    ORDER BY t_us, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                          OR t_us - prev >= 1800000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |entry AS (
+      |  SELECT user_id, grp, event_type AS entry_type FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, grp
+      |      ORDER BY t_us, event_id) AS rn FROM g)
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT user_id, grp, min(t_us) AS start_us,
+      |         min(CASE WHEN event_type = 'purchase' THEN t_us END)
+      |           AS conv_us
+      |  FROM g GROUP BY user_id, grp),
+      |d AS (
+      |  SELECT en.entry_type, a.conv_us - a.start_us AS delta_us
+      |  FROM agg a JOIN entry en
+      |    ON en.user_id = a.user_id AND en.grp = a.grp
+      |  WHERE a.conv_us IS NOT NULL),
+      |r AS (
+      |  SELECT entry_type, delta_us,
+      |         row_number() OVER (PARTITION BY entry_type
+      |                            ORDER BY delta_us) AS rn,
+      |         count(*) OVER (PARTITION BY entry_type) AS n
+      |  FROM d),
+      |p AS (SELECT unnest([500, 900]) AS permille)
+      |SELECT r.entry_type, p.permille, r.delta_us AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY entry_type, permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val g = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("t_us"), 1).over(wo))
+      .withColumn("grp", sum(
+        when(col("prev").isNull ||
+          col("t_us") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+        .over(wo.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .materialize() // one sessionized pass feeds entry + aggregates
+    val entry = g
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("grp"))
+          .orderBy(col("t_us"), col("event_id"))))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("grp"),
+        col("event_type").as("entry_type"))
+    val agg = g.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("t_us")).as("start_us"),
+        min(when(col("event_type") === "purchase", col("t_us")))
+          .as("conv_us"))
+      .where(col("conv_us").isNotNull)
+    val d = agg.join(entry, Seq("user_id", "grp"))
+      .select(col("entry_type"),
+        (col("conv_us") - col("start_us")).as("delta_us"))
+    OrderStats.quantilesDisc(d, Seq("entry_type"), "delta_us",
+        Seq(500, 900))
+      .orderBy(col("entry_type"), col("permille"))
+  }
+
+  /** Join-skew pre-flight (Relational.joinSkewReport) on the
+    * pathological self-join: events × events by event_type. The
+    * report names the keys whose fan-out products dominate the
+    * would-be output — the decision input for salting / AQE skew
+    * handling — without ever executing the join it predicts. */
+  def q244: Q = Q(
+    "q244_join_skew_report",
+    Some("""
+      |WITH l AS (SELECT event_type AS key, count(*) AS l_count
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT event_type AS key, count(*) AS r_count
+      |      FROM events GROUP BY 1)
+      |SELECT coalesce(l.key, r.key) AS key,
+      |       CAST(coalesce(l_count, 0) AS BIGINT) AS l_count,
+      |       CAST(coalesce(r_count, 0) AS BIGINT) AS r_count,
+      |       CAST(coalesce(l_count, 0) * coalesce(r_count, 0) AS BIGINT)
+      |         AS output_rows
+      |FROM l FULL JOIN r ON l.key = r.key
+      |ORDER BY output_rows DESC, key LIMIT 5
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Relational
+    val ev = Tables.events(s, dir)
+    Relational.joinSkewReport(ev, "event_type", ev, "event_type",
+      topK = 5)
+  }
+
+  /** Bot-likeness composite per user: event-type entropy (templated
+    * behavior scores low), median inter-arrival gap (machines are
+    * fast), and the conjunction flag — all exact (q229's quantized-ln
+    * entropy discipline + order-statistic median). Thresholds:
+    * entropy < 1.2 nats AND median gap < 60 s. The abuse-signal
+    * rollup that precedes any rate-limit decision. */
+  def q245: Q = Q(
+    "q245_bot_score",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us,
+      |         event_id
+      |  FROM events),
+      |ct AS (SELECT user_id, event_type, count(*) AS c FROM e
+      |       GROUP BY 1, 2),
+      |n AS (SELECT user_id, sum(c) AS n_events FROM ct GROUP BY 1),
+      |ent AS (
+      |  SELECT ct.user_id,
+      |         CAST(sum(c * CAST(floor(CAST(ln(CAST(n_events AS DOUBLE)
+      |                / CAST(c AS DOUBLE)) AS DECIMAL(18,9))
+      |              * 1000000) AS BIGINT)) AS BIGINT) // max(n_events)
+      |           AS entropy_micronats
+      |  FROM ct JOIN n ON n.user_id = ct.user_id
+      |  GROUP BY ct.user_id),
+      |d AS (
+      |  SELECT user_id,
+      |         t_us - lag(t_us) OVER (PARTITION BY user_id
+      |           ORDER BY t_us, event_id) AS delta_us
+      |  FROM e),
+      |v AS (SELECT user_id, delta_us FROM d WHERE delta_us IS NOT NULL),
+      |med AS (
+      |  SELECT user_id, delta_us AS median_gap_us FROM (
+      |    SELECT user_id, delta_us,
+      |           row_number() OVER (PARTITION BY user_id
+      |                              ORDER BY delta_us) AS rn,
+      |           count(*) OVER (PARTITION BY user_id) AS n
+      |    FROM v)
+      |  WHERE rn = (500 * n + 999) // 1000)
+      |SELECT n.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+      |       CAST(ent.entropy_micronats AS BIGINT) AS entropy_micronats,
+      |       CAST(med.median_gap_us AS BIGINT) AS median_gap_us,
+      |       CAST(CASE WHEN med.median_gap_us IS NOT NULL
+      |                      AND ent.entropy_micronats < 1200000
+      |                      AND med.median_gap_us < 60000000
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+      |FROM n JOIN ent ON ent.user_id = n.user_id
+      |       LEFT JOIN med ON med.user_id = n.user_id
+      |ORDER BY n.user_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"), col("event_id"))
+    val ct = e.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val n = ct.groupBy(col("user_id")).agg(sum(col("c")).as("n_events"))
+    val ent = ct.join(n, "user_id")
+      .select(col("user_id"),
+        (col("c") * floor(log(col("n_events").cast("double") /
+          col("c").cast("double")).cast("decimal(18,9)") * 1000000)
+          .cast("long")).as("term"),
+        col("n_events"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("term"))).as("__ts"), max(col("n_events")).as("__n"))
+      .select(col("user_id"),
+        expr("__ts div __n").as("entropy_micronats"))
+    val deltas = e
+      .withColumn("delta_us", col("t_us") - lag(col("t_us"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("t_us"), col("event_id"))))
+      .where(col("delta_us").isNotNull)
+      .select(col("user_id"), col("delta_us"))
+    val med = OrderStats.quantilesDisc(deltas, Seq("user_id"),
+        "delta_us", Seq(500))
+      .select(col("user_id"), col("value").as("median_gap_us"))
+    n.join(ent, "user_id")
+      .join(med, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("entropy_micronats"),
+        col("median_gap_us"),
+        when(col("median_gap_us").isNotNull &&
+          col("entropy_micronats") < 1200000L &&
+          col("median_gap_us") < 60000000L, 1L).otherwise(0L)
+          .as("is_bot"))
+      .orderBy(col("user_id"))
   }
 }

@@ -255,6 +255,16 @@ class SignalQueriesSpec extends AnyFunSuite {
     assert(got("mix") > 0L)        // 'a' branches three ways
   }
 
+  test("join-skew report ranks keys by output fan-out, one-sided keys 0") {
+    import graft.operators.Relational
+    val l = Seq("a", "a", "a", "b", "c").toDF("k")      // a:3 b:1 c:1
+    val r = Seq("a", "a", "b", "b", "b", "d").toDF("k") // a:2 b:3 d:1
+    val got = Relational.joinSkewReport(l, "k", r, "k", topK = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 2L, 6L), ("b", 1L, 3L, 3L),
+      ("c", 1L, 0L, 0L), ("d", 0L, 1L, 0L)))
+  }
+
   test("sorted-array pair expansion emits each unordered pair once") {
     val got = Seq(Seq("a", "b", "c", "d")).toDF("ts")
       .select(explode(expr(
