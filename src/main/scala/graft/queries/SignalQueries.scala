@@ -24,7 +24,7 @@ object SignalQueries {
   val all: Seq[Q] = Seq(q210, q211, q212, q213, q214, q215, q216, q217,
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245)
+    q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -2190,5 +2190,154 @@ object SignalQueries {
           col("median_gap_us") < 60000000L, 1L).otherwise(0L)
           .as("is_bot"))
       .orderBy(col("user_id"))
+  }
+
+  /** The SQL face, end-to-end: temp views + the registered graft_*
+    * kernels driven entirely through spark.sql — canonical-fingerprint
+    * dedup counts written as the SQL a warehouse user would type.
+    * Proves the SessionExtensions/function-registry surface is
+    * first-class, not just the Column API. Same plan as the Column
+    * form (the parser resolves to the same expressions). */
+  def q246: Q = {
+    val canon =
+      "regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"
+    Q("q246_sql_face_dedup",
+      Some(s"""
+        |SELECT (${sqlCharFold(s"($canon)")}) AS fp,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY fp
+        |""".stripMargin)) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT graft_polyhash(graft_canonical(text)) AS fp,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_id
+        FROM documents_v WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY fp""")
+    }
+  }
+
+  /** GROUPING SETS with grouping_id — the reporting shape between
+    * plain GROUP BY and CUBE (q128): exactly the named aggregation
+    * levels, nothing else, with the grouping id disambiguating "null
+    * because rolled up" from "null in the data". Revenue in exact
+    * cents at three levels: (returnflag), (linestatus), (). */
+  def q247: Q = Q(
+    "q247_grouping_sets",
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+      |            AS BIGINT) AS gid,
+      |       CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |         AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS gid,
+             CAST(sum(CAST(l_extendedprice * 100 AS DECIMAL(38,0)))
+                  AS BIGINT) AS revenue_cents,
+             count(*) AS n_items
+      FROM lineitem_v
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** Schema-on-read JSON: the props column parsed as a MAP and
+    * exploded to key rows — no schema declared anywhere, keys
+    * discovered from the data (the semi-structured ingestion shape;
+    * q39 pulls one known path, this enumerates). Exact integer value
+    * sums per discovered key. */
+  def q248: Q = Q(
+    "q248_json_map_explode",
+    Some("""
+      |WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS k, props FROM events
+      |  WHERE props IS NOT NULL)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT))
+      |            AS BIGINT) AS v_sum,
+      |       CAST(min(CAST(json_extract(props, '$.' || k) AS BIGINT))
+      |            AS BIGINT) AS v_min,
+      |       CAST(max(CAST(json_extract(props, '$.' || k) AS BIGINT))
+      |            AS BIGINT) AS v_max
+      |FROM kv GROUP BY k ORDER BY k
+      |""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("props").isNotNull)
+      .select(explode(expr("from_json(props, 'map<string,bigint>')"))
+        .as(Seq("k", "v")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .orderBy(col("k"))
+  }
+
+  /** Universal quantification (NOT EXISTS): customers ALL of whose
+    * orders are urgent-or-high priority — the ∀ shape SQL can only
+    * say as double negation, and the DataFrame API as semi-minus-anti
+    * join (≥1 order, minus any-counterexample). Both anti/semi sides
+    * are ids-only. */
+  def q249: Q = Q(
+    "q249_forall_antijoin",
+    Some("""
+      |SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority NOT IN
+      |                        ('1-URGENT', '2-HIGH'))
+      |ORDER BY c.c_custkey
+      |""".stripMargin)) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val any = orders.select(col("o_custkey")).distinct()
+    val counterexample = orders
+      .where(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey")).distinct()
+    Tables.customer(s, dir)
+      .join(any, col("c_custkey") === any("o_custkey"), "leftsemi")
+      .join(counterexample,
+        col("c_custkey") === counterexample("o_custkey"), "leftanti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Value-based RANGE window frame: trailing 7-day revenue per event
+    * type where the frame is defined by the DAY VALUE, not row
+    * count — days with no events genuinely age out of the frame
+    * (a ROWS frame would silently include them). Exact decimal cents
+    * inside the frame sum. */
+  def q250: Q = Q(
+    "q250_value_range_frame",
+    Some("""
+      |WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS rev
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(d AS BIGINT) AS d,
+      |       CAST(CAST(sum(rev) OVER (PARTITION BY event_type ORDER BY d
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |            * 100 AS DECIMAL(18,0)) AS BIGINT) AS trailing7_cents
+      |FROM d ORDER BY event_type, d
+      |""".stripMargin)) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
+    d.select(col("event_type"), col("d"),
+        (sum(col("rev")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("d"))
+            .rangeBetween(-6, 0)) * 100)
+          .cast("decimal(18,0)").cast("long").as("trailing7_cents"))
+      .orderBy(col("event_type"), col("d"))
   }
 }
