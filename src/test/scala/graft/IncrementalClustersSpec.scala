@@ -66,6 +66,52 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 1L)))
   }
 
+  test("streaming foreachBatch cluster maintenance equals the rebuild") {
+    // micro-batches of docs folded into driver-held labels via
+    // incrementalClusters — the production streaming-dedup loop. The
+    // bridge doc arrives in the LAST batch, so the final fold must
+    // merge clusters formed two batches earlier.
+    val batches = Seq(
+      Seq((1L, "a b c d e f"), (2L, "a b c d e f")),
+      Seq((3L, "x y z w q r"), (4L, "x y z w q r")),
+      Seq((6L, "a b c d e f x y z w q r"))) // bridges {1,2} and {3,4}
+      .map(_.toDF("doc_id", "text"))
+    val all = batches.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_src")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_inc_stage")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (it.hasNext && !moved) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(f, dir.resolve(s"part$i.parquet"))
+          moved = true
+        }
+      }
+      assert(moved)
+    }
+    var seen = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    var lbls = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          lbls = Dedup.incrementalClusters(lbls, batch, seen,
+            "doc_id", "text", threshold = t).localCheckpoint(true)
+          seen = seen.unionByName(batch).localCheckpoint(true)
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val rebuild = labels(Dedup.nearDupClusters(
+      Dedup.nearDuplicatePairs(all, "doc_id", "text", threshold = t)))
+    assert(labels(lbls) == rebuild)
+    assert(labels(lbls) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
+  }
+
   test("water-filling: level lands in its interval, budget is exact") {
     // counts [10, 20, 100], budget 3/5 of 130 = 78:
     // level candidates: i=1 → 26 (≥ hi 10, invalid), i=2 → 34 (≥ hi 20,
