@@ -109,11 +109,24 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       bands: Int = 16,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2): DataFrame =
     // profiles feed three plan branches (banding + both pair sides):
     // materialize once instead of recomputing shingles per branch
-    val prof = shingleProfiles(df, idCol, textCol, perms = bands * rowsPerBand)
-      .materialize()
+    nearDuplicatePairsFromProfiles(
+      shingleProfiles(df, idCol, textCol, perms = bands * rowsPerBand)
+        .materialize(),
+      threshold, bands, rowsPerBand)
+
+  /** [[nearDuplicatePairs]] over PRE-COMPUTED (and ideally
+    * materialized) [[shingleProfiles]] — the form callers that also
+    * need the profiles for another pass (e.g.
+    * [[incrementalClusters]]'s cross-corpus leg) use, so each doc is
+    * shingled and minhashed exactly once per batch. */
+  def nearDuplicatePairsFromProfiles(
+      prof: DataFrame,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
     val sets = prof.select(col("doc_id"), col("sh"))
     lshCandidatePairs(prof, bands, rowsPerBand)
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -389,13 +402,24 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       bands: Int = 16,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2): DataFrame =
     // each profile feeds two branches (banding + verify side): checkpoint
     // so shingling/minhashing runs once per side, not per branch
-    val newProf = shingleProfiles(newDocs, idCol, textCol,
-      perms = bands * rowsPerBand).materialize()
-    val oldProf = shingleProfiles(oldDocs, idCol, textCol,
-      perms = bands * rowsPerBand).materialize()
+    crossCorpusNearDupPairsFromProfiles(
+      shingleProfiles(newDocs, idCol, textCol,
+        perms = bands * rowsPerBand).materialize(),
+      shingleProfiles(oldDocs, idCol, textCol,
+        perms = bands * rowsPerBand).materialize(),
+      threshold, bands, rowsPerBand)
+
+  /** [[crossCorpusNearDupPairs]] over pre-computed profiles (same
+    * contract as [[nearDuplicatePairsFromProfiles]]). */
+  def crossCorpusNearDupPairsFromProfiles(
+      newProf: DataFrame,
+      oldProf: DataFrame,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
     def banded(p: DataFrame) = p.select(col("doc_id"),
         posexplode(bandBuckets(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
@@ -442,9 +466,15 @@ object Dedup {
     val star = oldLabels
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-    val newNew = nearDuplicatePairs(newDocs, idCol, textCol,
+    // the batch is shingled+minhashed ONCE; both pair legs (within-
+    // batch and against-corpus) read the same materialized profiles
+    val newProf = shingleProfiles(newDocs, idCol, textCol,
+      perms = bands * rowsPerBand).materialize()
+    val oldProf = shingleProfiles(oldDocs, idCol, textCol,
+      perms = bands * rowsPerBand).materialize()
+    val newNew = nearDuplicatePairsFromProfiles(newProf,
       threshold, bands, rowsPerBand).select("doc_a", "doc_b")
-    val newOld = crossCorpusNearDupPairs(newDocs, oldDocs, idCol, textCol,
+    val newOld = crossCorpusNearDupPairsFromProfiles(newProf, oldProf,
       threshold, bands, rowsPerBand).select("doc_a", "doc_b")
     nearDupClusters(star.unionByName(newNew).unionByName(newOld))
   }

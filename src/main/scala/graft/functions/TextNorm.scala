@@ -19,10 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Order matters and is part of the contract: NFC FIRST (lowercasing a
   * decomposed sequence can interact with combining marks), then case
-  * fold, then whitespace. The DuckDB oracle replays the same chain:
-  * `regexp_replace(trim(lower(nfc_normalize(s))), '\s+', ' ', 'g')`.
+  * fold, then whitespace — COLLAPSE runs first, trim the single edge
+  * spaces last. The whitespace class is RE2's `\s` = [\t\n\f\r ]
+  * written out explicitly (Java's `\s` adds \x0B and String.trim
+  * strips every char ≤ U+0020 — both silently diverge from DuckDB),
+  * and the final trim only ever sees single ' ' edges, which DuckDB's
+  * space-only trim() matches exactly. The oracle replays:
+  * `trim(regexp_replace(lower(nfc_normalize(s)), '\s+', ' ', 'g'))`.
   */
 object TextNorm {
+
+  private val WsRun = java.util.regex.Pattern.compile("[ \t\n\f\r]+")
 
   case class CanonicalText(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
@@ -34,8 +41,9 @@ object TextNorm {
       val nfc = java.text.Normalizer.normalize(
         s.toString, java.text.Normalizer.Form.NFC)
       val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+      val collapsed = WsRun.matcher(lower).replaceAll(" ")
       UTF8String.fromString(
-        lower.trim.replaceAll("\\s+", " "))
+        collapsed.stripPrefix(" ").stripSuffix(" "))
     }
 
     override protected def doGenCode(

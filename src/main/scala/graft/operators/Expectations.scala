@@ -67,28 +67,45 @@ object Expectations {
   final class ObservedHandle private[Expectations] (
       name: String, spark: org.apache.spark.sql.SparkSession) {
     @volatile private var row: Option[org.apache.spark.sql.Row] = None
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean
     private val listener =
       new org.apache.spark.sql.util.QueryExecutionListener {
+        // first-delivered action wins (matching Observation's
+        // first-result contract); later actions on the same frame
+        // must not overwrite what a caller may already be reading
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
-          qe.observedMetrics.get(name).foreach(r => row = Some(r))
+          qe.observedMetrics.get(name).foreach { r =>
+            if (row.isEmpty) row = Some(r)
+          }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       }
     spark.listenerManager.register(listener)
 
+    /** Unregister the session-global listener. Idempotent. Callers
+      * whose action may THROW before `get` runs must close() in a
+      * finally — a leaked listener is invoked on every later query in
+      * the session for its whole lifetime. */
+    def close(): Unit =
+      if (closed.compareAndSet(false, true))
+        spark.listenerManager.unregister(listener)
+
     /** Metrics of the first action that ran the instrumented frame.
-      * The listener bus is asynchronous — waits up to `timeoutMs`. */
+      * The listener bus is asynchronous — waits up to `timeoutMs`.
+      * Closes the handle (unregisters the listener) on every path. */
     def get(timeoutMs: Long = 30000): Map[String, Any] = {
-      val deadline = System.nanoTime() + timeoutMs * 1000000L
-      while (row.isEmpty && System.nanoTime() < deadline) Thread.sleep(10)
-      spark.listenerManager.unregister(listener)
-      val r = row.getOrElse(throw new IllegalStateException(
-        "no observed metrics arrived — did an action run on the " +
-          "instrumented frame?"))
-      r.schema.fieldNames.zip(r.toSeq).toMap
+      try {
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        while (row.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        val r = row.getOrElse(throw new IllegalStateException(
+          "no observed metrics arrived — did an action run on the " +
+            "instrumented frame?"))
+        r.schema.fieldNames.zip(r.toSeq).toMap
+      } finally close()
     }
   }
 

@@ -439,7 +439,7 @@ object SignalQueries {
     * chain with DuckDB's nfc_normalize. */
   def q217: Q = {
     val canon =
-      s"""regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"""
+      s"""trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"""
     Q("q217_canonical_dedup",
       Some(s"""
         |WITH c AS (
@@ -1511,7 +1511,7 @@ object SignalQueries {
   }
 
   /** Hill tail-index estimate for the token-frequency power law:
-    * over the top-k=100 frequencies x_1 ≥ … ≥ x_k, Hill's estimator
+    * over the top-k=20 frequencies (the synthetic vocab has 31 types) x_1 ≥ … ≥ x_k, Hill's estimator
     * is mean ln(x_i/x_k) — in exact integer micro-nats via the
     * quantized-ln discipline, with α (the Zipf exponent's tail
     * sibling) as its integer-milli reciprocal. The corpus-health scalar
@@ -1550,7 +1550,7 @@ object SignalQueries {
           Window.orderBy(col("c").desc, col("w"))))
         .where(col("rk") <= k)
         .select(col("c"), col("rk"))
-        .materialize() // 100-row dim feeds x_k and the sum
+        .materialize() // k-row dim feeds x_k and the sum
       val xk = top.where(col("rk") === k).select(col("c").as("x_k"))
       top.where(col("rk") < k)
         .crossJoin(broadcast(xk))
@@ -2201,7 +2201,7 @@ object SignalQueries {
     * form (the parser resolves to the same expressions). */
   def q246: Q = {
     val canon =
-      "regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')"
+      "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
     Q("q246_sql_face_dedup",
       Some(s"""
         |SELECT (${sqlCharFold(s"($canon)")}) AS fp,
@@ -2364,15 +2364,31 @@ object SignalQueries {
     val path = "/tmp/graft_clusters_v1_" +
       CorpusQueries.sourceFingerprint(dir, "documents")
     if (ManifestCommit.latest(path).isEmpty) {
+      // build BOTH generations in a staging dir, then atomically
+      // rename into place: a crash between the gen1 and gen2 writes
+      // must not leave a half-built (old-labels-only) dataset behind
+      // the existence check — readers only ever see a complete build
+      val stage = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft_clusters_stage_")
+        .toString
       val oldDocs = docs.where(col("doc_id") % 5 =!= 0)
       val newDocs = docs.where(col("doc_id") % 5 === 0)
       val g1 = ManifestCommit.writeVersioned(
         Dedup.nearDupClusters(Dedup.nearDuplicatePairs(
-          oldDocs, "doc_id", "text", threshold = 0.8)), path)
-      val stored = ManifestCommit.readAt(s, path, g1)
+          oldDocs, "doc_id", "text", threshold = 0.8)), stage)
+      val stored = ManifestCommit.readAt(s, stage, g1)
       ManifestCommit.writeVersioned(
         Dedup.incrementalClusters(stored, newDocs, oldDocs,
-          "doc_id", "text", threshold = 0.8), path)
+          "doc_id", "text", threshold = 0.8), stage)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage), java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the publish race: someone else's complete build won
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException
+          if ManifestCommit.latest(path).nonEmpty => ()
+      }
     }
     ManifestCommit.read(s, path).orderBy(col("doc_id"))
   }

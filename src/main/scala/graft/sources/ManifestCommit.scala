@@ -179,7 +179,10 @@ object ManifestCommit {
     require(checks.nonEmpty, "at least one check (else use writeVersioned)")
     val (instrumented, obs) =
       graft.operators.Expectations.observed(df, checks)
-    stageAndPublish(instrumented, path, partitionBy, () => {
+    // close() in finally: if the WRITE job itself throws, get() never
+    // runs and the handle's session-global listener would leak —
+    // fatal in a long-lived driver retrying checked writes
+    try stageAndPublish(instrumented, path, partitionBy, () => {
       val metrics = obs.get()
       val failing = checks
         .map(c => c.name -> metrics(s"viol_${c.name}").asInstanceOf[Long])
@@ -189,6 +192,7 @@ object ManifestCommit {
           "write-audit-publish aborted, staged generation NOT published: " +
             failing.map { case (n, v) => s"$n=$v" }.mkString(", "))
     })
+    finally obs.close()
   }
 
   /** Latest manifest's RAW lines (files + metadata markers), one read
@@ -740,14 +744,6 @@ object ManifestCommit {
     }
   }
 
-  /** Delete everything the latest manifest does not reference: orphan
-    * data directories from crashed writers (including their nested
-    * `_temporary/...` trees), stale `.manifest-tmp-*` staging files, and
-    * superseded generations' files + manifests. Only run once no reader
-    * still holds an older manifest AND no writer is mid-commit (a
-    * concurrent writer's staging tmp or un-published data dir looks
-    * exactly like a crash orphan — same rule as every table format's
-    * vacuum horizon). */
   /** Retention policy: expire every generation except the newest
     * `keepLast` — the bounded form of time travel every production
     * table runs (Delta's RETAIN, Iceberg's expire_snapshots). Deletes
@@ -800,6 +796,14 @@ object ManifestCommit {
     removed.result()
   }
 
+  /** Delete everything the latest manifest does not reference: orphan
+    * data directories from crashed writers (including their nested
+    * `_temporary/...` trees), stale `.manifest-tmp-*` staging files, and
+    * superseded generations' files + manifests. Only run once no reader
+    * still holds an older manifest AND no writer is mid-commit (a
+    * concurrent writer's staging tmp or un-published data dir looks
+    * exactly like a crash orphan — same rule as every table format's
+    * vacuum horizon). */
   def vacuum(path: String): Seq[String] = {
     val dir = Paths.get(path)
     latest(path) match {

@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object MmrSelect {
 
+  /** Both selectors key their driver-side state by the LONG id, so a
+    * null id (or a duplicate after the long cast) would silently merge
+    * or drop pool rows — fail fast instead. One tiny aggregate over
+    * the already-bounded pool. */
+  private def requireCleanIds(df: DataFrame, idCol: String): Unit = {
+    val r = df.select(col(idCol).cast("long").as("__id"))
+      .agg(count(lit(1)).as("n"), count(col("__id")).as("nn"),
+        countDistinct(col("__id")).as("nd"))
+      .head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$idCol contains nulls (or values casting to null) — " +
+        "driver-side selection state would merge those rows")
+    require(r.getLong(1) == r.getLong(2),
+      s"$idCol contains duplicates after the long cast — " +
+        "driver-side selection state would drop rows silently")
+  }
+
   /** Greedy-select `k` rows from a PREFILTERED candidate pool.
     * `df` columns: idCol (long), qualityCol (integer permille),
     * setCol (array of DISTINCT elements for the Jaccard metric).
@@ -38,6 +55,7 @@ object MmrSelect {
       lam100: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(lam100 >= 0 && lam100 <= 100, s"lam100 in [0,100]: $lam100")
+    requireCleanIds(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val pool = df
@@ -94,6 +112,7 @@ object MmrSelect {
       setCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    requireCleanIds(df, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     val pool = df

@@ -111,7 +111,8 @@ class SignalQueriesSpec extends AnyFunSuite {
     import graft.functions.TextNorm
     val precomposed = "Café  du   Monde"       // é as U+00E9
     val combining = "café du monde"            // e + U+0301
-    val df = Seq(precomposed, combining, "  café   DU  monde ")
+    val df = Seq(precomposed, combining, "  café   DU  monde ",
+      "\tCafé du\nmonde\r")           // RE2-\s chars fold too
       .toDF("text")
       .select(TextNorm.canonicalText($"text").as("c"))
     val got = df.as[String].collect().toSeq
