@@ -472,11 +472,31 @@ object Dedup {
       perms = bands * rowsPerBand).materialize()
     val oldProf = shingleProfiles(oldDocs, idCol, textCol,
       perms = bands * rowsPerBand).materialize()
+    incrementalClustersFromProfiles(star, newProf, oldProf,
+      threshold, bands, rowsPerBand)
+  }
+
+  /** [[incrementalClusters]] over STORED profiles — the sustainable
+    * form of the maintenance loop: at 100 TB the corpus's shingle
+    * profiles are computed once AT INGEST and persisted (they are the
+    * dedup index), so folding a batch in re-reads the profile table
+    * and never re-tokenizes a single old document. `starEdges` is the
+    * (doc_a = member, doc_b = cluster_id) spanning-star form of the
+    * existing labels (pass
+    * `labels.filter(id =!= cid).select(id as doc_a, cid as doc_b)`).
+    * q254 proves the stored-profile loop ≡ the full rebuild. */
+  def incrementalClustersFromProfiles(
+      starEdges: DataFrame,
+      newProf: DataFrame,
+      oldProf: DataFrame,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
     val newNew = nearDuplicatePairsFromProfiles(newProf,
       threshold, bands, rowsPerBand).select("doc_a", "doc_b")
     val newOld = crossCorpusNearDupPairsFromProfiles(newProf, oldProf,
       threshold, bands, rowsPerBand).select("doc_a", "doc_b")
-    nearDupClusters(star.unionByName(newNew).unionByName(newOld))
+    nearDupClusters(starEdges.unionByName(newNew).unionByName(newOld))
   }
 
   /** Connected components over near-duplicate pairs — the transitive

@@ -25,7 +25,7 @@ object SignalQueries {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252)
+    q251, q252, q253, q254, q255)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -2435,5 +2435,178 @@ object SignalQueries {
         col("n_dropped"),
         expr("(1000000 * n_dropped) div n_events").as("drop_ppm"))
       .orderBy(col("event_type"))
+  }
+
+  /** SLO burn rate: the error-event share over trailing 6 h / 24 h /
+    * 72 h windows (anchored at the stream's max ts), each compared to
+    * the all-history baseline as an exact cross-multiplied ratio —
+    * the SRE multi-window burn alert that distinguishes a spike from
+    * a sustained regression. One scan; windows are flag aggregates
+    * over the same pass, not three queries. */
+  def q253: Q = {
+    val windows = Seq(6L, 24L, 72L).map(_ * 3600L * 1000000000L)
+    val winSql = windows.zip(Seq("6h", "24h", "72h"))
+    Q("q253_slo_burn_rate",
+      Some(s"""
+        |WITH b AS (SELECT max(epoch_ns(ts)) AS mx FROM events),
+        |e AS (
+        |  SELECT epoch_ns(ts) AS t,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n_all, sum(err) AS err_all FROM e),
+        |w AS (
+        |${winSql.map { case (ns, lbl) =>
+             s"""  SELECT '$lbl' AS win, count(*) AS n, sum(err) AS errs
+                |  FROM e CROSS JOIN b WHERE t > mx - $ns""".stripMargin
+           }.mkString("\n  UNION ALL\n")}
+        |)
+        |SELECT w.win, CAST(n AS BIGINT) AS n_events,
+        |       CAST(errs AS BIGINT) AS n_errors,
+        |       CAST((1000000 * errs) // n AS BIGINT) AS rate_ppm,
+        |       CAST(CASE WHEN err_all > 0 THEN
+        |              (1000000 * errs * n_all) // (n * err_all)
+        |            END AS BIGINT) AS burn_ppm
+        |FROM w CROSS JOIN tot ORDER BY w.win
+        |""".stripMargin)) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("ts").as("t"),
+          when(col("event_type") === "error", 1L).otherwise(0L)
+            .as("err"))
+      val b = e.agg(max(col("t")).as("mx"))
+      val base = e.crossJoin(broadcast(b)).materialize()
+      val rows = winSql.map { case (ns, lbl) =>
+        base.where(col("t") > col("mx") - ns)
+          .agg(count(lit(1)).as("n"), sum(col("err")).as("errs"))
+          .select(lit(lbl).as("win"), col("n"), col("errs"))
+      }.reduce(_ unionByName _)
+      val tot = e.agg(count(lit(1)).as("n_all"),
+        sum(col("err")).as("err_all"))
+      rows.crossJoin(broadcast(tot))
+        .select(col("win"), col("n").as("n_events"),
+          col("errs").as("n_errors"),
+          expr("(1000000 * errs) div n").as("rate_ppm"),
+          when(col("err_all") > 0,
+            expr("(1000000 * errs * n_all) div (n * err_all)"))
+            .as("burn_ppm"))
+        .orderBy(col("win"))
+    }
+  }
+
+  /** The SUSTAINABLE dedup maintenance loop: shingle profiles are
+    * computed once at ingest and PERSISTED as the dedup index, so
+    * folding a batch in never re-tokenizes an old document —
+    * gen1 stores the old corpus's profiles + labels, the batch fold
+    * reads both back, appends the batch's profiles, and publishes the
+    * merged labels. Still hash-exact against the all-pairs rebuild
+    * oracle (q251 re-profiles the old corpus each build; this is the
+    * version that scales). */
+  def q254: Q = Q(
+    "q254_profile_indexed_clusters",
+    Some(s"""
+      |WITH RECURSIVE
+      |${PipelineQueries.sqlNearDupCcCtes}
+      |SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    import graft.sources.ManifestCommit
+    val docs = Tables.documents(s, dir)
+    val path = "/tmp/graft_profidx_v1_" +
+      CorpusQueries.sourceFingerprint(dir, "documents")
+    if (ManifestCommit.latest(path + "/labels").isEmpty) {
+      val stage = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft_profidx_stage_")
+        .toString
+      val oldDocs = docs.where(col("doc_id") % 5 =!= 0)
+      val newDocs = docs.where(col("doc_id") % 5 === 0)
+      // ingest time: profiles persisted alongside the labels
+      val oldProfG = ManifestCommit.writeVersioned(
+        Dedup.shingleProfiles(oldDocs, "doc_id", "text"),
+        stage + "/profiles")
+      val oldProf = ManifestCommit.readAt(s, stage + "/profiles", oldProfG)
+      val labG = ManifestCommit.writeVersioned(
+        Dedup.nearDupClusters(Dedup.nearDuplicatePairsFromProfiles(
+          oldProf.materialize())), stage + "/labels")
+      // batch fold: stored labels + stored profiles, zero re-tokenize
+      // of the old corpus; the batch's profiles append for next time
+      val storedLabels = ManifestCommit.readAt(s, stage + "/labels", labG)
+      val newProf = Dedup.shingleProfiles(newDocs, "doc_id", "text")
+        .materialize()
+      val star = storedLabels
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("doc_a"),
+          col("cluster_id").as("doc_b"))
+      val merged = Dedup.incrementalClustersFromProfiles(
+        star, newProf,
+        ManifestCommit.readAt(s, stage + "/profiles", oldProfG))
+      ManifestCommit.writeVersioned(
+        ManifestCommit.readAt(s, stage + "/profiles", oldProfG)
+          .unionByName(newProf), stage + "/profiles")
+      ManifestCommit.writeVersioned(merged, stage + "/labels")
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage), java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException
+          if ManifestCommit.latest(path + "/labels").nonEmpty => ()
+      }
+    }
+    ManifestCommit.read(s, path + "/labels").orderBy(col("doc_id"))
+  }
+
+  /** What does keep-one-per-cluster dedup COST in tokens? Per source:
+    * docs and tokens dropped when every 0.8-Jaccard cluster keeps its
+    * min-id member — the data-card line that turns "N clusters found"
+    * into "X ‰ of your training tokens were copies". Labels from the
+    * proven CC path; token counts ride the same scan. */
+  def q255: Q = Q(
+    "q255_dedup_token_impact",
+    Some(s"""
+      |WITH RECURSIVE
+      |${PipelineQueries.sqlNearDupCcCtes},
+      |tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |fl AS (
+      |  SELECT tok.doc_id, tok.source, tok.n_tok,
+      |         CASE WHEN lbl.cluster_id IS NOT NULL
+      |                   AND lbl.cluster_id <> tok.doc_id
+      |              THEN 1 ELSE 0 END AS dropped
+      |  FROM tok LEFT JOIN lbl ON lbl.doc_id = tok.doc_id)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+      |       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      |       CAST(sum(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END)
+      |            AS BIGINT) AS tokens_dropped,
+      |       CAST((1000000 * sum(CASE WHEN dropped = 1 THEN n_tok
+      |                                ELSE 0 END)) // sum(n_tok)
+      |            AS BIGINT) AS token_drop_ppm
+      |FROM fl GROUP BY source ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val labels = Dedup.nearDupClusters(Dedup.nearDuplicatePairs(
+      docs, "doc_id", "text", threshold = 0.8))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tok"),
+        when(col("cluster_id").isNotNull &&
+          col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)
+          .as("dropped"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("dropped") === 1, col("n_tok")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("tokens_total"), col("tokens_dropped"),
+        expr("(1000000 * tokens_dropped) div tokens_total")
+          .as("token_drop_ppm"))
+      .orderBy(col("source"))
   }
 }
