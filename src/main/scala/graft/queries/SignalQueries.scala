@@ -25,7 +25,7 @@ object SignalQueries {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255)
+    q251, q252, q253, q254, q255, q256, q257)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -2608,5 +2608,141 @@ object SignalQueries {
         expr("(1000000 * tokens_dropped) div tokens_total")
           .as("token_drop_ppm"))
       .orderBy(col("source"))
+  }
+
+  /** HLL accuracy-vs-size curve: the SAME distinct-token count
+    * estimated at m ∈ {16, 64, 256} registers, next to the exact
+    * count and the signed error — the table you consult when sizing
+    * sketches for a 100 TB profile (the ~1.04/√m error bound made
+    * empirical). Each estimator is the proven q143 chain at its m;
+    * the exact count is one distinct aggregate shared by all rows. */
+  def q256: Q = {
+    val ms = Seq(16, 64, 256)
+    def chain(m: Int): String = {
+      val cap = graft.operators.HyperLogLog.RhoCap
+      val rhoCase = (1 until cap)
+        .map(k => s"WHEN w % ${1L << k} = ${1L << (k - 1)} THEN $k")
+        .mkString(" ")
+      val termCase = (0 to cap)
+        .map(r =>
+          s"WHEN r = $r THEN CAST(${graft.operators.HyperLogLog.termLiteral(r)}"
+            + " AS DECIMAL(14,12))")
+        .mkString(" ")
+      val aM2 = graft.operators.HyperLogLog.alphaM2(m)
+      s"""w$m AS (SELECT hv % $m AS bucket, hv // $m AS w FROM h),
+         |reg$m AS (
+         |  SELECT bucket, max(CASE $rhoCase ELSE $cap END) AS r
+         |  FROM w$m GROUP BY bucket),
+         |agg$m AS (
+         |  SELECT count(*) AS occ,
+         |         sum(CASE $termCase END) AS occ_terms
+         |  FROM reg$m),
+         |est$m AS (
+         |  SELECT CAST($m AS BIGINT) AS m,
+         |         CASE WHEN $aM2 / CAST(CAST($m - occ AS DECIMAL(38,12))
+         |                + CAST(occ_terms AS DECIMAL(38,12)) AS DOUBLE)
+         |                   <= CAST($m AS DOUBLE) * 2.5 AND $m - occ > 0
+         |              THEN CAST(CAST(-$m AS DECIMAL(10,0)) *
+         |                     CAST(ln(CAST($m - occ AS DOUBLE)
+         |                        / CAST($m AS DOUBLE)) AS DECIMAL(18,9))
+         |                   AS DOUBLE)
+         |              ELSE $aM2 / CAST(CAST($m - occ AS DECIMAL(38,12))
+         |                + CAST(occ_terms AS DECIMAL(38,12)) AS DOUBLE)
+         |         END AS est
+         |  FROM agg$m)""".stripMargin
+    }
+    Q("q256_hll_error_curve",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT unnest(${sqlTokens("text")}) AS token FROM documents
+        |  WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT DISTINCT (${sqlSaltedHash("token", "hll")}) AS hv
+        |  FROM tok WHERE token IS NOT NULL),
+        |ex AS (SELECT count(DISTINCT token) AS exact FROM tok),
+        |${ms.map(chain).mkString(",\n")}
+        |SELECT u.m, u.est, CAST(ex.exact AS BIGINT) AS exact,
+        |       u.est - CAST(ex.exact AS DOUBLE) AS err
+        |FROM (${ms.map(m => s"SELECT m, est FROM est$m")
+                  .mkString(" UNION ALL ")}) u
+        |CROSS JOIN ex ORDER BY u.m
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.HyperLogLog
+      val toks = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .materialize() // feeds three sketches + the exact count
+      val exact = toks.agg(countDistinct(col("token")).as("exact"))
+      val rows = ms.map { m =>
+        HyperLogLog.distinctEstimate(
+            toks.withColumn("__g", lit(1)), Seq("__g"), "token",
+            m = m, salt = "hll")
+          .select(lit(m.toLong).as("m"), col("est"))
+      }.reduce(_ unionByName _)
+      rows.crossJoin(broadcast(exact))
+        .select(col("m"), col("est"), col("exact"),
+          (col("est") - col("exact").cast("double")).as("err"))
+        .orderBy(col("m"))
+    }
+  }
+
+  /** Association strength between lang and source as Cramér's V²
+    * (φ²/min(r−1, c−1)): are sources language-siloed or mixed? The
+    * independence χ² uses the cross-multiplied integer identity
+    * (o·n − rs·cs)²/(n·rs·cs) per cell — every input to the one
+    * double division is an exact integer, and per-cell terms are
+    * quantized to DECIMAL(18,9) before the order-free decimal sum
+    * (the PSI discipline for sums of per-item doubles). */
+  def q257: Q = Q(
+    "q257_cramers_v",
+    Some("""
+      |WITH o AS (
+      |  SELECT lang, source, count(*) AS o FROM documents
+      |  GROUP BY 1, 2),
+      |rs AS (SELECT lang, sum(o) AS r FROM o GROUP BY 1),
+      |cs AS (SELECT source, sum(o) AS c FROM o GROUP BY 1),
+      |n AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nr,
+      |             count(DISTINCT source) AS nc
+      |      FROM o),
+      |cells AS (
+      |  SELECT rs.lang, cs.source,
+      |         coalesce(o.o, 0) AS o, rs.r, cs.c
+      |  FROM rs CROSS JOIN cs
+      |  LEFT JOIN o ON o.lang = rs.lang AND o.source = cs.source),
+      |terms AS (
+      |  SELECT CAST(
+      |    CAST((o * n.n - r * c) AS DOUBLE)
+      |      * CAST((o * n.n - r * c) AS DOUBLE)
+      |      / (CAST(n.n AS DOUBLE) * CAST(r AS DOUBLE)
+      |         * CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS term
+      |  FROM cells CROSS JOIN n),
+      |chi AS (SELECT CAST(sum(term) AS DOUBLE) AS chi2 FROM terms)
+      |SELECT CAST(n.n AS BIGINT) AS n, chi.chi2,
+      |       chi.chi2 / (CAST(n.n AS DOUBLE)
+      |         * CAST(least(n.nr - 1, n.nc - 1) AS DOUBLE)) AS v2
+      |FROM chi CROSS JOIN n
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .materialize() // dim feeds marginals, totals, and the cells
+    val rs = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cs = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nr"),
+      countDistinct(col("source")).as("nc"))
+    val cells = broadcast(rs).crossJoin(broadcast(cs))
+      .join(o, Seq("lang", "source"), "left")
+      .select(col("r"), col("c"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
+    val chi = cells
+      .select(((col("o") * col("n") - col("r") * col("c")).cast("double")
+        * (col("o") * col("n") - col("r") * col("c")).cast("double")
+        / (col("n").cast("double") * col("r").cast("double")
+          * col("c").cast("double"))).cast("decimal(18,9)").as("term"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+    chi.crossJoin(broadcast(n))
+      .select(col("n"), col("chi2"),
+        (col("chi2") / (col("n").cast("double") *
+          least(col("nr") - 1, col("nc") - 1).cast("double"))).as("v2"))
   }
 }

@@ -49,7 +49,9 @@ object CodegenCheck {
       span("CosineSim", vecs.select(SketchExprs.cosineSim(col("v"), col("v")).as("c"))),
       span("HyperplaneSig", vecs.select(SketchExprs.hyperplaneSig(col("v"), 4, 8).as("s"))),
       span("PqEncode", vecs.select(SketchExprs.pqEncode(col("v"), pqEntries).as("c"))),
-      span("PqDistTable", vecs.select(SketchExprs.pqDistTable(col("v"), pqEntries).as("qd"))))
+      span("PqDistTable", vecs.select(SketchExprs.pqDistTable(col("v"), pqEntries).as("qd"))),
+      span("CanonicalText", text.select(
+        graft.functions.TextNorm.canonicalText(col("t")).as("c"))))
     spark.stop()
     if (results.exists(!_)) sys.exit(1)
   }
