@@ -25,7 +25,7 @@ object SignalQueries {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -2744,5 +2744,193 @@ object SignalQueries {
       .select(col("n"), col("chi2"),
         (col("chi2") / (col("n").cast("double") *
           least(col("nr") - 1, col("nc") - 1).cast("double"))).as("v2"))
+  }
+
+  /** Embedding data-quality audit per label: vector count, dimension
+    * conformity (every vector 64-wide), all-zero vectors, saturated
+    * max components, and the label's mean squared norm — the checks
+    * that catch a broken encoder BEFORE an ANN index is built over
+    * its output. Per-vector norm² doubles are quantized to
+    * DECIMAL(18,9) before the order-free sum (PSI discipline); the
+    * one mean divide is pinned IEEE. */
+  def q258: Q = Q(
+    "q258_embedding_audit",
+    Some("""
+      |WITH v AS (
+      |  SELECT label, len(embedding) AS dims,
+      |         CAST(len(list_filter(embedding, x -> x = 0)) AS BIGINT)
+      |           AS n_zero_comp,
+      |         CAST(list_reduce(list_prepend(0.0,
+      |           list_transform(embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |           (a, b) -> a + b) AS DECIMAL(18,9)) AS norm2
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT label, count(*) AS n_vecs,
+      |         sum(CASE WHEN dims <> 64 THEN 1 ELSE 0 END) AS n_bad_dim,
+      |         sum(CASE WHEN n_zero_comp = dims THEN 1 ELSE 0 END)
+      |           AS n_zero_vecs,
+      |         CAST(sum(norm2) AS DOUBLE) AS norm2_sum
+      |  FROM v GROUP BY label)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |       CAST(n_vecs AS BIGINT) AS n_vecs,
+      |       CAST(n_bad_dim AS BIGINT) AS n_bad_dim,
+      |       CAST(n_zero_vecs AS BIGINT) AS n_zero_vecs,
+      |       norm2_sum / CAST(n_vecs AS DOUBLE) AS mean_norm2
+      |FROM a ORDER BY label
+      |""".stripMargin)) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), size(col("embedding")).as("dims"),
+        expr("size(filter(embedding, x -> x = 0F))").cast("long")
+          .as("n_zero_comp"),
+        expr("""aggregate(transform(embedding,
+          |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |  0.0D, (a, b) -> a + b)""".stripMargin)
+          .cast("decimal(18,9)").as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("dims") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("n_zero_comp") === col("dims"), 1L).otherwise(0L))
+          .as("n_zero_vecs"),
+        sum(col("norm2")).cast("double").as("__n2"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("n_bad_dim"), col("n_zero_vecs"),
+        (col("__n2") / col("n_vecs").cast("double")).as("mean_norm2"))
+      .orderBy(col("label"))
+  }
+
+  /** Growth accounting — the MAU state machine per day: NEW (first
+    * day ever), RETAINED (previous active day within 7), RESURRECTED
+    * (gap > 7), and CHURNED (counted on the day a user's 7-day
+    * window expires with no return). The canonical product-growth
+    * table; every count an integer from one user-keyed lag/lead
+    * pass. */
+  def q259: Q = Q(
+    "q259_growth_accounting",
+    Some("""
+      |WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |mx AS (SELECT max(d) AS max_d FROM d),
+      |l AS (
+      |  SELECT user_id, d,
+      |         lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+      |         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+      |  FROM d),
+      |states AS (
+      |  SELECT d,
+      |         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+      |         CASE WHEN prev IS NOT NULL AND d - prev <= 7
+      |              THEN 1 ELSE 0 END AS is_retained,
+      |         CASE WHEN prev IS NOT NULL AND d - prev > 7
+      |              THEN 1 ELSE 0 END AS is_resurrected
+      |  FROM l),
+      |act AS (
+      |  SELECT d, sum(is_new) AS n_new, sum(is_retained) AS n_retained,
+      |         sum(is_resurrected) AS n_resurrected
+      |  FROM states GROUP BY d),
+      |churn AS (
+      |  SELECT l.d + 8 AS d, count(*) AS n_churned
+      |  FROM l CROSS JOIN mx
+      |  WHERE (l.nxt IS NULL OR l.nxt - l.d > 7) AND l.d + 8 <= mx.max_d
+      |  GROUP BY l.d + 8)
+      |SELECT CAST(coalesce(a.d, c.d) AS BIGINT) AS d,
+      |       CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+      |       CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+      |       CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      |       CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+      |FROM act a FULL JOIN churn c ON c.d = a.d
+      |ORDER BY d
+      |""".stripMargin)) { (s, dir) =>
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val l = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct()
+      .withColumn("prev", lag(col("d"), 1).over(wo))
+      .withColumn("nxt", lead(col("d"), 1).over(wo))
+      .materialize() // one lag/lead pass feeds activity and churn
+    val mx = l.agg(max(col("d")).as("max_d"))
+    val act = l.groupBy(col("d"))
+      .agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev").isNotNull && col("d") - col("prev") <= 7,
+          1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull && col("d") - col("prev") > 7,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val churn = l.crossJoin(broadcast(mx))
+      .where((col("nxt").isNull || col("nxt") - col("d") > 7) &&
+        col("d") + 8 <= col("max_d"))
+      .groupBy((col("d") + 8).as("d"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("d"), "full")
+      .select(col("d"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("d"))
+  }
+
+  /** Seasonal-naive anomaly detection: each day's count minus the
+    * same weekly phase LAST week (a value join on d−7, not a row
+    * lag — missing days must not shift the comparison), flagged when
+    * the residual deviates from the type's median residual by more
+    * than 3 exact MADs (Anomaly.madFlags). The monitoring rule that
+    * survives weekly seasonality where a plain threshold pages every
+    * Saturday. */
+  def q260: Q = Q(
+    "q260_seasonal_residual_anomalies",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT a.event_type, a.d, a.x, a.x - b.x AS resid
+      |  FROM c a JOIN c b
+      |    ON b.event_type = a.event_type AND b.d = a.d - 7),
+      |med AS (
+      |  SELECT event_type, resid AS median FROM (
+      |    SELECT event_type, resid,
+      |           row_number() OVER (PARTITION BY event_type
+      |                              ORDER BY resid) AS rn,
+      |           count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM r)
+      |  WHERE rn = (500 * n + 999) // 1000),
+      |dev AS (
+      |  SELECT r.*, med.median, abs(r.resid - med.median) AS abs_dev
+      |  FROM r JOIN med ON med.event_type = r.event_type),
+      |mad AS (
+      |  SELECT event_type, abs_dev AS mad FROM (
+      |    SELECT event_type, abs_dev,
+      |           row_number() OVER (PARTITION BY event_type
+      |                              ORDER BY abs_dev) AS rn,
+      |           count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dev)
+      |  WHERE rn = (500 * n + 999) // 1000)
+      |SELECT dev.event_type, CAST(dev.d AS BIGINT) AS d,
+      |       CAST(dev.x AS BIGINT) AS x,
+      |       CAST(dev.resid AS BIGINT) AS resid,
+      |       CAST(CASE WHEN dev.abs_dev > 3 * mad.mad THEN 1 ELSE 0 END
+      |            AS BIGINT) AS is_outlier
+      |FROM dev JOIN mad ON mad.event_type = dev.event_type
+      |ORDER BY dev.event_type, dev.d
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Anomaly
+    val c = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .materialize() // both sides of the seasonal value join
+    val r = c.as("a")
+      .join(c.select(col("event_type").as("__bt"), col("d").as("__bd"),
+        col("x").as("__bx")),
+        col("event_type") === col("__bt") &&
+          col("__bd") === col("d") - 7)
+      .select(col("event_type"), col("d"), col("x"),
+        (col("x") - col("__bx")).as("resid"))
+    Anomaly.madFlags(r, Seq("event_type"), "resid", k = 3)
+      .select(col("event_type"), col("d"), col("x"), col("resid"),
+        when(col("is_outlier"), 1L).otherwise(0L).as("is_outlier"))
+      .orderBy(col("event_type"), col("d"))
   }
 }
