@@ -25,7 +25,8 @@ object SignalQueries {
     q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228,
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
+    q262, q263, q264, q265)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -2932,5 +2933,252 @@ object SignalQueries {
       .select(col("event_type"), col("d"), col("x"), col("resid"),
         when(col("is_outlier"), 1L).otherwise(0L).as("is_outlier"))
       .orderBy(col("event_type"), col("d"))
+  }
+
+  /** Funnel window-sensitivity sweep: view→click→purchase completion
+    * counts at max-gap 1 h / 6 h / 24 h — how much "conversion" is
+    * definitional. Same chained-window funnel per gap (the operator's
+    * windowed form), stage counts as flag sums; 3 funnels over one
+    * cached event projection. */
+  def q261: Q = {
+    val gaps = Seq(1L, 6L, 24L).map(h => h -> h * 3600L * 1000000000L)
+    def sqlGap(h: Long, ns: Long) =
+      s"""SELECT $h AS gap_hours,
+         |       sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+         |       sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+         |       sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+         |FROM (
+         |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         |  FROM (
+         |    SELECT *, min(CASE WHEN event_type = 'purchase'
+         |                        AND t2 IS NOT NULL AND ns >= t2
+         |                        AND ns <= t2 + $ns THEN ns END)
+         |      OVER (PARTITION BY user_id) AS t3
+         |    FROM (
+         |      SELECT *, min(CASE WHEN event_type = 'click'
+         |                          AND t1 IS NOT NULL AND ns >= t1
+         |                          AND ns <= t1 + $ns THEN ns END)
+         |        OVER (PARTITION BY user_id) AS t2
+         |      FROM (
+         |        SELECT *, min(CASE WHEN event_type = 'view' THEN ns END)
+         |          OVER (PARTITION BY user_id) AS t1
+         |        FROM (SELECT user_id, event_type, epoch_ns(ts) AS ns
+         |              FROM events))))
+         |  GROUP BY user_id)""".stripMargin
+    Q("q261_funnel_gap_sweep",
+      Some(s"""
+        |SELECT gap_hours, CAST(s1 AS BIGINT) AS s1,
+        |       CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3
+        |FROM (${gaps.map { case (h, ns) => s"(${sqlGap(h, ns)})" }
+                  .mkString("\n UNION ALL ")})
+        |ORDER BY gap_hours
+        |""".stripMargin)) { (s, dir) =>
+      import graft.operators.Funnel
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .materialize() // three funnels share one projection
+      gaps.map { case (h, ns) =>
+        Funnel.funnel(ev, "user_id", "event_type", "ts",
+            Seq("view", "click", "purchase"), maxGap = Some(ns))
+          .agg(
+            sum(when(col("t_1").isNotNull, 1L).otherwise(0L)).as("s1"),
+            sum(when(col("t_2").isNotNull, 1L).otherwise(0L)).as("s2"),
+            sum(when(col("t_3").isNotNull, 1L).otherwise(0L)).as("s3"))
+          .select(lit(h).as("gap_hours"), col("s1"), col("s2"),
+            col("s3"))
+      }.reduce(_ unionByName _).orderBy(col("gap_hours"))
+    }
+  }
+
+  /** Revenue waterfall between the two halves of the event calendar:
+    * ΔRevenue decomposed into a VOLUME effect ((v₂−v₁) at the old
+    * per-event value) and a PRICE effect (the remainder) per event
+    * type — the FP&A bridge chart, in exact integer cents (the one
+    * rational, old-average×Δvolume, is a single documented integer
+    * division; the two effects then sum to Δ exactly by
+    * construction). */
+  def q262: Q = Q(
+    "q262_revenue_waterfall",
+    Some("""
+      |WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         CAST(CAST(value AS DECIMAL(18,6)) * 100 AS DECIMAL(18,2))
+      |           AS cents
+      |  FROM events),
+      |b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM e),
+      |h AS (
+      |  SELECT event_type,
+      |         CASE WHEN d < mid THEN 1 ELSE 2 END AS half,
+      |         count(*) AS v,
+      |         CAST(sum(cents) AS BIGINT) AS rev
+      |  FROM e CROSS JOIN b GROUP BY 1, 2),
+      |w AS (
+      |  SELECT h1.event_type, h1.v AS v1, h2.v AS v2,
+      |         h1.rev AS rev1, h2.rev AS rev2
+      |  FROM h h1 JOIN h h2 ON h2.event_type = h1.event_type
+      |  WHERE h1.half = 1 AND h2.half = 2)
+      |SELECT event_type, CAST(v1 AS BIGINT) AS v1,
+      |       CAST(v2 AS BIGINT) AS v2,
+      |       rev1 AS rev1_cents, rev2 AS rev2_cents,
+      |       CAST((v2 - v1) * rev1 // v1 AS BIGINT)
+      |         AS volume_effect_cents,
+      |       CAST(rev2 - rev1 - ((v2 - v1) * rev1 // v1) AS BIGINT)
+      |         AS price_effect_cents
+      |FROM w ORDER BY event_type
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts div 86400000000000").as("d"),
+        (col("value").cast("decimal(18,6)") * 100)
+          .cast("decimal(18,2)").as("cents"))
+    val b = e.agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val h = e.crossJoin(broadcast(b))
+      .groupBy(col("event_type"),
+        when(col("d") < col("mid"), 1).otherwise(2).as("half"))
+      .agg(count(lit(1)).as("v"), sum(col("cents")).cast("long")
+        .as("rev"))
+    val h1 = h.where(col("half") === 1)
+      .select(col("event_type"), col("v").as("v1"),
+        col("rev").as("rev1"))
+    val h2 = h.where(col("half") === 2)
+      .select(col("event_type"), col("v").as("v2"),
+        col("rev").as("rev2"))
+    h1.join(h2, "event_type")
+      .select(col("event_type"), col("v1"), col("v2"),
+        col("rev1").as("rev1_cents"), col("rev2").as("rev2_cents"),
+        expr("(v2 - v1) * rev1 div v1").as("volume_effect_cents"),
+        expr("rev2 - rev1 - ((v2 - v1) * rev1 div v1)")
+          .as("price_effect_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Discount elasticity by return flag: the exact grouped OLS
+    * (Stats.linearFit — decimal moment sums, pinned-IEEE derived
+    * stats) of quantity on discount percent, on the TPC-H-ish fact
+    * table — does discounting move volume, and does the effect differ
+    * for returned goods? */
+  def q263: Q = Q(
+    "q263_discount_elasticity",
+    Some("""
+      |WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(l_discount * 100 AS BIGINT) AS x,
+      |         CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx,
+      |         CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY flag),
+      |d AS (
+      |  SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) AS num_d,
+      |         CAST(n * sxx - sx * sx AS DOUBLE) AS dx_d,
+      |         CAST(n * syy - sy * sy AS DOUBLE) AS dy_d
+      |  FROM s)
+      |SELECT flag, n,
+      |       CASE WHEN dx_d > 0 AND dy_d > 0
+      |            THEN num_d / (sqrt(dx_d) * sqrt(dy_d)) END AS corr,
+      |       CASE WHEN dx_d > 0 THEN num_d / dx_d END AS slope,
+      |       CASE WHEN dx_d > 0 THEN
+      |         (CAST(sy AS DOUBLE) - (num_d / dx_d) * CAST(sx AS DOUBLE))
+      |           / CAST(n AS DOUBLE) END AS intercept
+      |FROM d ORDER BY flag
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.Stats
+    Stats.linearFit(
+        Tables.lineitem(s, dir).withColumnRenamed("l_returnflag", "flag"),
+        Seq("flag"), col("l_discount") * 100, col("l_quantity"))
+      .select(col("flag"), col("n"), col("corr"), col("slope"),
+        col("intercept"))
+      .orderBy(col("flag"))
+  }
+
+  /** Market-concentration trend: the daily Herfindahl–Hirschman index
+    * of event-type share, exact — hhi_ppm = 10⁶·Σc²  div n² (the sum
+    * BEFORE the one division, so no per-share rounding accumulates).
+    * Rising HHI = activity collapsing into one event type; the
+    * monitoring scalar for mix shift. */
+  def q264: Q = Q(
+    "q264_hhi_trend",
+    Some("""
+      |WITH c AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS d, event_type,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT d, sum(x * x) AS ssq, sum(x) AS n FROM c GROUP BY d)
+      |SELECT CAST(d AS BIGINT) AS d, CAST(n AS BIGINT) AS n_events,
+      |       CAST((1000000 * ssq) // (n * n) AS BIGINT) AS hhi_ppm
+      |FROM a ORDER BY d
+      |""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(expr("ts div 86400000000000").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("d"))
+      .agg(sum(col("x") * col("x")).as("ssq"), sum(col("x")).as("n"))
+      .select(col("d"), col("n").as("n_events"),
+        expr("(1000000 * ssq) div (n * n)").as("hhi_ppm"))
+      .orderBy(col("d"))
+  }
+
+  /** Dedup-graph chaining audit: of all wedges a–b–c in the
+    * 0.8-Jaccard pair graph, how many CLOSE (a–c also a pair) vs stay
+    * OPEN? A high open share means transitive keep-one dedup is
+    * merging documents that are NOT mutual near-dups (mirror-of-
+    * mirror chains) — the evidence for tightening the threshold
+    * before a destructive pass. Wedge join + anti-join on the (small,
+    * verified) pair set; single-row output. */
+  def q265: Q = Q(
+    "q265_dedup_chaining_audit",
+    Some(s"""
+      |WITH t2 AS (SELECT doc_id,
+      |              list_distinct(${sqlShingles(sqlTokens("text"))}) AS sh
+      |            FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t2 a JOIN t2 b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+      |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      |e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+      |w AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v AND e2.v <> e1.u
+      |  WHERE e1.u < e2.v),
+      |cl AS (
+      |  SELECT w.a, w.c,
+      |         CASE WHEN pr2.u IS NOT NULL THEN 1 ELSE 0 END AS closed
+      |  FROM w LEFT JOIN pr pr2 ON pr2.u = w.a AND pr2.v = w.c)
+      |SELECT CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+      |       CAST(sum(closed) AS BIGINT) AS n_closed_wedges,
+      |       CAST(sum(1 - closed) AS BIGINT) AS n_open_wedges,
+      |       CAST(CASE WHEN count(*) > 0 THEN
+      |              (1000000 * sum(1 - closed)) // count(*)
+      |            END AS BIGINT) AS open_ppm
+      |FROM cl
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val pr = Dedup.nearDuplicatePairs(Tables.documents(s, dir),
+        "doc_id", "text", threshold = 0.8)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .materialize() // edge dim feeds wedges + closure + count
+    val e = pr.unionByName(pr.select(col("v").as("u"), col("u").as("v")))
+    val w = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      .where(col("c") =!= col("a") && col("a") < col("c"))
+    val cl = w.join(pr.select(col("u").as("a"), col("v").as("c"),
+        lit(1L).as("__closed")), Seq("a", "c"), "left")
+      .select(coalesce(col("__closed"), lit(0L)).as("closed"))
+    val nEdges = pr.agg(count(lit(1)).as("n_edges"))
+    cl.agg(sum(col("closed")).as("n_closed_wedges"),
+        sum(lit(1L) - col("closed")).as("n_open_wedges"),
+        count(lit(1)).as("__nw"))
+      .crossJoin(broadcast(nEdges))
+      .select(col("n_edges"), col("n_closed_wedges"),
+        col("n_open_wedges"),
+        when(col("__nw") > 0,
+          expr("(1000000 * n_open_wedges) div __nw")).as("open_ppm"))
   }
 }
