@@ -26,7 +26,7 @@ object SignalQueries {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -3180,5 +3180,303 @@ object SignalQueries {
         col("n_open_wedges"),
         when(col("__nw") > 0,
           expr("(1000000 * n_open_wedges) div __nw")).as("open_ppm"))
+  }
+
+  /** Open-order backlog by priority: orders still carrying an 'O'
+    * line item, with open line counts and open value in exact cents —
+    * the operational WIP report. Line-level flags aggregate to the
+    * order, then to the priority dim; the orders join attaches
+    * priority AFTER the lineitem rollup. */
+  def q266: Q = Q(
+    "q266_open_backlog",
+    Some("""
+      |WITH l AS (
+      |  SELECT l_orderkey AS ok,
+      |         sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+      |           AS open_lines,
+      |         CAST(sum(CASE WHEN l_linestatus = 'O' THEN
+      |             CAST(l_extendedprice * 100 AS HUGEINT) ELSE 0 END)
+      |           AS BIGINT) AS open_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority AS priority, l.open_lines,
+      |         l.open_cents
+      |  FROM l JOIN orders o ON o.o_orderkey = l.ok
+      |  WHERE l.open_lines > 0)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_open_orders,
+      |       CAST(sum(open_lines) AS BIGINT) AS n_open_lines,
+      |       CAST(sum(open_cents) AS BIGINT) AS open_value_cents
+      |FROM j GROUP BY priority ORDER BY priority
+      |""".stripMargin)) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L))
+          .as("open_lines"),
+        sum(when(col("l_linestatus") === "O",
+          (col("l_extendedprice") * 100).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("long").as("open_cents"))
+      .where(col("open_lines") > 0)
+    l.join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"),
+          col("o_orderpriority").as("priority")), "ok")
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_open_orders"),
+        sum(col("open_lines")).as("n_open_lines"),
+        sum(col("open_cents")).as("open_value_cents"))
+      .orderBy(col("priority"))
+  }
+
+  /** Spend-decile migration matrix: each purchasing user's value
+    * decile in the first calendar half vs the second — the rank-
+    * migration table behind "are whales stable". Deciles are integer
+    * rank math (((rn−1)·10) div n, ties by user for a total order);
+    * only users present in BOTH halves move through the matrix
+    * (stated contract). */
+  def q267: Q = Q(
+    "q267_decile_migration",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+      |         CAST(CAST(value AS DECIMAL(18,6)) * 100 AS DECIMAL(18,2))
+      |           AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM e),
+      |h AS (
+      |  SELECT user_id, CASE WHEN d < mid THEN 1 ELSE 2 END AS half,
+      |         CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM e CROSS JOIN b GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, half,
+      |         ((row_number() OVER (PARTITION BY half
+      |             ORDER BY cents, user_id) - 1) * 10)
+      |           // count(*) OVER (PARTITION BY half) AS decile
+      |  FROM h)
+      |SELECT r1.decile AS decile_h1, r2.decile AS decile_h2,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM r r1 JOIN r r2 ON r2.user_id = r1.user_id
+      |WHERE r1.half = 1 AND r2.half = 2
+      |GROUP BY 1, 2 ORDER BY decile_h1, decile_h2
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        (col("value").cast("decimal(18,6)") * 100)
+          .cast("decimal(18,2)").as("cents"))
+    val b = e.agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val h = e.crossJoin(broadcast(b))
+      .groupBy(col("user_id"),
+        when(col("d") < col("mid"), 1).otherwise(2).as("half"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+    val wH = Window.partitionBy(col("half"))
+      .orderBy(col("cents"), col("user_id"))
+    val r = h
+      .withColumn("rn", row_number().over(wH))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("half"))))
+      .select(col("user_id"), col("half"),
+        expr("((rn - 1) * 10) div n").as("decile"))
+    r.where(col("half") === 1)
+      .select(col("user_id"), col("decile").as("decile_h1"))
+      .join(r.where(col("half") === 2)
+        .select(col("user_id"), col("decile").as("decile_h2")),
+        "user_id")
+      .groupBy(col("decile_h1"), col("decile_h2"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("decile_h1"), col("decile_h2"))
+  }
+
+  /** Association drill-down for q257: the top-10 lang×source cells by
+    * χ² contribution, each quantized to milli (q182's floor-decimal
+    * discipline) — locating WHICH slices drive the dependence, with
+    * the observed-vs-expected direction sign. */
+  def q268: Q = Q(
+    "q268_association_cells",
+    Some("""
+      |WITH o AS (
+      |  SELECT lang, source, count(*) AS o FROM documents
+      |  GROUP BY 1, 2),
+      |rs AS (SELECT lang, sum(o) AS r FROM o GROUP BY 1),
+      |cs AS (SELECT source, sum(o) AS c FROM o GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM o),
+      |cells AS (
+      |  SELECT rs.lang, cs.source, coalesce(o.o, 0) AS o, rs.r, cs.c
+      |  FROM rs CROSS JOIN cs
+      |  LEFT JOIN o ON o.lang = rs.lang AND o.source = cs.source),
+      |t AS (
+      |  SELECT lang, source, o,
+      |         CAST(floor(CAST(
+      |           CAST((o * n.n - r * c) AS DOUBLE)
+      |             * CAST((o * n.n - r * c) AS DOUBLE)
+      |             / (CAST(n.n AS DOUBLE) * CAST(r AS DOUBLE)
+      |                * CAST(c AS DOUBLE)) AS DECIMAL(18,9)) * 1000)
+      |           AS BIGINT) AS contrib_milli,
+      |         CAST(CASE WHEN o * n.n > r * c THEN 1
+      |                   WHEN o * n.n < r * c THEN -1 ELSE 0 END
+      |              AS BIGINT) AS direction
+      |  FROM cells CROSS JOIN n)
+      |SELECT lang, source, CAST(o AS BIGINT) AS o, contrib_milli,
+      |       direction
+      |FROM t ORDER BY contrib_milli DESC, lang, source LIMIT 10
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .materialize()
+    val rs = o.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cs = o.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val n = o.agg(sum(col("o")).as("n"))
+    broadcast(rs).crossJoin(broadcast(cs))
+      .join(o, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"),
+        floor(((col("o") * col("n") - col("r") * col("c")).cast("double")
+          * (col("o") * col("n") - col("r") * col("c")).cast("double")
+          / (col("n").cast("double") * col("r").cast("double")
+            * col("c").cast("double"))).cast("decimal(18,9)") * 1000)
+          .cast("long").as("contrib_milli"),
+        when(col("o") * col("n") > col("r") * col("c"), 1L)
+          .when(col("o") * col("n") < col("r") * col("c"), -1L)
+          .otherwise(0L).as("direction"))
+      .orderBy(col("contrib_milli").desc, col("lang"), col("source"))
+      .limit(10)
+  }
+
+  /** Retention half-life: day-k retention rates (k = 1…14, right-
+    * censoring respected — the denominator only counts users whose
+    * first day leaves room for day k), log-linear fitted with the
+    * exact OLS moment discipline over quantized-ln micro-nats; the
+    * one derived scalar is t½ = −ln 2 / slope in pinned IEEE. The
+    * "how fast does this product forget its users" number. */
+  def q269: Q = Q(
+    "q269_retention_halflife",
+    Some("""
+      |WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |f AS (SELECT user_id, min(d) AS f FROM d GROUP BY 1),
+      |mx AS (SELECT max(d) AS max_d FROM d),
+      |ks AS (SELECT unnest(range(1, 15)) AS k),
+      |den AS (
+      |  SELECT k, count(*) AS n_cohort
+      |  FROM f CROSS JOIN mx CROSS JOIN ks WHERE f + k <= max_d
+      |  GROUP BY k),
+      |num AS (
+      |  SELECT d.d - f.f AS k, count(DISTINCT d.user_id) AS n_active
+      |  FROM d JOIN f ON f.user_id = d.user_id
+      |  WHERE d.d > f.f AND d.d - f.f <= 14
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT den.k, (1000000 * coalesce(num.n_active, 0))
+      |           // den.n_cohort AS rate_ppm
+      |  FROM den LEFT JOIN num ON num.k = den.k
+      |  WHERE den.n_cohort > 0),
+      |p AS (
+      |  SELECT CAST(k AS BIGINT) AS x,
+      |         CAST(floor(CAST(ln(CAST(rate_ppm AS DOUBLE))
+      |           AS DECIMAL(18,9)) * 1000000) AS BIGINT) AS y
+      |  FROM r WHERE rate_ppm > 0),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM p),
+      |fit AS (
+      |  SELECT n, CAST(n * sxy - sx * sy AS DOUBLE)
+      |              / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro
+      |  FROM s WHERE n * sxx - sx * sx > 0)
+      |SELECT n AS n_points, slope_micro,
+      |       CASE WHEN slope_micro < 0
+      |            THEN -ln(2) * 1000000.0 / slope_micro END
+      |         AS halflife_days
+      |FROM fit
+      |""".stripMargin)) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct()
+      .materialize() // feeds first-day dim, numerators, and max
+    val f = d.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+    val mx = d.agg(max(col("d")).as("max_d"))
+    val ks = s.range(1, 15).select(col("id").as("k"))
+    val den = broadcast(f).crossJoin(broadcast(mx))
+      .crossJoin(broadcast(ks))
+      .where(col("f") + col("k") <= col("max_d"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_cohort"))
+    val num = d.join(f, "user_id")
+      .where(col("d") > col("f") && col("d") - col("f") <= 14)
+      .groupBy((col("d") - col("f")).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val p = den.join(num, Seq("k"), "left")
+      .where(col("n_cohort") > 0)
+      .select(col("k").as("x"),
+        expr("(1000000 * coalesce(n_active, 0)) div n_cohort")
+          .as("rate_ppm"))
+      .where(col("rate_ppm") > 0)
+      .select(col("x"),
+        floor(log(col("rate_ppm").cast("double")).cast("decimal(18,9)")
+          * 1000000).cast("long").as("y"))
+    val st = p.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    st.where(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("n").as("n_points"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("slope_micro"))
+      .select(col("n_points"), col("slope_micro"),
+        when(col("slope_micro") < 0,
+          lit(-math.log(2.0) * 1000000.0) / col("slope_micro"))
+          .as("halflife_days"))
+  }
+
+  /** Order↔lineitem reconciliation: does the order header total match
+    * the line-level rollup (price·(1−disc)·(1+tax))? Per priority:
+    * orders checked, mismatches beyond a 1-cent tolerance, and the
+    * worst absolute gap — the cross-table consistency audit every
+    * warehouse runs nightly. Per-line doubles quantize to
+    * DECIMAL(18,2) cents before the exact sum (PSI discipline); the
+    * header side is the proven double→decimal cents cast. */
+  def q270: Q = Q(
+    "q270_order_reconciliation",
+    Some("""
+      |WITH l AS (
+      |  SELECT l_orderkey AS ok,
+      |         CAST(sum(CAST(floor(CAST(l_extendedprice * (1 - l_discount)
+      |             * (1 + l_tax) * 100 AS DECIMAL(18,9))) AS BIGINT))
+      |           AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |         CAST(floor(CAST(o.o_totalprice * 100 AS DECIMAL(18,9)))
+      |              AS BIGINT) AS header_cents,
+      |         l.line_cents
+      |  FROM orders o JOIN l ON l.ok = o.o_orderkey)
+      |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN abs(header_cents - line_cents) > 1
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+      |       CAST(max(abs(header_cents - line_cents)) AS BIGINT)
+      |         AS max_abs_diff_cents
+      |FROM j GROUP BY priority ORDER BY priority
+      |""".stripMargin)) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax")) * 100).cast("decimal(18,9)"))
+        .cast("long")).as("line_cents"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("priority"),
+        floor((col("o_totalprice") * 100).cast("decimal(18,9)"))
+          .cast("long").as("header_cents"))
+      .join(l, "ok")
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(abs(col("header_cents") - col("line_cents")) > 1, 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        max(abs(col("header_cents") - col("line_cents")))
+          .as("max_abs_diff_cents"))
+      .orderBy(col("priority"))
   }
 }
