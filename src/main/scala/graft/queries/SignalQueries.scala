@@ -26,7 +26,8 @@ object SignalQueries {
     q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
+    q273)
 
   /** DuckDB replay of [[graft.operators.HyperLogLog.estimate]] (m=64)
     * over a register relation `rel` keyed by `keys` — the q143 est
@@ -3478,5 +3479,108 @@ object SignalQueries {
         max(abs(col("header_cents") - col("line_cents")))
           .as("max_abs_diff_cents"))
       .orderBy(col("priority"))
+  }
+
+  /** Weekday/weekend contrast per event type (phases 0-4 vs 5-6 of
+    * the epoch-week, calendar-free): mean-daily-rate ratio as exact
+    * cross-multiplied ppm — the load-shape scalar behind capacity
+    * planning. */
+  def q271: Q = Q(
+    "q271_weekend_contrast",
+    Some("""
+      |WITH c AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type,
+      |         CASE WHEN d % 7 >= 5 THEN 1 ELSE 0 END AS is_wkend,
+      |         sum(x) AS s, count(*) AS nd
+      |  FROM c GROUP BY 1, 2)
+      |SELECT a.event_type,
+      |       CAST(a.s AS BIGINT) AS wk_events,
+      |       CAST(a.nd AS BIGINT) AS wk_days,
+      |       CAST(b.s AS BIGINT) AS we_events,
+      |       CAST(b.nd AS BIGINT) AS we_days,
+      |       CAST((1000000 * b.s * a.nd) // (b.nd * a.s) AS BIGINT)
+      |         AS weekend_ratio_ppm
+      |FROM p a JOIN p b ON b.event_type = a.event_type
+      |WHERE a.is_wkend = 0 AND b.is_wkend = 1
+      |ORDER BY a.event_type
+      |""".stripMargin)) { (s, dir) =>
+    val p = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"),
+        when(expr("d % 7") >= 5, 1).otherwise(0).as("is_wkend"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("nd"))
+    val wk = p.where(col("is_wkend") === 0)
+      .select(col("event_type"), col("s").as("wk_events"),
+        col("nd").as("wk_days"))
+    val we = p.where(col("is_wkend") === 1)
+      .select(col("event_type"), col("s").as("we_events"),
+        col("nd").as("we_days"))
+    wk.join(we, "event_type")
+      .select(col("event_type"), col("wk_events"), col("wk_days"),
+        col("we_events"), col("we_days"),
+        expr("(1000000 * we_events * wk_days)" +
+          " div (we_days * wk_events)").as("weekend_ratio_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Orders-per-customer distribution INCLUDING the zero class: the
+    * count-of-counts histogram that a plain GROUP BY on orders can
+    * never show (customers with no orders exist only in the customer
+    * dim — the left join is the point). */
+  def q272: Q = Q(
+    "q272_orders_per_customer",
+    Some("""
+      |WITH c AS (
+      |  SELECT cu.c_custkey, count(o.o_orderkey) AS n_orders
+      |  FROM customer cu LEFT JOIN orders o
+      |    ON o.o_custkey = cu.c_custkey
+      |  GROUP BY cu.c_custkey)
+      |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+      |       CAST(count(*) AS BIGINT) AS n_customers
+      |FROM c GROUP BY n_orders ORDER BY n_orders
+      |""".stripMargin)) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+  }
+
+  /** Top-5 revenue days with their exact share of total revenue —
+    * concentration in TIME (q264's HHI is concentration in TYPE):
+    * how much of the period one spike day carries. Cents exact;
+    * global top via TakeOrderedAndProject. */
+  def q273: Q = Q(
+    "q273_top_revenue_days",
+    Some("""
+      |WITH c AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS d,
+      |         CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 100
+      |              AS DECIMAL(18,2))) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT sum(cents) AS total FROM c)
+      |SELECT CAST(d AS BIGINT) AS d, cents,
+      |       CAST((1000000 * cents) // t.total AS BIGINT) AS share_ppm
+      |FROM c CROSS JOIN t ORDER BY cents DESC, d LIMIT 5
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(expr("ts div 86400000000000").as("d"))
+      .agg(sum((col("value").cast("decimal(18,6)") * 100)
+        .cast("decimal(18,2)")).cast("long").as("cents"))
+      .materialize() // day dim feeds the total and the ranking
+    val t = c.agg(sum(col("cents")).as("total"))
+    c.crossJoin(broadcast(t))
+      .select(col("d"), col("cents"),
+        expr("(1000000 * cents) div total").as("share_ppm"))
+      .orderBy(col("cents").desc, col("d"))
+      .limit(5)
   }
 }
