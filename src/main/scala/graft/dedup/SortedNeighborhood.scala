@@ -60,21 +60,63 @@ object SortedNeighborhood {
       df: DataFrame,
       idCol: String,
       bucketCol: String,
-      tieCols: Seq[String]): DataFrame = {
+      tieCols: Seq[String]): DataFrame =
+    globalRankCum(df, idCol, bucketCol, tieCols)
+
+  /** The general bucket-parallel order-statistics pass behind
+    * [[globalRank]]: rank over (partCols…, bucketCol, tieCols…, idCol)
+    * restarting at 1 inside each `partCols` group (empty = one global
+    * order), plus — when `cumCol` is set — the INCLUSIVE running sum
+    * `__cum` of that column over the same order. This is the
+    * scale-safe replacement for `row_number()/sum() over
+    * (Window.orderBy(…))` on any dim that grows with the data
+    * (customers, users, vocabulary, scored documents): the only
+    * ordered-by-only windows here run over the per-bucket count table
+    * (|partitions|·|buckets| rows, materialized then broadcast), and
+    * every data row is ranked/cum-summed inside its own
+    * (partition, bucket) window — parallel across buckets, spill-safe
+    * within.
+    *
+    * `bucketCol` must be a coarse MONOTONE prefix of the intended
+    * order inside each partition (e.g. `value div width`, or
+    * `-floor(log2(c))` for a count-descending rank) — rows order by
+    * (part, bucket, ties…, id). Null part/bucket/tie/id rows drop (no
+    * place in a total order). Output: input columns + `__rank`
+    * (+ `__cum`). */
+  def globalRankCum(
+      df: DataFrame,
+      idCol: String,
+      bucketCol: String,
+      tieCols: Seq[String],
+      partCols: Seq[String] = Nil,
+      cumCol: Option[String] = None): DataFrame = {
+    val keyCols = partCols :+ bucketCol
     val clean = df.where(
-      (Seq(bucketCol, idCol) ++ tieCols).map(col(_).isNotNull).reduce(_ && _))
-    val perBucket = clean.groupBy(col(bucketCol))
-      .agg(count(lit(1)).as("__bn"))
+      (keyCols ++ tieCols :+ idCol).map(col(_).isNotNull).reduce(_ && _))
+    val aggs = count(lit(1)).as("__bn") +:
+      cumCol.map(c => sum(col(c)).as("__bs")).toSeq
+    val perBucket = clean.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .materialize()
-    val wOff = Window.orderBy(col(bucketCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = perBucket
+    val wOffBase =
+      if (partCols.isEmpty) Window.orderBy(col(bucketCol))
+      else Window.partitionBy(partCols.map(col): _*).orderBy(col(bucketCol))
+    val wOff = wOffBase.rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = perBucket
       .withColumn("__offset", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
-      .select(col(bucketCol), col("__offset"))
-    val wIn = Window.partitionBy(col(bucketCol))
+    val offsets = cumCol.fold(offsets0) { _ =>
+      offsets0.withColumn("__cumoff",
+        coalesce(sum(col("__bs")).over(wOff), lit(0)))
+    }.select((keyCols.map(col) :+ col("__offset")) ++
+      cumCol.map(_ => col("__cumoff")): _*)
+    val wIn = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((tieCols.map(col) :+ col(idCol)).map(_.asc): _*)
-    clean.join(broadcast(offsets), Seq(bucketCol))
+    val ranked = clean.join(broadcast(offsets), keyCols)
       .withColumn("__rank", col("__offset") + row_number().over(wIn))
-      .drop("__offset")
+    cumCol.fold(ranked.drop("__offset")) { c =>
+      ranked.withColumn("__cum", col("__cumoff") + sum(col(c)).over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__offset", "__cumoff")
+    }
   }
 }

@@ -138,14 +138,20 @@ object EvalQueries {
       |ORDER BY k.top_k
       |""".stripMargin)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // only ranks <= 30 are consumed, so the term dim never takes a
+    // global sort: orderBy.limit compiles to TakeOrderedAndProject
+    // (per-partition top-k, k-row driver merge) and tot is a scalar
+    // agg broadcast back — the 30-row window after it is dim-sized
     val f = Tables.documents(s, dir)
       .where(col("text").isNotNull)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .materialize() // feeds tot AND the top-k
+    val totd = f.agg(sum(col("c")).as("tot"))
     val wR = Window.orderBy(col("c").desc, col("w"))
-    val r = f
+    val r = f.orderBy(col("c").desc, col("w")).limit(30)
+      .crossJoin(broadcast(totd))
       .withColumn("rk", row_number().over(wR))
-      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
       .withColumn("cum", sum(col("c")).over(
         wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ks = s.range(1, 7).select((col("id") * 5).as("top_k"))
@@ -457,13 +463,19 @@ object EvalQueries {
             .as("s"))
       // tie-break on doc_id: a tied score group can straddle a decile
       // boundary with MIXED labels, so the rank must be total and
-      // identical cross-engine, not merely stable
-      val wRk = Window.orderBy(col("s").desc, col("doc_id"))
-      val wAll = Window.partitionBy()
-      val r = base
-        .withColumn("rk", row_number().over(wRk))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("tot", sum(col("y")).over(wAll))
+      // identical cross-engine, not merely stable. The rank is
+      // bucket-parallel (globalRankCum over score-range buckets — a
+      // single-partition Window.orderBy here would funnel every scored
+      // document through one task at scale), and n/tot are a scalar
+      // agg broadcast back, not partitionBy() windows.
+      val based = base.materialize() // feeds totals AND the rank pass
+      val totals = based.agg(count(lit(1)).as("n"), sum(col("y")).as("tot"))
+      val r = graft.dedup.SortedNeighborhood.globalRankCum(
+          based.withColumn("__negs", -col("s"))
+            .withColumn("__bkt", expr("__negs div 100000000")),
+          idCol = "doc_id", bucketCol = "__bkt", tieCols = Seq("__negs"))
+        .withColumnRenamed("__rank", "rk")
+        .crossJoin(broadcast(totals))
       val g = r
         .withColumn("decile",
           least(expr("((rk - 1) * 10) div n"), lit(9L)))
@@ -598,18 +610,23 @@ object EvalQueries {
       |ORDER BY p.decile
       |""".stripMargin)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // customer dim grows with the business: rank + running revenue
+    // sum are bucket-parallel (globalRankCum over $10k revenue bands;
+    // per-band count/sum offsets broadcast back), n/tot a broadcast
+    // scalar agg — no fact-sized single-partition Exchange anywhere
     val rev = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("cust"))
       .agg(sum((col("o_totalprice") * 100).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("cents"))
-    val wR = Window.orderBy(col("cents"), col("cust"))
-    val wAll = Window.partitionBy()
-    val r = rev
-      .withColumn("rk", row_number().over(wR))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("tot", sum(col("cents")).over(wAll))
-      .withColumn("cum", sum(col("cents")).over(
-        wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .materialize() // feeds totals AND the rank/cum pass
+    val totals = rev.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+    val r = graft.dedup.SortedNeighborhood.globalRankCum(
+        rev.withColumn("__bkt", expr("cents div 1000000")),
+        idCol = "cust", bucketCol = "__bkt", tieCols = Seq("cents"),
+        cumCol = Some("cents"))
+      .withColumnRenamed("__rank", "rk")
+      .withColumnRenamed("__cum", "cum")
+      .crossJoin(broadcast(totals))
     val deciles = s.range(1, 11).select(col("id").as("decile"))
     r.join(broadcast(deciles),
         col("rk") === expr("(decile * n + 9) div 10"))

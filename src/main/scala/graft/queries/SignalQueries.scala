@@ -674,10 +674,21 @@ object SignalQueries {
       .crossJoin(broadcast(mid))
       .select(col("doc_id"), col("mid"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
-    def ranked(half: DataFrame, cName: String, rName: String) = half
-      .groupBy(col("w")).agg(count(lit(1)).as(cName))
-      .withColumn(rName,
-        row_number().over(Window.orderBy(col(cName).desc, col("w"))))
+    // both halves need FULL vocab ranks (rank_a of a term outside the
+    // top-30 feeds rank_gain), and vocabulary grows with the corpus —
+    // so the count-desc rank is bucket-parallel over frequency
+    // octaves (-floor(log2 c) is a monotone coarse prefix of c desc;
+    // ties inside an octave order by -c then w inside their own
+    // bucket window), never a single-partition Window.orderBy
+    def ranked(half: DataFrame, cName: String, rName: String) =
+      graft.dedup.SortedNeighborhood.globalRankCum(
+          half.groupBy(col("w")).agg(count(lit(1)).as(cName))
+            .withColumn("__negc", -col(cName))
+            .withColumn("__bkt",
+              expr(s"CAST(-floor(log2($cName)) AS BIGINT)")),
+          idCol = "w", bucketCol = "__bkt", tieCols = Seq("__negc"))
+        .withColumnRenamed("__rank", rName)
+        .drop("__negc", "__bkt")
     val a = ranked(t.where(col("doc_id") < col("mid")), "c_a", "rank_a")
     val b = ranked(t.where(col("doc_id") >= col("mid")), "c_b", "rank_b")
     b.join(a.select(col("w"), col("rank_a")), Seq("w"), "left")
@@ -1547,10 +1558,13 @@ object SignalQueries {
         .where(col("text").isNotNull)
         .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val top = f
+      // only the top-k of the term dim is consumed: orderBy.limit is
+      // TakeOrderedAndProject (per-partition top-k + k-row driver
+      // merge) — no global sort of a vocabulary that grows with the
+      // corpus; the row_number window after it runs over k rows
+      val top = f.orderBy(col("c").desc, col("w")).limit(k)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("c").desc, col("w"))))
-        .where(col("rk") <= k)
         .select(col("c"), col("rk"))
         .materialize() // k-row dim feeds x_k and the sum
       val xk = top.where(col("rk") === k).select(col("c").as("x_k"))
@@ -3270,11 +3284,19 @@ object SignalQueries {
       .groupBy(col("user_id"),
         when(col("d") < col("mid"), 1).otherwise(2).as("half"))
       .agg(sum(col("cents")).cast("long").as("cents"))
-    val wH = Window.partitionBy(col("half"))
-      .orderBy(col("cents"), col("user_id"))
-    val r = h
-      .withColumn("rn", row_number().over(wH))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("half"))))
+    // the user dim grows with the business and two `half` partitions
+    // would each carry the whole population through one task — the
+    // per-half rank is bucket-parallel (globalRankCum partitioned by
+    // half over $10k spend bands) and n comes from a broadcast
+    // two-row agg, not a count window
+    val hm = h.materialize() // feeds per-half n AND the rank pass
+    val ns = hm.groupBy(col("half")).agg(count(lit(1)).as("n"))
+    val r = graft.dedup.SortedNeighborhood.globalRankCum(
+        hm.withColumn("__bkt", expr("cents div 1000000")),
+        idCol = "user_id", bucketCol = "__bkt", tieCols = Seq("cents"),
+        partCols = Seq("half"))
+      .withColumnRenamed("__rank", "rn")
+      .join(broadcast(ns), "half")
       .select(col("user_id"), col("half"),
         expr("((rn - 1) * 10) div n").as("decile"))
     r.where(col("half") === 1)
