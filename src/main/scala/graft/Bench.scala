@@ -114,8 +114,31 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       json(identity, _.toString,
         s""","pass1":${passJson(pass1)},"pass2":${passJson(pass2)}""") + "\n"))
-    // the one-line driver contract — printed LAST so nothing follows it
+    // the one-line driver contract — printed LAST so nothing follows it.
+    // 273 queries no longer fit the driver's ~2000-char tail capture
+    // even with short keys (BENCH_r06 came back parsed:null — the line
+    // head was cut), so the FINAL line caps its query map to the
+    // slowest entries that fit a 1600-char budget (slowest-first: the
+    // informative tail of the distribution survives, the sub-100ms
+    // noise floor is what gets dropped); the complete map is the line
+    // printed just above plus bench_full.json on disk.
     println(json(_.takeWhile(_ != '_'), fmt))
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val errJson = errors.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""queries_slowest":true,"queries":{"""
+    val close = "}}"
+    val budget = 1600 - head.length - close.length
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val p = "\"" + shortKey(k) + "\":" + fmt(v)
+      val add = p.length + (if (kept.isEmpty) 0 else 1)
+      if (used + add <= budget) { kept += p; used += add }
+    }
+    println(head + kept.mkString(",") + close)
     spark.stop()
   }
 }
