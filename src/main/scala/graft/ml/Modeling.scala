@@ -88,6 +88,22 @@ object Modeling {
     (auc, ll)
   }
 
+  /** Pinned-coefficient linear score — the SERVING half of the LR path
+    * (≙ reference `src/ml/modeling.py:122-137` score step) as exact
+    * column arithmetic over the assembled feature vector: a strict
+    * left-fold Σ xᵢ·wᵢ + b, so the floating-point op order is pinned
+    * and an oracle stating the same left-to-right expression computes
+    * the bit-identical double. Deterministic by construction — this is
+    * what makes the scoring path hash-gatable while the FIT stays
+    * rows-only (q35). */
+  def linearScore(featuresCol: Column, weights: Seq[Double], bias: Double): Column =
+    weights.zipWithIndex.map { case (w, i) =>
+      vector_to_array(featuresCol).getItem(i) * lit(w)
+    }.reduce(_ + _) + lit(bias)
+
+  /** Logistic link for [[linearScore]] ≙ modeling.py sigmoid. */
+  def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
   /** Ensemble blend (ML8) ≙ job 12:145-153: inner-join two scored frames
     * on `idCols`, Pred = α·gbt + (1−α)·lr. */
   def blend(

@@ -25,7 +25,7 @@ object DomainQueries {
       (lit(30) + col("o_custkey") % 30).cast("int").as("LScore"))
 
   /** DuckDB CTEs mirroring [[games]] + the long (two-perspective) view. */
-  private val GamesSql: String = """
+  private[queries] val GamesSql: String = """
     |WITH games AS (
     |  SELECT CAST(year(o_orderdate) AS INTEGER) AS Season,
     |         CAST(dayofyear(o_orderdate) AS INTEGER) AS DayNum,

@@ -41,6 +41,21 @@ class MlAndStreamingSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("Pred") - (0.65 * 0.6 + 0.35 * 0.2)) < 1e-12)
   }
 
+  test("pinned linearScore + sigmoid reproduce hand-computed serving math exactly") {
+    val df = Seq((1.0, 2.0), (-0.5, 0.25), (0.0, 0.0)).toDF("f1", "f2")
+    val assembled = Modeling.assembler(Seq("f1", "f2")).transform(df)
+    val got = assembled.select(
+        Modeling.sigmoid(
+          Modeling.linearScore(col("features"), Seq(0.5, -1.0), 0.25)).as("p"))
+      .collect().map(_.getDouble(0))
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    // same left-fold op order as linearScore -> bit-identical, not approx
+    val want = Seq(1.0 * 0.5 + 2.0 * (-1.0) + 0.25,
+      -0.5 * 0.5 + 0.25 * (-1.0) + 0.25,
+      0.0 * 0.5 + 0.0 * (-1.0) + 0.25).map(sig)
+    got.toSeq.zip(want).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("TrainValidationSplit tuning picks a grid point and beats random") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 300).map { _ =>
