@@ -43,6 +43,14 @@ object ManifestCommit {
   private val StatsPrefix = "_stats-"
   private val BloomPrefix = "_bloom-"
   private val TxnPrefix = "#txn="
+  private val SchemaPrefix = "#schema="
+
+  /** A writer lost an optimistic-concurrency race: another commit
+    * claimed the generation this transaction was based on. The loser's
+    * staged data dir is an invisible orphan ([[vacuum]] reclaims it);
+    * re-read the table and retry the whole transaction. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
 
   private def manifestGen(p: Path): Long =
     p.getFileName.toString.stripPrefix(ManifestPrefix).toLong
@@ -88,14 +96,28 @@ object ManifestCommit {
   /** Time travel: read a SPECIFIC committed generation (valid until a
     * vacuum reclaims it — the same contract as table-format history).
     * Partition columns written by [[writeVersioned]]'s `partitionBy`
-    * come back via the per-generation basePath, pruning included. */
+    * come back via the per-generation basePath, pruning included.
+    *
+    * A manifest carrying a `#schema=` marker (appends, schema-evolved
+    * tables) reads with that COMMITTED schema instead of footer
+    * inference — files written before an added column fill it with
+    * nulls, no mergeSchema footer sweep needed, and a marker-only
+    * generation (a streaming table whose only batches so far were
+    * empty) reads as an empty DataFrame of the committed schema
+    * rather than throwing at a polling reader. */
   def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
     val manifest = Paths.get(path).resolve(f"$ManifestPrefix$gen%010d")
     require(Files.exists(manifest), s"no manifest for generation $gen under $path")
-    val files = Files.readAllLines(manifest).asScala.toSeq
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-    require(files.nonEmpty, s"manifest $manifest lists no files")
-    readFiles(spark, path, files)
+    val lines = Files.readAllLines(manifest).asScala.toSeq.filter(_.nonEmpty)
+    val files = filesOf(lines)
+    val schema = schemaOf(lines)
+    if (files.isEmpty) schema match {
+      case Some(st) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      case None => throw new IllegalStateException(
+        s"manifest $manifest lists no files and carries no schema")
+    }
+    else readFiles(spark, path, files, schema)
   }
 
   /** Read a manifest's (sub)set of dataset-relative files. The
@@ -106,8 +128,11 @@ object ManifestCommit {
     * `data-<gen>-<nonce>` level is transparently skipped while
     * Hive-style partition columns still come back. */
   private def readFiles(spark: SparkSession, path: String,
-      files: Seq[String]): DataFrame = {
-    spark.read.option("basePath", Paths.get(path).toString)
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r0 = spark.read.option("basePath", Paths.get(path).toString)
+    schema.fold(r0)(r0.schema)
       .parquet(files.map(f => Paths.get(path).resolve(f).toString): _*)
   }
 
@@ -129,6 +154,35 @@ object ManifestCommit {
       partitionBy: Seq[String] = Seq.empty): Long =
     stageAndPublish(df, path, partitionBy, () => ())
 
+  /** Optimistic-concurrency write — the Delta conflict-detection
+    * behavior [[writeVersioned]] deliberately lacks (there, a loser
+    * re-publishes one generation higher: last-writer-wins). Here the
+    * transaction is pinned to the parent generation it was BASED on:
+    * commit happens exactly at parent+1, and if another writer claimed
+    * that generation first — before the data write (stale
+    * `expectedParentGen`, detected cheaply up front) or during it (the
+    * publish link hits EEXIST) — the loser fails LOUDLY with
+    * [[ConcurrentWriteException]] instead of silently clobbering the
+    * winner's view. The loser's staged files stay an invisible orphan
+    * for [[vacuum]]; correct recovery is re-read + re-derive + retry.
+    *
+    * `expectedParentGen = None` bases the transaction on the latest
+    * generation at entry (read-modify-write callers that derived `df`
+    * from an earlier [[read]] should pass that read's generation). 0
+    * means "I expect to CREATE this table". */
+  def writeVersionedExclusive(df: DataFrame, path: String,
+      expectedParentGen: Option[Long] = None,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    val current = latest(path).map(_._1).getOrElse(0L)
+    expectedParentGen.filter(_ != current).foreach { e =>
+      throw new ConcurrentWriteException(
+        s"stale base generation: transaction based on $e but table is " +
+          s"at $current under $path — re-read and retry")
+    }
+    stageAndPublish(df, path, partitionBy, () => (),
+      exclusiveParent = Some(expectedParentGen.getOrElse(current)))
+  }
+
   /** The ONE stage-and-publish body (gen/nonce/data-dir naming, the
     * partitioned write, part discovery, marker carry, atomic publish)
     * shared by [[writeVersioned]] and [[writeVersionedChecked]] —
@@ -139,10 +193,13 @@ object ManifestCommit {
       frame: DataFrame,
       path: String,
       partitionBy: Seq[String],
-      afterWrite: () => Unit): Long = {
+      afterWrite: () => Unit,
+      exclusiveParent: Option[Long] = None): Long = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val firstGen = latest(path).map(_._1).getOrElse(0L) + 1
+    val firstGen =
+      exclusiveParent.map(_ + 1)
+        .getOrElse(latest(path).map(_._1).getOrElse(0L) + 1)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"data-$firstGen-$nonce"
     val writer = frame.write.mode(SaveMode.Overwrite)
@@ -154,8 +211,11 @@ object ManifestCommit {
       .sorted
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
     // carry the streaming txn ledger through full rewrites too — a
-    // maintenance write must not reopen the door to batch replays
-    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce)
+    // maintenance write must not reopen the door to batch replays.
+    // (The #schema marker is NOT carried: a full rewrite's files are
+    // homogeneous, so footer inference is authoritative again.)
+    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce,
+      retryOnConflict = exclusiveParent.isEmpty)
   }
 
   /** Write-audit-publish: the data files are written and the quality
@@ -217,6 +277,64 @@ object ManifestCommit {
   private def filesOf(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
 
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  /** Decode a manifest's committed-schema marker (base64 of the Spark
+    * schema JSON — one line, no '#'/newline hazards). */
+  private def schemaOf(lines: Seq[String]): Option[StructType] =
+    lines.find(_.startsWith(SchemaPrefix)).map { l =>
+      DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(l.stripPrefix(SchemaPrefix)),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    }
+
+  private def schemaMarker(st: StructType): String =
+    SchemaPrefix + java.util.Base64.getEncoder.encodeToString(
+      st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Top-level-nullable copy: committed schemas are stored nullable so
+    * old files missing an added column read as nulls without parquet
+    * required/optional friction. */
+  private def nullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** The COMMITTED schema of the latest generation, if this table has
+    * one (appends and schema-evolved tables do; plain writeVersioned
+    * tables rely on footer inference and return None). */
+  def tableSchema(path: String): Option[StructType] =
+    latestRaw(path).flatMap(r => schemaOf(r._2))
+
+  /** Schema marker line(s) a same-schema successor manifest must carry
+    * (delete/upsert republish a SUBSET of mixed-schema files, so the
+    * committed schema stays load-bearing; a full rewrite
+    * ([[stageAndPublish]]) intentionally DROPS it — its fresh files
+    * are homogeneous and footer-authoritative). */
+  private def carriedSchemaLine(path: String): Seq[String] =
+    latestRaw(path).toSeq.flatMap(r =>
+      r._2.find(_.startsWith(SchemaPrefix)))
+
+  /** Delta-style mergeSchema: same-name fields must type-match exactly
+    * (loud failure otherwise), table-absent append columns are
+    * appended, append-absent table columns stay (old files simply
+    * lack them). Everything lands nullable. */
+  private def mergeSchemas(prev: StructType, next: StructType,
+      allowNew: Boolean): StructType = {
+    val byName = prev.fields.map(f => f.name -> f).toMap
+    val conflicts = next.fields.flatMap { f =>
+      byName.get(f.name).filter(_.dataType != f.dataType).map(p =>
+        s"${f.name}: table=${p.dataType.simpleString} " +
+          s"append=${f.dataType.simpleString}")
+    }
+    if (conflicts.nonEmpty) throw new IllegalStateException(
+      "schema evolution type conflict (incompatible append refused): " +
+        conflicts.mkString("; "))
+    val added = next.fields.filterNot(f => byName.contains(f.name))
+    if (added.nonEmpty && !allowNew) throw new IllegalStateException(
+      s"append adds columns ${added.map(_.name).mkString(", ")} — pass " +
+        "mergeSchema=true to widen the table schema")
+    nullable(StructType(prev.fields ++ added))
+  }
+
   /** The (appId:batchId) transaction markers carried by the LATEST
     * manifest — the replay ledger [[appendBatch]] consults. Markers
     * accumulate forward through EVERY manifest-publishing operation
@@ -277,9 +395,55 @@ object ManifestCommit {
     // generation carrying the previous files
     val newParts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
-    val markers = (prevTxns + key).toSeq.sorted.map(TxnPrefix + _)
+    // persist the committed schema with every streaming append: a
+    // marker-only generation (legal first empty batch) must still read
+    // back as an EMPTY frame of the right shape at a polling reader,
+    // not as "manifest lists no files"
+    val schemaLine = schemaMarker(
+      prev.flatMap(r => schemaOf(r._2)).getOrElse(nullable(batch.schema)))
+    val markers = (prevTxns + key).toSeq.sorted.map(TxnPrefix + _) :+
+      schemaLine
     Some(publish(dir, (prevFiles ++ newParts).sorted ++ markers,
       firstGen, nonce))
+  }
+
+  /** Batch APPEND as a new generation (previous files re-referenced +
+    * this write's files), with Delta-style schema evolution: by
+    * default the incoming schema must introduce no new columns (loud
+    * failure names them); with `mergeSchema = true` new columns WIDEN
+    * the committed table schema — readers see them as null on
+    * pre-evolution files via the manifest's `#schema=` marker, with no
+    * footer-merge sweep at read time (at 100 TB, mergeSchema-on-read
+    * is a million-footer LIST+GET storm; committing the schema with
+    * the manifest makes evolution O(1) at the reader). Same-name
+    * type conflicts fail loudly in BOTH modes. */
+  def appendVersioned(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Long = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val prev = latestRaw(path)
+    val prevFiles = prev.map(r => filesOf(r._2)).getOrElse(Seq.empty)
+    val prevSchema = prev.flatMap(r => schemaOf(r._2)).orElse(
+      if (prevFiles.nonEmpty)
+        Some(readFiles(df.sparkSession, path, prevFiles).schema)
+      else None)
+    val committed = prevSchema match {
+      case None => nullable(df.schema)
+      case Some(ps) => mergeSchemas(ps, df.schema, allowNew = mergeSchema)
+    }
+    val firstGen = prev.map(_._1).getOrElse(0L) + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"data-$firstGen-$nonce"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.resolve(dataDir).toString)
+    val newParts = partFilesUnder(dir.resolve(dataDir))
+      .map(p => dir.relativize(p).toString)
+    publish(dir,
+      (prevFiles ++ newParts).sorted ++ carriedMarkers(path) :+
+        schemaMarker(committed),
+      firstGen, nonce)
   }
 
   /** Stage the manifest content once, then publish by HARD LINK onto
@@ -291,7 +455,7 @@ object ManifestCommit {
     * higher. An object store plays the same move with a
     * conditional/if-none-match put. */
   private def publish(dir: Path, parts: Seq[String], firstGen: Long,
-      nonce: String): Long = {
+      nonce: String, retryOnConflict: Boolean = true): Long = {
     val tmp = dir.resolve(s".manifest-tmp-$nonce")
     Files.write(tmp, parts.asJava)
     var gen = firstGen
@@ -302,7 +466,12 @@ object ManifestCommit {
           Files.createLink(dir.resolve(f"$ManifestPrefix$gen%010d"), tmp)
           committed = gen
         } catch {
-          case _: FileAlreadyExistsException => gen += 1
+          case _: FileAlreadyExistsException if retryOnConflict => gen += 1
+          case _: FileAlreadyExistsException =>
+            throw new ConcurrentWriteException(
+              s"generation $gen was claimed by a concurrent writer under " +
+                s"$dir — this transaction's staged files are an orphan; " +
+                "re-read and retry")
         }
       }
     } finally Files.deleteIfExists(tmp)
@@ -431,7 +600,8 @@ object ManifestCommit {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = prunePoint(path, column, value)
     val residual = col(column) === lit(value)
-    if (kept.nonEmpty) readFiles(spark, path, kept).where(residual)
+    if (kept.nonEmpty) readFiles(spark, path, kept, tableSchema(path))
+      .where(residual)
     else read(spark, path).where(residual && lit(false))
   }
 
@@ -523,7 +693,7 @@ object ManifestCommit {
     val (kept, _) = pruneBetween(path, column, lo, hi)
     val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (kept.nonEmpty) {
-      readFiles(spark, path, kept).where(residual)
+      readFiles(spark, path, kept, tableSchema(path)).where(residual)
     } else {
       // nothing can match: read the schema from the manifest's files
       // with a constant-false filter (parquet pushdown scans no groups)
@@ -587,14 +757,18 @@ object ManifestCommit {
         else uri
       p.stripPrefix(dirAbs).stripPrefix("/")
     }
-    val affected = readFiles(spark, path, files)
+    // honor the committed schema (mixed-schema tables): rewritten
+    // survivors materialize the FULL schema, untouched files keep
+    // their old one, and the carried #schema marker stays load-bearing
+    val stored = tableSchema(path)
+    val affected = readFiles(spark, path, files, stored)
       .where(condition)
       .select(col("_metadata.file_path"))
       .distinct().collect().map(r => rel(r.getString(0))).toSet
     if (affected.isEmpty) return gen
     val untouched = files.filterNot(affected)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val survivors = readFiles(spark, path, affected.toSeq.sorted)
+    val survivors = readFiles(spark, path, affected.toSeq.sorted, stored)
       .where(not(coalesce(condition, lit(false))))
     val newParts =
       if (survivors.isEmpty) Seq.empty
@@ -610,7 +784,8 @@ object ManifestCommit {
     require(manifest.nonEmpty,
       "deleteWhere would delete every row of every file; write an empty " +
         "generation explicitly if that is intended")
-    publish(dir, manifest ++ carriedMarkers(path), gen + 1, nonce)
+    publish(dir, manifest ++ carriedMarkers(path) ++
+      carriedSchemaLine(path), gen + 1, nonce)
   }
 
   /** Copy-on-write keyed UPSERT — [[upsert]]'s semantics (incoming
@@ -644,9 +819,10 @@ object ManifestCommit {
       p.stripPrefix(dirAbs).stripPrefix("/")
     }
     val keys = incoming.select(col(keyCol)).distinct().materialize()
+    val stored = tableSchema(path) // mixed-schema tables read committed
     // project the hidden _metadata column BEFORE the join — it only
     // resolves against the file-source relation itself
-    val affected = readFiles(spark, path, files)
+    val affected = readFiles(spark, path, files, stored)
       .select(col("_metadata.file_path").as("__file"), col(keyCol))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("__file"))
@@ -655,7 +831,7 @@ object ManifestCommit {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val survivors =
       if (affected.isEmpty) incoming
-      else readFiles(spark, path, affected.toSeq.sorted)
+      else readFiles(spark, path, affected.toSeq.sorted, stored)
         .join(keys, Seq(keyCol), "left_anti")
         .unionByName(incoming)
     val dataDir = s"data-${gen + 1}-$nonce"
@@ -664,8 +840,8 @@ object ManifestCommit {
       .parquet(dir.resolve(dataDir).toString)
     val newParts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
-    publish(dir, (untouched ++ newParts).sorted ++ carriedMarkers(path),
-      gen + 1, nonce)
+    publish(dir, (untouched ++ newParts).sorted ++ carriedMarkers(path) ++
+      carriedSchemaLine(path), gen + 1, nonce)
   }
 
   /** Compact the latest generation's small files into ~`targetBytes`
@@ -776,14 +952,15 @@ object ManifestCommit {
     val keepFiles =
       survivors.flatMap(filesIn).map(f => dir.resolve(f).normalize).toSet
     val removed = Seq.newBuilder[String]
-    // drop expired-only part files first (while their manifests still
-    // name them), then the expired manifests + sidecars
-    expired.flatMap(filesIn).distinct.foreach { f =>
-      val p = dir.resolve(f).normalize
-      if (!keepFiles.contains(p) && Files.exists(p)) {
-        Files.delete(p); removed += f
-      }
-    }
+    // ORDER MATTERS: drop the expired MANIFESTS (+sidecars) first,
+    // THEN their now-orphaned part files. The reverse order has a bad
+    // crash/concurrency window — files gone while manifests still name
+    // them, so a time-travel reader (or a re-run after a mid-pass
+    // crash) gets file-not-found instead of the honest "no manifest
+    // for generation". Reading the expired file lists into memory
+    // first (filesIn above) keeps the second pass independent of the
+    // already-deleted manifests.
+    val expiredFiles = expired.flatMap(filesIn).distinct
     expired.foreach { m =>
       val gen = manifestGen(m)
       Seq(m, dir.resolve(f"$StatsPrefix$gen%010d"),
@@ -791,6 +968,12 @@ object ManifestCommit {
         if (Files.exists(p)) {
           Files.delete(p); removed += p.getFileName.toString
         }
+      }
+    }
+    expiredFiles.foreach { f =>
+      val p = dir.resolve(f).normalize
+      if (!keepFiles.contains(p) && Files.exists(p)) {
+        Files.delete(p); removed += f
       }
     }
     removed.result()
