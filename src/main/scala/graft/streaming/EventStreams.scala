@@ -249,29 +249,49 @@ object EventStreams {
       events: Dataset[AttrEvent],
       convType: String,
       touchTypes: Set[String],
-      lookbackUs: Long): Dataset[AttrConversion] = {
+      lookbackUs: Long,
+      stateTtlMs: Option[Long] = None): Dataset[AttrConversion] = {
     require(!touchTypes.contains(convType),
       "convType in touchTypes would let a conversion credit itself")
+    require(stateTtlMs.forall(_ > 0), s"stateTtlMs must be > 0: $stateTtlMs")
     import events.sparkSession.implicits._
+    // Unbounded-user streams should pass stateTtlMs (>= lookbackUs/1000
+    // to stay semantics-safe on a live stream): a touch older than the
+    // lookback can never be credited again, so expiring its GroupState
+    // after that much processing-time silence only drops dead weight —
+    // without it, per-user state grows with the distinct-user count
+    // forever. Default None keeps the dual-mode batch face timeout-free.
+    val timeoutConf = stateTtlMs
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, AttrConversion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[AttrEvent], state: GroupState[TouchState]) =>
-          var touch: Option[TouchState] = state.getOption
-          val out = Seq.newBuilder[AttrConversion]
-          rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
-            if (e.event_type == convType) {
-              val credited = touch.filter(t =>
-                e.event_time_us - t.ts <= lookbackUs)
-              out += AttrConversion(userId, e.event_id, e.event_time_us,
-                credited.map(_.channel).getOrElse("(none)"))
-            } else if (touchTypes.contains(e.event_type)) {
-              touch = Some(TouchState(e.event_time_us, e.event_id, e.event_type))
+          if (state.hasTimedOut) {
+            // silent user: the carried touch is past the lookback
+            state.remove()
+            Iterator.empty
+          } else {
+            var touch: Option[TouchState] = state.getOption
+            val out = Seq.newBuilder[AttrConversion]
+            rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
+              if (e.event_type == convType) {
+                val credited = touch.filter(t =>
+                  e.event_time_us - t.ts <= lookbackUs)
+                out += AttrConversion(userId, e.event_id, e.event_time_us,
+                  credited.map(_.channel).getOrElse("(none)"))
+              } else if (touchTypes.contains(e.event_type)) {
+                touch = Some(TouchState(e.event_time_us, e.event_id, e.event_type))
+              }
             }
+            touch.foreach { t =>
+              state.update(t)
+              stateTtlMs.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
           }
-          touch.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -293,26 +313,42 @@ object EventStreams {
     */
   def kgramStream(
       events: Dataset[AttrEvent],
-      k: Int): Dataset[KgramOccurrence] = {
+      k: Int,
+      stateTtlMs: Option[Long] = None): Dataset[KgramOccurrence] = {
     require(k >= 2 && k <= 8, s"k must be in [2, 8], got $k")
+    require(stateTtlMs.forall(_ > 0), s"stateTtlMs must be > 0: $stateTtlMs")
     import events.sparkSession.implicits._
+    // Same unbounded-user guard as attributionStream: with a TTL, a
+    // user silent past it drops their O(k) tail — patterns that would
+    // have SPANNED the silence gap are lost (documented trade; k-grams
+    // across a long dormancy are rarely the signal anyway); without
+    // it, state grows with the distinct-user count forever.
+    val timeoutConf = stateTtlMs
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[String], KgramOccurrence](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[AttrEvent], state: GroupState[Seq[String]]) =>
-          var tail: Seq[String] = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[KgramOccurrence]
-          rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
-            val window = tail :+ e.event_type
-            // null types occupy their slot but form no pattern — the
-            // batch operator's contract (all k slots null-checked)
-            if (window.size == k && window.forall(_ != null))
-              out += KgramOccurrence(userId, e.event_id, window.mkString(" "))
-            tail = window.takeRight(k - 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var tail: Seq[String] = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[KgramOccurrence]
+            rows.toSeq.sortBy(e => (e.event_time_us, e.event_id)).foreach { e =>
+              val window = tail :+ e.event_type
+              // null types occupy their slot but form no pattern — the
+              // batch operator's contract (all k slots null-checked)
+              if (window.size == k && window.forall(_ != null))
+                out += KgramOccurrence(userId, e.event_id, window.mkString(" "))
+              tail = window.takeRight(k - 1)
+            }
+            state.update(tail)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(tail)
-          out.result().iterator
       }
   }
 }

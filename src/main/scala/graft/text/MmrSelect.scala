@@ -64,7 +64,8 @@ object MmrSelect {
       .as[(Long, Long, Seq[String])]
       .collect()
     require(pool.length <= 100000,
-      s"MMR pool has ${pool.length} candidates — prefilter below 100k")
+      s"MMR pool has ${pool.length} candidates — prefilter below 100k " +
+        "or use selectDistributed (no pool ceiling)")
     val sets = pool.map { case (id, _, s) => id -> s.toSet }.toMap
     def simPermille(a: Set[String], b: Set[String]): Long = {
       val inter = (a & b).size.toLong
@@ -120,7 +121,8 @@ object MmrSelect {
       .as[(Long, Seq[String])]
       .collect()
     require(pool.length <= 100000,
-      s"cover pool has ${pool.length} candidates — prefilter below 100k")
+      s"cover pool has ${pool.length} candidates — prefilter below 100k " +
+        "or use coverSelectDistributed (no pool ceiling)")
     val sets = pool.map { case (id, s) => id -> s.toSet }.toMap
     val remaining =
       scala.collection.mutable.Set(pool.map(_._1): _*)
@@ -136,6 +138,123 @@ object MmrSelect {
       covered = covered ++ sets(pick)
       selected += ((pick, rank.toLong, gain, covered.size.toLong))
       remaining.remove(pick)
+      rank += 1
+    }
+    selected.toSeq.toDF(idCol, "sel_rank", "gain", "covered_total")
+  }
+
+  /** [[select]] with NO pool ceiling — the k-round DISTRIBUTED greedy:
+    * each round scores every remaining candidate in parallel
+    * (λ100·q − (100−λ100)·maxSim over the candidate table), takes the
+    * argmax with a distributed top-1 (TakeOrdered — no global sort),
+    * broadcasts the pick's element set, and folds it into each
+    * candidate's running max-similarity column with one exact
+    * integer-Jaccard map pass. Driver state is the k picked rows plus
+    * one document's set per round — bounded by the SELECTION, never
+    * the pool. Cost is k passes over the candidate table (inherent:
+    * step t's scores depend on picks 1..t−1); the pool table is
+    * materialized once and the per-round state rewrite is materialized
+    * to keep lineage constant-depth. Bit-identical to [[select]]
+    * (same integer arithmetic, same id tie-breaks — spec-pinned). */
+  def selectDistributed(
+      df: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      setCol: String,
+      k: Int,
+      lam100: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lam100 >= 0 && lam100 <= 100, s"lam100 in [0,100]: $lam100")
+    requireCleanIds(df, idCol)
+    val spark = df.sparkSession
+    import graft.Materialize.MatOps
+    var state = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(qualityCol).cast("long").as("__q"),
+        array_distinct(col(setCol)).as("__set"))
+      .withColumn("__maxsim", lit(0L))
+      .materialize()
+    val n = state.count()
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (id, rank, q, maxSim)
+    var rank = 1
+    while (rank <= k && selected.size < n) {
+      val pickedIds = selected.map(_._1).toSeq
+      val top = state
+        .where(!col("__id").isin(pickedIds: _*))
+        .withColumn("__score",
+          lit(lam100.toLong) * col("__q") -
+            lit(100L - lam100) * col("__maxsim"))
+        .orderBy(col("__score").desc, col("__id").asc)
+        .limit(1)
+        .select(col("__id"), col("__q"), col("__maxsim"), col("__set"))
+        .head()
+      val pick = top.getLong(0)
+      selected += ((pick, rank.toLong, top.getLong(1), top.getLong(2)))
+      val pickSet = top.getSeq[String](3)
+      // fold the pick into every candidate's running max-sim: exact
+      // integer Jaccard permille, one scan, no shuffle
+      state = state
+        .withColumn("__inter",
+          size(array_intersect(col("__set"), typedlit(pickSet))).cast("long"))
+        .withColumn("__uni",
+          size(col("__set")) + lit(pickSet.size.toLong) - col("__inter"))
+        .withColumn("__maxsim", greatest(col("__maxsim"),
+          when(col("__uni") === 0L, 0L)
+            .otherwise(expr("(__inter * 1000) div __uni"))))
+        .drop("__inter", "__uni")
+        .materialize() // constant lineage depth across rounds
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF(idCol, "sel_rank", "quality", "max_sim_permille")
+  }
+
+  /** [[coverSelect]] with NO pool ceiling — distributed greedy
+    * max-coverage: per round, each candidate's marginal gain is
+    * counted in parallel (explode its elements, broadcast-anti-mark
+    * against the covered dim, count the misses), argmax via
+    * distributed top-1, and the pick's elements join the covered set.
+    * Driver state is the covered-element set — bounded by what the k
+    * SELECTED documents contain, not by the pool. Same
+    * (1−1/e)-greedy, same tie-breaks, spec-pinned ≡ [[coverSelect]]. */
+  def coverSelectDistributed(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    requireCleanIds(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.Materialize.MatOps
+    val cands = df
+      .select(col(idCol).cast("long").as("__id"),
+        array_distinct(col(setCol)).as("__set"))
+      .materialize()
+    val n = cands.count()
+    val covered = scala.collection.mutable.Set.empty[String]
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (id, rank, gain, total)
+    var rank = 1
+    while (rank <= k && selected.size < n) {
+      val pickedIds = selected.map(_._1).toSeq
+      val coveredDf = covered.toSeq.toDF("__e").withColumn("__c", lit(1))
+      val top = cands
+        .where(!col("__id").isin(pickedIds: _*))
+        .select(col("__id"), explode_outer(col("__set")).as("__e"))
+        .join(broadcast(coveredDf), Seq("__e"), "left")
+        .groupBy(col("__id"))
+        .agg(sum(when(col("__c").isNull && col("__e").isNotNull, 1L)
+          .otherwise(0L)).as("__gain"))
+        .orderBy(col("__gain").desc, col("__id").asc)
+        .limit(1)
+        .head()
+      val pick = top.getLong(0)
+      val gain = top.getLong(1)
+      covered ++= cands.where(col("__id") === pick)
+        .select(explode(col("__set"))).as[String].collect()
+      selected += ((pick, rank.toLong, gain, covered.size.toLong))
       rank += 1
     }
     selected.toSeq.toDF(idCol, "sel_rank", "gain", "covered_total")

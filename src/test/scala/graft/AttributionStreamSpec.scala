@@ -91,4 +91,41 @@ class AttributionStreamSpec extends AnyFunSuite {
       .collect().map(c => c.event_id -> c.attributed_channel).toMap
     assert(out == Map(2L -> "click", 3L -> "(none)"))
   }
+
+  test("stateTtlMs expires a silent user's carried touch") {
+    // the TTL drops state of users silent past it: the first batch's
+    // touch credits its conversion; after 6 s of wall-clock silence
+    // (TTL 2 s — the engine keeps running no-data batches precisely to
+    // evaluate pending timeouts) the carried touch is GONE, so a later
+    // conversion still inside the EVENT-time lookback gets "(none)".
+    // processAllAvailable never settles on a timeout-bearing query, so
+    // the sink is polled and the query stopped explicitly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[AttrEvent]
+    val q = EventStreams.attributionStream(src.toDS(), "purchase",
+        Set("click", "view"), lookbackUs = 1000000L,
+        stateTtlMs = Some(2000L))
+      .writeStream.format("memory").queryName("attr_ttl_test")
+      .outputMode("append").start()
+    def await(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (spark.table("attr_ttl_test").count() < n &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(spark.table("attr_ttl_test").count() >= n,
+        s"sink never reached $n rows")
+    }
+    try {
+      src.addData(
+        AttrEvent(1L, 10L, 1L, "click"),
+        AttrEvent(1L, 11L, 2L, "purchase"))
+      await(1)
+      Thread.sleep(6000L) // > TTL: no-data batches evaluate the timeout
+      src.addData(AttrEvent(1L, 12L, 5L, "purchase"))
+      await(2)
+      val got = spark.table("attr_ttl_test").collect()
+        .map(r => r.getLong(1) -> r.getString(3)).toMap
+      assert(got == Map(2L -> "click", 5L -> "(none)"))
+    } finally q.stop()
+  }
 }

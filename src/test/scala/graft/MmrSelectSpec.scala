@@ -42,4 +42,52 @@ class MmrSelectSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
     assert(out.map(_._2) == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("selectDistributed is row-identical to the driver greedy") {
+    val rnd = new scala.util.Random(11)
+    val els = ('a' to 'p').map(_.toString)
+    val big: Seq[(Long, Long, Seq[String])] = (1L to 60L).map { i =>
+      (i, rnd.nextInt(1000).toLong,
+        rnd.shuffle(els).take(2 + rnd.nextInt(6)).toSeq)
+    }
+    for ((k, lam) <- Seq((5, 50), (8, 80), (60, 30))) {
+      val driver = run(big, k, lam)
+      val dist = MmrSelect
+        .selectDistributed(big.toDF("id", "q", "s"), "id", "q", "s", k, lam)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+      assert(dist == driver, s"k=$k lam=$lam")
+    }
+  }
+
+  test("coverSelectDistributed is row-identical to the driver greedy") {
+    val rnd = new scala.util.Random(7)
+    val els = ('a' to 'z').map(_.toString)
+    val big: Seq[(Long, Seq[String])] = (1L to 50L).map { i =>
+      (i, rnd.shuffle(els).take(1 + rnd.nextInt(8)).toSeq)
+    }
+    for (k <- Seq(1, 6, 50)) {
+      val driver = MmrSelect
+        .coverSelect(big.toDF("id", "s"), "id", "s", k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+      val dist = MmrSelect
+        .coverSelectDistributed(big.toDF("id", "s"), "id", "s", k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+      assert(dist == driver, s"k=$k")
+    }
+  }
+
+  test("distributed variants handle empty element sets") {
+    val rows = Seq((1L, 10L, Seq.empty[String]), (2L, 5L, Seq("a")))
+    val got = MmrSelect
+      .selectDistributed(rows.toDF("id", "q", "s"), "id", "q", "s", 2, 50)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    val cov = MmrSelect
+      .coverSelectDistributed(rows.toDF("id", "q", "s")
+        .select($"id", $"s"), "id", "s", 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    // max gain first: doc 2 covers 1 element, doc 1 covers none
+    assert(cov.map(_._1) == Seq(2L, 1L))
+    assert(cov.map(_._3) == Seq(1L, 0L))
+  }
 }
