@@ -25,7 +25,7 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
       MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
-      EvalQueries.all ++ SignalQueries.all
+      EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
+import graft.Tables
+
+/** Round-7 warehouse-analytics wave: calendar-delta reporting,
+  * per-group argmin procurement, SLA attainment, share-shift, and
+  * inter-order gap distributions — the classic OLAP report shapes over
+  * the TPC-H-ish star schema, each exact-integer (cents / ppm / days)
+  * end to end with a DuckDB oracle replaying the same arithmetic.
+  */
+object WarehouseQueries {
+
+  val all: Seq[Q] = Seq(q276, q277, q278, q279, q280)
+
+  /** Monthly revenue with month-over-month and year-over-year deltas —
+    * the first page of every revenue dashboard. Calendar lags are
+    * VALUE joins on the computed prior key (Jan→Dec wrap handled),
+    * never row lags (NOTES rule: a missing month must yield null, not
+    * silently compare against the wrong month). The month dim is
+    * calendar-bounded, so the two lag joins broadcast. */
+  def q276: Q = Q(
+    "q276_monthly_revenue_deltas",
+    Some("""
+      |WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |         CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |         CAST(sum(CAST(o_totalprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS rev_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT m.y * 100 + m.mo AS ym, m.rev_cents,
+      |       m.rev_cents - pm.rev_cents AS mom_delta_cents,
+      |       m.rev_cents - py.rev_cents AS yoy_delta_cents
+      |FROM m
+      |LEFT JOIN m pm ON (CASE WHEN m.mo = 1 THEN (m.y - 1) * 100 + 12
+      |                        ELSE m.y * 100 + m.mo - 1 END)
+      |                  = pm.y * 100 + pm.mo
+      |LEFT JOIN m py ON (m.y - 1) * 100 + m.mo = py.y * 100 + py.mo
+      |ORDER BY ym
+      |""".stripMargin)) { (s, dir) =>
+    val m = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("rev_cents"))
+      .withColumn("ym", expr("y * 100 + mo"))
+      .materialize() // one aggregation feeds base + both lag sides
+    def side(tag: String) = m.select(col("ym").as(s"__${tag}_ym"),
+      col("rev_cents").as(s"__${tag}_rev"))
+    m.withColumn("__prev_ym",
+        when(col("mo") === 1, (col("y") - 1) * 100 + 12)
+          .otherwise(col("ym") - 1))
+      .join(broadcast(side("pm")), col("__prev_ym") === col("__pm_ym"), "left")
+      .join(broadcast(side("py")), col("ym") - 100 === col("__py_ym"), "left")
+      .select(col("ym"), col("rev_cents"),
+        (col("rev_cents") - col("__pm_rev")).as("mom_delta_cents"),
+        (col("rev_cents") - col("__py_rev")).as("yoy_delta_cents"))
+      .orderBy(col("ym"))
+  }
+
+  /** Cheapest supplier per part from OBSERVED line prices (the
+    * procurement argmin TPC-H Q2 asks of partsupp, recovered from the
+    * fact table since this schema carries no partsupp): per
+    * (part, supplier) exact cents and quantity sums, unit price
+    * quantized to milli-cents with ONE integer division, then the
+    * per-part argmin via the native GroupedTopK plan (k=1, ties to
+    * the smaller supplier). Two shuffles total — (part, supp) agg,
+    * then part-keyed top-1 — both on the dim the answer is about. */
+  def q277: Q = Q(
+    "q277_cheapest_supplier",
+    Some("""
+      |WITH ps AS (
+      |  SELECT l_partkey AS part, l_suppkey AS supp,
+      |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |u AS (
+      |  SELECT part, supp, cents, qty,
+      |         (1000 * cents) // qty AS unit_milli,
+      |         row_number() OVER (PARTITION BY part
+      |           ORDER BY (1000 * cents) // qty, supp) AS rn
+      |  FROM ps WHERE qty > 0)
+      |SELECT part, supp AS cheapest_supp, cents, qty,
+      |       CAST(unit_milli AS BIGINT) AS unit_milli
+      |FROM u WHERE rn = 1 ORDER BY part
+      |""".stripMargin)) { (s, dir) =>
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .where(col("qty") > 0)
+      .withColumn("unit_milli", expr("(1000 * cents) div qty"))
+    graft.plans.GroupedTopK.topKPerKey(
+        ps.select("part", "supp", "cents", "qty", "unit_milli"),
+        keyCols = Seq("part"),
+        order = Seq("unit_milli" -> true, "supp" -> true),
+        k = 1)
+      .select(col("part"), col("supp").as("cheapest_supp"),
+        col("cents"), col("qty"), col("unit_milli"))
+      .orderBy(col("part"))
+  }
+
+  /** Shipping-SLA attainment by calendar month: the share of lineitems
+    * shipped within 30 days of their order date, in exact ppm — the
+    * ops-review trend line next to q198's lead-time percentiles. One
+    * fact join, one month-dim aggregation. */
+  def q278: Q = Q(
+    "q278_ship_sla_by_month",
+    Some("""
+      |WITH j AS (
+      |  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate)
+      |              AS BIGINT) AS ym,
+      |         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+      |           // 86400000000 AS lead_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT ym, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_within_30d,
+      |       CAST((1000000 * sum(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END))
+      |            // count(*) AS BIGINT) AS sla_ppm
+      |FROM j GROUP BY ym ORDER BY ym
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        expr("(unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP))) div 86400000000")
+          .as("lead_days"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lead_days") <= 30, 1L).otherwise(0L))
+          .as("n_within_30d"))
+      .withColumn("sla_ppm", expr("(1000000 * n_within_30d) div n_lines"))
+      .orderBy(col("ym"))
+  }
+
+  /** Brand revenue share per year and its shift vs the prior year —
+    * the market-share migration table (q267's rank-migration idea on
+    * the brand dim, in exact share arithmetic): share_ppm is one
+    * integer division against the year total, the shift a VALUE join
+    * on (year−1, brand). Fact joins part on the scan; everything after
+    * is dim-sized. */
+  def q279: Q = Q(
+    "q279_brand_share_shift",
+    Some("""
+      |WITH b AS (
+      |  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS y, p.p_brand AS brand,
+      |         CAST(sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS rev_cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT y, sum(rev_cents) AS tot FROM b GROUP BY y),
+      |s AS (
+      |  SELECT b.y, b.brand, b.rev_cents,
+      |         (1000000 * b.rev_cents) // t.tot AS share_ppm
+      |  FROM b JOIN t ON b.y = t.y)
+      |SELECT s.y, s.brand, s.rev_cents,
+      |       CAST(s.share_ppm AS BIGINT) AS share_ppm,
+      |       CAST(s.share_ppm - prev.share_ppm AS BIGINT) AS shift_ppm
+      |FROM s LEFT JOIN s prev
+      |  ON s.y - 1 = prev.y AND s.brand = prev.brand
+      |ORDER BY s.y, s.brand
+      |""".stripMargin)) { (s, dir) =>
+    val b = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+        col("p_brand").as("brand"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("rev_cents"))
+      .materialize() // feeds totals, base, and the prior-year side
+    val t = b.groupBy(col("y")).agg(sum(col("rev_cents")).as("tot"))
+    val sdf = b.join(broadcast(t), Seq("y"))
+      .withColumn("share_ppm", expr("(1000000 * rev_cents) div tot"))
+      .drop("tot")
+      .materialize()
+    // self-join of a derived frame: rename the right side OUTRIGHT
+    // (df("col") disambiguation silently builds trivially-true
+    // predicates — NOTES rule)
+    val prev = sdf.select(col("y").as("__py"), col("brand").as("__pbrand"),
+      col("share_ppm").as("__prev_share"))
+    sdf.join(broadcast(prev),
+        col("y") - 1 === col("__py") && col("brand") === col("__pbrand"),
+        "left")
+      .select(col("y"), col("brand"), col("rev_cents"), col("share_ppm"),
+        (col("share_ppm") - col("__prev_share")).as("shift_ppm"))
+      .orderBy(col("y"), col("brand"))
+  }
+
+  /** Inter-order gap distribution per market segment: per customer the
+    * days between consecutive orders (customer-partitioned lag — the
+    * parallel window shape), then the exact p50/p90 order statistics
+    * per segment via OrderStats.quantilesDisc (a value that OCCURRED,
+    * engine-portable by construction). The purchase-cadence number
+    * replenishment models calibrate on. */
+  def q280: Q = Q(
+    "q280_order_gap_quantiles",
+    Some("""
+      |WITH o2 AS (
+      |  SELECT o_custkey, epoch_us(o_orderdate) AS t, o_orderkey
+      |  FROM orders),
+      |g AS (
+      |  SELECT o_custkey,
+      |         (t - lag(t) OVER (PARTITION BY o_custkey
+      |                           ORDER BY t, o_orderkey))
+      |           // 86400000000 AS gap_days
+      |  FROM o2),
+      |sgm AS (
+      |  SELECT c.c_mktsegment AS segment, g.gap_days
+      |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      |  WHERE g.gap_days IS NOT NULL),
+      |r AS (
+      |  SELECT segment, gap_days,
+      |         row_number() OVER (PARTITION BY segment
+      |                            ORDER BY gap_days) AS rn,
+      |         count(*) OVER (PARTITION BY segment) AS n
+      |  FROM sgm),
+      |p AS (SELECT unnest([500, 900]) AS permille)
+      |SELECT r.segment, p.permille, CAST(r.gap_days AS BIGINT) AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY segment, permille
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.OrderStats
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("t"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("t"),
+        col("o_orderkey"))
+      .withColumn("__prev_t", lag(col("t"), 1).over(w))
+      .withColumn("gap_days", expr("(t - __prev_t) div 86400000000"))
+      .where(col("gap_days").isNotNull)
+    val seg = gaps.join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+      col("o_custkey") === col("c_custkey"))
+    OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
+      .orderBy(col("segment"), col("permille"))
+  }
+}
