@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * 2002) — the third cardinality estimator next to HyperLogLog and
+  * LinearCount, covering the regime where an EXACT k-row summary per
+  * group is wanted (mergeable by "keep the k smallest of the union",
+  * auditable row by row, error ~1/√(k−2)): hash every distinct value,
+  * keep the k smallest hashes, estimate N ≈ (k−1)·H/h₍ₖ₎ where H is
+  * the hash range and h₍ₖ₎ the k-th minimum.
+  *
+  * Deterministic end to end: the hash is the repo's salted PolyHash
+  * (replayable in the DuckDB oracle), whose range H = 2³¹−1 (the
+  * PolyHash modulus) is the exact integer range constant on both
+  * engines; the k-th minimum is an ORDER STATISTIC (actual hash value,
+  * no interpolation); the only float op is the final (k−1)·H/h₍ₖ₎
+  * division, computed with the same literal and op order on both sides
+  * and floor-quantized. Groups with fewer than k distinct values
+  * report their EXACT count (the standard KMV small-set rule — the
+  * sketch holds every value it ever saw). The 31-bit range caps
+  * usable cardinalities around ~10⁵ (hash birthday collisions bias
+  * low beyond that) — swap a 64-bit avalanche hash in for larger
+  * regimes; the estimator shape is unchanged.
+  *
+  * Scale shape: one distinct on (keys, value) — the same exchange an
+  * exact count-distinct pays — then a per-group window pass whose k-th
+  * row is selected; nothing collects. Use HLL when even the distinct
+  * exchange is too much and register-merge streams are needed; use
+  * this when the summary must be exact-auditable and tiny.
+  */
+object KmvSketch {
+
+  private val MaxH = graft.functions.PolyHash.DefaultMod // 2^31 - 1
+
+  /** Per-`keys` group: (keys…, exact_distinct, kmv_estimate, kth_hash)
+    * with `kth_hash` null for small groups that reported exactly.
+    * `exact_distinct` rides along because the distinct pass computes
+    * it for free — callers wanting the estimate alone can drop it. */
+  def estimate(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(keys.nonEmpty, "at least one key column")
+    val kc = keys.map(col)
+    val dist = df
+      .where(col(valueCol).isNotNull)
+      .select((kc :+ col(valueCol).cast("string").as("__v")): _*)
+      .distinct()
+      .withColumn("__h",
+        graft.functions.PolyHash.saltedHash(col("__v"), salt))
+    val w = Window.partitionBy(kc: _*).orderBy(col("__h"), col("__v"))
+    val ranked = dist
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+    ranked
+      .where(col("__rn") === k ||
+        (col("__rn") === 1 && col("__n") < k))
+      .select((kc :+ col("__n").as("exact_distinct") :+
+        when(col("__n") >= k, col("__h")).as("kth_hash")): _*)
+      .withColumn("kmv_estimate",
+        coalesce(
+          floor(lit((k - 1).toDouble) * lit(MaxH.toDouble) /
+            col("kth_hash").cast("double")).cast("long"),
+          col("exact_distinct")))
+      .select((kc :+ col("exact_distinct") :+ col("kmv_estimate") :+
+        col("kth_hash")): _*)
+  }
+
+  /** The oracle-side SQL for the estimate expression — kept next to
+    * the Scala so the two literals can never drift: callers
+    * interpolate `sqlEstimate("kth", "n")`. */
+  def sqlEstimate(kthCol: String, exactCol: String, k: Int): String =
+    s"coalesce(CAST(floor((CAST(${k - 1} AS DOUBLE) * " +
+      s"CAST($MaxH AS DOUBLE)) / CAST($kthCol AS DOUBLE)) AS BIGINT), " +
+      s"$exactCol)"
+}

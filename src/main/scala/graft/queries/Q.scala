@@ -25,7 +25,8 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
       MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
-      EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all
+      EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all ++
+      CorpusStatsQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
