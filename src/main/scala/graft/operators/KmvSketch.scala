@@ -45,20 +45,8 @@ object KmvSketch {
       valueCol: String,
       k: Int,
       salt: String): DataFrame = {
-    require(k >= 2, s"k must be >= 2: $k")
-    require(keys.nonEmpty, "at least one key column")
     val kc = keys.map(col)
-    val dist = df
-      .where(col(valueCol).isNotNull)
-      .select((kc :+ col(valueCol).cast("string").as("__v")): _*)
-      .distinct()
-      .withColumn("__h",
-        graft.functions.PolyHash.saltedHash(col("__v"), salt))
-    val w = Window.partitionBy(kc: _*).orderBy(col("__h"), col("__v"))
-    val ranked = dist
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
-    ranked
+    ranked(df, keys, valueCol, k, salt)
       .where(col("__rn") === k ||
         (col("__rn") === 1 && col("__n") < k))
       .select((kc :+ col("__n").as("exact_distinct") :+
@@ -70,6 +58,46 @@ object KmvSketch {
           col("exact_distinct")))
       .select((kc :+ col("exact_distinct") :+ col("kmv_estimate") :+
         col("kth_hash")): _*)
+  }
+
+  /** The k-row per-group summary itself: (keys…, min_hash, rank) — the
+    * group's k smallest distinct-value hashes (fewer when the group is
+    * small). This is the MERGEABLE form: the union of two groups'
+    * summaries, hash-deduped and re-truncated to its k smallest, is
+    * exactly the summary of the concatenated data (every one of the
+    * union's k smallest hashes is necessarily within its own group's
+    * k smallest), so partial sketches roll up without revisiting rows
+    * — the property q286 pins against the oracle. */
+  def minima(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      salt: String): DataFrame =
+    ranked(df, keys, valueCol, k, salt)
+      .where(col("__rn") <= k)
+      .select((keys.map(col) :+ col("__h").as("min_hash") :+
+        col("__rn").cast("long").as("rank")): _*)
+
+  private def ranked(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(keys.nonEmpty, "at least one key column")
+    val kc = keys.map(col)
+    val dist = df
+      .where(col(valueCol).isNotNull)
+      .select((kc :+ col(valueCol).cast("string").as("__v")): _*)
+      .distinct()
+      .withColumn("__h",
+        graft.functions.PolyHash.saltedHash(col("__v"), salt))
+    val w = Window.partitionBy(kc: _*).orderBy(col("__h"), col("__v"))
+    dist
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
   }
 
   /** The oracle-side SQL for the estimate expression — kept next to

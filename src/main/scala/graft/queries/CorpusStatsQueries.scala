@@ -14,7 +14,243 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
   */
 object CorpusStatsQueries {
 
-  val all: Seq[Q] = Seq(q281, q282, q283, q284, q285)
+  val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
+    q290)
+
+  /** KMV merge ≡ direct (q285's sketch algebra, the HLL-q225 sibling):
+    * per-source k-minimum summaries union-merged (dedup hashes, keep
+    * the k smallest) must equal the k-minimum summary of the whole
+    * corpus — every global minimum is necessarily inside its own
+    * source's minima. Both paths avoid any data-sized global sort:
+    * per-source minima are source-partitioned windows, and the
+    * direct path's global k smallest come from orderBy.limit
+    * (TakeOrdered) over the distinct-hash dim. */
+  def q286: Q = {
+    val k = 8
+    import graft.operators.KmvSketch
+    Q("q286_kmv_merge",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(${sqlTokens("text")}) AS w
+        |    FROM documents WHERE text IS NOT NULL)),
+        |h AS (
+        |  SELECT source, w, (${sqlSaltedHash("w", "kmv")}) AS h FROM t),
+        |r AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source
+        |    ORDER BY h, w) AS rn
+        |  FROM h),
+        |mins AS (SELECT DISTINCT h FROM r WHERE rn <= $k),
+        |mk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn2 FROM mins),
+        |merged AS (SELECT max(h) AS kth, count(*) AS kn
+        |           FROM mk WHERE rn2 <= $k),
+        |gh AS (SELECT DISTINCT h FROM h),
+        |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+        |direct AS (SELECT max(h) AS kth, count(*) AS kn
+        |           FROM gr WHERE rn <= $k),
+        |ex AS (SELECT count(*) AS exact FROM (SELECT DISTINCT w FROM t)),
+        |e AS (
+        |  SELECT ex.exact,
+        |         CASE WHEN direct.kn = $k THEN
+        |           ${KmvSketch.sqlEstimate("direct.kth", "ex.exact", k)}
+        |         ELSE ex.exact END AS d_est,
+        |         CASE WHEN merged.kn = $k THEN
+        |           ${KmvSketch.sqlEstimate("merged.kth", "ex.exact", k)}
+        |         ELSE ex.exact END AS m_est
+        |  FROM ex CROSS JOIN direct CROSS JOIN merged)
+        |SELECT CAST(exact AS BIGINT) AS exact_distinct,
+        |       CAST(d_est AS BIGINT) AS direct_estimate,
+        |       CAST(m_est AS BIGINT) AS merged_estimate,
+        |       CAST(CASE WHEN d_est = m_est THEN 1 ELSE 0 END AS BIGINT)
+        |         AS sketches_agree
+        |FROM e
+        |""".stripMargin)) { (s, dir) =>
+      import graft.functions.PolyHash
+      val base = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val hashes = base.select(col("source"), col("w")).distinct()
+        .withColumn("h", PolyHash.saltedHash(col("w"), "kmv"))
+        .materialize() // feeds per-source minima, global dedup, exact
+      val minsPerSrc = KmvSketch.minima(
+        hashes.select(col("source"), col("w")), Seq("source"), "w", k, "kmv")
+      val merged = minsPerSrc.select(col("min_hash").as("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("m_kth"), count(lit(1)).as("m_kn"))
+      val direct = hashes.select(col("h")).distinct()
+        .orderBy(col("h")).limit(k)
+        .agg(max(col("h")).as("d_kth"), count(lit(1)).as("d_kn"))
+      val exact = hashes.select(col("w")).distinct()
+        .agg(count(lit(1)).as("exact"))
+      exact.crossJoin(broadcast(direct)).crossJoin(broadcast(merged))
+        .select(
+          col("exact").as("exact_distinct"),
+          when(col("d_kn") === k,
+            expr(KmvSketch.sqlEstimate("d_kth", "exact", k)))
+            .otherwise(col("exact")).as("direct_estimate"),
+          when(col("m_kn") === k,
+            expr(KmvSketch.sqlEstimate("m_kth", "exact", k)))
+            .otherwise(col("exact")).as("merged_estimate"))
+        .withColumn("sketches_agree",
+          when(col("direct_estimate") === col("merged_estimate"), 1L)
+            .otherwise(0L))
+    }
+  }
+
+  /** Sentence-length profile per language: split on terminal
+    * punctuation runs, drop empty fragments, count sentences and exact
+    * character mass, mean length in milli-chars — the tokenizer-free
+    * shape check that separates running prose from list/template
+    * fragments. Scan-stage string work; one lang-dim aggregate. */
+  def q288: Q = Q(
+    "q288_sentence_profile",
+    Some("""
+      |WITH p AS (
+      |  SELECT lang, unnest(string_split_regex(text, '[.!?]+')) AS sent
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT lang, sent FROM p WHERE sent <> ''),
+      |m AS (
+      |  SELECT lang, count(*) AS n_sentences, sum(len(sent)) AS chars
+      |  FROM f GROUP BY lang)
+      |SELECT lang, CAST(n_sentences AS BIGINT) AS n_sentences,
+      |       CAST(chars AS BIGINT) AS total_chars,
+      |       CAST((1000 * chars) // n_sentences AS BIGINT)
+      |         AS mean_chars_milli
+      |FROM m ORDER BY lang
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("lang"),
+        explode(split(col("text"), "[.!?]+")).as("sent"))
+      .where(col("sent") =!= "")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(length(col("sent"))).as("total_chars"))
+      .withColumn("mean_chars_milli",
+        expr("(1000 * total_chars) div n_sentences"))
+      .orderBy(col("lang"))
+  }
+
+  /** Heaps'-law vocabulary growth curve: distinct types seen after
+    * each tenth of the doc-id range — first_seen = min(doc_id) per
+    * type (one token-dim reduction), then a 10-row broadcast threshold
+    * dim counts coverage; no data-sized global sort anywhere
+    * (thresholds are VALUE cuts of the id range, not equal-count
+    * ranks). The "is the corpus still yielding new vocabulary"
+    * curve behind crawl-stopping decisions. */
+  def q289: Q = Q(
+    "q289_vocab_growth",
+    Some(s"""
+      |WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+      |mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+      |th AS (
+      |  SELECT u.i AS decile, mm.lo + ((mm.hi - mm.lo) * u.i) // 10
+      |           AS cutoff
+      |  FROM mm, unnest(range(1, 11)) AS u(i)),
+      |t AS (
+      |  SELECT doc_id, unnest(${sqlTokens("text")}) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |fs AS (SELECT w, min(doc_id) AS first_seen FROM t GROUP BY w),
+      |dc AS (
+      |  SELECT th.decile, th.cutoff, count(*) AS docs_covered
+      |  FROM th JOIN d ON d.doc_id <= th.cutoff GROUP BY 1, 2),
+      |vc AS (
+      |  SELECT th.decile, count(*) AS vocab
+      |  FROM th JOIN fs ON fs.first_seen <= th.cutoff GROUP BY 1)
+      |SELECT CAST(dc.decile AS BIGINT) AS decile,
+      |       CAST(dc.cutoff AS BIGINT) AS cutoff,
+      |       CAST(dc.docs_covered AS BIGINT) AS docs_covered,
+      |       CAST(vc.vocab AS BIGINT) AS vocab
+      |FROM dc JOIN vc ON dc.decile = vc.decile
+      |ORDER BY decile
+      |""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+    val d = docs.select(col("doc_id")).materialize()
+    val mm = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val th = s.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(mm))
+      .withColumn("cutoff", expr("lo + ((hi - lo) * decile) div 10"))
+      .select(col("decile"), col("cutoff"))
+    val fs = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_seen"))
+    val dc = d.crossJoin(broadcast(th))
+      .where(col("doc_id") <= col("cutoff"))
+      .groupBy(col("decile"), col("cutoff"))
+      .agg(count(lit(1)).as("docs_covered"))
+    val vc = fs.crossJoin(broadcast(th))
+      .where(col("first_seen") <= col("cutoff"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("vocab"))
+    dc.join(vc, Seq("decile"))
+      .select(col("decile"), col("cutoff"), col("docs_covered"),
+        col("vocab"))
+      .orderBy(col("decile"))
+  }
+
+  /** Inter-arrival exponentiality check per event type: per-user gaps
+    * between consecutive same-type events (user-partitioned lag — the
+    * parallel window), exact integer mean and the p500 order
+    * statistic, ratio in milli — a Poisson process sits near
+    * ln 2 ≈ 693; heavy departures flag batching/bots next to q206's
+    * Fano factor. */
+  def q290: Q = Q(
+    "q290_interarrival_shape",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |         (t - lag(t) OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY t, event_id)) // 1000 AS gap_us
+      |  FROM e),
+      |sgaps AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_gaps,
+      |         sum(gap_us) // count(*) AS mean_us
+      |  FROM sgaps GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, gap_us,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY gap_us) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM sgaps),
+      |med AS (SELECT event_type, gap_us AS median_us FROM r
+      |        WHERE rn = (500 * n + 999) // 1000)
+      |SELECT m.event_type, CAST(m.n_gaps AS BIGINT) AS n_gaps,
+      |       CAST(m.mean_us AS BIGINT) AS mean_us,
+      |       CAST(med.median_us AS BIGINT) AS median_us,
+      |       CAST((1000 * med.median_us) // m.mean_us AS BIGINT)
+      |         AS ratio_milli
+      |FROM m JOIN med ON m.event_type = med.event_type
+      |ORDER BY m.event_type
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.OrderStats
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").as("t"),
+        col("event_id"))
+      .withColumn("__prev", lag(col("t"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("event_type"),
+        expr("(t - __prev) div 1000").as("gap_us"))
+      .materialize() // feeds the mean aggregate AND the quantile pass
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("__sum"))
+      .withColumn("mean_us", expr("__sum div n_gaps"))
+    val med = OrderStats.quantilesDisc(gaps, Seq("event_type"), "gap_us",
+        Seq(500))
+      .select(col("event_type"), col("value").as("median_us"))
+    m.join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"), col("mean_us"),
+        col("median_us"),
+        expr("(1000 * median_us) div mean_us").as("ratio_milli"))
+      .orderBy(col("event_type"))
+  }
 
   /** Term burstiness for the top-30 terms by collection frequency:
     * cf (occurrences) vs df (documents containing), ratio in exact

@@ -12,7 +12,70 @@ import graft.Tables
   */
 object WarehouseQueries {
 
-  val all: Seq[Q] = Seq(q276, q277, q278, q279, q280)
+  val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287)
+
+  /** Customer-base overlap among the top-10 suppliers by revenue:
+    * exact Jaccard of customer sets in ppm for every overlapping pair
+    * — the channel-conflict / account-overlap report. Scale shape: the
+    * supplier dim reduces to 10 rows via distributed top-k BEFORE any
+    * pairing (broadcast semi-filter onto the fact join), so the
+    * quadratic runs over 45 pairs of bounded sets, never supplier². */
+  def q287: Q = Q(
+    "q287_supplier_overlap",
+    Some("""
+      |WITH rev AS (
+      |  SELECT l_suppkey AS supp,
+      |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem GROUP BY 1),
+      |top AS (SELECT supp FROM rev ORDER BY cents DESC, supp LIMIT 10),
+      |sc AS (
+      |  SELECT DISTINCT l.l_suppkey AS supp, o.o_custkey AS cust
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_suppkey IN (SELECT supp FROM top)),
+      |n AS (SELECT supp, count(*) AS nc FROM sc GROUP BY supp),
+      |inter AS (
+      |  SELECT a.supp AS supp_a, b.supp AS supp_b, count(*) AS common
+      |  FROM sc a JOIN sc b ON a.cust = b.cust AND a.supp < b.supp
+      |  GROUP BY 1, 2)
+      |SELECT i.supp_a, i.supp_b,
+      |       CAST(na.nc AS BIGINT) AS n_a, CAST(nb.nc AS BIGINT) AS n_b,
+      |       CAST(i.common AS BIGINT) AS n_common,
+      |       CAST((1000000 * i.common) // (na.nc + nb.nc - i.common)
+      |            AS BIGINT) AS jaccard_ppm
+      |FROM inter i
+      |JOIN n na ON i.supp_a = na.supp
+      |JOIN n nb ON i.supp_b = nb.supp
+      |ORDER BY supp_a, supp_b
+      |""".stripMargin)) { (s, dir) =>
+    val top = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("supp"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .orderBy(col("cents").desc, col("supp")).limit(10)
+      .select(col("supp"))
+    val sc = Tables.lineitem(s, dir)
+      .join(broadcast(top), col("l_suppkey") === col("supp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("supp"), col("o_custkey").as("cust"))
+      .distinct()
+      .materialize() // feeds per-supplier sizes AND the pair join
+    val n = sc.groupBy(col("supp")).agg(count(lit(1)).as("nc"))
+    // self-join of a derived frame: rename the right side outright
+    val b = sc.select(col("supp").as("__sb"), col("cust").as("__bcust"))
+    sc.join(b, col("cust") === col("__bcust") && col("supp") < col("__sb"))
+      .groupBy(col("supp").as("supp_a"), col("__sb").as("supp_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(n.select(col("supp").as("supp_a"),
+        col("nc").as("n_a"))), Seq("supp_a"))
+      .join(broadcast(n.select(col("supp").as("supp_b"),
+        col("nc").as("n_b"))), Seq("supp_b"))
+      .select(col("supp_a"), col("supp_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(col("supp_a"), col("supp_b"))
+  }
 
   /** Monthly revenue with month-over-month and year-over-year deltas —
     * the first page of every revenue dashboard. Calendar lags are
