@@ -15,7 +15,98 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
 object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
-    q290)
+    q290, q294, q295)
+
+  /** Embedding-norm order statistics per label: per-vector L2 norm in
+    * exact milli (per-element floor(v·1000) ints, integer
+    * sum-of-squares, one IEEE sqrt — correctly rounded on every
+    * platform, so the floor is engine-exact), then p500/p900 per
+    * label. Norm collapse or blow-up per class is the first
+    * embedding-quality regression signal. The norm is SCAN-STAGE array
+    * arithmetic (functions.aggregate over the array — no per-vector
+    * shuffle); only the label quantile pass exchanges. */
+  def q294: Q = Q(
+    "q294_embedding_norms",
+    Some("""
+      |WITH q AS (
+      |  SELECT vec_id, label, u.d AS dim,
+      |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 1000)
+      |              AS BIGINT) AS qv
+      |  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+      |n AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         CAST(floor(sqrt(CAST(sum(qv * qv) AS DOUBLE))) AS BIGINT)
+      |           AS norm_milli
+      |  FROM q GROUP BY 1, 2),
+      |r AS (
+      |  SELECT label, norm_milli,
+      |         row_number() OVER (PARTITION BY label
+      |                            ORDER BY norm_milli) AS rn,
+      |         count(*) OVER (PARTITION BY label) AS n
+      |  FROM n),
+      |p AS (SELECT unnest([500, 900]) AS permille)
+      |SELECT r.label, p.permille, CAST(r.norm_milli AS BIGINT) AS value
+      |FROM r JOIN p ON r.rn = (p.permille * r.n + 999) // 1000
+      |ORDER BY label, permille
+      |""".stripMargin)) { (s, dir) =>
+    import graft.operators.OrderStats
+    val norms = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        expr("CAST(floor(sqrt(CAST(aggregate(" +
+          "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000)" +
+          " AS BIGINT)), 0L, (acc, x) -> acc + x * x) AS DOUBLE)))" +
+          " AS BIGINT)").as("norm_milli"))
+    OrderStats.quantilesDisc(norms, Seq("label"), "norm_milli",
+        Seq(500, 900))
+      .orderBy(col("label"), col("permille"))
+  }
+
+  /** Daily activity-depth distribution with a geometric-MLE overlay:
+    * events-per-user-DAY count-of-counts next to the expected
+    * geometric frequency at p̂ = user-days/events (one pinned pow +
+    * floor-quantize, q235's transcendental idiom) — "is daily
+    * engagement memoryless, or are there binge sessions the geometric
+    * can't explain". Depths capped at 20 for a bounded report (the
+    * user-day grain keeps the mass inside the cap; the whole-user
+    * grain would put every row beyond it). */
+  def q295: Q = Q(
+    "q295_depth_geometric_fit",
+    Some("""
+      |WITH c AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+      |         count(*) AS depth
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT count(*) AS n_userdays, sum(depth) AS n_events FROM c),
+      |d AS (SELECT depth, count(*) AS n FROM c GROUP BY depth)
+      |SELECT CAST(d.depth AS BIGINT) AS depth,
+      |       CAST(d.n AS BIGINT) AS observed,
+      |       CAST(floor(CAST(CAST(s.n_userdays AS DOUBLE)
+      |            * (CAST(s.n_userdays AS DOUBLE)
+      |               / CAST(s.n_events AS DOUBLE))
+      |            * pow(1.0 - CAST(s.n_userdays AS DOUBLE)
+      |                  / CAST(s.n_events AS DOUBLE),
+      |                  CAST(d.depth - 1 AS DOUBLE))
+      |            AS DECIMAL(18,9)) * 1000) AS BIGINT) AS expected_milli
+      |FROM d CROSS JOIN s WHERE d.depth <= 20 ORDER BY depth
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .agg(count(lit(1)).as("depth"))
+      .materialize() // feeds the scalar totals AND the histogram
+    val tot = c.agg(count(lit(1)).as("n_userdays"),
+      sum(col("depth")).as("n_events"))
+    c.groupBy(col("depth")).agg(count(lit(1)).as("observed"))
+      .where(col("depth") <= 20)
+      .crossJoin(broadcast(tot))
+      .select(col("depth"), col("observed"),
+        expr("CAST(floor(CAST(CAST(n_userdays AS DOUBLE)" +
+          " * (CAST(n_userdays AS DOUBLE) / CAST(n_events AS DOUBLE))" +
+          " * pow(1.0 - CAST(n_userdays AS DOUBLE)" +
+          " / CAST(n_events AS DOUBLE)," +
+          " CAST(depth - 1 AS DOUBLE)) AS DECIMAL(18,9)) * 1000) AS BIGINT)")
+          .as("expected_milli"))
+      .orderBy(col("depth"))
+  }
 
   /** KMV merge ≡ direct (q285's sketch algebra, the HLL-q225 sibling):
     * per-source k-minimum summaries union-merged (dedup hashes, keep

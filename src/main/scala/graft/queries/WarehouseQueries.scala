@@ -12,7 +12,148 @@ import graft.Tables
   */
 object WarehouseQueries {
 
-  val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287)
+  val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
+    q293)
+
+  /** Schema evolution, HASH-GATED (the spec-only round-7 behavior made
+    * an oracle row): build a ManifestCommit table from the even orders
+    * (key, cents), appendVersioned the odd orders WITH an extra
+    * priority column under mergeSchema, and read the final generation
+    * back — pre-evolution rows must surface the added column as null
+    * via the committed #schema= marker, no footer merge. The oracle
+    * replays the union in plain SQL. Cached per source fingerprint;
+    * staged + atomic-moved so readers never see a half-built table. */
+  def q291: Q = Q(
+    "q291_schema_evolution_read",
+    Some("""
+      |WITH g1 AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(CAST(o_totalprice * 100 AS HUGEINT) AS BIGINT)
+      |           AS cents
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |g2 AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(CAST(o_totalprice * 100 AS HUGEINT) AS BIGINT)
+      |           AS cents,
+      |         o_orderpriority AS priority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT key, cents, CAST(NULL AS VARCHAR) AS priority FROM g1
+      |UNION ALL
+      |SELECT key, cents, priority FROM g2
+      |ORDER BY key
+      |""".stripMargin)) { (s, dir) =>
+    import graft.sources.ManifestCommit
+    val orders = Tables.orders(s, dir)
+    val path = "/tmp/graft_schema_evo_v1_" +
+      CorpusQueries.sourceFingerprint(dir, "orders")
+    if (ManifestCommit.latest(path).isEmpty) {
+      val stage = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft_schema_evo_stage_")
+        .toString
+      val cents = (col("o_totalprice") * 100).cast("decimal(38,0)")
+        .cast("long").as("cents")
+      ManifestCommit.writeVersioned(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("key"), cents), stage)
+      ManifestCommit.appendVersioned(
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("key"), cents,
+            col("o_orderpriority").as("priority")),
+        stage, mergeSchema = true)
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(stage), java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the publish race: someone else's build won
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.AccessDeniedException |
+             _: java.nio.file.FileSystemException
+          if ManifestCommit.latest(path).nonEmpty => ()
+      }
+    }
+    ManifestCommit.read(s, path)
+      .select(col("key"), col("cents"), col("priority"))
+      .orderBy(col("key"))
+  }
+
+  /** TPC-H Q1's margin-matrix sibling with the FULL price chain:
+    * net = extprice·(1−discount)·(1+tax) and the discount give-back,
+    * each floor-quantized to cents PER ROW before the integer sum —
+    * order-free reductions, so the fp multiply chain (same op order
+    * both engines) never meets a reduction tree. */
+  def q292: Q = Q(
+    "q292_margin_matrix",
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              * (1.0 + l_tax) AS DECIMAL(18,9)) * 100) AS BIGINT))
+      |            AS BIGINT) AS net_cents,
+      |       CAST(sum(CAST(floor(CAST(l_extendedprice * l_discount
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT)) AS BIGINT)
+      |         AS discount_cents
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c.cast("decimal(18,9)") * 100).cast("long")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("__net"),
+        cents(col("l_extendedprice") * col("l_discount")).as("__disc"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__net")).as("net_cents"),
+        sum(col("__disc")).as("discount_cents"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** New-vs-returning order mix per month — the growth-accounting
+    * face on the ORDER grain (q259 does users on events): a customer's
+    * first-ever order month from one customer-dim reduction, then per
+    * month the order split and the count of customers acquired. */
+  def q293: Q = Q(
+    "q293_new_vs_returning",
+    Some("""
+      |WITH o AS (
+      |  SELECT o_custkey,
+      |         CAST(year(o_orderdate) * 100 + month(o_orderdate)
+      |              AS BIGINT) AS ym
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY 1),
+      |nw AS (SELECT first_ym AS ym, count(*) AS n_new_customers
+      |       FROM f GROUP BY 1),
+      |j AS (
+      |  SELECT o.ym,
+      |         CASE WHEN o.ym = f.first_ym THEN 1 ELSE 0 END AS is_new
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey)
+      |SELECT j.ym, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(is_new) AS BIGINT) AS n_orders_new,
+      |       CAST(count(*) - sum(is_new) AS BIGINT) AS n_orders_returning,
+      |       CAST(coalesce(max(nw.n_new_customers), 0) AS BIGINT)
+      |         AS n_new_customers
+      |FROM j LEFT JOIN nw ON j.ym = nw.ym
+      |GROUP BY j.ym ORDER BY j.ym
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      .materialize() // feeds first-order dim AND the order-grain join
+    val f = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("first_ym"))
+    val nw = f.groupBy(col("first_ym").as("ym"))
+      .agg(count(lit(1)).as("n_new_customers"))
+    o.join(f, Seq("o_custkey"))
+      .select(col("ym"),
+        when(col("ym") === col("first_ym"), 1L).otherwise(0L).as("is_new"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("is_new")).as("__new"))
+      .join(broadcast(nw), Seq("ym"), "left")
+      .select(col("ym"), col("n_orders"),
+        col("__new").as("n_orders_new"),
+        (col("n_orders") - col("__new")).as("n_orders_returning"),
+        coalesce(col("n_new_customers"), lit(0L)).as("n_new_customers"))
+      .orderBy(col("ym"))
+  }
 
   /** Customer-base overlap among the top-10 suppliers by revenue:
     * exact Jaccard of customer sets in ppm for every overlapping pair
