@@ -15,7 +15,82 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
 object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
-    q290, q294, q295)
+    q290, q294, q295, q299, q300)
+
+  /** Boilerplate-prefix detection: documents sharing an identical
+    * 80-char leading prefix (the shared-header / template signature
+    * exact dedup misses when bodies differ) — prefix groups with
+    * multiplicity and an exemplar doc. Scan-stage substring, one
+    * prefix-dim aggregation; the candidate precursor to q79's
+    * dup-span analysis. */
+  def q299: Q = Q(
+    "q299_prefix_boilerplate",
+    Some("""
+      |WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 80) AS prefix
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT prefix, count(*) AS n_docs, min(doc_id) AS exemplar
+      |  FROM p GROUP BY prefix HAVING count(*) > 1)
+      |SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST(exemplar AS BIGINT) AS exemplar
+      |FROM g ORDER BY n_docs DESC, prefix
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("prefix"))
+  }
+
+  /** Corpus health scorecard — the one-row dashboard a data card
+    * leads with, every number exact-integer: doc count, English share,
+    * exact-duplicate rate (full-text equality), vocabulary size,
+    * token mass and mean tokens per doc. Five dim-or-scalar
+    * reductions composed; nothing collects but the final row. */
+  def q300: Q = Q(
+    "q300_corpus_scorecard",
+    Some(s"""
+      |WITH d AS (SELECT doc_id, text, lang FROM documents
+      |           WHERE text IS NOT NULL),
+      |base AS (
+      |  SELECT count(*) AS n_docs,
+      |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+      |         count(DISTINCT text) AS n_distinct_texts
+      |  FROM d),
+      |t AS (SELECT unnest(${sqlTokens("text")}) AS w FROM d),
+      |tk AS (SELECT count(*) AS n_tokens,
+      |              count(DISTINCT w) AS vocab_size FROM t)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |       CAST((1000000 * n_en) // n_docs AS BIGINT) AS en_share_ppm,
+      |       CAST((1000000 * (n_docs - n_distinct_texts)) // n_docs
+      |            AS BIGINT) AS exact_dup_ppm,
+      |       CAST(vocab_size AS BIGINT) AS vocab_size,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST((1000 * n_tokens) // n_docs AS BIGINT)
+      |         AS mean_tokens_milli
+      |FROM base CROSS JOIN tk
+      |""".stripMargin)) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .materialize() // feeds the doc-level and token-level reductions
+    val base = d.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+      countDistinct(col("text")).as("n_distinct_texts"))
+    val tk = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("vocab_size"))
+    base.crossJoin(broadcast(tk))
+      .select(col("n_docs"),
+        expr("(1000000 * n_en) div n_docs").as("en_share_ppm"),
+        expr("(1000000 * (n_docs - n_distinct_texts)) div n_docs")
+          .as("exact_dup_ppm"),
+        col("vocab_size"), col("n_tokens"),
+        expr("(1000 * n_tokens) div n_docs").as("mean_tokens_milli"))
+  }
 
   /** Embedding-norm order statistics per label: per-vector L2 norm in
     * exact milli (per-element floor(v·1000) ints, integer

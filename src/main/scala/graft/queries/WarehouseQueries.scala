@@ -13,7 +13,138 @@ import graft.Tables
 object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
-    q293)
+    q293, q296, q297, q298)
+
+  /** Directed association rules on top of q169's frequent pairs: both
+    * orientations of every surviving pair with exact integer
+    * confidence (milli) and the shared lift, kept when confidence
+    * ≥ 40‰ (the synthetic baskets are broad, so absolute confidences sit low) — the "customers who bought from A also buy from B"
+    * recommendation rule table. The A-priori support prune runs before
+    * any pair fan-out (Basket.frequentPairs), so the rule step is
+    * dim-sized arithmetic. */
+  def q296: Q = Q(
+    "q296_association_rules",
+    Some("""
+      |WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      |tot AS (SELECT count(DISTINCT b) AS n_baskets FROM items),
+      |supp AS (
+      |  SELECT i, count(*) AS supp FROM items GROUP BY i
+      |  HAVING count(*) >= 50),
+      |freq AS (SELECT items.b, items.i FROM items JOIN supp USING (i)),
+      |pairs AS (
+      |  SELECT x.i AS item_a, y.i AS item_b, count(*) AS ps
+      |  FROM freq x JOIN freq y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY x.i, y.i
+      |  HAVING count(*) >= 10),
+      |wide AS (
+      |  SELECT p.item_a, p.item_b, p.ps, sa.supp AS supp_a,
+      |         sb.supp AS supp_b, tot.n_baskets
+      |  FROM pairs p
+      |  JOIN supp sa ON p.item_a = sa.i
+      |  JOIN supp sb ON p.item_b = sb.i
+      |  CROSS JOIN tot),
+      |rules AS (
+      |  SELECT item_a AS antecedent, item_b AS consequent, ps,
+      |         supp_a AS supp_ante,
+      |         (1000 * ps) // supp_a AS conf_milli,
+      |         CAST((CAST(1000000 AS HUGEINT) * n_baskets * ps)
+      |              // (CAST(supp_a AS HUGEINT) * supp_b) AS BIGINT)
+      |           AS lift_ppm
+      |  FROM wide
+      |  UNION ALL
+      |  SELECT item_b, item_a, ps, supp_b,
+      |         (1000 * ps) // supp_b,
+      |         CAST((CAST(1000000 AS HUGEINT) * n_baskets * ps)
+      |              // (CAST(supp_a AS HUGEINT) * supp_b) AS BIGINT)
+      |  FROM wide)
+      |SELECT antecedent, consequent, CAST(ps AS BIGINT) AS pair_support,
+      |       CAST(supp_ante AS BIGINT) AS supp_ante,
+      |       CAST(conf_milli AS BIGINT) AS conf_milli, lift_ppm
+      |FROM rules WHERE conf_milli >= 40
+      |ORDER BY antecedent, consequent
+      |""".stripMargin)) { (s, dir) =>
+    val wide = graft.operators.Basket.frequentPairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_suppkey",
+        minItemSupport = 50L, minPairSupport = 10L)
+      .materialize() // both rule orientations read the same pair table
+    def dir1(ante: String, cons: String, suppAnte: String) = wide.select(
+      col(ante).as("antecedent"), col(cons).as("consequent"),
+      col("pair_support"), col(suppAnte).as("supp_ante"),
+      expr(s"(1000 * pair_support) div $suppAnte").as("conf_milli"),
+      col("lift_ppm"))
+    dir1("item_a", "item_b", "supp_a")
+      .unionByName(dir1("item_b", "item_a", "supp_b"))
+      .where(col("conf_milli") >= 40)
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** Return rate per brand with the Wilson lower confidence bound
+    * (z=1.96) — the ranking statistic that keeps a 2-of-3 brand from
+    * outranking a 190-of-1000 one. The bound is the same double
+    * expression on both engines (IEEE sqrt, pinned op order),
+    * floor-quantized to ppm; everything before it is integer
+    * counting. */
+  def q297: Q = {
+    val wilson =
+      """CAST(floor(CAST(
+        |  ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |   + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+        |   - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+        |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+        |       / CAST(n AS DOUBLE)))
+        |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+        |AS DECIMAL(18,9)) * 1000000) AS BIGINT)""".stripMargin
+    Q("q297_return_rate_wilson",
+      Some(s"""
+        |WITH c AS (
+        |  SELECT p.p_brand AS brand, count(*) AS n,
+        |         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |           AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1)
+        |SELECT brand, CAST(n AS BIGINT) AS n_lines,
+        |       CAST(r AS BIGINT) AS n_returns,
+        |       CAST((1000000 * r) // n AS BIGINT) AS rate_ppm,
+        |       $wilson AS wilson_lb_ppm
+        |FROM c ORDER BY brand
+        |""".stripMargin)) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+        .select(col("brand"), col("n").as("n_lines"),
+          col("r").as("n_returns"),
+          expr("(1000000 * r) div n").as("rate_ppm"),
+          expr(wilson).as("wilson_lb_ppm"))
+        .orderBy(col("brand"))
+    }
+  }
+
+  /** Shipment-split distribution: distinct ship dates per order →
+    * count-of-counts — "how many orders ship complete in one go vs
+    * dribble out over N days", the fulfillment-consolidation lever. */
+  def q298: Q = Q(
+    "q298_shipment_splits",
+    Some("""
+      |WITH d AS (
+      |  SELECT l_orderkey,
+      |         count(DISTINCT CAST(l_shipdate AS DATE)) AS n_dates
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(n_dates AS BIGINT) AS n_ship_dates,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM d GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_shipdate").cast("date")).as("n_ship_dates"))
+      .groupBy(col("n_ship_dates"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_ship_dates"))
+  }
 
   /** Schema evolution, HASH-GATED (the spec-only round-7 behavior made
     * an oracle row): build a ManifestCommit table from the even orders
