@@ -81,6 +81,13 @@ object MultiModal {
     *  - GIF:  "GIF87a"/"GIF89a", width/height LITTLE-endian uint16 at
     *    offsets 6/8 (bytes reversed before conv).
     *  - BMP:  "BM", width/height little-endian int32 at offsets 18/22.
+    *  - JPEG: canonical JFIF layout only — SOI, a 16-byte APP0
+    *    ("JFIF\0"), then SOF0 immediately after: height/width
+    *    BIG-endian uint16 at offsets 25/27. JPEGs with other segment
+    *    orders (EXIF APP1, quantization tables before SOF0) return
+    *    null and fall through to the decode queue — the conservative
+    *    sniff contract (a full marker walk needs a loop, not a
+    *    scan-stage expression).
     *
     * Returns struct(format, width, height); null for payloads that
     * match no container (the decode-queue routing key). */
@@ -107,12 +114,18 @@ object MultiModal {
     val isPng = hex(substring(payload, 1, 8)) === "89504E470D0A1A0A"
     val isGif = substring(payload, 1, 4).cast("string") === "GIF8"
     val isBmp = substring(payload, 1, 2).cast("string") === "BM"
+    val isJpeg = hex(substring(payload, 1, 2)) === "FFD8" &&
+      hex(substring(payload, 3, 2)) === "FFE0" &&
+      substring(payload, 7, 4).cast("string") === "JFIF" &&
+      hex(substring(payload, 21, 2)) === "FFC0"
     when(isPng, struct(lit("png").as("format"),
         beLong(17, 4).as("width"), beLong(21, 4).as("height")))
       .when(isGif, struct(lit("gif").as("format"),
         leLong(7, 2).as("width"), leLong(9, 2).as("height")))
       .when(isBmp, struct(lit("bmp").as("format"),
         leSigned32(19).as("width"), abs(leSigned32(23)).as("height")))
+      .when(isJpeg, struct(lit("jpeg").as("format"),
+        beLong(28, 2).as("width"), beLong(26, 2).as("height")))
   }
 
   /** REAL (not stubbed) audio-container sniffing, [[imageDims]]'s

@@ -15,7 +15,190 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
 object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
-    q290, q294, q295, q299, q300)
+    q290, q294, q295, q299, q300, q301, q302, q304)
+
+  /** Mann-Whitney U (rank-sum) test: are English documents LONGER than
+    * non-English ones, nonparametrically — no normality assumption, the
+    * robust two-sample test a data card should quote next to a mean
+    * diff. EXACT integer midranks computed on the VALUE dim (per
+    * distinct length: cumulative count below + within-group count;
+    * midranks ×2 to stay integral under .5 ties), so no row-level
+    * global sort — the only ordered window runs over the distinct-
+    * length dim, which is bounded by the value range, not the corpus.
+    * U and the rank sums are exact integers; only the final normal
+    * z-approximation (no tie correction — stated) divides, pinned and
+    * floor-quantized to milli. */
+  def q301: Q = Q(
+    "q301_mann_whitney",
+    Some("""
+      |WITH v AS (
+      |  SELECT n_chars AS x,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+      |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |cnt AS (SELECT x, count(*) AS c, sum(g) AS c1 FROM v GROUP BY x),
+      |cum AS (
+      |  SELECT x, c, c1,
+      |         coalesce(sum(c) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cb
+      |  FROM cnt),
+      |agg AS (
+      |  SELECT sum(c1 * (2 * cb + c + 1)) AS r1x2,
+      |         sum(c1) AS n1, sum(c - c1) AS n2
+      |  FROM cum)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+      |       CAST(floor(CAST(
+      |         ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+      |          - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0))
+      |         / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+      |                / 12.0)
+      |       AS DECIMAL(18,9)) * 1000) AS BIGINT) AS z_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.documents(s, dir)
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("n_chars").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("g"))
+    val cnt = v.groupBy(col("x"))
+      .agg(count(lit(1)).as("c"), sum(col("g")).as("c1"))
+    // ordered window over the distinct-VALUE dim only (bounded by the
+    // length range, not the corpus) — the row-level sort never happens
+    val wC = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cnt.withColumn("cb",
+      coalesce(sum(col("c")).over(wC), lit(0L)))
+    cum.agg(
+        sum(col("c1") * (lit(2L) * col("cb") + col("c") + 1L)).as("r1x2"),
+        sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"))
+      .select(col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        expr("""CAST(floor(CAST(
+          ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+           - (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0))
+          / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                 / 12.0)
+        AS DECIMAL(18,9)) * 1000) AS BIGINT)""").as("z_milli"))
+  }
+
+  /** Spearman rank correlation between document length (chars) and
+    * token count — the monotone-association number that survives the
+    * heavy length tail where Pearson saturates. Midranks ×2 via the
+    * same value-dim trick as q301 (no row-level sort; the rank map is
+    * a broadcast value-dim join), all sums exact integers in
+    * decimal(38,0), ONE pinned double expression at the end, floor-
+    * quantized to milli. */
+  def q302: Q = Q(
+    "q302_spearman_length_tokens",
+    Some(s"""
+      |WITH v AS (
+      |  SELECT doc_id, n_chars AS x, len(${sqlTokens("text")}) AS y
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+      |cx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+      |rx AS (
+      |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + c + 1 AS rx2
+      |  FROM cx),
+      |cy AS (SELECT y, count(*) AS c FROM v GROUP BY y),
+      |ry AS (
+      |  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + c + 1 AS ry2
+      |  FROM cy),
+      |j AS (
+      |  SELECT CAST(rx.rx2 AS HUGEINT) AS rx2,
+      |         CAST(ry.ry2 AS HUGEINT) AS ry2
+      |  FROM v JOIN rx ON v.x = rx.x JOIN ry ON v.y = ry.y),
+      |agg AS (
+      |  SELECT count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+      |         sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+      |         sum(rx2 * ry2) AS sxy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |       CAST(floor(CAST(
+      |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |       AS DECIMAL(18,9)) * 1000) AS BIGINT) AS rho_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val v = Tables.documents(s, dir)
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars").as("x"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("y"))
+      .materialize() // feeds both rank dims AND the per-doc join
+    def rankDim(c: String, out: String) = {
+      val wC = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      v.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("__c")).over(wC), lit(0L)) +
+            col("__c") + 1L)
+        .select(col(c), col(out))
+    }
+    val j = v
+      .join(broadcast(rankDim("x", "rx2")), Seq("x"))
+      .join(broadcast(rankDim("y", "ry2")), Seq("y"))
+      .select(col("rx2").cast(d38).as("rx2"), col("ry2").cast(d38).as("ry2"))
+    j.agg(count(lit(1)).as("n"),
+        sum(col("rx2")).cast(d38).as("sx"),
+        sum(col("ry2")).cast(d38).as("sy"),
+        sum(col("rx2") * col("rx2")).cast(d38).as("sxx"),
+        sum(col("ry2") * col("ry2")).cast(d38).as("syy"),
+        sum(col("rx2") * col("ry2")).cast(d38).as("sxy"))
+      .select(col("n"),
+        expr("""CAST(floor(CAST(
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS DECIMAL(18,9)) * 1000) AS BIGINT)""").as("rho_milli"))
+  }
+
+  /** JPEG header sniff, HASH-GATED round-trip: a canonical JFIF+SOF0
+    * header is SYNTHESIZED per document (width/height derived from
+    * doc_id / n_chars), then parsed back by the REAL byte-level
+    * sniffer (MultiModal.imageDims' jpeg branch) — the oracle computes
+    * the construction formula directly, so any parser drift
+    * hash-fails. Every payload stays scan-stage binary; nothing
+    * shuffles but the final sort. */
+  def q304: Q = Q(
+    "q304_jpeg_sniff",
+    Some("""
+      |SELECT doc_id AS media_id, 'jpeg' AS format,
+      |       CAST(64 + doc_id % 192 AS BIGINT) AS width,
+      |       CAST(64 + n_chars % 192 AS BIGINT) AS height
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY media_id
+      |""".stripMargin)) { (s, dir) =>
+    import graft.multimodal.MultiModal
+    // SOF0 stores HEIGHT first, then width (big-endian u16 each)
+    val payload = expr(
+      "unhex(concat(" +
+        "'FFD8FFE000104A46494600010100004800480000FFC0001108', " +
+        "lpad(hex(64 + n_chars % 192), 4, '0'), " +
+        "lpad(hex(64 + doc_id % 192), 4, '0')))")
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id").as("media_id"), payload.as("payload"))
+      .select(col("media_id"),
+        MultiModal.imageDims(col("payload")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"))
+      .orderBy(col("media_id"))
+  }
 
   /** Boilerplate-prefix detection: documents sharing an identical
     * 80-char leading prefix (the shared-header / template signature

@@ -13,7 +13,143 @@ import graft.Tables
 object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
-    q293, q296, q297, q298)
+    q293, q296, q297, q298, q303, q305)
+
+  /** Degree assortativity of the co-purchase graph (q169's frequent
+    * pairs as edges over suppliers): Pearson correlation of endpoint
+    * degrees over both edge orientations — positive means hubs link
+    * hubs (rich-club), negative means hub-and-spoke. Degrees and all
+    * moment sums are exact integers over the EDGE dim (already
+    * A-priori-pruned, pair support >= 20 so the graph is sparse enough
+    * to have degree variance); one pinned double expression,
+    * floor-milli — NULL when every degree is equal (a complete graph
+    * has no assortativity to measure). */
+  def q303: Q = Q(
+    "q303_degree_assortativity",
+    Some("""
+      |WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      |supp AS (
+      |  SELECT i, count(*) AS supp FROM items GROUP BY i
+      |  HAVING count(*) >= 50),
+      |freq AS (SELECT items.b, items.i FROM items JOIN supp USING (i)),
+      |pairs AS (
+      |  SELECT x.i AS a, y.i AS bb
+      |  FROM freq x JOIN freq y ON x.b = y.b AND x.i < y.i
+      |  GROUP BY x.i, y.i
+      |  HAVING count(*) >= 20),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT a AS node FROM pairs
+      |    UNION ALL SELECT bb FROM pairs) GROUP BY node),
+      |ends AS (
+      |  SELECT da.d AS dx, db.d AS dy
+      |  FROM pairs JOIN deg da ON pairs.a = da.node
+      |             JOIN deg db ON pairs.bb = db.node
+      |  UNION ALL
+      |  SELECT db.d, da.d
+      |  FROM pairs JOIN deg da ON pairs.a = da.node
+      |             JOIN deg db ON pairs.bb = db.node),
+      |agg AS (
+      |  SELECT count(*) AS m, sum(CAST(dx AS HUGEINT)) AS sx,
+      |         sum(CAST(dy AS HUGEINT)) AS sy,
+      |         sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |         sum(CAST(dy AS HUGEINT) * dy) AS syy,
+      |         sum(CAST(dx AS HUGEINT) * dy) AS sxy
+      |  FROM ends)
+      |SELECT CAST(m AS BIGINT) AS n_endpoints,
+      |       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+      |       THEN CAST(floor(CAST(
+      |         (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |       AS DECIMAL(18,9)) * 1000) AS BIGINT) END
+      |         AS assortativity_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    val d38 = "decimal(38,0)"
+    val pairs = graft.operators.Basket.frequentPairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_suppkey",
+        minItemSupport = 50L, minPairSupport = 20L)
+      .select(col("item_a").as("a"), col("item_b").as("bb"))
+      .materialize() // feeds the degree dim AND both orientations
+    val deg = pairs.select(col("a").as("node"))
+      .unionByName(pairs.select(col("bb").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val ends0 = pairs
+      .join(broadcast(deg.select(col("node").as("a"), col("d").as("dx"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("node").as("bb"), col("d").as("dy"))),
+        Seq("bb"))
+      .select(col("dx"), col("dy"))
+    val ends = ends0.unionByName(
+      ends0.select(col("dy").as("dx"), col("dx").as("dy")))
+    ends.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(d38)).cast(d38).as("sx"),
+        sum(col("dy").cast(d38)).cast(d38).as("sy"),
+        sum(col("dx").cast(d38) * col("dx")).cast(d38).as("sxx"),
+        sum(col("dy").cast(d38) * col("dy")).cast(d38).as("syy"),
+        sum(col("dx").cast(d38) * col("dy")).cast(d38).as("sxy"))
+      .select(col("m").as("n_endpoints"),
+        expr("""CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        THEN CAST(floor(CAST(
+          (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS DECIMAL(18,9)) * 1000) AS BIGINT) END""")
+          .as("assortativity_milli"))
+  }
+
+  /** Zero-filled daily revenue series: every calendar day between the
+    * first and last order date materialized via sequence(), missing
+    * days zero-filled and FLAGGED — the gap-free time series a
+    * forecasting model consumes (silent calendar holes are the top
+    * cause of phantom seasonality). The day dim is generated, never
+    * sorted out of the fact table. */
+  def q305: Q = Q(
+    "q305_zero_filled_daily",
+    Some("""
+      |WITH o AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
+      |  FROM orders),
+      |rev AS (SELECT d, CAST(sum(cents) AS BIGINT) AS rev_cents,
+      |               count(*) AS n_orders
+      |        FROM o GROUP BY d),
+      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+      |days AS (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm)
+      |SELECT days.d AS day,
+      |       CAST(coalesce(rev.rev_cents, 0) AS BIGINT) AS rev_cents,
+      |       CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders,
+      |       CAST(CASE WHEN rev.d IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS is_gap
+      |FROM days LEFT JOIN rev ON days.d = rev.d
+      |ORDER BY day
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " div 86400000000").as("d"),
+        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
+      .materialize() // feeds the per-day rollup AND the range scalars
+    val rev = o.groupBy(col("d"))
+      .agg(sum(col("cents")).cast("long").as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    days.join(rev, col("day") === col("d"), "left")
+      .select(col("day"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        when(col("d").isNull, 1L).otherwise(0L).as("is_gap"))
+      .orderBy(col("day"))
+  }
 
   /** Directed association rules on top of q169's frequent pairs: both
     * orientations of every surviving pair with exact integer

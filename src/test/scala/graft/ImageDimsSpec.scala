@@ -48,6 +48,29 @@ class ImageDimsSpec extends AnyFunSuite {
           Option(r.get(3)).map(_.asInstanceOf[Long])))
       .toMap
 
+  /** Canonical JFIF: SOI + 16-byte APP0 + SOF0 (height BEFORE width). */
+  private def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(29)
+    b.put(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte))
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(Array(0x01, 0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00)
+      .map(_.toByte))
+    b.put(Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte))
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.array()
+  }
+
+  test("JPEG canonical JFIF SOF0 parses; non-canonical layouts route to null") {
+    val out = sniff(Seq(jpegHeader(800, 600), jpegHeader(65535, 1)))
+    assert(out(0L) == ((Some("jpeg"), Some(800L), Some(600L))))
+    assert(out(1L) == ((Some("jpeg"), Some(65535L), Some(1L))))
+    // EXIF-style APP1 first: conservative null, the decode-queue lane
+    val exif = jpegHeader(800, 600)
+    exif(3) = 0xE1.toByte // APP0 -> APP1 marker
+    val rejected = sniff(Seq(exif))
+    assert(rejected(0L) == ((None, None, None)))
+  }
+
   test("PNG IHDR big-endian dimensions parse exactly") {
     val out = sniff(Seq(pngHeader(1920, 1080), pngHeader(1, 16777216)))
     assert(out(0L) == ((Some("png"), Some(1920L), Some(1080L))))
