@@ -92,16 +92,22 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would print "0,123"
     // and corrupt the JSON contract line
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // ONE serialization of the driver contract: key mapping, error
+    // list, and total are shared between the full line, the
+    // bench_full.json line, and the capped final line — two copies of
+    // this would drift exactly where the driver parses
+    val shortKey: String => String = _.takeWhile(_ != '_')
+    // errors shortened with the SAME key mapping as queries — full names
+    // would re-inflate the line past the tail capture exactly when many
+    // queries fail, and short keys keep errors correlatable with queries
+    def errJson(key: String => String): String =
+      errors.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def json(key: String => String, f: Double => String,
         extra: String = ""): String = {
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-      // errors shortened with the SAME key mapping as queries — full names
-      // would re-inflate the line past the tail capture exactly when many
-      // queries fail, and short keys keep errors correlatable with queries
-      val errJson = errors.map("\"" + key(_) + "\"").mkString("[", ",", "]")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$errJson$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":${errJson(key)}$extra,"sf":"$sfDir"}"""
     }
     // bench_full.json additionally records both raw passes (failed
     // attempts marked) so a min that hid a one-pass spike or failure
@@ -122,12 +128,10 @@ object Bench {
     // informative tail of the distribution survives, the sub-100ms
     // noise floor is what gets dropped); the complete map is the line
     // printed just above plus bench_full.json on disk.
-    println(json(_.takeWhile(_ != '_'), fmt))
-    def shortKey(k: String): String = k.takeWhile(_ != '_')
-    val errJson = errors.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    println(json(shortKey, fmt))
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""errors":$errJson,"sf":"$sfDir","n_queries":${results.size},""" +
+      s""""errors":${errJson(shortKey)},"sf":"$sfDir",""" +
+      s""""n_queries":${results.size},""" +
       s""""queries_slowest":true,"queries":{"""
     val close = "}}"
     val budget = 1600 - head.length - close.length

@@ -48,9 +48,9 @@ object KmvSketch {
     val kc = keys.map(col)
     ranked(df, keys, valueCol, k, salt)
       .where(col("__rn") === k ||
-        (col("__rn") === 1 && col("__n") < k))
+        (col("__rn") === 1 && col("__nh") < k))
       .select((kc :+ col("__n").as("exact_distinct") :+
-        when(col("__n") >= k, col("__h")).as("kth_hash")): _*)
+        when(col("__nh") >= k, col("__h")).as("kth_hash")): _*)
       .withColumn("kmv_estimate",
         coalesce(
           floor(lit((k - 1).toDouble) * lit(MaxH.toDouble) /
@@ -79,6 +79,14 @@ object KmvSketch {
       .select((keys.map(col) :+ col("__h").as("min_hash") :+
         col("__rn").cast("long").as("rank")): _*)
 
+  /** Per-(keys, DISTINCT hash) rows with `__rn` the hash's rank within
+    * its group, `__nh` the group's distinct-HASH count, and `__n` the
+    * group's exact distinct-VALUE count. The k-th order statistic and
+    * the mergeability property are defined over DISTINCT hash values
+    * (the set-of-minima contract) — ranking raw (hash, value) rows
+    * would let a collision occupy two of the k slots and break
+    * merge ≡ direct; the exact value count still rides along for the
+    * small-set rule and the free exact answer. */
   private def ranked(
       df: DataFrame,
       keys: Seq[String],
@@ -88,16 +96,19 @@ object KmvSketch {
     require(k >= 2, s"k must be >= 2: $k")
     require(keys.nonEmpty, "at least one key column")
     val kc = keys.map(col)
-    val dist = df
+    val hashes = df
       .where(col(valueCol).isNotNull)
       .select((kc :+ col(valueCol).cast("string").as("__v")): _*)
       .distinct()
       .withColumn("__h",
         graft.functions.PolyHash.saltedHash(col("__v"), salt))
-    val w = Window.partitionBy(kc: _*).orderBy(col("__h"), col("__v"))
-    dist
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      .groupBy((kc :+ col("__h")): _*)
+      .agg(count(lit(1)).as("__vc"))
+    val wp = Window.partitionBy(kc: _*)
+    hashes
+      .withColumn("__rn", row_number().over(wp.orderBy(col("__h"))))
+      .withColumn("__nh", count(lit(1)).over(wp))
+      .withColumn("__n", sum(col("__vc")).over(wp))
   }
 
   /** The oracle-side SQL for the estimate expression — kept next to

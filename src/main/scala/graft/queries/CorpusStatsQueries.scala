@@ -120,14 +120,8 @@ object CorpusStatsQueries {
       |         sum(rx2 * ry2) AS sxy
       |  FROM j)
       |SELECT CAST(n AS BIGINT) AS n,
-      |       CAST(floor(CAST(
-      |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |       AS DECIMAL(18,9)) * 1000) AS BIGINT) AS rho_milli
+      |       ${PipelineQueries.sqlPearsonMilli(
+                 "n", "sx", "sy", "sxx", "syy", "sxy")} AS rho_milli
       |FROM agg
       |""".stripMargin)) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -157,14 +151,8 @@ object CorpusStatsQueries {
         sum(col("ry2") * col("ry2")).cast(d38).as("syy"),
         sum(col("rx2") * col("ry2")).cast(d38).as("sxy"))
       .select(col("n"),
-        expr("""CAST(floor(CAST(
-          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        AS DECIMAL(18,9)) * 1000) AS BIGINT)""").as("rho_milli"))
+        expr(PipelineQueries.sqlPearsonMilli(
+          "n", "sx", "sy", "sxx", "syy", "sxy")).as("rho_milli"))
   }
 
   /** JPEG header sniff, HASH-GATED round-trip: a canonical JFIF+SOF0
@@ -180,7 +168,7 @@ object CorpusStatsQueries {
       |SELECT doc_id AS media_id, 'jpeg' AS format,
       |       CAST(64 + doc_id % 192 AS BIGINT) AS width,
       |       CAST(64 + n_chars % 192 AS BIGINT) AS height
-      |FROM documents WHERE text IS NOT NULL
+      |FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
       |ORDER BY media_id
       |""".stripMargin)) { (s, dir) =>
     import graft.multimodal.MultiModal
@@ -191,7 +179,7 @@ object CorpusStatsQueries {
         "lpad(hex(64 + n_chars % 192), 4, '0'), " +
         "lpad(hex(64 + doc_id % 192), 4, '0')))")
     Tables.documents(s, dir)
-      .where(col("text").isNotNull)
+      .where(col("text").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id").as("media_id"), payload.as("payload"))
       .select(col("media_id"),
         MultiModal.imageDims(col("payload")).as("m"))
@@ -385,10 +373,11 @@ object CorpusStatsQueries {
         |    FROM documents WHERE text IS NOT NULL)),
         |h AS (
         |  SELECT source, w, (${sqlSaltedHash("w", "kmv")}) AS h FROM t),
+        |hd0 AS (SELECT DISTINCT source, h FROM h),
         |r AS (
         |  SELECT source, h, row_number() OVER (PARTITION BY source
-        |    ORDER BY h, w) AS rn
-        |  FROM h),
+        |    ORDER BY h) AS rn
+        |  FROM hd0),
         |mins AS (SELECT DISTINCT h FROM r WHERE rn <= $k),
         |mk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn2 FROM mins),
         |merged AS (SELECT max(h) AS kth, count(*) AS kn
@@ -787,12 +776,12 @@ object CorpusStatsQueries {
         |h AS (
         |  SELECT source, w, (${sqlSaltedHash("w", "kmv")}) AS h
         |  FROM t),
+        |hd AS (SELECT DISTINCT source, h FROM h),
         |r AS (
         |  SELECT source, h,
         |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY h, w) AS rn,
-        |         count(*) OVER (PARTITION BY source) AS n
-        |  FROM h),
+        |                            ORDER BY h) AS rn
+        |  FROM hd),
         |kth AS (SELECT source, h AS kth FROM r WHERE rn = $k),
         |ex AS (SELECT source, count(*) AS exact FROM t GROUP BY source),
         |e AS (

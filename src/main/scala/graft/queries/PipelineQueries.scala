@@ -42,6 +42,25 @@ object PipelineQueries {
     sqlCharFold(
       s"('$salt:' || CAST((${sqlCharFold(s"($expr || ':$salt')")}) AS VARCHAR))")
 
+  /** Pearson correlation from exact moment sums, floor-quantized to
+    * milli and variance-guarded (NULL when either variance is zero):
+    * (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²)). ONE text valid
+    * in both DuckDB and Spark SQL, shared by every oracle/Spark call
+    * site (q302 Spearman-on-midranks, q303 assortativity) so the
+    * hash-gated copies can never drift — the KmvSketch.sqlEstimate
+    * discipline. */
+  private[queries] def sqlPearsonMilli(n: String, sx: String, sy: String,
+      sxx: String, syy: String, sxy: String): String =
+    s"""CASE WHEN $n * $sxx - $sx * $sx > 0 AND $n * $syy - $sy * $sy > 0
+       |THEN CAST(floor(CAST(
+       |  (CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE)
+       |   - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+       |  / sqrt((CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE)
+       |          - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+       |         * (CAST($n AS DOUBLE) * CAST($syy AS DOUBLE)
+       |            - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))
+       |AS DECIMAL(18,9)) * 1000) AS BIGINT) END""".stripMargin
+
   /** ≙ Dedup.shingles(n=3) on pre-tokenized list `toks`. */
   private[queries] def sqlShingles(toks: String) =
     s"""list_transform(range(1, greatest(len($toks) - 2, 0) + 1),

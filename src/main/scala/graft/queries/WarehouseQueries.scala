@@ -26,7 +26,7 @@ object WarehouseQueries {
     * has no assortativity to measure). */
   def q303: Q = Q(
     "q303_degree_assortativity",
-    Some("""
+    Some(s"""
       |WITH items AS (
       |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem
       |  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
@@ -59,15 +59,8 @@ object WarehouseQueries {
       |         sum(CAST(dx AS HUGEINT) * dy) AS sxy
       |  FROM ends)
       |SELECT CAST(m AS BIGINT) AS n_endpoints,
-      |       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-      |       THEN CAST(floor(CAST(
-      |         (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |         / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |                * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-      |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |       AS DECIMAL(18,9)) * 1000) AS BIGINT) END
+      |       ${PipelineQueries.sqlPearsonMilli(
+                 "m", "sx", "sy", "sxx", "syy", "sxy")}
       |         AS assortativity_milli
       |FROM agg
       |""".stripMargin)) { (s, dir) =>
@@ -95,15 +88,8 @@ object WarehouseQueries {
         sum(col("dy").cast(d38) * col("dy")).cast(d38).as("syy"),
         sum(col("dx").cast(d38) * col("dy")).cast(d38).as("sxy"))
       .select(col("m").as("n_endpoints"),
-        expr("""CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-        THEN CAST(floor(CAST(
-          (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-        AS DECIMAL(18,9)) * 1000) AS BIGINT) END""")
+        expr(PipelineQueries.sqlPearsonMilli(
+          "m", "sx", "sy", "sxx", "syy", "sxy"))
           .as("assortativity_milli"))
   }
 

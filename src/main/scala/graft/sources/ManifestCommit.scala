@@ -416,7 +416,10 @@ object ManifestCommit {
     * footer-merge sweep at read time (at 100 TB, mergeSchema-on-read
     * is a million-footer LIST+GET storm; committing the schema with
     * the manifest makes evolution O(1) at the reader). Same-name
-    * type conflicts fail loudly in BOTH modes. */
+    * type conflicts fail loudly in BOTH modes. Concurrency: a writer
+    * that loses the generation race throws
+    * [[ConcurrentWriteException]] rather than silently dropping the
+    * winner's appended files — re-call to rebase and retry. */
   def appendVersioned(df: DataFrame, path: String,
       partitionBy: Seq[String] = Seq.empty,
       mergeSchema: Boolean = false): Long = {
@@ -440,10 +443,16 @@ object ManifestCommit {
       .parquet(dir.resolve(dataDir).toString)
     val newParts = partFilesUnder(dir.resolve(dataDir))
       .map(p => dir.relativize(p).toString)
+    // NO conflict retry: this manifest's file list was built from the
+    // generation read at entry, so re-publishing one generation higher
+    // after losing a race would silently DROP the winner's files (a
+    // lost update — the exact anomaly writeVersionedExclusive exists
+    // to prevent). A loser fails loudly; re-call appendVersioned to
+    // rebase on the new latest.
     publish(dir,
       (prevFiles ++ newParts).sorted ++ carriedMarkers(path) :+
         schemaMarker(committed),
-      firstGen, nonce)
+      firstGen, nonce, retryOnConflict = false)
   }
 
   /** Stage the manifest content once, then publish by HARD LINK onto

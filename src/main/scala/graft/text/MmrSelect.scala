@@ -203,7 +203,10 @@ object MmrSelect {
           when(col("__uni") === 0L, 0L)
             .otherwise(expr("(__inter * 1000) div __uni"))))
         .drop("__inter", "__uni")
-        .materialize() // constant lineage depth across rounds
+        // truncate=true: a per-round state rewrite is EXACTLY the
+        // iterative call site Materialize documents as superlinear
+        // under plain persist — lineage must cut every round
+        .materialize(truncate = true)
       rank += 1
     }
     import spark.implicits._
