@@ -15,7 +15,144 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
 object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
-    q290, q294, q295, q299, q300, q301, q302, q304)
+    q290, q294, q295, q299, q300, q301, q302, q304, q306, q307, q309)
+
+  /** Bigram novelty curve — q289's Heaps law at PHRASE granularity:
+    * cumulative distinct bigrams (native Shingles n=2 kernel) after
+    * each tenth of the doc-id range, plus the per-decile new-type
+    * delta. Unigram vocabulary saturates early; bigram novelty keeps
+    * discriminating template re-mixes from genuinely new text. Same
+    * scale shape as q289: one first-seen reduction over the bigram
+    * dim, a 10-row broadcast threshold dim, a 10-row window for the
+    * delta. */
+  def q306: Q = {
+    val sqlBigrams = s"""list_transform(
+      |  range(1, greatest(len(${sqlTokens("text")}) - 1, 0) + 1),
+      |  i -> (${sqlTokens("text")})[i] || ' ' || (${sqlTokens("text")})[i+1])"""
+      .stripMargin
+    Q("q306_bigram_novelty",
+      Some(s"""
+        |WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+        |mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+        |th AS (
+        |  SELECT u.i AS decile, mm.lo + ((mm.hi - mm.lo) * u.i) // 10
+        |           AS cutoff
+        |  FROM mm, unnest(range(1, 11)) AS u(i)),
+        |t AS (
+        |  SELECT doc_id, unnest($sqlBigrams) AS bg
+        |  FROM documents WHERE text IS NOT NULL),
+        |fs AS (SELECT bg, min(doc_id) AS first_seen FROM t GROUP BY bg),
+        |vc AS (
+        |  SELECT th.decile, th.cutoff, count(*) AS cum_bigrams
+        |  FROM th JOIN fs ON fs.first_seen <= th.cutoff GROUP BY 1, 2)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |       CAST(cutoff AS BIGINT) AS cutoff,
+        |       CAST(cum_bigrams AS BIGINT) AS cum_bigrams,
+        |       CAST(cum_bigrams - coalesce(lag(cum_bigrams)
+        |              OVER (ORDER BY decile), 0) AS BIGINT) AS new_bigrams
+        |FROM vc ORDER BY decile
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.dedup.Dedup
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      val mm = docs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val th = s.range(1, 11).select(col("id").as("decile"))
+        .crossJoin(broadcast(mm))
+        .withColumn("cutoff", expr("lo + ((hi - lo) * decile) div 10"))
+        .select(col("decile"), col("cutoff"))
+      val fs = docs
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("text"), n = 2)).as("bg"))
+        .groupBy(col("bg")).agg(min(col("doc_id")).as("first_seen"))
+      val vc = fs.crossJoin(broadcast(th))
+        .where(col("first_seen") <= col("cutoff"))
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(count(lit(1)).as("cum_bigrams"))
+      vc.withColumn("new_bigrams",
+          col("cum_bigrams") - coalesce(
+            lag(col("cum_bigrams"), 1).over(Window.orderBy(col("decile"))),
+            lit(0L)))
+        .orderBy(col("decile"))
+    }
+  }
+
+  /** Mean token length per language in exact milli-chars — the
+    * word-length typology signal (German compounds vs Chinese
+    * romanization) and a cheap tokenizer sanity check: a tokenizer
+    * regression that splits or glues words moves this number before
+    * anything downstream notices. Two integer sums per lang. */
+  def q307: Q = Q(
+    "q307_token_length_by_lang",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT lang, unnest(${sqlTokens("text")}) AS w
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(len(w)) AS BIGINT) AS total_chars,
+      |       CAST((1000 * sum(len(w))) // count(*) AS BIGINT)
+      |         AS mean_len_milli
+      |FROM t GROUP BY lang ORDER BY lang
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).as("total_chars"))
+      .withColumn("mean_len_milli",
+        expr("(1000 * total_chars) div n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** KMV generality face: distinct USERS per event type estimated by
+    * the same k-minimum sketch q285 runs on tokens — different table,
+    * different value type (longs), same operator and oracle replay;
+    * the per-type audience-size panel a sketch-driven dashboard would
+    * serve. */
+  def q309: Q = {
+    val k = 16
+    Q("q309_kmv_users_per_type",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, v, (${sqlSaltedHash("v", "kmvu")}) AS h
+        |  FROM t),
+        |hd AS (SELECT DISTINCT event_type, h FROM h),
+        |r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY h) AS rn
+        |  FROM hd),
+        |kth AS (SELECT event_type, h AS kth FROM r WHERE rn = $k),
+        |ex AS (SELECT event_type, count(*) AS exact FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT ex.event_type, ex.exact,
+        |         ${graft.operators.KmvSketch.sqlEstimate(
+                     "kth.kth", "ex.exact", k)} AS est
+        |  FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type)
+        |SELECT event_type, CAST(exact AS BIGINT) AS exact_distinct,
+        |       CAST(est AS BIGINT) AS kmv_estimate,
+        |       CAST((1000000 * abs(est - exact)) // exact AS BIGINT)
+        |         AS err_ppm
+        |FROM e ORDER BY event_type
+        |""".stripMargin)) { (s, dir) =>
+      graft.operators.KmvSketch.estimate(
+          Tables.events(s, dir)
+            .where(col("user_id").isNotNull)
+            .select(col("event_type"), col("user_id")),
+          keys = Seq("event_type"), valueCol = "user_id", k = k,
+          salt = "kmvu")
+        .select(col("event_type"), col("exact_distinct"),
+          col("kmv_estimate"),
+          expr("(1000000 * abs(kmv_estimate - exact_distinct)) " +
+            "div exact_distinct").as("err_ppm"))
+        .orderBy(col("event_type"))
+    }
+  }
 
   /** Mann-Whitney U (rank-sum) test: are English documents LONGER than
     * non-English ones, nonparametrically — no normality assumption, the

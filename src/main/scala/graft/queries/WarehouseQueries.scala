@@ -13,7 +13,68 @@ import graft.Tables
 object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
-    q293, q296, q297, q298, q303, q305)
+    q293, q296, q297, q298, q303, q305, q308)
+
+  /** Revenue-coverage counts — the Lorenz inverse ("how many top
+    * orders cover 50/80/90 % of revenue"): orders ranked by value
+    * descending with a running revenue sum, both bucket-parallel
+    * (globalRankCum over value bands — the order dim grows with the
+    * business, so no single-partition window), then each permille
+    * threshold reads off the smallest covering rank. Totals are a
+    * broadcast scalar agg. */
+  def q308: Q = Q(
+    "q308_revenue_coverage",
+    Some("""
+      |WITH o AS (
+      |  SELECT o_orderkey,
+      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
+      |  FROM orders),
+      |tot AS (SELECT sum(cents) AS tot FROM o),
+      |r AS (
+      |  SELECT o_orderkey, cents,
+      |         row_number() OVER (ORDER BY cents DESC, o_orderkey)
+      |           AS rk,
+      |         sum(cents) OVER (ORDER BY cents DESC, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS cum
+      |  FROM o),
+      |th AS (SELECT unnest([500, 800, 900]) AS thr),
+      |c AS (
+      |  SELECT th.thr, min(r.rk) AS n_orders
+      |  FROM th, r, tot WHERE 1000 * r.cum >= th.thr * tot.tot
+      |  GROUP BY th.thr)
+      |SELECT CAST(c.thr AS BIGINT) AS threshold_permille,
+      |       CAST(c.n_orders AS BIGINT) AS n_orders,
+      |       CAST((1000000 * r2.cum) // tot.tot AS BIGINT)
+      |         AS share_ppm
+      |FROM c JOIN r r2 ON r2.rk = c.n_orders CROSS JOIN tot
+      |ORDER BY threshold_permille
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
+      .materialize() // feeds the scalar total AND the rank/cum pass
+    val tot = o.agg(sum(col("cents")).as("tot"))
+    val ranked = graft.dedup.SortedNeighborhood.globalRankCum(
+        o.withColumn("__negc", -col("cents"))
+          .withColumn("__bkt", expr("__negc div 1000000")),
+        idCol = "o_orderkey", bucketCol = "__bkt",
+        tieCols = Seq("__negc"), cumCol = Some("cents"))
+      .select(col("__rank").as("rk"), col("__cum").as("cum"))
+      .materialize() // read once per threshold pass and once for share
+    val th = s.range(0, 3).select(
+      (element_at(array(lit(500L), lit(800L), lit(900L)),
+        (col("id") + 1).cast("int"))).as("thr"))
+    val c = ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+      .where(col("cum") * 1000 >= col("thr") * col("tot"))
+      .groupBy(col("thr")).agg(min(col("rk")).as("n_orders"))
+    c.join(ranked.select(col("rk"), col("cum")),
+        col("n_orders") === col("rk"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr").as("threshold_permille"), col("n_orders"),
+        expr("CAST((1000000 * cum) div tot AS BIGINT)").as("share_ppm"))
+      .orderBy(col("threshold_permille"))
+  }
 
   /** Degree assortativity of the co-purchase graph (q169's frequent
     * pairs as edges over suppliers): Pearson correlation of endpoint
