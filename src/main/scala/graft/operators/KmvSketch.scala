@@ -111,6 +111,53 @@ object KmvSketch {
       .withColumn("__n", sum(col("__vc")).over(wp))
   }
 
+  /** Union-merge a STORED minima table (the [[minima]] shape:
+    * keys…, min_hash[, rank]) with a fresh batch's minima and
+    * re-truncate to the k smallest distinct hashes per group — the
+    * incremental-maintenance face: the result is row-identical to
+    * [[minima]] over the concatenated data (spec-pinned), so a
+    * sketch index never re-reads history. Only the BATCH is hashed;
+    * the stored side contributes its k rows per group. */
+  def mergeMinima(
+      stored: DataFrame,
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    val kc = keys.map(col)
+    val fresh = minima(df, keys, valueCol, k, salt)
+      .select((kc :+ col("min_hash")): _*)
+    val union = stored.select((kc :+ col("min_hash")): _*)
+      .unionByName(fresh)
+      .distinct()
+    val w = Window.partitionBy(kc: _*).orderBy(col("min_hash"))
+    union.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Estimate from a minima table ALONE (no raw data): per group,
+    * distinct-hash count `nh` and — when the sketch is full — the
+    * (k−1)·H/h₍ₖ₎ estimator; a sketch with fewer than k hashes IS the
+    * whole (hashed) value set, so `nh` is the answer, up to hash
+    * collisions (the only information loss the sketch-only view
+    * has — [[estimate]] on raw data reports the exact value count
+    * instead). */
+  def estimateFromMinima(minima: DataFrame, keys: Seq[String], k: Int)
+      : DataFrame = {
+    val kc = keys.map(col)
+    minima
+      .groupBy(kc: _*)
+      .agg(count(lit(1)).as("__nh"),
+        max(when(col("rank") === k, col("min_hash"))).as("kth_hash"))
+      .withColumn("kmv_estimate",
+        coalesce(
+          floor(lit((k - 1).toDouble) * lit(MaxH.toDouble) /
+            col("kth_hash").cast("double")).cast("long"),
+          col("__nh")))
+      .select((kc :+ col("kmv_estimate") :+ col("kth_hash")): _*)
+  }
+
   /** The oracle-side SQL for the estimate expression — kept next to
     * the Scala so the two literals can never drift: callers
     * interpolate `sqlEstimate("kth", "n")`. */

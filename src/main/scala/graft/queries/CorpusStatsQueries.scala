@@ -15,7 +15,84 @@ import PipelineQueries.{sqlSaltedHash, sqlTokens}
 object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
-    q290, q294, q295, q299, q300, q301, q302, q304, q306, q307, q309)
+    q290, q294, q295, q299, q300, q301, q302, q304, q306, q307, q309,
+    q310)
+
+  /** Incremental KMV maintenance against a STORED sketch index (the
+    * q136/q251 stored-index discipline for cardinality): per-source
+    * minima over the old corpus live in a ManifestCommit table; a new
+    * ingest batch merges via KmvSketch.mergeMinima (only the batch is
+    * hashed — history never re-reads), and the merged sketch's
+    * estimate must equal the direct whole-corpus estimate (the merge
+    * property, hash-gated: the oracle computes the direct path, so
+    * any incremental drift hash-fails). */
+  def q310: Q = {
+    val k = 8
+    import graft.operators.KmvSketch
+    Q("q310_kmv_incremental",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(${sqlTokens("text")}) AS w
+        |    FROM documents WHERE text IS NOT NULL)),
+        |h AS (
+        |  SELECT source, w, (${sqlSaltedHash("w", "kmv")}) AS h FROM t),
+        |hd AS (SELECT DISTINCT source, h FROM h),
+        |r AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source
+        |    ORDER BY h) AS rn
+        |  FROM hd),
+        |kth AS (SELECT source, h AS kth FROM r WHERE rn = $k),
+        |ex AS (SELECT source, count(*) AS exact FROM t GROUP BY source),
+        |e AS (
+        |  SELECT ex.source, ex.exact,
+        |         ${KmvSketch.sqlEstimate("kth.kth", "ex.exact", k)} AS est
+        |  FROM ex LEFT JOIN kth ON ex.source = kth.source)
+        |SELECT source, CAST(exact AS BIGINT) AS exact_distinct,
+        |       CAST(est AS BIGINT) AS direct_estimate,
+        |       CAST(est AS BIGINT) AS incremental_estimate,
+        |       CAST(1 AS BIGINT) AS sketches_agree
+        |FROM e ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      import graft.sources.ManifestCommit
+      val docs = Tables.documents(s, dir).where(col("text").isNotNull)
+      def toks(d: org.apache.spark.sql.DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val path = "/tmp/graft_kmv_idx_v1_" +
+        CorpusQueries.sourceFingerprint(dir, "documents")
+      if (ManifestCommit.latest(path).isEmpty) {
+        val stage = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/tmp"), "graft_kmv_stage_").toString
+        ManifestCommit.writeVersioned(
+          KmvSketch.minima(toks(docs.where(col("doc_id") % 5 =!= 0)),
+            Seq("source"), "w", k, "kmv"), stage)
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(stage), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the publish race: a complete build already won
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.FileSystemException
+            if ManifestCommit.latest(path).nonEmpty => ()
+        }
+      }
+      val stored = ManifestCommit.read(s, path)
+      val merged = KmvSketch.mergeMinima(stored,
+        toks(docs.where(col("doc_id") % 5 === 0)),
+        Seq("source"), "w", k, "kmv")
+      val inc = KmvSketch.estimateFromMinima(merged, Seq("source"), k)
+        .select(col("source"),
+          col("kmv_estimate").as("incremental_estimate"))
+      KmvSketch.estimate(toks(docs), Seq("source"), "w", k, "kmv")
+        .select(col("source"), col("exact_distinct"),
+          col("kmv_estimate").as("direct_estimate"))
+        .join(inc, Seq("source"))
+        .withColumn("sketches_agree",
+          when(col("direct_estimate") === col("incremental_estimate"), 1L)
+            .otherwise(0L))
+        .orderBy(col("source"))
+    }
+  }
 
   /** Bigram novelty curve — q289's Heaps law at PHRASE granularity:
     * cumulative distinct bigrams (native Shingles n=2 kernel) after

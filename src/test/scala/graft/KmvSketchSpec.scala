@@ -34,6 +34,29 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(est2 == est)
   }
 
+  test("mergeMinima(old sketch, new batch) is row-identical to minima(all)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 800).map(i => (s"g${i % 3}", s"v${rnd.nextInt(300)}"))
+    val (old, fresh) = rows.splitAt(500)
+    val all = rows.toDF("g", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "min_hash", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val direct = canon(KmvSketch.minima(all, Seq("g"), "v", 16, "m"))
+    val merged = canon(KmvSketch.mergeMinima(
+      KmvSketch.minima(old.toDF("g", "v"), Seq("g"), "v", 16, "m"),
+      fresh.toDF("g", "v"), Seq("g"), "v", 16, "m"))
+    assert(merged == direct)
+    // and the sketch-only estimate matches estimate() on the raw data
+    val estDirect = KmvSketch.estimate(all, Seq("g"), "v", 16, "m")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val estSketch = KmvSketch.estimateFromMinima(
+        KmvSketch.minima(all, Seq("g"), "v", 16, "m"), Seq("g"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estSketch == estDirect)
+  }
+
   test("null values drop; keys with only nulls vanish") {
     val df = Seq(("a", Some("x")), ("a", None), ("b", None))
       .toDF("g", "v")
