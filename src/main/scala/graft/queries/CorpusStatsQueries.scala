@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Materialize.MatOps
 import graft.Tables
 import graft.text.TextAnalysis
-import PipelineQueries.{sqlSaltedHash, sqlTokens}
+import PipelineQueries.{sqlInList, sqlSaltedHash, sqlTokens}
 
 /** Round-7 corpus-statistics wave: term burstiness, per-language
   * stopword coverage, the rank-window SQL family (ntile/percent_rank/
@@ -16,7 +16,132 @@ object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
     q290, q294, q295, q299, q300, q301, q302, q304, q306, q307, q309,
-    q310)
+    q310, q313, q314, q315)
+
+  /** Language confusion matrix: declared lang × stopword-langId
+    * prediction with per-row share — WHERE the q24 classifier errs
+    * (es↔fr bleed, zh defaulting to und), the calibration table a
+    * lang-gated pipeline reads before trusting the gate. One scan,
+    * one dim-sized matrix aggregate. */
+  def q313: Q = {
+    val hits = TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> x IN ${sqlInList(words)})) AS s_$lang"
+    }.mkString(",\n         ")
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val cond = (s"s_$lang > 0" +: later).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString("\n         ")
+    Q("q313_lang_confusion",
+      Some(s"""
+        |WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, lang, $hits FROM t),
+        |p AS (
+        |  SELECT lang AS declared, CASE $cases ELSE 'und' END AS predicted
+        |  FROM h),
+        |m AS (SELECT declared, predicted, count(*) AS n
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT declared, sum(n) AS row_n FROM m GROUP BY 1)
+        |SELECT m.declared, m.predicted, CAST(m.n AS BIGINT) AS n,
+        |       CAST((1000000 * m.n) // r.row_n AS BIGINT) AS row_share_ppm
+        |FROM m JOIN r ON m.declared = r.declared
+        |ORDER BY m.declared, m.predicted
+        |""".stripMargin)) { (s, dir) =>
+      val m = Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("lang").as("declared"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .materialize() // feeds the matrix AND its row totals
+      val r = m.groupBy(col("declared")).agg(sum(col("n")).as("row_n"))
+      m.join(broadcast(r), Seq("declared"))
+        .select(col("declared"), col("predicted"), col("n"),
+          expr("(1000000 * n) div row_n").as("row_share_ppm"))
+        .orderBy(col("declared"), col("predicted"))
+    }
+  }
+
+  /** Near-dup cluster language purity: do clusters stay inside one
+    * language (template families translated across langs are a real
+    * contamination mode for per-lang mixtures)? One scalar row —
+    * clusters of size ≥ 2, how many are mono-lang, purity ppm. The
+    * oracle replays CC with the recursive reach CTE. */
+  def q314: Q = Q(
+    "q314_cluster_lang_purity",
+    Some(s"""
+      |WITH RECURSIVE
+      |${PipelineQueries.sqlNearDupCcCtes},
+      |sz AS (
+      |  SELECT l.cluster_id, count(*) AS n,
+      |         count(DISTINCT d.lang) AS nl
+      |  FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
+      |  GROUP BY l.cluster_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_mono_lang,
+      |       CAST((1000000 * sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END))
+      |            // count(*) AS BIGINT) AS purity_ppm
+      |FROM sz WHERE n >= 2
+      |""".stripMargin)) { (s, dir) =>
+    import graft.dedup.Dedup
+    val docs = Tables.documents(s, dir)
+    val clusters = Dedup.nearDupClusters(
+      Dedup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.8))
+    clusters
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("nl"))
+      .where(col("n") >= 2)
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("nl") === 1, 1L).otherwise(0L)).as("n_mono_lang"))
+      .withColumn("purity_ppm",
+        expr("(1000000 * n_mono_lang) div n_clusters"))
+  }
+
+  /** Character-class profile per source: digit / uppercase / terminal-
+    * punctuation char mass in ppm of total characters — the cheap
+    * "is this prose, a table dump, or SHOUTING" fingerprint (explicit
+    * char classes only; never \\s — NOTES rule on Java-vs-RE2 class
+    * divergence). Scan-stage regexp_replace counting, one source-dim
+    * aggregate. */
+  def q315: Q = Q(
+    "q315_char_class_profile",
+    Some("""
+      |WITH c AS (
+      |  SELECT source, length(text) AS chars,
+      |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+      |         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers,
+      |         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS puncts
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(chars) AS BIGINT) AS total_chars,
+      |       CAST((1000000 * sum(digits)) // sum(chars) AS BIGINT)
+      |         AS digit_ppm,
+      |       CAST((1000000 * sum(uppers)) // sum(chars) AS BIGINT)
+      |         AS upper_ppm,
+      |       CAST((1000000 * sum(puncts)) // sum(chars) AS BIGINT)
+      |         AS punct_ppm
+      |FROM c GROUP BY source ORDER BY source
+      |""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("source"), length(col("text")).as("chars"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("digits"),
+        length(regexp_replace(col("text"), "[^A-Z]", "")).as("uppers"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("puncts"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("total_chars"),
+        sum(col("digits")).as("__d"), sum(col("uppers")).as("__u"),
+        sum(col("puncts")).as("__p"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("(1000000 * __d) div total_chars").as("digit_ppm"),
+        expr("(1000000 * __u) div total_chars").as("upper_ppm"),
+        expr("(1000000 * __p) div total_chars").as("punct_ppm"))
+      .orderBy(col("source"))
+  }
 
   /** Incremental KMV maintenance against a STORED sketch index (the
     * q136/q251 stored-index discipline for cardinality): per-source

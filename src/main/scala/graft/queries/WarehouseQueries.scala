@@ -13,7 +13,87 @@ import graft.Tables
 object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
-    q293, q296, q297, q298, q303, q305, q308)
+    q293, q296, q297, q298, q303, q305, q308, q311, q312)
+
+  /** Order-grain cohort retention (q112's event-grain triangle on the
+    * ORDER table): customers cohorted by first-order month index
+    * (y·12+m), per (cohort, age-in-months) the distinct customers who
+    * ordered again — the repeat-purchase decay curve. Two customer-dim
+    * reductions and one distinct aggregate. */
+  def q311: Q = Q(
+    "q311_order_cohort_retention",
+    Some("""
+      |WITH o AS (
+      |  SELECT o_custkey,
+      |         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+      |              AS BIGINT) AS m
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT f.cm, o.m - f.cm AS age, o.o_custkey
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey)
+      |SELECT cm AS cohort_month, CAST(age AS BIGINT) AS age_months,
+      |       CAST(count(*) AS BIGINT) AS active_customers
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"))
+      .materialize() // feeds the cohort dim AND the activity join
+    val f = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    o.join(f, Seq("o_custkey"))
+      .select(col("cm"), (col("m") - col("cm")).as("age"), col("o_custkey"))
+      .distinct()
+      .groupBy(col("cm").as("cohort_month"), col("age").as("age_months"))
+      .agg(count(lit(1)).as("active_customers"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  /** Cross-supplier price dispersion per part (q277's sibling): parts
+    * quoted by ≥2 suppliers, the milli-cent unit-price min/max and
+    * the spread in ppm of the min — the procurement-arbitrage list.
+    * Same two dim-sized shuffles as q277. */
+  def q312: Q = Q(
+    "q312_price_dispersion",
+    Some("""
+      |WITH ps AS (
+      |  SELECT l_partkey AS part, l_suppkey AS supp,
+      |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |u AS (SELECT part, supp, (1000 * cents) // qty AS unit_milli
+      |      FROM ps WHERE qty > 0),
+      |d AS (
+      |  SELECT part, count(*) AS n_suppliers,
+      |         min(unit_milli) AS min_unit_milli,
+      |         max(unit_milli) AS max_unit_milli
+      |  FROM u GROUP BY part HAVING count(*) >= 2)
+      |SELECT part, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      |       CAST(min_unit_milli AS BIGINT) AS min_unit_milli,
+      |       CAST(max_unit_milli AS BIGINT) AS max_unit_milli,
+      |       CAST((1000000 * (max_unit_milli - min_unit_milli))
+      |            // min_unit_milli AS BIGINT) AS spread_ppm
+      |FROM d ORDER BY part
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .where(col("qty") > 0)
+      .withColumn("unit_milli", expr("(1000 * cents) div qty"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("unit_milli")).as("min_unit_milli"),
+        max(col("unit_milli")).as("max_unit_milli"))
+      .where(col("n_suppliers") >= 2)
+      .withColumn("spread_ppm",
+        expr("(1000000 * (max_unit_milli - min_unit_milli))" +
+          " div min_unit_milli"))
+      .orderBy(col("part"))
+  }
 
   /** Revenue-coverage counts — the Lorenz inverse ("how many top
     * orders cover 50/80/90 % of revenue"): orders ranked by value
