@@ -16,7 +16,109 @@ object CorpusStatsQueries {
 
   val all: Seq[Q] = Seq(q281, q282, q283, q284, q285, q286, q288, q289,
     q290, q294, q295, q299, q300, q301, q302, q304, q306, q307, q309,
-    q310, q313, q314, q315)
+    q310, q313, q314, q315, q316, q318)
+
+  /** Cross-source vocabulary containment: for every source pair the
+    * shared-type count and containment (inter over the SMALLER vocab,
+    * ppm) — the redundancy map that decides which sources add
+    * vocabulary vs re-mix it. The pair join runs on the (source, type)
+    * dim — the quadratic is over sources, never tokens. */
+  def q316: Q = Q(
+    "q316_source_vocab_containment",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(${sqlTokens("text")}) AS w
+      |    FROM documents WHERE text IS NOT NULL)),
+      |n AS (SELECT source, count(*) AS nv FROM t GROUP BY source),
+      |i AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         count(*) AS n_shared
+      |  FROM t a JOIN t b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.source_a, i.source_b,
+      |       CAST(na.nv AS BIGINT) AS n_a, CAST(nb.nv AS BIGINT) AS n_b,
+      |       CAST(i.n_shared AS BIGINT) AS n_shared,
+      |       CAST((1000000 * i.n_shared) // least(na.nv, nb.nv)
+      |            AS BIGINT) AS containment_ppm
+      |FROM i JOIN n na ON i.source_a = na.source
+      |       JOIN n nb ON i.source_b = nb.source
+      |ORDER BY source_a, source_b
+      |""".stripMargin)) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+      .materialize() // feeds per-source sizes AND the pair join
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    // self-join of a derived frame: rename the right side outright
+    val b = t.select(col("source").as("__sb"), col("w").as("__bw"))
+    t.join(b, col("w") === col("__bw") && col("source") < col("__sb"))
+      .groupBy(col("source").as("source_a"), col("__sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(n.select(col("source").as("source_a"),
+        col("nv").as("n_a"))), Seq("source_a"))
+      .join(broadcast(n.select(col("source").as("source_b"),
+        col("nv").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("(1000000 * n_shared) div least(n_a, n_b)")
+          .as("containment_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Per-user event-type diversity: Shannon entropy of each user's
+    * type mix with PER-TERM micro-nat quantization before any sum
+    * (each −(c/n)·ln(c/n) term floors to an integer, so the per-user
+    * and corpus reductions are order-free integers — the q292 cents
+    * discipline applied to entropy), plus the share of single-type
+    * users. One (user, type) aggregate, one user-dim rollup, one
+    * scalar row. */
+  def q318: Q = Q(
+    "q318_user_type_entropy",
+    Some("""
+      |WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events
+      |  GROUP BY 1, 2),
+      |u AS (SELECT user_id, sum(c) AS n, count(*) AS nt FROM c
+      |      GROUP BY 1),
+      |h AS (
+      |  SELECT c.user_id,
+      |         sum(CAST(floor(CAST(
+      |           -(CAST(c.c AS DOUBLE) / CAST(u.n AS DOUBLE))
+      |            * ln(CAST(c.c AS DOUBLE) / CAST(u.n AS DOUBLE))
+      |         AS DECIMAL(18,9)) * 1000000) AS BIGINT)) AS h_micro,
+      |         max(u.nt) AS nt
+      |  FROM c JOIN u ON c.user_id = u.user_id
+      |  GROUP BY c.user_id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(h_micro) // count(*) AS BIGINT)
+      |         AS mean_entropy_micro,
+      |       CAST((1000000 * sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END))
+      |            // count(*) AS BIGINT) AS single_type_ppm
+      |FROM h
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val u = c.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("nt"))
+    val h = c.join(u, Seq("user_id"))
+      .select(col("user_id"), col("nt"),
+        expr("""CAST(floor(CAST(
+          -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        AS DECIMAL(18,9)) * 1000000) AS BIGINT)""").as("term_micro"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("term_micro")).as("h_micro"), max(col("nt")).as("nt"))
+    h.agg(count(lit(1)).as("n_users"),
+        sum(col("h_micro")).as("__sh"),
+        sum(when(col("nt") === 1, 1L).otherwise(0L)).as("__mono"))
+      .select(col("n_users"),
+        expr("__sh div n_users").as("mean_entropy_micro"),
+        expr("(1000000 * __mono) div n_users").as("single_type_ppm"))
+  }
 
   /** Language confusion matrix: declared lang × stopword-langId
     * prediction with per-row share — WHERE the q24 classifier errs

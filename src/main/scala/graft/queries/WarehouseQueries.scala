@@ -13,7 +13,142 @@ import graft.Tables
 object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
-    q293, q296, q297, q298, q303, q305, q308, q311, q312)
+    q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
+    q320)
+
+  /** Lines-per-order distribution with a Poisson overlay: observed
+    * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
+    * exp/pow chain, factorial as a literal CASE map so both engines
+    * use the same exact integers), floor-milli — "is basket size
+    * Poisson, or do order forms impose structure". */
+  def q317: Q = {
+    val factCase = "CASE k WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 WHEN 3 " +
+      "THEN 6.0 WHEN 4 THEN 24.0 WHEN 5 THEN 120.0 WHEN 6 THEN 720.0 " +
+      "WHEN 7 THEN 5040.0 WHEN 8 THEN 40320.0 WHEN 9 THEN 362880.0 " +
+      "WHEN 10 THEN 3628800.0 END"
+    Q("q317_lines_poisson_fit",
+      Some(s"""
+        |WITH lc AS (
+        |  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+        |s AS (SELECT count(*) AS n_orders, sum(k) AS n_lines FROM lc),
+        |d AS (SELECT k, count(*) AS observed FROM lc GROUP BY k)
+        |SELECT CAST(d.k AS BIGINT) AS k,
+        |       CAST(d.observed AS BIGINT) AS observed,
+        |       CAST(floor(CAST(
+        |         CAST(s.n_orders AS DOUBLE)
+        |         * exp(-(CAST(s.n_lines AS DOUBLE)
+        |                 / CAST(s.n_orders AS DOUBLE)))
+        |         * pow(CAST(s.n_lines AS DOUBLE)
+        |               / CAST(s.n_orders AS DOUBLE),
+        |               CAST(d.k AS DOUBLE))
+        |         / ($factCase)
+        |       AS DECIMAL(18,9)) * 1000) AS BIGINT) AS expected_milli
+        |FROM d CROSS JOIN s WHERE d.k <= 10 ORDER BY k
+        |""".stripMargin)) { (s, dir) =>
+      val lc = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+        .materialize() // feeds the scalar totals AND the histogram
+      val tot = lc.agg(count(lit(1)).as("n_orders"),
+        sum(col("k")).as("n_lines"))
+      lc.groupBy(col("k")).agg(count(lit(1)).as("observed"))
+        .where(col("k") <= 10)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("observed"),
+          expr(s"""CAST(floor(CAST(
+            CAST(n_orders AS DOUBLE)
+            * exp(-(CAST(n_lines AS DOUBLE) / CAST(n_orders AS DOUBLE)))
+            * pow(CAST(n_lines AS DOUBLE) / CAST(n_orders AS DOUBLE),
+                  CAST(k AS DOUBLE))
+            / ($factCase)
+          AS DECIMAL(18,9)) * 1000) AS BIGINT)""").as("expected_milli"))
+        .orderBy(col("k"))
+    }
+  }
+
+  /** Part-name token revenue attribution: the top-20 name tokens by
+    * attributed revenue — which WORDS in the catalog sell. The name
+    * dim explodes (part-dim sized), revenue attaches via one fact
+    * aggregate, the top-20 comes from distributed top-k. */
+  def q319: Q = Q(
+    "q319_part_name_token_revenue",
+    Some("""
+      |WITH pr AS (
+      |  SELECT l_partkey AS part,
+      |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT p.p_partkey AS part, unnest(string_split(p.p_name, ' '))
+      |           AS tok
+      |  FROM part p),
+      |j AS (
+      |  SELECT t.tok, pr.cents, t.part
+      |  FROM t JOIN pr ON t.part = pr.part WHERE t.tok <> ''),
+      |g AS (
+      |  SELECT tok, sum(cents) AS rev_cents,
+      |         count(DISTINCT part) AS n_parts
+      |  FROM j GROUP BY tok)
+      |SELECT tok, CAST(rev_cents AS BIGINT) AS rev_cents,
+      |       CAST(n_parts AS BIGINT) AS n_parts
+      |FROM g ORDER BY rev_cents DESC, tok LIMIT 20
+      |""".stripMargin)) { (s, dir) =>
+    val pr = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+    val t = Tables.part(s, dir)
+      .select(col("p_partkey").as("part"),
+        explode(split(col("p_name"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    t.join(pr, Seq("part"))
+      .groupBy(col("tok"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        countDistinct(col("part")).as("n_parts"))
+      .orderBy(col("rev_cents").desc, col("tok")).limit(20)
+  }
+
+  /** Brand leader-share trend: per year the top brand by revenue and
+    * its share in ppm — the market-concentration headline next to
+    * q264's HHI and q279's full share table. Grouped top-1 over the
+    * year-partitioned brand dim. */
+  def q320: Q = Q(
+    "q320_brand_leader_share",
+    Some("""
+      |WITH b AS (
+      |  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS y, p.p_brand AS brand,
+      |         CAST(sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT y, sum(cents) AS tot FROM b GROUP BY y),
+      |r AS (
+      |  SELECT b.y, b.brand, b.cents, t.tot,
+      |         row_number() OVER (PARTITION BY b.y
+      |           ORDER BY b.cents DESC, b.brand) AS rn
+      |  FROM b JOIN t ON b.y = t.y)
+      |SELECT y, brand AS leader_brand, cents AS leader_cents,
+      |       CAST((1000000 * cents) // tot AS BIGINT) AS leader_share_ppm
+      |FROM r WHERE rn = 1 ORDER BY y
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+        col("p_brand").as("brand"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .materialize() // feeds the totals AND the rank pass
+    val t = b.groupBy(col("y")).agg(sum(col("cents")).as("tot"))
+    b.join(broadcast(t), Seq("y"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("y"))
+          .orderBy(col("cents").desc, col("brand"))))
+      .where(col("rn") === 1)
+      .select(col("y"), col("brand").as("leader_brand"),
+        col("cents").as("leader_cents"),
+        expr("(1000000 * cents) div tot").as("leader_share_ppm"))
+      .orderBy(col("y"))
+  }
 
   /** Order-grain cohort retention (q112's event-grain triangle on the
     * ORDER table): customers cohorted by first-order month index
