@@ -14,7 +14,7 @@ object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
-    q320)
+    q320, q321, q322, q323, q324, q325)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -974,5 +974,226 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Small-quantity revenue per brand (TPC-H Q17 shape, reference
+    * `src/queries` analytics family): lineitems whose quantity is
+    * below half the part's average quantity, attributed to the brand.
+    * The avg compare stays INTEGER (2·qty·cnt < Σqty — quantities are
+    * integral) so both engines pick the identical row set; revenue is
+    * the exact cent sum. One part-keyed fact aggregate joined back to
+    * the fact (shuffle on l_partkey both sides — AQE co-locates), then
+    * a broadcast part-dim attach. */
+  def q321: Q = Q(
+    "q321_small_quantity_revenue",
+    Some("""
+      |WITH pa AS (
+      |  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+      |         count(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |         AS rev_cents
+      |FROM lineitem l
+      |JOIN pa ON l.l_partkey = pa.l_partkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE 2 * CAST(l.l_quantity AS BIGINT) * pa.cnt < pa.sq
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val pa = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+    Tables.lineitem(s, dir)
+      .join(pa, Seq("l_partkey"))
+      .where(lit(2) * col("l_quantity").cast("long") * col("cnt")
+        < col("sq"))
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+          .cast("long").as("rev_cents"))
+      .orderBy(col("brand"))
+  }
+
+  /** Late-shipment order counts per priority (TPC-H Q4 shape): orders
+    * with ANY lineitem shipped more than 60 days after the order date,
+    * as a count and ppm share of the priority's orders. The existence
+    * test is a left-semi join (no fact fan-out), the share an integer
+    * division. */
+  def q322: Q = Q(
+    "q322_late_shipment_priority",
+    Some("""
+      |WITH late AS (
+      |  SELECT o.o_orderkey, o.o_orderpriority
+      |  FROM orders o
+      |  WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND date_diff('day', o.o_orderdate, l.l_shipdate) > 60)),
+      |tot AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |lc AS (
+      |  SELECT o_orderpriority, count(*) AS late_orders
+      |  FROM late GROUP BY 1)
+      |SELECT tot.o_orderpriority AS priority,
+      |       CAST(coalesce(lc.late_orders, 0) AS BIGINT) AS late_orders,
+      |       CAST(tot.n_orders AS BIGINT) AS n_orders,
+      |       CAST((1000000 * coalesce(lc.late_orders, 0)) // tot.n_orders
+      |            AS BIGINT) AS late_ppm
+      |FROM tot LEFT JOIN lc ON tot.o_orderpriority = lc.o_orderpriority
+      |ORDER BY priority
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val late = o.join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          expr("datediff(CAST(l_shipdate AS DATE), " +
+            "CAST(o_orderdate AS DATE)) > 60"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("late_orders"))
+    val tot = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    tot.join(late, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority").as("priority"),
+        coalesce(col("late_orders"), lit(0L)).as("late_orders"),
+        col("n_orders"),
+        expr("(1000000 * coalesce(late_orders, 0)) div n_orders")
+          .as("late_ppm"))
+      .orderBy(col("priority"))
+  }
+
+  /** Idle high-balance customers per nation (TPC-H Q22 adapted — every
+    * synthetic customer has SOME order, so "never ordered" is replaced
+    * by "no order since 2000-08-01"): balance above the positive-only
+    * average, tested entirely in the integer cent domain
+    * (bal_cents·n_pos > total_pos_cents — no double average crosses the
+    * comparison), then an anti join against recent orders. */
+  def q323: Q = Q(
+    "q323_idle_rich_customers",
+    Some("""
+      |WITH pos AS (
+      |  SELECT count(*) AS n_pos,
+      |         sum(CAST(c_acctbal * 100 AS HUGEINT)) AS tot_cents
+      |  FROM customer WHERE c_acctbal > 0),
+      |idle AS (
+      |  SELECT c.c_nationkey, CAST(c.c_acctbal * 100 AS HUGEINT)
+      |           AS bal_cents
+      |  FROM customer c CROSS JOIN pos
+      |  WHERE CAST(c.c_acctbal * 100 AS HUGEINT) * pos.n_pos
+      |          > pos.tot_cents
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |        AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'))
+      |SELECT n.n_name AS nation,
+      |       CAST(count(*) AS BIGINT) AS n_idle,
+      |       CAST(sum(bal_cents) AS BIGINT) AS idle_cents
+      |FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .withColumn("bal_cents",
+        (col("c_acctbal") * 100).cast("decimal(38,0)").cast("long"))
+    val pos = cust.where(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("tot_cents"))
+    val recent = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("2000-08-01 00:00:00")
+        .cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(pos))
+      .where(col("bal_cents") * col("n_pos") > col("tot_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_idle"), sum(col("bal_cents")).as("idle_cents"))
+      .orderBy(col("nation"))
+  }
+
+  /** Cross-nation trade flows per year (TPC-H Q7 shape): revenue
+    * shipped from a supplier nation to a DIFFERENT customer nation.
+    * The two nation attaches are broadcast dims; the only fact-sized
+    * shuffle is lineitem⋈orders on the order key. */
+  def q324: Q = Q(
+    "q324_nation_trade_flows",
+    Some("""
+      |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS BIGINT) AS y,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |         AS rev_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |WHERE c.c_nationkey <> s.s_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY rev_cents DESC, supp_nation, cust_nation, y
+      |LIMIT 50
+      |""".stripMargin)) { (s, dir) =>
+    val custN = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("n_name").as("cust_nation"))
+    val suppN = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"),
+        col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("y"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+          .cast("long").as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("supp_nation"),
+        col("cust_nation"), col("y")).limit(50)
+  }
+
+  /** Supplier-nation profit by year (TPC-H Q9 shape; the synthetic
+    * schema has no partsupp, so cost is modeled as 60% of retail —
+    * stated in exact integers: profit_mc = net_cents·1000 −
+    * qty·retail_cents·600, all in milli-cents). Net revenue is per-row
+    * DECIMAL-quantized before any sum (q292 discipline). */
+  def q325: Q = Q(
+    "q325_nation_profit",
+    Some("""
+      |SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS y,
+      |       CAST(sum(
+      |         CAST(floor(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |                    AS DECIMAL(18,9)) * 100) AS BIGINT) * 1000
+      |         - CAST(l.l_quantity AS BIGINT)
+      |           * CAST(p.p_retailprice * 100 AS BIGINT) * 600
+      |       ) AS BIGINT) AS profit_mc
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    val suppN = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"),
+          (col("p_retailprice") * 100).cast("decimal(38,0)").cast("long")
+            .as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+      .select(col("nation"), year(col("l_shipdate")).cast("long").as("y"),
+        (floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,9)") * 100).cast("long") * 1000
+          - col("l_quantity").cast("long") * col("retail_cents") * 600)
+          .as("__pmc"))
+      .groupBy(col("nation"), col("y"))
+      .agg(sum(col("__pmc")).as("profit_mc"))
+      .orderBy(col("nation"), col("y"))
   }
 }
