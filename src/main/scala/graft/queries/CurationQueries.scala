@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Materialize.MatOps
+import graft.Tables
+import graft.text.TextAnalysis
+import PipelineQueries.{sqlInList, sqlTokens}
+
+/** Round-7 curation wave: the filter-cascade attrition funnel, bigram
+  * repetition shares, positional stopword structure, and the two
+  * embedding-quality evaluations (centroid silhouette, sampled 1-NN
+  * accuracy) a training-data pipeline runs before committing a corpus
+  * or an embedding space. Text flags are single-scan array-local
+  * expressions; embedding math happens in the q284 milli-quantized
+  * integer domain so every sum is exact in both engines.
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335)
+
+  /** The union stopword list (declaration order, first occurrence);
+    * a def — `val all` above runs first at object init. */
+  private def SwAll: Seq[String] =
+    TextAnalysis.LangStopwords.flatMap(_._2).distinct
+
+  /** DuckDB mirror of [[TextAnalysis.langId]]'s argmax CASE (q313's
+    * generator — the two must stay in lockstep with the Scala fold). */
+  private def sqlLangIdCase: String = {
+    val langs = TextAnalysis.LangStopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val later = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val cond = (s"s_$lang > 0" +: later).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  private def sqlLangHits: String =
+    TextAnalysis.LangStopwords.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> x IN ${sqlInList(words)})) AS s_$lang"
+    }.mkString(", ")
+
+  /** Filter-cascade attrition funnel: documents surviving each stage of
+    * a 4-filter quality cascade (length band → stopword floor →
+    * language-ID agreement → bigram-repetition cap), as a funnel of
+    * survivor counts and ppm. Every flag is an array-local expression
+    * on the scan (one pass, zero shuffles before the single-row
+    * aggregate); the stage table is a literal dim. */
+  def q331: Q = Q(
+    "q331_filter_cascade",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT doc_id, lang, n_chars, ${sqlTokens("text")} AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT lang, n_chars, len(toks) AS n_tok, $sqlLangHits,
+      |         len(list_filter(toks, x -> x IN ${sqlInList(SwAll)})) AS sw,
+      |         greatest(len(toks) - 1, 0)
+      |           - len(list_distinct(list_transform(
+      |               range(1, greatest(len(toks) - 1, 0) + 1),
+      |               i -> toks[i] || ' ' || toks[i + 1]))) AS dup2
+      |  FROM t),
+      |f AS (
+      |  SELECT CASE WHEN n_chars BETWEEN 100 AND 500 THEN 1 ELSE 0 END
+      |           AS c1,
+      |         CASE WHEN 20 * sw >= n_tok THEN 1 ELSE 0 END AS c2,
+      |         CASE WHEN $sqlLangIdCase = lang THEN 1 ELSE 0 END AS c3,
+      |         CASE WHEN dup2 <= 3 THEN 1 ELSE 0 END AS c4
+      |  FROM h),
+      |s AS (
+      |  SELECT count(*) AS n0, sum(c1) AS n1, sum(c1 * c2) AS n2,
+      |         sum(c1 * c2 * c3) AS n3, sum(c1 * c2 * c3 * c4) AS n4
+      |  FROM f)
+      |SELECT CAST(u.stage AS BIGINT) AS stage, u.name,
+      |       CAST(CASE u.stage WHEN 0 THEN n0 WHEN 1 THEN n1
+      |            WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n4 END AS BIGINT)
+      |         AS survivors,
+      |       CAST((1000000 * CASE u.stage WHEN 0 THEN n0 WHEN 1 THEN n1
+      |            WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n4 END) // n0
+      |            AS BIGINT) AS survival_ppm
+      |FROM s CROSS JOIN (VALUES (0, 'all'), (1, 'length'),
+      |  (2, 'stopword'), (3, 'lang_id'), (4, 'repetition')) u(stage, name)
+      |ORDER BY stage
+      |""".stripMargin)) { (s, dir) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val nTok = size(toks)
+    val sw = size(filter(toks, t => t.isin(SwAll: _*)))
+    val bg = graft.functions.SketchExprs.shingles(col("text"), 2)
+    val dup2 = size(bg) - size(array_distinct(bg))
+    val f = Tables.documents(s, dir).select(
+      when(col("n_chars").between(100, 500), 1L).otherwise(0L).as("c1"),
+      when(lit(20) * sw >= nTok, 1L).otherwise(0L).as("c2"),
+      when(TextAnalysis.langId(col("text")) === col("lang"), 1L)
+        .otherwise(0L).as("c3"),
+      when(dup2 <= 3, 1L).otherwise(0L).as("c4"))
+    f.agg(count(lit(1)).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c1") * col("c2")).as("n2"),
+        sum(col("c1") * col("c2") * col("c3")).as("n3"),
+        sum(col("c1") * col("c2") * col("c3") * col("c4")).as("n4"))
+      .select(explode(array(
+        struct(lit(0L).as("stage"), lit("all").as("name"),
+          col("n0").as("survivors")),
+        struct(lit(1L).as("stage"), lit("length").as("name"),
+          col("n1").as("survivors")),
+        struct(lit(2L).as("stage"), lit("stopword").as("name"),
+          col("n2").as("survivors")),
+        struct(lit(3L).as("stage"), lit("lang_id").as("name"),
+          col("n3").as("survivors")),
+        struct(lit(4L).as("stage"), lit("repetition").as("name"),
+          col("n4").as("survivors")))).as("u"), col("n0"))
+      .select(col("u.stage").as("stage"), col("u.name").as("name"),
+        col("u.survivors").as("survivors"),
+        expr("(1000000 * u.survivors) div n0").as("survival_ppm"))
+      .orderBy(col("stage"))
+  }
+
+  /** Repeated-bigram share per source: how much of each source is
+    * template/boilerplate-shaped, as docs with ANY repeated bigram
+    * (ppm), docs with heavy repetition (≥5 duplicate bigrams), and the
+    * per-source max. One scan, array-local dup counts, one source
+    * aggregate. */
+  def q332: Q = Q(
+    "q332_repeated_bigram_share",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT source, ${sqlTokens("text")} AS toks FROM documents),
+      |h AS (
+      |  SELECT source,
+      |         greatest(len(toks) - 1, 0)
+      |           - len(list_distinct(list_transform(
+      |               range(1, greatest(len(toks) - 1, 0) + 1),
+      |               i -> toks[i] || ' ' || toks[i + 1]))) AS dup2
+      |  FROM t)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(*) FILTER (dup2 >= 1) AS BIGINT) AS n_any,
+      |       CAST(count(*) FILTER (dup2 >= 5) AS BIGINT) AS n_heavy,
+      |       CAST(max(dup2) AS BIGINT) AS max_dup,
+      |       CAST((1000000 * count(*) FILTER (dup2 >= 1)) // count(*)
+      |            AS BIGINT) AS any_ppm
+      |FROM h GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val bg = graft.functions.SketchExprs.shingles(col("text"), 2)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (size(bg) - size(array_distinct(bg))).cast("long").as("dup2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("dup2") >= 1, 1)).as("n_any"),
+        count(when(col("dup2") >= 5, 1)).as("n_heavy"),
+        max(col("dup2")).as("max_dup"))
+      .select(col("source"), col("n_docs"), col("n_any"), col("n_heavy"),
+        col("max_dup"),
+        expr("(1000000 * n_any) div n_docs").as("any_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Positional stopword profile per source: stopword density in the
+    * head / middle / tail third of each document — "does boilerplate
+    * cluster at the edges". Thirds are index ranges (no list_slice —
+    * DuckDB returns NULL for empty slices); densities are exact
+    * integer-sum ppm per region. */
+  def q333: Q = {
+    val sw = sqlInList(SwAll)
+    def sqlRegion(lo: String, hi: String) =
+      s"len(list_filter(range($lo, $hi + 1), i -> toks[i] IN $sw))"
+    Q("q333_position_stopword_profile",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT source, ${sqlTokens("text")} AS toks FROM documents),
+        |h AS (
+        |  SELECT source, len(toks) AS n, len(toks) // 3 AS third,
+        |         toks
+        |  FROM t),
+        |r AS (
+        |  SELECT source, third AS head_n, third AS tail_n,
+        |         n - 2 * third AS mid_n,
+        |         ${sqlRegion("1", "third")} AS head_sw,
+        |         ${sqlRegion("third + 1", "n - third")} AS mid_sw,
+        |         ${sqlRegion("n - third + 1", "n")} AS tail_sw
+        |  FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST((1000000 * sum(head_sw)) // sum(head_n) AS BIGINT)
+        |         AS head_ppm,
+        |       CAST((1000000 * sum(mid_sw)) // sum(mid_n) AS BIGINT)
+        |         AS mid_ppm,
+        |       CAST((1000000 * sum(tail_sw)) // sum(tail_n) AS BIGINT)
+        |         AS tail_ppm
+        |FROM r GROUP BY 1 ORDER BY 1
+        |""".stripMargin)) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      def region(lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) =
+        when(hi >= lo,
+          size(filter(sequence(lo, hi),
+            i => element_at(col("__toks"), i).isin(SwAll: _*))))
+          .otherwise(lit(0)).cast("long")
+      Tables.documents(s, dir)
+        .select(col("source"), toks.as("__toks"))
+        .select(col("source"), size(col("__toks")).as("n"),
+          (size(col("__toks")) / 3).cast("int").as("third"), col("__toks"))
+        .select(col("source"), col("third").cast("long").as("head_n"),
+          col("third").cast("long").as("tail_n"),
+          (col("n") - col("third") * 2).cast("long").as("mid_n"),
+          region(lit(1), col("third")).as("head_sw"),
+          region(col("third") + 1, col("n") - col("third")).as("mid_sw"),
+          region(col("n") - col("third") + 1, col("n")).as("tail_sw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("head_sw")).as("hs"),
+          sum(col("head_n")).as("hn"), sum(col("mid_sw")).as("ms"),
+          sum(col("mid_n")).as("mn"), sum(col("tail_sw")).as("ts"),
+          sum(col("tail_n")).as("tn"))
+        .select(col("source"), col("n_docs"),
+          expr("(1000000 * hs) div hn").as("head_ppm"),
+          expr("(1000000 * ms) div mn").as("mid_ppm"),
+          expr("(1000000 * ts) div tn").as("tail_ppm"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Centroid (simplified) silhouette per embedding label: a = scaled
+    * squared distance to the own-label centroid, b = min over other
+    * labels; s = (b−a)/max(a,b). All distances live in the q284
+    * milli-quantized integer domain scaled by n_l² (D′ = Σ(n·x−S)², so
+    * no per-dim division exists), the per-vector score is ONE pinned
+    * IEEE divide, and the label mean one more — both floor-quantized.
+    * The label×dim sum table broadcasts (bounded by labels×dims). */
+  def q334: Q = Q(
+    "q334_silhouette_labels",
+    Some("""
+      |WITH q AS (
+      |  SELECT vec_id, label, u.d AS dim,
+      |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 1000)
+      |              AS BIGINT) AS qv
+      |  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+      |sums AS (SELECT label, dim, sum(qv) AS sv FROM q GROUP BY 1, 2),
+      |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+      |d2 AS (
+      |  SELECT q.vec_id, q.label AS own, c.label AS cand,
+      |         (1000 * sum((c.n * q.qv - s.sv) * (c.n * q.qv - s.sv)))
+      |           // (c.n * c.n) AS scaled
+      |  FROM q
+      |  JOIN sums s ON q.dim = s.dim
+      |  JOIN cnt c ON s.label = c.label
+      |  GROUP BY 1, 2, 3, c.n),
+      |ab AS (
+      |  SELECT vec_id, own,
+      |         max(CASE WHEN cand = own THEN scaled END) AS a,
+      |         min(CASE WHEN cand <> own THEN scaled END) AS b
+      |  FROM d2 GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT own, CASE WHEN greatest(a, b) > 0 THEN
+      |    CAST(floor(1000.0 * CAST(b - a AS DOUBLE)
+      |               / CAST(greatest(a, b) AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END AS s_milli
+      |  FROM ab)
+      |SELECT CAST(own AS BIGINT) AS label,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(floor(CAST(sum(s_milli) AS DOUBLE) / count(*))
+      |            AS BIGINT) AS mean_sil_milli
+      |FROM sil GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("own"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("own"), col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("qv"))
+    val sums = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("cand"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("cand"), col("dim"),
+        floor(col("v").cast("double") * 1000).cast("long").as("qv"))
+      .groupBy(col("cand"), col("dim")).agg(sum(col("qv")).as("sv"))
+    val cnt = Tables.embeddings(s, dir)
+      .groupBy(col("label").cast("long").as("cand"))
+      .agg(count(lit(1)).as("n"))
+    val dims = sums.join(cnt, Seq("cand")) // labels×dims, broadcasts
+    val d2 = q.join(broadcast(dims), Seq("dim"))
+      .groupBy(col("vec_id"), col("own"), col("cand"), col("n"))
+      .agg(sum((col("n") * col("qv") - col("sv"))
+        * (col("n") * col("qv") - col("sv"))).as("dd"))
+      .select(col("vec_id"), col("own"), col("cand"),
+        expr("(1000 * dd) div (n * n)").as("scaled"))
+    d2.groupBy(col("vec_id"), col("own"))
+      .agg(max(when(col("cand") === col("own"), col("scaled"))).as("a"),
+        min(when(col("cand") =!= col("own"), col("scaled"))).as("b"))
+      .select(col("own"),
+        when(greatest(col("a"), col("b")) > 0,
+          expr("CAST(floor(1000.0 * CAST(b - a AS DOUBLE) " +
+            "/ CAST(greatest(a, b) AS DOUBLE)) AS BIGINT)"))
+          .otherwise(lit(0L)).as("s_milli"))
+      .groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(floor(CAST(sum(s_milli) AS DOUBLE) / count(1)) " +
+          "AS BIGINT)").as("mean_sil_milli"))
+      .orderBy(col("label"))
+  }
+
+  /** Sampled leave-one-out 1-NN label accuracy over the embedding
+    * space: every 10th vector queries the full corpus (exact squared
+    * distance in the milli-quantized integer domain, zip_with — no
+    * per-dim explode), the nearest neighbor (ties → lowest id) votes,
+    * per-label accuracy in ppm. The scale path: queries are a fixed
+    * sample, candidates broadcast; the per-query top-1 is a window over
+    * each query's candidate list. */
+  def q335: Q = Q(
+    "q335_knn_label_accuracy",
+    Some("""
+      |WITH e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, v ->
+      |           CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |qq AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      |p AS (
+      |  SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid,
+      |         c.label AS clab,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (q.qe[i] - c.qe[i]) * (q.qe[i] - c.qe[i]))) AS BIGINT)
+      |           AS d2
+      |  FROM qq q JOIN e c ON c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid)
+      |           AS rn
+      |  FROM p)
+      |SELECT CAST(qlab AS BIGINT) AS label,
+      |       CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(count(*) FILTER (clab = qlab) AS BIGINT) AS n_correct,
+      |       CAST((1000000 * count(*) FILTER (clab = qlab)) // count(*)
+      |            AS BIGINT) AS acc_ppm
+      |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * 1000).cast("long")).as("qe"))
+    val qq = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("qe").as("qqe"))
+    val cand = e.select(col("vec_id").as("cid"), col("label").as("clab"),
+      col("qe").as("cqe"))
+    val p = qq.join(broadcast(cand), col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
+        aggregate(zip_with(col("qqe"), col("cqe"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+    p.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("d2"), col("cid"))))
+      .where(col("rn") === 1)
+      .groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("clab") === col("qlab"), 1)).as("n_correct"))
+      .select(col("label"), col("n_queries"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_queries").as("acc_ppm"))
+      .orderBy(col("label"))
+  }
+}

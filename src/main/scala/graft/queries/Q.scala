@@ -26,7 +26,7 @@ object Registry {
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
       MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
       EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all ++
-      CorpusStatsQueries.all ++ SeriesQueries.all
+      CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
