@@ -143,4 +143,69 @@ object Attribution {
         col("n_channel_touches"), col("n_total_touches"), col("credit"))
       .unionByName(uncredited)
   }
+
+  /** U-shaped (position-based) attribution — 40% of the credit to the
+    * FIRST touch, 40% to the LAST, the middle touches sharing the
+    * remaining 20% equally; the model that rewards both discovery and
+    * closing. Same eligibility contract as [[linearTouch]].
+    *
+    * Credits are exact integer MICRO units (1 conversion = 1 000 000):
+    * 1 touch → 1 000 000; 2 → 500 000 each; m ≥ 3 → 400 000 / 400 000 /
+    * ⌊200 000 / (m−2)⌋ per middle (the ≤(m−3) leftover micros are
+    * dropped, both engines identically — integer division, no doubles
+    * anywhere). Conversions with no eligible touch emit
+    * ('(none)', 1 000 000).
+    *
+    * Shape: the entity-keyed conversions×touches join (the honest
+    * multi-touch cost, never a cross join), then ONE per-conversion
+    * window for position; the per-channel rollup is channel-sized.
+    *
+    * Output: (conversion_id, channel, position, credit_micro).
+    */
+  def uShapedTouch(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      lookback: Long): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    require(!touchTypes.contains(convType),
+      "convType in touchTypes would let a conversion credit itself")
+    val convs = events.where(col(typeCol) === convType &&
+        col(entityCol).isNotNull)
+      .select(col(entityCol).as("__e"), col(tsCol).as("__cts"),
+        col(idCol).as("conversion_id"))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("__e"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("channel"))
+    val eligible = convs.join(touches, Seq("__e"))
+      .where((col("__tts") < col("__cts") ||
+          (col("__tts") === col("__cts") &&
+            col("__tid") < col("conversion_id"))) &&
+        col("__cts") - col("__tts") <= lookback)
+    val w = Window.partitionBy(col("conversion_id"))
+      .orderBy(col("__tts"), col("__tid"))
+    val positioned = eligible
+      .withColumn("position", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(col("conversion_id"))))
+    val credited = positioned.withColumn("credit_micro",
+      when(col("__m") === 1, lit(1000000L))
+        .when(col("__m") === 2, lit(500000L))
+        .when(col("position") === 1 || col("position") === col("__m"),
+          lit(400000L))
+        .otherwise(expr("200000 div (__m - 2)")))
+    val uncredited = convs.select(col("conversion_id"))
+      .join(credited.select(col("conversion_id")),
+        Seq("conversion_id"), "left_anti")
+      .select(col("conversion_id"), lit("(none)").as("channel"),
+        lit(0).as("position"), lit(1000000L).as("credit_micro"))
+    credited
+      .select(col("conversion_id"), col("channel"), col("position"),
+        col("credit_micro"))
+      .unionByName(uncredited)
+  }
 }

@@ -14,7 +14,265 @@ import graft.Tables
   */
 object SeriesQueries {
 
-  val all: Seq[Q] = Seq(q326, q327, q328, q329, q330)
+  val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
+    q339, q340)
+
+  /** Session bounce rate by entry event type: sessionize on 30-minute
+    * inactivity gaps (q53's recipe with the (ts, event_id) tie-break),
+    * take each session's FIRST event as the entry, and report how many
+    * sessions never see a second event — "which front doors lose the
+    * visit". All windows are user- or session-partitioned. */
+  def q336: Q = Q(
+    "q336_bounce_by_entry",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t) OVER (PARTITION BY user_id
+      |           ORDER BY t, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                     OR t - prev >= 1800000000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, grp
+      |           ORDER BY t, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY user_id, grp) AS n
+      |  FROM g)
+      |SELECT event_type AS entry_type,
+      |       CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_bounce,
+      |       CAST((1000000 * count(*) FILTER (n = 1)) // count(*)
+      |            AS BIGINT) AS bounce_ppm
+      |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("grp", sum(when(col("prev").isNull ||
+          col("ts") - col("prev") >= 1800000000000L, 1).otherwise(0))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col("user_id"), col("grp"))
+    g.withColumn("rn", row_number().over(
+        wSess.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wSess))
+      .where(col("rn") === 1)
+      .groupBy(col("event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n") === 1, 1)).as("n_bounce"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        expr("(1000000 * n_bounce) div n_sessions").as("bounce_ppm"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** Markov stationary estimate of the event-type chain: row-normalize
+    * q125's transition counts to milli probabilities, power-iterate a
+    * uniform start THREE fixed rounds in scaled integers (q99/q186
+    * discipline — every step is `(Σ p·T) div 1000`, exact in both
+    * engines), and set the result against the observed type share.
+    * Everything after the one fact aggregate is a ≤k² dim. */
+  def q337: Q = {
+    val iterCtes = (1 to 3).map { i =>
+      s"""p$i AS (
+         |  SELECT t.to_type AS state,
+         |         sum(p.p_micro * t.t_milli) // 1000 AS p_micro
+         |  FROM p${i - 1} p JOIN tm t ON p.state = t.from_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    Q("q337_markov_stationary",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ns, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ot AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1),
+        |tm AS (
+        |  SELECT c.from_type, c.to_type, (1000 * c.n) // ot.tot AS t_milli
+        |  FROM c JOIN ot USING (from_type)),
+        |k AS (SELECT count(*) AS k FROM ot),
+        |p0 AS (
+        |  SELECT from_type AS state, 1000000 // k.k AS p_micro
+        |  FROM ot CROSS JOIN k),
+        |$iterCtes,
+        |obs AS (
+        |  SELECT from_type AS state,
+        |         (1000000 * tot) // (SELECT sum(tot) FROM ot) AS obs_micro
+        |  FROM ot)
+        |SELECT p3.state, CAST(p3.p_micro AS BIGINT) AS p3_micro,
+        |       CAST(obs.obs_micro AS BIGINT) AS obs_micro
+        |FROM p3 JOIN obs USING (state) ORDER BY state
+        |""".stripMargin)) { (s, dir) =>
+      val c = graft.operators.Funnel.transitions(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .where(col("to_type") =!= "(end)")
+        .materialize() // k²-row dim feeds totals + 3 iterations
+      val ot = c.groupBy(col("from_type"))
+        .agg(sum(col("n_transitions")).as("tot"))
+        .materialize()
+      val tm = c.join(broadcast(ot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          expr("(1000 * n_transitions) div tot").as("t_milli"))
+      val k = ot.agg(count(lit(1)).as("k"))
+      var p = ot.crossJoin(broadcast(k))
+        .select(col("from_type").as("state"),
+          expr("1000000 div k").as("p_micro"))
+      for (_ <- 1 to 3)
+        p = p.join(broadcast(tm), col("state") === col("from_type"))
+          .groupBy(col("to_type"))
+          .agg(expr("sum(p_micro * t_milli) div 1000").as("p_next"))
+          .select(col("to_type").as("state"), col("p_next").as("p_micro"))
+      val tot = ot.agg(sum(col("tot")).as("all_tot"))
+      val obs = ot.crossJoin(broadcast(tot))
+        .select(col("from_type").as("state"),
+          expr("(1000000 * tot) div all_tot").as("obs_micro"))
+      p.join(broadcast(obs), Seq("state"))
+        .select(col("state"), col("p_micro").as("p3_micro"),
+          col("obs_micro"))
+        .orderBy(col("state"))
+    }
+  }
+
+  /** U-shaped (40/20/40 position) attribution per channel — the model
+    * that rewards discovery AND closing, set beside q171 (last-touch),
+    * q203 (linear) and q239 (disagreement). Exact integer micro
+    * credits end to end (Attribution.uShapedTouch); the oracle replays
+    * the same position CASE. */
+  def q339: Q = {
+    val lookback = 48L * 3600L * 1000000000L
+    Q("q339_ushaped_attribution",
+      Some(s"""
+        |WITH c AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS cts, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS e, epoch_ns(ts) AS tts, event_id AS tid,
+        |         event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |elig AS (
+        |  SELECT cid, channel, tts, tid FROM c JOIN t USING (e)
+        |  WHERE (tts < cts OR (tts = cts AND tid < cid))
+        |    AND cts - tts <= $lookback),
+        |pos AS (
+        |  SELECT cid, channel,
+        |         row_number() OVER (PARTITION BY cid ORDER BY tts, tid)
+        |           AS rn,
+        |         count(*) OVER (PARTITION BY cid) AS m
+        |  FROM elig),
+        |cr AS (
+        |  SELECT cid, channel,
+        |         CASE WHEN m = 1 THEN 1000000
+        |              WHEN m = 2 THEN 500000
+        |              WHEN rn = 1 OR rn = m THEN 400000
+        |              ELSE 200000 // (m - 2) END AS credit_micro
+        |  FROM pos),
+        |un AS (
+        |  SELECT c.cid, '(none)' AS channel, 1000000 AS credit_micro
+        |  FROM c LEFT JOIN cr ON c.cid = cr.cid WHERE cr.cid IS NULL)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(credit_micro) AS BIGINT) AS credit_micro_sum
+        |FROM (SELECT channel, credit_micro FROM cr
+        |      UNION ALL SELECT channel, credit_micro FROM un)
+        |GROUP BY channel ORDER BY channel
+        |""".stripMargin)) { (s, dir) =>
+      graft.operators.Attribution.uShapedTouch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type",
+          convType = "purchase",
+          touchTypes = Seq("click", "view", "signup"),
+          lookback = lookback)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro_sum"))
+        .orderBy(col("channel"))
+    }
+  }
+
+  /** Holt double-exponential smoothing (α=0.3, β=0.2) of year-2000
+    * daily revenue, with the one-step-ahead forecast: the level/trend
+    * fold runs as an OrderedFold (secondary-sorted, one pass), the
+    * oracle replays the IDENTICAL IEEE op sequence via list_reduce
+    * (q15/q21 discipline: l′ = 0.3·x + 0.7·(l+b) then b′ =
+    * 0.2·(l′−l) + 0.8·b, inlined in the lambda), and only the THREE
+    * final scalars are DECIMAL-quantized. */
+  def q340: Q = {
+    // b' inlines l' — same ops, same operand order as the Scala fold
+    val lExpr = "0.3 * e[1].l + 0.7 * (acc[1].l + acc[1].b)"
+    Q("q340_holt_daily_revenue",
+      Some(s"""
+        |WITH dr AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+        |         sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS r
+        |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY 1),
+        |v AS (SELECT list(CAST(r AS DOUBLE) ORDER BY d) AS vals,
+        |             count(*) AS n FROM dr),
+        |f AS (
+        |  SELECT n, list_reduce(
+        |    list_prepend([{'l': vals[1], 'b': CAST(0.0 AS DOUBLE)}],
+        |      list_transform(vals[2:],
+        |        x -> [{'l': x, 'b': CAST(0.0 AS DOUBLE)}])),
+        |    (acc, e) -> [{'l': $lExpr,
+        |                  'b': 0.2 * (($lExpr) - acc[1].l)
+        |                       + 0.8 * acc[1].b}]) AS st
+        |  FROM v)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |       CAST(floor(CAST(st[1].l AS DECIMAL(28,6)) * 1000)
+        |            AS BIGINT) AS level_milli,
+        |       CAST(floor(CAST(st[1].b AS DECIMAL(28,6)) * 1000)
+        |            AS BIGINT) AS trend_milli,
+        |       CAST(floor(CAST(st[1].l + st[1].b AS DECIMAL(28,6)) * 1000)
+        |            AS BIGINT) AS forecast_milli
+        |FROM f
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val dr = Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) === 2000)
+        .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+          "div 86400000000").as("d"))
+        .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+          .cast("long").as("r"))
+        .select(lit(0L).as("g"), col("d"), col("r"))
+      val out = StructType(Seq(
+        StructField("n_days", LongType, nullable = false),
+        StructField("level", DoubleType, nullable = false),
+        StructField("trend", DoubleType, nullable = false)))
+      // state: (level, trend, count); first row seeds (x, 0)
+      graft.operators.OrderedFold.foldGroups[(Double, Double, Long)](
+        dr, Seq("g"), Seq(col("d")), out)(
+        init = _ => (0.0, 0.0, 0L),
+        step = { case ((l, b, n), row) =>
+          val x = row.getLong(2).toDouble
+          if (n == 0L) (x, 0.0, 1L)
+          else {
+            val l2 = 0.3 * x + 0.7 * (l + b)
+            val b2 = 0.2 * (l2 - l) + 0.8 * b
+            (l2, b2, n + 1)
+          }
+        },
+        emit = (_, st) => Iterator(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](st._3, st._1, st._2))))
+        .select(col("n_days"),
+          expr("CAST(floor(CAST(level AS DECIMAL(28,6)) * 1000) " +
+            "AS BIGINT)").as("level_milli"),
+          expr("CAST(floor(CAST(trend AS DECIMAL(28,6)) * 1000) " +
+            "AS BIGINT)").as("trend_milli"),
+          expr("CAST(floor(CAST(level + trend AS DECIMAL(28,6)) * 1000) " +
+            "AS BIGINT)").as("forecast_milli"))
+    }
+  }
 
   /** Co-purchase triangle census: parts are nodes, "co-ordered in ≥2
     * distinct orders" the edges (the A-priori support prune keeps the

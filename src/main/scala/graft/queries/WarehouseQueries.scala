@@ -14,7 +14,7 @@ object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
-    q320, q321, q322, q323, q324, q325)
+    q320, q321, q322, q323, q324, q325, q338)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -974,6 +974,54 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Quarterly top supplier (TPC-H Q15 shape): per (year, quarter) the
+    * revenue-leading supplier and its share — the rotating-leader view
+    * next to q320's brand leaders. One fact aggregate on (y, q, supp),
+    * then a per-quarter top-1 window over the supplier dim and a
+    * broadcast name attach. */
+  def q338: Q = Q(
+    "q338_quarterly_top_supplier",
+    Some("""
+      |WITH b AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+      |         CAST(quarter(l_shipdate) AS BIGINT) AS qt, l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |t AS (SELECT y, qt, sum(cents) AS tot FROM b GROUP BY 1, 2),
+      |r AS (
+      |  SELECT b.*, t.tot,
+      |         row_number() OVER (PARTITION BY b.y, b.qt
+      |           ORDER BY b.cents DESC, b.l_suppkey) AS rn
+      |  FROM b JOIN t ON b.y = t.y AND b.qt = t.qt)
+      |SELECT r.y, r.qt, s.s_name AS leader, r.cents AS leader_cents,
+      |       CAST((1000000 * r.cents) // r.tot AS BIGINT)
+      |         AS leader_share_ppm
+      |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      |WHERE r.rn = 1 ORDER BY r.y, r.qt
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+        quarter(col("l_shipdate")).cast("long").as("qt"),
+        col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .materialize() // feeds the quarter totals AND the rank pass
+    val t = b.groupBy(col("y"), col("qt")).agg(sum(col("cents")).as("tot"))
+    b.join(broadcast(t), Seq("y", "qt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("y"), col("qt"))
+          .orderBy(col("cents").desc, col("l_suppkey"))))
+      .where(col("rn") === 1)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("y"), col("qt"), col("s_name").as("leader"),
+        col("cents").as("leader_cents"),
+        expr("(1000000 * cents) div tot").as("leader_share_ppm"))
+      .orderBy(col("y"), col("qt"))
   }
 
   /** Small-quantity revenue per brand (TPC-H Q17 shape, reference
