@@ -108,4 +108,63 @@ class AttributionSpec extends AnyFunSuite {
       .collect().head.getAs[String]("attributed_channel")
     assert(last == "view")
   }
+
+  private def ushaped(rows: Seq[(String, Long, Long, String)],
+      lookback: Long = 100L) =
+    Attribution.uShapedTouch(
+      rows.toDF("u", "ts", "id", "typ"),
+      "u", "ts", "id", "typ",
+      convType = "buy", touchTypes = Seq("click", "view"),
+      lookback = lookback)
+      .collect()
+      .map(r => (r.getAs[Long]("conversion_id"), r.getAs[Int]("position")) ->
+        (r.getAs[String]("channel"), r.getAs[Long]("credit_micro")))
+      .toMap
+
+  test("ushaped: 40/20/40 split with integer middle shares") {
+    // 4 touches: 400k, 100k, 100k, 400k
+    val out = ushaped(Seq(
+      ("a", 10L, 1L, "click"), ("a", 20L, 2L, "view"),
+      ("a", 30L, 3L, "view"), ("a", 40L, 4L, "click"),
+      ("a", 50L, 5L, "buy")))
+    assert(out((5L, 1)) == (("click", 400000L)))
+    assert(out((5L, 2)) == (("view", 200000L / 2)))
+    assert(out((5L, 3)) == (("view", 200000L / 2)))
+    assert(out((5L, 4)) == (("click", 400000L)))
+  }
+
+  test("ushaped: 1 and 2 touches get the degenerate splits") {
+    val one = ushaped(Seq(("a", 10L, 1L, "view"), ("a", 20L, 2L, "buy")))
+    assert(one((2L, 1)) == (("view", 1000000L)))
+    val two = ushaped(Seq(
+      ("a", 10L, 1L, "view"), ("a", 20L, 2L, "click"),
+      ("a", 30L, 3L, "buy")))
+    assert(two((3L, 1)) == (("view", 500000L)))
+    assert(two((3L, 2)) == (("click", 500000L)))
+  }
+
+  test("ushaped: 3 middles truncate (200000 div 3) and total stays <= 1e6") {
+    val out = ushaped(Seq(
+      ("a", 10L, 1L, "click"), ("a", 20L, 2L, "view"),
+      ("a", 30L, 3L, "view"), ("a", 40L, 4L, "view"),
+      ("a", 50L, 5L, "click"), ("a", 60L, 6L, "buy")))
+    assert(out((6L, 2))._2 == 66666L)
+    val total = out.collect { case ((6L, _), (_, c)) => c }.sum
+    assert(total == 400000L + 3 * 66666L + 400000L)
+  }
+
+  test("ushaped: no eligible touch -> single (none) full-credit row") {
+    val out = ushaped(Seq(("a", 10L, 1L, "buy")))
+    assert(out((1L, 0)) == (("(none)", 1000000L)))
+  }
+
+  test("ushaped: eligibility matches linear (lookback + strictly-before)") {
+    val out = ushaped(Seq(
+      ("a", 1L, 1L, "click"), // expired at conv ts 500 (lookback 100)
+      ("a", 450L, 2L, "view"),
+      ("a", 500L, 3L, "buy"),
+      ("a", 500L, 4L, "click")), lookback = 100L) // same-ts larger id
+    assert(out((3L, 1)) == (("view", 1000000L)))
+    assert(out.keys.count(_._1 == 3L) == 1)
+  }
 }
