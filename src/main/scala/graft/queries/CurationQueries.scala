@@ -17,7 +17,122 @@ import PipelineQueries.{sqlInList, sqlTokens}
   */
 object CurationQueries {
 
-  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335)
+  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344)
+
+  /** Stopword language purity per declared language: of all stopword
+    * hits in a language's documents, how many belong to the DECLARED
+    * language's list vs any other list — the cross-lingual
+    * contamination signal behind q313's confusion matrix (and a probe
+    * of list overlap: 'un' is French AND Spanish). One scan,
+    * array-local hit counts. */
+  def q341: Q = {
+    val ownCase = TextAnalysis.LangStopwords.map { case (lang, _) =>
+      s"WHEN lang = '$lang' THEN s_$lang"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    val totalHits = TextAnalysis.LangStopwords
+      .map { case (lang, _) => s"s_$lang" }.mkString(" + ")
+    Q("q341_stopword_lang_purity",
+      Some(s"""
+        |WITH t AS (
+        |  SELECT lang, ${sqlTokens("text")} AS toks FROM documents),
+        |h AS (SELECT lang, $sqlLangHits FROM t),
+        |p AS (
+        |  SELECT lang, $ownCase AS own,
+        |         ($totalHits) - ($ownCase) AS other
+        |  FROM h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(own) AS BIGINT) AS own_hits,
+        |       CAST(sum(other) AS BIGINT) AS other_hits,
+        |       CAST((1000000 * sum(own)) // (sum(own) + sum(other))
+        |            AS BIGINT) AS purity_ppm
+        |FROM p GROUP BY 1 ORDER BY 1
+        |""".stripMargin)) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val hits = TextAnalysis.LangStopwords.map { case (lang, words) =>
+        lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+      }
+      val own = hits.foldRight(lit(0L)) { case ((lang, h), rest) =>
+        when(col("lang") === lang, h).otherwise(rest)
+      }
+      val total = hits.map(_._2).reduce(_ + _)
+      Tables.documents(s, dir)
+        .select(col("lang"), own.as("own"), (total - own).as("other"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("own")).as("own_hits"),
+          sum(col("other")).as("other_hits"))
+        .select(col("lang"), col("n_docs"), col("own_hits"),
+          col("other_hits"),
+          expr("(1000000 * own_hits) div (own_hits + other_hits)")
+            .as("purity_ppm"))
+        .orderBy(col("lang"))
+    }
+  }
+
+  /** Quantization sensitivity of nearest-neighbor ranking: top-10
+    * overlap between milli (×1000) and centi (×100) quantized exact
+    * d² rankings for every 5th vector — "how much ANN recall does a
+    * coarser codebook cost", the q61/q344 pair. Both rankings live in
+    * exact integer domains (no raw-double ordering crosses an engine
+    * boundary); output is the overlap histogram. */
+  def q344: Q = {
+    def sqlTop(scale: Int, name: String) = s"""
+      |e_$name AS (
+      |  SELECT vec_id, list_transform(embedding, v ->
+      |    CAST(floor(CAST(v AS DOUBLE) * $scale) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |p_$name AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           (q.qe[i] - c.qe[i]) * (q.qe[i] - c.qe[i]))) AS BIGINT)
+      |           AS d2
+      |  FROM e_$name q JOIN e_$name c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id % 5 = 0),
+      |t_$name AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY d2, cid) AS rn FROM p_$name)
+      |  WHERE rn <= 10)""".stripMargin
+    Q("q344_quantization_recall",
+      Some(s"""
+        |WITH ${sqlTop(1000, "m")},
+        |${sqlTop(100, "c")},
+        |ov AS (
+        |  SELECT m.qid, count(c.cid) AS overlap
+        |  FROM t_m m LEFT JOIN t_c c ON m.qid = c.qid AND m.cid = c.cid
+        |  GROUP BY 1)
+        |SELECT CAST(overlap AS BIGINT) AS overlap,
+        |       CAST(count(*) AS BIGINT) AS n_queries
+        |FROM ov GROUP BY 1 ORDER BY 1
+        |""".stripMargin)) { (s, dir) =>
+      def top(scale: Int): org.apache.spark.sql.DataFrame = {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), transform(col("embedding"),
+            v => floor(v.cast("double") * scale).cast("long")).as("qe"))
+        val qq = e.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("qid"), col("qe").as("qqe"))
+        val cand = e.select(col("vec_id").as("cid"), col("qe").as("cqe"))
+        qq.join(broadcast(cand), col("cid") =!= col("qid"))
+          .select(col("qid"), col("cid"),
+            aggregate(zip_with(col("qqe"), col("cqe"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("d2"), col("cid"))))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("cid"))
+      }
+      val tm = top(1000)
+      val tc = top(100).select(col("qid").as("cqid"), col("cid").as("ccid"))
+      tm.join(tc, col("qid") === col("cqid") && col("cid") === col("ccid"),
+          "left")
+        .groupBy(col("qid"))
+        .agg(count(col("ccid")).as("overlap"))
+        .groupBy(col("overlap"))
+        .agg(count(lit(1)).as("n_queries"))
+        .orderBy(col("overlap"))
+    }
+  }
 
   /** The union stopword list (declaration order, first occurrence);
     * a def — `val all` above runs first at object init. */

@@ -15,7 +15,60 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340)
+    q339, q340, q345)
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    * click value distributions — "do the two event types draw from the
+    * same spend distribution" (q301's Mann-Whitney is the rank test;
+    * KS is the shape test). Entirely on the distinct-VALUE dim with
+    * cross-multiplied integer ECDFs (|F1−F2| compared as
+    * |c1·n2 − c2·n1|, no double ever ranks), the q301 discipline. */
+  def q345: Q = Q(
+    "q345_ks_value_test",
+    Some("""
+      |WITH v AS (
+      |  SELECT value,
+      |         count(*) FILTER (event_type = 'purchase') AS c1,
+      |         count(*) FILTER (event_type = 'click') AS c2
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |  GROUP BY value),
+      |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v),
+      |cum AS (
+      |  SELECT value,
+      |         sum(c1) OVER (ORDER BY value) AS f1,
+      |         sum(c2) OVER (ORDER BY value) AS f2
+      |  FROM v),
+      |d AS (
+      |  SELECT cum.value, abs(f1 * t.n2 - f2 * t.n1) AS diff, t.n1, t.n2,
+      |         row_number() OVER (
+      |           ORDER BY abs(f1 * t.n2 - f2 * t.n1) DESC, cum.value) AS rn
+      |  FROM cum CROSS JOIN t)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |       CAST((1000000 * diff) // (n1 * n2) AS BIGINT) AS ks_ppm,
+      |       CAST(CAST(value * 100 AS BIGINT) AS BIGINT) AS ks_at_cents
+      |FROM d WHERE rn = 1
+      |""".stripMargin)) { (s, dir) =>
+    val v = Tables.events(s, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .groupBy(col("value"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("c1"),
+        count(when(col("event_type") === "click", 1)).as("c2"))
+      .materialize() // distinct-value dim feeds the totals AND the ECDF
+    val t = v.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0) // value dim, bounded
+    v.withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(t))
+      .withColumn("diff", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("diff").desc, col("value"))))
+      .where(col("rn") === 1)
+      .select(col("n1"), col("n2"),
+        expr("(1000000 * diff) div (n1 * n2)").as("ks_ppm"),
+        (col("value") * 100).cast("decimal(38,0)").cast("long")
+          .as("ks_at_cents"))
+  }
 
   /** Session bounce rate by entry event type: sessionize on 30-minute
     * inactivity gaps (q53's recipe with the (ts, event_id) tie-break),

@@ -14,7 +14,7 @@ object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
-    q320, q321, q322, q323, q324, q325, q338)
+    q320, q321, q322, q323, q324, q325, q338, q342, q343)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -974,6 +974,103 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Order ship-window bands: days between an order's first and last
+    * shipment, banded — "how long does an order stay open". One
+    * order-keyed fact aggregate, then a ≤5-row band dim; integer day
+    * diffs on midnight-aligned timestamps. */
+  def q342: Q = Q(
+    "q342_order_ship_window",
+    Some("""
+      |WITH w AS (
+      |  SELECT l_orderkey, count(*) AS n_lines,
+      |         date_diff('day', min(l_shipdate), max(l_shipdate)) AS wd
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN wd = 0 THEN 0 WHEN wd <= 30 THEN 1
+      |              WHEN wd <= 90 THEN 2 WHEN wd <= 365 THEN 3
+      |              ELSE 4 END AS band_id,
+      |         CASE WHEN wd = 0 THEN 'same_day' WHEN wd <= 30 THEN 'month'
+      |              WHEN wd <= 90 THEN 'quarter' WHEN wd <= 365 THEN 'year'
+      |              ELSE 'longer' END AS band,
+      |         n_lines
+      |  FROM w),
+      |t AS (SELECT count(*) AS n_orders FROM w)
+      |SELECT CAST(band_id AS BIGINT) AS band_id, band,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+      |       CAST((1000000 * count(*)) // t.n_orders AS BIGINT)
+      |         AS share_ppm
+      |FROM b CROSS JOIN t GROUP BY 1, 2, t.n_orders ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val w = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("datediff(CAST(max(l_shipdate) AS DATE), " +
+          "CAST(min(l_shipdate) AS DATE))").as("wd"))
+      .materialize() // order dim feeds the total AND the band rollup
+    val t = w.agg(count(lit(1)).as("n_orders"))
+    w.select(
+        expr("CASE WHEN wd = 0 THEN 0L WHEN wd <= 30 THEN 1L " +
+          "WHEN wd <= 90 THEN 2L WHEN wd <= 365 THEN 3L ELSE 4L END")
+          .as("band_id"),
+        expr("CASE WHEN wd = 0 THEN 'same_day' WHEN wd <= 30 THEN 'month' " +
+          "WHEN wd <= 90 THEN 'quarter' WHEN wd <= 365 THEN 'year' " +
+          "ELSE 'longer' END").as("band"),
+        col("n_lines"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"))
+      .crossJoin(broadcast(t.select(col("n_orders").as("__tot"))))
+      .select(col("band_id"), col("band"), col("n_orders"), col("n_lines"),
+        expr("(1000000 * n_orders) div __tot").as("share_ppm"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Brand × month-of-year seasonality lift: does a brand over- or
+    * under-index in a calendar month vs the market (ppm of
+    * independence, lift = cents·G / (brand_total·month_total)). The
+    * numerators live in DECIMAL(38,0)/HUGEINT — cents·G overflows a
+    * long at scale — with ONE integral divide at the end. */
+  def q343: Q = Q(
+    "q343_brand_month_seasonality",
+    Some("""
+      |WITH b AS (
+      |  SELECT p.p_brand AS brand,
+      |         CAST(month(l.l_shipdate) AS BIGINT) AS m,
+      |         CAST(sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS BIGINT)
+      |           AS cents
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |bb AS (SELECT brand, sum(cents) AS btot FROM b GROUP BY 1),
+      |mm AS (SELECT m, sum(cents) AS mtot FROM b GROUP BY 1),
+      |g AS (SELECT sum(cents) AS gtot FROM b)
+      |SELECT b.brand, b.m, b.cents,
+      |       CAST((1000000 * CAST(b.cents AS HUGEINT) * g.gtot)
+      |            // (bb.btot * CAST(mm.mtot AS HUGEINT)) AS BIGINT)
+      |         AS lift_ppm
+      |FROM b JOIN bb USING (brand) JOIN mm USING (m) CROSS JOIN g
+      |ORDER BY brand, m
+      |""".stripMargin)) { (s, dir) =>
+    val d38 = "decimal(38,0)"
+    val b = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        month(col("l_shipdate")).cast("long").as("m"))
+      .agg(sum((col("l_extendedprice") * 100).cast(d38))
+        .cast("long").as("cents"))
+      .materialize() // brand×month dim feeds 3 totals + the lift pass
+    val bb = b.groupBy(col("brand")).agg(sum(col("cents")).as("btot"))
+    val mm = b.groupBy(col("m")).agg(sum(col("cents")).as("mtot"))
+    val g = b.agg(sum(col("cents")).as("gtot"))
+    b.join(broadcast(bb), Seq("brand"))
+      .join(broadcast(mm), Seq("m"))
+      .crossJoin(broadcast(g))
+      .select(col("brand"), col("m"), col("cents"),
+        expr(s"CAST((1000000 * CAST(cents AS $d38) * gtot) div " +
+          s"(btot * CAST(mtot AS $d38)) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("brand"), col("m"))
   }
 
   /** Quarterly top supplier (TPC-H Q15 shape): per (year, quarter) the
