@@ -17,7 +17,45 @@ import PipelineQueries.{sqlInList, sqlTokens}
   */
 object CurationQueries {
 
-  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344)
+  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349)
+
+  /** Length ↔ repetition correlation: Pearson between a document's
+    * char length and its duplicate-bigram count — "are long docs the
+    * repetitive ones" (decides whether a length filter subsumes a
+    * repetition filter). All sums are exact integers; the shared
+    * sqlPearsonMilli fragment does the one guarded double divide. */
+  def q349: Q = Q(
+    "q349_length_repetition_correlation",
+    Some(s"""
+      |WITH t AS (
+      |  SELECT n_chars AS x,
+      |         greatest(len(${sqlTokens("text")}) - 1, 0)
+      |           - len(list_distinct(list_transform(
+      |               range(1, greatest(len(${sqlTokens("text")}) - 1, 0) + 1),
+      |               i -> (${sqlTokens("text")})[i] || ' '
+      |                    || (${sqlTokens("text")})[i + 1]))) AS y
+      |  FROM documents),
+      |agg AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM t)
+      |SELECT CAST(n AS BIGINT) AS n_docs,
+      |       ${PipelineQueries.sqlPearsonMilli(
+                 "n", "sx", "sy", "sxx", "syy", "sxy")} AS r_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    val bg = graft.functions.SketchExprs.shingles(col("text"), 2)
+    Tables.documents(s, dir)
+      .select(col("n_chars").as("x"),
+        (size(bg) - size(array_distinct(bg))).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_docs"),
+        expr(PipelineQueries.sqlPearsonMilli(
+          "n", "sx", "sy", "sxx", "syy", "sxy")).as("r_milli"))
+  }
 
   /** Stopword language purity per declared language: of all stopword
     * hits in a language's documents, how many belong to the DECLARED

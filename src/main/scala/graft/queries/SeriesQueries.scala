@@ -15,7 +15,51 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340, q345)
+    q339, q340, q345, q348)
+
+  /** Return-hazard curve: for each inter-activity gap length k (days
+    * between a user's consecutive active days), the hazard
+    * P(returned after exactly k | away ≥ k) — the churn-model input
+    * q269's half-life summarizes. The gap dim is tiny; the ≥k tail is
+    * a reverse cumulative sum over it. */
+  def q348: Q = Q(
+    "q348_return_hazard",
+    Some("""
+      |WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+      |  FROM events),
+      |g AS (
+      |  SELECT d - lag(d) OVER (PARTITION BY user_id ORDER BY d) AS gap
+      |  FROM a),
+      |h AS (SELECT gap, count(*) AS n_eq FROM g
+      |      WHERE gap IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT gap, n_eq,
+      |         sum(n_eq) OVER (ORDER BY gap
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |           AS n_ge
+      |  FROM h)
+      |SELECT CAST(gap AS BIGINT) AS gap_days,
+      |       CAST(n_eq AS BIGINT) AS n_returns,
+      |       CAST(n_ge AS BIGINT) AS n_at_risk,
+      |       CAST((1000000 * n_eq) // n_ge AS BIGINT) AS hazard_ppm
+      |FROM c ORDER BY gap_days
+      |""".stripMargin)) { (s, dir) =>
+    val a = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+      .distinct()
+    val g = a.withColumn("gap", col("d") - lag(col("d"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("d"))))
+      .where(col("gap").isNotNull)
+      .groupBy(col("gap")).agg(count(lit(1)).as("n_eq"))
+    g.withColumn("n_ge", sum(col("n_eq")).over(
+        Window.orderBy(col("gap")) // gap dim, bounded
+          .rowsBetween(0, Window.unboundedFollowing)))
+      .select(col("gap").as("gap_days"), col("n_eq").as("n_returns"),
+        col("n_ge").as("n_at_risk"),
+        expr("(1000000 * n_eq) div n_ge").as("hazard_ppm"))
+      .orderBy(col("gap_days"))
+  }
 
   /** Two-sample Kolmogorov-Smirnov statistic between the purchase and
     * click value distributions — "do the two event types draw from the

@@ -14,7 +14,8 @@ object WarehouseQueries {
 
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
-    q320, q321, q322, q323, q324, q325, q338, q342, q343)
+    q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
+    q350)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -974,6 +975,114 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
+    * (brand, quantity-band) clauses — the classic "does the engine
+    * push a disjunction into the join" face. The part attach is a
+    * broadcast dim; revenue is per-row cent-quantized net (q292
+    * discipline). */
+  def q346: Q = Q(
+    "q346_disjunctive_revenue",
+    Some("""
+      |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(floor(CAST(l.l_extendedprice
+      |              * (1.0 - l.l_discount) AS DECIMAL(18,9)) * 100)
+      |              AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_size >= 40 AND l.l_quantity >= 45)
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .where((col("p_brand") === "Brand#1" &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_size") >= 40 && col("l_quantity") >= 45))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,9)") * 100).cast("long")).as("rev_cents"))
+  }
+
+  /** Revenue midpoint dates: per ship-year, the day-of-year by which
+    * 50% and 90% of the year's revenue had accrued — "how front- or
+    * back-loaded is the year". Cumulative sums run over the ≤366-row
+    * day dim per year (year-partitioned windows); crossings are pure
+    * integer compares (2·cum ≥ tot, 10·cum ≥ 9·tot). */
+  def q347: Q = Q(
+    "q347_revenue_midpoint",
+    Some("""
+      |WITH dr AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+      |         CAST(dayofyear(l_shipdate) AS BIGINT) AS doy,
+      |         sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT y, sum(cents) AS tot FROM dr GROUP BY 1),
+      |c AS (
+      |  SELECT dr.y, dr.doy, t.tot,
+      |         sum(dr.cents) OVER (PARTITION BY dr.y ORDER BY dr.doy)
+      |           AS cum
+      |  FROM dr JOIN t USING (y))
+      |SELECT y,
+      |       CAST(min(CASE WHEN 2 * cum >= tot THEN doy END) AS BIGINT)
+      |         AS mid_doy,
+      |       CAST(min(CASE WHEN 10 * cum >= 9 * tot THEN doy END)
+      |            AS BIGINT) AS p90_doy,
+      |       CAST(max(tot) AS BIGINT) AS total_cents
+      |FROM c GROUP BY y ORDER BY y
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dr = Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+        dayofyear(col("l_shipdate")).cast("long").as("doy"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .materialize() // year×day dim feeds the totals AND the cumsum
+    val t = dr.groupBy(col("y")).agg(sum(col("cents")).as("tot"))
+    dr.join(broadcast(t), Seq("y"))
+      .withColumn("cum", sum(col("cents")).over(
+        Window.partitionBy(col("y")).orderBy(col("doy"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("y"))
+      .agg(min(when(lit(2) * col("cum") >= col("tot"), col("doy")))
+          .as("mid_doy"),
+        min(when(lit(10) * col("cum") >= lit(9) * col("tot"), col("doy")))
+          .as("p90_doy"),
+        max(col("tot")).as("total_cents"))
+      .orderBy(col("y"))
+  }
+
+  /** Return rates and net revenue per discount band — "does
+    * discounting buy returns". The band is the cent-rounded discount
+    * (0..10), everything else exact integers; one fact aggregate. */
+  def q350: Q = Q(
+    "q350_discount_return_rates",
+    Some("""
+      |SELECT CAST(CAST(l_discount * 100 AS BIGINT) AS BIGINT) AS disc_pct,
+      |       CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT)
+      |         AS n_returned,
+      |       CAST((1000000 * count(*) FILTER (l_returnflag = 'R'))
+      |            // count(*) AS BIGINT) AS return_ppm,
+      |       CAST(sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT)) AS BIGINT)
+      |         AS net_cents
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy((col("l_discount") * 100).cast("decimal(38,0)").cast("long")
+        .as("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,9)") * 100).cast("long")).as("net_cents"))
+      .select(col("disc_pct"), col("n_lines"), col("n_returned"),
+        expr("(1000000 * n_returned) div n_lines").as("return_ppm"),
+        col("net_cents"))
+      .orderBy(col("disc_pct"))
   }
 
   /** Order ship-window bands: days between an order's first and last
