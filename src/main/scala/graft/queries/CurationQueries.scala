@@ -17,7 +17,173 @@ import PipelineQueries.{sqlInList, sqlTokens}
   */
 object CurationQueries {
 
-  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349)
+  val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349,
+    q352, q354)
+
+  /** Character-trigram language signatures: per declared language the
+    * top-3 trigrams by lift vs the whole corpus (min support 20) — the
+    * char-n-gram modality under every compact language-ID model
+    * (q313's stopword ID works at the token level; this is the level
+    * below). Lift numerators ride DECIMAL/HUGEINT (c_l·total overflows
+    * a long at scale); ranking is a per-lang top-3 window over the
+    * pruned trigram dim. */
+  def q352: Q = Q(
+    "q352_char_trigram_lang_signatures",
+    Some("""
+      |WITH t AS (
+      |  SELECT lang, u.tg FROM documents,
+      |    unnest(list_transform(range(1, greatest(n_chars - 2, 0) + 1),
+      |      i -> substr(text, CAST(i AS INTEGER), 3))) AS u(tg)),
+      |cs AS (SELECT lang, tg, count(*) AS c_l FROM t GROUP BY 1, 2),
+      |lt AS (SELECT lang, sum(c_l) AS tot_l FROM cs GROUP BY 1),
+      |g AS (SELECT tg, sum(c_l) AS c FROM cs GROUP BY 1),
+      |tot AS (SELECT sum(c_l) AS total FROM cs),
+      |lift AS (
+      |  SELECT cs.lang, cs.tg, cs.c_l,
+      |         CAST((1000000 * CAST(cs.c_l AS HUGEINT) * tot.total)
+      |              // (CAST(g.c AS HUGEINT) * lt.tot_l) AS BIGINT)
+      |           AS lift_ppm
+      |  FROM cs JOIN g USING (tg) JOIN lt USING (lang) CROSS JOIN tot
+      |  WHERE cs.c_l >= 20),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang
+      |           ORDER BY lift_ppm DESC, tg) AS rank
+      |  FROM lift)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, tg AS trigram,
+      |       CAST(c_l AS BIGINT) AS n_occurrences, lift_ppm
+      |FROM r WHERE rank <= 3 ORDER BY lang, rank
+      |""".stripMargin)) { (s, dir) =>
+    val d38 = "decimal(38,0)"
+    val tgs = Tables.documents(s, dir)
+      .where(col("n_chars") >= 3) // ≡ the oracle's empty-list docs
+      .select(col("lang"),
+        explode(expr("transform(sequence(1, CAST(n_chars AS INT) - 2), " +
+          "i -> substring(text, i, 3))")).as("tg"))
+      .groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("c_l"))
+      .materialize() // lang×trigram dim feeds all totals + the rank
+    val lt = tgs.groupBy(col("lang")).agg(sum(col("c_l")).as("tot_l"))
+    val g = tgs.groupBy(col("tg")).agg(sum(col("c_l")).as("c"))
+    val tot = tgs.agg(sum(col("c_l")).as("total"))
+    tgs.where(col("c_l") >= 20)
+      .join(broadcast(g), Seq("tg"))
+      .join(broadcast(lt), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("tg"), col("c_l"),
+        expr(s"CAST((1000000 * CAST(c_l AS $d38) * total) div " +
+          s"(CAST(c AS $d38) * tot_l) AS BIGINT)").as("lift_ppm"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("lift_ppm").desc, col("tg"))))
+      .where(col("rank") <= 3)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("tg").as("trigram"), col("c_l").as("n_occurrences"),
+        col("lift_ppm"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Distributed top-eigenvector of the embedding covariance by THREE
+    * fixed power-iteration rounds — PCA's first axis without any
+    * linear-algebra library. The scatter matrix C = n·Σxy − Σx·Σy
+    * lives in exact centi-quantized integers (64² entries, broadcast);
+    * each round is an integer matrix-vector product rescaled by
+    * truncating division (the CASE makes DuckDB's floor-div match
+    * Spark's truncation on negatives); the Rayleigh quotient is ONE
+    * decimal integral divide. Only the moment sums touch fact-scale
+    * data. */
+  def q354: Q = {
+    // truncating signed division a/b (b>0) — identical in both engines
+    def truncDiv(a: String, b: String) =
+      s"CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END"
+    val iterCtes = (1 to 3).map { i =>
+      s"""u$i AS (
+         |  SELECT c.di, sum(c.cv * v.v) AS u
+         |  FROM cmat c JOIN v${i - 1} v ON c.dj = v.di
+         |  GROUP BY 1),
+         |m$i AS (SELECT max(abs(u)) AS m FROM u$i),
+         |v$i AS (
+         |  SELECT u.di, ${truncDiv("1000 * u.u", "m.m")} AS v
+         |  FROM u$i u CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    Q("q354_covariance_power_iteration",
+      Some(s"""
+        |WITH q AS (
+        |  SELECT vec_id, u.d AS dim,
+        |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 100)
+        |              AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |s1 AS (SELECT dim, sum(qv) AS s FROM q GROUP BY 1),
+        |s2 AS (
+        |  SELECT a.dim AS di, b.dim AS dj, sum(a.qv * b.qv) AS sxy
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+        |  GROUP BY 1, 2),
+        |cmat AS (
+        |  SELECT s2.di, s2.dj, n.n * s2.sxy - sa.s * sb.s AS cv
+        |  FROM s2 JOIN s1 sa ON s2.di = sa.dim
+        |       JOIN s1 sb ON s2.dj = sb.dim CROSS JOIN n),
+        |v0 AS (SELECT dim AS di, CAST(1000 AS BIGINT) AS v FROM s1),
+        |$iterCtes,
+        |ray AS (
+        |  SELECT CAST(sum(CAST(va.v AS HUGEINT) * c.cv * vb.v)
+        |              // sum(CASE WHEN c.di = c.dj
+        |                   THEN CAST(va.v AS HUGEINT) * vb.v END)
+        |           AS BIGINT) AS rayleigh
+        |  FROM cmat c JOIN v3 va ON c.di = va.di
+        |       JOIN v3 vb ON c.dj = vb.di)
+        |SELECT CAST(v3.di AS BIGINT) AS dim,
+        |       CAST(v3.v AS BIGINT) AS loading_milli,
+        |       ray.rayleigh
+        |FROM v3 CROSS JOIN ray ORDER BY dim
+        |""".stripMargin)) { (s, dir) =>
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "vv")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("vv").cast("double") * 100).cast("long").as("qv"))
+        .materialize() // moment source for s1 AND the self-join s2
+      val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+      val s1 = q.groupBy(col("dim")).agg(sum(col("qv")).as("s"))
+      val s2 = q.select(col("vec_id"), col("dim").as("di"),
+          col("qv").as("qa"))
+        .join(q.select(col("vec_id"), col("dim").as("dj"),
+          col("qv").as("qb")), Seq("vec_id"))
+        .groupBy(col("di"), col("dj"))
+        .agg(sum(col("qa") * col("qb")).as("sxy"))
+      val cmat = s2
+        .join(broadcast(s1.select(col("dim").as("di"), col("s").as("sa"))),
+          Seq("di"))
+        .join(broadcast(s1.select(col("dim").as("dj"), col("s").as("sb"))),
+          Seq("dj"))
+        .crossJoin(broadcast(n))
+        .select(col("di"), col("dj"),
+          (col("n") * col("sxy") - col("sa") * col("sb")).as("cv"))
+        .materialize() // 64² dim reused by all 3 rounds + Rayleigh
+      var v = s1.select(col("dim").as("di"), lit(1000L).as("v"))
+      for (_ <- 1 to 3) {
+        val u = cmat.join(broadcast(v.select(col("di").as("dj"),
+            col("v").as("vj"))), Seq("dj"))
+          .groupBy(col("di")).agg(sum(col("cv") * col("vj")).as("u"))
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        v = u.crossJoin(broadcast(m))
+          .select(col("di"),
+            expr("CASE WHEN 1000 * u >= 0 THEN (1000 * u) div m " +
+              "ELSE -((-(1000 * u)) div m) END").as("v"))
+      }
+      val vm = v.materialize() // final direction feeds Rayleigh twice
+      val d38 = "decimal(38,0)"
+      val ray = cmat
+        .join(broadcast(vm.select(col("di"), col("v").as("va"))), Seq("di"))
+        .join(broadcast(vm.select(col("di").as("dj"), col("v").as("vb"))),
+          Seq("dj"))
+        .agg(expr(s"CAST(sum(CAST(va AS $d38) * cv * vb) div " +
+          s"sum(CASE WHEN di = dj THEN CAST(va AS $d38) * vb END) " +
+          "AS BIGINT)").as("rayleigh"))
+      vm.crossJoin(broadcast(ray))
+        .select(col("di").cast("long").as("dim"),
+          col("v").as("loading_milli"), col("rayleigh"))
+        .orderBy(col("dim"))
+    }
+  }
 
   /** Length ↔ repetition correlation: Pearson between a document's
     * char length and its duplicate-bigram count — "are long docs the

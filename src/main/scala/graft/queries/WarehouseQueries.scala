@@ -15,7 +15,7 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
-    q350)
+    q350, q351, q353, q355)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -975,6 +975,155 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Basket brand-diversity histogram: orders by how many distinct
+    * brands they mix, with the mean distinct-type count per band —
+    * "are big baskets broad or deep". One order-keyed distinct
+    * aggregate (map-side combinable), then a ≤12-row band dim. */
+  def q351: Q = Q(
+    "q351_basket_diversity",
+    Some("""
+      |WITH d AS (
+      |  SELECT l.l_orderkey, count(DISTINCT p.p_brand) AS nb,
+      |         count(DISTINCT p.p_type) AS nt
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |t AS (SELECT count(*) AS n_orders FROM d)
+      |SELECT CAST(nb AS BIGINT) AS n_brands,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST((1000000 * count(*)) // t.n_orders AS BIGINT)
+      |         AS share_ppm,
+      |       CAST((1000 * sum(nt)) // count(*) AS BIGINT)
+      |         AS avg_types_milli
+      |FROM d CROSS JOIN t GROUP BY 1, t.n_orders ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val d = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("p_brand")).as("nb"),
+        countDistinct(col("p_type")).as("nt"))
+      .materialize() // order dim feeds the total AND the histogram
+    val t = d.agg(count(lit(1)).as("__tot"))
+    d.groupBy(col("nb").as("n_brands"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("nt")).as("__snt"))
+      .crossJoin(broadcast(t))
+      .select(col("n_brands"), col("n_orders"),
+        expr("(1000000 * n_orders) div __tot").as("share_ppm"),
+        expr("(1000 * __snt) div n_orders").as("avg_types_milli"))
+      .orderBy(col("n_brands"))
+  }
+
+  /** Open-order backlog by month: how many orders sit between their
+    * first touch (order or earliest ship — synthetic ships can precede
+    * the order date) and their last shipment, averaged per calendar
+    * month. The interval-stabbing count uses the ±1 delta trick over a
+    * generated day dim (never an order×day fan-out): +1 at the start
+    * day, −1 after the end day, one cumulative sum. */
+  def q353: Q = Q(
+    "q353_open_order_backlog",
+    Some("""
+      |WITH o AS (
+      |  SELECT o.o_orderkey,
+      |         least(epoch_us(o.o_orderdate) // 86400000000,
+      |               min(epoch_us(l.l_shipdate) // 86400000000)) AS s,
+      |         greatest(epoch_us(o.o_orderdate) // 86400000000,
+      |               max(epoch_us(l.l_shipdate) // 86400000000)) AS e
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, o.o_orderdate),
+      |delta AS (
+      |  SELECT s AS d, 1 AS v FROM o
+      |  UNION ALL SELECT e + 1 AS d, -1 AS v FROM o),
+      |dd AS (SELECT sum(v) AS dv, d FROM delta GROUP BY d),
+      |span AS (SELECT min(s) AS lo, max(e) AS hi FROM o),
+      |days AS (
+      |  SELECT lo + u.i AS d FROM span,
+      |         unnest(range(0, hi - lo + 1)) AS u(i)),
+      |cum AS (
+      |  SELECT days.d, sum(coalesce(dd.dv, 0))
+      |           OVER (ORDER BY days.d) AS open
+      |  FROM days LEFT JOIN dd ON days.d = dd.d),
+      |m AS (
+      |  SELECT CAST(year(DATE '1970-01-01' + INTERVAL (d) DAY) * 12
+      |              + month(DATE '1970-01-01' + INTERVAL (d) DAY) - 1
+      |              AS BIGINT) AS ym,
+      |         open
+      |  FROM cum)
+      |SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST((1000 * sum(open)) // count(*) AS BIGINT)
+      |         AS avg_open_milli,
+      |       CAST(max(open) AS BIGINT) AS peak_open
+      |FROM m GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("od"))
+      .agg(min(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")).as("ms"),
+        max(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")).as("xs"))
+      .select(col("o_orderkey"), least(col("od"), col("ms")).as("s"),
+        greatest(col("od"), col("xs")).as("e"))
+      .materialize() // order-interval dim feeds deltas AND the span
+    val delta = o.select(col("s").as("d"), lit(1L).as("v"))
+      .unionAll(o.select((col("e") + 1).as("d"), lit(-1L).as("v")))
+      .groupBy(col("d")).agg(sum(col("v")).as("dv"))
+    val span = o.agg(min(col("s")).as("lo"), max(col("e")).as("hi"))
+    val days = span.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val cum = days.join(delta, Seq("d"), "left")
+      .withColumn("open", sum(coalesce(col("dv"), lit(0L))).over(
+        Window.orderBy(col("d")) // generated day dim, bounded
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    cum.select(expr("CAST(year(date_add(DATE '1970-01-01', " +
+        "CAST(d AS INT))) * 12 + month(date_add(DATE '1970-01-01', " +
+        "CAST(d AS INT))) - 1 AS BIGINT)").as("ym"), col("open"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("(1000 * sum(open)) div count(1)").as("avg_open_milli"),
+        max(col("open")).as("peak_open"))
+      .orderBy(col("ym"))
+  }
+
+  /** What-if: cap every discount at 5% — the counterfactual revenue
+    * delta per ship-year. Both scenarios are per-row cent-quantized
+    * (q292 discipline) in the same scan; the delta is an exact integer
+    * subtraction. */
+  def q355: Q = Q(
+    "q355_discount_cap_whatif",
+    Some("""
+      |WITH r AS (
+      |  SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+      |         CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT) AS actual,
+      |         CAST(floor(CAST(l_extendedprice
+      |              * (1.0 - least(l_discount, 0.05))
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT) AS capped
+      |  FROM lineitem)
+      |SELECT y, CAST(sum(actual) AS BIGINT) AS actual_cents,
+      |       CAST(sum(capped) AS BIGINT) AS capped_cents,
+      |       CAST(sum(capped) - sum(actual) AS BIGINT) AS uplift_cents,
+      |       CAST((1000000 * (sum(capped) - sum(actual))) // sum(actual)
+      |            AS BIGINT) AS uplift_ppm
+      |FROM r GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c.cast("decimal(18,9)") * 100).cast("long")
+    Tables.lineitem(s, dir)
+      .select(year(col("l_shipdate")).cast("long").as("y"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("actual"),
+        cents(col("l_extendedprice")
+          * (lit(1.0) - least(col("l_discount"), lit(0.05))))
+          .as("capped"))
+      .groupBy(col("y"))
+      .agg(sum(col("actual")).as("actual_cents"),
+        sum(col("capped")).as("capped_cents"))
+      .select(col("y"), col("actual_cents"), col("capped_cents"),
+        (col("capped_cents") - col("actual_cents")).as("uplift_cents"),
+        expr("(1000000 * (capped_cents - actual_cents)) div actual_cents")
+          .as("uplift_ppm"))
+      .orderBy(col("y"))
   }
 
   /** Disjunctive-predicate revenue (TPC-H Q19 shape): three OR'd
