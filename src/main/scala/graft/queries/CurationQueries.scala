@@ -308,26 +308,34 @@ object CurationQueries {
         |       CAST(count(*) AS BIGINT) AS n_queries
         |FROM ov GROUP BY 1 ORDER BY 1
         |""".stripMargin)) { (s, dir) =>
-      def top(scale: Int): org.apache.spark.sql.DataFrame = {
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), transform(col("embedding"),
-            v => floor(v.cast("double") * scale).cast("long")).as("qe"))
-        val qq = e.where(col("vec_id") % 5 === 0)
-          .select(col("vec_id").as("qid"), col("qe").as("qqe"))
-        val cand = e.select(col("vec_id").as("cid"), col("qe").as("cqe"))
-        qq.join(broadcast(cand), col("cid") =!= col("qid"))
-          .select(col("qid"), col("cid"),
-            aggregate(zip_with(col("qqe"), col("cqe"),
-                (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("d2"))
-          .withColumn("rn", row_number().over(
+      // ONE pair pass computes both quantized distances (the join is
+      // the expensive part; two windows over it are cheap)
+      def quant(scale: Int, c: org.apache.spark.sql.Column) =
+        transform(c, v => floor(v.cast("double") * scale).cast("long"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), quant(1000, col("embedding")).as("qm"),
+          quant(100, col("embedding")).as("qc"))
+      val qq = e.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("qid"), col("qm").as("qqm"),
+          col("qc").as("qqc"))
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      val pairs = qq.join(broadcast(e.select(col("vec_id").as("cid"),
+          col("qm").as("cqm"), col("qc").as("cqc"))),
+          col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          d2(col("qqm"), col("cqm")).as("dm"),
+          d2(col("qqc"), col("cqc")).as("dc"))
+        .materialize() // both rankings read the same pair frame
+      def top(dcol: String): org.apache.spark.sql.DataFrame =
+        pairs.withColumn("rn", row_number().over(
             Window.partitionBy(col("qid"))
-              .orderBy(col("d2"), col("cid"))))
+              .orderBy(col(dcol), col("cid"))))
           .where(col("rn") <= 10)
           .select(col("qid"), col("cid"))
-      }
-      val tm = top(1000)
-      val tc = top(100).select(col("qid").as("cqid"), col("cid").as("ccid"))
+      val tm = top("dm")
+      val tc = top("dc").select(col("qid").as("cqid"), col("cid").as("ccid"))
       tm.join(tc, col("qid") === col("cqid") && col("cid") === col("ccid"),
           "left")
         .groupBy(col("qid"))
