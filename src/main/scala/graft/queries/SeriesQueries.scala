@@ -15,7 +15,162 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340, q345, q348)
+    q339, q340, q345, q348, q356, q357)
+
+  /** Day-of-week seasonal strength of daily revenue: 1 −
+    * SS_resid/SS_total with group means milli-quantized FIRST (so
+    * every squared deviation is an exact integer; the squares ride
+    * DECIMAL/HUGEINT), plus the peak and trough weekdays. The day dim
+    * is bounded; one fact aggregate feeds everything. */
+  def q356: Q = Q(
+    "q356_dow_seasonal_strength",
+    Some("""
+      |WITH dr AS (
+      |  SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+      |         sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS r
+      |  FROM lineitem GROUP BY 1),
+      |w AS (SELECT (d + 4) % 7 AS dow, r FROM dr),
+      |t AS (SELECT count(*) AS n, (1000 * sum(r)) // count(*) AS tm
+      |      FROM w),
+      |g AS (
+      |  SELECT dow, count(*) AS ng,
+      |         (1000 * sum(r)) // count(*) AS gm
+      |  FROM w GROUP BY 1),
+      |dev AS (
+      |  SELECT CAST(1000 * w.r - t.tm AS HUGEINT) AS dt,
+      |         CAST(1000 * w.r - g.gm AS HUGEINT) AS dg
+      |  FROM w JOIN g USING (dow) CROSS JOIN t),
+      |ss AS (SELECT sum(dt * dt) AS sst, sum(dg * dg) AS ssr FROM dev),
+      |pk AS (
+      |  SELECT max(CASE WHEN rn_hi = 1 THEN dow END) AS peak_dow,
+      |         max(CASE WHEN rn_lo = 1 THEN dow END) AS trough_dow
+      |  FROM (SELECT dow,
+      |          row_number() OVER (ORDER BY gm DESC, dow) AS rn_hi,
+      |          row_number() OVER (ORDER BY gm ASC, dow) AS rn_lo
+      |        FROM g))
+      |SELECT CAST(t.n AS BIGINT) AS n_days,
+      |       CAST(1000000 - (1000000 * ss.ssr) // ss.sst AS BIGINT)
+      |         AS strength_ppm,
+      |       CAST(pk.peak_dow AS BIGINT) AS peak_dow,
+      |       CAST(pk.trough_dow AS BIGINT) AS trough_dow
+      |FROM t CROSS JOIN ss CROSS JOIN pk
+      |""".stripMargin)) { (s, dir) =>
+    val d38 = "decimal(38,0)"
+    val w = Tables.lineitem(s, dir)
+      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+        "div 86400000000").as("d"))
+      .agg(sum((col("l_extendedprice") * 100).cast(d38))
+        .cast("long").as("r"))
+      .select(expr("(d + 4) % 7").as("dow"), col("r"))
+      .materialize() // day dim feeds the global, dow, and dev passes
+    val t = w.agg(count(lit(1)).as("n"),
+      expr("(1000 * sum(r)) div count(1)").as("tm"))
+    val g = w.groupBy(col("dow"))
+      .agg(count(lit(1)).as("ng"),
+        expr("(1000 * sum(r)) div count(1)").as("gm"))
+      .materialize() // 7-row dim: dev join + peak ranks
+    val ss = w.join(broadcast(g), Seq("dow")).crossJoin(broadcast(t))
+      .select((lit(1000) * col("r") - col("tm")).cast(d38).as("dt"),
+        (lit(1000) * col("r") - col("gm")).cast(d38).as("dg"))
+      .agg(sum(col("dt") * col("dt")).cast(d38).as("sst"),
+        sum(col("dg") * col("dg")).cast(d38).as("ssr"))
+    val pk = g
+      .withColumn("rn_hi", row_number().over(
+        Window.orderBy(col("gm").desc, col("dow"))))
+      .withColumn("rn_lo", row_number().over(
+        Window.orderBy(col("gm").asc, col("dow"))))
+      .agg(max(when(col("rn_hi") === 1, col("dow"))).as("peak_dow"),
+        max(when(col("rn_lo") === 1, col("dow"))).as("trough_dow"))
+    t.crossJoin(broadcast(ss)).crossJoin(broadcast(pk))
+      .select(col("n").as("n_days"),
+        expr("CAST(1000000 - (1000000 * ssr) div sst AS BIGINT)")
+          .as("strength_ppm"),
+        col("peak_dow").cast("long").as("peak_dow"),
+        col("trough_dow").cast("long").as("trough_dow"))
+  }
+
+  /** Kaplan-Meier survival curve of user lifetimes (first→last active
+    * day; users still active on the corpus's final day are censored):
+    * S ← (S·(n_t − d_t)) div n_t folded over event times in EXACT
+    * integer micro units — the sequential product runs as an
+    * OrderedFold over the bounded lifetime dim, and the oracle replays
+    * it with a recursive CTE (identical integer ops, identical
+    * order). */
+  def q357: Q = Q(
+    "q357_kaplan_meier",
+    Some("""
+      |WITH RECURSIVE a AS (
+      |  SELECT user_id,
+      |         min(epoch_ns(ts) // 86400000000000) AS f,
+      |         max(epoch_ns(ts) // 86400000000000) AS l
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT max(l) AS maxd FROM a),
+      |u AS (
+      |  SELECT l - f AS t,
+      |         CASE WHEN l = mx.maxd THEN 1 ELSE 0 END AS cens
+      |  FROM a CROSS JOIN mx),
+      |tt AS (
+      |  SELECT t, count(*) AS m, count(*) FILTER (cens = 0) AS d
+      |  FROM u GROUP BY t),
+      |r AS (
+      |  SELECT t, d,
+      |         sum(m) OVER (ORDER BY t
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      |  FROM tt),
+      |er AS (
+      |  SELECT t, d, n, row_number() OVER (ORDER BY t) AS i
+      |  FROM r WHERE d > 0),
+      |km(i, t, d, n, s) AS (
+      |  SELECT i, t, d, n, (1000000 * (n - d)) // n FROM er WHERE i = 1
+      |  UNION ALL
+      |  SELECT er.i, er.t, er.d, er.n, (km.s * (er.n - er.d)) // er.n
+      |  FROM km JOIN er ON er.i = km.i + 1)
+      |SELECT CAST(t AS BIGINT) AS t_days,
+      |       CAST(n AS BIGINT) AS n_at_risk,
+      |       CAST(d AS BIGINT) AS churned,
+      |       CAST(s AS BIGINT) AS s_micro
+      |FROM km ORDER BY t_days
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val a = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 86400000000000")).as("f"),
+        max(expr("ts div 86400000000000")).as("l"))
+    val mx = a.agg(max(col("l")).as("maxd"))
+    val tt = a.crossJoin(broadcast(mx))
+      .select((col("l") - col("f")).as("t"),
+        when(col("l") === col("maxd"), 1).otherwise(0).as("cens"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("m"),
+        count(when(col("cens") === 0, 1)).as("d"))
+    val er = tt.withColumn("n", sum(col("m")).over(
+        Window.orderBy(col("t")) // lifetime dim, bounded
+          .rowsBetween(0, Window.unboundedFollowing)))
+      .where(col("d") > 0)
+      .select(lit(0L).as("g"), col("t"), col("d"), col("n"))
+    val out = StructType(Seq(
+      StructField("t_days", LongType, nullable = false),
+      StructField("n_at_risk", LongType, nullable = false),
+      StructField("churned", LongType, nullable = false),
+      StructField("s_micro", LongType, nullable = false)))
+    // state: running S plus the emitted steps (lifetime dim ≤ days
+    // span — bounded, documented)
+    graft.operators.OrderedFold
+      .foldGroups[(Long, List[(Long, Long, Long, Long)])](
+        er, Seq("g"), Seq(col("t")), out)(
+      init = _ => (1000000L, Nil),
+      step = { case ((sRun, acc), row) =>
+        val (t, d, n) = (row.getLong(1), row.getLong(2), row.getLong(3))
+        val s2 = sRun * (n - d) / n
+        (s2, (t, n, d, s2) :: acc)
+      },
+      emit = (_, st) => st._2.reverse.iterator.map {
+        case (t, n, d, sm) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](t, n, d, sm))
+      })
+      .orderBy(col("t_days"))
+  }
 
   /** Return-hazard curve: for each inter-activity gap length k (days
     * between a user's consecutive active days), the hazard

@@ -15,7 +15,7 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
-    q350, q351, q353, q355)
+    q350, q351, q353, q355, q358, q359, q360)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -975,6 +975,174 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Region trade balance: cross-region revenue flows rolled up to
+    * exports / imports / net per region (q324's nation flows at the
+    * region grain). The flow matrix is a ≤regions² dim built from ONE
+    * fact pass with broadcast dim attaches. */
+  def q358: Q = Q(
+    "q358_region_trade_balance",
+    Some("""
+      |WITH flows AS (
+      |  SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+      |         sum(CAST(l.l_extendedprice * 100 AS HUGEINT)) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      |  JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+      |  WHERE cn.n_regionkey <> sn.n_regionkey
+      |  GROUP BY 1, 2),
+      |ex AS (SELECT supp_region AS region, sum(cents) AS exports
+      |       FROM flows GROUP BY 1),
+      |im AS (SELECT cust_region AS region, sum(cents) AS imports
+      |       FROM flows GROUP BY 1)
+      |SELECT coalesce(ex.region, im.region) AS region,
+      |       CAST(coalesce(ex.exports, 0) AS BIGINT) AS exports_cents,
+      |       CAST(coalesce(im.imports, 0) AS BIGINT) AS imports_cents,
+      |       CAST(coalesce(ex.exports, 0) - coalesce(im.imports, 0)
+      |            AS BIGINT) AS net_cents
+      |FROM ex FULL OUTER JOIN im ON ex.region = im.region
+      |ORDER BY region
+      |""".stripMargin)) { (s, dir) =>
+    val custR = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_regionkey").as("crk"),
+        col("r_name").as("cust_region"))
+    val suppR = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("n_regionkey").as("srk"),
+        col("r_name").as("supp_region"))
+    val flows = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppR), col("l_suppkey") === col("s_suppkey"))
+      .where(col("crk") =!= col("srk"))
+      .groupBy(col("supp_region"), col("cust_region"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .materialize() // regions² dim feeds both rollups
+    val ex = flows.groupBy(col("supp_region").as("region"))
+      .agg(sum(col("cents")).as("exports"))
+    val im = flows.groupBy(col("cust_region").as("__r"))
+      .agg(sum(col("cents")).as("imports"))
+    ex.join(im, col("region") === col("__r"), "full_outer")
+      .select(coalesce(col("region"), col("__r")).as("region"),
+        coalesce(col("exports"), lit(0L)).as("exports_cents"),
+        coalesce(col("imports"), lit(0L)).as("imports_cents"),
+        (coalesce(col("exports"), lit(0L))
+          - coalesce(col("imports"), lit(0L))).as("net_cents"))
+      .orderBy(col("region"))
+  }
+
+  /** Catalog price-ending histogram: the last two digits of each
+    * part's retail price in cents — does the catalog price at .99/.00
+    * points. Top-10 endings; one dim scan. */
+  def q359: Q = Q(
+    "q359_price_endings",
+    Some("""
+      |WITH e AS (
+      |  SELECT CAST(p_retailprice * 100 AS BIGINT) % 100 AS ending
+      |  FROM part),
+      |t AS (SELECT count(*) AS n FROM e)
+      |SELECT CAST(ending AS BIGINT) AS ending,
+      |       CAST(count(*) AS BIGINT) AS n_parts,
+      |       CAST((1000000 * count(*)) // t.n AS BIGINT) AS share_ppm
+      |FROM e CROSS JOIN t GROUP BY 1, t.n
+      |ORDER BY n_parts DESC, ending LIMIT 10
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.part(s, dir)
+      .select(((col("p_retailprice") * 100).cast("decimal(38,0)")
+        .cast("long") % 100).as("ending"))
+      .materialize() // part dim feeds the total AND the histogram
+    val t = e.agg(count(lit(1)).as("__n"))
+    e.groupBy(col("ending")).agg(count(lit(1)).as("n_parts"))
+      .crossJoin(broadcast(t))
+      .select(col("ending"), col("n_parts"),
+        expr("(1000000 * n_parts) div __n").as("share_ppm"))
+      .orderBy(col("n_parts").desc, col("ending")).limit(10)
+  }
+
+  /** Supplier balance ↔ revenue Spearman: does account balance track
+    * realized revenue rank — q302's ×2-midrank machinery on the
+    * supplier dim (exact integer midranks, one guarded double divide
+    * in the shared Pearson fragment). */
+  def q360: Q = Q(
+    "q360_supplier_rank_correlation",
+    Some(s"""
+      |WITH rev AS (
+      |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT))
+      |           AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |v AS (
+      |  SELECT s.s_suppkey, CAST(s.s_acctbal * 100 AS BIGINT) AS x,
+      |         coalesce(rev.cents, 0) AS y
+      |  FROM supplier s LEFT JOIN rev ON s.s_suppkey = rev.l_suppkey),
+      |cx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+      |rx AS (
+      |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + c + 1 AS rx2
+      |  FROM cx),
+      |cy AS (SELECT y, count(*) AS c FROM v GROUP BY y),
+      |ry AS (
+      |  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + c + 1 AS ry2
+      |  FROM cy),
+      |j AS (
+      |  SELECT CAST(rx.rx2 AS HUGEINT) AS rx2,
+      |         CAST(ry.ry2 AS HUGEINT) AS ry2
+      |  FROM v JOIN rx ON v.x = rx.x JOIN ry ON v.y = ry.y),
+      |agg AS (
+      |  SELECT count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+      |         sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy,
+      |         sum(rx2 * ry2) AS sxy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n_suppliers,
+      |       ${PipelineQueries.sqlPearsonMilli(
+                 "n", "sx", "sy", "sxx", "syy", "sxy")} AS rho_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * 100).cast(d38))
+        .cast("long").as("cents"))
+    val v = Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+      .select((col("s_acctbal") * 100).cast(d38).cast("long").as("x"),
+        coalesce(col("cents"), lit(0L)).as("y"))
+      .materialize() // supplier dim feeds both rank dims AND the join
+    def rankDim(c: String, out: String) = {
+      val wC = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      v.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .withColumn(out,
+          lit(2L) * coalesce(sum(col("__c")).over(wC), lit(0L)) +
+            col("__c") + 1L)
+        .select(col(c), col(out))
+    }
+    val j = v
+      .join(broadcast(rankDim("x", "rx2")), Seq("x"))
+      .join(broadcast(rankDim("y", "ry2")), Seq("y"))
+      .select(col("rx2").cast(d38).as("rx2"), col("ry2").cast(d38).as("ry2"))
+    j.agg(count(lit(1)).as("n"),
+        sum(col("rx2")).cast(d38).as("sx"),
+        sum(col("ry2")).cast(d38).as("sy"),
+        sum(col("rx2") * col("rx2")).cast(d38).as("sxx"),
+        sum(col("ry2") * col("ry2")).cast(d38).as("syy"),
+        sum(col("rx2") * col("ry2")).cast(d38).as("sxy"))
+      .select(col("n").as("n_suppliers"),
+        expr(PipelineQueries.sqlPearsonMilli(
+          "n", "sx", "sy", "sxx", "syy", "sxy")).as("rho_milli"))
   }
 
   /** Basket brand-diversity histogram: orders by how many distinct
