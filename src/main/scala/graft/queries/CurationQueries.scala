@@ -18,7 +18,139 @@ import PipelineQueries.{sqlInList, sqlTokens}
 object CurationQueries {
 
   val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349,
-    q352, q354)
+    q352, q354, q362, q363)
+
+  /** Burrows' Delta stylometric distance between sources: per-token
+    * ppm frequencies (zero-filled over the source×token cross — a
+    * missing token IS a stylistic signal), per-token z-scores via the
+    * exact identity (n·f − Σf)/√(n·Σf² − (Σf)²) — ONE pinned double
+    * per cell, milli-floored — then the mean |z_a − z_b| per source
+    * pair. The whole computation runs on the sources×vocab dim. */
+  def q362: Q = {
+    val zExpr = "CAST(floor(1000.0 * (ns * f - s1) " +
+      "/ sqrt(CAST(ns * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)"
+    Q("q362_burrows_delta",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS w
+        |  FROM documents),
+        |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM cs),
+        |f AS (
+        |  SELECT tot.source, vocab.w,
+        |         (1000000 * coalesce(cs.c, 0)) // tot.t AS f
+        |  FROM tot CROSS JOIN vocab
+        |  LEFT JOIN cs ON cs.source = tot.source AND cs.w = vocab.w),
+        |st AS (
+        |  SELECT w, count(*) AS ns, sum(f) AS s1, sum(f * f) AS s2
+        |  FROM f GROUP BY 1),
+        |z AS (
+        |  SELECT f.source, f.w, $zExpr AS z
+        |  FROM f JOIN st USING (w)
+        |  WHERE st.ns * st.s2 - st.s1 * st.s1 > 0),
+        |d AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         count(*) AS n_tokens, sum(abs(a.z - b.z)) AS sad
+        |  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(sad // n_tokens AS BIGINT) AS delta_milli
+        |FROM d ORDER BY src_a, src_b
+        |""".stripMargin)) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val cs = tok.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .materialize() // source×token dim: totals, vocab, zero-fill
+      val tot = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val vocab = cs.select(col("w")).distinct()
+      val f = tot.crossJoin(broadcast(vocab))
+        .join(cs.select(col("source").as("__cs"), col("w").as("__cw"),
+            col("c")),
+          col("source") === col("__cs") && col("w") === col("__cw"),
+          "left")
+        .select(col("source"), col("w"),
+          expr("(1000000 * coalesce(c, 0)) div t").as("f"))
+        .materialize() // zero-filled freq dim: stats + both pair legs
+      val st = f.groupBy(col("w"))
+        .agg(count(lit(1)).as("ns"), sum(col("f")).as("s1"),
+          sum(col("f") * col("f")).as("s2"))
+      val z = f.join(broadcast(st), Seq("w"))
+        .where(col("ns") * col("s2") - col("s1") * col("s1") > 0)
+        .select(col("source"), col("w"), expr(zExpr).as("z"))
+        .materialize() // z dim feeds both legs of the pair join
+      z.join(z.select(col("source").as("src_b"), col("w").as("__bw"),
+          col("z").as("__bz")),
+          col("w") === col("__bw") && col("source") < col("src_b"))
+        .groupBy(col("source").as("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(abs(col("z") - col("__bz"))).as("sad"))
+        .select(col("src_a"), col("src_b"), col("n_tokens"),
+          expr("sad div n_tokens").as("delta_milli"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+  }
+
+  /** One-way ANOVA F statistic of embedding norms across labels —
+    * "are the label clusters at different radii". Norms are exact
+    * integers (milli-quantized elements); group/total means truncate
+    * at integer scale so every squared deviation is an exact long;
+    * the F ratio is ONE pinned double expression. */
+  def q363: Q = {
+    val fExpr = "CASE WHEN ssw > 0 AND k > 1 AND n > k THEN " +
+      "CAST(floor(1000.0 * (CAST(sst - ssw AS DOUBLE) " +
+      "* CAST(n - k AS DOUBLE)) / (CAST(ssw AS DOUBLE) " +
+      "* CAST(k - 1 AS DOUBLE))) AS BIGINT) END"
+    Q("q363_norm_anova",
+      Some(s"""
+        |WITH x AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(list_sum(list_transform(embedding, v ->
+        |           CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)
+        |           * CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)))
+        |           AS BIGINT) AS norm2
+        |  FROM embeddings),
+        |t AS (SELECT count(*) AS n, sum(norm2) // count(*) AS tm FROM x),
+        |g AS (
+        |  SELECT label, count(*) AS ng, sum(norm2) // count(*) AS gm
+        |  FROM x GROUP BY 1),
+        |ss AS (
+        |  SELECT t.n, (SELECT count(*) FROM g) AS k,
+        |         sum((x.norm2 - t.tm) * (x.norm2 - t.tm)) AS sst,
+        |         sum((x.norm2 - g.gm) * (x.norm2 - g.gm)) AS ssw
+        |  FROM x JOIN g USING (label) CROSS JOIN t
+        |  GROUP BY t.n)
+        |SELECT CAST(n AS BIGINT) AS n_vecs, CAST(k AS BIGINT) AS n_labels,
+        |       CAST(sst AS BIGINT) AS sst, CAST(ssw AS BIGINT) AS ssw,
+        |       $fExpr AS f_milli
+        |FROM ss
+        |""".stripMargin)) { (s, dir) =>
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          aggregate(transform(col("embedding"),
+              v => floor(v.cast("double") * 1000).cast("long")),
+            lit(0L), (acc, q) => acc + q * q).as("norm2"))
+        .materialize() // vec dim feeds the totals AND the deviations
+      val t = x.agg(count(lit(1)).as("n"),
+        expr("sum(norm2) div count(1)").as("tm"))
+      val g = x.groupBy(col("label"))
+        .agg(count(lit(1)).as("ng"),
+          expr("sum(norm2) div count(1)").as("gm"))
+        .materialize()
+      val k = g.agg(count(lit(1)).as("k"))
+      x.join(broadcast(g), Seq("label"))
+        .crossJoin(broadcast(t)).crossJoin(broadcast(k))
+        .groupBy(col("n"), col("k"))
+        .agg(sum((col("norm2") - col("tm")) * (col("norm2") - col("tm")))
+            .as("sst"),
+          sum((col("norm2") - col("gm")) * (col("norm2") - col("gm")))
+            .as("ssw"))
+        .select(col("n").as("n_vecs"), col("k").as("n_labels"),
+          col("sst"), col("ssw"), expr(fExpr).as("f_milli"))
+    }
+  }
 
   /** Character-trigram language signatures: per declared language the
     * top-3 trigrams by lift vs the whole corpus (min support 20) — the

@@ -15,7 +15,62 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340, q345, q348, q356, q357)
+    q339, q340, q345, q348, q356, q357, q365)
+
+  /** Session conversion rate by entry event type — q336's bounce face
+    * flipped to the positive outcome: of sessions entered through X,
+    * how many contain a purchase. Same 30-minute sessionization; the
+    * conversion flag is one more session-partitioned window max. */
+  def q365: Q = Q(
+    "q365_session_conversion_by_entry",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t) OVER (PARTITION BY user_id
+      |           ORDER BY t, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                     OR t - prev >= 1800000000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, grp
+      |           ORDER BY t, event_id) AS rn,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id, grp) AS conv
+      |  FROM g)
+      |SELECT event_type AS entry_type,
+      |       CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(sum(conv) AS BIGINT) AS n_converted,
+      |       CAST((1000000 * sum(conv)) // count(*) AS BIGINT)
+      |         AS conv_ppm
+      |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("grp", sum(when(col("prev").isNull ||
+          col("ts") - col("prev") >= 1800000000000L, 1).otherwise(0))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val wSess = Window.partitionBy(col("user_id"), col("grp"))
+    g.withColumn("rn", row_number().over(
+        wSess.orderBy(col("ts"), col("event_id"))))
+      .withColumn("conv", max(when(col("event_type") === "purchase", 1)
+        .otherwise(0)).over(wSess))
+      .where(col("rn") === 1)
+      .groupBy(col("event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        expr("(1000000 * n_converted) div n_sessions").as("conv_ppm"))
+      .orderBy(col("entry_type"))
+  }
 
   /** Day-of-week seasonal strength of daily revenue: 1 −
     * SS_resid/SS_total with group means milli-quantized FIRST (so

@@ -15,7 +15,7 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
-    q350, q351, q353, q355, q358, q359, q360)
+    q350, q351, q353, q355, q358, q359, q360, q361, q364)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -975,6 +975,111 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Leaderboard churn: how much of the top-200 customer set (by
+    * quarterly order value) survives into the NEXT quarter — overlap,
+    * Jaccard, churn ppm per consecutive quarter pair. Membership is a
+    * per-quarter top-k window over the customer×quarter dim; the
+    * overlap join runs on the k-sized membership dim. */
+  def q361: Q = Q(
+    "q361_leaderboard_churn",
+    Some("""
+      |WITH q AS (
+      |  SELECT o_custkey AS ck,
+      |         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1
+      |              AS BIGINT) AS qi,
+      |         sum(CAST(o_totalprice * 100 AS HUGEINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT ck, qi, row_number() OVER (PARTITION BY qi
+      |           ORDER BY cents DESC, ck) AS rn
+      |  FROM q),
+      |t AS (SELECT ck, qi FROM r WHERE rn <= 200),
+      |sz AS (SELECT qi, count(*) AS n FROM t GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.qi AS q1, b.qi AS q2, a.n AS n1, b.n AS n2
+      |  FROM sz a JOIN sz b ON b.qi = a.qi + 1),
+      |ov AS (
+      |  SELECT a.qi AS q1, count(*) AS ov
+      |  FROM t a JOIN t b ON a.ck = b.ck AND b.qi = a.qi + 1
+      |  GROUP BY 1)
+      |SELECT p.q1, p.q2, CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
+      |       CAST((1000000 * coalesce(ov.ov, 0))
+      |            // (p.n1 + p.n2 - coalesce(ov.ov, 0)) AS BIGINT)
+      |         AS jaccard_ppm,
+      |       CAST(1000000 - (1000000 * coalesce(ov.ov, 0)) // p.n1
+      |            AS BIGINT) AS churn_ppm
+      |FROM pairs p LEFT JOIN ov ON p.q1 = ov.q1 ORDER BY p.q1
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1)
+          .cast("long").as("qi"))
+      .agg(sum((col("o_totalprice") * 100).cast("decimal(38,0)"))
+        .as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qi"))
+          .orderBy(col("cents").desc, col("ck"))))
+      .where(col("rn") <= 200)
+      .select(col("ck"), col("qi"))
+      .materialize() // k-sized membership dim: pairs + overlap joins
+    val sz = t.groupBy(col("qi")).agg(count(lit(1)).as("n"))
+    val pairs = sz.join(sz.select((col("qi") - 1).as("__p"),
+        col("n").as("n2")), col("qi") === col("__p"))
+      .select(col("qi").as("q1"), (col("qi") + 1).as("q2"),
+        col("n").as("n1"), col("n2"))
+    val ov = t.join(t.select(col("ck").as("__bk"), col("qi").as("__bq")),
+        col("ck") === col("__bk") && col("__bq") === col("qi") + 1)
+      .groupBy(col("qi").as("q1")).agg(count(lit(1)).as("ov"))
+    pairs.join(broadcast(ov), Seq("q1"), "left")
+      .select(col("q1"), col("q2"),
+        coalesce(col("ov"), lit(0L)).as("overlap"),
+        expr("(1000000 * coalesce(ov, 0)) div " +
+          "(n1 + n2 - coalesce(ov, 0))").as("jaccard_ppm"),
+        expr("1000000 - (1000000 * coalesce(ov, 0)) div n1")
+          .as("churn_ppm"))
+      .orderBy(col("q1"))
+  }
+
+  /** Brand × adjective affinity: does a brand over-index on a catalog
+    * adjective (part names are "adjective noun") — contingency lift on
+    * the part dim, top-20 by lift at support ≥ 5. */
+  def q364: Q = Q(
+    "q364_brand_adjective_affinity",
+    Some("""
+      |WITH p AS (
+      |  SELECT p_brand AS brand, string_split(p_name, ' ')[1] AS adj
+      |  FROM part),
+      |ba AS (SELECT brand, adj, count(*) AS n_ba FROM p GROUP BY 1, 2),
+      |b AS (SELECT brand, sum(n_ba) AS n_b FROM ba GROUP BY 1),
+      |a AS (SELECT adj, sum(n_ba) AS n_a FROM ba GROUP BY 1),
+      |t AS (SELECT sum(n_ba) AS n FROM ba),
+      |lift AS (
+      |  SELECT ba.brand, ba.adj, ba.n_ba,
+      |         CAST((1000000 * ba.n_ba * t.n) // (b.n_b * a.n_a)
+      |              AS BIGINT) AS lift_ppm
+      |  FROM ba JOIN b USING (brand) JOIN a USING (adj) CROSS JOIN t
+      |  WHERE ba.n_ba >= 5)
+      |SELECT brand, adj, CAST(n_ba AS BIGINT) AS n_parts, lift_ppm
+      |FROM lift ORDER BY lift_ppm DESC, brand, adj LIMIT 20
+      |""".stripMargin)) { (s, dir) =>
+    val ba = Tables.part(s, dir)
+      .select(col("p_brand").as("brand"),
+        split(col("p_name"), " ").getItem(0).as("adj"))
+      .groupBy(col("brand"), col("adj")).agg(count(lit(1)).as("n_ba"))
+      .materialize() // brand×adj dim feeds all three totals + the lift
+    val b = ba.groupBy(col("brand")).agg(sum(col("n_ba")).as("n_b"))
+    val a = ba.groupBy(col("adj")).agg(sum(col("n_ba")).as("n_a"))
+    val t = ba.agg(sum(col("n_ba")).as("n"))
+    ba.where(col("n_ba") >= 5)
+      .join(broadcast(b), Seq("brand"))
+      .join(broadcast(a), Seq("adj"))
+      .crossJoin(broadcast(t))
+      .select(col("brand"), col("adj"), col("n_ba").as("n_parts"),
+        expr("(1000000 * n_ba * n) div (n_b * n_a)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("brand"), col("adj")).limit(20)
   }
 
   /** Region trade balance: cross-region revenue flows rolled up to
