@@ -15,7 +15,8 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(q276, q277, q278, q279, q280, q287, q291, q292,
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
-    q350, q351, q353, q355, q358, q359, q360, q361, q364)
+    q350, q351, q353, q355, q358, q359, q360, q361, q364, q366, q367,
+    q368, q369, q370)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -975,6 +976,254 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** ANALYZE face 1 — join-size estimation audit: for the three core
+    * joins, the uniform-NDV estimate |A|·|B| / max(ndv_A, ndv_B)
+    * (what an optimizer assumes without histograms) against the actual
+    * join cardinality. All counts are exact; the interesting output is
+    * the error. */
+  def q366: Q = {
+    def sqlJoin(jn: String, ta: String, ka: String, tb: String,
+        kb: String) =
+      s"""SELECT '$jn' AS join_name,
+         |  (SELECT count(*) FROM $ta) AS na,
+         |  (SELECT count(*) FROM $tb) AS nb,
+         |  (SELECT count(DISTINCT $ka) FROM $ta) AS da,
+         |  (SELECT count(DISTINCT $kb) FROM $tb) AS db,
+         |  (SELECT count(*) FROM $ta JOIN $tb ON $ka = $kb) AS act""".stripMargin
+    Q("q366_join_size_stats",
+      Some(s"""
+        |WITH u AS (
+        |${sqlJoin("lineitem_orders", "lineitem", "l_orderkey",
+                   "orders", "o_orderkey")}
+        |UNION ALL
+        |${sqlJoin("lineitem_part", "lineitem", "l_partkey",
+                   "part", "p_partkey")}
+        |UNION ALL
+        |${sqlJoin("orders_customer", "orders", "o_custkey",
+                   "customer", "c_custkey")})
+        |SELECT join_name, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT)
+        |         AS nb,
+        |       CAST(da AS BIGINT) AS ndv_a, CAST(db AS BIGINT) AS ndv_b,
+        |       CAST((na * nb) // greatest(da, db) AS BIGINT) AS est_rows,
+        |       CAST(act AS BIGINT) AS actual_rows,
+        |       CAST((1000000 * abs((na * nb) // greatest(da, db) - act))
+        |            // act AS BIGINT) AS err_ppm
+        |FROM u ORDER BY join_name
+        |""".stripMargin)) { (s, dir) =>
+      def one(jn: String, a: org.apache.spark.sql.DataFrame, ka: String,
+          b: org.apache.spark.sql.DataFrame, kb: String) = {
+        val sa = a.agg(count(lit(1)).as("na"),
+          countDistinct(col(ka)).as("da"))
+        val sb = b.agg(count(lit(1)).as("nb"),
+          countDistinct(col(kb)).as("db"))
+        val act = a.join(b, col(ka) === col(kb))
+          .agg(count(lit(1)).as("act"))
+        sa.crossJoin(sb).crossJoin(act)
+          .select(lit(jn).as("join_name"), col("na"), col("nb"),
+            col("da").as("ndv_a"), col("db").as("ndv_b"),
+            expr("(na * nb) div greatest(da, db)").as("est_rows"),
+            col("act").as("actual_rows"),
+            expr("(1000000 * abs((na * nb) div greatest(da, db) - act)) " +
+              "div act").as("err_ppm"))
+      }
+      one("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(one("lineitem_part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionByName(one("orders_customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy(col("join_name"))
+    }
+  }
+
+  /** ANALYZE face 2 — equi-depth histogram of order values: the 15
+    * internal boundaries of a 16-bucket equi-depth histogram
+    * (optimizer column stats), via the exact rank-⌈p·n/1000⌉
+    * selection OrderStats.quantilesDisc pins. */
+  def q367: Q = {
+    val ps = (1 to 15).map(i => i * 1000 / 16)
+    Q("q367_equi_depth_histogram",
+      Some(s"""
+        |WITH v AS (
+        |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM v)
+        |SELECT 'o_totalprice' AS stat, CAST(pm.p AS INTEGER) AS permille,
+        |       r.cents AS value
+        |FROM r JOIN (VALUES ${ps.map(p => s"($p)").mkString(", ")}) pm(p)
+        |  ON r.rn = (pm.p * r.n + 999) // 1000
+        |ORDER BY permille
+        |""".stripMargin)) { (s, dir) =>
+      val v = Tables.orders(s, dir)
+        .select((col("o_totalprice") * 100).cast("decimal(38,0)")
+          .cast("long").as("cents"), lit("o_totalprice").as("stat"))
+      graft.operators.OrderStats
+        .quantilesDisc(v, Seq("stat"), "cents", ps)
+        .orderBy(col("permille"))
+    }
+  }
+
+  /** ANALYZE face 3 — most-common-value stats: top-5 MCVs with ppm
+    * shares for the four low-cardinality report columns (priority,
+    * brand, type, segment) — one unioned dim, one rank window per
+    * column. */
+  def q368: Q = {
+    def sqlCol(cn: String, t: String, c: String) =
+      s"SELECT '$cn' AS col_name, CAST($c AS VARCHAR) AS value FROM $t"
+    Q("q368_mcv_stats",
+      Some(s"""
+        |WITH u AS (
+        |${sqlCol("o_orderpriority", "orders", "o_orderpriority")}
+        |UNION ALL ${sqlCol("p_brand", "part", "p_brand")}
+        |UNION ALL ${sqlCol("p_type", "part", "p_type")}
+        |UNION ALL ${sqlCol("c_mktsegment", "customer", "c_mktsegment")}),
+        |c AS (SELECT col_name, value, count(*) AS n FROM u GROUP BY 1, 2),
+        |t AS (SELECT col_name, sum(n) AS tot FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT c.col_name, c.value, c.n, t.tot,
+        |         row_number() OVER (PARTITION BY c.col_name
+        |           ORDER BY c.n DESC, c.value) AS rn
+        |  FROM c JOIN t USING (col_name))
+        |SELECT col_name, CAST(rn AS BIGINT) AS rank, value,
+        |       CAST(n AS BIGINT) AS n_rows,
+        |       CAST((1000000 * n) // tot AS BIGINT) AS share_ppm
+        |FROM r WHERE rn <= 5 ORDER BY col_name, rank
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.orders(s, dir)
+        .select(lit("o_orderpriority").as("col_name"),
+          col("o_orderpriority").cast("string").as("value"))
+        .unionByName(Tables.part(s, dir)
+          .select(lit("p_brand").as("col_name"),
+            col("p_brand").cast("string").as("value")))
+        .unionByName(Tables.part(s, dir)
+          .select(lit("p_type").as("col_name"),
+            col("p_type").cast("string").as("value")))
+        .unionByName(Tables.customer(s, dir)
+          .select(lit("c_mktsegment").as("col_name"),
+            col("c_mktsegment").cast("string").as("value")))
+      val c = u.groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("n"))
+        .materialize() // MCV dim feeds the totals AND the rank pass
+      val t = c.groupBy(col("col_name")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(t), Seq("col_name"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("col_name"))
+            .orderBy(col("n").desc, col("value"))))
+        .where(col("rn") <= 5)
+        .select(col("col_name"), col("rn").cast("long").as("rank"),
+          col("value"), col("n").as("n_rows"),
+          expr("(1000000 * n) div tot").as("share_ppm"))
+        .orderBy(col("col_name"), col("rank"))
+    }
+  }
+
+  /** ANALYZE face 4 — NDV estimation audit: exact distinct counts vs
+    * the KMV sketch (k=64) for four key columns spanning both sketch
+    * regimes (suppkey and p_type are below k → exact small-set path;
+    * custkey and partkey estimate). One unioned (column, value) dim
+    * through ONE sketch pass. */
+  def q369: Q = {
+    val k = 64
+    def sqlCol(cn: String, t: String, c: String) =
+      s"SELECT '$cn' AS col_name, CAST($c AS VARCHAR) AS v FROM $t"
+    Q("q369_ndv_audit",
+      Some(s"""
+        |WITH u AS (
+        |${sqlCol("o_custkey", "orders", "o_custkey")}
+        |UNION ALL ${sqlCol("l_partkey", "lineitem", "l_partkey")}
+        |UNION ALL ${sqlCol("l_suppkey", "lineitem", "l_suppkey")}
+        |UNION ALL ${sqlCol("p_type", "part", "p_type")}),
+        |t AS (SELECT DISTINCT col_name, v FROM u),
+        |h AS (
+        |  SELECT col_name, v, (${PipelineQueries.sqlSaltedHash("v", "ndv")})
+        |           AS h
+        |  FROM t),
+        |hd AS (SELECT DISTINCT col_name, h FROM h),
+        |r AS (
+        |  SELECT col_name, h,
+        |         row_number() OVER (PARTITION BY col_name ORDER BY h)
+        |           AS rn
+        |  FROM hd),
+        |kth AS (SELECT col_name, h AS kth FROM r WHERE rn = $k),
+        |ex AS (SELECT col_name, count(*) AS exact FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT ex.col_name, ex.exact,
+        |         ${graft.operators.KmvSketch.sqlEstimate(
+                     "kth.kth", "ex.exact", k)} AS est
+        |  FROM ex LEFT JOIN kth ON ex.col_name = kth.col_name)
+        |SELECT col_name, CAST(exact AS BIGINT) AS exact_ndv,
+        |       CAST(est AS BIGINT) AS kmv_ndv,
+        |       CAST((1000000 * abs(est - exact)) // exact AS BIGINT)
+        |         AS err_ppm
+        |FROM e ORDER BY col_name
+        |""".stripMargin)) { (s, dir) =>
+      val u = Tables.orders(s, dir)
+        .select(lit("o_custkey").as("col_name"),
+          col("o_custkey").cast("string").as("v"))
+        .unionByName(Tables.lineitem(s, dir)
+          .select(lit("l_partkey").as("col_name"),
+            col("l_partkey").cast("string").as("v")))
+        .unionByName(Tables.lineitem(s, dir)
+          .select(lit("l_suppkey").as("col_name"),
+            col("l_suppkey").cast("string").as("v")))
+        .unionByName(Tables.part(s, dir)
+          .select(lit("p_type").as("col_name"),
+            col("p_type").cast("string").as("v")))
+      graft.operators.KmvSketch
+        .estimate(u, Seq("col_name"), "v", k, salt = "ndv")
+        .select(col("col_name"), col("exact_distinct").as("exact_ndv"),
+          col("kmv_estimate").as("kmv_ndv"),
+          expr("(1000000 * abs(kmv_estimate - exact_distinct)) " +
+            "div exact_distinct").as("err_ppm"))
+        .orderBy(col("col_name"))
+    }
+  }
+
+  /** ANALYZE face 5 — predicate correlation detection: observed
+    * (brand, size-band) co-selectivity vs the independence assumption,
+    * the signal that tells an optimizer its AND-selectivity model is
+    * wrong. Top-15 cells by deviation from 1.0. */
+  def q370: Q = Q(
+    "q370_predicate_correlation",
+    Some("""
+      |WITH p AS (
+      |  SELECT p_brand AS brand, (p_size - 1) // 10 AS band
+      |  FROM part),
+      |ba AS (SELECT brand, band, count(*) AS n_ba FROM p GROUP BY 1, 2),
+      |b AS (SELECT brand, sum(n_ba) AS n_b FROM ba GROUP BY 1),
+      |a AS (SELECT band, sum(n_ba) AS n_a FROM ba GROUP BY 1),
+      |t AS (SELECT sum(n_ba) AS n FROM ba),
+      |corr AS (
+      |  SELECT ba.brand, CAST(ba.band AS BIGINT) AS size_band, ba.n_ba,
+      |         CAST((1000000 * ba.n_ba * t.n) // (b.n_b * a.n_a)
+      |              AS BIGINT) AS corr_ppm
+      |  FROM ba JOIN b USING (brand) JOIN a USING (band) CROSS JOIN t)
+      |SELECT brand, size_band, CAST(n_ba AS BIGINT) AS n_parts, corr_ppm
+      |FROM corr
+      |ORDER BY abs(corr_ppm - 1000000) DESC, brand, size_band LIMIT 15
+      |""".stripMargin)) { (s, dir) =>
+    val ba = Tables.part(s, dir)
+      .select(col("p_brand").as("brand"),
+        expr("(p_size - 1) div 10").as("band"))
+      .groupBy(col("brand"), col("band")).agg(count(lit(1)).as("n_ba"))
+      .materialize() // brand×band dim feeds the margins + the lift
+    val b = ba.groupBy(col("brand")).agg(sum(col("n_ba")).as("n_b"))
+    val a = ba.groupBy(col("band")).agg(sum(col("n_ba")).as("n_a"))
+    val t = ba.agg(sum(col("n_ba")).as("n"))
+    ba.join(broadcast(b), Seq("brand"))
+      .join(broadcast(a), Seq("band"))
+      .crossJoin(broadcast(t))
+      .select(col("brand"), col("band").cast("long").as("size_band"),
+        col("n_ba").as("n_parts"),
+        expr("(1000000 * n_ba * n) div (n_b * n_a)").as("corr_ppm"))
+      .orderBy(abs(col("corr_ppm") - 1000000).desc, col("brand"),
+        col("size_band")).limit(15)
   }
 
   /** Leaderboard churn: how much of the top-200 customer set (by
