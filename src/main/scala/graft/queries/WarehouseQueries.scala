@@ -16,7 +16,7 @@ object WarehouseQueries {
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
     q350, q351, q353, q355, q358, q359, q360, q361, q364, q366, q367,
-    q368, q369, q370)
+    q368, q369, q370, q371, q372, q373, q374, q375)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -976,6 +976,278 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Encoding advisor: per low-cardinality lineitem column, RLE run
+    * counts under the table's natural (l_orderkey, l_linenumber)
+    * order vs dictionary-encoding cost — "which encoding wins". Runs
+    * are counted inside order-partitioned windows (scale-clean; no
+    * global sort) and summed; bit costs are exact integers from the
+    * NDV. */
+  def q371: Q = {
+    val bits = "CASE WHEN ndv <= 2 THEN 1 WHEN ndv <= 4 THEN 2 " +
+      "WHEN ndv <= 8 THEN 3 WHEN ndv <= 16 THEN 4 " +
+      "WHEN ndv <= 32 THEN 5 WHEN ndv <= 64 THEN 6 ELSE 7 END"
+    def sqlCol(cn: String, c: String) =
+      s"""SELECT '$cn' AS col_name, l_orderkey AS ok, l_linenumber AS ln,
+         |  CAST($c AS VARCHAR) AS v FROM lineitem""".stripMargin
+    Q("q371_encoding_advisor",
+      Some(s"""
+        |WITH u AS (
+        |${sqlCol("l_returnflag", "l_returnflag")}
+        |UNION ALL ${sqlCol("l_linestatus", "l_linestatus")}
+        |UNION ALL ${sqlCol("l_quantity", "CAST(l_quantity AS BIGINT)")}),
+        |l AS (
+        |  SELECT col_name, ok, v,
+        |         lag(v) OVER (PARTITION BY col_name, ok
+        |                      ORDER BY ln, v) AS pv
+        |  FROM u),
+        |runs AS (
+        |  SELECT col_name, count(*) AS n,
+        |         sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+        |           AS n_runs,
+        |         count(DISTINCT v) AS ndv
+        |  FROM l GROUP BY 1)
+        |SELECT col_name, CAST(n AS BIGINT) AS n_values,
+        |       CAST(ndv AS BIGINT) AS ndv,
+        |       CAST(n_runs AS BIGINT) AS n_runs,
+        |       CAST(n * ($bits) AS BIGINT) AS dict_bits,
+        |       CAST(n_runs * (($bits) + 8) AS BIGINT) AS rle_bits,
+        |       CAST(CASE WHEN n_runs * (($bits) + 8) < n * ($bits)
+        |            THEN 'rle' ELSE 'dict' END AS VARCHAR) AS winner
+        |FROM runs ORDER BY col_name
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def one(cn: String, c: org.apache.spark.sql.Column) =
+        Tables.lineitem(s, dir).select(lit(cn).as("col_name"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          c.cast("string").as("v"))
+      val u = one("l_returnflag", col("l_returnflag"))
+        .unionByName(one("l_linestatus", col("l_linestatus")))
+        .unionByName(one("l_quantity", col("l_quantity").cast("long")))
+      // (ok, ln) is NOT unique in the synthetic data — v breaks the
+      // tie so the run order is total in both engines
+      u.withColumn("pv", lag(col("v"), 1).over(
+          Window.partitionBy(col("col_name"), col("ok"))
+            .orderBy(col("ln"), col("v"))))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L)
+            .otherwise(0L)).as("n_runs"),
+          countDistinct(col("v")).as("ndv"))
+        .select(col("col_name"), col("n").as("n_values"), col("ndv"),
+          col("n_runs"), expr(s"n * ($bits)").as("dict_bits"),
+          expr(s"n_runs * (($bits) + 8)").as("rle_bits"),
+          expr(s"CAST(CASE WHEN n_runs * (($bits) + 8) < n * ($bits) " +
+            "THEN 'rle' ELSE 'dict' END AS STRING)").as("winner"))
+        .orderBy(col("col_name"))
+    }
+  }
+
+  /** Referential-integrity audit: orphan counts for every FK edge of
+    * the star schema (anti joins, dim side broadcast where small) —
+    * the DQ gate a warehouse runs before trusting joins. */
+  def q372: Q = {
+    def sqlFk(fk: String, child: String, ck: String, parent: String,
+        pk: String) =
+      s"""SELECT '$fk' AS fk, (SELECT count(*) FROM $child) AS n_child,
+         |  (SELECT count(*) FROM $child WHERE $ck NOT IN
+         |     (SELECT $pk FROM $parent)) AS n_orphans""".stripMargin
+    Q("q372_referential_integrity",
+      Some(s"""
+        |WITH u AS (
+        |${sqlFk("lineitem.orderkey", "lineitem", "l_orderkey",
+                 "orders", "o_orderkey")}
+        |UNION ALL ${sqlFk("lineitem.partkey", "lineitem", "l_partkey",
+                 "part", "p_partkey")}
+        |UNION ALL ${sqlFk("lineitem.suppkey", "lineitem", "l_suppkey",
+                 "supplier", "s_suppkey")}
+        |UNION ALL ${sqlFk("orders.custkey", "orders", "o_custkey",
+                 "customer", "c_custkey")}
+        |UNION ALL ${sqlFk("customer.nationkey", "customer",
+                 "c_nationkey", "nation", "n_nationkey")}
+        |UNION ALL ${sqlFk("supplier.nationkey", "supplier",
+                 "s_nationkey", "nation", "n_nationkey")}
+        |UNION ALL ${sqlFk("nation.regionkey", "nation", "n_regionkey",
+                 "region", "r_regionkey")})
+        |SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+        |       CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM u ORDER BY fk
+        |""".stripMargin)) { (s, dir) =>
+      def one(fk: String, child: org.apache.spark.sql.DataFrame,
+          ck: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val n = child.agg(count(lit(1)).as("n_child"))
+        val o = child.join(parent.select(col(pk)),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        n.crossJoin(o).select(lit(fk).as("fk"), col("n_child"),
+          col("n_orphans"))
+      }
+      one("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(one("lineitem.partkey", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionByName(one("lineitem.suppkey", Tables.lineitem(s, dir),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(one("orders.custkey", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(one("customer.nationkey", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+        .unionByName(one("supplier.nationkey", Tables.supplier(s, dir),
+          "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+        .unionByName(one("nation.regionkey", Tables.nation(s, dir),
+          "n_regionkey", Tables.region(s, dir), "r_regionkey"))
+        .orderBy(col("fk"))
+    }
+  }
+
+  /** Sampling stability of vocabulary ranks: Kendall-style pair
+    * concordance between token frequency ranks computed on the even
+    * and odd document halves — "can half the data stand in for rank
+    * decisions". Exact integer pair verdicts over the vocab-pair dim
+    * (vocab², bounded). */
+  def q373: Q = Q(
+    "q373_sample_rank_stability",
+    Some(s"""
+      |WITH tok AS (
+      |  SELECT doc_id % 2 AS half, unnest(${PipelineQueries
+               .sqlTokens("text")}) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT w, sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+      |         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      |  FROM tok GROUP BY 1),
+      |p AS (
+      |  SELECT (x.ca - y.ca) * (x.cb - y.cb) AS prod
+      |  FROM c x JOIN c y ON x.w < y.w),
+      |agg AS (
+      |  SELECT count(*) AS n_pairs,
+      |         count(*) FILTER (prod > 0) AS concordant,
+      |         count(*) FILTER (prod < 0) AS discordant,
+      |         count(*) FILTER (prod = 0) AS ties
+      |  FROM p)
+      |SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_tokens,
+      |       CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(concordant AS BIGINT) AS concordant,
+      |       CAST(discordant AS BIGINT) AS discordant,
+      |       CAST(ties AS BIGINT) AS ties,
+      |       CAST((1000 * (concordant - discordant)) // n_pairs
+      |            AS BIGINT) AS tau_milli
+      |FROM agg
+      |""".stripMargin)) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select((col("doc_id") % 2).as("half"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+      .materialize() // vocab dim feeds the count AND both pair legs
+    val nTok = c.agg(count(lit(1)).as("n_tokens"))
+    c.join(c.select(col("w").as("__yw"), col("ca").as("__yca"),
+        col("cb").as("__ycb")), col("w") < col("__yw"))
+      .select(((col("ca") - col("__yca"))
+        * (col("cb") - col("__ycb"))).as("prod"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("prod") > 0, 1)).as("concordant"),
+        count(when(col("prod") < 0, 1)).as("discordant"),
+        count(when(col("prod") === 0, 1)).as("ties"))
+      .crossJoin(broadcast(nTok))
+      .select(col("n_tokens"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties"),
+        expr("(1000 * (concordant - discordant)) div n_pairs")
+          .as("tau_milli"))
+  }
+
+  /** Tax incidence per (returnflag, linestatus): exact tax cents on
+    * the discounted base and the effective rate — the fiscal rollup
+    * with q292's per-row quantization for BOTH the base and the tax
+    * amount. */
+  def q374: Q = Q(
+    "q374_tax_incidence",
+    Some("""
+      |WITH r AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT) AS base,
+      |         CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              * l_tax AS DECIMAL(18,9)) * 100) AS BIGINT) AS tax
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(base) AS BIGINT) AS base_cents,
+      |       CAST(sum(tax) AS BIGINT) AS tax_cents,
+      |       CAST((1000000 * sum(tax)) // sum(base) AS BIGINT)
+      |         AS eff_rate_ppm
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin)) { (s, dir) =>
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c.cast("decimal(18,9)") * 100).cast("long")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("base"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * col("l_tax")).as("tax"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("base")).as("base_cents"), sum(col("tax")).as("tax_cents"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("base_cents"),
+        col("tax_cents"),
+        expr("(1000000 * tax_cents) div base_cents").as("eff_rate_ppm"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Join-order cost audit: the exact intermediate cardinalities of
+    * the two orders of (lineitem ⋈ σ_brand part ⋈ σ_year orders) —
+    * the evidence behind "filter the selective dim first". Each step
+    * count is an exact join count; the report shape an EXPLAIN
+    * ANALYZE comparison tool emits. */
+  def q375: Q = Q(
+    "q375_join_order_costs",
+    Some("""
+      |WITH pa AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+      |oy AS (SELECT o_orderkey FROM orders
+      |       WHERE year(o_orderdate) = 2000),
+      |a1 AS (SELECT count(*) AS c FROM lineitem
+      |       JOIN pa ON l_partkey = p_partkey),
+      |b1 AS (SELECT count(*) AS c FROM lineitem
+      |       JOIN oy ON l_orderkey = o_orderkey),
+      |fin AS (
+      |  SELECT count(*) AS c FROM lineitem
+      |  JOIN pa ON l_partkey = p_partkey
+      |  JOIN oy ON l_orderkey = o_orderkey)
+      |SELECT plan, CAST(step1_rows AS BIGINT) AS step1_rows,
+      |       CAST(final_rows AS BIGINT) AS final_rows
+      |FROM (
+      |  SELECT 'part_first' AS plan, a1.c AS step1_rows, fin.c
+      |           AS final_rows
+      |  FROM a1 CROSS JOIN fin
+      |  UNION ALL
+      |  SELECT 'orders_first' AS plan, b1.c, fin.c
+      |  FROM b1 CROSS JOIN fin)
+      |ORDER BY plan
+      |""".stripMargin)) { (s, dir) =>
+    val pa = Tables.part(s, dir).where(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val oy = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 2000)
+      .select(col("o_orderkey"))
+    val a1 = Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("c"))
+    val b1 = Tables.lineitem(s, dir)
+      .join(oy, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+    val fin = Tables.lineitem(s, dir)
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(oy, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+    a1.crossJoin(fin.select(col("c").as("__f")))
+      .select(lit("part_first").as("plan"), col("c").as("step1_rows"),
+        col("__f").as("final_rows"))
+      .unionByName(b1.crossJoin(fin.select(col("c").as("__f")))
+        .select(lit("orders_first").as("plan"), col("c").as("step1_rows"),
+          col("__f").as("final_rows")))
+      .orderBy(col("plan"))
   }
 
   /** ANALYZE face 1 — join-size estimation audit: for the three core
