@@ -18,7 +18,90 @@ import PipelineQueries.{sqlInList, sqlTokens}
 object CurationQueries {
 
   val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349,
-    q352, q354, q362, q363)
+    q352, q354, q362, q363, q377, q379)
+
+  /** SimHash bit-balance audit: per signature bit, the share of
+    * documents with the bit set — a healthy hash sits near 50%; a
+    * biased bit weakens every Hamming distance built on it (the
+    * sketch-infrastructure health check behind q29/q157). One
+    * signature pass, then a 32-row bit dim. */
+  def q377: Q = Q(
+    "q377_simhash_bit_balance",
+    Some(s"""
+      |WITH t AS (SELECT doc_id,
+      |    list_transform(${sqlTokens("text")}, w ->
+      |      ${PipelineQueries.sqlCharFold("w")}) AS hs
+      |  FROM documents),
+      |sh AS (SELECT doc_id, ${PipelineQueries.sqlSimhash("hs")}
+      |         AS simhash FROM t),
+      |n AS (SELECT count(*) AS n FROM sh),
+      |b AS (
+      |  SELECT u.b AS bit, sum((simhash >> CAST(u.b AS INTEGER)) % 2)
+      |           AS n_set
+      |  FROM sh, unnest(range(0, 32)) AS u(b) GROUP BY 1)
+      |SELECT CAST(bit AS BIGINT) AS bit, CAST(n_set AS BIGINT) AS n_set,
+      |       CAST((1000000 * n_set) // n.n AS BIGINT) AS set_ppm,
+      |       CAST(abs((1000000 * n_set) // n.n - 500000) AS BIGINT)
+      |         AS bias_ppm
+      |FROM b CROSS JOIN n ORDER BY bit
+      |""".stripMargin)) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.dedup.Dedup.simHash(col("text")).as("simhash"))
+      .materialize() // signature dim feeds the count AND the bit cross
+    val n = sh.agg(count(lit(1)).as("n"))
+    sh.select(col("simhash"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy(col("bit"))
+      .agg(sum(expr("(simhash >> CAST(bit AS INT)) % 2")).as("n_set"))
+      .crossJoin(broadcast(n))
+      .select(col("bit").cast("long").as("bit"), col("n_set"),
+        expr("(1000000 * n_set) div n").as("set_ppm"),
+        expr("abs((1000000 * n_set) div n - 500000)").as("bias_ppm"))
+      .orderBy(col("bit"))
+  }
+
+  /** Bag-of-words duplicate detection: documents whose SORTED token
+    * multiset is identical (template/paraphrase shuffles that exact-
+    * text dedup misses), contrasted with exact-text duplicates. The
+    * canonical key is the sorted token join — computed per row, never
+    * a set comparison join. */
+  def q379: Q = Q(
+    "q379_bag_of_words_duplicates",
+    Some(s"""
+      |WITH k AS (
+      |  SELECT doc_id, text,
+      |         array_to_string(list_sort(${sqlTokens("text")}), ' ')
+      |           AS bow
+      |  FROM documents),
+      |bg AS (SELECT bow, count(*) AS n FROM k GROUP BY 1),
+      |tg AS (SELECT text, count(*) AS n FROM k GROUP BY 1)
+      |SELECT CAST((SELECT count(*) FROM k) AS BIGINT) AS n_docs,
+      |       CAST((SELECT count(*) FROM bg) AS BIGINT) AS bow_groups,
+      |       CAST((SELECT coalesce(sum(n), 0) FROM bg WHERE n > 1)
+      |            AS BIGINT) AS bow_dup_docs,
+      |       CAST((SELECT coalesce(max(n), 0) FROM bg) AS BIGINT)
+      |         AS largest_bow_group,
+      |       CAST((SELECT coalesce(sum(n), 0) FROM tg WHERE n > 1)
+      |            AS BIGINT) AS exact_dup_docs
+      |""".stripMargin)) { (s, dir) =>
+    val k = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        array_join(array_sort(TextAnalysis.tokens(col("text"))), " ")
+          .as("bow"))
+      .materialize() // doc dim feeds both group passes
+    val bg = k.groupBy(col("bow")).agg(count(lit(1)).as("n"))
+      .materialize()
+    val tg = k.groupBy(col("text")).agg(count(lit(1)).as("n"))
+    val a = k.agg(count(lit(1)).as("n_docs"))
+    val b = bg.agg(count(lit(1)).as("bow_groups"),
+      coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+        .as("bow_dup_docs"),
+      coalesce(max(col("n")), lit(0L)).as("largest_bow_group"))
+    val c = tg.agg(coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+      .as("exact_dup_docs"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+  }
 
   /** Burrows' Delta stylometric distance between sources: per-token
     * ppm frequencies (zero-filled over the source×token cross — a

@@ -15,7 +15,53 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340, q345, q348, q356, q357, q365)
+    q339, q340, q345, q348, q356, q357, q365, q376)
+
+  /** Event-type co-occurrence lift at the USER grain: do users who do
+    * X also do Y (vs independence) — the behavioral-affinity matrix
+    * q125's temporal transitions don't capture. User-type membership
+    * is one distinct aggregate; the pair lift runs on the ≤types² dim
+    * via a self-join of per-type user sets. */
+  def q376: Q = Q(
+    "q376_type_cooccurrence_lift",
+    Some("""
+      |WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT count(DISTINCT user_id) AS n FROM events),
+      |t AS (SELECT event_type, count(*) AS nt FROM m GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_both
+      |  FROM m a JOIN m b ON a.user_id = b.user_id
+      |       AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+      |       CAST((1000000 * p.n_both * n.n) // (ta.nt * tb.nt)
+      |            AS BIGINT) AS lift_ppm
+      |FROM p JOIN t ta ON p.type_a = ta.event_type
+      |       JOIN t tb ON p.type_b = tb.event_type CROSS JOIN n
+      |ORDER BY type_a, type_b
+      |""".stripMargin)) { (s, dir) =>
+    val m = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .materialize() // user×type dim feeds margins AND both pair legs
+    val n = Tables.events(s, dir)
+      .agg(countDistinct(col("user_id")).as("n"))
+    val t = m.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+    m.join(m.select(col("user_id").as("__bu"),
+        col("event_type").as("type_b")),
+        col("user_id") === col("__bu") &&
+          col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(t.select(col("event_type").as("type_a"),
+        col("nt").as("na"))), Seq("type_a"))
+      .join(broadcast(t.select(col("event_type").as("type_b"),
+        col("nt").as("nb"))), Seq("type_b"))
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("(1000000 * n_both * n) div (na * nb)").as("lift_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 
   /** Session conversion rate by entry event type — q336's bounce face
     * flipped to the positive outcome: of sessions entered through X,

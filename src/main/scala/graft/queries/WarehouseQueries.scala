@@ -16,7 +16,7 @@ object WarehouseQueries {
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
     q350, q351, q353, q355, q358, q359, q360, q361, q364, q366, q367,
-    q368, q369, q370, q371, q372, q373, q374, q375)
+    q368, q369, q370, q371, q372, q373, q374, q375, q378, q380)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -976,6 +976,80 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Conditional price distribution: retail-price quartiles per size
+    * band — the keyed exact-quantile face (quantilesDisc partitioned
+    * by a dim attribute, windows bounded per band). */
+  def q378: Q = Q(
+    "q378_price_quantiles_by_size",
+    Some("""
+      |WITH v AS (
+      |  SELECT (p_size - 1) // 10 AS band,
+      |         CAST(p_retailprice * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |r AS (
+      |  SELECT band, cents,
+      |         row_number() OVER (PARTITION BY band ORDER BY cents)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY band) AS n
+      |  FROM v)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |       CAST(pm.p AS INTEGER) AS permille, r.cents AS value
+      |FROM r JOIN (VALUES (250), (500), (750)) pm(p)
+      |  ON r.rn = (pm.p * r.n + 999) // 1000
+      |ORDER BY band, permille
+      |""".stripMargin)) { (s, dir) =>
+    val v = Tables.part(s, dir)
+      .select(expr("(p_size - 1) div 10").as("band"),
+        (col("p_retailprice") * 100).cast("decimal(38,0)").cast("long")
+          .as("cents"))
+    graft.operators.OrderStats
+      .quantilesDisc(v, Seq("band"), "cents", Seq(250, 500, 750))
+      .orderBy(col("band"), col("permille"))
+  }
+
+  /** Ship lead time by order weekday: mean lead days (milli) per
+    * order-date weekday vs the overall mean — "do Friday orders wait
+    * longer". Integer day diffs, truncating milli means, one fact
+    * pass. */
+  def q380: Q = Q(
+    "q380_leadtime_by_weekday",
+    Some("""
+      |WITH l AS (
+      |  SELECT (epoch_us(o.o_orderdate) // 86400000000 + 4) % 7 AS dow,
+      |         date_diff('day', o.o_orderdate, li.l_shipdate) + 3000
+      |           AS lead
+      |  FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey),
+      |t AS (SELECT (1000 * sum(lead)) // count(*) AS om FROM l),
+      |g AS (
+      |  SELECT dow, count(*) AS n_lines,
+      |         (1000 * sum(lead)) // count(*) AS mean_milli
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(g.dow AS BIGINT) AS dow,
+      |       CAST(g.n_lines AS BIGINT) AS n_lines,
+      |       CAST(g.mean_milli - 3000000 AS BIGINT) AS mean_lead_milli,
+      |       CAST(g.mean_milli - t.om AS BIGINT) AS dev_milli
+      |FROM g CROSS JOIN t ORDER BY dow
+      |""".stripMargin)) { (s, dir) =>
+    val l = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+        "div 86400000000 + 4) % 7").as("dow"),
+        // +3000 keeps negative synthetic leads out of the floor-vs-
+        // truncate divide divergence (integer means stay nonneg)
+        expr("datediff(CAST(l_shipdate AS DATE), " +
+          "CAST(o_orderdate AS DATE)) + 3000").as("lead"))
+      .materialize() // fact-derived pass feeds the global AND dow means
+    val t = l.agg(expr("(1000 * sum(lead)) div count(1)").as("om"))
+    l.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("(1000 * sum(lead)) div count(1)").as("mean_milli"))
+      .crossJoin(broadcast(t))
+      .select(col("dow").cast("long").as("dow"), col("n_lines"),
+        (col("mean_milli") - 3000000L).as("mean_lead_milli"),
+        (col("mean_milli") - col("om")).as("dev_milli"))
+      .orderBy(col("dow"))
   }
 
   /** Encoding advisor: per low-cardinality lineitem column, RLE run
