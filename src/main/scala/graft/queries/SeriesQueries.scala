@@ -15,7 +15,122 @@ import graft.Tables
 object SeriesQueries {
 
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
-    q339, q340, q345, q348, q356, q357, q365, q376)
+    q339, q340, q345, q348, q356, q357, q365, q376, q383, q385)
+
+  /** Cumulative LTV curve: average per-user cumulative event value at
+    * the end of each week since the user's first activity — the curve
+    * a growth team plots under every acquisition decision. Week cents
+    * are per-row rounding-cast exact; the cumulative sum runs over the
+    * bounded week dim. */
+  def q383: Q = Q(
+    "q383_ltv_curve",
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+      |         CAST(value * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT user_id, min(d) AS f FROM e GROUP BY 1),
+      |n AS (SELECT count(*) AS n_users FROM f),
+      |w AS (
+      |  SELECT (e.d - f.f) // 7 AS week, sum(e.cents) AS cents
+      |  FROM e JOIN f USING (user_id) GROUP BY 1),
+      |c AS (
+      |  SELECT week, sum(cents) OVER (ORDER BY week) AS cum_cents
+      |  FROM w)
+      |SELECT CAST(c.week AS BIGINT) AS week,
+      |       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+      |       CAST(c.cum_cents // n.n_users AS BIGINT)
+      |         AS avg_ltv_cents
+      |FROM c CROSS JOIN n ORDER BY week
+      |""".stripMargin)) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        (col("value") * 100).cast("decimal(38,0)").cast("long")
+          .as("cents"))
+    val f = e.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+    val n = f.agg(count(lit(1)).as("n_users"))
+    e.join(f, Seq("user_id"))
+      .groupBy(expr("(d - f) div 7").as("week"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        Window.orderBy(col("week")) // week dim, bounded
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(n))
+      .select(col("week"), col("cum_cents"),
+        expr("cum_cents div n_users").as("avg_ltv_cents"))
+      .orderBy(col("week"))
+  }
+
+  /** Power-law tail of the co-purchase degree distribution: the Hill
+    * estimator over the top-50 node degrees (each log term floor-
+    * micro-quantized BEFORE the sum — the PSI discipline keeps the
+    * k-term addition exact), plus the degree extremes. Degrees come
+    * from q326's support-pruned edge dim; the tail is a distributed
+    * top-k. */
+  def q385: Q = {
+    val k = 50
+    Q("q385_degree_tail_hill",
+      Some(s"""
+        |WITH pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM pi a JOIN pi b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT d FROM (
+        |    SELECT d, row_number() OVER (ORDER BY d DESC, node) AS rn
+        |    FROM deg)
+        |  WHERE rn <= $k),
+        |mn AS (SELECT min(d) AS dk, count(*) AS tk FROM top),
+        |lt AS (
+        |  SELECT CAST(floor(CAST(ln(CAST(top.d AS DOUBLE)
+        |           / CAST(mn.dk AS DOUBLE)) AS DECIMAL(18,9)) * 1000000)
+        |         AS BIGINT) AS l_micro
+        |  FROM top CROSS JOIN mn),
+        |agg AS (SELECT sum(l_micro) AS sl FROM lt)
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+        |       CAST(mn.tk AS BIGINT) AS tail_k,
+        |       CAST(CASE WHEN agg.sl > 0 THEN floor(
+        |         (1000.0 * CAST(mn.tk AS DOUBLE) * 1000000.0)
+        |         / CAST(agg.sl AS DOUBLE)) END AS BIGINT) AS alpha_milli
+        |FROM mn CROSS JOIN agg
+        |""".stripMargin)) { (s, dir) =>
+      val pi = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val deg = pi
+        .join(pi.select(col("l_orderkey").as("__rk"),
+            col("l_partkey").as("pb")),
+          col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("pa"), col("pb"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+        .select(explode(array(col("pa"), col("pb"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .materialize() // degree dim feeds counts, max, and the tail
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        max(col("d")).as("max_degree"))
+      val top = deg.orderBy(col("d").desc, col("node")).limit(k)
+        .select(col("d"))
+      val mn = top.agg(min(col("d")).as("dk"), count(lit(1)).as("tk"))
+      val agg = top.crossJoin(broadcast(mn))
+        .select(expr("CAST(floor(CAST(ln(CAST(d AS DOUBLE) " +
+          "/ CAST(dk AS DOUBLE)) AS DECIMAL(18,9)) * 1000000) " +
+          "AS BIGINT)").as("l_micro"))
+        .agg(sum(col("l_micro")).as("sl"))
+      stats.crossJoin(broadcast(mn)).crossJoin(broadcast(agg))
+        .select(col("n_nodes"), col("max_degree"),
+          col("tk").cast("long").as("tail_k"),
+          expr("CAST(CASE WHEN sl > 0 THEN floor(" +
+            "(1000.0 * CAST(tk AS DOUBLE) * 1000000.0) " +
+            "/ CAST(sl AS DOUBLE)) END AS BIGINT)").as("alpha_milli"))
+    }
+  }
 
   /** Event-type co-occurrence lift at the USER grain: do users who do
     * X also do Y (vs independence) — the behavioral-affinity matrix

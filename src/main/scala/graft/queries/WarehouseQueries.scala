@@ -16,7 +16,8 @@ object WarehouseQueries {
     q293, q296, q297, q298, q303, q305, q308, q311, q312, q317, q319,
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
     q350, q351, q353, q355, q358, q359, q360, q361, q364, q366, q367,
-    q368, q369, q370, q371, q372, q373, q374, q375, q378, q380)
+    q368, q369, q370, q371, q372, q373, q374, q375, q378, q380, q381,
+    q382, q384)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -976,6 +977,161 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Kruskal-Wallis rank test: do order values differ across the five
+    * priorities — q301's Mann-Whitney generalized to k groups. The ×2
+    * midranks stay exact integers over the value dim; H is ONE pinned
+    * double expression from integer group sums. */
+  def q381: Q = {
+    val hExpr = "CAST(floor(1000.0 * (12.0 * rsum " +
+      "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) " +
+      "- 3.0 * (CAST(n AS DOUBLE) + 1.0))) AS BIGINT)"
+    Q("q381_kruskal_wallis",
+      Some(s"""
+        |WITH v AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(o_totalprice * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |cx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+        |rx AS (
+        |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + c + 1 AS r2
+        |  FROM cx),
+        |g AS (
+        |  SELECT v.grp, count(*) AS ng,
+        |         sum(CAST(rx.r2 AS HUGEINT)) AS rg2
+        |  FROM v JOIN rx ON v.x = rx.x GROUP BY 1),
+        |q AS (
+        |  SELECT ng, CAST(floor(CAST(
+        |           (CAST(rg2 AS DOUBLE) / 2.0)
+        |           * (CAST(rg2 AS DOUBLE) / 2.0)
+        |           / CAST(ng AS DOUBLE) AS DECIMAL(28,6)) * 1000)
+        |         AS BIGINT) AS term_milli
+        |  FROM g),
+        |agg AS (
+        |  SELECT sum(ng) AS n,
+        |         CAST(sum(term_milli) AS DOUBLE) / 1000.0 AS rsum,
+        |         count(*) AS k
+        |  FROM q)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |       $hExpr AS h_milli
+        |FROM agg
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          (col("o_totalprice") * 100).cast("decimal(38,0)").cast("long")
+            .as("x"))
+        .materialize() // order dim feeds the rank dim AND the join
+      val wC = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rx = v.groupBy(col("x")).agg(count(lit(1)).as("__c"))
+        .withColumn("r2",
+          lit(2L) * coalesce(sum(col("__c")).over(wC), lit(0L)) +
+            col("__c") + 1L)
+        .select(col("x"), col("r2"))
+      // the per-group Σ(r2/2)²/n sum runs over the 5-row group dim —
+      // identical add order both engines (the oracle's sum over g)
+      val g = v.join(rx, Seq("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("r2").cast("decimal(38,0)")).as("rg2"))
+      // per-group term quantized to milli BEFORE the k-row sum — a
+      // raw double sum's add order is partition-dependent
+      g.select(col("ng"), expr("CAST(floor(CAST(" +
+          "(CAST(rg2 AS DOUBLE) / 2.0) * (CAST(rg2 AS DOUBLE) / 2.0) " +
+          "/ CAST(ng AS DOUBLE) AS DECIMAL(28,6)) * 1000) AS BIGINT)")
+          .as("term_milli"))
+        .agg(sum(col("ng")).as("n"),
+          (sum(col("term_milli")).cast("double") / 1000.0).as("rsum"),
+          count(lit(1)).as("k"))
+        .select(col("n"), col("k"), expr(hExpr).as("h_milli"))
+    }
+  }
+
+  /** Chi-square goodness-of-fit of quantity against uniform{1..50}:
+    * Σ(50·O − n)² / (50n) with an exact integer numerator and ONE
+    * pinned double division — "is demand flat across quantities". */
+  def q382: Q = Q(
+    "q382_chi_square_uniformity",
+    Some("""
+      |WITH o AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS obs
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(obs) AS n, count(*) AS nq FROM o),
+      |dev AS (
+      |  SELECT sum((50 * o.obs - t.n) * (50 * o.obs - t.n)) AS num,
+      |         max(t.n) AS n
+      |  FROM o CROSS JOIN t)
+      |SELECT CAST(n AS BIGINT) AS n_lines, CAST(49 AS BIGINT) AS df,
+      |       CAST(floor(1000.0 * CAST(num AS DOUBLE)
+      |            / (50.0 * CAST(n AS DOUBLE))) AS BIGINT) AS chi2_milli
+      |FROM dev
+      |""".stripMargin)) { (s, dir) =>
+    val o = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("obs"))
+      .materialize() // quantity dim feeds the total AND the deviations
+    val t = o.agg(sum(col("obs")).as("n"))
+    o.crossJoin(broadcast(t))
+      .agg(sum((lit(50) * col("obs") - col("n"))
+          * (lit(50) * col("obs") - col("n"))).as("num"),
+        max(col("n")).as("n"))
+      .select(col("n").as("n_lines"), lit(49L).as("df"),
+        expr("CAST(floor(1000.0 * CAST(num AS DOUBLE) " +
+          "/ (50.0 * CAST(n AS DOUBLE))) AS BIGINT)").as("chi2_milli"))
+  }
+
+  /** Laspeyres price index per year (base 1995): how did realized unit
+    * prices move, holding the base year's quantity mix fixed.
+    * Per-(part, year) unit prices are milli-quantized rationals; the
+    * index numerators ride DECIMAL/HUGEINT. Only parts traded in both
+    * the base year and year t enter (stated basket). */
+  def q384: Q = Q(
+    "q384_laspeyres_price_index",
+    Some("""
+      |WITH py AS (
+      |  SELECT l_partkey AS part, CAST(year(l_shipdate) AS BIGINT) AS y,
+      |         sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT)) AS net,
+      |         sum(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |up AS (SELECT part, y, (1000 * net) // qty AS upm, qty FROM py),
+      |base AS (SELECT part, upm AS up0, qty AS q0 FROM up WHERE y = 1995),
+      |idx AS (
+      |  SELECT up.y, count(*) AS n_parts,
+      |         sum(CAST(up.upm AS HUGEINT) * base.q0) AS num,
+      |         sum(CAST(base.up0 AS HUGEINT) * base.q0) AS den
+      |  FROM up JOIN base USING (part)
+      |  WHERE up.y <> 1995 GROUP BY 1)
+      |SELECT y, CAST(n_parts AS BIGINT) AS n_parts,
+      |       CAST((1000000 * num) // den AS BIGINT) AS index_ppm
+      |FROM idx ORDER BY y
+      |""".stripMargin)) { (s, dir) =>
+    val d38 = "decimal(38,0)"
+    val up = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"),
+        year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(floor((col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))).cast("decimal(18,9)") * 100)
+          .cast("long")).as("net"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("part"), col("y"),
+        expr("(1000 * net) div qty").as("upm"), col("qty"))
+      .materialize() // part×year dim feeds the base AND the index join
+    val base = up.where(col("y") === 1995)
+      .select(col("part"), col("upm").as("up0"), col("qty").as("q0"))
+    up.where(col("y") =!= 1995)
+      .join(broadcast(base), Seq("part"))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("upm").cast(d38) * col("q0")).cast(d38).as("num"),
+        sum(col("up0").cast(d38) * col("q0")).cast(d38).as("den"))
+      .select(col("y"), col("n_parts"),
+        expr("CAST((1000000 * num) div den AS BIGINT)").as("index_ppm"))
+      .orderBy(col("y"))
   }
 
   /** Conditional price distribution: retail-price quartiles per size
