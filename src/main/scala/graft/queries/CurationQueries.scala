@@ -18,7 +18,134 @@ import PipelineQueries.{sqlInList, sqlTokens}
 object CurationQueries {
 
   val all: Seq[Q] = Seq(q331, q332, q333, q334, q335, q341, q344, q349,
-    q352, q354, q362, q363, q377, q379)
+    q352, q354, q362, q363, q377, q379, q386, q389)
+
+  /** Jensen-Shannon divergence between source unigram distributions —
+    * the symmetric, bounded distribution distance next to q362's
+    * Burrows Delta. Frequencies are zero-filled ppm integers; every
+    * p·ln(2p/(p+q)) term is floor-milli-quantized BEFORE the vocab sum
+    * (the PSI discipline), so the pair matrix is exact. */
+  def q386: Q = {
+    def term(p: String, q: String) =
+      s"""CASE WHEN $p > 0 THEN CAST(floor(CAST(
+         |  CAST($p AS DOUBLE) * ln((2.0 * CAST($p AS DOUBLE))
+         |    / (CAST($p AS DOUBLE) + CAST($q AS DOUBLE)))
+         |  AS DECIMAL(28,6)) * 1000) AS BIGINT) ELSE 0 END""".stripMargin
+    Q("q386_js_divergence_matrix",
+      Some(s"""
+        |WITH tok AS (
+        |  SELECT source, unnest(${sqlTokens("text")}) AS w
+        |  FROM documents),
+        |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
+        |vocab AS (SELECT DISTINCT w FROM cs),
+        |f AS (
+        |  SELECT tot.source, vocab.w,
+        |         (1000000 * coalesce(cs.c, 0)) // tot.t AS p
+        |  FROM tot CROSS JOIN vocab
+        |  LEFT JOIN cs ON cs.source = tot.source AND cs.w = vocab.w),
+        |d AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         sum(${term("a.p", "b.p")} + ${term("b.p", "a.p")})
+        |           AS s2
+        |  FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(s2 // 2 AS BIGINT) AS js_scaled
+        |FROM d ORDER BY src_a, src_b
+        |""".stripMargin)) { (s, dir) =>
+      val cs = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .materialize()
+      val tot = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val vocab = cs.select(col("w")).distinct()
+      val f = tot.crossJoin(broadcast(vocab))
+        .join(cs.select(col("source").as("__cs"), col("w").as("__cw"),
+            col("c")),
+          col("source") === col("__cs") && col("w") === col("__cw"),
+          "left")
+        .select(col("source"), col("w"),
+          expr("(1000000 * coalesce(c, 0)) div t").as("p"))
+        .materialize() // zero-filled freq dim feeds both pair legs
+      def sTerm(p: String, q: String) =
+        s"""CASE WHEN $p > 0 THEN CAST(floor(CAST(
+           |CAST($p AS DOUBLE) * ln((2.0 * CAST($p AS DOUBLE))
+           |/ (CAST($p AS DOUBLE) + CAST($q AS DOUBLE)))
+           |AS DECIMAL(28,6)) * 1000) AS BIGINT) ELSE 0 END""".stripMargin
+      f.join(f.select(col("source").as("src_b"), col("w").as("__bw"),
+          col("p").as("__bp")),
+          col("w") === col("__bw") && col("source") < col("src_b"))
+        .groupBy(col("source").as("src_a"), col("src_b"))
+        .agg(sum(expr(sTerm("p", "__bp")) + expr(sTerm("__bp", "p")))
+          .as("s2"))
+        .select(col("src_a"), col("src_b"),
+          expr("s2 div 2").as("js_scaled"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+  }
+
+  /** Diagonal-covariance Mahalanobis outliers: the 10 embedding
+    * vectors farthest from the corpus in per-dimension-standardized
+    * distance. Means and variances stay in the exact n-scaled integer
+    * domain ((n·x−S)²/V per dim); each dim's term is floor-micro-
+    * quantized before the 64-term sum. */
+  def q389: Q = Q(
+    "q389_mahalanobis_outliers",
+    Some("""
+      |WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, u.d AS dim,
+      |         CAST(floor(CAST(embedding[u.d + 1] AS DOUBLE) * 1000)
+      |              AS BIGINT) AS qv
+      |  FROM embeddings, unnest(range(0, 64)) AS u(d)),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |st AS (
+      |  SELECT dim, sum(qv) AS s1, sum(qv * qv) AS s2 FROM q GROUP BY 1),
+      |v AS (
+      |  SELECT st.dim, st.s1, n.n * st.s2 - st.s1 * st.s1 AS vd
+      |  FROM st CROSS JOIN n),
+      |md AS (
+      |  SELECT q.vec_id, q.label,
+      |         sum(CAST(floor(1000000.0
+      |           * CAST((n.n * q.qv - v.s1) * (n.n * q.qv - v.s1)
+      |                  AS DOUBLE)
+      |           / CAST(v.vd AS DOUBLE)) AS BIGINT)) AS md2_micro
+      |  FROM q JOIN v ON q.dim = v.dim CROSS JOIN n
+      |  WHERE v.vd > 0
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY md2_micro DESC, vec_id)
+      |           AS rank
+      |  FROM md)
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id, label,
+      |       CAST(md2_micro AS BIGINT) AS md2_micro
+      |FROM r WHERE rank <= 10 ORDER BY rank
+      |""".stripMargin)) { (s, dir) =>
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vv")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("vv").cast("double") * 1000).cast("long").as("qv"))
+      .materialize() // element pass feeds the moments AND the distance
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val v = q.groupBy(col("dim"))
+      .agg(sum(col("qv")).as("s1"), sum(col("qv") * col("qv")).as("s2"))
+      .crossJoin(broadcast(n))
+      .select(col("dim"), col("s1"),
+        (col("n") * col("s2") - col("s1") * col("s1")).as("vd"))
+    q.join(broadcast(v), Seq("dim")).crossJoin(broadcast(n))
+      .where(col("vd") > 0)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("CAST(floor(1000000.0 " +
+        "* CAST((n * qv - s1) * (n * qv - s1) AS DOUBLE) " +
+        "/ CAST(vd AS DOUBLE)) AS BIGINT)")).as("md2_micro"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("md2_micro").desc, col("vec_id"))))
+      .where(col("rank") <= 10)
+      .select(col("rank").cast("long").as("rank"), col("vec_id"),
+        col("label"), col("md2_micro"))
+      .orderBy(col("rank"))
+  }
 
   /** SimHash bit-balance audit: per signature bit, the share of
     * documents with the bit set — a healthy hash sits near 50%; a

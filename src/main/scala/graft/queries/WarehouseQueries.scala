@@ -17,7 +17,7 @@ object WarehouseQueries {
     q320, q321, q322, q323, q324, q325, q338, q342, q343, q346, q347,
     q350, q351, q353, q355, q358, q359, q360, q361, q364, q366, q367,
     q368, q369, q370, q371, q372, q373, q374, q375, q378, q380, q381,
-    q382, q384)
+    q382, q384, q387, q388, q390)
 
   /** Lines-per-order distribution with a Poisson overlay: observed
     * count-of-counts vs n·e^(−λ)·λ^k/k! at the MLE λ (one pinned
@@ -977,6 +977,151 @@ object WarehouseQueries {
       col("o_custkey") === col("c_custkey"))
     OrderStats.quantilesDisc(seg, Seq("segment"), "gap_days", Seq(500, 900))
       .orderBy(col("segment"), col("permille"))
+  }
+
+  /** Order-cadence regularity: customers banded by the squared
+    * coefficient of variation of their inter-order gaps — regular
+    * replenishers vs bursty buyers. CV² = (n·Σg² − S²)/S² compares as
+    * pure integer cross-multiplications (no mean, no sqrt); one
+    * customer-keyed window pass. */
+  def q387: Q = Q(
+    "q387_order_regularity",
+    Some("""
+      |WITH g AS (
+      |  SELECT o_custkey AS ck,
+      |         epoch_us(o_orderdate) // 86400000000
+      |           - lag(epoch_us(o_orderdate) // 86400000000)
+      |             OVER (PARTITION BY o_custkey
+      |                   ORDER BY o_orderdate, o_orderkey) AS gap
+      |  FROM orders),
+      |c AS (
+      |  SELECT ck, count(*) AS ng, sum(gap) AS sg,
+      |         sum(gap * gap) AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |  HAVING count(*) >= 2 AND sum(gap) > 0),
+      |b AS (
+      |  SELECT CASE WHEN 4 * (ng * sg2 - sg * sg) < sg * sg THEN 0
+      |              WHEN ng * sg2 - sg * sg < sg * sg THEN 1
+      |              ELSE 2 END AS band_id,
+      |         CASE WHEN 4 * (ng * sg2 - sg * sg) < sg * sg
+      |                THEN 'regular'
+      |              WHEN ng * sg2 - sg * sg < sg * sg THEN 'moderate'
+      |              ELSE 'bursty' END AS band
+      |  FROM c),
+      |t AS (SELECT count(*) AS n FROM b)
+      |SELECT CAST(band_id AS BIGINT) AS band_id, band,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST((1000000 * count(*)) // t.n AS BIGINT) AS share_ppm
+      |FROM b CROSS JOIN t GROUP BY 1, 2, t.n ORDER BY 1
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val day = "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+    val c = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), expr(day).as("d"),
+        col("o_orderkey"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(
+        Window.partitionBy(col("ck"))
+          .orderBy(col("d"), col("o_orderkey"))))
+      .where(col("gap").isNotNull)
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("ng"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .where(col("ng") >= 2 && col("sg") > 0)
+      .select(expr("CASE WHEN 4 * (ng * sg2 - sg * sg) < sg * sg " +
+        "THEN 0L WHEN ng * sg2 - sg * sg < sg * sg THEN 1L " +
+        "ELSE 2L END").as("band_id"),
+        expr("CASE WHEN 4 * (ng * sg2 - sg * sg) < sg * sg " +
+          "THEN 'regular' WHEN ng * sg2 - sg * sg < sg * sg " +
+          "THEN 'moderate' ELSE 'bursty' END").as("band"))
+      .materialize() // banded customer dim feeds the total AND rollup
+    val t = c.agg(count(lit(1)).as("__n"))
+    c.groupBy(col("band_id"), col("band"))
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(t))
+      .select(col("band_id"), col("band"), col("n_customers"),
+        expr("(1000000 * n_customers) div __n").as("share_ppm"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict month m's revenue with
+    * month m−12 (the VALUE join, never a row lag) and report the
+    * absolute error ppm per month — the baseline every fancier
+    * forecaster (q340's Holt) must beat. */
+  def q388: Q = Q(
+    "q388_seasonal_naive_backtest",
+    Some("""
+      |WITH m AS (
+      |  SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+      |              AS BIGINT) AS ym,
+      |         sum(CAST(l_extendedprice * 100 AS HUGEINT)) AS cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT a.ym, CAST(a.cents AS BIGINT) AS actual_cents,
+      |       CAST(f.cents AS BIGINT) AS forecast_cents,
+      |       CAST((1000000 * abs(a.cents - f.cents)) // a.cents
+      |            AS BIGINT) AS abs_err_ppm
+      |FROM m a JOIN m f ON f.ym = a.ym - 12
+      |ORDER BY a.ym
+      |""".stripMargin)) { (s, dir) =>
+    val m = Tables.lineitem(s, dir)
+      .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))
+        - 1).cast("long").as("ym"))
+      .agg(sum((col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .cast("long").as("cents"))
+      .materialize() // month dim feeds both legs of the lag join
+    m.join(m.select((col("ym") + 12).as("__fym"),
+        col("cents").as("forecast_cents")),
+        col("ym") === col("__fym"))
+      .select(col("ym"), col("cents").as("actual_cents"),
+        col("forecast_cents"),
+        expr("(1000000 * abs(cents - forecast_cents)) div cents")
+          .as("abs_err_ppm"))
+      .orderBy(col("ym"))
+  }
+
+  /** Catalog summary — the engine's own "SHOW TABLES" dashboard: per
+    * table the row count, primary-key NDV, and duplicate-key rows
+    * (the synthetic lineitem (orderkey, linenumber) is knowingly
+    * non-unique — the audit SHOWS it rather than assuming). */
+  def q390: Q = {
+    def sqlT(t: String, pk: String) =
+      s"""SELECT '$t' AS table_name, (SELECT count(*) FROM $t) AS n_rows,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $pk FROM $t))
+         |    AS pk_ndv""".stripMargin
+    Q("q390_catalog_summary",
+      Some(s"""
+        |WITH u AS (
+        |${sqlT("customer", "c_custkey")}
+        |UNION ALL ${sqlT("lineitem", "l_orderkey, l_linenumber")}
+        |UNION ALL ${sqlT("nation", "n_nationkey")}
+        |UNION ALL ${sqlT("orders", "o_orderkey")}
+        |UNION ALL ${sqlT("part", "p_partkey")}
+        |UNION ALL ${sqlT("region", "r_regionkey")}
+        |UNION ALL ${sqlT("supplier", "s_suppkey")})
+        |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(pk_ndv AS BIGINT) AS pk_ndv,
+        |       CAST(n_rows - pk_ndv AS BIGINT) AS dup_pk_rows
+        |FROM u ORDER BY table_name
+        |""".stripMargin)) { (s, dir) =>
+      def one(t: String, df: org.apache.spark.sql.DataFrame,
+          pk: Seq[String]) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(pk.head, pk.tail: _*).as("pk_ndv"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("pk_ndv"),
+            (col("n_rows") - col("pk_ndv")).as("dup_pk_rows"))
+      one("customer", Tables.customer(s, dir), Seq("c_custkey"))
+        .unionByName(one("lineitem", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(one("nation", Tables.nation(s, dir),
+          Seq("n_nationkey")))
+        .unionByName(one("orders", Tables.orders(s, dir),
+          Seq("o_orderkey")))
+        .unionByName(one("part", Tables.part(s, dir), Seq("p_partkey")))
+        .unionByName(one("region", Tables.region(s, dir),
+          Seq("r_regionkey")))
+        .unionByName(one("supplier", Tables.supplier(s, dir),
+          Seq("s_suppkey")))
+        .orderBy(col("table_name"))
+    }
   }
 
   /** Kruskal-Wallis rank test: do order values differ across the five
