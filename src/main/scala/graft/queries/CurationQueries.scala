@@ -25,64 +25,29 @@ object CurationQueries {
     * Burrows Delta. Frequencies are zero-filled ppm integers; every
     * p·ln(2p/(p+q)) term is floor-milli-quantized BEFORE the vocab sum
     * (the PSI discipline), so the pair matrix is exact. */
-  def q386: Q = {
-    def term(p: String, q: String) =
-      s"""CASE WHEN $p > 0 THEN CAST(floor(CAST(
-         |  CAST($p AS DOUBLE) * ln((2.0 * CAST($p AS DOUBLE))
-         |    / (CAST($p AS DOUBLE) + CAST($q AS DOUBLE)))
-         |  AS DECIMAL(28,6)) * 1000) AS BIGINT) ELSE 0 END""".stripMargin
-    Q("q386_js_divergence_matrix",
-      Some(s"""
-        |WITH tok AS (
-        |  SELECT source, unnest(${sqlTokens("text")}) AS w
-        |  FROM documents),
-        |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
-        |vocab AS (SELECT DISTINCT w FROM cs),
-        |f AS (
-        |  SELECT tot.source, vocab.w,
-        |         (1000000 * coalesce(cs.c, 0)) // tot.t AS p
-        |  FROM tot CROSS JOIN vocab
-        |  LEFT JOIN cs ON cs.source = tot.source AND cs.w = vocab.w),
-        |d AS (
-        |  SELECT a.source AS src_a, b.source AS src_b,
-        |         sum(${term("a.p", "b.p")} + ${term("b.p", "a.p")})
-        |           AS s2
-        |  FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT src_a, src_b, CAST(s2 // 2 AS BIGINT) AS js_scaled
-        |FROM d ORDER BY src_a, src_b
-        |""".stripMargin)) { (s, dir) =>
-      val cs = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.tokens(col("text"))).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-        .materialize()
-      val tot = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
-      val vocab = cs.select(col("w")).distinct()
-      val f = tot.crossJoin(broadcast(vocab))
-        .join(cs.select(col("source").as("__cs"), col("w").as("__cw"),
-            col("c")),
-          col("source") === col("__cs") && col("w") === col("__cw"),
-          "left")
-        .select(col("source"), col("w"),
-          expr("(1000000 * coalesce(c, 0)) div t").as("p"))
-        .materialize() // zero-filled freq dim feeds both pair legs
-      def sTerm(p: String, q: String) =
-        s"""CASE WHEN $p > 0 THEN CAST(floor(CAST(
-           |CAST($p AS DOUBLE) * ln((2.0 * CAST($p AS DOUBLE))
-           |/ (CAST($p AS DOUBLE) + CAST($q AS DOUBLE)))
-           |AS DECIMAL(28,6)) * 1000) AS BIGINT) ELSE 0 END""".stripMargin
-      f.join(f.select(col("source").as("src_b"), col("w").as("__bw"),
-          col("p").as("__bp")),
-          col("w") === col("__bw") && col("source") < col("src_b"))
-        .groupBy(col("source").as("src_a"), col("src_b"))
-        .agg(sum(expr(sTerm("p", "__bp")) + expr(sTerm("__bp", "p")))
-          .as("s2"))
-        .select(col("src_a"), col("src_b"),
-          expr("s2 div 2").as("js_scaled"))
-        .orderBy(col("src_a"), col("src_b"))
-    }
+  def q386: Q = Q(
+    "q386_js_divergence_matrix",
+    Some(s"""
+      |WITH $sqlSourceFreqCtes,
+      |d AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |         sum(${jsTermSql("a.f", "b.f")}
+      |             + ${jsTermSql("b.f", "a.f")}) AS s2
+      |  FROM f a JOIN f b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(s2 // 2 AS BIGINT) AS js_scaled
+      |FROM d ORDER BY src_a, src_b
+      |""".stripMargin)) { (s, dir) =>
+    val f = sourceFreqPpm(s, dir) // zero-filled dim feeds both legs
+    f.join(f.select(col("source").as("src_b"), col("w").as("__bw"),
+        col("f").as("__bf")),
+        col("w") === col("__bw") && col("source") < col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(sum(expr(jsTermSql("f", "__bf"))
+        + expr(jsTermSql("__bf", "f"))).as("s2"))
+      .select(col("src_a"), col("src_b"),
+        expr("s2 div 2").as("js_scaled"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Diagonal-covariance Mahalanobis outliers: the 10 embedding
@@ -241,17 +206,7 @@ object CurationQueries {
       "/ sqrt(CAST(ns * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)"
     Q("q362_burrows_delta",
       Some(s"""
-        |WITH tok AS (
-        |  SELECT source, unnest(${sqlTokens("text")}) AS w
-        |  FROM documents),
-        |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
-        |tot AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
-        |vocab AS (SELECT DISTINCT w FROM cs),
-        |f AS (
-        |  SELECT tot.source, vocab.w,
-        |         (1000000 * coalesce(cs.c, 0)) // tot.t AS f
-        |  FROM tot CROSS JOIN vocab
-        |  LEFT JOIN cs ON cs.source = tot.source AND cs.w = vocab.w),
+        |WITH $sqlSourceFreqCtes,
         |st AS (
         |  SELECT w, count(*) AS ns, sum(f) AS s1, sum(f * f) AS s2
         |  FROM f GROUP BY 1),
@@ -268,22 +223,7 @@ object CurationQueries {
         |       CAST(sad // n_tokens AS BIGINT) AS delta_milli
         |FROM d ORDER BY src_a, src_b
         |""".stripMargin)) { (s, dir) =>
-      val tok = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val cs = tok.groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("c"))
-        .materialize() // source×token dim: totals, vocab, zero-fill
-      val tot = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
-      val vocab = cs.select(col("w")).distinct()
-      val f = tot.crossJoin(broadcast(vocab))
-        .join(cs.select(col("source").as("__cs"), col("w").as("__cw"),
-            col("c")),
-          col("source") === col("__cs") && col("w") === col("__cw"),
-          "left")
-        .select(col("source"), col("w"),
-          expr("(1000000 * coalesce(c, 0)) div t").as("f"))
-        .materialize() // zero-filled freq dim: stats + both pair legs
+      val f = sourceFreqPpm(s, dir) // shared zero-filled freq dim
       val st = f.groupBy(col("w"))
         .agg(count(lit(1)).as("ns"), sum(col("f")).as("s1"),
           sum(col("f") * col("f")).as("s2"))
@@ -324,7 +264,7 @@ object CurationQueries {
         |  FROM embeddings),
         |t AS (SELECT count(*) AS n, sum(norm2) // count(*) AS tm FROM x),
         |g AS (
-        |  SELECT label, count(*) AS ng, sum(norm2) // count(*) AS gm
+        |  SELECT label, sum(norm2) // count(*) AS gm
         |  FROM x GROUP BY 1),
         |ss AS (
         |  SELECT t.n, (SELECT count(*) FROM g) AS k,
@@ -346,8 +286,7 @@ object CurationQueries {
       val t = x.agg(count(lit(1)).as("n"),
         expr("sum(norm2) div count(1)").as("tm"))
       val g = x.groupBy(col("label"))
-        .agg(count(lit(1)).as("ng"),
-          expr("sum(norm2) div count(1)").as("gm"))
+        .agg(expr("sum(norm2) div count(1)").as("gm"))
         .materialize()
       val k = g.agg(count(lit(1)).as("k"))
       x.join(broadcast(g), Seq("label"))
@@ -428,14 +367,13 @@ object CurationQueries {
     * linear-algebra library. The scatter matrix C = n·Σxy − Σx·Σy
     * lives in exact centi-quantized integers (64² entries, broadcast);
     * each round is an integer matrix-vector product rescaled by
-    * truncating division (the CASE makes DuckDB's floor-div match
-    * Spark's truncation on negatives); the Rayleigh quotient is ONE
+    * truncating division (DuckDB // and Spark div agree on negatives
+    * — both truncate toward zero); the Rayleigh quotient is ONE
     * decimal integral divide. Only the moment sums touch fact-scale
     * data. */
   def q354: Q = {
-    // truncating signed division a/b (b>0) — identical in both engines
-    def truncDiv(a: String, b: String) =
-      s"CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END"
+    // DuckDB // and Spark div both truncate toward zero, so the
+    // signed rescale divides agree without any guard
     val iterCtes = (1 to 3).map { i =>
       s"""u$i AS (
          |  SELECT c.di, sum(c.cv * v.v) AS u
@@ -443,7 +381,7 @@ object CurationQueries {
          |  GROUP BY 1),
          |m$i AS (SELECT max(abs(u)) AS m FROM u$i),
          |v$i AS (
-         |  SELECT u.di, ${truncDiv("1000 * u.u", "m.m")} AS v
+         |  SELECT u.di, (1000 * u.u) // m.m AS v
          |  FROM u$i u CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
     Q("q354_covariance_power_iteration",
@@ -507,9 +445,7 @@ object CurationQueries {
           .groupBy(col("di")).agg(sum(col("cv") * col("vj")).as("u"))
         val m = u.agg(max(abs(col("u"))).as("m"))
         v = u.crossJoin(broadcast(m))
-          .select(col("di"),
-            expr("CASE WHEN 1000 * u >= 0 THEN (1000 * u) div m " +
-              "ELSE -((-(1000 * u)) div m) END").as("v"))
+          .select(col("di"), expr("(1000 * u) div m").as("v"))
       }
       val vm = v.materialize() // final direction feeds Rayleigh twice
       val d38 = "decimal(38,0)"
@@ -589,7 +525,8 @@ object CurationQueries {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(own) AS BIGINT) AS own_hits,
         |       CAST(sum(other) AS BIGINT) AS other_hits,
-        |       CAST((1000000 * sum(own)) // (sum(own) + sum(other))
+        |       CAST((1000000 * sum(own))
+        |            // nullif(sum(own) + sum(other), 0)
         |            AS BIGINT) AS purity_ppm
         |FROM p GROUP BY 1 ORDER BY 1
         |""".stripMargin)) { (s, dir) =>
@@ -608,7 +545,7 @@ object CurationQueries {
           sum(col("other")).as("other_hits"))
         .select(col("lang"), col("n_docs"), col("own_hits"),
           col("other_hits"),
-          expr("(1000000 * own_hits) div (own_hits + other_hits)")
+          expr("(1000000 * own_hits) div nullif(own_hits + other_hits, 0)")
             .as("purity_ppm"))
         .orderBy(col("lang"))
     }
@@ -686,6 +623,54 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_queries"))
         .orderBy(col("overlap"))
     }
+  }
+
+  /** ONE JS-divergence term text, valid in both engines — the
+    * sqlPearsonMilli discipline: oracle and Spark interpolate the same
+    * string so the quantization can never drift. */
+  private def jsTermSql(p: String, q: String): String =
+    s"CASE WHEN $p > 0 THEN CAST(floor(CAST(" +
+      s"CAST($p AS DOUBLE) * ln((2.0 * CAST($p AS DOUBLE)) " +
+      s"/ (CAST($p AS DOUBLE) + CAST($q AS DOUBLE))) " +
+      s"AS DECIMAL(28,6)) * 1000) AS BIGINT) ELSE 0 END"
+
+  /** Zero-filled per-source token frequencies in ppm — the shared
+    * semantic core of the stylometry pair (q362 Burrows, q386 JS): a
+    * token ABSENT from a source is a 0-ppm row, not a missing one. */
+  private def sqlSourceFreqCtes: String =
+    s"""tok AS (
+       |  SELECT source, unnest(${sqlTokens("text")}) AS w
+       |  FROM documents),
+       |cs AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT source, sum(c) AS t FROM cs GROUP BY 1),
+       |vocab AS (SELECT DISTINCT w FROM cs),
+       |f AS (
+       |  SELECT tot.source, vocab.w,
+       |         (1000000 * coalesce(cs.c, 0)) // tot.t AS f
+       |  FROM tot CROSS JOIN vocab
+       |  LEFT JOIN cs ON cs.source = tot.source AND cs.w = vocab.w)"""
+      .stripMargin
+
+  /** Spark side of [[sqlSourceFreqCtes]]: the zero-filled (source, w,
+    * f[ppm]) dim, materialized (every caller reads it at least
+    * twice). */
+  private def sourceFreqPpm(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cs = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .materialize()
+    val tot = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocab = cs.select(col("w")).distinct()
+    tot.crossJoin(broadcast(vocab))
+      .join(cs.select(col("source").as("__cs"), col("w").as("__cw"),
+          col("c")),
+        col("source") === col("__cs") && col("w") === col("__cw"),
+        "left")
+      .select(col("source"), col("w"),
+        expr("(1000000 * coalesce(c, 0)) div t").as("f"))
+      .materialize()
   }
 
   /** The union stopword list (declaration order, first occurrence);
@@ -849,12 +834,12 @@ object CurationQueries {
         |         ${sqlRegion("n - third + 1", "n")} AS tail_sw
         |  FROM h)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST((1000000 * sum(head_sw)) // sum(head_n) AS BIGINT)
-        |         AS head_ppm,
-        |       CAST((1000000 * sum(mid_sw)) // sum(mid_n) AS BIGINT)
-        |         AS mid_ppm,
-        |       CAST((1000000 * sum(tail_sw)) // sum(tail_n) AS BIGINT)
-        |         AS tail_ppm
+        |       CAST((1000000 * sum(head_sw)) // nullif(sum(head_n), 0)
+        |            AS BIGINT) AS head_ppm,
+        |       CAST((1000000 * sum(mid_sw)) // nullif(sum(mid_n), 0)
+        |            AS BIGINT) AS mid_ppm,
+        |       CAST((1000000 * sum(tail_sw)) // nullif(sum(tail_n), 0)
+        |            AS BIGINT) AS tail_ppm
         |FROM r GROUP BY 1 ORDER BY 1
         |""".stripMargin)) { (s, dir) =>
       val toks = TextAnalysis.tokens(col("text"))
@@ -880,9 +865,9 @@ object CurationQueries {
           sum(col("mid_n")).as("mn"), sum(col("tail_sw")).as("ts"),
           sum(col("tail_n")).as("tn"))
         .select(col("source"), col("n_docs"),
-          expr("(1000000 * hs) div hn").as("head_ppm"),
-          expr("(1000000 * ms) div mn").as("mid_ppm"),
-          expr("(1000000 * ts) div tn").as("tail_ppm"))
+          expr("(1000000 * hs) div nullif(hn, 0)").as("head_ppm"),
+          expr("(1000000 * ms) div nullif(mn, 0)").as("mid_ppm"),
+          expr("(1000000 * ts) div nullif(tn, 0)").as("tail_ppm"))
         .orderBy(col("source"))
     }
   }

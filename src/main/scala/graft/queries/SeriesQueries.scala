@@ -17,6 +17,69 @@ object SeriesQueries {
   val all: Seq[Q] = Seq(q326, q327, q328, q329, q330, q336, q337,
     q339, q340, q345, q348, q356, q357, q365, q376, q383, q385)
 
+  /** 30-minute-gap sessionization CTEs (e/o/g) shared by q336 and
+    * q365 — ONE definition of "session" so bounce and conversion can
+    * never disagree about boundaries. Emits g(user_id, t, event_id,
+    * event_type, grp). */
+  private def sqlSessionCtes: String =
+    """e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT *, lag(t) OVER (PARTITION BY user_id
+      |           ORDER BY t, event_id) AS prev
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(CASE WHEN prev IS NULL
+      |                     OR t - prev >= 1800000000000
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM o)""".stripMargin
+
+  /** Spark side of [[sqlSessionCtes]]: events with the session group
+    * id attached (columns user_id, ts, event_id, event_type, grp). */
+  private def sessionized(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("grp", sum(when(col("prev").isNull ||
+          col("ts") - col("prev") >= 1800000000000L, 1).otherwise(0))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev")
+  }
+
+  /** Support-pruned co-purchase edge CTEs (pi/e: parts co-ordered in
+    * ≥2 distinct orders, pa < pb) shared by q326 and q385 — ONE
+    * definition of the graph. */
+  private def sqlCopurchaseEdgeCtes: String =
+    """pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM pi a JOIN pi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Spark side of [[sqlCopurchaseEdgeCtes]]: the (pa, pb) edge dim,
+    * materialized — every caller reads it several times. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val pi = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .materialize() // both legs of the pair self-join
+    pi.join(pi.select(col("l_orderkey").as("__rk"),
+        col("l_partkey").as("pb")),
+      col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("pa"), col("pb"))
+      .agg(count(lit(1)).as("__sup"))
+      .where(col("__sup") >= 2)
+      .select(col("pa"), col("pb"))
+      .materialize()
+  }
+
   /** Cumulative LTV curve: average per-user cumulative event value at
     * the end of each week since the user's first activity — the curve
     * a growth team plots under every acquisition decision. Week cents
@@ -71,12 +134,7 @@ object SeriesQueries {
     val k = 50
     Q("q385_degree_tail_hill",
       Some(s"""
-        |WITH pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
-        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        |  FROM pi a JOIN pi b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |WITH $sqlCopurchaseEdgeCtes,
         |deg AS (
         |  SELECT node, count(*) AS d
         |  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
@@ -101,15 +159,7 @@ object SeriesQueries {
         |         / CAST(agg.sl AS DOUBLE)) END AS BIGINT) AS alpha_milli
         |FROM mn CROSS JOIN agg
         |""".stripMargin)) { (s, dir) =>
-      val pi = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val deg = pi
-        .join(pi.select(col("l_orderkey").as("__rk"),
-            col("l_partkey").as("pb")),
-          col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
-        .groupBy(col("l_partkey").as("pa"), col("pb"))
-        .agg(count(lit(1)).as("__sup"))
-        .where(col("__sup") >= 2)
+      val deg = copurchaseEdges(s, dir)
         .select(explode(array(col("pa"), col("pb"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
         .materialize() // degree dim feeds counts, max, and the tail
@@ -184,21 +234,8 @@ object SeriesQueries {
     * conversion flag is one more session-partitioned window max. */
   def q365: Q = Q(
     "q365_session_conversion_by_entry",
-    Some("""
-      |WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
-      |  FROM events),
-      |o AS (
-      |  SELECT *, lag(t) OVER (PARTITION BY user_id
-      |           ORDER BY t, event_id) AS prev
-      |  FROM e),
-      |g AS (
-      |  SELECT *, sum(CASE WHEN prev IS NULL
-      |                     OR t - prev >= 1800000000000
-      |                     THEN 1 ELSE 0 END)
-      |              OVER (PARTITION BY user_id ORDER BY t, event_id
-      |                    ROWS UNBOUNDED PRECEDING) AS grp
-      |  FROM o),
+    Some(s"""
+      |WITH $sqlSessionCtes,
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id, grp
       |           ORDER BY t, event_id) AS rn,
@@ -212,14 +249,7 @@ object SeriesQueries {
       |         AS conv_ppm
       |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
       |""".stripMargin)) { (s, dir) =>
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val g = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
-      .withColumn("grp", sum(when(col("prev").isNull ||
-          col("ts") - col("prev") >= 1800000000000L, 1).otherwise(0))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val g = sessionized(s, dir)
     val wSess = Window.partitionBy(col("user_id"), col("grp"))
     g.withColumn("rn", row_number().over(
         wSess.orderBy(col("ts"), col("event_id"))))
@@ -249,8 +279,7 @@ object SeriesQueries {
       |t AS (SELECT count(*) AS n, (1000 * sum(r)) // count(*) AS tm
       |      FROM w),
       |g AS (
-      |  SELECT dow, count(*) AS ng,
-      |         (1000 * sum(r)) // count(*) AS gm
+      |  SELECT dow, (1000 * sum(r)) // count(*) AS gm
       |  FROM w GROUP BY 1),
       |dev AS (
       |  SELECT CAST(1000 * w.r - t.tm AS HUGEINT) AS dt,
@@ -282,8 +311,7 @@ object SeriesQueries {
     val t = w.agg(count(lit(1)).as("n"),
       expr("(1000 * sum(r)) div count(1)").as("tm"))
     val g = w.groupBy(col("dow"))
-      .agg(count(lit(1)).as("ng"),
-        expr("(1000 * sum(r)) div count(1)").as("gm"))
+      .agg(expr("(1000 * sum(r)) div count(1)").as("gm"))
       .materialize() // 7-row dim: dev join + peak ranks
     val ss = w.join(broadcast(g), Seq("dow")).crossJoin(broadcast(t))
       .select((lit(1000) * col("r") - col("tm")).cast(d38).as("dt"),
@@ -492,21 +520,8 @@ object SeriesQueries {
     * visit". All windows are user- or session-partitioned. */
   def q336: Q = Q(
     "q336_bounce_by_entry",
-    Some("""
-      |WITH e AS (
-      |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
-      |  FROM events),
-      |o AS (
-      |  SELECT *, lag(t) OVER (PARTITION BY user_id
-      |           ORDER BY t, event_id) AS prev
-      |  FROM e),
-      |g AS (
-      |  SELECT *, sum(CASE WHEN prev IS NULL
-      |                     OR t - prev >= 1800000000000
-      |                     THEN 1 ELSE 0 END)
-      |              OVER (PARTITION BY user_id ORDER BY t, event_id
-      |                    ROWS UNBOUNDED PRECEDING) AS grp
-      |  FROM o),
+    Some(s"""
+      |WITH $sqlSessionCtes,
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id, grp
       |           ORDER BY t, event_id) AS rn,
@@ -519,14 +534,7 @@ object SeriesQueries {
       |            AS BIGINT) AS bounce_ppm
       |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
       |""".stripMargin)) { (s, dir) =>
-    val wOrd = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val g = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
-      .withColumn("grp", sum(when(col("prev").isNull ||
-          col("ts") - col("prev") >= 1800000000000L, 1).otherwise(0))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val g = sessionized(s, dir)
     val wSess = Window.partitionBy(col("user_id"), col("grp"))
     g.withColumn("rn", row_number().over(
         wSess.orderBy(col("ts"), col("event_id"))))
@@ -625,7 +633,8 @@ object SeriesQueries {
       Some(s"""
         |WITH c AS (
         |  SELECT user_id AS e, epoch_ns(ts) AS cts, event_id AS cid
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
         |t AS (
         |  SELECT user_id AS e, epoch_ns(ts) AS tts, event_id AS tid,
         |         event_type AS channel
@@ -750,13 +759,8 @@ object SeriesQueries {
     * broadcasts; nothing fact-sized survives the first aggregate. */
   def q326: Q = Q(
     "q326_copurchase_triangles",
-    Some("""
-      |WITH pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (
-      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      |  FROM pi a JOIN pi b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+    Some(s"""
+      |WITH $sqlCopurchaseEdgeCtes,
       |deg AS (
       |  SELECT node, count(*) AS d
       |  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
@@ -777,17 +781,7 @@ object SeriesQueries {
       |         AS clustering_milli
       |FROM w CROSS JOIN t
       |""".stripMargin)) { (s, dir) =>
-    val pi = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = pi
-      .join(pi.select(col("l_orderkey").as("__rk"),
-          col("l_partkey").as("pb")),
-        col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
-      .agg(count(lit(1)).as("__sup"))
-      .where(col("__sup") >= 2)
-      .select(col("pa"), col("pb"))
-      .materialize() // edge dim feeds degree, count, and 3 triangle legs
+    val e = copurchaseEdges(s, dir) // degree, count, 3 triangle legs
     val deg = e.select(col("pa").as("node"))
       .unionAll(e.select(col("pb").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
