@@ -58,6 +58,55 @@ object OrderStats {
         col(valueCol).as("value")): _*)
   }
 
+  /** Weighted discrete quantiles: for each key and `permille` p in
+    * `ps`, the smallest value whose cumulative weight reaches the
+    * target ⌈p·W/1000⌉ (W = the group's total weight) — the
+    * quantity-weighted sibling of `quantilesDisc` (unit weights
+    * degrade to it exactly). Equal values are merged (weights summed)
+    * BEFORE the cumulative walk, so the scan runs over the group's
+    * unique-VALUE dim — bounded by value cardinality, not row count —
+    * and a tie can never straddle a target. Weights must be
+    * non-negative integers; zero-weight values add nothing to any
+    * cumulative step and so are never selected; null values/weights
+    * drop.
+    *
+    * Scale shape: one hash aggregate (key, value), one window pass
+    * over the value dim, one filter. The newsvendor/weighted-median
+    * faces (q392/q394) ride this. */
+  def weightedQuantilesDisc(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      ps: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000]: $ps")
+    require(ps.distinct.size == ps.size, s"duplicate permilles: $ps")
+    val merged = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy((keys.map(col) :+ col(valueCol)): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(keys.map(col): _*)
+    val ranked = merged
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(wn))
+    // the row owning target t is the one whose cumulative range
+    // (cw−w, cw] covers it — exact integer interval membership
+    val hits = ps.map { p =>
+      val target =
+        RangeJoin.floorDiv(lit(p.toLong) * col("__tw") + 999L, 1000L)
+      when(col("__cw") - col("__w") < target && target <= col("__cw"),
+        lit(p)).otherwise(lit(null))
+    }
+    ranked
+      .withColumn("permille", explode(array(hits: _*)))
+      .where(col("permille").isNotNull)
+      .select((keys.map(col) :+ col("permille") :+
+        col(valueCol).as("value")): _*)
+  }
+
   /** Rank normalization to integer permille — the monotone feature
     * transform (percent_rank scaled to [0, 1000]) that makes heavy-
     * tailed columns comparable across groups without touching floats:

@@ -26,7 +26,8 @@ object Registry {
     CoreQueries.all ++ DomainQueries.all ++ PipelineQueries.all ++
       MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
       EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all ++
-      CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all
+      CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
+      DemandQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
