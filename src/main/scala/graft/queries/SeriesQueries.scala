@@ -55,7 +55,7 @@ object SeriesQueries {
   /** Support-pruned co-purchase edge CTEs (pi/e: parts co-ordered in
     * ≥2 distinct orders, pa < pb) shared by q326 and q385 — ONE
     * definition of the graph. */
-  private def sqlCopurchaseEdgeCtes: String =
+  private[queries] def sqlCopurchaseEdgeCtes: String =
     """pi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e AS (
       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -65,7 +65,7 @@ object SeriesQueries {
 
   /** Spark side of [[sqlCopurchaseEdgeCtes]]: the (pa, pb) edge dim,
     * materialized — every caller reads it several times. */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val pi = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
