@@ -14,7 +14,8 @@ import graft.Tables
   */
 object EconQueries {
 
-  val all: Seq[Q] = Seq(q401, q402, q403, q404, q405)
+  val all: Seq[Q] = Seq(q401, q402, q403, q404, q405, q406, q407, q408,
+    q409, q410)
 
   private def dbl(x: String) = s"CAST($x AS DOUBLE)"
 
@@ -397,6 +398,330 @@ object EconQueries {
         .select(col("ng").as("n_rows"),
           expr(feSlope).as("fe_slope_milli"),
           expr(olsSlope).as("ols_slope_milli"))
+    }
+  }
+
+  /** Price stickiness per brand: month-over-month unit-price change
+    * frequency and mean absolute change over each part's OBSERVED
+    * month sequence (lag window keyed by part — no calendar fill, so
+    * "change" means "differs from the last month it traded"). Unit
+    * prices are the milli-cent rationals of q384; everything else is
+    * integer counts and integer division. */
+  def q406: Q = Q(
+    "q406_price_stickiness",
+    Some("""
+      |WITH py AS (
+      |  SELECT l_partkey AS part,
+      |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+      |           AS ym,
+      |         sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(18,9)) * 100) AS BIGINT)) AS net,
+      |         sum(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |up AS (SELECT part, ym, (1000 * net) // qty AS upm FROM py),
+      |lg AS (
+      |  SELECT part, upm,
+      |         lag(upm) OVER (PARTITION BY part ORDER BY ym) AS prev
+      |  FROM up),
+      |pp AS (
+      |  SELECT p.p_brand AS brand,
+      |         count(*) AS n_pairs,
+      |         sum(CASE WHEN lg.upm <> lg.prev THEN 1 ELSE 0 END)
+      |           AS changes,
+      |         sum(abs(lg.upm - lg.prev)) AS sum_abs
+      |  FROM lg JOIN part p ON p.p_partkey = lg.part
+      |  WHERE lg.prev IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT brand, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(changes AS BIGINT) AS changes,
+      |       CAST((1000000 * changes) // n_pairs AS BIGINT)
+      |         AS change_rate_ppm,
+      |       CAST(sum_abs // n_pairs AS BIGINT) AS mean_abs_change_upm
+      |FROM pp ORDER BY brand
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val up = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("ym"))
+      .agg(sum(floor((col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))).cast("decimal(18,9)") * 100)
+          .cast("long")).as("net"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("part"), col("ym"),
+        expr("(1000 * net) div qty").as("upm"))
+    val lg = up.withColumn("prev",
+      lag(col("upm"), 1).over(
+        Window.partitionBy(col("part")).orderBy(col("ym"))))
+      .where(col("prev").isNotNull)
+    lg.join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+      col("p_partkey") === col("part"))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("upm") =!= col("prev"), 1L).otherwise(0L))
+          .as("changes"),
+        sum(abs(col("upm") - col("prev"))).as("sum_abs"))
+      .select(col("brand"), col("n_pairs"), col("changes"),
+        expr("CAST((1000000 * changes) div n_pairs AS BIGINT)")
+          .as("change_rate_ppm"),
+        expr("CAST(sum_abs div n_pairs AS BIGINT)")
+          .as("mean_abs_change_upm"))
+      .orderBy(col("brand"))
+  }
+
+  /** Promotion lift by difference-in-differences: parts whose 1998
+    * mean discount reached 50‰ (exact cross-multiplied mean) are the
+    * treated group; outcome is per-part shipped quantity, 1997 vs
+    * 1998, over the balanced panel of parts trading in both years.
+    * The four group means and both deltas ride ONE double fragment
+    * from exact integer sums. */
+  def q407: Q = {
+    def mean(sum: String, n: String) =
+      s"(CAST($sum AS DOUBLE) / CAST($n AS DOUBLE))"
+    val tDelta = s"(${mean("st98", "nt")} - ${mean("st97", "nt")})"
+    val cDelta = s"(${mean("sc98", "nc")} - ${mean("sc97", "nc")})"
+    def qm(x: String) =
+      s"CAST(floor(CAST(1000.0 * ($x) AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q407_promo_did_lift",
+      Some(s"""
+        |WITH y97 AS (
+        |  SELECT l_partkey AS part, sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+        |y98 AS (
+        |  SELECT l_partkey AS part, sum(CAST(l_quantity AS BIGINT)) AS q,
+        |         sum(CAST(l_discount * 1000 AS BIGINT)) AS sd,
+        |         count(*) AS nl
+        |  FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY 1),
+        |panel AS (
+        |  SELECT y98.part, y97.q AS q97, y98.q AS q98,
+        |         CASE WHEN y98.sd >= 50 * y98.nl THEN 1 ELSE 0 END AS tr
+        |  FROM y97 JOIN y98 ON y97.part = y98.part),
+        |g AS (
+        |  SELECT sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+        |         sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS nc,
+        |         sum(CASE WHEN tr = 1 THEN q97 ELSE 0 END) AS st97,
+        |         sum(CASE WHEN tr = 1 THEN q98 ELSE 0 END) AS st98,
+        |         sum(CASE WHEN tr = 0 THEN q97 ELSE 0 END) AS sc97,
+        |         sum(CASE WHEN tr = 0 THEN q98 ELSE 0 END) AS sc98
+        |  FROM panel)
+        |SELECT CAST(nt AS BIGINT) AS n_treated,
+        |       CAST(nc AS BIGINT) AS n_control,
+        |       ${qm(tDelta)} AS treated_delta_milli,
+        |       ${qm(cDelta)} AS control_delta_milli,
+        |       ${qm(s"$tDelta - $cDelta")} AS did_milli
+        |FROM g
+        |""".stripMargin)) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val y97 = li.where(year(col("l_shipdate")) === 1997)
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(col("l_quantity").cast("long")).as("q97"))
+      val y98 = li.where(year(col("l_shipdate")) === 1998)
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(col("l_quantity").cast("long")).as("q98"),
+          sum((col("l_discount") * 1000).cast("decimal(38,0)")
+            .cast("long")).as("sd"),
+          count(lit(1)).as("nl"))
+      y97.join(y98, Seq("part"))
+        .select(col("q97"), col("q98"),
+          when(col("sd") >= lit(50) * col("nl"), 1L).otherwise(0L)
+            .as("tr"))
+        .agg(sum(when(col("tr") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("tr") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("tr") === 1, col("q97")).otherwise(0L)).as("st97"),
+          sum(when(col("tr") === 1, col("q98")).otherwise(0L)).as("st98"),
+          sum(when(col("tr") === 0, col("q97")).otherwise(0L)).as("sc97"),
+          sum(when(col("tr") === 0, col("q98")).otherwise(0L)).as("sc98"))
+        .select(col("nt").as("n_treated"), col("nc").as("n_control"),
+          expr(qm(tDelta)).as("treated_delta_milli"),
+          expr(qm(cDelta)).as("control_delta_milli"),
+          expr(qm(s"$tDelta - $cDelta")).as("did_milli"))
+    }
+  }
+
+  /** Flesch reading-ease per source: words = whitespace tokens,
+    * sentences = terminal-punctuation runs ([.!?]+, min 1), syllables
+    * ≈ vowel groups ([aeiou]+ on lowercased text — the classic cheap
+    * proxy, same RE2/Java-common regex both engines). Each doc's
+    * score is milli-quantized BEFORE the per-source mean (order-free
+    * integer sums). */
+  def q408: Q = {
+    val flesch = "(206.835" +
+      " - 1.015 * (CAST(w AS DOUBLE) / CAST(sents AS DOUBLE))" +
+      " - 84.6 * (CAST(syll AS DOUBLE) / CAST(w AS DOUBLE)))"
+    val docMilli =
+      s"CAST(floor(CAST($flesch AS DECIMAL(28,6)) * 1000) AS BIGINT)"
+    Q("q408_flesch_readability",
+      Some(s"""
+        |WITH m AS (
+        |  SELECT source,
+        |         CAST(len(${PipelineQueries.sqlTokens("text")})
+        |              AS BIGINT) AS w,
+        |         greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |              AS BIGINT), 1) AS sents,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |              AS BIGINT) AS syll
+        |  FROM documents WHERE trim(text) <> ''),
+        |d AS (SELECT source, w, sents, syll, $docMilli AS fm FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(fm) // count(*) AS BIGINT) AS mean_flesch_milli,
+        |       CAST(sum(w) // count(*) AS BIGINT) AS mean_words,
+        |       CAST((1000 * sum(syll)) // sum(w) AS BIGINT)
+        |         AS syll_per_word_milli
+        |FROM d GROUP BY source ORDER BY source
+        |""".stripMargin)) { (s, dir) =>
+      Tables.documents(s, dir)
+        .where(trim(col("text")) =!= "")
+        .select(col("source"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)")
+            .as("w"),
+          greatest(expr("CAST(size(regexp_extract_all(text, " +
+            "'[.!?]+', 0)) AS BIGINT)"), lit(1L)).as("sents"),
+          expr("CAST(size(regexp_extract_all(lower(text), " +
+            "'[aeiou]+', 0)) AS BIGINT)").as("syll"))
+        .select(col("source"), col("w"), col("sents"), col("syll"),
+          expr(docMilli).as("fm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("fm")).as("sfm"),
+          sum(col("w")).as("sw"), sum(col("syll")).as("ss"))
+        .select(col("source"), col("n_docs"),
+          expr("CAST(sfm div n_docs AS BIGINT)").as("mean_flesch_milli"),
+          expr("CAST(sw div n_docs AS BIGINT)").as("mean_words"),
+          expr("CAST((1000 * ss) div sw AS BIGINT)")
+            .as("syll_per_word_milli"))
+        .orderBy(col("source"))
+    }
+  }
+
+  /** Wilcoxon signed-rank test of 1999-vs-1998 per-part quantity
+    * (paired panel, zero diffs dropped, NO tie-variance correction —
+    * stated): midranks of |d| are computed over the distinct-|d|
+    * value dim in doubled units (2·midrank = 2·cnt_less + cnt + 1,
+    * exact integers — q301's discipline), W⁺ rides them exactly, and
+    * only the final z runs in one shared double fragment. */
+  def q409: Q = {
+    val z = "((CAST(w2 AS DOUBLE) / 2.0" +
+      " - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)" +
+      " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)" +
+      " * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0))"
+    Q("q409_wilcoxon_signed_rank",
+      Some(s"""
+        |WITH y98 AS (
+        |  SELECT l_partkey AS part, sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1998 GROUP BY 1),
+        |y99 AS (
+        |  SELECT l_partkey AS part, sum(CAST(l_quantity AS BIGINT)) AS q
+        |  FROM lineitem WHERE year(l_shipdate) = 1999 GROUP BY 1),
+        |d AS (
+        |  SELECT y99.q - y98.q AS d, abs(y99.q - y98.q) AS av
+        |  FROM y98 JOIN y99 ON y98.part = y99.part
+        |  WHERE y99.q <> y98.q),
+        |vd AS (
+        |  SELECT av, count(*) AS cnt,
+        |         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT av, cnt, pos,
+        |         CAST(coalesce(sum(cnt) OVER (ORDER BY av
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS less
+        |  FROM vd),
+        |agg AS (
+        |  SELECT sum(cnt) AS n,
+        |         sum(pos * (2 * less + cnt + 1)) AS w2
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(w2 AS BIGINT) AS w2,
+        |       CAST(floor(CAST(1000.0 * $z AS DECIMAL(28,6))) AS BIGINT)
+        |         AS z_milli
+        |FROM agg
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+      def yr(y: Int) = li.where(year(col("l_shipdate")) === y)
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(col("l_quantity").cast("long")).as(s"q$y"))
+      val d = yr(1998).join(yr(1999), Seq("part"))
+        .where(col("q1999") =!= col("q1998"))
+        .select((col("q1999") - col("q1998")).as("d"),
+          abs(col("q1999") - col("q1998")).as("av"))
+      val vd = d.groupBy(col("av"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+      // distinct-|d| value dim is range-bounded → the ordered window
+      // runs over a dim, never the panel
+      val r = vd.withColumn("less",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("av"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      r.agg(sum(col("cnt")).as("n"),
+        sum(col("pos") * (lit(2) * col("less") + col("cnt") + 1))
+          .as("w2"))
+        .select(col("n").as("n_pairs"), col("w2"),
+          expr(s"CAST(floor(CAST(1000.0 * $z AS DECIMAL(28,6))) " +
+            "AS BIGINT)").as("z_milli"))
+    }
+  }
+
+  /** Association between customer market segment and order priority:
+    * the full contingency table's chi-square from exact integer
+    * (O·N − R·C)² terms (each cell micro-quantized before the
+    * 25-term sum) and Cramér's V — "does WHO you sell to determine
+    * HOW urgently they order". min(r,c) comes from the data, not a
+    * constant. */
+  def q410: Q = {
+    val term = "CAST(floor(CAST(1000000.0 * " +
+      "(CAST(o * nn - r * c AS DOUBLE) * CAST(o * nn - r * c AS DOUBLE))" +
+      " / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))" +
+      " AS DECIMAL(28,6))) AS BIGINT)"
+    val v = "sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)" +
+      " / (CAST(nn AS DOUBLE) * CAST(mindim AS DOUBLE)))"
+    Q("q410_segment_priority_cramers_v",
+      Some(s"""
+        |WITH so AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cell AS (SELECT seg, pri, count(*) AS o FROM so GROUP BY 1, 2),
+        |rr AS (SELECT seg, sum(o) AS r FROM cell GROUP BY 1),
+        |cc AS (SELECT pri, sum(o) AS c FROM cell GROUP BY 1),
+        |t AS (SELECT sum(o) AS nn,
+        |             least(count(DISTINCT seg), count(DISTINCT pri)) - 1
+        |               AS mindim
+        |      FROM cell),
+        |terms AS (
+        |  SELECT $term AS tm
+        |  FROM cell JOIN rr USING (seg) JOIN cc USING (pri) CROSS JOIN t),
+        |agg AS (SELECT sum(tm) AS chi2_micro FROM terms)
+        |SELECT CAST(t.nn AS BIGINT) AS n_orders,
+        |       CAST((SELECT count(*) FROM cell) AS BIGINT) AS n_cells,
+        |       CAST(agg.chi2_micro AS BIGINT) AS chi2_micro,
+        |       CAST(floor(CAST(1000.0 * $v AS DECIMAL(28,6))) AS BIGINT)
+        |         AS v_milli
+        |FROM agg CROSS JOIN t
+        |""".stripMargin)) { (s, dir) =>
+      val so = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("seg"), col("o_orderpriority").as("pri"))
+      val cell = so.groupBy(col("seg"), col("pri"))
+        .agg(count(lit(1)).as("o"))
+        .materialize() // 25-cell dim feeds margins, totals, and terms
+      val rr = cell.groupBy(col("seg")).agg(sum(col("o")).as("r"))
+      val ccM = cell.groupBy(col("pri")).agg(sum(col("o")).as("c"))
+      val t = cell.agg(sum(col("o")).as("nn"),
+        (least(countDistinct(col("seg")), countDistinct(col("pri")))
+          - 1).as("mindim"))
+      val nc = cell.agg(count(lit(1)).as("n_cells"))
+      cell.join(broadcast(rr), Seq("seg"))
+        .join(broadcast(ccM), Seq("pri"))
+        .crossJoin(broadcast(t))
+        .select(expr(term).as("tm"))
+        .agg(sum(col("tm")).as("chi2_micro"))
+        .crossJoin(broadcast(t))
+        .crossJoin(broadcast(nc))
+        .select(col("nn").as("n_orders"), col("n_cells"),
+          col("chi2_micro"),
+          expr(s"CAST(floor(CAST(1000.0 * $v AS DECIMAL(28,6))) " +
+            "AS BIGINT)").as("v_milli"))
     }
   }
 }
