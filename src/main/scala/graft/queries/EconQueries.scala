@@ -17,11 +17,11 @@ object EconQueries {
   val all: Seq[Q] = Seq(q401, q402, q403, q404, q405, q406, q407, q408,
     q409, q410)
 
-  private def dbl(x: String) = s"CAST($x AS DOUBLE)"
+  private[queries] def dbl(x: String) = s"CAST($x AS DOUBLE)"
 
   /** 3×3 determinant expanded along the first row — ONE definition so
     * the four Cramer matrices in q401 cannot disagree on op order. */
-  private def det3(m11: String, m12: String, m13: String,
+  private[queries] def det3(m11: String, m12: String, m13: String,
       m21: String, m22: String, m23: String,
       m31: String, m32: String, m33: String): String =
     s"($m11 * ($m22 * $m33 - $m23 * $m32)" +

@@ -27,7 +27,8 @@ object Registry {
       MlQueries.all ++ ExtQueries.all ++ CorpusQueries.all ++
       EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all ++
       CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
-      DemandQueries.all ++ EconQueries.all ++ OpsQueries.all
+      DemandQueries.all ++ EconQueries.all ++ OpsQueries.all ++
+      DecisionQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

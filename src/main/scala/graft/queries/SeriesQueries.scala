@@ -21,7 +21,7 @@ object SeriesQueries {
     * q365 — ONE definition of "session" so bounce and conversion can
     * never disagree about boundaries. Emits g(user_id, t, event_id,
     * event_type, grp). */
-  private def sqlSessionCtes: String =
+  private[queries] def sqlSessionCtes: String =
     """e AS (
       |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
       |  FROM events),
@@ -39,7 +39,7 @@ object SeriesQueries {
 
   /** Spark side of [[sqlSessionCtes]]: events with the session group
     * id attached (columns user_id, ts, event_id, event_type, grp). */
-  private def sessionized(s: org.apache.spark.sql.SparkSession,
+  private[queries] def sessionized(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
