@@ -10,7 +10,8 @@ import graft.Tables
   * perplexity, and an l-diversity privacy audit. */
 object DynamicsQueries {
 
-  val all: Seq[Q] = Seq(q426, q427, q428, q429, q430)
+  val all: Seq[Q] = Seq(q426, q427, q428, q429, q430, q431, q432, q433,
+    q434, q435)
 
   /** Holt-Winters one-step-ahead backtest: q400's fold additionally
     * accumulates |x − (l+b+s_j)| (full model) and |x − (l+b)|
@@ -381,5 +382,494 @@ object DynamicsQueries {
         expr("CAST((1000000 * sum(cnt)) div max(rows_) AS BIGINT)")
           .as("share_ppm"))
       .orderBy(col("l"))
+  }
+
+  /** 0/1 knapsack over the top-50 revenue parts (weight = p_size,
+    * value = net revenue deci-dollars, capacity 200): the exact DP —
+    * each item updates the 201-slot value vector from the PREVIOUS
+    * vector only, so the oracle replays it as a recursive CTE with a
+    * plain list_transform (no intra-row dependency) and the Spark
+    * side folds item-by-item. Pure integers. */
+  def q431: Q = {
+    val cap = 200
+    val topN = 50
+    Q("q431_knapsack_promo_bundle",
+      Some(s"""
+        |WITH RECURSIVE rev AS (
+        |  SELECT l_partkey AS part,
+        |         sum(CAST(floor(CAST(l_extendedprice * (1.0 - l_discount)
+        |              AS DECIMAL(18,9)) * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |items AS (
+        |  SELECT rn, wt, v FROM (
+        |    SELECT row_number() OVER (ORDER BY r.cents DESC, r.part)
+        |             AS rn,
+        |           CAST(p.p_size AS BIGINT) AS wt,
+        |           r.cents // 1000 AS v
+        |    FROM rev r JOIN part p ON p.p_partkey = r.part)
+        |  WHERE rn <= $topN),
+        |dp AS (
+        |  SELECT 0 AS j, list_transform(range(0, ${cap + 1}),
+        |           x -> CAST(0 AS BIGINT)) AS colv
+        |  UNION ALL
+        |  SELECT dp.j + 1,
+        |         list_transform(range(1, ${cap + 2}), wi ->
+        |           CASE WHEN wi - 1 >= it.wt
+        |                THEN greatest(dp.colv[wi],
+        |                              dp.colv[wi - it.wt] + it.v)
+        |                ELSE dp.colv[wi] END) AS colv
+        |  FROM dp JOIN items it ON it.rn = dp.j + 1
+        |  WHERE dp.j < $topN)
+        |SELECT CAST($topN AS BIGINT) AS n_items,
+        |       CAST($cap AS BIGINT) AS capacity,
+        |       CAST(colv[${cap + 1}] AS BIGINT) AS best_value
+        |FROM dp WHERE j = $topN
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val items = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("part"))
+        .agg(sum(floor((col("l_extendedprice")
+            * (lit(1.0) - col("l_discount"))).cast("decimal(18,9)")
+            * 100).cast("long")).as("cents"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_size"))),
+          col("p_partkey") === col("part"))
+        .orderBy(col("cents").desc, col("part")).limit(topN)
+        .select(lit(0L).as("g"), col("cents"), col("part"),
+          col("p_size").cast("long").as("wt"),
+          expr("cents div 1000").as("v"))
+      val out = StructType(Seq(
+        StructField("best_value", LongType, nullable = false)))
+      graft.operators.OrderedFold.foldGroups[Array[Long]](
+        items, Seq("g"), Seq(col("cents").desc, col("part")), out)(
+        init = _ => Array.fill(cap + 1)(0L),
+        step = { case (dp, row) =>
+          val wt = row.getLong(3).toInt
+          val v = row.getLong(4)
+          val next = new Array[Long](cap + 1)
+          var w = 0
+          while (w <= cap) {
+            next(w) =
+              if (w >= wt) math.max(dp(w), dp(w - wt) + v) else dp(w)
+            w += 1
+          }
+          next
+        },
+        emit = (_, dp) => Iterator(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](dp(cap)))))
+        .select(lit(topN.toLong).as("n_items"),
+          lit(cap.toLong).as("capacity"), col("best_value"))
+    }
+  }
+
+  /** Hurst exponent of daily revenue by rescaled-range analysis:
+    * complete blocks of 8/16/32/64 days, per-block R/S from exact
+    * k-scaled integer deviations (range and variance share the same
+    * k·Σ scaling, so k cancels), block values micro-quantized before
+    * the per-k mean, Hurst = OLS slope of ln(R/S) on ln(k) over the
+    * four quantized points. */
+  def q432: Q = {
+    val rsFrag = "CAST(floor(CAST(1000000.0 * CAST(rng AS DOUBLE)" +
+      " / sqrt(CAST(v AS DOUBLE)) AS DECIMAL(28,6))) AS BIGINT)"
+    val slope = "CAST(floor(CAST(1000.0 * " +
+      "(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+      " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+      " AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q432_hurst_exponent",
+      Some(s"""
+        |WITH daily AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 AS d,
+        |         CAST(sum(CAST(l_extendedprice * 100 AS HUGEINT))
+        |              AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |ix AS (SELECT x, row_number() OVER (ORDER BY d) AS i
+        |       FROM daily),
+        |ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+        |blk AS (
+        |  SELECT ks.k, (ix.i - 1) // ks.k AS b, ix.i, ix.x
+        |  FROM ks JOIN ix ON TRUE),
+        |bs AS (
+        |  SELECT k, b, count(*) AS cnt, sum(x) AS sx,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM blk GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT blk.k, blk.b,
+        |         blk.k * CAST(sum(blk.x) OVER (PARTITION BY blk.k, blk.b
+        |           ORDER BY blk.i) AS BIGINT)
+        |           - (row_number() OVER (PARTITION BY blk.k, blk.b
+        |              ORDER BY blk.i)) * CAST(bs.sx AS BIGINT) AS w
+        |  FROM blk JOIN bs ON bs.k = blk.k AND bs.b = blk.b
+        |  WHERE bs.cnt = blk.k),
+        |rb AS (
+        |  SELECT cw.k, cw.b, max(cw.w) - min(cw.w) AS rng,
+        |         max(CAST(bs.k AS HUGEINT) * bs.sxx
+        |             - CAST(bs.sx AS HUGEINT) * bs.sx) AS v
+        |  FROM cw JOIN bs ON bs.k = cw.k AND bs.b = cw.b
+        |  GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT k, count(*) AS nb,
+        |         sum($rsFrag) // count(*) AS rs_micro
+        |  FROM rb WHERE v > 0 GROUP BY 1),
+        |pts AS (
+        |  SELECT CAST(floor(CAST(1000000.0 * ln(CAST(k AS DOUBLE))
+        |           AS DECIMAL(28,6))) AS BIGINT) AS px,
+        |         CAST(floor(CAST(1000000.0 *
+        |           ln(CAST(rs_micro AS DOUBLE) / 1000000.0)
+        |           AS DECIMAL(28,6))) AS BIGINT) AS py
+        |  FROM rs),
+        |mm AS (
+        |  SELECT count(*) AS np, sum(px) AS sx, sum(py) AS sy,
+        |         sum(CAST(px AS HUGEINT) * py) AS sxy,
+        |         sum(CAST(px AS HUGEINT) * px) AS sxx
+        |  FROM pts)
+        |SELECT CAST((SELECT count(*) FROM ix) AS BIGINT) AS n_days,
+        |       (SELECT CAST(rs_micro AS BIGINT) FROM rs WHERE k = 8)
+        |         AS rs8_micro,
+        |       (SELECT CAST(rs_micro AS BIGINT) FROM rs WHERE k = 16)
+        |         AS rs16_micro,
+        |       (SELECT CAST(rs_micro AS BIGINT) FROM rs WHERE k = 32)
+        |         AS rs32_micro,
+        |       (SELECT CAST(rs_micro AS BIGINT) FROM rs WHERE k = 64)
+        |         AS rs64_micro,
+        |       $slope AS hurst_milli
+        |FROM mm
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = "decimal(38,0)"
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+          "div 86400000000").as("d"))
+        .agg(expr("CAST(sum(CAST(l_extendedprice * 100 " +
+          "AS DECIMAL(38,0))) AS BIGINT)").as("x"))
+      // day dim is calendar-bounded → the index window is fine
+      val ix = daily
+        .withColumn("i", row_number().over(Window.orderBy(col("d")))
+          .cast("long"))
+        .select(col("i"), col("x"))
+        .materialize() // feeds all four k passes AND the day count
+      val nDays = ix.agg(count(lit(1)).as("n_days"))
+      val ks = s.createDataFrame(Seq(8L, 16L, 32L, 64L).map(Tuple1(_)))
+        .toDF("k")
+      val blk = ks.crossJoin(ix)
+        .select(col("k"), expr("(i - 1) div k").as("b"), col("i"),
+          col("x"))
+      val bs = blk.groupBy(col("k").as("__bk"), col("b").as("__bb"))
+        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("bsx"),
+          sum(col("x").cast(d38) * col("x")).cast(d38).as("bsxx"))
+      val wBlk = Window.partitionBy(col("k"), col("b"))
+        .orderBy(col("i"))
+      val cw = blk.join(broadcast(bs),
+          col("__bk") === col("k") && col("__bb") === col("b"))
+        .where(col("cnt") === col("k"))
+        .withColumn("w", col("k") * sum(col("x")).over(wBlk)
+          - row_number().over(wBlk).cast("long") * col("bsx"))
+      val rb = cw.groupBy(col("k"), col("b"))
+        .agg((max(col("w")) - min(col("w"))).as("rng"),
+          max(col("k").cast(d38) * col("bsxx")
+            - col("bsx").cast(d38) * col("bsx")).as("v"))
+      val rs = rb.where(col("v") > 0)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("nb"),
+          expr(s"sum($rsFrag) div count(1)").as("rs_micro"))
+        .materialize() // 4-row dim feeds the pivot AND the fit
+      val pts = rs.select(
+        expr("CAST(floor(CAST(1000000.0 * ln(CAST(k AS DOUBLE)) " +
+          "AS DECIMAL(28,6))) AS BIGINT)").as("px"),
+        expr("CAST(floor(CAST(1000000.0 * " +
+          "ln(CAST(rs_micro AS DOUBLE) / 1000000.0) " +
+          "AS DECIMAL(28,6))) AS BIGINT)").as("py"))
+      val mm = pts.agg(count(lit(1)).as("np"), sum(col("px")).as("sx"),
+        sum(col("py")).as("sy"),
+        sum(col("px").cast(d38) * col("py")).cast(d38).as("sxy"),
+        sum(col("px").cast(d38) * col("px")).cast(d38).as("sxx"))
+      val piv = rs.groupBy()
+        .agg(max(when(col("k") === 8, col("rs_micro"))).as("rs8_micro"),
+          max(when(col("k") === 16, col("rs_micro"))).as("rs16_micro"),
+          max(when(col("k") === 32, col("rs_micro"))).as("rs32_micro"),
+          max(when(col("k") === 64, col("rs_micro"))).as("rs64_micro"))
+      mm.crossJoin(broadcast(piv)).crossJoin(broadcast(nDays))
+        .select(col("n_days"), col("rs8_micro"), col("rs16_micro"),
+          col("rs32_micro"), col("rs64_micro"),
+          expr(slope).as("hurst_milli"))
+    }
+  }
+
+  /** Kleinberg two-state burst detection on daily order volume:
+    * Viterbi over {base rate r₀ = mean, burst rate r₁ = 2r₀} with
+    * Poisson costs rate − c·ln(rate) and an ln(n) up-transition
+    * penalty; each state's path metadata (burst count, burst days)
+    * follows its argmin predecessor with PINNED tie-breaks (down on
+    * tie, stay-up on tie). The fold is one IEEE-pinned op sequence
+    * in both engines; rates are exact-count ratios. */
+  def q433: Q = {
+    def qm(x: String) =
+      s"CAST(floor(CAST(($x) * 1000 AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q433_burst_detection",
+      Some(s"""
+        |WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS sc
+        |      FROM daily),
+        |v AS (
+        |  SELECT t.n,
+        |         CAST(t.sc AS DOUBLE) / CAST(t.n AS DOUBLE) AS r0,
+        |         2.0 * (CAST(t.sc AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |           AS r1,
+        |         ln(CAST(t.n AS DOUBLE)) AS pen,
+        |         (SELECT list({'c0': CAST(0.0 AS DOUBLE),
+        |                       'c1': CAST(0.0 AS DOUBLE),
+        |                       'i0': CAST(0 AS BIGINT),
+        |                       'd0': CAST(0 AS BIGINT),
+        |                       'i1': CAST(0 AS BIGINT),
+        |                       'd1': CAST(0 AS BIGINT),
+        |                       'x': CAST(c AS DOUBLE)} ORDER BY d)
+        |          FROM daily) AS vals
+        |  FROM t),
+        |f AS (
+        |  SELECT n, list_reduce(
+        |    list_prepend([{'c0': CAST(0.0 AS DOUBLE),
+        |                   'c1': CAST(1000000.0 AS DOUBLE),
+        |                   'i0': CAST(0 AS BIGINT),
+        |                   'd0': CAST(0 AS BIGINT),
+        |                   'i1': CAST(0 AS BIGINT),
+        |                   'd1': CAST(0 AS BIGINT),
+        |                   'x': CAST(0.0 AS DOUBLE)}],
+        |      list_transform(vals, x -> [x])),
+        |    (acc, e) -> [{
+        |      'c0': CASE WHEN acc[1].c1 < acc[1].c0 THEN acc[1].c1
+        |                 ELSE acc[1].c0 END
+        |            + (r0 - e[1].x * ln(r0)),
+        |      'c1': CASE WHEN acc[1].c0 + pen < acc[1].c1
+        |                 THEN acc[1].c0 + pen ELSE acc[1].c1 END
+        |            + (r1 - e[1].x * ln(r1)),
+        |      'i0': CASE WHEN acc[1].c1 < acc[1].c0 THEN acc[1].i1
+        |                 ELSE acc[1].i0 END,
+        |      'd0': CASE WHEN acc[1].c1 < acc[1].c0 THEN acc[1].d1
+        |                 ELSE acc[1].d0 END,
+        |      'i1': CASE WHEN acc[1].c0 + pen < acc[1].c1
+        |                 THEN acc[1].i0 + 1 ELSE acc[1].i1 END,
+        |      'd1': CASE WHEN acc[1].c0 + pen < acc[1].c1
+        |                 THEN acc[1].d0 ELSE acc[1].d1 END + 1,
+        |      'x': e[1].x}]) AS st
+        |  FROM v)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |       CAST(CASE WHEN st[1].c0 <= st[1].c1 THEN st[1].i0
+        |                 ELSE st[1].i1 END AS BIGINT) AS n_bursts,
+        |       CAST(CASE WHEN st[1].c0 <= st[1].c1 THEN st[1].d0
+        |                 ELSE st[1].d1 END AS BIGINT) AS burst_days,
+        |       ${qm("st[1].c0")} AS cost0_milli,
+        |       ${qm("st[1].c1")} AS cost1_milli
+        |FROM f
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+          "div 86400000000").as("d"))
+        .agg(count(lit(1)).as("c"))
+        .select(lit(0L).as("g"), col("d"), col("c"))
+        .materialize() // feeds the rate scalar AND the fold
+      // rate scalars: 1-row bounded collect, same ratio both engines
+      val tRow = daily.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .collect()(0)
+      val n = tRow.getLong(0); val sc = tRow.getLong(1)
+      val r0 = sc.toDouble / n.toDouble
+      val r1 = 2.0 * (sc.toDouble / n.toDouble)
+      val pen = math.log(n.toDouble)
+      val out = StructType(Seq(
+        StructField("n_days", LongType, nullable = false),
+        StructField("nb", LongType, nullable = false),
+        StructField("bd", LongType, nullable = false),
+        StructField("c0", DoubleType, nullable = false),
+        StructField("c1", DoubleType, nullable = false)))
+      case class Vit(c0: Double, c1: Double, i0: Long, d0: Long,
+        i1: Long, d1: Long, nn: Long)
+      graft.operators.OrderedFold.foldGroups[Vit](
+        daily, Seq("g"), Seq(col("d")), out)(
+        init = _ => Vit(0.0, 1000000.0, 0L, 0L, 0L, 0L, 0L),
+        step = { case (st, row) =>
+          val x = row.getLong(2).toDouble
+          val down = st.c1 < st.c0
+          val base0 = if (down) st.c1 else st.c0
+          val up = st.c0 + pen
+          val upWins = up < st.c1
+          val base1 = if (upWins) up else st.c1
+          Vit(base0 + (r0 - x * math.log(r0)),
+            base1 + (r1 - x * math.log(r1)),
+            if (down) st.i1 else st.i0,
+            if (down) st.d1 else st.d0,
+            if (upWins) st.i0 + 1 else st.i1,
+            (if (upWins) st.d0 else st.d1) + 1,
+            st.nn + 1)
+        },
+        emit = (_, st) => {
+          val zero = st.c0 <= st.c1
+          Iterator(
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](st.nn, if (zero) st.i0 else st.i1,
+                if (zero) st.d0 else st.d1, st.c0, st.c1)))
+        })
+        .select(col("n_days"), col("nb").as("n_bursts"),
+          col("bd").as("burst_days"),
+          expr(qm("c0")).as("cost0_milli"),
+          expr(qm("c1")).as("cost1_milli"))
+    }
+  }
+
+  /** Borda and Condorcet rank aggregation over q412's three supplier
+    * criteria (revenue ↑, return rate ↓, lead time ↓): Borda score =
+    * Σ (n − rank_j), pairwise wins = majority-of-criteria dominance
+    * counts, and the Condorcet flag (beats every other supplier).
+    * All integer; the three rank windows run over the supplier
+    * dim. */
+  def q434: Q = Q(
+    "q434_borda_condorcet",
+    Some("""
+      |WITH su AS (
+      |  SELECT l.l_suppkey AS supp,
+      |         sum(CAST(floor(CAST(l.l_extendedprice
+      |              * (1.0 - l.l_discount) AS DECIMAL(18,9)) * 100)
+      |              AS BIGINT)) AS rev,
+      |         (1000000 * sum(CASE WHEN l.l_returnflag = 'R'
+      |                        THEN 1 ELSE 0 END)) // count(*) AS ret,
+      |         (1000 * sum(date_diff('day', o.o_orderdate,
+      |                               l.l_shipdate))) // count(*) AS ld
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1),
+      |rk AS (
+      |  SELECT supp, rev, ret, ld,
+      |         row_number() OVER (ORDER BY rev DESC, supp) AS r1,
+      |         row_number() OVER (ORDER BY ret, supp) AS r2,
+      |         row_number() OVER (ORDER BY ld, supp) AS r3,
+      |         count(*) OVER () AS n
+      |  FROM su),
+      |borda AS (
+      |  SELECT supp, CAST((n - r1) + (n - r2) + (n - r3) AS BIGINT)
+      |           AS borda, r1, r2, r3, n
+      |  FROM rk),
+      |wins AS (
+      |  SELECT a.supp, count(*) AS wins
+      |  FROM rk a JOIN rk b ON a.supp <> b.supp
+      |  WHERE (CASE WHEN a.r1 < b.r1 THEN 1 ELSE 0 END
+      |         + CASE WHEN a.r2 < b.r2 THEN 1 ELSE 0 END
+      |         + CASE WHEN a.r3 < b.r3 THEN 1 ELSE 0 END) >= 2
+      |  GROUP BY 1)
+      |SELECT CAST(b.supp AS BIGINT) AS supp, b.borda,
+      |       CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+      |       CAST(CASE WHEN coalesce(w.wins, 0) = b.n - 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_condorcet
+      |FROM borda b LEFT JOIN wins w ON w.supp = b.supp
+      |ORDER BY b.borda DESC, b.supp LIMIT 10
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val su = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_suppkey").as("supp"))
+      .agg(sum(floor((col("l_extendedprice")
+          * (lit(1.0) - col("l_discount"))).cast("decimal(18,9)") * 100)
+          .cast("long")).as("net"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("sl"),
+        count(lit(1)).as("cnt"))
+      .select(col("supp"), col("net").as("rev"),
+        expr("(1000000 * nr) div cnt").as("ret"),
+        expr("(1000 * sl) div cnt").as("ld"))
+    // supplier dim: the three rank windows are dim-bounded
+    val rk = su
+      .withColumn("r1", row_number().over(
+        Window.orderBy(col("rev").desc, col("supp"))).cast("long"))
+      .withColumn("r2", row_number().over(
+        Window.orderBy(col("ret"), col("supp"))).cast("long"))
+      .withColumn("r3", row_number().over(
+        Window.orderBy(col("ld"), col("supp"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+      .materialize() // feeds Borda AND both pairwise legs
+    val borda = rk.select(col("supp"),
+      ((col("n") - col("r1")) + (col("n") - col("r2"))
+        + (col("n") - col("r3"))).as("borda"), col("n"))
+    val wins = rk.select(col("supp"), col("r1"), col("r2"), col("r3"))
+      .join(rk.select(col("supp").as("__bs"), col("r1").as("__b1"),
+        col("r2").as("__b2"), col("r3").as("__b3")),
+        col("supp") =!= col("__bs"))
+      .where((when(col("r1") < col("__b1"), 1).otherwise(0)
+        + when(col("r2") < col("__b2"), 1).otherwise(0)
+        + when(col("r3") < col("__b3"), 1).otherwise(0)) >= 2)
+      .groupBy(col("supp").as("__ws")).agg(count(lit(1)).as("wins"))
+    borda.join(wins, col("supp") === col("__ws"), "left")
+      .select(col("supp"), col("borda"),
+        coalesce(col("wins"), lit(0L)).as("wins"),
+        when(coalesce(col("wins"), lit(0L)) === col("n") - 1, 1L)
+          .otherwise(0L).as("is_condorcet"))
+      .orderBy(col("borda").desc, col("supp")).limit(10)
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between urgent and
+    * non-urgent order totals on a $100 grid: W₁ = binwidth ·
+    * Σ|F₁ − F₂| with the CDF difference cross-multiplied to exact
+    * integers — the optimal-transport sibling of q345's KS and
+    * q424's AD. Bin dim is value-range-bounded. */
+  def q435: Q = Q(
+    "q435_wasserstein_order_totals",
+    Some("""
+      |WITH v AS (
+      |  SELECT CAST(o_totalprice * 100 AS BIGINT) // 10000 AS bin,
+      |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |           AS is_x
+      |  FROM orders),
+      |bd AS (
+      |  SELECT bin, sum(is_x) AS cx, count(*) - sum(is_x) AS cy
+      |  FROM v GROUP BY 1),
+      |t AS (SELECT CAST(sum(cx) AS BIGINT) AS nx,
+      |             CAST(sum(cy) AS BIGINT) AS ny FROM bd),
+      |c AS (
+      |  SELECT bin,
+      |         CAST(sum(cx) OVER (ORDER BY bin) AS BIGINT) AS fx,
+      |         CAST(sum(cy) OVER (ORDER BY bin) AS BIGINT) AS fy
+      |  FROM bd),
+      |agg AS (
+      |  SELECT sum(abs(CAST(c.fx AS HUGEINT) * t.ny
+      |                 - CAST(c.fy AS HUGEINT) * t.nx)) AS sd
+      |  FROM c CROSS JOIN t)
+      |SELECT t.nx AS n_urgent, t.ny AS n_other,
+      |       CAST((SELECT count(*) FROM bd) AS BIGINT) AS n_bins,
+      |       CAST((10000 * agg.sd) // (CAST(t.nx AS HUGEINT) * t.ny)
+      |            AS BIGINT) AS w1_cents
+      |FROM agg CROSS JOIN t
+      |""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val bd = Tables.orders(s, dir)
+      .select(expr("CAST(o_totalprice * 100 AS DECIMAL(38,0))" +
+        " div 10000").as("bin"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("is_x"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_x")).as("cx"),
+        (count(lit(1)) - sum(col("is_x"))).as("cy"))
+      .materialize() // $100-bin dim feeds totals AND the CDF walk
+    val t = bd.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+    val nb = bd.agg(count(lit(1)).as("n_bins"))
+    // bin dim is value-range-bounded → the CDF window is fine
+    val c = bd
+      .withColumn("fx", sum(col("cx")).over(Window.orderBy(col("bin"))))
+      .withColumn("fy", sum(col("cy")).over(Window.orderBy(col("bin"))))
+    c.crossJoin(broadcast(t))
+      .select(abs(col("fx").cast(d38) * col("ny")
+        - col("fy").cast(d38) * col("nx")).as("ad"))
+      .agg(sum(col("ad")).cast(d38).as("sd"))
+      .crossJoin(broadcast(t))
+      .crossJoin(broadcast(nb))
+      .select(col("nx").as("n_urgent"), col("ny").as("n_other"),
+        col("n_bins"),
+        expr("CAST((10000 * sd) div (CAST(nx AS DECIMAL(38,0)) * ny) " +
+          "AS BIGINT)").as("w1_cents"))
   }
 }
