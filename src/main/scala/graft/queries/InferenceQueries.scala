@@ -12,7 +12,8 @@ import graft.Tables
   * so both engines replay identical "randomness". */
 object InferenceQueries {
 
-  val all: Seq[Q] = Seq(q436, q437, q438, q439, q440)
+  val all: Seq[Q] = Seq(q436, q437, q438, q439, q440, q441, q442, q443,
+    q444, q445)
 
   /** Bootstrap CI for mean daily revenue: 50 replicates resample the
     * day dim with the q31 LCG (seed = b·100003 + j — pure integer,
@@ -325,5 +326,447 @@ object InferenceQueries {
         expr("CAST(wc_fifo div 1000000 AS BIGINT)").as("wc_fifo_m"),
         expr("CAST((1000 * wc_spt) div wc_fifo AS BIGINT)")
           .as("ratio_milli"))
+  }
+
+  /** Intraclass correlation + design effect of customer clustering:
+    * one-way random-effects ANOVA over order values grouped by
+    * customer (per-group S²/n terms micro-quantized before the sums,
+    * so both engines add the same integers), ICC =
+    * (MSB − MSW)/(MSB + (n₀−1)·MSW), deff = 1 + (m̄−1)·ICC — "how
+    * much do customer clusters inflate a sampled estimate's
+    * variance". */
+  def q441: Q = {
+    val msb = "(CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))"
+    val msw = "((CAST(sst AS DOUBLE) - CAST(ssb AS DOUBLE))" +
+      " / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))"
+    val n0 = "((CAST(nn AS DOUBLE)" +
+      " - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))" +
+      " / (CAST(k AS DOUBLE) - 1.0))"
+    val icc = s"(($msb - $msw) / ($msb + ($n0 - 1.0) * $msw))"
+    val deff = s"(1.0 + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0)" +
+      s" * $icc)"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q441_icc_design_effect",
+      Some(s"""
+        |WITH v AS (
+        |  SELECT o_custkey AS g,
+        |         CAST(o_totalprice * 100 AS BIGINT) // 100 AS y
+        |  FROM orders),
+        |gg AS (
+        |  SELECT g, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM v GROUP BY 1),
+        |gt AS (
+        |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(sy) AS BIGINT) AS s,
+        |         sum(CAST(n AS HUGEINT) * n) AS sn2,
+        |         sum(CAST(floor(CAST(
+        |           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |           / CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS BIGINT))
+        |           AS sa
+        |  FROM gg),
+        |tt AS (SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT)
+        |         AS syy FROM v),
+        |st AS (
+        |  SELECT gt.k, gt.nn, gt.sn2,
+        |         gt.sa - CAST(floor(CAST(
+        |           CAST(gt.s AS DOUBLE) * CAST(gt.s AS DOUBLE)
+        |           / CAST(gt.nn AS DOUBLE) AS DECIMAL(28,6)))
+        |           AS BIGINT) AS ssb,
+        |         tt.syy - CAST(floor(CAST(
+        |           CAST(gt.s AS DOUBLE) * CAST(gt.s AS DOUBLE)
+        |           / CAST(gt.nn AS DOUBLE) AS DECIMAL(28,6)))
+        |           AS BIGINT) AS sst
+        |  FROM gt CROSS JOIN tt)
+        |SELECT CAST(k AS BIGINT) AS n_customers,
+        |       CAST(nn AS BIGINT) AS n_orders,
+        |       ${qm(icc, "1000000")} AS icc_micro,
+        |       ${qm(n0, "1000")} AS n0_milli,
+        |       ${qm(deff, "1000")} AS deff_milli
+        |FROM st
+        |""".stripMargin)) { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val v = Tables.orders(s, dir)
+        .select(col("o_custkey").as("g"),
+          expr("CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0)) " +
+            "AS BIGINT) div 100").as("y"))
+        .materialize() // order fact feeds groups AND the total SS
+      val gg = v.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val gt = gg.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+        sum(col("sy")).as("s"),
+        sum(col("n").cast(d38) * col("n")).cast(d38).as("sn2"),
+        sum(expr("CAST(floor(CAST(CAST(sy AS DOUBLE) " +
+          "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) " +
+          "AS DECIMAL(28,6))) AS BIGINT)")).as("sa"))
+      val tt = v.agg(expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) " +
+        "AS BIGINT)").as("syy"))
+      gt.crossJoin(broadcast(tt))
+        .select(col("k"), col("nn"), col("sn2"),
+          (col("sa") - expr("CAST(floor(CAST(" +
+            "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) " +
+            "/ CAST(nn AS DOUBLE) AS DECIMAL(28,6))) AS BIGINT)"))
+            .as("ssb"),
+          (col("syy")
+            - expr("CAST(floor(CAST(" +
+              "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) " +
+              "/ CAST(nn AS DOUBLE) AS DECIMAL(28,6))) AS BIGINT)"))
+            .as("sst"))
+        .select(col("k").as("n_customers"), col("nn").as("n_orders"),
+          expr(qm(icc, "1000000")).as("icc_micro"),
+          expr(qm(n0, "1000")).as("n0_milli"),
+          expr(qm(deff, "1000")).as("deff_milli"))
+    }
+  }
+
+  /** Small-world sigma of the co-purchase graph: global clustering C
+    * (3·triangles/wedges, q326's census) and characteristic path
+    * length L (mean hub-BFS distance, q398's frontier rounds)
+    * against the G(n,m) baselines C_r = k̄/n, L_r = ln n/ln k̄ —
+    * σ = (C/C_r)/(L/L_r) > 1 reads "small world". All counts exact;
+    * one fragment family for the ratios. */
+  def q442: Q = {
+    val nSrc = 50
+    val maxD = 4
+    val kbar = "(2.0 * CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+    val cObs = "(3.0 * CAST(tri AS DOUBLE) / CAST(wedges AS DOUBLE))"
+    val cRand = s"($kbar / CAST(n AS DOUBLE))"
+    val lObs = "(CAST(sd AS DOUBLE) / CAST(cnt AS DOUBLE))"
+    val lRand = s"(ln(CAST(n AS DOUBLE)) / ln($kbar))"
+    val sigma = s"(($cObs / $cRand) / ($lObs / $lRand))"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q442_small_world_sigma",
+      Some(s"""
+        |WITH RECURSIVE ${SeriesQueries.sqlCopurchaseEdgeCtes},
+        |e2 AS (SELECT pa AS a, pb AS b FROM e
+        |       UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT a, count(*) AS dg FROM e2 GROUP BY 1),
+        |gs AS (SELECT count(*) AS n, CAST(sum(dg) AS BIGINT) // 2 AS m,
+        |              CAST(sum(dg * (dg - 1)) AS BIGINT) // 2 AS wedges
+        |       FROM deg),
+        |tri AS (
+        |  SELECT count(*) AS tri
+        |  FROM e e1 JOIN e e2x ON e1.pb = e2x.pa
+        |       JOIN e e3 ON e1.pa = e3.pa AND e2x.pb = e3.pb),
+        |src AS (SELECT a FROM deg ORDER BY dg DESC, a LIMIT $nSrc),
+        |bfs AS (
+        |  SELECT a AS s, a AS v, 0 AS d FROM src
+        |  UNION
+        |  SELECT bfs.s, e2.b, bfs.d + 1
+        |  FROM bfs JOIN e2 ON e2.a = bfs.v
+        |  WHERE bfs.d < $maxD),
+        |sp AS (SELECT s, v, min(d) AS d FROM bfs WHERE s <> v
+        |       GROUP BY 1, 2),
+        |ls AS (SELECT CAST(sum(d) AS BIGINT) AS sd, count(*) AS cnt
+        |       FROM sp)
+        |SELECT CAST(gs.n AS BIGINT) AS n_nodes,
+        |       CAST(gs.m AS BIGINT) AS n_edges,
+        |       CAST(tri.tri AS BIGINT) AS n_triangles,
+        |       ${qm(cObs, "1000000")} AS c_micro,
+        |       ${qm(lObs, "1000")} AS l_milli,
+        |       ${qm(sigma, "1000")} AS sigma_milli
+        |FROM gs CROSS JOIN tri CROSS JOIN ls
+        |""".stripMargin)) { (s, dir) =>
+      val e = SeriesQueries.copurchaseEdges(s, dir)
+      val e2 = e.select(col("pa").as("a"), col("pb").as("b"))
+        .unionAll(e.select(col("pb").as("a"), col("pa").as("b")))
+        .materialize()
+      val deg = e2.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .materialize()
+      val gs = deg.agg(count(lit(1)).as("n"),
+        expr("CAST(sum(dg) AS BIGINT) div 2").as("m"),
+        expr("CAST(sum(dg * (dg - 1)) AS BIGINT) div 2").as("wedges"))
+      val tri = e.select(col("pa").as("a1"), col("pb").as("b1"))
+        .join(broadcast(e.select(col("pa").as("a2"), col("pb").as("b2"))),
+          col("b1") === col("a2"))
+        .join(broadcast(e.select(col("pa").as("a3"), col("pb").as("b3"))),
+          col("a1") === col("a3") && col("b2") === col("b3"))
+        .agg(count(lit(1)).as("tri"))
+      val src = deg.orderBy(col("dg").desc, col("a")).limit(nSrc)
+        .select(col("a").as("s"))
+      var dist = src.select(col("s"), col("s").as("v"), lit(0L).as("d"))
+        .materialize()
+      var frontier = dist
+      for (k <- 1 to maxD) {
+        val nxt = frontier
+          .join(e2.select(col("a").as("__ea"), col("b").as("__eb")),
+            col("v") === col("__ea"))
+          .select(col("s"), col("__eb").as("v")).distinct()
+          .join(dist.select(col("s").as("__ds"), col("v").as("__dv")),
+            col("s") === col("__ds") && col("v") === col("__dv"),
+            "left_anti")
+          .select(col("s"), col("v"), lit(k.toLong).as("d"))
+          .materialize()
+        dist = dist.unionAll(nxt).materialize()
+        frontier = nxt
+      }
+      val ls = dist.where(col("s") =!= col("v"))
+        .agg(sum(col("d")).as("sd"), count(lit(1)).as("cnt"))
+      gs.crossJoin(broadcast(tri)).crossJoin(broadcast(ls))
+        .select(col("n").as("n_nodes"), col("m").as("n_edges"),
+          col("tri").as("n_triangles"),
+          expr(qm(cObs, "1000000")).as("c_micro"),
+          expr(qm(lObs, "1000")).as("l_milli"),
+          expr(qm(sigma, "1000")).as("sigma_milli"))
+    }
+  }
+
+  /** Granger-lite causality: does Brand#1's monthly unit price help
+    * predict Brand#2's monthly quantity beyond its own AR(1) past?
+    * Restricted R² = corr(y_t, y_{t−1})², full R² from q417's
+    * two-regressor closed form, F = (R²f − R²r)·(n−3)/(1 − R²f).
+    * Month-dim value joins, exact integer moments, shared
+    * fragments. */
+  def q443: Q = {
+    def corr(sxy: String, sx: String, sy: String, sxx: String,
+        syy: String) =
+      s"((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)" +
+        s" - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))" +
+        s" / sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)" +
+        s" - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))" +
+        s" * (CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)" +
+        s" - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))))"
+    val r2f = "CASE WHEN 1.0 - r12 * r12 <> 0.0 THEN" +
+      " (r1 * r1 + r2 * r2 - 2.0 * r1 * r2 * r12)" +
+      " / (1.0 - r12 * r12) END"
+    val f = "CASE WHEN rf < 1.0 THEN" +
+      " ((rf - rr) * (CAST(n AS DOUBLE) - 3.0)) / (1.0 - rf) END"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q443_granger_price_to_demand",
+      Some(s"""
+        |WITH bm AS (
+        |  SELECT p.p_brand AS b,
+        |         CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate)
+        |              AS BIGINT) AS ym,
+        |         sum(CAST(floor(CAST(l.l_extendedprice
+        |              * (1.0 - l.l_discount) AS DECIMAL(18,9)) * 100)
+        |              AS BIGINT)) AS net,
+        |         sum(CAST(l.l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+        |  GROUP BY 1, 2),
+        |xs AS (SELECT ym, (1000 * net) // qty AS x FROM bm
+        |       WHERE b = 'Brand#1'),
+        |ys AS (SELECT ym, CAST(qty AS BIGINT) AS y FROM bm
+        |       WHERE b = 'Brand#2'),
+        |tri AS (
+        |  SELECT cur.y AS y, prev.y AS yl, xp.x AS xl
+        |  FROM ys cur JOIN ys prev ON prev.ym = cur.ym - 1
+        |       JOIN xs xp ON xp.ym = cur.ym - 1),
+        |m AS (
+        |  SELECT count(*) AS n, sum(y) AS sy, sum(yl) AS syl,
+        |         sum(xl) AS sxl,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CAST(yl AS HUGEINT) * yl) AS syly,
+        |         sum(CAST(xl AS HUGEINT) * xl) AS sxlx,
+        |         sum(CAST(y AS HUGEINT) * yl) AS syyl,
+        |         sum(CAST(y AS HUGEINT) * xl) AS syxl,
+        |         sum(CAST(yl AS HUGEINT) * xl) AS sylxl
+        |  FROM tri),
+        |r AS (
+        |  SELECT n,
+        |         ${corr("syyl", "sy", "syl", "syy", "syly")} AS r1,
+        |         ${corr("syxl", "sy", "sxl", "syy", "sxlx")} AS r2,
+        |         ${corr("sylxl", "syl", "sxl", "syly", "sxlx")} AS r12
+        |  FROM m),
+        |ff AS (SELECT n, r1 * r1 AS rr, $r2f AS rf FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |       ${qm("rr", "1000")} AS r2_ar_milli,
+        |       ${qm("rf", "1000")} AS r2_full_milli,
+        |       ${qm(f, "1000")} AS f_milli
+        |FROM ff
+        |""".stripMargin)) { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val bm = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .where(col("p_brand").isin("Brand#1", "Brand#2"))
+          .select(col("p_partkey"), col("p_brand").as("b"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("b"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+            .cast("long").as("ym"))
+        .agg(sum(floor((col("l_extendedprice")
+            * (lit(1.0) - col("l_discount"))).cast("decimal(18,9)")
+            * 100).cast("long")).as("net"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .materialize() // month dim feeds both series
+      val xs = bm.where(col("b") === "Brand#1")
+        .select((col("ym") + 1).as("__xm"),
+          expr("(1000 * net) div qty").as("xl"))
+      val ys = bm.where(col("b") === "Brand#2")
+        .select(col("ym"), col("qty").as("y"))
+      val tri = ys
+        .join(bm.where(col("b") === "Brand#2")
+          .select((col("ym") + 1).as("__ym"), col("qty").as("yl")),
+          col("ym") === col("__ym"))
+        .join(xs, col("ym") === col("__xm"))
+        .select(col("y"), col("yl"), col("xl"))
+      val m = tri.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+        sum(col("y").cast(d38) * col("y")).cast(d38).as("syy"),
+        sum(col("yl").cast(d38) * col("yl")).cast(d38).as("syly"),
+        sum(col("xl").cast(d38) * col("xl")).cast(d38).as("sxlx"),
+        sum(col("y").cast(d38) * col("yl")).cast(d38).as("syyl"),
+        sum(col("y").cast(d38) * col("xl")).cast(d38).as("syxl"),
+        sum(col("yl").cast(d38) * col("xl")).cast(d38).as("sylxl"))
+      m.select(col("n"),
+        expr(corr("syyl", "sy", "syl", "syy", "syly")).as("r1"),
+        expr(corr("syxl", "sy", "sxl", "syy", "sxlx")).as("r2"),
+        expr(corr("sylxl", "syl", "sxl", "syly", "sxlx")).as("r12"))
+        .select(col("n"), (col("r1") * col("r1")).as("rr"),
+          expr(r2f).as("rf"))
+        .select(col("n").as("n_months"),
+          expr(qm("rr", "1000")).as("r2_ar_milli"),
+          expr(qm("rf", "1000")).as("r2_full_milli"),
+          expr(qm(f, "1000")).as("f_milli"))
+    }
+  }
+
+  /** Log-rank test between urgent and non-urgent ship lead times
+    * (q357's Kaplan-Meier sibling): at each distinct lead day,
+    * observed group-1 events vs the hypergeometric expectation over
+    * the shrinking risk sets (risk counts from cumulative sums over
+    * the bounded lead-day dim), per-day O−E and variance terms
+    * micro-quantized before the sums, final z one fragment. */
+  def q444: Q = {
+    val oe = "CAST(floor(CAST(1000000.0 * (CAST(d1 AS DOUBLE)" +
+      " - CAST(dj AS DOUBLE) * CAST(n1 AS DOUBLE)" +
+      " / CAST(nj AS DOUBLE)) AS DECIMAL(28,6))) AS BIGINT)"
+    val vt = "CASE WHEN nj > 1 THEN CAST(floor(CAST(1000000.0 *" +
+      " (CAST(dj AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE))" +
+      " * (1.0 - CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE))" +
+      " * (CAST(nj AS DOUBLE) - CAST(dj AS DOUBLE))" +
+      " / (CAST(nj AS DOUBLE) - 1.0)) AS DECIMAL(28,6))) AS BIGINT)" +
+      " ELSE 0 END"
+    val z = "CASE WHEN sv > 0 THEN CAST(floor(CAST(1000.0" +
+      " * (CAST(soe AS DOUBLE) / 1000000.0)" +
+      " / sqrt(CAST(sv AS DOUBLE) / 1000000.0)" +
+      " AS DECIMAL(28,6))) AS BIGINT) END"
+    Q("q444_logrank_lead_time",
+      Some(s"""
+        |WITH v AS (
+        |  SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS t,
+        |         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1
+        |              ELSE 0 END AS g1
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |td AS (
+        |  SELECT t, count(*) AS dj, sum(g1) AS d1 FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dj) AS BIGINT) AS nn,
+        |               CAST(sum(d1) AS BIGINT) AS nn1 FROM td),
+        |rs AS (
+        |  SELECT td.t, td.dj, td.d1,
+        |         tot.nn - CAST(coalesce(sum(td.dj) OVER (ORDER BY td.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS nj,
+        |         tot.nn1 - CAST(coalesce(sum(td.d1) OVER (ORDER BY td.t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS n1
+        |  FROM td CROSS JOIN tot),
+        |terms AS (SELECT $oe AS oe, $vt AS vt FROM rs),
+        |agg AS (SELECT sum(oe) AS soe, sum(vt) AS sv FROM terms)
+        |SELECT tot.nn1 AS n_urgent_lines,
+        |       CAST(tot.nn - tot.nn1 AS BIGINT) AS n_other_lines,
+        |       CAST(agg.soe AS BIGINT) AS oe_sum_micro,
+        |       $z AS z_milli
+        |FROM agg CROSS JOIN tot
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val td = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("long").as("t"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("g1"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("dj"), sum(col("g1")).as("d1"))
+        .materialize() // lead-day dim feeds totals AND risk sets
+      val tot = td.agg(sum(col("dj")).as("nn"), sum(col("d1")).as("nn1"))
+      // lead-day dim is range-bounded → the risk-set window is fine
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rs = td.crossJoin(broadcast(tot))
+        .withColumn("nj", col("nn")
+          - coalesce(sum(col("dj")).over(w), lit(0L)))
+        .withColumn("n1", col("nn1")
+          - coalesce(sum(col("d1")).over(w), lit(0L)))
+      rs.select(expr(oe).as("oe"), expr(vt).as("vt"))
+        .agg(sum(col("oe")).as("soe"), sum(col("vt")).as("sv"))
+        .crossJoin(broadcast(tot))
+        .select(col("nn1").as("n_urgent_lines"),
+          (col("nn") - col("nn1")).as("n_other_lines"),
+          col("soe").as("oe_sum_micro"),
+          expr(z).as("z_milli"))
+    }
+  }
+
+  /** Entropy rate of the per-user event-type Markov chain (q337's
+    * transition counts): H = Σ_{ij} (n_ij/T)·ln(tot_i/n_ij) with
+    * each of the ≤25 edge terms micro-quantized before the sum, and
+    * the chain's perplexity e^H — "how predictable is the next
+    * event". Exact counts; ln only inside quantized fragments. */
+  def q445: Q = {
+    val term = "CAST(floor(CAST(1000000000.0 * CAST(n AS DOUBLE)" +
+      " / CAST(tt AS DOUBLE)" +
+      " * ln(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " AS DECIMAL(28,6))) AS BIGINT)"
+    val ppx = "CAST(floor(CAST(1000.0" +
+      " * exp(CAST(sh AS DOUBLE) / 1000000000.0)" +
+      " AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q445_markov_entropy_rate",
+      Some(s"""
+        |WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ns, event_id
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS a,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ns, event_id) AS b
+        |  FROM e),
+        |c AS (SELECT a, b, count(*) AS n FROM tr
+        |      WHERE b IS NOT NULL GROUP BY 1, 2),
+        |ot AS (SELECT a, CAST(sum(n) AS BIGINT) AS tot FROM c
+        |       GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+        |             count(DISTINCT a) AS k FROM c),
+        |terms AS (
+        |  SELECT $term AS tm
+        |  FROM c JOIN ot USING (a) CROSS JOIN t),
+        |agg AS (SELECT sum(tm) AS sh FROM terms)
+        |SELECT CAST(t.tt AS BIGINT) AS n_transitions,
+        |       CAST(t.k AS BIGINT) AS k_states,
+        |       CAST(agg.sh AS BIGINT) AS entropy_nano,
+        |       $ppx AS perplexity_milli
+        |FROM agg CROSS JOIN t
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("b", lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .where(col("b").isNotNull)
+        .select(col("event_type").as("a"), col("b"))
+      val c = tr.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n"))
+        .materialize() // 25-edge dim feeds margins and terms
+      val ot = c.groupBy(col("a").as("__oa"))
+        .agg(sum(col("n")).as("tot"))
+      val t = c.agg(sum(col("n")).as("tt"),
+        countDistinct(col("a")).as("k"))
+      c.join(broadcast(ot), col("a") === col("__oa"))
+        .crossJoin(broadcast(t))
+        .select(expr(term).as("tm"))
+        .agg(sum(col("tm")).as("sh"))
+        .crossJoin(broadcast(t))
+        .select(col("tt").as("n_transitions"), col("k").as("k_states"),
+          col("sh").as("entropy_nano"),
+          expr(ppx).as("perplexity_milli"))
+    }
   }
 }
