@@ -3,6 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Materialize.MatOps
 import graft.Tables
+import graft.text.TextAnalysis
+import CorpusQueries.sqlQualityExpr
+import PipelineQueries.{sqlInList, sqlTokens}
 
 /** Round-7 resampling-and-inference wave: deterministic-LCG bootstrap
   * confidence intervals, closed-form jackknife standard errors,
@@ -13,7 +16,7 @@ import graft.Tables
 object InferenceQueries {
 
   val all: Seq[Q] = Seq(q436, q437, q438, q439, q440, q441, q442, q443,
-    q444, q445)
+    q444, q445, q446, q447, q448, q449, q450)
 
   /** Bootstrap CI for mean daily revenue: 50 replicates resample the
     * day dim with the q31 LCG (seed = b·100003 + j — pure integer,
@@ -767,6 +770,358 @@ object InferenceQueries {
         .select(col("tt").as("n_transitions"), col("k").as("k_states"),
           col("sh").as("entropy_nano"),
           expr(ppx).as("perplexity_milli"))
+    }
+  }
+
+  /** CUPED variance reduction for an A/B readout: per-customer
+    * pre-period spend X (orders before 1998-05-01, the range
+    * midpoint) as the covariate for post-period spend Y, θ =
+    * cov(X,Y)/var(X) from exact integer moments, variance-reduction
+    * share = corr², and the custkey-parity arm diff both raw and
+    * CUPED-adjusted (the θ·(X̄₁−X̄₀) correction). One moments pass;
+    * every ratio a shared fragment over exact integers. */
+  def q446: Q = {
+    val cut = "TIMESTAMP '1998-05-01 00:00:00'"
+    val cxy = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+      " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)" +
+      " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val theta = s"($cxy / $vx)"
+    val corr2 = s"(($cxy * $cxy) / ($vx * $vy))"
+    val diffRaw = "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+      " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    val diffX = "(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)" +
+      " - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    val diffCuped = s"($diffRaw - $theta * $diffX)"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q446_cuped_variance_reduction",
+      Some(s"""
+        |WITH o AS (
+        |  SELECT o_custkey AS c,
+        |         CASE WHEN o_orderdate < $cut
+        |              THEN CAST(o_totalprice * 100 AS BIGINT)
+        |              ELSE 0 END AS xc,
+        |         CASE WHEN o_orderdate >= $cut
+        |              THEN CAST(o_totalprice * 100 AS BIGINT)
+        |              ELSE 0 END AS yc
+        |  FROM orders),
+        |cust AS (
+        |  SELECT c, CAST(sum(xc) AS BIGINT) AS x,
+        |         CAST(sum(yc) AS BIGINT) AS y, c % 2 AS a
+        |  FROM o GROUP BY 1),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT)
+        |           AS sx1,
+        |         CAST(sum(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT)
+        |           AS sy1,
+        |         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n0,
+        |         CAST(sum(CASE WHEN a = 0 THEN x ELSE 0 END) AS BIGINT)
+        |           AS sx0,
+        |         CAST(sum(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT)
+        |           AS sy0
+        |  FROM cust)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |       ${qm(theta, "1000000")} AS theta_micro,
+        |       ${qm(corr2, "1000")} AS var_reduction_milli,
+        |       ${qm(diffRaw, "1000")} AS diff_raw_millicents,
+        |       ${qm(diffCuped, "1000")} AS diff_cuped_millicents
+        |FROM m
+        |""".stripMargin)) { (s, dir) =>
+      val d38 = "decimal(38,0)"
+      val cents = "CAST(CAST(o_totalprice * 100 AS DECIMAL(38,0))" +
+        " AS BIGINT)"
+      val cust = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c"),
+          expr(s"CASE WHEN o_orderdate < $cut THEN $cents" +
+            " ELSE CAST(0 AS BIGINT) END").as("xc"),
+          expr(s"CASE WHEN o_orderdate >= $cut THEN $cents" +
+            " ELSE CAST(0 AS BIGINT) END").as("yc"))
+        .groupBy(col("c"))
+        .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+        .withColumn("a", col("c") % 2)
+      cust.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x")).cast(d38).as("sxx"),
+        sum(col("x").cast(d38) * col("y")).cast(d38).as("sxy"),
+        sum(col("y").cast(d38) * col("y")).cast(d38).as("syy"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") === 1, col("x")).otherwise(0L)).as("sx1"),
+        sum(when(col("a") === 1, col("y")).otherwise(0L)).as("sy1"),
+        sum(when(col("a") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("a") === 0, col("x")).otherwise(0L)).as("sx0"),
+        sum(when(col("a") === 0, col("y")).otherwise(0L)).as("sy0"))
+        .select(col("n").as("n_customers"),
+          expr(qm(theta, "1000000")).as("theta_micro"),
+          expr(qm(corr2, "1000")).as("var_reduction_milli"),
+          expr(qm(diffRaw, "1000")).as("diff_raw_millicents"),
+          expr(qm(diffCuped, "1000")).as("diff_cuped_millicents"))
+    }
+  }
+
+  /** James-Stein shrinkage of per-brand return rates toward the
+    * grand mean: positive-part factor c = (1 − (k−3)·v̄/S)₊ with S
+    * the between-brand squared deviation (pico-quantized per-brand
+    * terms, exact sum) and v̄ the mean binomial variance at the
+    * pooled rate. The brand dim (25 rows) broadcasts; rates are
+    * nano-quantized integer divisions so both engines shrink the
+    * same numbers. */
+  def q447: Q = {
+    val dev = "((CAST(r AS DOUBLE) - CAST(sr AS DOUBLE)" +
+      " / CAST(kk AS DOUBLE)) / 1000000000.0)"
+    val tq = s"CAST(floor(CAST($dev * $dev * 1000000000000.0" +
+      " AS DECIMAL(28,6))) AS BIGINT)"
+    val pb = "(CAST(tret AS DOUBLE) / CAST(tn AS DOUBLE))"
+    val uq = s"CAST(floor(CAST(1000000000000000.0 * $pb * (1.0 - $pb)" +
+      " / CAST(nl AS DOUBLE) AS DECIMAL(28,6))) AS BIGINT)"
+    val cf = "CASE WHEN spico > 0 THEN greatest(0.0," +
+      " 1.0 - (CAST(kk AS DOUBLE) - 3.0)" +
+      " * (CAST(sv AS DOUBLE) / CAST(kk AS DOUBLE)" +
+      " / 1000000000000000.0)" +
+      " / (CAST(spico AS DOUBLE) / 1000000000000.0)) ELSE 0.0 END"
+    val shr = s"(CAST(sr AS DOUBLE) / CAST(kk AS DOUBLE)" +
+      s" / 1000000000.0 + $cf * $dev)"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q447_james_stein_brand_rates",
+      Some(s"""
+        |WITH b AS (
+        |  SELECT p.p_brand AS brand, count(*) AS nl,
+        |         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1
+        |                  ELSE 0 END) AS BIGINT) AS ret
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY 1),
+        |r0 AS (
+        |  SELECT brand, nl, ret,
+        |         (CAST(1000000000 AS BIGINT) * ret) // nl AS r
+        |  FROM b),
+        |g AS (
+        |  SELECT count(*) AS kk, CAST(sum(r) AS BIGINT) AS sr,
+        |         CAST(sum(ret) AS BIGINT) AS tret,
+        |         CAST(sum(nl) AS BIGINT) AS tn
+        |  FROM r0),
+        |terms AS (
+        |  SELECT $tq AS t, $uq AS u
+        |  FROM r0 CROSS JOIN g),
+        |sg AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS spico,
+        |         CAST(sum(u) AS BIGINT) AS sv
+        |  FROM terms)
+        |SELECT brand, CAST(nl AS BIGINT) AS n_lines,
+        |       CAST(r AS BIGINT) AS rate_nano,
+        |       ${qm(cf, "1000")} AS js_factor_milli,
+        |       ${qm(shr, "1000000000")} AS shrunk_nano
+        |FROM r0 CROSS JOIN g CROSS JOIN sg
+        |ORDER BY brand
+        |""".stripMargin)) { (s, dir) =>
+      val b = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("nl"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("ret"))
+        .withColumn("r",
+          expr("(CAST(1000000000 AS BIGINT) * ret) div nl"))
+        .materialize() // 25-brand dim feeds scalars AND output rows
+      val g = b.agg(count(lit(1)).as("kk"), sum(col("r")).as("sr"),
+        sum(col("ret")).as("tret"), sum(col("nl")).as("tn"))
+      val sg = b.crossJoin(broadcast(g))
+        .select(expr(tq).as("t"), expr(uq).as("u"))
+        .agg(sum(col("t")).as("spico"), sum(col("u")).as("sv"))
+      b.crossJoin(broadcast(g)).crossJoin(broadcast(sg))
+        .select(col("brand"), col("nl").as("n_lines"),
+          col("r").as("rate_nano"),
+          expr(qm(cf, "1000")).as("js_factor_milli"),
+          expr(qm(shr, "1000000000")).as("shrunk_nano"))
+        .orderBy(col("brand"))
+    }
+  }
+
+  /** Two-proportion z-test + detectable effect: urgent vs non-urgent
+    * orders' finished-status rates, pooled-variance z, and the
+    * 80%-power minimum detectable effect (z_{α/2}+z_β = 2.801585
+    * standard errors) — "is the observed gap real, and what gap
+    * could this sample even see". One aggregation pass; four
+    * integers feed every fragment. */
+  def q448: Q = {
+    val p1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p0 = "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    val pbar = "((CAST(s1 AS DOUBLE) + CAST(s0 AS DOUBLE))" +
+      " / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))"
+    val se = s"sqrt($pbar * (1.0 - $pbar)" +
+      " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)))"
+    val z = s"(($p1 - $p0) / $se)"
+    val mde = s"(2.801585 * $se)"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q448_urgent_ztest_mde",
+      Some(s"""
+        |WITH m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |             ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |             AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1
+        |             ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |             AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS s0
+        |  FROM orders)
+        |SELECT n1 AS n_urgent, n0 AS n_other,
+        |       ${qm(p1, "1000000")} AS p_urgent_micro,
+        |       ${qm(p0, "1000000")} AS p_other_micro,
+        |       ${qm(z, "1000")} AS z_milli,
+        |       ${qm(mde, "1000000")} AS mde80_micro
+        |FROM m
+        |""".stripMargin)) { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("o_orderpriority") === "1-URGENT"
+            && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s1"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT", 1L)
+            .otherwise(0L)).as("n0"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderstatus") === "F", 1L).otherwise(0L)).as("s0"))
+        .select(col("n1").as("n_urgent"), col("n0").as("n_other"),
+          expr(qm(p1, "1000000")).as("p_urgent_micro"),
+          expr(qm(p0, "1000000")).as("p_other_micro"),
+          expr(qm(z, "1000")).as("z_milli"),
+          expr(qm(mde, "1000000")).as("mde80_micro"))
+    }
+  }
+
+  /** Beta-Binomial posterior for per-segment customer activation:
+    * uniform Beta(1,1) prior, s = customers with ≥1 order, posterior
+    * mean (s+1)/(n+2) and a normal-approx 95% credible interval from
+    * the exact Beta variance αβ/((α+β)²(α+β+1)). Segment dim is 5
+    * rows; the activation flag comes from a distinct-custkey
+    * semi-join. */
+  def q449: Q = {
+    val al = "(CAST(sa AS DOUBLE) + 1.0)"
+    val be = "(CAST(n AS DOUBLE) - CAST(sa AS DOUBLE) + 1.0)"
+    val mean = s"($al / ($al + $be))"
+    val sd = s"sqrt($al * $be / (($al + $be) * ($al + $be)" +
+      s" * ($al + $be + 1.0)))"
+    val lo = s"($mean - 1.959964 * $sd)"
+    val hi = s"($mean + 1.959964 * $sd)"
+    def qm(x: String, scale: String) =
+      s"CAST(floor(CAST(($x) * $scale AS DECIMAL(28,6))) AS BIGINT)"
+    Q("q449_segment_beta_posterior",
+      Some(s"""
+        |WITH act AS (SELECT DISTINCT o_custkey AS c FROM orders),
+        |g AS (
+        |  SELECT cu.c_mktsegment AS segment, count(*) AS n,
+        |         CAST(sum(CASE WHEN act.c IS NOT NULL THEN 1 ELSE 0
+        |                  END) AS BIGINT) AS sa
+        |  FROM customer cu LEFT JOIN act ON act.c = cu.c_custkey
+        |  GROUP BY 1)
+        |SELECT segment, CAST(n AS BIGINT) AS n_customers,
+        |       sa AS n_active,
+        |       ${qm(mean, "1000000")} AS mean_micro,
+        |       ${qm(lo, "1000000")} AS lo_micro,
+        |       ${qm(hi, "1000000")} AS hi_micro
+        |FROM g ORDER BY segment
+        |""".stripMargin)) { (s, dir) =>
+      val act = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c")).distinct()
+      Tables.customer(s, dir)
+        .join(broadcast(act), col("c") === col("c_custkey"), "left")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("sa"))
+        .select(col("segment"), col("n").as("n_customers"),
+          col("sa").as("n_active"),
+          expr(qm(mean, "1000000")).as("mean_micro"),
+          expr(qm(lo, "1000000")).as("lo_micro"),
+          expr(qm(hi, "1000000")).as("hi_micro"))
+        .orderBy(col("segment"))
+    }
+  }
+
+  /** Average precision (PR-AUC) of the q170 quality score against
+    * the English label: rank by (score desc, doc_id) through the
+    * bucket-parallel globalRankCum (score-octave buckets — no
+    * single-partition fact window), precision@k terms nano-quantized
+    * at each positive, AP = Σ(prec@k)/R. The PR sibling of q170's
+    * rank-based AUC. */
+  def q450: Q = {
+    val sw = sqlInList(TextAnalysis.LangStopwords.head._2)
+    def term(c: String, k: String) =
+      s"CAST(floor(CAST(1000000000.0 * CAST($c AS DOUBLE)" +
+        s" / CAST($k AS DOUBLE) AS DECIMAL(28,6))) AS BIGINT)"
+    def ap(st: String, r: String) =
+      s"CAST(floor(CAST(1000000.0 * (CAST($st AS DOUBLE)" +
+        s" / 1000000000.0) / CAST($r AS DOUBLE) AS DECIMAL(28,6)))" +
+        " AS BIGINT)"
+    Q("q450_average_precision",
+      Some(s"""
+        |WITH t0 AS (
+        |  SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         CAST(CAST(${sqlQualityExpr(sw)} AS DECIMAL(18,9))
+        |              * 1000000000 AS BIGINT) AS sc
+        |  FROM t0 WHERE len(toks) > 0),
+        |rk AS (
+        |  SELECT y,
+        |         row_number() OVER (ORDER BY sc DESC, doc_id) AS k,
+        |         CAST(sum(y) OVER (ORDER BY sc DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS c
+        |  FROM t),
+        |st AS (
+        |  SELECT CAST(sum(${term("c", "k")}) AS BIGINT) AS sterms
+        |  FROM rk WHERE y = 1),
+        |tot AS (SELECT CAST(sum(y) AS BIGINT) AS r,
+        |               count(*) AS nd FROM t)
+        |SELECT CAST(tot.nd AS BIGINT) AS n_docs, tot.r AS n_pos,
+        |       st.sterms AS sum_prec_nano,
+        |       ${ap("st.sterms", "tot.r")} AS ap_micro
+        |FROM st CROSS JOIN tot
+        |""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val sw0 = TextAnalysis.LangStopwords.head._2
+      val base = Tables.documents(s, dir)
+        .where(col("text").isNotNull &&
+          TextAnalysis.tokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          (TextAnalysis.qualityScore(col("text"), sw0)
+            .cast(DecimalType(18, 9)) * lit(1000000000L)).cast("long")
+            .as("sc"))
+        .withColumn("neg", -col("sc"))
+        .withColumn("__bkt", expr("neg div 16777216"))
+        .materialize() // scored docs feed totals AND the rank pass
+      val tot = base.agg(sum(col("y")).as("r"), count(lit(1)).as("nd"))
+      val ranked = graft.dedup.SortedNeighborhood.globalRankCum(
+        base, idCol = "doc_id", bucketCol = "__bkt",
+        tieCols = Seq("neg"), cumCol = Some("y"))
+      ranked.where(col("y") === 1)
+        .select(expr(term("__cum", "__rank")).as("tm"))
+        .agg(sum(col("tm")).as("sterms"))
+        .crossJoin(broadcast(tot))
+        .select(col("nd").as("n_docs"), col("r").as("n_pos"),
+          col("sterms").as("sum_prec_nano"),
+          expr(ap("sterms", "r")).as("ap_micro"))
     }
   }
 }
