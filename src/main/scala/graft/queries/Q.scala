@@ -28,7 +28,8 @@ object Registry {
       EvalQueries.all ++ SignalQueries.all ++ WarehouseQueries.all ++
       CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
       DemandQueries.all ++ EconQueries.all ++ OpsQueries.all ++
-      DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all
+      DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
+      SystemsQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
