@@ -29,7 +29,8 @@ object Registry {
       CorpusStatsQueries.all ++ SeriesQueries.all ++ CurationQueries.all ++
       DemandQueries.all ++ EconQueries.all ++ OpsQueries.all ++
       DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
-      SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all
+      SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
+      PolicyQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
