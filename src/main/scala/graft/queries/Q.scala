@@ -30,7 +30,7 @@ object Registry {
       DemandQueries.all ++ EconQueries.all ++ OpsQueries.all ++
       DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
       SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
-      PolicyQueries.all
+      PolicyQueries.all ++ RobustQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
+import graft.Tables
+
+/** Round-7 robust-inference wave: Brown–Forsythe variance-equality
+  * test, Cochran–Armitage trend test, all-pairs graph eccentricity
+  * (diameter/radius/periphery), negative-binomial method-of-moments
+  * fit, and a Simpson's-paradox reversal audit. Group means are
+  * permille-quantized before any squared-deviation arithmetic (the
+  * stated statistic contract), so every sum is an exact
+  * DECIMAL/HUGEINT; the only doubles are final pinned divisions. */
+object RobustQueries {
+
+  val all: Seq[Q] = Seq(q471, q472, q473, q474, q475)
+
+  /** Brown–Forsythe test (Levene with medians) for equal price spread
+    * across brands: z = |price − median(brand)|, then a one-way F on
+    * the z's with permille-quantized group means. Robust to the
+    * non-normality a plain Levene would choke on; the statistic a
+    * pricing analyst checks before pooling brand variances. Brand
+    * medians are exact order statistics; SSB/SSW are exact integer
+    * sums in milli² units. */
+  def q471: Q = Q(
+    "q471_brown_forsythe_prices",
+    Some("""
+      |WITH x AS (
+      |  SELECT p_brand AS g,
+      |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM part),
+      |md AS (
+      |  SELECT g, max(CASE WHEN rn = (500 * n + 999) // 1000 THEN c END)
+      |           AS med
+      |  FROM (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c)
+      |               AS rn, count(*) OVER (PARTITION BY g) AS n FROM x) r
+      |  GROUP BY 1),
+      |z AS (SELECT x.g, abs(x.c - md.med) AS z
+      |      FROM x JOIN md ON x.g = md.g),
+      |gs AS (SELECT g, count(*) AS ng, sum(z) AS sg,
+      |              sum(CAST(z AS HUGEINT) * z) AS qg,
+      |              (1000 * sum(z)) // count(*) AS mg
+      |       FROM z GROUP BY 1),
+      |tot AS (SELECT count(*) AS k, sum(ng) AS n,
+      |               (1000 * sum(sg)) // sum(ng) AS m FROM gs),
+      |ss AS (
+      |  SELECT max(tot.n) AS n, max(tot.k) AS k,
+      |         sum(CAST(ng AS HUGEINT) * (mg - tot.m) * (mg - tot.m))
+      |           AS ssb,
+      |         sum(1000000 * qg - 2000 * CAST(mg AS HUGEINT) * sg
+      |             + CAST(ng AS HUGEINT) * mg * mg) AS ssw
+      |  FROM gs CROSS JOIN tot)
+      |SELECT CAST(n AS BIGINT) AS n_parts, CAST(k AS BIGINT) AS k_brands,
+      |       CAST(floor(CAST(
+      |           CAST((n - k) AS DOUBLE) * CAST(ssb AS DOUBLE)
+      |           / (CAST((k - 1) AS DOUBLE) * CAST(ssw AS DOUBLE))
+      |         AS DECIMAL(28,6)) * 1000) AS BIGINT) AS f_milli
+      |FROM ss
+      |""".stripMargin)) { (s, dir) =>
+    val x = Tables.part(s, dir)
+      .select(col("p_brand").as("g"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .materialize()
+    val md = graft.operators.OrderStats.quantilesDisc(
+        x, Seq("g"), "c", Seq(500))
+      .select(col("g").as("mg_"), col("value").as("med"))
+    val z = x.join(broadcast(md), col("g") === col("mg_"))
+      .select(col("g"), abs(col("c") - col("med")).as("z"))
+    val gs = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+        sum(col("z").cast("decimal(38,0)") * col("z")).as("qg"),
+        expr("(1000 * sum(z)) div count(1)").as("mg"))
+      .materialize() // 25-row brand dim
+    val tot = gs.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      expr("(1000 * sum(sg)) div sum(ng)").as("m"))
+    gs.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(expr("CAST(ng AS DECIMAL(38,0)) * (mg - m) * (mg - m)"))
+          .as("ssb"),
+        sum(expr("1000000 * qg - 2000 * CAST(mg AS DECIMAL(38,0)) * sg" +
+          " + CAST(ng AS DECIMAL(38,0)) * mg * mg")).as("ssw"))
+      .select(col("n").as("n_parts"), col("k").as("k_brands"),
+        expr("""CAST(floor(CAST(
+            CAST((n - k) AS DOUBLE) * CAST(ssb AS DOUBLE)
+            / (CAST((k - 1) AS DOUBLE) * CAST(ssw AS DOUBLE))
+          AS DECIMAL(28,6)) * 1000) AS BIGINT)""").as("f_milli"))
+  }
+
+  /** Cochran–Armitage trend test: does return probability trend
+    * monotonically with the (ordered) discount level? Scores are the
+    * levels themselves; Z² = (NΣsr − RΣsn)²·N / [R(N−R)(NΣs²n −
+    * (Σsn)²)] entirely in exact DECIMAL/HUGEINT, one final pinned
+    * double division. The dose-response screen run before any
+    * "discounts drive returns" claim. */
+  def q472: Q = Q(
+    "q472_cochran_armitage_trend",
+    Some("""
+      |WITH l AS (
+      |  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS sc,
+      |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |lv AS (SELECT sc, count(*) AS n, sum(y) AS r FROM l GROUP BY 1),
+      |m AS (SELECT sum(n) AS n, sum(r) AS rr, sum(sc * n) AS sn,
+      |             sum(sc * r) AS sr, sum(sc * sc * n) AS s2n FROM lv),
+      |st AS (
+      |  SELECT n, rr,
+      |         CAST(n AS HUGEINT) * sr - CAST(rr AS HUGEINT) * sn AS num,
+      |         CAST(rr AS HUGEINT) * (n - rr)
+      |           * (CAST(n AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn)
+      |           AS den
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n_lines, CAST(rr AS BIGINT) AS n_returned,
+      |       CASE WHEN num > 0 THEN 'rising' WHEN num < 0 THEN 'falling'
+      |            ELSE 'flat' END AS trend,
+      |       CAST(floor(CAST(
+      |           CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+      |             * CAST(n AS DOUBLE) / CAST(den AS DOUBLE)
+      |         AS DECIMAL(28,6)) * 1000) AS BIGINT) AS z2_milli
+      |FROM st
+      |""".stripMargin)) { (s, dir) =>
+    val lv = Tables.lineitem(s, dir)
+      .select(expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("sc"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy(col("sc")).agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    lv.agg(sum(col("n")).as("n"), sum(col("r")).as("rr"),
+        sum(col("sc") * col("n")).as("sn"),
+        sum(col("sc") * col("r")).as("sr"),
+        sum(col("sc") * col("sc") * col("n")).as("s2n"))
+      .select(col("n"), col("rr"),
+        expr("CAST(n AS DECIMAL(38,0)) * sr - CAST(rr AS DECIMAL(38,0)) * sn")
+          .as("num"),
+        expr("CAST(rr AS DECIMAL(38,0)) * (n - rr) * " +
+          "(CAST(n AS DECIMAL(38,0)) * s2n - CAST(sn AS DECIMAL(38,0)) * sn)")
+          .as("den"))
+      .select(col("n").as("n_lines"), col("rr").as("n_returned"),
+        when(col("num") > 0, "rising").when(col("num") < 0, "falling")
+          .otherwise("flat").as("trend"),
+        expr("""CAST(floor(CAST(
+            CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * CAST(n_lines AS DOUBLE)
+              / CAST(den AS DOUBLE)
+          AS DECIMAL(28,6)) * 1000) AS BIGINT)""").as("z2_milli"))
+  }
+
+  /** All-pairs eccentricity of the supplier co-purchase graph (q457's
+    * ≥28-support edges; probed connected with diameter 3): BFS by
+    * bounded per-round DISTINCT expansion (4 rounds ≥ diameter — the
+    * constant-depth iteration pattern the graph operators here use,
+    * each round materialized), then diameter, radius, peripheral and
+    * central node counts. The walk stays on the fixed supplier dim —
+    * ≤ |V|² rows per round no matter how large lineitem grows. */
+  def q473: Q = {
+    val minSupport = 28
+    val maxHops = 4
+    Q("q473_supplier_eccentricity",
+      Some(s"""
+        |WITH RECURSIVE it AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT x.i AS a, y.i AS c FROM it x JOIN it y ON x.b = y.b
+        |  WHERE x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+        |ed AS (SELECT a, c FROM e UNION ALL SELECT c, a FROM e),
+        |walk(src, node, d) AS (
+        |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM ed) s
+        |  UNION
+        |  SELECT DISTINCT w.src, ed.c, w.d + 1
+        |  FROM walk w JOIN ed ON ed.a = w.node WHERE w.d < $maxHops),
+        |dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2),
+        |ecc AS (SELECT src, max(d) AS ecc FROM dist GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |       CAST(max(ecc) AS BIGINT) AS diameter,
+        |       CAST(min(ecc) AS BIGINT) AS radius,
+        |       CAST(sum(CASE WHEN ecc = (SELECT max(ecc) FROM ecc)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_peripheral,
+        |       CAST(sum(CASE WHEN ecc = (SELECT min(ecc) FROM ecc)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_central
+        |FROM ecc
+        |""".stripMargin)) { (s, dir) =>
+      val it = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("b"), col("l_suppkey").as("i"))
+        .distinct()
+      val e = it.as("x").join(it.as("y"), col("x.b") === col("y.b"))
+        .where(col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("a"), col("y.i").as("c"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= minSupport)
+        .select(col("a"), col("c"))
+        .materialize()
+      val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
+        .select(col("a").as("ea"), col("c").as("ec"))
+        .materialize()
+      val nodes = ed.select(col("ea")).distinct()
+      var reach = nodes.select(col("ea").as("src"), col("ea").as("node"),
+        lit(0L).as("d"))
+      var frontier = reach
+      for (k <- 1 to maxHops) {
+        frontier = frontier.join(ed, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"), lit(k.toLong).as("d"))
+          .distinct()
+          .materialize(truncate = true) // constant-depth iteration
+        reach = reach.unionAll(frontier)
+      }
+      val dist = reach.groupBy(col("src"), col("node"))
+        .agg(min(col("d")).as("d"))
+      val ecc = dist.groupBy(col("src")).agg(max(col("d")).as("ecc"))
+        .materialize() // supplier dim
+      val bounds = ecc.agg(max(col("ecc")).as("dia"), min(col("ecc")).as("rad"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      ecc.crossJoin(broadcast(bounds))
+        .agg(count(lit(1)).as("n_nodes"),
+          max(col("dia")).as("diameter"), max(col("rad")).as("radius"),
+          sum(when(col("ecc") === col("dia"), 1L).otherwise(0L))
+            .as("n_peripheral"),
+          sum(when(col("ecc") === col("rad"), 1L).otherwise(0L))
+            .as("n_central"))
+        .crossJoin(broadcast(ne))
+        .select(col("n_nodes"), col("n_edges"), col("diameter"),
+          col("radius"), col("n_peripheral"), col("n_central"))
+    }
+  }
+
+  /** Negative-binomial method-of-moments fit of orders-per-customer:
+    * r = m²/(v−m), p = m/v from exact integer moments (zero-order
+    * customers included via left join — the classic count-model
+    * pitfall). The dispersion index v/m is the overdispersion
+    * diagnostic deciding Poisson vs NB. All divisions are pinned
+    * doubles over exact sums, milli-quantized. */
+  def q474: Q = {
+    val m = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    val v = s"CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ($m) * ($m)"
+    def quant(e: String, name: String) =
+      s"CAST(floor(CAST($e AS DECIMAL(28,6)) * 1000) AS BIGINT) AS $name"
+    Q("q474_negbin_orders_fit",
+      Some(s"""
+        |WITH oc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS k
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |mo AS (SELECT count(*) AS n, sum(k) AS sx, sum(k * k) AS q FROM oc)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |       ${quant(m, "mean_milli")},
+        |       ${quant(v, "var_milli")},
+        |       ${quant(s"($v) / ($m)", "dispersion_milli")},
+        |       ${quant(s"($m) * ($m) / (($v) - ($m))", "r_milli")},
+        |       ${quant(s"($m) / ($v)", "p_milli")}
+        |FROM mo
+        |""".stripMargin)) { (s, dir) =>
+      val oc = Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("k"))
+      oc.agg(count(lit(1)).as("n"), sum(col("k")).as("sx"),
+          sum(col("k") * col("k")).as("q"))
+        .select(col("n").as("n_customers"),
+          expr(quant(m, "mean_milli")),
+          expr(quant(v, "var_milli")),
+          expr(quant(s"($v) / ($m)", "dispersion_milli")),
+          expr(quant(s"($m) * ($m) / (($v) - ($m))", "r_milli")),
+          expr(quant(s"($m) / ($v)", "p_milli")))
+    }
+  }
+
+  /** Simpson's-paradox audit of "deep discounts (≥5%) raise return
+    * rates": the aggregate permille difference vs the same contrast
+    * within every brand, counting brands whose sign REVERSES the
+    * aggregate and naming the strongest reversal — the stratification
+    * check that catches confounded aggregate claims. Brands missing
+    * either discount class are out of contrast domain (stated). Exact
+    * permille integers throughout. */
+  def q475: Q = Q(
+    "q475_simpson_discount_returns",
+    Some("""
+      |WITH l AS (
+      |  SELECT p.p_brand AS brand,
+      |         CASE WHEN floor(l.l_discount * 100 + 0.5) >= 5
+      |              THEN 1 ELSE 0 END AS hi,
+      |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |ov AS (
+      |  SELECT (1000 * sum(CASE WHEN hi = 1 THEN y ELSE 0 END))
+      |           // sum(hi) AS rh,
+      |         (1000 * sum(CASE WHEN hi = 0 THEN y ELSE 0 END))
+      |           // sum(1 - hi) AS rl
+      |  FROM l),
+      |br AS (
+      |  SELECT brand,
+      |         (1000 * sum(CASE WHEN hi = 1 THEN y ELSE 0 END))
+      |           // sum(hi) AS rh,
+      |         (1000 * sum(CASE WHEN hi = 0 THEN y ELSE 0 END))
+      |           // sum(1 - hi) AS rl
+      |  FROM l GROUP BY 1
+      |  HAVING sum(hi) > 0 AND sum(1 - hi) > 0),
+      |sg AS (SELECT CASE WHEN rh - rl > 0 THEN 1
+      |              WHEN rh - rl < 0 THEN -1 ELSE 0 END AS s,
+      |              rh - rl AS diff FROM ov),
+      |rev AS (
+      |  SELECT br.brand, (br.rh - br.rl) AS bdiff,
+      |         sg.s * (br.rh - br.rl) AS oriented
+      |  FROM br CROSS JOIN sg),
+      |top AS (SELECT brand, bdiff FROM rev
+      |        ORDER BY oriented, brand LIMIT 1)
+      |SELECT CAST(sg.diff AS BIGINT) AS overall_diff_milli,
+      |       CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_brands,
+      |       CAST((SELECT sum(CASE WHEN oriented < 0 THEN 1 ELSE 0 END)
+      |             FROM rev) AS BIGINT) AS n_reversed,
+      |       top.brand AS strongest_reversal_brand,
+      |       CAST(top.bdiff AS BIGINT) AS strongest_reversal_diff_milli
+      |FROM sg CROSS JOIN top
+      |""".stripMargin)) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("brand"),
+        when(expr("floor(l_discount * 100 + 0.5) >= 5"), 1L)
+          .otherwise(0L).as("hi"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .materialize()
+    def rates(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(
+        expr("(1000 * sum(CASE WHEN hi = 1 THEN y ELSE 0 END)) div sum(hi)")
+          .as("rh"),
+        expr("(1000 * sum(CASE WHEN hi = 0 THEN y ELSE 0 END))" +
+          " div sum(1 - hi)").as("rl"),
+        sum(col("hi")).as("nh"),
+        sum(lit(1L) - col("hi")).as("nl"))
+    val ov = rates(l.groupBy())
+      .select((col("rh") - col("rl")).as("diff"),
+        when(col("rh") > col("rl"), 1L)
+          .when(col("rh") < col("rl"), -1L).otherwise(0L).as("s"))
+    val br = rates(l.groupBy(col("brand")))
+      .where(col("nh") > 0 && col("nl") > 0)
+      .select(col("brand"), (col("rh") - col("rl")).as("bdiff"))
+    val rev = br.crossJoin(broadcast(ov))
+      .select(col("brand"), col("bdiff"),
+        (col("s") * col("bdiff")).as("oriented"), col("diff"))
+      .materialize() // brand dim
+    val agg = rev.agg(count(lit(1)).as("n_brands"),
+      sum(when(col("oriented") < 0, 1L).otherwise(0L)).as("n_reversed"),
+      max(col("diff")).as("overall_diff_milli"))
+    val top = rev.orderBy(col("oriented"), col("brand")).limit(1)
+      .select(col("brand").as("strongest_reversal_brand"),
+        col("bdiff").as("strongest_reversal_diff_milli"))
+    agg.crossJoin(broadcast(top))
+      .select(col("overall_diff_milli"), col("n_brands"),
+        col("n_reversed"), col("strongest_reversal_brand"),
+        col("strongest_reversal_diff_milli"))
+  }
+}
