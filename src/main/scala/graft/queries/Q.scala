@@ -30,7 +30,8 @@ object Registry {
       DemandQueries.all ++ EconQueries.all ++ OpsQueries.all ++
       DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
       SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
-      PolicyQueries.all ++ RobustQueries.all
+      PolicyQueries.all ++ RobustQueries.all ++ OpsSimQueries.all ++
+      DiagnosticQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
