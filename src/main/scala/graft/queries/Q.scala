@@ -31,7 +31,7 @@ object Registry {
       DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
       SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
       PolicyQueries.all ++ RobustQueries.all ++ OpsSimQueries.all ++
-      DiagnosticQueries.all ++ EffectQueries.all
+      DiagnosticQueries.all ++ EffectQueries.all ++ ConvergenceQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
