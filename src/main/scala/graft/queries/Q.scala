@@ -31,7 +31,8 @@ object Registry {
       DecisionQueries.all ++ DynamicsQueries.all ++ InferenceQueries.all ++
       SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
       PolicyQueries.all ++ RobustQueries.all ++ OpsSimQueries.all ++
-      DiagnosticQueries.all ++ EffectQueries.all ++ ConvergenceQueries.all
+      DiagnosticQueries.all ++ EffectQueries.all ++ ConvergenceQueries.all ++
+      DistFitQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
