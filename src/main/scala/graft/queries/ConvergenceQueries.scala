@@ -148,7 +148,8 @@ object ConvergenceQueries {
         |SELECT feature, CAST(n1 AS BIGINT) AS n_true,
         |       CAST(ig AS BIGINT) AS info_gain_micro,
         |       CAST(si AS BIGINT) AS split_info_micro,
-        |       CAST(CASE WHEN si = 0 THEN 0 ELSE (1000 * ig) // si END
+        |       CAST(CASE WHEN si = 0 THEN 0
+        |            ELSE (1000 * greatest(ig, 0)) // si END
         |            AS BIGINT) AS gain_ratio_milli
         |FROM g ORDER BY feature
         |""".stripMargin)) { (s, dir) =>
@@ -185,8 +186,8 @@ object ConvergenceQueries {
         .select(col("feature"), col("n_true"), col("info_gain_micro"),
           col("split_info_micro"),
           expr("CASE WHEN split_info_micro = 0 THEN 0 ELSE" +
-            " (1000 * info_gain_micro) div split_info_micro END")
-            .as("gain_ratio_milli"))
+            " (1000 * greatest(info_gain_micro, 0))" +
+            " div split_info_micro END").as("gain_ratio_milli"))
         .orderBy(col("feature"))
     }
   }
