@@ -32,7 +32,8 @@ object Registry {
       SystemsQueries.all ++ LinkageQueries.all ++ GeometryQueries.all ++
       PolicyQueries.all ++ RobustQueries.all ++ OpsSimQueries.all ++
       DiagnosticQueries.all ++ EffectQueries.all ++ ConvergenceQueries.all ++
-      DistFitQueries.all ++ ReplayQueries.all ++ ShapeQueries.all
+      DistFitQueries.all ++ ReplayQueries.all ++ ShapeQueries.all ++
+      SymbolicQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
