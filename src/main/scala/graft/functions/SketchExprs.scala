@@ -58,6 +58,41 @@ object SketchExprs {
       copy(left = l, right = r)
   }
 
+  /** Squared Euclidean distance ‖a−b‖² evaluated as
+    * ‖a‖² − 2⟨a,b⟩ + ‖b‖² with three independent left-fold
+    * accumulators and the exact combine order `(na − 2·dot) + nb` —
+    * bit-identical to three separate `aggregate(zip_with(...))` folds
+    * combined the same way (the form the DuckDB oracle replays), but
+    * one virtual call per pair instead of three interpreted lambda
+    * folds (the q462 TwoNN fix: 182 s → scan-speed at sf0.1).
+    */
+  case class SqEuclidean(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = toDouble(a, ta, i); val y = toDouble(b, tb, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      na - 2.0 * dot + nb
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sqeucKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   /** Word n-gram shingles ("w1 w2 w3") in one pass: trim, whitespace-split
     * (identical semantics to split(trim(text), "\\s+")), join consecutive
     * n-tuples with single spaces. Replaces a per-index
@@ -326,6 +361,9 @@ object SketchExprs {
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sqEuclidean(a: Column, b: Column): Column =
+    ColumnBridge.column(SqEuclidean(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def minHashSig(shingles: Column, perms: Int, mult: Long, mod: Long,
       permA: Array[Long], permB: Array[Long]): Column =

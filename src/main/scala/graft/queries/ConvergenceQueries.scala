@@ -361,7 +361,8 @@ object ConvergenceQueries {
   }
 
   /** PageRank convergence curve on the supplier co-purchase graph
-    * (support-weighted, symmetrized): per-round L1 residual
+    * (support-weighted, symmetrized, the shared scale-free
+    * [[SupplierGraph]] edges): per-round L1 residual
     * Σ|r_k − r_{k−1}| of the scaled-integer recurrence the shipped
     * TextRank/PageRank operators use — the observability face that
     * tells an operator how many rounds an iterative graph job actually
@@ -369,7 +370,6 @@ object ConvergenceQueries {
     * final ranking) hash-replays in the oracle's generated CTE chain. */
   def q495: Q = {
     val iters = 8
-    val minSupport = 28
     val scale = 1000000000L
     val contrib = "(17 * ((w * rank) div wout)) div 20"
     val duckContrib = "(17 * ((e.w * v.rank) // e.wout)) // 20"
@@ -388,15 +388,9 @@ object ConvergenceQueries {
     }.mkString(" UNION ALL ")
     Q("q495_pagerank_convergence",
       Some(s"""
-        |WITH it AS (
-        |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
-        |ep AS (
-        |  SELECT x.i AS a, y.i AS c, count(*) AS w
-        |  FROM it x JOIN it y ON x.b = y.b
-        |  WHERE x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
-        |ed AS (SELECT a AS src, c AS dst, w FROM ep
-        |       UNION ALL SELECT c, a, w FROM ep),
+        |WITH ${SupplierGraph.sqlEdgeCtes},
+        |ed AS (SELECT a AS src, c AS dst, w FROM e
+        |       UNION ALL SELECT c, a, w FROM e),
         |ow AS (SELECT src, sum(w) AS wout FROM ed GROUP BY 1),
         |ew AS (SELECT ed.src, ed.dst, ed.w, ow.wout
         |       FROM ed JOIN ow ON ow.src = ed.src),
@@ -411,15 +405,7 @@ object ConvergenceQueries {
         |FROM ($resRows) r ORDER BY iter
         |""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("b"), col("l_suppkey").as("i"))
-        .distinct()
-      val ep = it.as("x").join(it.as("y"), col("x.b") === col("y.b"))
-        .where(col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("a"), col("y.i").as("c"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= minSupport)
-        .materialize()
+      val ep = SupplierGraph.edges(s, dir)
       val ed = ep.select(col("a").as("src"), col("c").as("dst"), col("w"))
         .unionAll(ep.select(col("c").as("src"), col("a").as("dst"),
           col("w")))

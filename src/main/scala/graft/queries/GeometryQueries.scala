@@ -134,9 +134,8 @@ object GeometryQueries {
     val b = emb.select(col("vec_id").as("nb"), col("embedding").as("vb"))
     val pairs = a.join(broadcast(b), col("vec_id") =!= col("nb"))
       .select(col("vec_id"), col("nb"),
-        (Similarity.dot(col("va"), col("va"))
-          - lit(2.0) * Similarity.dot(col("va"), col("vb"))
-          + Similarity.dot(col("vb"), col("vb"))).as("dsq"))
+        graft.functions.SketchExprs.sqEuclidean(col("va"), col("vb"))
+          .as("dsq"))
       .where(col("dsq") > 0.0)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dsq"), col("nb"))

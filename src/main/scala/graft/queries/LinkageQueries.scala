@@ -83,24 +83,19 @@ object LinkageQueries {
   }
 
   /** Resource-allocation link prediction (Zhou–Lü–Zhang) on the
-    * supplier co-purchase graph: suppliers co-occurring in ≥28 orders
-    * are edges (probed: 861 of 4950 pairs at sf0.01 — a real graph,
-    * not a clique), and every NON-adjacent pair is scored
+    * supplier co-purchase graph: suppliers that co-occur in orders
+    * are edges (the shared scale-free [[SupplierGraph]]: support
+    * above the 830‰ order statistic — 654 of 4950 pairs at sf0.01),
+    * and every NON-adjacent pair is scored
     * RA = Σ_z 1/deg(z) over common neighbors z as exact integer
     * reciprocals (1e9 // deg). Top-20 predicted links. The supplier
     * dim is fixed-size, so the path-2 join is dim-bounded no matter
     * how large lineitem grows — the support aggregation is the only
     * fact-sized pass. */
   def q457: Q = {
-    val minSupport = 28
     Q("q457_supplier_ra_links",
       Some(s"""
-        |WITH it AS (
-        |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
-        |e AS (
-        |  SELECT x.i AS a, y.i AS c FROM it x JOIN it y ON x.b = y.b
-        |  WHERE x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+        |WITH ${SupplierGraph.sqlEdgeCtes},
         |ed AS (SELECT a, c FROM e UNION ALL SELECT c, a FROM e),
         |deg AS (SELECT a AS node, count(*) AS d FROM ed GROUP BY 1),
         |cand AS (
@@ -120,16 +115,7 @@ object LinkageQueries {
         |FROM miss
         |ORDER BY ra_score DESC, supp_a, supp_b LIMIT 20
         |""".stripMargin)) { (s, dir) =>
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("b"), col("l_suppkey").as("i"))
-        .distinct()
-      val e = it.as("x").join(it.as("y"), col("x.b") === col("y.b"))
-        .where(col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("a"), col("y.i").as("c"))
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") >= minSupport)
-        .select(col("a"), col("c"))
-        .materialize() // supplier-dim edge list (~861 rows)
+      val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
       val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
       val deg = ed.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
       val cand = ed.as("e1")

@@ -141,24 +141,18 @@ object RobustQueries {
           AS DECIMAL(28,6)) * 1000) AS BIGINT)""").as("z2_milli"))
   }
 
-  /** All-pairs eccentricity of the supplier co-purchase graph (q457's
-    * ≥28-support edges; probed connected with diameter 3): BFS by
+  /** All-pairs eccentricity of the supplier co-purchase graph (the
+    * shared scale-free [[SupplierGraph]] edges), hop-4-capped: BFS by
     * bounded per-round DISTINCT expansion (4 rounds ≥ diameter — the
     * constant-depth iteration pattern the graph operators here use,
     * each round materialized), then diameter, radius, peripheral and
     * central node counts. The walk stays on the fixed supplier dim —
     * ≤ |V|² rows per round no matter how large lineitem grows. */
   def q473: Q = {
-    val minSupport = 28
     val maxHops = 4
     Q("q473_supplier_eccentricity",
       Some(s"""
-        |WITH RECURSIVE it AS (
-        |  SELECT DISTINCT l_orderkey AS b, l_suppkey AS i FROM lineitem),
-        |e AS (
-        |  SELECT x.i AS a, y.i AS c FROM it x JOIN it y ON x.b = y.b
-        |  WHERE x.i < y.i
-        |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+        |WITH RECURSIVE ${SupplierGraph.sqlEdgeCtes},
         |ed AS (SELECT a, c FROM e UNION ALL SELECT c, a FROM e),
         |walk(src, node, d) AS (
         |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM ed) s
@@ -177,16 +171,7 @@ object RobustQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_central
         |FROM ecc
         |""".stripMargin)) { (s, dir) =>
-      val it = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("b"), col("l_suppkey").as("i"))
-        .distinct()
-      val e = it.as("x").join(it.as("y"), col("x.b") === col("y.b"))
-        .where(col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("a"), col("y.i").as("c"))
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") >= minSupport)
-        .select(col("a"), col("c"))
-        .materialize()
+      val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
       val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
         .select(col("a").as("ea"), col("c").as("ec"))
         .materialize()

@@ -63,9 +63,8 @@ object ShapeQueries {
       val b = emb.select(col("vec_id").as("o"), col("embedding").as("vb"))
       val pairs = emb.join(broadcast(b), col("vec_id") =!= col("o"))
         .select(col("vec_id").as("p"), col("o"),
-          (Similarity.dot(col("embedding"), col("embedding"))
-            - lit(2.0) * Similarity.dot(col("embedding"), col("vb"))
-            + Similarity.dot(col("vb"), col("vb"))).as("dsq"))
+          graft.functions.SketchExprs.sqEuclidean(col("embedding"),
+            col("vb")).as("dsq"))
         .where(col("dsq") > 0.0)
       val w = Window.partitionBy(col("p")).orderBy(col("dsq"), col("o"))
       val knn = pairs.withColumn("rk", row_number().over(w))
