@@ -8,10 +8,21 @@ import pandas as pd
 import numpy as np
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+
+def fresh_con():
+    # DuckDB accumulates parquet file handles across hundreds of oracle
+    # runs in one connection ("Too many open files" past ~500 queries);
+    # recycling the connection every chunk keeps the gate fd-bounded.
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return c
+
+
+con = fresh_con()
+_checked = 0
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -24,6 +35,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 fails = 0
 for name in sorted(oracle):
+    _checked += 1
+    if _checked % 50 == 0:
+        con.close()
+        con = fresh_con()
     sql = oracle[name]
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
