@@ -297,18 +297,8 @@ object ConvergenceQueries {
     * All exact integers: losses are permille-scaled dollars. */
   def q494: Q = Q(
     "q494_pinball_forecast_eval",
-    Some("""
-      |WITH o AS (
-      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-      |  FROM orders),
-      |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-      |        FROM o GROUP BY 1),
-      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-      |grid AS (
-      |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-      |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-      |  LEFT JOIN rev ON g.d = rev.d),
+    Some(s"""
+      |WITH ${Scaffolds.sqlDailyDollars},
       |lagged AS (
       |  SELECT x, lag(x, 7) OVER (ORDER BY day) AS f_a,
       |            lag(x, 1) OVER (ORDER BY day) AS f_b
@@ -329,17 +319,7 @@ object ConvergenceQueries {
       |FROM loss ORDER BY model, tau_permille
       |""".stripMargin)) { (s, dir) =>
     import s.implicits._
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize()
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = Scaffolds.dailyDollars(s, dir)
     val w = Window.orderBy(col("day")) // calendar-bounded
     val e = grid.select(col("x"), lag(col("x"), 7).over(w).as("f_a"),
         lag(col("x"), 1).over(w).as("f_b"))
@@ -374,10 +354,10 @@ object ConvergenceQueries {
     val contrib = "(17 * ((w * rank) div wout)) div 20"
     val duckContrib = "(17 * ((e.w * v.rank) // e.wout)) // 20"
     val vCtes = (1 to iters).map { kk =>
-      s"""c$kk AS (
+      s"""c$kk AS MATERIALIZED (
          |  SELECT e.dst AS node, sum($duckContrib) AS s
          |  FROM ew e JOIN v${kk - 1} v ON v.node = e.src GROUP BY 1),
-         |v$kk AS (
+         |v$kk AS MATERIALIZED (
          |  SELECT n.node, pars.base + coalesce(c$kk.s, 0) AS rank
          |  FROM nodes n LEFT JOIN c$kk ON c$kk.node = n.node
          |  CROSS JOIN pars)""".stripMargin
@@ -398,7 +378,8 @@ object ConvergenceQueries {
         |pars AS (SELECT count(*) AS n, $scale // count(*) AS init,
         |                ${3 * scale} // (20 * count(*)) AS base
         |         FROM nodes),
-        |v0 AS (SELECT node, (SELECT init FROM pars) AS rank FROM nodes),
+        |v0 AS MATERIALIZED (
+        |  SELECT node, (SELECT init FROM pars) AS rank FROM nodes),
         |$vCtes
         |SELECT CAST(iter AS BIGINT) AS iter,
         |       CAST(residual AS BIGINT) AS residual_units

@@ -355,17 +355,7 @@ object DependenceQueries {
         " AS DECIMAL(28,6)) * 1000) AS BIGINT)"
     Q("q565_variance_ratio",
       Some(s"""
-        |WITH o AS (
-        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-        |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-        |  FROM orders),
-        |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-        |        FROM o GROUP BY 1),
-        |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-        |grid AS (
-        |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-        |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-        |  LEFT JOIN rev ON g.d = rev.d),
+        |WITH ${Scaffolds.sqlDailyDollars},
         |base AS (
         |  SELECT count(*) AS n1, sum(x) AS s1,
         |         sum(CAST(x AS HUGEINT) * x) AS q1

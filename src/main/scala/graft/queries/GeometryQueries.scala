@@ -24,8 +24,8 @@ object GeometryQueries {
     * max in-degree, hub count (≥2k), anti-hub count (0), and the
     * in-degree skewness from exact integer moments (the standard
     * hubness statistic; high skew predicts degraded ANN recall).
-    * B = n²Σx³−3nΣxΣx²+2(Σx)³ runs in DECIMAL/HUGEINT so the skew is
-    * one exactly-rounded double expression at the end. The k-NN pass
+    * B = n²Σx³−3nΣxΣx²+2(Σx)³ and A = nΣx²−(Σx)² give g₁ = B/A^{3/2}
+    * exactly (the n powers cancel), one pinned double at the end. The k-NN pass
     * broadcasts the query side exactly like the shipped ANN operators. */
   def q461: Q = {
     val k = 10
@@ -61,7 +61,7 @@ object GeometryQueries {
         |       CAST(mx AS BIGINT) AS max_indegree,
         |       CAST(hubs AS BIGINT) AS n_hubs,
         |       CAST(antih AS BIGINT) AS n_antihubs,
-        |       CAST(floor(CAST(CAST(b AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+        |       CAST(floor(CAST(CAST(b AS DOUBLE)
         |              / (CAST(a AS DOUBLE) * sqrt(CAST(a AS DOUBLE)))
         |            AS DECIMAL(28,6)) * 1000) AS BIGINT) AS skew_milli
         |FROM sk
@@ -86,7 +86,6 @@ object GeometryQueries {
             CAST(CAST(n AS DECIMAL(38,0)) * n * sxxx
                  - 3 * CAST(n AS DECIMAL(38,0)) * sx * sxx
                  + 2 * CAST(sx AS DECIMAL(38,0)) * sx * sx AS DOUBLE)
-            * sqrt(CAST(n AS DOUBLE))
             / (CAST(CAST(n AS DECIMAL(38,0)) * sxx
                     - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
                * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx

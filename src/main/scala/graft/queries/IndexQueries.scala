@@ -199,18 +199,8 @@ object IndexQueries {
     * on the calendar grid. */
   def q524: Q = Q(
     "q524_revenue_peaks",
-    Some("""
-      |WITH o AS (
-      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-      |  FROM orders),
-      |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-      |        FROM o GROUP BY 1),
-      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-      |grid AS (
-      |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-      |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-      |  LEFT JOIN rev ON g.d = rev.d),
+    Some(s"""
+      |WITH ${Scaffolds.sqlDailyDollars},
       |nb AS (
       |  SELECT day, x,
       |         lag(x, 1) OVER (ORDER BY day) AS l1,
@@ -233,17 +223,7 @@ object IndexQueries {
       |       CAST(prominence AS BIGINT) AS prominence_dollars
       |FROM pk ORDER BY prominence DESC, day LIMIT 5
       |""".stripMargin)) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize()
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = Scaffolds.dailyDollars(s, dir)
     val w = Window.orderBy(col("day")) // calendar-bounded
     val nb = grid.select(col("day"), col("x"),
       lag(col("x"), 1).over(w).as("l1"), lag(col("x"), 2).over(w).as("l2"),

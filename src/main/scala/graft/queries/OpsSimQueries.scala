@@ -23,18 +23,8 @@ object OpsSimQueries {
     * day-dim² — bounded by the calendar, not the fact table. */
   def q476: Q = Q(
     "q476_sample_entropy_revenue",
-    Some("""
-      |WITH o AS (
-      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-      |  FROM orders),
-      |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-      |        FROM o GROUP BY 1),
-      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-      |grid AS (
-      |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-      |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-      |  LEFT JOIN rev ON g.d = rev.d),
+    Some(s"""
+      |WITH ${Scaffolds.sqlDailyDollars},
       |st AS (SELECT count(*) AS n, sum(x) AS sx,
       |              sum(CAST(x AS HUGEINT) * x) AS q FROM grid),
       |tol AS (
@@ -63,17 +53,7 @@ object OpsSimQueries {
       |            AS DECIMAL(28,6)) * 1000) AS BIGINT) AS sampen_milli
       |FROM cmp
       |""".stripMargin)) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize()
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = Scaffolds.dailyDollars(s, dir)
       .materialize()
     val st = grid.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))

@@ -273,18 +273,8 @@ object PortmanteauQueries {
     * ACF/PACF diagnostics (q189/q396) describe but don't decide. */
   def q560: Q = Q(
     "q560_ljung_box",
-    Some("""
-      |WITH o AS (
-      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-      |  FROM orders),
-      |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-      |        FROM o GROUP BY 1),
-      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-      |grid AS (
-      |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-      |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-      |  LEFT JOIN rev ON g.d = rev.d),
+    Some(s"""
+      |WITH ${Scaffolds.sqlDailyDollars},
       |ct AS (SELECT count(*) AS n, sum(x) // count(*) AS m FROM grid),
       |cx AS (SELECT day, x - ct.m AS e, ct.n FROM grid CROSS JOIN ct),
       |c0 AS (SELECT sum(CAST(e AS HUGEINT) * e) AS c FROM cx),
@@ -308,17 +298,7 @@ object PortmanteauQueries {
       |            // 1000000000000 AS BIGINT) AS lb_q_milli
       |""".stripMargin)) { (s, dir) =>
     import s.implicits._
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize()
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = Scaffolds.dailyDollars(s, dir)
     val ct = grid.agg(count(lit(1)).as("n"),
       expr("sum(x) div count(1)").as("m"))
     val cx = grid.crossJoin(broadcast(ct))

@@ -180,11 +180,17 @@ object RobustQueries {
         lit(0L).as("d"))
       var frontier = reach
       for (k <- 1 to maxHops) {
+        // prune: only genuinely new (src, node) pairs stay in the
+        // frontier — on a dense graph rounds past the diameter would
+        // otherwise re-join the near-complete V² set every time
         frontier = frontier.join(ed, col("node") === col("ea"))
           .select(col("src"), col("ec").as("node"), lit(k.toLong).as("d"))
           .distinct()
+          .join(reach.select(col("src").as("rs"), col("node").as("rn")),
+            col("src") === col("rs") && col("node") === col("rn"),
+            "left_anti")
           .materialize(truncate = true) // constant-depth iteration
-        reach = reach.unionAll(frontier)
+        reach = reach.unionAll(frontier).materialize(truncate = true)
       }
       val dist = reach.groupBy(col("src"), col("node"))
         .agg(min(col("d")).as("d"))

@@ -158,18 +158,8 @@ object ShapeQueries {
     * the streaming machinery. */
   def q508: Q = Q(
     "q508_motif_discord_weeks",
-    Some("""
-      |WITH o AS (
-      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-      |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-      |  FROM orders),
-      |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-      |        FROM o GROUP BY 1),
-      |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-      |grid AS (
-      |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-      |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-      |  LEFT JOIN rev ON g.d = rev.d),
+    Some(s"""
+      |WITH ${Scaffolds.sqlDailyDollars},
       |win AS (
       |  SELECT day, x,
       |         lead(x, 1) OVER (ORDER BY day) AS x1,
@@ -204,17 +194,7 @@ object ShapeQueries {
       |       CAST(disc.nn AS BIGINT) AS discord_nn_ssd
       |FROM motif CROSS JOIN disc
       |""".stripMargin)) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize()
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val grid = mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val grid = Scaffolds.dailyDollars(s, dir)
     val wnd = Window.orderBy(col("day")) // calendar-bounded
     val win = grid.select(Seq(col("day"), col("x")) ++
         (1 to 6).map(i => lead(col("x"), i).over(wnd).as(s"x$i")): _*)

@@ -48,17 +48,7 @@ object SystemsQueries {
       .mkString(", ")
     Q("q451_revenue_periodogram",
       Some(s"""
-        |WITH o AS (
-        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-        |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-        |  FROM orders),
-        |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-        |        FROM o GROUP BY 1),
-        |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-        |grid AS (
-        |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-        |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-        |  LEFT JOIN rev ON g.d = rev.d),
+        |WITH ${Scaffolds.sqlDailyDollars},
         |mt AS (SELECT (SELECT lo FROM mm) AS lo,
         |              sum(x) // count(*) AS m FROM grid),
         |w(p, r, c, sn) AS (VALUES $sqlValues),
@@ -317,17 +307,7 @@ object SystemsQueries {
       "CAST(acc[1].s + e[1].v AS DOUBLE) / CAST(acc[1].t + 1 AS DOUBLE))"
     Q("q454_page_hinkley_drift",
       Some(s"""
-        |WITH o AS (
-        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-        |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-        |  FROM orders),
-        |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-        |        FROM o GROUP BY 1),
-        |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-        |grid AS (
-        |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-        |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-        |  LEFT JOIN rev ON g.d = rev.d),
+        |WITH ${Scaffolds.sqlDailyDollars},
         |tot AS (SELECT count(*) AS n, sum(x) AS sx FROM grid),
         |xp AS (SELECT day, (1000 * x * n) // sx AS v
         |       FROM grid CROSS JOIN tot),
@@ -428,17 +408,7 @@ object SystemsQueries {
     val dm = s"($mu) / sqrt(($vr) / CAST(n AS DOUBLE))"
     Q("q455_diebold_mariano",
       Some(s"""
-        |WITH o AS (
-        |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
-        |         CAST(o_totalprice * 100 AS HUGEINT) AS cents
-        |  FROM orders),
-        |rev AS (SELECT d, CAST(sum(cents) // 100 AS BIGINT) AS x
-        |        FROM o GROUP BY 1),
-        |mm AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
-        |grid AS (
-        |  SELECT g.d AS day, coalesce(rev.x, 0) AS x
-        |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
-        |  LEFT JOIN rev ON g.d = rev.d),
+        |WITH ${Scaffolds.sqlDailyDollars},
         |lagged AS (
         |  SELECT x, lag(x, 7) OVER (ORDER BY day) AS f_a,
         |            lag(x, 1) OVER (ORDER BY day) AS f_b
