@@ -27,10 +27,12 @@ object SegmentQueries {
     // the Q terms cancel, so gain = S_lt²/n_lt + S_tr²/n_tr - S_lr²/n_lr
     def sq(s: String, n: String) =
       s"CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / CAST($n AS DOUBLE)"
+    // kilodollar^2 units: the gain is ONLY an argmax key, and micro
+    // scaling overflowed BIGINT at sf0.1 (S^2/n ~ 7e17 dollars^2)
     def gain(slt: String, nlt: String, str_ : String, ntr: String,
         slr: String, nlr: String) =
-      s"CAST(floor(CAST(${sq(slt, nlt)} + ${sq(str_, ntr)}" +
-        s" - ${sq(slr, nlr)} AS DECIMAL(28,6)) * 1000000) AS BIGINT)"
+      s"CAST(floor(CAST((${sq(slt, nlt)} + ${sq(str_, ntr)}" +
+        s" - ${sq(slr, nlr)}) / 1000.0 AS DECIMAL(28,6))) AS BIGINT)"
     Q("q536_binary_segmentation",
       Some(s"""
         |WITH o AS (
