@@ -49,6 +49,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full declared-query manifest: lets the checker flag a query
+    // whose output is MISSING entirely (a rows-only query that crashed
+    // would otherwise escape the gate — no output dir, no oracle row)
+    Files.writeString(Paths.get(s"$outDir/declared_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

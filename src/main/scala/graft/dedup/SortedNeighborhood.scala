@@ -90,11 +90,28 @@ object SortedNeighborhood {
       tieCols: Seq[String],
       partCols: Seq[String] = Nil,
       cumCol: Option[String] = None): DataFrame = {
+    val out = globalRankCums(df, idCol, bucketCol, tieCols, partCols,
+      cumCol.toSeq)
+    cumCol.fold(out)(c => out.withColumnRenamed(s"__cum_$c", "__cum"))
+  }
+
+  /** [[globalRankCum]] generalized to ANY number of running-sum
+    * columns sharing the one order — each `cumCols` entry yields an
+    * inclusive `__cum_<col>`; still one per-bucket count table and one
+    * in-bucket window pass total (an ECDF over two sample counts is
+    * one call here, not two full passes). */
+  def globalRankCums(
+      df: DataFrame,
+      idCol: String,
+      bucketCol: String,
+      tieCols: Seq[String],
+      partCols: Seq[String] = Nil,
+      cumCols: Seq[String] = Nil): DataFrame = {
     val keyCols = partCols :+ bucketCol
     val clean = df.where(
       (keyCols ++ tieCols :+ idCol).map(col(_).isNotNull).reduce(_ && _))
     val aggs = count(lit(1)).as("__bn") +:
-      cumCol.map(c => sum(col(c)).as("__bs")).toSeq
+      cumCols.map(c => sum(col(c)).as(s"__bs_$c"))
     val perBucket = clean.groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .materialize()
@@ -104,19 +121,18 @@ object SortedNeighborhood {
     val wOff = wOffBase.rowsBetween(Window.unboundedPreceding, -1)
     val offsets0 = perBucket
       .withColumn("__offset", coalesce(sum(col("__bn")).over(wOff), lit(0L)))
-    val offsets = cumCol.fold(offsets0) { _ =>
-      offsets0.withColumn("__cumoff",
-        coalesce(sum(col("__bs")).over(wOff), lit(0)))
+    val offsets = cumCols.foldLeft(offsets0) { (acc, c) =>
+      acc.withColumn(s"__cumoff_$c",
+        coalesce(sum(col(s"__bs_$c")).over(wOff), lit(0)))
     }.select((keyCols.map(col) :+ col("__offset")) ++
-      cumCol.map(_ => col("__cumoff")): _*)
+      cumCols.map(c => col(s"__cumoff_$c")): _*)
     val wIn = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((tieCols.map(col) :+ col(idCol)).map(_.asc): _*)
     val ranked = clean.join(broadcast(offsets), keyCols)
       .withColumn("__rank", col("__offset") + row_number().over(wIn))
-    cumCol.fold(ranked.drop("__offset")) { c =>
-      ranked.withColumn("__cum", col("__cumoff") + sum(col(c)).over(
-          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("__offset", "__cumoff")
-    }
+    cumCols.foldLeft(ranked) { (acc, c) =>
+      acc.withColumn(s"__cum_$c", col(s"__cumoff_$c") + sum(col(c)).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }.drop("__offset" +: cumCols.map(c => s"__cumoff_$c"): _*)
   }
 }

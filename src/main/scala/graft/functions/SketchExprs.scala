@@ -355,6 +355,139 @@ object SketchExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** Integer squared Euclidean distance Σ(aᵢ−bᵢ)² over LONG arrays —
+    * the quantized-embedding audit kernel (q344/q335 family). Pure
+    * 64-bit integer math: associative and overflow-free for the
+    * quantized ranges here (|v| ≤ ~10³ per element × 64 dims ≪ 2⁶³),
+    * so it matches DuckDB's `list_sum(list_transform(...))` exactly in
+    * ANY fold order — one virtual call per pair instead of an
+    * interpreted per-element lambda fold (the q462 lesson applied to
+    * the integer faces). */
+  private def toLong(arr: ArrayData, et: DataType, i: Int): Long = et match {
+    case LongType => arr.getLong(i)
+    case IntegerType => arr.getInt(i).toLong
+    case ShortType => arr.getShort(i).toLong
+    case ByteType => arr.getByte(i).toLong
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  case class SqEuclideanLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = toLong(a, ta, i) - toLong(b, tb, i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sqeucLongKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Integer dot product Σ aᵢ·bᵢ over integer-typed arrays — exact
+    * 64-bit math (caller guarantees no overflow; the milli-quantized
+    * faces here stay ≪ 2⁶³), so it equals the `aggregate(zip_with(a,
+    * b, x·y), 0L, +)` lambda fold in any order. One virtual call per
+    * pair. */
+  case class DotLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += toLong(a, ta, i) * toLong(b, tb, i)
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotLongKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Double dot product with the exact left-fold IEEE op sequence of
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` — products in element
+    * order, one running accumulator — so values are bit-identical to
+    * the lambda formulation it replaces. */
+  case class DotDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += toDouble(a, ta, i) * toDouble(b, tb, i)
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotDoubleKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
+  /** Count of positions where two integer-typed arrays agree — the
+    * MinHash-signature agreement kernel (estimated Jaccard numerator).
+    * Exact integer count, any fold order. */
+  case class ArrayAgreeCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    private def elemType(e: Expression) =
+      e.dataType.asInstanceOf[ArrayType].elementType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    def compute(a: ArrayData, b: ArrayData): Long = {
+      val (ta, tb) = (elemType(left), elemType(right))
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (toLong(a, ta, i) == toLong(b, tb, i)) s += 1L
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("agreeKernel", this)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+  }
+
   // Column-level wrappers
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
@@ -364,6 +497,18 @@ object SketchExprs {
 
   def sqEuclidean(a: Column, b: Column): Column =
     ColumnBridge.column(SqEuclidean(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sqEuclideanLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SqEuclideanLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dotDouble(a: Column, b: Column): Column =
+    ColumnBridge.column(DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def arrayAgreeCount(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def minHashSig(shingles: Column, perms: Int, mult: Long, mod: Long,
       permA: Array[Long], permB: Array[Long]): Column =

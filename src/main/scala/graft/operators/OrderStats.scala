@@ -83,10 +83,19 @@ object OrderStats {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 1000),
       s"permilles must be in [1, 1000]: $ps")
     require(ps.distinct.size == ps.size, s"duplicate permilles: $ps")
+    // enforce the documented contract at run time: a NEGATIVE weight
+    // makes the cumulative ranges non-monotone, so a permille target
+    // could silently match zero or multiple rows per group — fail
+    // loudly per offending row instead of producing wrong quantiles
+    val guarded = when(col(weightCol) < 0,
+      raise_error(concat(
+        lit(s"weightedQuantilesDisc: negative weight in '$weightCol': "),
+        col(weightCol).cast("string"))))
+      .otherwise(col(weightCol))
     val merged = df
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy((keys.map(col) :+ col(valueCol)): _*)
-      .agg(sum(col(weightCol)).as("__w"))
+      .agg(sum(guarded).as("__w"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val wn = Window.partitionBy(keys.map(col): _*)
     val ranked = merged

@@ -104,11 +104,15 @@ object CurationQueries {
       .agg(sum(expr("CAST(floor(1000000.0 " +
         "* CAST((n * qv - s1) * (n * qv - s1) AS DOUBLE) " +
         "/ CAST(vd AS DOUBLE)) AS BIGINT)")).as("md2_micro"))
+      // top-10 via orderBy().limit → TakeOrderedAndProject (per-partition
+      // bounded heaps, driver merge of 10-row tops) — NEVER a global
+      // row_number window, which would sort the whole vec dim in one
+      // task; the rank window then runs over the 10-row result only
+      .orderBy(col("md2_micro").desc, col("vec_id"))
+      .limit(10)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("md2_micro").desc, col("vec_id"))))
-      .where(col("rank") <= 10)
-      .select(col("rank").cast("long").as("rank"), col("vec_id"),
-        col("label"), col("md2_micro"))
+        Window.orderBy(col("md2_micro").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"), col("md2_micro"))
       .orderBy(col("rank"))
   }
 
@@ -558,18 +562,22 @@ object CurationQueries {
     * exact integer domains (no raw-double ordering crosses an engine
     * boundary); output is the overlap histogram. */
   def q344: Q = {
+    // FIXED-SIZE query sample (the 100 lowest vec_ids), not a `% k`
+    // rate: a rate sample grows the pair count O(N²/k) with the
+    // corpus, a cap keeps it O(100·N) at every scale
+    val nQueries = 100
     def sqlTop(scale: Int, name: String) = s"""
       |e_$name AS (
       |  SELECT vec_id, list_transform(embedding, v ->
       |    CAST(floor(CAST(v AS DOUBLE) * $scale) AS BIGINT)) AS qe
       |  FROM embeddings),
+      |q_$name AS (SELECT * FROM e_$name ORDER BY vec_id LIMIT $nQueries),
       |p_$name AS (
       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
       |         CAST(list_sum(list_transform(range(1, 65), i ->
       |           (q.qe[i] - c.qe[i]) * (q.qe[i] - c.qe[i]))) AS BIGINT)
       |           AS d2
-      |  FROM e_$name q JOIN e_$name c ON c.vec_id <> q.vec_id
-      |  WHERE q.vec_id % 5 = 0),
+      |  FROM q_$name q JOIN e_$name c ON c.vec_id <> q.vec_id),
       |t_$name AS (
       |  SELECT qid, cid FROM (
       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
@@ -587,31 +595,32 @@ object CurationQueries {
         |       CAST(count(*) AS BIGINT) AS n_queries
         |FROM ov GROUP BY 1 ORDER BY 1
         |""".stripMargin)) { (s, dir) =>
-      // ONE pair pass computes both quantized distances (the join is
-      // the expensive part; two windows over it are cheap)
+      // scale shape: broadcast the CAPPED query sample and STREAM the
+      // corpus past it (never broadcast(corpus) — no executor holds
+      // the embedding table at 100×); both quantized distances ride
+      // the native integer kernel (one virtual call per pair, exact —
+      // 64-bit integer math in any fold order), and the per-query
+      // top-10s run through GroupedTopK's bounded heaps, never a full
+      // per-qid sort
       def quant(scale: Int, c: org.apache.spark.sql.Column) =
         transform(c, v => floor(v.cast("double") * scale).cast("long"))
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), quant(1000, col("embedding")).as("qm"),
           quant(100, col("embedding")).as("qc"))
-      val qq = e.where(col("vec_id") % 5 === 0)
+      val qq = e.orderBy(col("vec_id")).limit(nQueries)
         .select(col("vec_id").as("qid"), col("qm").as("qqm"),
           col("qc").as("qqc"))
-      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
-      val pairs = qq.join(broadcast(e.select(col("vec_id").as("cid"),
-          col("qm").as("cqm"), col("qc").as("cqc"))),
-          col("cid") =!= col("qid"))
+      import graft.functions.SketchExprs.sqEuclideanLong
+      val pairs = e.select(col("vec_id").as("cid"), col("qm").as("cqm"),
+          col("qc").as("cqc"))
+        .join(broadcast(qq), col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"),
-          d2(col("qqm"), col("cqm")).as("dm"),
-          d2(col("qqc"), col("cqc")).as("dc"))
+          sqEuclideanLong(col("qqm"), col("cqm")).as("dm"),
+          sqEuclideanLong(col("qqc"), col("cqc")).as("dc"))
         .materialize() // both rankings read the same pair frame
       def top(dcol: String): org.apache.spark.sql.DataFrame =
-        pairs.withColumn("rn", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col(dcol), col("cid"))))
-          .where(col("rn") <= 10)
+        graft.plans.GroupedTopK.topKPerKey(pairs, Seq("qid"),
+            Seq((dcol, true), ("cid", true)), 10)
           .select(col("qid"), col("cid"))
       val tm = top("dm")
       val tc = top("dc").select(col("qid").as("cqid"), col("cid").as("ccid"))
@@ -965,7 +974,7 @@ object CurationQueries {
       |         list_transform(embedding, v ->
       |           CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
       |  FROM embeddings),
-      |qq AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      |qq AS (SELECT * FROM e ORDER BY vec_id LIMIT 200),
       |p AS (
       |  SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid,
       |         c.label AS clab,
@@ -984,27 +993,31 @@ object CurationQueries {
       |            AS BIGINT) AS acc_ppm
       |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
       |""".stripMargin)) { (s, dir) =>
+    // FIXED 200-query sample (cap, not `% 10` rate — pairs stay
+    // O(200·N) at every scale), queries broadcast and the corpus
+    // STREAMED past them, the native integer d² kernel per pair, and
+    // the 1-NN as min(struct(d2, cid, clab)) — a hash aggregate with
+    // MAP-SIDE partial min, so only 200 rows ever shuffle (the window
+    // formulation shuffles and sorts all 200·N pairs)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"),
           v => floor(v.cast("double") * 1000).cast("long")).as("qe"))
-    val qq = e.where(col("vec_id") % 10 === 0)
+    val qq = e.orderBy(col("vec_id")).limit(200)
       .select(col("vec_id").as("qid"), col("label").as("qlab"),
         col("qe").as("qqe"))
-    val cand = e.select(col("vec_id").as("cid"), col("label").as("clab"),
-      col("qe").as("cqe"))
-    val p = qq.join(broadcast(cand), col("cid") =!= col("qid"))
-      .select(col("qid"), col("qlab"), col("cid"), col("clab"),
-        aggregate(zip_with(col("qqe"), col("cqe"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
-    p.withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("d2"), col("cid"))))
-      .where(col("rn") === 1)
+    import graft.functions.SketchExprs.sqEuclideanLong
+    e.select(col("vec_id").as("cid"), col("label").as("clab"),
+        col("qe").as("cqe"))
+      .join(broadcast(qq), col("cid") =!= col("qid"))
+      .select(col("qid"), col("qlab"),
+        struct(sqEuclideanLong(col("qqe"), col("cqe")).as("d2"),
+          col("cid"), col("clab")).as("cand"))
+      .groupBy(col("qid"), col("qlab"))
+      .agg(min(col("cand")).as("nn")) // lexicographic ≡ ORDER BY d2, cid
       .groupBy(col("qlab").as("label"))
       .agg(count(lit(1)).as("n_queries"),
-        count(when(col("clab") === col("qlab"), 1)).as("n_correct"))
+        count(when(col("nn.clab") === col("qlab"), 1)).as("n_correct"))
       .select(col("label"), col("n_queries"), col("n_correct"),
         expr("(1000000 * n_correct) div n_queries").as("acc_ppm"))
       .orderBy(col("label"))

@@ -1294,15 +1294,15 @@ object EvalQueries {
         col("embedding"), 64, 16, "jl_v1")
       .select(col("vec_id"), col("embedding"), col("proj"))
     import org.apache.spark.sql.Column
+    // native kernels, not interpreted lambda folds: dotDouble replays
+    // the identical left-fold IEEE sequence; the integer dot is exact
+    // (|proj| ≤ 64·10³·10³ ⇒ products ≪ 2⁵³, so the former
+    // decimal-fold value survives both the long math and the final
+    // double cast bit-for-bit)
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0d), (acc, v) => acc + v)
+      graft.functions.SketchExprs.dotDouble(a, b)
     def dotL(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-          (x, y) => (x.cast("decimal(38,0)") * y).cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"),
-        (acc, v) => (acc + v).cast("decimal(38,0)"))
+      graft.functions.SketchExprs.dotLong(a, b)
     val x = base.select(col("vec_id").as("va"),
       col("embedding").as("__ea"), col("proj").as("__pa"))
     val y = base.select(col("vec_id").as("vb"),
@@ -2349,10 +2349,9 @@ object EvalQueries {
       pairs
         .join(sigs.select(col("doc_id").as("a"), col("sg").as("__sa")), "a")
         .join(sigs.select(col("doc_id").as("b"), col("sg").as("__sb")), "b")
-        .withColumn("agree",
-          aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, v) => acc + v))
+        .withColumn("agree", // native agree-count kernel (exact integer)
+          graft.functions.SketchExprs.arrayAgreeCount(
+            col("__sa"), col("__sb")))
         .withColumn("est_permille", expr("(agree * 1000) div 32"))
         .withColumn("exact_permille", expr("(inter * 1000) div uni"))
         .withColumn("err_permille",

@@ -498,15 +498,21 @@ object SeriesQueries {
         count(when(col("event_type") === "click", 1)).as("c2"))
       .materialize() // distinct-value dim feeds the totals AND the ECDF
     val t = v.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, 0) // value dim, bounded
-    v.withColumn("f1", sum(col("c1")).over(w))
-      .withColumn("f2", sum(col("c2")).over(w))
-      .crossJoin(broadcast(t))
+    // the distinct-value dim GROWS with the event log (17,792 of 100k
+    // events at sf0.1), so both ECDF running sums ride ONE
+    // bucket-parallel globalRankCums pass ($8 value buckets — the value
+    // model is range-bounded, so buckets stay balanced as data grows),
+    // and the KS argmax is orderBy().limit(1), never a global window
+    val cum = graft.dedup.SortedNeighborhood.globalRankCums(
+        v.withColumn("__bkt", floor(col("value") / 8).cast("long")),
+        idCol = "value", bucketCol = "__bkt", tieCols = Nil,
+        cumCols = Seq("c1", "c2"))
+      .select(col("value"), col("__cum_c1").as("f1"),
+        col("__cum_c2").as("f2"))
+    cum.crossJoin(broadcast(t))
       .withColumn("diff", abs(col("f1") * col("n2") - col("f2") * col("n1")))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("diff").desc, col("value"))))
-      .where(col("rn") === 1)
+      .orderBy(col("diff").desc, col("value"))
+      .limit(1)
       .select(col("n1"), col("n2"),
         expr("(1000000 * diff) div (n1 * n2)").as("ks_ppm"),
         (col("value") * 100).cast("decimal(38,0)").cast("long")

@@ -680,17 +680,27 @@ object SignalQueries {
     // octaves (-floor(log2 c) is a monotone coarse prefix of c desc;
     // ties inside an octave order by -c then w inside their own
     // bucket window), never a single-partition Window.orderBy
-    def ranked(half: DataFrame, cName: String, rName: String) =
+    // ONE token-explode scan serves both halves: the (half, w, c)
+    // counts materialize once, and each half's bucket-parallel rank
+    // reads the tiny vocab-sized slice — the corpus is never exploded
+    // twice
+    val tc = t
+      .select(when(col("doc_id") < col("mid"), "a").otherwise("b")
+        .as("half"), col("w"))
+      .groupBy(col("half"), col("w")).agg(count(lit(1)).as("c"))
+      .materialize()
+    def ranked(half: String, cName: String, rName: String) =
       graft.dedup.SortedNeighborhood.globalRankCum(
-          half.groupBy(col("w")).agg(count(lit(1)).as(cName))
+          tc.where(col("half") === half)
+            .select(col("w"), col("c").as(cName))
             .withColumn("__negc", -col(cName))
             .withColumn("__bkt",
               expr(s"CAST(-floor(log2($cName)) AS BIGINT)")),
           idCol = "w", bucketCol = "__bkt", tieCols = Seq("__negc"))
         .withColumnRenamed("__rank", rName)
         .drop("__negc", "__bkt")
-    val a = ranked(t.where(col("doc_id") < col("mid")), "c_a", "rank_a")
-    val b = ranked(t.where(col("doc_id") >= col("mid")), "c_b", "rank_b")
+    val a = ranked("a", "c_a", "rank_a")
+    val b = ranked("b", "c_b", "rank_b")
     b.join(a.select(col("w"), col("rank_a")), Seq("w"), "left")
       .where(col("rank_b") <= 30)
       .select(col("w"), col("rank_b"), col("c_b"), col("rank_a"),
@@ -1187,10 +1197,9 @@ object SignalQueries {
       val cents = qv.where(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("qa").as("ca"))
       val asg = qv.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), expr(
-          """aggregate(zip_with(qa, ca,
-            |  (x, y) -> CAST(x - y AS BIGINT) * (x - y)),
-            |  0L, (a, b) -> a + b)""".stripMargin).as("d2"))
+        .select(col("vec_id"), col("cid"), // native integer d² kernel
+          graft.functions.SketchExprs.sqEuclideanLong(
+            col("qa"), col("ca")).as("d2"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id"))
             .orderBy(col("d2"), col("cid"))))

@@ -51,8 +51,9 @@ object RandomProject {
     val comps = (0 until outDims).map { j =>
       val signs = array((0 until inDims).map(i =>
         lit(sign(i, j, salt).toLong)): _*)
-      aggregate(zip_with(q, signs, (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+      // native integer dot kernel — exact in any order, one virtual
+      // call per output dim instead of an interpreted per-element fold
+      graft.functions.SketchExprs.dotLong(q, signs)
     }
     df.withColumn("proj", array(comps: _*))
   }

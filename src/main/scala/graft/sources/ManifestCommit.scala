@@ -277,7 +277,7 @@ object ManifestCommit {
   private def filesOf(lines: Seq[String]): Seq[String] =
     lines.filterNot(_.startsWith("#"))
 
-  import org.apache.spark.sql.types.{DataType, StructType}
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
   /** Decode a manifest's committed-schema marker (base64 of the Spark
     * schema JSON — one line, no '#'/newline hazards). */
@@ -317,13 +317,35 @@ object ManifestCommit {
     * (loud failure otherwise), table-absent append columns are
     * appended, append-absent table columns stay (old files simply
     * lack them). Everything lands nullable. */
+  /** Type equality modulo nullability at EVERY nesting level: a
+    * parquet read-back infers array<int> containsNull=true where the
+    * in-memory frame that wrote it said containsNull=false — that is
+    * the same type, not an evolution conflict. */
+  private def sameTypeIgnoreNullability(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeIgnoreNullability(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeIgnoreNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoreNullability(x.valueType, y.valueType)
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name &&
+              sameTypeIgnoreNullability(f.dataType, g.dataType)
+          }
+      case _ => a == b
+    }
+
   private def mergeSchemas(prev: StructType, next: StructType,
       allowNew: Boolean): StructType = {
     val byName = prev.fields.map(f => f.name -> f).toMap
     val conflicts = next.fields.flatMap { f =>
-      byName.get(f.name).filter(_.dataType != f.dataType).map(p =>
-        s"${f.name}: table=${p.dataType.simpleString} " +
-          s"append=${f.dataType.simpleString}")
+      byName.get(f.name)
+        .filterNot(p => sameTypeIgnoreNullability(p.dataType, f.dataType))
+        .map(p =>
+          s"${f.name}: table=${p.dataType.simpleString} " +
+            s"append=${f.dataType.simpleString}")
     }
     if (conflicts.nonEmpty) throw new IllegalStateException(
       "schema evolution type conflict (incompatible append refused): " +
@@ -398,9 +420,22 @@ object ManifestCommit {
     // persist the committed schema with every streaming append: a
     // marker-only generation (legal first empty batch) must still read
     // back as an EMPTY frame of the right shape at a polling reader,
-    // not as "manifest lists no files"
-    val schemaLine = schemaMarker(
-      prev.flatMap(r => schemaOf(r._2)).getOrElse(nullable(batch.schema)))
+    // not as "manifest lists no files". When the previous manifest has
+    // no marker but DOES list files (writeVersioned tables, or any
+    // table after compact/stageAndPublish, which intentionally drop
+    // it), the batch schema alone is NOT authoritative — a narrower
+    // batch would commit a schema that hides existing columns on every
+    // later readAt. Mirror appendVersioned: infer the prior schema
+    // from the files and merge (type conflicts fail loudly; batch-new
+    // columns widen, prior columns stay).
+    val prevSchema = prev.flatMap(r => schemaOf(r._2)).orElse(
+      if (prevFiles.nonEmpty)
+        Some(readFiles(batch.sparkSession, path, prevFiles).schema)
+      else None)
+    val schemaLine = schemaMarker(prevSchema match {
+      case None => nullable(batch.schema)
+      case Some(ps) => mergeSchemas(ps, batch.schema, allowNew = true)
+    })
     val markers = (prevTxns + key).toSeq.sorted.map(TxnPrefix + _) :+
       schemaLine
     Some(publish(dir, (prevFiles ++ newParts).sorted ++ markers,

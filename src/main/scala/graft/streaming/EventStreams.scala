@@ -254,6 +254,13 @@ object EventStreams {
     require(!touchTypes.contains(convType),
       "convType in touchTypes would let a conversion credit itself")
     require(stateTtlMs.forall(_ > 0), s"stateTtlMs must be > 0: $stateTtlMs")
+    // the semantics-safety condition below is a hard contract, not
+    // advice: a processing-time TTL shorter than the event-time
+    // lookback expires touches that are still credit-eligible and
+    // silently changes attribution on a live stream — refuse it
+    require(stateTtlMs.forall(_ * 1000L >= lookbackUs),
+      s"stateTtlMs must cover the lookback (>= ${lookbackUs / 1000} ms" +
+        s" for lookbackUs=$lookbackUs): $stateTtlMs")
     import events.sparkSession.implicits._
     // Unbounded-user streams should pass stateTtlMs (>= lookbackUs/1000
     // to stay semantics-safe on a live stream): a touch older than the

@@ -8,6 +8,11 @@ import pandas as pd
 import numpy as np
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
+# optional third arg: write a machine-readable per-query artifact
+# (CORRECTNESS_LOCAL_r{N}.json) so a driver-side harness zero never
+# leaves a round unmeasured
+artifact_path = sys.argv[3] if len(sys.argv) > 3 else None
+artifact = {}
 
 
 def fresh_con():
@@ -43,16 +48,20 @@ for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
+        artifact[name] = {"status": "fail", "reason": "no spark output"}
         fails += 1
         continue
     got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
     exp = canon(con.execute(sql).df())
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        artifact[name] = {"status": "fail", "reason": "column mismatch"}
         fails += 1
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+        artifact[name] = {"status": "fail",
+                          "reason": f"rows {len(got)} != {len(exp)}"}
         fails += 1
         continue
     # the driver's hasher is representation-sensitive: an int64 Spark
@@ -66,6 +75,8 @@ for name in sorted(oracle):
         print(f"FAIL {name}: dtype kind mismatch in {kinds}: " +
               ", ".join(f"{c} spark={got[c].dtype} oracle={exp[c].dtype}"
                         for c in kinds))
+        artifact[name] = {"status": "fail",
+                          "reason": f"dtype kind mismatch {kinds}"}
         fails += 1
         continue
     bad = []
@@ -83,17 +94,44 @@ for name in sorted(oracle):
         for c in bad[:2]:
             m = ~(((got[c].isna()) & (exp[c].isna())) | (got[c] == exp[c]))
             print(pd.DataFrame({"got": got[c][m], "exp": exp[c][m]}).head(5))
+        artifact[name] = {"status": "fail",
+                          "reason": f"value mismatch {bad}"}
         fails += 1
     else:
         print(f"ok   {name} ({len(got)} rows)")
+        artifact[name] = {"status": "ok", "rows": int(len(got)),
+                          "match": "schema+dtype+values"}
 
-# queries without oracle: rows-only check
+# queries without oracle: rows-only check. Prefer the declared-query
+# manifest (written by Verify) so a query with NO output at all — e.g.
+# a rows-only query that crashed — is flagged instead of skipped.
 allq = [d.split("/")[-1] for d in glob.glob(f"{outdir}/*") if not d.endswith(".json")]
+try:
+    declared = json.load(open(f"{outdir}/declared_queries.json"))
+    # restrict to oracle scope when the caller filtered oracle_sql.json
+    # (single-wave runs): only enforce declared-missing on full runs
+    if len(oracle) > 0.9 * len(declared):
+        missing = sorted(set(declared) - set(allq))
+        for name in missing:
+            print(f"FAIL {name}: declared but produced NO output")
+            artifact[name] = {"status": "fail", "reason": "no output at all"}
+            fails += 1
+except FileNotFoundError:
+    pass
 for name in sorted(set(allq) - set(oracle)):
     n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
     print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+    artifact[name] = {"status": "ok" if n else "fail", "rows": int(n),
+                      "match": "rows-only (no oracle by nature)"}
     if n == 0:
         fails += 1
+
+if artifact_path:
+    with open(artifact_path, "w") as f:
+        json.dump({"sf_dir": sfdir, "n_queries": len(artifact),
+                   "n_fail": fails, "queries": artifact}, f, indent=0,
+                  sort_keys=True)
+    print(f"artifact -> {artifact_path}")
 
 print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
 sys.exit(1 if fails else 0)
