@@ -60,7 +60,9 @@ object TopologyQueries {
       var r = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
         .materialize(truncate = true)
       val counts = scala.collection.mutable.ArrayBuffer(r.count())
-      for (_ <- 0 until trussRounds) {
+      var round = 0
+      var fixed = false
+      while (round < trussRounds && !fixed) {
         val ad = r.select(col("a").as("u"), col("c").as("v"))
           .unionAll(r.select(col("c").as("u"), col("a").as("v")))
           .materialize(truncate = true)
@@ -73,6 +75,15 @@ object TopologyQueries {
         r = sup.where(col("s") >= 2).select(col("a"), col("c"))
           .materialize(truncate = true)
         counts += r.count()
+        round += 1
+        // peeling is MONOTONE (each round's edges are a subset of the
+        // previous round's), so an unchanged count means a fixpoint:
+        // every remaining round provably returns the identical set —
+        // fill the trajectory and stop paying wedge joins for no-ops
+        if (counts(round) == counts(round - 1)) {
+          fixed = true
+          while (counts.size <= trussRounds) counts += counts(round)
+        }
       }
       val conv =
         if (counts(trussRounds - 1) == counts(trussRounds)) 1L else 0L
