@@ -363,6 +363,29 @@ object SketchExprs {
     * ANY fold order — one virtual call per pair instead of an
     * interpreted per-element lambda fold (the q462 lesson applied to
     * the integer faces). */
+  /** Contract guard shared by the pairwise kernels: the declarative
+    * `aggregate(zip_with(a, b, ...))` folds these kernels replace
+    * return NULL on ragged lengths or null elements — a primitive
+    * kernel cannot, so it must FAIL LOUDLY rather than read garbage
+    * through ArrayData primitive getters and silently diverge from
+    * the oracle. The corpus contracts here guarantee dense equal-rank
+    * vectors; this guard is the tripwire for when they stop holding. */
+  private def requireDensePair(a: ArrayData, b: ArrayData,
+      kernel: String): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n) throw new IllegalArgumentException(
+      s"$kernel: ragged arrays (${a.numElements()} vs ${b.numElements()})" +
+        " — the zip_with fold this kernel replaces would return NULL")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"$kernel: null element at index $i — the zip_with fold this" +
+          " kernel replaces would return NULL")
+      i += 1
+    }
+    n
+  }
+
   private def toLong(arr: ArrayData, et: DataType, i: Int): Long = et match {
     case LongType => arr.getLong(i)
     case IntegerType => arr.getInt(i).toLong
@@ -380,7 +403,7 @@ object SketchExprs {
       compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     def compute(a: ArrayData, b: ArrayData): Long = {
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireDensePair(a, b, "SqEuclideanLong")
       var s = 0L
       var i = 0
       while (i < n) {
@@ -412,7 +435,7 @@ object SketchExprs {
       compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     def compute(a: ArrayData, b: ArrayData): Long = {
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireDensePair(a, b, "DotLong")
       var s = 0L
       var i = 0
       while (i < n) {
@@ -442,7 +465,7 @@ object SketchExprs {
       compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     def compute(a: ArrayData, b: ArrayData): Double = {
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireDensePair(a, b, "DotDouble")
       var s = 0.0
       var i = 0
       while (i < n) {
@@ -471,7 +494,7 @@ object SketchExprs {
       compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     def compute(a: ArrayData, b: ArrayData): Long = {
       val (ta, tb) = (elemType(left), elemType(right))
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireDensePair(a, b, "ArrayAgreeCount")
       var s = 0L
       var i = 0
       while (i < n) {

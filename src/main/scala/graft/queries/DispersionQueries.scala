@@ -35,7 +35,8 @@ object DispersionQueries {
       |ag AS (
       |  SELECT w, count(*) AS k, sum(f) AS s,
       |         sum(CAST(f AS HUGEINT) * f) AS q
-      |  FROM fs GROUP BY 1),
+      |  FROM fs GROUP BY 1
+      |  HAVING count(*) >= 2),
       |ct AS (SELECT w, count(*) AS total FROM t GROUP BY 1)
       |SELECT ag.w AS token, CAST(ct.total AS BIGINT) AS n_occurrences,
       |       CAST(ag.k AS BIGINT) AS n_sources,
@@ -55,9 +56,13 @@ object DispersionQueries {
     val cs = t.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val fs = cs.join(broadcast(ns), "source")
       .select(col("w"), expr("(1000000 * c) div n").as("f"))
+    // a single-source token makes D = 1 - 0/0 (NaN -> ANSI cast
+    // abort): the dispersion of a one-source token is undefined by
+    // the formula, so both engines DROP it (HAVING k >= 2)
     val ag = fs.groupBy(col("w"))
       .agg(count(lit(1)).as("k"), sum(col("f")).as("s"),
         sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("q"))
+      .where(col("k") >= 2)
     val ct = t.groupBy(col("w")).agg(count(lit(1)).as("total"))
     ag.join(ct.withColumnRenamed("w", "cw"), col("w") === col("cw"))
       .select(col("w").as("token"), col("total").as("n_occurrences"),
@@ -98,6 +103,11 @@ object DispersionQueries {
     val d = Tables.documents(s, dir)
       .where(col("text").isNotNull)
       .select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      // sequence(1, 0) DESCENDS in Spark (the Bpe.scala:24 pitfall):
+      // a <=1-token doc would fabricate out-of-range indices and ANSI
+      // would crash — such docs contribute no bigrams in BOTH engines,
+      // so the filter is semantics-neutral (oracle's range(1,1) = [])
+      .where(size(col("toks")) >= 2)
     val b = d.select(explode(expr(
       "transform(sequence(1, greatest(size(toks) - 1, 0))," +
         " i -> named_struct('w1', toks[i - 1], 'w2', toks[i]))"))

@@ -16,19 +16,10 @@ object RegressionDiagQueries {
 
   val all: Seq[Q] = Seq(q611, q612, q613, q614, q615)
 
-  private def dailyNetSql: String = """
-    |d AS (
-    |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
-    |         sum(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
-    |             * CAST(l_extendedprice * 100 AS HUGEINT)) AS net
-    |  FROM lineitem GROUP BY 1)""".stripMargin
+  private def dailyNetSql: String = DailyNet.sql
 
   private def dailyNet(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-        " div 86400000000").as("day"))
-      .agg(sum(when(col("l_returnflag") === "R", -1).otherwise(1)
-        * expr("CAST(l_extendedprice * 100 AS DECIMAL(38,0))")).as("net"))
+    DailyNet.frame(s, dir)
 
   /** Grubbs' test for a single outlier in daily net revenue:
     * G = max|x − x̄|/s from the n-scaled integer centering c = n·x − S

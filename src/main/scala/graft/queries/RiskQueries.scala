@@ -22,19 +22,10 @@ object RiskQueries {
     * drawdown/ratio contract is the observed-day series; gap days
     * cannot change any cumulative value, only the day count, and both
     * engines see the same days). */
-  private def dailyNetSql: String = """
-    |d AS (
-    |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
-    |         sum(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
-    |             * CAST(l_extendedprice * 100 AS HUGEINT)) AS net
-    |  FROM lineitem GROUP BY 1)""".stripMargin
+  private def dailyNetSql: String = DailyNet.sql
 
   private def dailyNet(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-        " div 86400000000").as("day"))
-      .agg(sum(when(col("l_returnflag") === "R", -1).otherwise(1)
-        * expr("CAST(l_extendedprice * 100 AS DECIMAL(38,0))")).as("net"))
+    DailyNet.frame(s, dir)
 
   /** Maximum drawdown and ulcer index of the cumulative net-revenue
     * equity curve: running max M (anchored at 0), drawdown D = M − E,

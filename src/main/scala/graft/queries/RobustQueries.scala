@@ -279,10 +279,19 @@ object RobustQueries {
       else {
         val done = bounds.where(col("lb") === col("ub"))
           .select(col("node").as("src"), col("lb").as("ecc"))
-        val rest = bfsFrom(bounds.where(col("lb") < col("ub"))
+        val walk = bfsFrom(bounds.where(col("lb") < col("ub"))
             .select(col("node").as("src")))
-          .groupBy(col("src")).agg(max(col("d")).as("ecc"))
-        done.unionAll(rest)
+          .groupBy(col("src"))
+          .agg(max(col("d")).as("ecc"), count(lit(1)).as("reached"))
+          .materialize(truncate = true)
+        // the SAME exactness contract as the pivot path: a source that
+        // cannot reach all nodes within the cap would silently report
+        // a truncated eccentricity — fail loudly instead
+        val badW = walk.where(col("reached") =!= nV).count()
+        require(badW == 0, "q473 exactness contract violated in the " +
+          s"bulk walk: a source failed to reach all $nV nodes within " +
+          s"$maxHops hops (disconnected or diameter > cap)")
+        done.unionAll(walk.select(col("src"), col("ecc")))
       }).materialize() // supplier dim
       val diaRad = ecc.agg(max(col("ecc")).as("dia"), min(col("ecc")).as("rad"))
       val ne = e.agg(count(lit(1)).as("n_edges"))

@@ -361,16 +361,22 @@ object SurvivalQueries {
       " AS DECIMAL(28,6)) * 1000) AS BIGINT)"
     val cExpr = "CAST(floor(CAST(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)" +
       " AS DECIMAL(28,6)) * 1000) AS BIGINT)"
-    val bExpr = "CAST(floor(CAST(CAST(sxx * smy - sxm * sxy AS DOUBLE)" +
-      " / CAST(sxx * smm - sxm * sxm AS DOUBLE) AS DECIMAL(28,6))" +
+    // cross-products of two n²-scaled centered moments sit within ~3×
+    // of the 128-bit ceiling at 100× — form them in DOUBLE (pinned,
+    // identical text both engines) instead of exact integers
+    val numB = "(CAST(sxx AS DOUBLE) * CAST(smy AS DOUBLE)" +
+      " - CAST(sxm AS DOUBLE) * CAST(sxy AS DOUBLE))"
+    val det = "(CAST(sxx AS DOUBLE) * CAST(smm AS DOUBLE)" +
+      " - CAST(sxm AS DOUBLE) * CAST(sxm AS DOUBLE))"
+    val numCp = "(CAST(smm AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+      " - CAST(sxm AS DOUBLE) * CAST(smy AS DOUBLE))"
+    val bExpr = s"CAST(floor(CAST($numB / $det AS DECIMAL(28,6))" +
       " * 1000) AS BIGINT)"
-    val cpExpr = "CAST(floor(CAST(CAST(smm * sxy - sxm * smy AS DOUBLE)" +
-      " / CAST(sxx * smm - sxm * sxm AS DOUBLE) AS DECIMAL(28,6))" +
+    val cpExpr = s"CAST(floor(CAST($numCp / $det AS DECIMAL(28,6))" +
       " * 1000) AS BIGINT)"
     val indExpr = "CAST(floor(CAST((CAST(sxm AS DOUBLE)" +
       " / CAST(sxx AS DOUBLE))" +
-      " * (CAST(sxx * smy - sxm * sxy AS DOUBLE)" +
-      " / CAST(sxx * smm - sxm * sxm AS DOUBLE)) AS DECIMAL(28,6))" +
+      s" * ($numB / $det) AS DECIMAL(28,6))" +
       " * 1000) AS BIGINT)"
     Q("q590_mediation_decomposition",
       Some(s"""

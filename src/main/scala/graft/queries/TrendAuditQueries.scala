@@ -122,23 +122,21 @@ object TrendAuditQueries {
     * monotone drift" screen Sen's slope (q theil_sen) quantifies. */
   def q633: Q = Q(
     "q633_mann_kendall",
-    Some("""
-      |WITH d AS (
-      |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
-      |         CAST(floor(CAST(sum(CASE WHEN l_returnflag = 'R'
-      |             THEN -1 ELSE 1 END
-      |             * CAST(l_extendedprice * 100 AS HUGEINT)) AS DOUBLE)
-      |             / 100.0) AS BIGINT) AS v
-      |  FROM lineitem GROUP BY 1),
+    Some(s"""
+      |WITH ${DailyNet.sql.stripPrefix("\n")},
+      |dv AS (
+      |  SELECT day, CAST(floor(CAST(net AS DOUBLE) / 100.0) AS BIGINT)
+      |           AS v
+      |  FROM d),
       |pr AS (
       |  SELECT sum(CASE WHEN b.v > a.v THEN 1
       |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
-      |  FROM d a JOIN d b ON b.day > a.day),
-      |nn AS (SELECT count(*) AS n FROM d),
+      |  FROM dv a JOIN dv b ON b.day > a.day),
+      |nn AS (SELECT count(*) AS n FROM dv),
       |ties AS (
       |  SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
       |                  0) AS tc
-      |  FROM (SELECT v, count(*) AS t FROM d GROUP BY 1
+      |  FROM (SELECT v, count(*) AS t FROM dv GROUP BY 1
       |        HAVING count(*) > 1) g)
       |SELECT CAST(nn.n AS BIGINT) AS n_days, CAST(pr.s AS BIGINT) AS s,
       |       CAST(floor((CAST(abs(pr.s) - 1 AS DOUBLE))
@@ -148,13 +146,10 @@ object TrendAuditQueries {
       |         * 1000.0) AS BIGINT) AS z2_milli
       |FROM pr CROSS JOIN nn CROSS JOIN ties
       |""".stripMargin)) { (s, dir) =>
-    val d = Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-        " div 86400000000").as("day"))
-      .agg(expr("CAST(floor(CAST(sum(CASE WHEN l_returnflag = 'R'" +
-        " THEN -1 ELSE 1 END" +
-        " * CAST(l_extendedprice * 100 AS DECIMAL(38,0))) AS DOUBLE)" +
-        " / 100.0) AS BIGINT)").as("v"))
+    val d = DailyNet.frame(s, dir)
+      .select(col("day"),
+        expr("CAST(floor(CAST(net AS DOUBLE) / 100.0) AS BIGINT)")
+          .as("v"))
       .materialize() // the pair join, n, and ties read it
     val pr = d.as("a").join(d.as("b"), col("b.day") > col("a.day"))
       .agg(sum(when(col("b.v") > col("a.v"), 1L)
@@ -181,15 +176,12 @@ object TrendAuditQueries {
     * test that needs nothing but signs. */
   def q634: Q = Q(
     "q634_cox_stuart",
-    Some("""
-      |WITH d AS (
-      |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
-      |         sum(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
-      |             * CAST(l_extendedprice * 100 AS HUGEINT)) AS v
-      |  FROM lineitem GROUP BY 1),
+    Some(s"""
+      |WITH ${DailyNet.sql.stripPrefix("\n")},
+      |dv AS (SELECT day, net AS v FROM d),
       |rk AS MATERIALIZED (
-      |  SELECT v, row_number() OVER (ORDER BY day) AS rn FROM d),
-      |nn AS (SELECT count(*) AS n, count(*) // 2 AS m FROM d),
+      |  SELECT v, row_number() OVER (ORDER BY day) AS rn FROM dv),
+      |nn AS (SELECT count(*) AS n, count(*) // 2 AS m FROM dv),
       |pairs AS (
       |  SELECT a.v AS v1, b.v AS v2
       |  FROM rk a CROSS JOIN nn
@@ -208,11 +200,8 @@ object TrendAuditQueries {
       |         AS BIGINT) AS z2_milli
       |FROM cnt CROSS JOIN nn
       |""".stripMargin)) { (s, dir) =>
-    val d = Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-        " div 86400000000").as("day"))
-      .agg(sum(when(col("l_returnflag") === "R", -1).otherwise(1)
-        * expr("CAST(l_extendedprice * 100 AS DECIMAL(38,0))")).as("v"))
+    val d = DailyNet.frame(s, dir)
+      .select(col("day"), col("net").as("v"))
       .materialize()
     // the rank runs over the calendar-bounded day dim
     val rk = d.withColumn("rn", row_number().over(

@@ -111,7 +111,9 @@ try:
     # restrict to oracle scope when the caller filtered oracle_sql.json
     # (single-wave runs): only enforce declared-missing on full runs
     if len(oracle) > 0.9 * len(declared):
-        missing = sorted(set(declared) - set(allq))
+        # restrict to names not already failed above (an oracle-backed
+        # query with no output was already counted once)
+        missing = sorted(set(declared) - set(allq) - set(artifact))
         for name in missing:
             print(f"FAIL {name}: declared but produced NO output")
             artifact[name] = {"status": "fail", "reason": "no output at all"}
