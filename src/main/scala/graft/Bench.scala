@@ -42,9 +42,17 @@ object Bench {
     // REAL regression still shows in both. Cache hygiene stays per-query,
     // so pass 2 pays the same cold-cache costs as pass 1 (it is a repeat
     // measurement, not a warm rerun).
+    // optional name filter for local iteration (comma-separated full
+    // query names); the driver never sets it, so per-round benches
+    // always cover the whole registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     def runPass(passErrors: scala.collection.mutable.ListBuffer[String])
         : Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {

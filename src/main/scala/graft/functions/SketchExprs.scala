@@ -521,15 +521,28 @@ object SketchExprs {
   def sqEuclidean(a: Column, b: Column): Column =
     ColumnBridge.column(SqEuclidean(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Integer Σ(aᵢ−bᵢ)². THROWS on ragged arrays or null elements
+    * (unlike the `aggregate(zip_with(...))` fold it replaces, which
+    * yields NULL) — callers with legitimately nullable/ragged
+    * embedding columns must pre-filter; the throw is a deliberate
+    * tripwire for a violated dense-equal-rank corpus contract. */
   def sqEuclideanLong(a: Column, b: Column): Column =
     ColumnBridge.column(SqEuclideanLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Integer ⟨a,b⟩. Same throw-on-ragged/null contract as
+    * [[sqEuclideanLong]] — NOT the NULL semantics of a zip_with fold. */
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Double ⟨a,b⟩ in index order. Same throw-on-ragged/null contract
+    * as [[sqEuclideanLong]] — NOT the NULL semantics of a zip_with
+    * fold. */
   def dotDouble(a: Column, b: Column): Column =
     ColumnBridge.column(DotDouble(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Count of agreeing positions. Same throw-on-ragged/null contract
+    * as [[sqEuclideanLong]] — NOT the NULL semantics of a zip_with
+    * fold. */
   def arrayAgreeCount(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

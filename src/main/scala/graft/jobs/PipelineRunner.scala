@@ -58,6 +58,14 @@ object PipelineRunner {
       .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.shuffle.partitions", config.shufflePartitions.toString)
     spark.conf.set("spark.sql.adaptive.enabled", config.adaptiveEnabled.toString)
+    // object-store lake roots self-configure from the reference's env
+    // contract (MINIO_* → fs.s3a.*) — hadoop keys must land on the
+    // shared hadoopConfiguration at this point, a runtime conf.set
+    // would never reach FileSystem init (see ObjectStore scaladoc)
+    if (graft.sources.ObjectStore.isObjectStorePath(lakeRoot) ||
+        graft.sources.ObjectStore.isObjectStorePath(inputDir))
+      graft.sources.ObjectStore.applyToSession(spark,
+        graft.sources.ObjectStore.s3aConfsFromEnv())
     try runStages(spark, inputDir, lakeRoot, config, exportCsv, hpoParamsPath)
     finally prevConf.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

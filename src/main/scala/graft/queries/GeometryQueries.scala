@@ -19,22 +19,31 @@ object GeometryQueries {
 
   val all: Seq[Q] = Seq(q461, q462, q463, q464, q465)
 
-  /** Hubness audit of the k-NN graph (k=10, exact cosine): the
-    * in-degree distribution of "how often is x somebody's neighbor" —
-    * max in-degree, hub count (≥2k), anti-hub count (0), and the
-    * in-degree skewness from exact integer moments (the standard
-    * hubness statistic; high skew predicts degraded ANN recall).
-    * B = n²Σx³−3nΣxΣx²+2(Σx)³ and A = nΣx²−(Σx)² give g₁ = B/A^{3/2}
-    * exactly (the n powers cancel), one pinned double at the end. The k-NN pass
-    * broadcasts the query side exactly like the shipped ANN operators. */
+  /** Hubness audit of the k-NN graph (k=10, exact cosine) for a FIXED
+    * 200-query sample (the 200 lowest vec_ids — a cap, not a rate, so
+    * the pair count is O(200·N) at every scale): the in-degree
+    * distribution over the WHOLE corpus of "how often is x one of a
+    * sampled query's neighbors" — max in-degree, hub count (≥2k),
+    * anti-hub count (0), and the in-degree skewness from exact integer
+    * moments (the standard hubness statistic; high skew predicts
+    * degraded ANN recall). B = n²Σx³−3nΣxΣx²+2(Σx)³ and
+    * A = nΣx²−(Σx)² give g₁ = B/A^{3/2} exactly (the n powers cancel),
+    * one pinned double at the end. Scale shape (the q344/q335 recipe):
+    * the capped query side broadcasts, the corpus STREAMS past it, and
+    * the per-query top-10 runs through GroupedTopK's bounded heaps —
+    * never a full 200·N window sort. */
   def q461: Q = {
     val k = 10
+    val nQueries = 200
     Q("q461_knn_hubness",
       Some(s"""
-        |WITH pairs AS (
+        |WITH qq AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT $nQueries),
+        |pairs AS (
         |  SELECT q.vec_id, c.vec_id AS neighbor_id,
         |         ${sqlCosine("q.embedding", "c.embedding")} AS cos
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id),
+        |  FROM qq q JOIN embeddings c ON q.vec_id != c.vec_id),
         |knn AS (
         |  SELECT neighbor_id FROM (
         |    SELECT neighbor_id, row_number() OVER (
@@ -67,11 +76,18 @@ object GeometryQueries {
         |FROM sk
         |""".stripMargin)) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val knn = Similarity.bruteForceTopK(
-        corpus = emb, queries = emb, idCol = "vec_id",
-        vecCol = "embedding", k = k)
+      val qq = emb.orderBy(col("vec_id")).limit(nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pairs = emb
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+        .join(broadcast(qq), col("neighbor_id") =!= col("qid"))
+        .select(col("qid"), col("neighbor_id"),
+          Similarity.cosine(col("qvec"), col("nvec")).as("cos"))
+      val knn = graft.plans.GroupedTopK.topKPerKey(pairs, Seq("qid"),
+          Seq(("cos", false), ("neighbor_id", true)), k)
+        .select(col("neighbor_id"))
       val indeg = emb.select(col("vec_id"))
-        .join(knn.select(col("neighbor_id")),
+        .join(broadcast(knn), // ≤ 200·k rows
           col("neighbor_id") === col("vec_id"), "left")
         .groupBy(col("vec_id")).agg(count(col("neighbor_id")).as("x"))
       val m = indeg.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -94,60 +110,69 @@ object GeometryQueries {
     }
   }
 
-  /** TwoNN intrinsic-dimension estimate (Facco et al.): per point the
-    * ratio μ = d₂/d₁ of the two nearest Euclidean distances (via the
-    * pinned dot folds: d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩), MLE
-    * d̂ = n / Σ ln μ. Zero-distance duplicates are excluded from the
-    * neighbor pool (stated contract — μ undefined at d₁=0). Each ln μ
-    * is micro-quantized BEFORE the sum, so the estimate is exact
-    * integer arithmetic on quantized per-point values. */
-  def q462: Q = Q(
-    "q462_twonn_intrinsic_dim",
-    Some(s"""
-      |WITH pairs AS (
-      |  SELECT a.vec_id,
-      |         ${sqlDot("a.embedding", "a.embedding")}
-      |           - 2 * ${sqlDot("a.embedding", "b.embedding")}
-      |           + ${sqlDot("b.embedding", "b.embedding")} AS dsq,
-      |         b.vec_id AS nb
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
-      |nn AS (
-      |  SELECT vec_id, dsq, row_number() OVER (
-      |           PARTITION BY vec_id ORDER BY dsq, nb) AS rk
-      |  FROM pairs WHERE dsq > 0.0),
-      |mu AS (
-      |  SELECT vec_id,
-      |         CAST(floor(CAST(ln(sqrt(
-      |             max(CASE WHEN rk = 2 THEN dsq END)
-      |             / max(CASE WHEN rk = 1 THEN dsq END)))
-      |           AS DECIMAL(28,9)) * 1000000) AS BIGINT) AS lnmu
-      |  FROM nn WHERE rk <= 2 GROUP BY 1),
-      |agg AS (SELECT count(*) AS n, sum(lnmu) AS s FROM mu)
-      |SELECT CAST(n AS BIGINT) AS n_points,
-      |       CAST(s AS BIGINT) AS sum_ln_mu_micro,
-      |       CAST((1000000000 * n) // s AS BIGINT) AS dim_milli
-      |FROM agg
-      |""".stripMargin)) { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("nb"), col("embedding").as("vb"))
-    val pairs = a.join(broadcast(b), col("vec_id") =!= col("nb"))
-      .select(col("vec_id"), col("nb"),
-        graft.functions.SketchExprs.sqEuclidean(col("va"), col("vb"))
-          .as("dsq"))
-      .where(col("dsq") > 0.0)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dsq"), col("nb"))
-    val mu = pairs.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 2)
-      .groupBy(col("vec_id"))
-      .agg(expr("""CAST(floor(CAST(ln(sqrt(
-          max(CASE WHEN rk = 2 THEN dsq END)
-          / max(CASE WHEN rk = 1 THEN dsq END)))
-        AS DECIMAL(28,9)) * 1000000) AS BIGINT)""").as("lnmu"))
-    mu.agg(count(lit(1)).as("n"), sum(col("lnmu")).as("s"))
-      .select(col("n").as("n_points"), col("s").as("sum_ln_mu_micro"),
-        expr("(1000000000 * n) div s").as("dim_milli"))
+  /** TwoNN intrinsic-dimension estimate (Facco et al.) over a FIXED
+    * 200-query sample (the 200 lowest vec_ids — cap, not rate: pairs
+    * stay O(200·N) at every scale): per sampled point the ratio
+    * μ = d₂/d₁ of the two nearest Euclidean distances to the FULL
+    * corpus (via the pinned dot folds: d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩),
+    * MLE d̂ = n / Σ ln μ. Zero-distance duplicates are excluded from
+    * the neighbor pool (stated contract — μ undefined at d₁=0). Each
+    * ln μ is micro-quantized BEFORE the sum, so the estimate is exact
+    * integer arithmetic on quantized per-point values. Scale shape
+    * (the q344/q335 recipe): the capped sample broadcasts, the corpus
+    * STREAMS past it, the per-query top-2 runs through GroupedTopK's
+    * bounded heaps — the d₁/d₂ pair then reads min/max of the two
+    * surviving rows. */
+  def q462: Q = {
+    val nQueries = 200
+    Q("q462_twonn_intrinsic_dim",
+      Some(s"""
+        |WITH qq AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY vec_id LIMIT $nQueries),
+        |pairs AS (
+        |  SELECT a.vec_id,
+        |         ${sqlDot("a.embedding", "a.embedding")}
+        |           - 2 * ${sqlDot("a.embedding", "b.embedding")}
+        |           + ${sqlDot("b.embedding", "b.embedding")} AS dsq,
+        |         b.vec_id AS nb
+        |  FROM qq a JOIN embeddings b ON a.vec_id != b.vec_id),
+        |nn AS (
+        |  SELECT vec_id, dsq, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY dsq, nb) AS rk
+        |  FROM pairs WHERE dsq > 0.0),
+        |mu AS (
+        |  SELECT vec_id,
+        |         CAST(floor(CAST(ln(sqrt(
+        |             max(CASE WHEN rk = 2 THEN dsq END)
+        |             / max(CASE WHEN rk = 1 THEN dsq END)))
+        |           AS DECIMAL(28,9)) * 1000000) AS BIGINT) AS lnmu
+        |  FROM nn WHERE rk <= 2 GROUP BY 1),
+        |agg AS (SELECT count(*) AS n, sum(lnmu) AS s FROM mu)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |       CAST(s AS BIGINT) AS sum_ln_mu_micro,
+        |       CAST((1000000000 * n) // s AS BIGINT) AS dim_milli
+        |FROM agg
+        |""".stripMargin)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.orderBy(col("vec_id")).limit(nQueries)
+        .select(col("vec_id"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("nb"), col("embedding").as("vb"))
+      val pairs = b.join(broadcast(a), col("vec_id") =!= col("nb"))
+        .select(col("vec_id"), col("nb"),
+          graft.functions.SketchExprs.sqEuclidean(col("va"), col("vb"))
+            .as("dsq"))
+        .where(col("dsq") > 0.0)
+      val top2 = graft.plans.GroupedTopK.topKPerKey(pairs, Seq("vec_id"),
+        Seq(("dsq", true), ("nb", true)), 2)
+      val mu = top2.groupBy(col("vec_id"))
+        .agg(expr("""CAST(floor(CAST(ln(sqrt(
+            max(dsq) / min(dsq)))
+          AS DECIMAL(28,9)) * 1000000) AS BIGINT)""").as("lnmu"))
+      mu.agg(count(lit(1)).as("n"), sum(col("lnmu")).as("s"))
+        .select(col("n").as("n_points"), col("s").as("sum_ln_mu_micro"),
+          expr("(1000000000 * n) div s").as("dim_milli"))
+    }
   }
 
   /** Rank-biased overlap (Webber et al., p = 0.9, depth 20) between

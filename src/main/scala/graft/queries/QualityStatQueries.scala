@@ -107,7 +107,11 @@ object QualityStatQueries {
     * rate the indices are supposed to predict. */
   def q652: Q = {
     val mu = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
-    val sd = "sqrt(CAST(CAST(n AS HUGEINT) * q2 - sv * sv AS DOUBLE)" +
+    // sv² goes through the wide type too: a bare long×long Σquantity²
+    // overflows under ANSI around sf20 while the oracle's HUGEINT
+    // stays exact — the q586/q590 decimal-square discipline
+    val sd = "sqrt(CAST(CAST(n AS HUGEINT) * q2" +
+      " - CAST(sv AS HUGEINT) * sv AS DOUBLE)" +
       " / (CAST(n AS DOUBLE) * (n - 1)))"
     val sdS = sd.replace("HUGEINT", "DECIMAL(38,0)")
     Q("q652_process_capability",

@@ -141,40 +141,52 @@ object RobustQueries {
           AS DECIMAL(28,6)) * 1000) AS BIGINT)""").as("z2_milli"))
   }
 
-  /** All-pairs eccentricity of the supplier co-purchase graph (the
-    * shared scale-free [[SupplierGraph]] edges) — EXACT, via an
-    * ADAPTIVE strategy. A 4-hub probe batch runs iFUB-style pivot
-    * bounds (Takes & Kosters): lb(v) ≥ max(d(p,v), ecc(p)−d(p,v)),
-    * ub(v) ≤ ecc(p)+d(p,v), done when lb = ub. On sparse
-    * large-diameter graphs the squeeze resolves most nodes in a few
-    * O(pivots·|E|) batches and the loop continues; on a DENSE
-    * diameter-2/3 graph (this one at the current support threshold)
-    * an ecc-k node's ub can only close via itself as pivot, so after
-    * a <25%-resolved probe the operator switches to ONE bulk capped
-    * multi-source walk for the remainder — the Θ(V·E) cost that is
-    * information-theoretically inherent to exact all-node ecc on a
-    * dense graph, paid once in bulk rather than 64 times in batch
-    * overhead (measured 87 s vs 21 s at sf0.1). The oracle's
-    * 4-hop-capped recursive walk equals true eccentricity because the
-    * graph is connected with diameter ≤ 4 (asserted at run time — a
-    * violated contract fails loudly, never silently drifts). */
+  /** BUDGETED eccentricity audit of the supplier co-purchase graph
+    * (the shared scale-free [[SupplierGraph]] edges): exact
+    * eccentricity for a deterministic 64-source budget — the 32
+    * highest-degree hubs plus 32 hash-spread nodes (Knuth
+    * multiplicative spread on the node id) — reported as diameter/
+    * radius BOUNDS (max sampled ecc ≤ diameter, min sampled ecc ≥
+    * radius... the sampled max is a diameter LOWER bound and, because
+    * the radius is attained at some node, the sampled min is a radius
+    * UPPER bound) plus the peripheral/central counts WITHIN the
+    * budget. Round 8 proved exact all-node ecc is the wrong contract
+    * on this dense diameter-2/3 graph (Θ(V·E) inherent — PLANS.md
+    * documents the iFUB squeeze regressing 17→87 s because an ecc-k
+    * node's upper bound only closes via itself as pivot); the budget
+    * contract is the honest 100×-scale face: ONE capped multi-source
+    * walk from 64 sources, O(64·|E|) at any graph size, with the
+    * DuckDB oracle replaying the identical budget. The walk cap still
+    * asserts full reach (connected, diameter ≤ 4 — a violated
+    * contract fails loudly, never silently truncates an ecc). */
   def q473: Q = {
     val maxHops = 4
+    val nHubs = 32
+    val nSpread = 32
+    val knuth = 2654435761L
+    val mod = 2147483648L
     Q("q473_supplier_eccentricity",
       Some(s"""
         |WITH RECURSIVE ${SupplierGraph.sqlEdgeCtes},
         |ed AS (SELECT a, c FROM e UNION ALL SELECT c, a FROM e),
+        |deg AS (SELECT a AS v, count(*) AS dg FROM ed GROUP BY 1),
+        |hub AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT $nHubs),
+        |spr AS (SELECT v FROM deg
+        |        ORDER BY (v * $knuth) % $mod, v LIMIT $nSpread),
+        |budget AS (SELECT DISTINCT v FROM (
+        |  SELECT v FROM hub UNION ALL SELECT v FROM spr) u),
         |walk(src, node, d) AS (
-        |  SELECT a, a, 0 FROM (SELECT DISTINCT a FROM ed) s
+        |  SELECT v, v, 0 FROM budget
         |  UNION
         |  SELECT DISTINCT w.src, ed.c, w.d + 1
         |  FROM walk w JOIN ed ON ed.a = w.node WHERE w.d < $maxHops),
         |dist AS (SELECT src, node, min(d) AS d FROM walk GROUP BY 1, 2),
         |ecc AS (SELECT src, max(d) AS ecc FROM dist GROUP BY 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
         |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-        |       CAST(max(ecc) AS BIGINT) AS diameter,
-        |       CAST(min(ecc) AS BIGINT) AS radius,
+        |       CAST(count(*) AS BIGINT) AS n_sources,
+        |       CAST(max(ecc) AS BIGINT) AS diameter_lb,
+        |       CAST(min(ecc) AS BIGINT) AS radius_ub,
         |       CAST(sum(CASE WHEN ecc = (SELECT max(ecc) FROM ecc)
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_peripheral,
         |       CAST(sum(CASE WHEN ecc = (SELECT min(ecc) FROM ecc)
@@ -184,127 +196,66 @@ object RobustQueries {
       val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
       val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
         .select(col("a").as("ea"), col("c").as("ec"))
-        .materialize()
-      val nodes = ed.select(col("ea")).distinct().materialize()
-      // iFUB-style EXACT all-node eccentricity (Takes & Kosters'
-      // bound refinement): instead of |V| simultaneous BFS walks
-      // (|V|² reach rows per round — 10¹⁰ pairs at 100×), BFS from a
-      // few PIVOTS per batch and squeeze every node's bounds
-      //   lb(v) ≥ max(d(p,v), ecc(p) − d(p,v)),
-      //   ub(v) ≤ ecc(p) + d(p,v)
-      // — a node is done when lb = ub. On a dense co-purchase graph a
-      // handful of hub pivots resolves almost everything; each batch
-      // provably resolves at least its own pivots, so the loop
-      // terminates. Exactness contract (asserted, not assumed): the
-      // bound math needs every pivot to REACH all nodes within the
-      // walk cap — connected graph with diameter ≤ maxHops, which the
-      // 830‰-support co-purchase graph satisfies by construction.
-      val batchSize = 16
-      val nV = nodes.count()
-      // multi-source layered BFS from `srcs`; the anti-join prune
-      // makes each (src, node) appear exactly once at its MINIMUM d
-      def bfsFrom(srcs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        var reach = srcs.select(col("src"), col("src").as("node"),
-          lit(0L).as("d")).materialize(truncate = true)
-        var frontier = reach
-        var depth = 0L
-        var more = frontier.count() > 0
-        while (more && depth < maxHops) {
-          depth += 1
-          frontier = frontier.join(ed, col("node") === col("ea"))
-            .select(col("src"), col("ec").as("node"), lit(depth).as("d"))
-            .distinct()
-            .join(reach.select(col("src").as("rs"), col("node").as("rn")),
-              col("src") === col("rs") && col("node") === col("rn"),
-              "left_anti")
-            .materialize(truncate = true) // constant-depth iteration
-          more = frontier.count() > 0
-          if (more) reach = reach.unionAll(frontier)
-            .materialize(truncate = true)
-        }
-        reach
+        .materialize() // both-direction adjacency: 4 BFS rounds read it
+      val deg = ed.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
+      val hub = deg.orderBy(col("dg").desc, col("ea")).limit(nHubs)
+        .select(col("ea").as("src"))
+      val spr = deg
+        .orderBy(pmod(col("ea") * knuth, lit(mod)), col("ea"))
+        .limit(nSpread)
+        .select(col("ea").as("src"))
+      val budget = hub.unionAll(spr).distinct()
+      // multi-source layered BFS from the budget: the anti-join prune
+      // keeps each round's frontier to the NEWLY-reached (src, node)
+      // pairs only — on this diameter-2/3 graph rounds 3-4 are nearly
+      // empty, where an unpruned ball would re-join all 64·|V| pairs
+      // against the dense adjacency every round (measured 1.7 s worse
+      // at sf0.1). One lineage-truncating materialize per round; no
+      // per-round counts (the hop cap bounds the loop).
+      var reach = budget.select(col("src"), col("src").as("node"),
+        lit(0L).as("d")).materialize(truncate = true)
+      var frontier = reach
+      var depth = 0L
+      var more = true
+      while (more && depth < maxHops) {
+        depth += 1
+        frontier = frontier.join(ed, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"), lit(depth).as("d"))
+          .distinct()
+          .join(reach.select(col("src").as("rs"), col("node").as("rn")),
+            col("src") === col("rs") && col("node") === col("rn"),
+            "left_anti")
+          .materialize(truncate = true) // constant-depth iteration
+        // reach is a LAZY union of materialized frontiers — no extra
+        // job per round; the early exit skips the empty tail rounds
+        // (diameter 2-3 here), and counting a checkpointed frame is
+        // nearly free
+        more = frontier.count() > 0
+        if (more) reach = reach.unionAll(frontier)
       }
-      val deg = ed.groupBy(col("ea")).agg(count(lit(1)).as("deg"))
-      var bounds = nodes.select(col("ea").as("node"), lit(0L).as("lb"),
-        lit(Long.MaxValue).as("ub")).materialize(truncate = true)
-      var batch = 0
-      var open = nV
-      // ADAPTIVE strategy switch: iFUB's squeeze is powerful exactly
-      // when eccentricities are spread (sparse, large-diameter
-      // graphs). On a DENSE diameter-2/3 graph an ecc-k node's upper
-      // bound ecc(p)+d(p,v) can only close via a pivot at distance 0 —
-      // itself — so per-pivot batches degrade to |V| BFS walks paid
-      // one batch-overhead at a time (measured: 87 s vs 17 s for the
-      // plain walk at sf0.1). After the hub batch, if the squeeze
-      // resolved less than a quarter of the graph, STOP pivoting and
-      // run the one capped multi-source walk for the remainder — the
-      // V·E cost is then inherent to exact all-ecc on a dense graph,
-      // and it is paid once, in bulk, not 64 times in batch overhead.
-      var squeezeWorks = true
-      while (open > 0 && batch < 64 && squeezeWorks) {
-        val pivots =
-          if (batch == 0) // cheap PROBE batch: 4 hubs decide whether
-            // the squeeze works at all before any real money is spent
-            deg.orderBy(col("deg").desc, col("ea")).limit(4)
-              .select(col("ea").as("src"))
-          else bounds.where(col("lb") < col("ub"))
-            .orderBy(col("ub").desc, col("node")).limit(batchSize)
-            .select(col("node").as("src"))
-        val reach = bfsFrom(pivots).materialize(truncate = true)
-        val pecc = reach.groupBy(col("src"))
-          .agg(max(col("d")).as("pecc"), count(lit(1)).as("reached"))
-          .materialize(truncate = true)
-        val bad = pecc.where(col("reached") =!= nV ||
-          col("pecc") > maxHops).count()
-        require(bad == 0, "q473 exactness contract violated: a pivot " +
-          s"failed to reach all $nV nodes within $maxHops hops " +
-          "(disconnected or diameter > cap — bounds would be wrong)")
-        val contrib = reach.join(broadcast(pecc), "src")
-          .groupBy(col("node"))
-          .agg(max(greatest(col("d"), col("pecc") - col("d"))).as("nlb"),
-            min(col("pecc") + col("d")).as("nub"))
-        bounds = bounds.join(contrib, Seq("node"))
-          .select(col("node"), greatest(col("lb"), col("nlb")).as("lb"),
-            least(col("ub"), col("nub")).as("ub"))
-          .materialize(truncate = true)
-        open = bounds.where(col("lb") < col("ub")).count()
-        batch += 1
-        if (batch == 1) squeezeWorks = (nV - open) * 4 >= nV
+      val walk = reach
+        .groupBy(col("src"))
+        .agg(max(col("d")).as("ecc"), count(lit(1)).as("reached"))
+      // ONE action finishes the query: the ecc frame is budget-sized
+      // (≤ 64 rows — bounded by construction, documented collect), so
+      // the assertion, the diameter/radius bounds and the peripheral/
+      // central counts are driver-side arithmetic, not four more jobs
+      val nV = ed.select(col("ea")).distinct().count()
+      val nE = e.count()
+      val rows = walk.collect()
+      rows.foreach { r =>
+        require(r.getAs[Long]("reached") == nV,
+          "q473 exactness contract violated: budget source " +
+            s"${r.get(0)} reached ${r.getAs[Long]("reached")} of $nV " +
+            s"nodes within $maxHops hops (disconnected or diameter > cap)")
       }
-      // remainder (squeeze abandoned, or the 64-batch cap): ONE capped
-      // multi-source walk from every unresolved source — bulk V·E,
-      // the inherent cost of exact all-ecc on a dense graph
-      val ecc = (if (open == 0)
-        bounds.select(col("node").as("src"), col("lb").as("ecc"))
-      else {
-        val done = bounds.where(col("lb") === col("ub"))
-          .select(col("node").as("src"), col("lb").as("ecc"))
-        val walk = bfsFrom(bounds.where(col("lb") < col("ub"))
-            .select(col("node").as("src")))
-          .groupBy(col("src"))
-          .agg(max(col("d")).as("ecc"), count(lit(1)).as("reached"))
-          .materialize(truncate = true)
-        // the SAME exactness contract as the pivot path: a source that
-        // cannot reach all nodes within the cap would silently report
-        // a truncated eccentricity — fail loudly instead
-        val badW = walk.where(col("reached") =!= nV).count()
-        require(badW == 0, "q473 exactness contract violated in the " +
-          s"bulk walk: a source failed to reach all $nV nodes within " +
-          s"$maxHops hops (disconnected or diameter > cap)")
-        done.unionAll(walk.select(col("src"), col("ecc")))
-      }).materialize() // supplier dim
-      val diaRad = ecc.agg(max(col("ecc")).as("dia"), min(col("ecc")).as("rad"))
-      val ne = e.agg(count(lit(1)).as("n_edges"))
-      ecc.crossJoin(broadcast(diaRad))
-        .agg(count(lit(1)).as("n_nodes"),
-          max(col("dia")).as("diameter"), max(col("rad")).as("radius"),
-          sum(when(col("ecc") === col("dia"), 1L).otherwise(0L))
-            .as("n_peripheral"),
-          sum(when(col("ecc") === col("rad"), 1L).otherwise(0L))
-            .as("n_central"))
-        .crossJoin(broadcast(ne))
-        .select(col("n_nodes"), col("n_edges"), col("diameter"),
-          col("radius"), col("n_peripheral"), col("n_central"))
+      val eccs = rows.map(_.getAs[Long]("ecc"))
+      val (dia, rad) = (eccs.max, eccs.min)
+      import s.implicits._
+      Seq((nV, nE, eccs.length.toLong, dia, rad,
+          eccs.count(_ == dia).toLong, eccs.count(_ == rad).toLong))
+        .toDF("n_nodes", "n_edges", "n_sources", "diameter_lb",
+          "radius_ub", "n_peripheral", "n_central")
     }
   }
 

@@ -47,8 +47,8 @@ object RobustTrendQueries {
       |  FROM vb LEFT JOIN tie ON vb.blk = tie.blk)
       |SELECT CAST((SELECT count(*) FROM dv) AS BIGINT) AS n_days,
       |       CAST(pr.s AS BIGINT) AS s,
-      |       CAST(floor((CAST(abs(pr.s) - 1 AS DOUBLE))
-      |           * (CAST(abs(pr.s) - 1 AS DOUBLE))
+      |       CAST(floor((CAST(greatest(abs(pr.s) - 1, 0) AS DOUBLE))
+      |           * (CAST(greatest(abs(pr.s) - 1, 0) AS DOUBLE))
       |         / (CAST(vv.vnum AS DOUBLE) / 18.0) * 1000.0) AS BIGINT)
       |         AS z2_milli
       |FROM pr CROSS JOIN vv
@@ -74,10 +74,13 @@ object RobustTrendQueries {
       .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)")
         - coalesce(col("tc"), lit(0))).as("vnum"))
     val nn = dv.agg(count(lit(1)).as("n_days"))
+    // continuity correction clamps at 0: the standard statistic
+    // defines z = 0 at S = 0, not the spurious (−1)² the raw formula
+    // would yield (both engines share the clamped text)
     pr.crossJoin(broadcast(vv)).crossJoin(broadcast(nn))
       .select(col("n_days"), col("s"),
-        expr("CAST(floor((CAST(abs(s) - 1 AS DOUBLE))" +
-          " * (CAST(abs(s) - 1 AS DOUBLE))" +
+        expr("CAST(floor((CAST(greatest(abs(s) - 1, 0) AS DOUBLE))" +
+          " * (CAST(greatest(abs(s) - 1, 0) AS DOUBLE))" +
           " / (CAST(vnum AS DOUBLE) / 18.0) * 1000.0) AS BIGINT)")
           .as("z2_milli"))
   }

@@ -19,19 +19,30 @@ object ShapeQueries {
   val all: Seq[Q] = Seq(q506, q507, q508, q509, q510)
 
   /** Local outlier factor (k = 5, Euclidean from the pinned dot folds)
-    * over embeddings: reach-dist = max(kdist(o), d(p,o)) micro-
-    * quantized, lrd = 1e12 // Σreach, LOF = mean neighbor lrd over own
-    * lrd — the density-ratio outlier score ANN curation uses where
-    * plain distance thresholds fail. Top-10 outliers. Every stage is
-    * a dim-sized join after one blocked pair pass; zero-distance
+    * for a FIXED 150-point sample (the 150 lowest vec_ids — cap, not
+    * rate): reach-dist = max(kdist(o), d(p,o)) micro-quantized,
+    * lrd = 1e12 // Σreach, LOF = mean neighbor lrd over own lrd — the
+    * density-ratio outlier score ANN curation uses where plain
+    * distance thresholds fail. Top-10 outliers within the sample.
+    * Every neighbor/neighbor-of-neighbor lrd is the CANONICAL value
+    * (exact k-NN against the full corpus), obtained by three bounded
+    * streaming passes instead of one n² pair join: pass A finds the
+    * sample's k-NN (≤150 queries), pass B the neighbors' k-NN (≤750),
+    * pass C the kdist of the neighbors' neighbors (≤3750) — each pass
+    * broadcasts its capped query side, STREAMS the corpus past it, and
+    * ranks through GroupedTopK's bounded heaps, so the plan is
+    * O(cap·N) with an O(cap) shuffle at every scale. Zero-distance
     * duplicates are out of domain (q462's contract). */
   def q506: Q = {
     val k = 5
+    val nSample = 150
     val dq = "CAST(floor(CAST(sqrt(dsq) AS DECIMAL(28,9)) * 1000000)" +
       " AS BIGINT)"
     Q("q506_lof_embeddings",
       Some(s"""
-        |WITH pairs AS (
+        |WITH qq AS (
+        |  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nSample),
+        |pairs AS (
         |  SELECT a.vec_id AS p, b.vec_id AS o,
         |         ${sqlDot("a.embedding", "a.embedding")}
         |           - 2 * ${sqlDot("a.embedding", "b.embedding")}
@@ -54,33 +65,59 @@ object ShapeQueries {
         |           AS lof_milli
         |  FROM knn JOIN lrd lo ON lo.id = knn.o
         |       JOIN lrd lp ON lp.id = knn.p
+        |  WHERE knn.p IN (SELECT vec_id FROM qq)
         |  GROUP BY 1)
         |SELECT CAST(p AS BIGINT) AS vec_id,
         |       CAST(lof_milli AS BIGINT) AS lof_milli
         |FROM lof ORDER BY lof_milli DESC, vec_id LIMIT 10
         |""".stripMargin)) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val b = emb.select(col("vec_id").as("o"), col("embedding").as("vb"))
-      val pairs = emb.join(broadcast(b), col("vec_id") =!= col("o"))
-        .select(col("vec_id").as("p"), col("o"),
-          graft.functions.SketchExprs.sqEuclidean(col("embedding"),
-            col("vb")).as("dsq"))
-        .where(col("dsq") > 0.0)
-      val w = Window.partitionBy(col("p")).orderBy(col("dsq"), col("o"))
-      val knn = pairs.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= k)
-        .select(col("p"), col("o"), expr(dq).as("d"))
-        .materialize() // 5·n rows: feeds kdist, reach, lof
-      val kd = knn.groupBy(col("p").as("id")).agg(max(col("d")).as("kdist"))
-      val reach = knn.join(broadcast(kd), col("id") === col("o"))
-        .select(col("p"), col("o"),
-          greatest(col("kdist"), col("d")).as("rd"))
-      val lrd = reach.groupBy(col("p").as("id"))
+      val corpus = emb.select(col("vec_id").as("o"),
+        col("embedding").as("cvec"))
+      // exact k-NN of a CAPPED query set against the full corpus:
+      // broadcast the queries, stream the corpus, bounded-heap top-k.
+      // Each hit carries the NEIGHBOR's vector so the next hop's query
+      // frame needs no join back to the table. knn0/knn1 each feed
+      // three consumers — materialized once (a fully-lazy DAG measured
+      // 1.7 s worse: the broadcast subtrees recompute the corpus pass
+      // per consumer; exchange reuse does not cross broadcast builds).
+      def knnOf(queries: org.apache.spark.sql.DataFrame) = {
+        val pairs = corpus
+          .join(broadcast(queries), col("o") =!= col("p"))
+          .select(col("p"), col("o"), col("cvec"),
+            graft.functions.SketchExprs.sqEuclidean(col("qvec"),
+              col("cvec")).as("dsq"))
+          .where(col("dsq") > 0.0)
+        graft.plans.GroupedTopK.topKPerKey(pairs, Seq("p"),
+            Seq(("dsq", true), ("o", true)), k)
+          .select(col("p"), col("o"), col("cvec"), expr(dq).as("d"))
+      }
+      // a pass's hits → the next pass's query frame (≤ cap·k rows)
+      def nextQueries(knn: org.apache.spark.sql.DataFrame) =
+        knn.groupBy(col("o").as("p"))
+          .agg(first(col("cvec")).as("qvec"))
+      val s0 = emb.orderBy(col("vec_id")).limit(nSample)
+        .select(col("vec_id").as("p"), col("embedding").as("qvec"))
+      val knn0 = knnOf(s0).materialize() // ≤ 150·k rows
+      val knn1 = knnOf(nextQueries(knn0)).materialize() // ≤ 750·k rows
+      // pass C only needs kdist(o) for the neighbors-of-neighbors
+      val kd2 = knnOf(nextQueries(knn1)).groupBy(col("p").as("id"))
+        .agg(max(col("d")).as("kdist"))
+      val kd1 = knn1.groupBy(col("p").as("id"))
+        .agg(max(col("d")).as("kdist"))
+      // canonical lrd of the sample's NEIGHBORS (uses kdist from pass C)
+      val lrd1 = knn1.join(broadcast(kd2), col("id") === col("o"))
+        .select(col("p"), greatest(col("kdist"), col("d")).as("rd"))
+        .groupBy(col("p").as("id"))
         .agg(expr("1000000000000 div sum(rd)").as("lrd"))
-        .materialize()
-      knn.join(broadcast(lrd.select(col("id").as("oid"),
+      // canonical lrd of the sample itself (uses kdist from pass B)
+      val lrd0 = knn0.join(broadcast(kd1), col("id") === col("o"))
+        .select(col("p"), greatest(col("kdist"), col("d")).as("rd"))
+        .groupBy(col("p").as("id"))
+        .agg(expr("1000000000000 div sum(rd)").as("lrd"))
+      knn0.join(broadcast(lrd1.select(col("id").as("oid"),
           col("lrd").as("olrd"))), col("oid") === col("o"))
-        .join(broadcast(lrd.select(col("id").as("pid"),
+        .join(broadcast(lrd0.select(col("id").as("pid"),
           col("lrd").as("plrd"))), col("pid") === col("p"))
         .groupBy(col("p"))
         .agg(expr(s"(1000 * sum(olrd)) div ($k * max(plrd))")

@@ -34,19 +34,39 @@ object SupplierGraph {
        |               count(*) OVER () AS n FROM sup) r),
        |e AS (SELECT a, c, w FROM sup CROSS JOIN thr WHERE w > thr.t)""".stripMargin
 
-  /** Spark edges (a, c, w), a < c, support above the 830‰ order stat. */
+  /** Spark edges (a, c, w), a < c, support above the 830‰ order stat.
+    *
+    * Plan shape: ONE shuffle on the order key builds the per-order
+    * sorted supplier set (collect_set dedupes, so no separate
+    * distinct), the i < j pairs expand LOCALLY inside each order
+    * (orders hold ≤ ~7 suppliers — bounded fan-out, no self-join), and
+    * the pair counts are the second and last fact-scaled shuffle. The
+    * former distinct + self-join + groupBy spent three shuffles and a
+    * join probe on the same result; this spine feeds four graph
+    * queries, so the two-shuffle build is the cheapest common path. */
   def edges(s: SparkSession, dir: String): DataFrame = {
-    val it = Tables.lineitem(s, dir)
+    val perOrder = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("b"), col("l_suppkey").as("i"))
-      .distinct()
-    val sup = it.as("x").join(it.as("y"), col("x.b") === col("y.b"))
-      .where(col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("a"), col("y.i").as("c"))
+      .groupBy(col("b"))
+      .agg(sort_array(collect_set(col("i"))).as("is"))
+    // ascending-sorted set → nested transform emits exactly the i < j
+    // pairs, order-locally (no shuffle)
+    val sup = perOrder
+      .select(explode(flatten(expr(
+        "transform(is, (x, k) -> transform(slice(is, k + 2, size(is))," +
+          " y -> struct(x AS a, y AS c)))"))).as("p"))
+      .select(col("p.a").as("a"), col("p.c").as("c"))
+      .groupBy(col("a"), col("c"))
       .agg(count(lit(1)).as("w"))
       .materialize() // supplier-pair dim
-    val thr = graft.operators.OrderStats.quantilesDisc(
-        sup.withColumn("k", lit(0L)), Seq("k"), "w",
-        Seq(thresholdPermille))
+    // unit-weight weightedQuantilesDisc ≡ quantilesDisc (exactly — see
+    // its scaladoc), but the single-partition rank window runs over the
+    // DISTINCT SUPPORT VALUES (a few hundred small counts), not every
+    // supplier pair: the histogram walk is scale-free where a row-rank
+    // walk grows with the pair dim
+    val thr = graft.operators.OrderStats.weightedQuantilesDisc(
+        sup.withColumn("k", lit(0L)).withColumn("one", lit(1L)),
+        Seq("k"), "w", "one", Seq(thresholdPermille))
       .select(col("value").as("t"))
     sup.crossJoin(broadcast(thr)).where(col("w") > col("t"))
       .select(col("a"), col("c"), col("w"))

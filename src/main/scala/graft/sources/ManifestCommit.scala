@@ -212,9 +212,15 @@ object ManifestCommit {
     require(parts.nonEmpty, s"parquet write produced no part files in $dataDir")
     // carry the streaming txn ledger through full rewrites too — a
     // maintenance write must not reopen the door to batch replays.
-    // (The #schema marker is NOT carried: a full rewrite's files are
-    // homogeneous, so footer inference is authoritative again.)
-    publish(dir, parts ++ carriedMarkers(path), firstGen, nonce,
+    // The OLD #schema marker is not carried (a rewrite may narrow the
+    // schema), but the NEW schema is committed fresh from the written
+    // frame: it costs one line, and it keeps the next appendBatch off
+    // the footer-scan fallback — without it, every streaming batch
+    // after a compact/writeVersioned pays a readFiles footer pass over
+    // the whole table to re-infer what this write already knew.
+    publish(dir,
+      parts ++ carriedMarkers(path) :+ schemaMarker(nullable(frame.schema)),
+      firstGen, nonce,
       retryOnConflict = exclusiveParent.isEmpty)
   }
 

@@ -118,6 +118,12 @@ try:
             print(f"FAIL {name}: declared but produced NO output")
             artifact[name] = {"status": "fail", "reason": "no output at all"}
             fails += 1
+    else:
+        # say so out loud: if rows-only (oracle-less) queries ever grow
+        # past 10% of the corpus, full runs would silently lose the
+        # no-output protection behind this ratio guard
+        print(f"declared-missing check SKIPPED (partial oracle scope: "
+              f"{len(oracle)} oracle vs {len(declared)} declared)")
 except FileNotFoundError:
     pass
 for name in sorted(set(allq) - set(oracle)):
