@@ -83,36 +83,37 @@ object DistFitQueries {
   def q497: Q = Q(
     "q497_lz78_user_complexity",
     Some("""
-      |WITH seq AS (
+      |WITH RECURSIVE seq AS (
       |  SELECT user_id,
       |         list(event_type ORDER BY epoch_ns(ts), event_id) AS es
       |  FROM events GROUP BY 1),
-      |parsed AS (
-      |  -- dict as a ','-delimited string: a LIST field inside a
-      |  -- list_reduce accumulator struct does not thread in DuckDB
-      |  SELECT user_id, list_reduce(
-      |    list_prepend({'d': ',', 'cur': '',
-      |                  'c': CAST(0 AS BIGINT), 'x': ''},
-      |      list_transform(es, t -> {'d': ',',
-      |        'cur': '', 'c': CAST(0 AS BIGINT), 'x': t})),
-      |    (acc, e) -> CASE WHEN strpos(acc.d,
-      |        ',' || (CASE WHEN acc.cur = '' THEN e.x
-      |             ELSE acc.cur || '|' || e.x END) || ',') > 0 THEN
-      |      {'d': acc.d,
-      |       'cur': CASE WHEN acc.cur = '' THEN e.x
-      |              ELSE acc.cur || '|' || e.x END,
-      |       'c': acc.c, 'x': ''}
-      |    ELSE
-      |      {'d': acc.d ||
-      |         (CASE WHEN acc.cur = '' THEN e.x
-      |              ELSE acc.cur || '|' || e.x END) || ',',
-      |       'cur': '', 'c': acc.c + 1, 'x': ''}
-      |    END) AS st
-      |  FROM seq),
+      |-- RECURSIVE per-position walk, NOT list_reduce: a STRUCT
+      |-- accumulator under multi-row list_reduce is WRONG in DuckDB's
+      |-- batched evaluation (q637's bug, reproduced here at sf0.001 —
+      |-- three different answers from three evaluation strategies on
+      |-- identical input; NOTES.md). The recursive CTE is iterative by
+      |-- semantics, one dict-as-string state row per (user, position).
+      |walk(user_id, i, n, es, d, cur, c) AS (
+      |  SELECT user_id, 0, len(es), es, ',', '', CAST(0 AS BIGINT)
+      |  FROM seq
+      |  UNION ALL
+      |  SELECT user_id, i + 1, n, es,
+      |    CASE WHEN strpos(d, ',' || (CASE WHEN cur = '' THEN es[i+1]
+      |           ELSE cur || '|' || es[i+1] END) || ',') > 0 THEN d
+      |         ELSE d || (CASE WHEN cur = '' THEN es[i+1]
+      |           ELSE cur || '|' || es[i+1] END) || ',' END,
+      |    CASE WHEN strpos(d, ',' || (CASE WHEN cur = '' THEN es[i+1]
+      |           ELSE cur || '|' || es[i+1] END) || ',') > 0 THEN
+      |      (CASE WHEN cur = '' THEN es[i+1]
+      |       ELSE cur || '|' || es[i+1] END)
+      |         ELSE '' END,
+      |    c + CASE WHEN strpos(d, ',' || (CASE WHEN cur = '' THEN
+      |           es[i+1] ELSE cur || '|' || es[i+1] END) || ',') > 0
+      |        THEN 0 ELSE 1 END
+      |  FROM walk WHERE i < n),
       |cx AS (
-      |  SELECT user_id,
-      |         st.c + (CASE WHEN st.cur <> '' THEN 1 ELSE 0 END) AS c
-      |  FROM parsed)
+      |  SELECT user_id, c + (CASE WHEN cur <> '' THEN 1 ELSE 0 END) AS c
+      |  FROM walk WHERE i = n)
       |SELECT CAST(c AS BIGINT) AS phrases,
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM cx GROUP BY 1 ORDER BY 1

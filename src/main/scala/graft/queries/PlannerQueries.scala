@@ -30,42 +30,40 @@ object PlannerQueries {
     val holdH = 10L
     Q("q601_silver_meal_lots",
       Some(s"""
-        |WITH m AS (
+        |WITH RECURSIVE m AS (
         |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mo,
         |         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS d
         |  FROM lineitem GROUP BY 1),
-        |dl AS (
-        |  SELECT list({'k': CAST(0 AS BIGINT), 'h': CAST(0 AS BIGINT),
-        |               'setups': CAST(0 AS BIGINT),
-        |               'total': CAST(0 AS BIGINT), 'd': d}
-        |              ORDER BY mo) AS ds,
-        |         count(*) AS nm FROM m),
-        |fold AS (
-        |  SELECT nm, list_reduce(
-        |    list_prepend({'k': CAST(0 AS BIGINT), 'h': CAST(0 AS BIGINT),
-        |                  'setups': CAST(0 AS BIGINT),
-        |                  'total': CAST(0 AS BIGINT),
-        |                  'd': CAST(0 AS BIGINT)}, ds),
-        |    (a, e) -> CASE
-        |      WHEN a.k = 0 THEN {'k': CAST(1 AS BIGINT),
-        |        'h': CAST(0 AS BIGINT), 'setups': CAST(1 AS BIGINT),
-        |        'total': CAST(0 AS BIGINT), 'd': CAST(0 AS BIGINT)}
-        |      WHEN ($setupK + a.h + $holdH * a.k * e.d) * a.k
-        |           > ($setupK + a.h) * (a.k + 1)
-        |      THEN {'k': CAST(1 AS BIGINT), 'h': CAST(0 AS BIGINT),
-        |            'setups': a.setups + 1,
-        |            'total': a.total + $setupK + a.h,
-        |            'd': CAST(0 AS BIGINT)}
-        |      ELSE {'k': a.k + 1, 'h': a.h + $holdH * a.k * e.d,
-        |            'setups': a.setups, 'total': a.total,
-        |            'd': CAST(0 AS BIGINT)}
-        |      END) AS st
-        |  FROM dl)
-        |SELECT CAST(nm AS BIGINT) AS n_months,
-        |       CAST(st.setups AS BIGINT) AS n_setups,
-        |       CAST(st.total + $setupK + st.h AS BIGINT)
-        |         AS total_cost_cents
-        |FROM fold
+        |md AS (SELECT mo, d, row_number() OVER (ORDER BY mo) AS i,
+        |              count(*) OVER () AS n FROM m),
+        |-- RECURSIVE month walk, NOT list_reduce: even a SINGLE-ROW
+        |-- struct-accumulator list_reduce mis-evaluates on some inputs
+        |-- (wrong total at sf0.001 vs an independent replay of the
+        |-- fold; q497/q637 family, NOTES.md) — the recursive CTE is
+        |-- iterative by semantics and engine-stable.
+        |walk(i, k, h, setups, total) AS (
+        |  SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT w.i + 1,
+        |    CASE WHEN w.k = 0 OR ($setupK + w.h + $holdH * w.k * md.d)
+        |           * w.k > ($setupK + w.h) * (w.k + 1)
+        |         THEN 1 ELSE w.k + 1 END,
+        |    CASE WHEN w.k = 0 OR ($setupK + w.h + $holdH * w.k * md.d)
+        |           * w.k > ($setupK + w.h) * (w.k + 1)
+        |         THEN 0 ELSE w.h + $holdH * w.k * md.d END,
+        |    w.setups + CASE WHEN w.k = 0
+        |           OR ($setupK + w.h + $holdH * w.k * md.d) * w.k
+        |              > ($setupK + w.h) * (w.k + 1) THEN 1 ELSE 0 END,
+        |    w.total + CASE WHEN w.k <> 0
+        |           AND ($setupK + w.h + $holdH * w.k * md.d) * w.k
+        |               > ($setupK + w.h) * (w.k + 1)
+        |          THEN $setupK + w.h ELSE 0 END
+        |  FROM walk w JOIN md ON md.i = w.i + 1)
+        |SELECT CAST((SELECT max(n) FROM md) AS BIGINT) AS n_months,
+        |       CAST(setups AS BIGINT) AS n_setups,
+        |       CAST(total + $setupK + h AS BIGINT) AS total_cost_cents
+        |FROM walk WHERE i = (SELECT max(n) FROM md)
         |""".stripMargin)) { (s, dir) =>
       val m = Tables.lineitem(s, dir)
         .groupBy((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))

@@ -156,9 +156,11 @@ object RobustQueries {
     * node's upper bound only closes via itself as pivot); the budget
     * contract is the honest 100×-scale face: ONE capped multi-source
     * walk from 64 sources, O(64·|E|) at any graph size, with the
-    * DuckDB oracle replaying the identical budget. The walk cap still
-    * asserts full reach (connected, diameter ≤ 4 — a violated
-    * contract fails loudly, never silently truncates an ecc). */
+    * DuckDB oracle replaying the identical budget. Eccentricities are
+    * exact WITHIN each source's component (the walk asserts the BFS
+    * exhausted below the hop cap — a still-live frontier would mean
+    * truncated eccs and fails loudly; disconnection itself is legal,
+    * the tiny sf0.001 graph exercises it). */
   def q473: Q = {
     val maxHops = 4
     val nHubs = 32
@@ -233,22 +235,37 @@ object RobustQueries {
         more = frontier.count() > 0
         if (more) reach = reach.unionAll(frontier)
       }
+      // exactness contract: the capped walk is exact iff the BFS
+      // EXHAUSTED — then every reported ecc is the true eccentricity
+      // WITHIN its source's component, disconnected graphs included
+      // (the tiny sf0.001 graph is disconnected; full-reach would be
+      // the wrong assert). A frontier alive at the cap is fine only
+      // if one more expansion adds NOTHING new (nodes first reached
+      // exactly at the cap, e.g. ecc-4 sources at sf0.01); anything
+      // genuinely beyond the cap fails loudly, never silently
+      // under-reports.
+      if (more) {
+        val beyond = frontier.join(ed, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"))
+          .distinct()
+          .join(reach.select(col("src").as("rs"), col("node").as("rn")),
+            col("src") === col("rs") && col("node") === col("rn"),
+            "left_anti")
+          .count()
+        require(beyond == 0, "q473 exactness contract violated: " +
+          s"$beyond (src, node) pairs lie beyond the $maxHops-hop cap " +
+          "— eccentricities would be truncated (component diameter > cap)")
+      }
       val walk = reach
         .groupBy(col("src"))
         .agg(max(col("d")).as("ecc"), count(lit(1)).as("reached"))
       // ONE action finishes the query: the ecc frame is budget-sized
       // (≤ 64 rows — bounded by construction, documented collect), so
-      // the assertion, the diameter/radius bounds and the peripheral/
-      // central counts are driver-side arithmetic, not four more jobs
+      // the diameter/radius bounds and the peripheral/central counts
+      // are driver-side arithmetic, not four more jobs
       val nV = ed.select(col("ea")).distinct().count()
       val nE = e.count()
       val rows = walk.collect()
-      rows.foreach { r =>
-        require(r.getAs[Long]("reached") == nV,
-          "q473 exactness contract violated: budget source " +
-            s"${r.get(0)} reached ${r.getAs[Long]("reached")} of $nV " +
-            s"nodes within $maxHops hops (disconnected or diameter > cap)")
-      }
       val eccs = rows.map(_.getAs[Long]("ecc"))
       val (dia, rad) = (eccs.max, eccs.min)
       import s.implicits._
@@ -270,6 +287,13 @@ object RobustQueries {
     val v = s"CAST(q AS DOUBLE) / CAST(n AS DOUBLE) - ($m) * ($m)"
     def quant(e: String, name: String) =
       s"CAST(floor(CAST($e AS DECIMAL(28,6)) * 1000) AS BIGINT) AS $name"
+    // degenerate-moment guards, SHARED TEXT both engines: a zero
+    // variance (every customer the same count — the sf0.001 corpus)
+    // or v = m (equidispersed) zeroes a denominator; Spark ANSI
+    // throws DIVIDE_BY_ZERO where DuckDB floats to inf — both must
+    // state the NULL explicitly
+    def safeDiv(num: String, den: String) =
+      s"CASE WHEN ($den) = 0 THEN NULL ELSE ($num) / ($den) END"
     Q("q474_negbin_orders_fit",
       Some(s"""
         |WITH oc AS (
@@ -280,9 +304,9 @@ object RobustQueries {
         |SELECT CAST(n AS BIGINT) AS n_customers,
         |       ${quant(m, "mean_milli")},
         |       ${quant(v, "var_milli")},
-        |       ${quant(s"($v) / ($m)", "dispersion_milli")},
-        |       ${quant(s"($m) * ($m) / (($v) - ($m))", "r_milli")},
-        |       ${quant(s"($m) / ($v)", "p_milli")}
+        |       ${quant(safeDiv(v, m), "dispersion_milli")},
+        |       ${quant(safeDiv(s"($m) * ($m)", s"($v) - ($m)"), "r_milli")},
+        |       ${quant(safeDiv(m, v), "p_milli")}
         |FROM mo
         |""".stripMargin)) { (s, dir) =>
       val oc = Tables.customer(s, dir).select(col("c_custkey"))
@@ -295,9 +319,9 @@ object RobustQueries {
         .select(col("n").as("n_customers"),
           expr(quant(m, "mean_milli")),
           expr(quant(v, "var_milli")),
-          expr(quant(s"($v) / ($m)", "dispersion_milli")),
-          expr(quant(s"($m) * ($m) / (($v) - ($m))", "r_milli")),
-          expr(quant(s"($m) / ($v)", "p_milli")))
+          expr(quant(safeDiv(v, m), "dispersion_milli")),
+          expr(quant(safeDiv(s"($m) * ($m)", s"($v) - ($m)"), "r_milli")),
+          expr(quant(safeDiv(m, v), "p_milli")))
     }
   }
 

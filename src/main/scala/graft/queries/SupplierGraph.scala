@@ -34,6 +34,69 @@ object SupplierGraph {
        |               count(*) OVER () AS n FROM sup) r),
        |e AS (SELECT a, c, w FROM sup CROSS JOIN thr WHERE w > thr.t)""".stripMargin
 
+  /** Deterministic BFS source budget shared by the budgeted graph
+    * audits (q473 eccentricity, q656 closeness, q658 knockout): the
+    * `nHubs` highest-degree nodes plus `nSpread` hash-spread nodes
+    * (Knuth multiplicative spread on the node id). Emitted as SQL CTEs
+    * `deg`(v, dg), `hub`, `spr`, `budget`(v) over a both-direction
+    * adjacency CTE named `ed`(a, c). */
+  def sqlBudgetCtes(nHubs: Int, nSpread: Int): String =
+    s"""deg AS (SELECT a AS v, count(*) AS dg FROM ed GROUP BY 1),
+       |hub AS (SELECT v FROM deg ORDER BY dg DESC, v LIMIT $nHubs),
+       |spr AS (SELECT v FROM deg
+       |        ORDER BY (v * 2654435761) % 2147483648, v LIMIT $nSpread),
+       |budget AS (SELECT DISTINCT v FROM (
+       |  SELECT v FROM hub UNION ALL SELECT v FROM spr) u)""".stripMargin
+
+  /** Spark twin of [[sqlBudgetCtes]]: budget sources (column `src`)
+    * from a both-direction adjacency (`ea`, `ec`). */
+  def budgetSources(ed: DataFrame, nHubs: Int, nSpread: Int): DataFrame = {
+    val deg = ed.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
+    val hub = deg.orderBy(col("dg").desc, col("ea")).limit(nHubs)
+      .select(col("ea").as("src"))
+    val spr = deg
+      .orderBy(pmod(col("ea") * 2654435761L, lit(2147483648L)), col("ea"))
+      .limit(nSpread)
+      .select(col("ea").as("src"))
+    hub.unionAll(spr).distinct()
+  }
+
+  /** Both-direction adjacency (ea, ec) of [[edges]], materialized —
+    * the frame every BFS round joins. */
+  def adjacency(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).select(col("a"), col("c"))
+    e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
+      .select(col("a").as("ea"), col("c").as("ec"))
+      .materialize()
+  }
+
+  /** Capped multi-source layered BFS: (src, node, d) for every node
+    * within `maxHops` of each source, at its MINIMUM distance (the
+    * anti-join prune keeps each round's frontier to the newly-reached
+    * pairs; one lineage-truncating materialize per round; early exit
+    * on an empty frontier). O(|srcs|·|E|) total — the budgeted-audit
+    * scale shape. */
+  def bfsFrom(ed: DataFrame, srcs: DataFrame, maxHops: Int): DataFrame = {
+    var reach = srcs.select(col("src"), col("src").as("node"),
+      lit(0L).as("d")).materialize(truncate = true)
+    var frontier = reach
+    var depth = 0L
+    var more = true
+    while (more && depth < maxHops) {
+      depth += 1
+      frontier = frontier.join(ed, col("node") === col("ea"))
+        .select(col("src"), col("ec").as("node"), lit(depth).as("d"))
+        .distinct()
+        .join(reach.select(col("src").as("rs"), col("node").as("rn")),
+          col("src") === col("rs") && col("node") === col("rn"),
+          "left_anti")
+        .materialize(truncate = true) // constant-depth iteration
+      more = frontier.count() > 0
+      if (more) reach = reach.unionAll(frontier)
+    }
+    reach
+  }
+
   /** Spark edges (a, c, w), a < c, support above the 830‰ order stat.
     *
     * Plan shape: ONE shuffle on the order key builds the per-order

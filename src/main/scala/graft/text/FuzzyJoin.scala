@@ -133,25 +133,39 @@ object FuzzyJoin {
         explode(array(segArms: _*)).as("__e"))
       .select(col("id_a"), col("s_a"), col("__e.la").as("la"),
         col("__e.i").as("i"), col("__e.seg").as("seg"))
-    val probeArms = for {
-      i <- 0 until k
-      dl <- -maxDist to maxDist
-      o <- -maxDist to maxDist
-    } yield {
-      val la = (col("__len") + dl).cast("long") // partner length served
-      // starts below 1 are invalid shifts, not from-the-end reads;
-      // la < 1 serves no string — both emit a null seg, filtered below
-      struct(la.as("la"), lit(i).as("i"),
-        when(la >= 1L && segStart(la, i) + o >= 1L,
-          col("__s").substr((segStart(la, i) + o).cast("int"),
-            segLen(la, i).cast("int"))).as("seg"))
+    // the (2d+1)²(d+1) probe arms ride a BROADCAST DIM, not a literal
+    // struct array: unrolling 75 substr CASEs into one explode blew
+    // whole-stage codegen past the 64 KB method cap (Janino
+    // InternalCompilerException → silent interpreted fallback, the one
+    // such fallback in the round-8 verify log). A 75-row cross join
+    // produces the identical fan-out with ONE parameterized substr in
+    // the generated code, so the stage stays codegen'd.
+    val probeDim = {
+      import df.sparkSession.implicits._
+      (for {
+        i <- 0 until k
+        dl <- -maxDist to maxDist
+        o <- -maxDist to maxDist
+      } yield (i, dl.toLong, o.toLong)).toDF("__i", "__dl", "__o")
     }
-    val probes = base
-      .select(col("__id").as("id_b"), col("__s").as("s_b"),
-        explode(array(probeArms: _*)).as("__e"))
-      .select(col("id_b"), col("s_b"), col("__e.la").as("la"),
-        col("__e.i").as("i"), col("__e.seg").as("seg"))
-      .where(col("seg").isNotNull)
+    def segLenC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      floorDivK(l) + when(i.cast("long") < l % k, 1L).otherwise(0L)
+    def segStartC(l: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      lit(1L) + i.cast("long") * floorDivK(l) +
+        least(i.cast("long"), (l % k).cast("long"))
+    val probes = {
+      val la = (col("__len") + col("__dl")).cast("long") // partner length
+      base.crossJoin(broadcast(probeDim))
+        .select(col("__id").as("id_b"), col("__s").as("s_b"),
+          la.as("la"), col("__i").as("i"),
+          // starts below 1 are invalid shifts, not from-the-end reads;
+          // la < 1 serves no string — both emit a null seg, filtered here
+          when(la >= 1L && segStartC(la, col("__i")) + col("__o") >= 1L,
+            col("__s").substr(
+              (segStartC(la, col("__i")) + col("__o")).cast("int"),
+              segLenC(la, col("__i")).cast("int"))).as("seg"))
+        .where(col("seg").isNotNull)
+    }
     val cand = segs.join(probes, Seq("la", "i", "seg"))
       .where(col("id_a") =!= col("id_b"))
       .select(
