@@ -199,64 +199,14 @@ object RobustQueries {
       val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
         .select(col("a").as("ea"), col("c").as("ec"))
         .materialize() // both-direction adjacency: 4 BFS rounds read it
-      val deg = ed.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
-      val hub = deg.orderBy(col("dg").desc, col("ea")).limit(nHubs)
-        .select(col("ea").as("src"))
-      val spr = deg
-        .orderBy(pmod(col("ea") * knuth, lit(mod)), col("ea"))
-        .limit(nSpread)
-        .select(col("ea").as("src"))
-      val budget = hub.unionAll(spr).distinct()
-      // multi-source layered BFS from the budget: the anti-join prune
-      // keeps each round's frontier to the NEWLY-reached (src, node)
-      // pairs only — on this diameter-2/3 graph rounds 3-4 are nearly
-      // empty, where an unpruned ball would re-join all 64·|V| pairs
-      // against the dense adjacency every round (measured 1.7 s worse
-      // at sf0.1). One lineage-truncating materialize per round; no
-      // per-round counts (the hop cap bounds the loop).
-      var reach = budget.select(col("src"), col("src").as("node"),
-        lit(0L).as("d")).materialize(truncate = true)
-      var frontier = reach
-      var depth = 0L
-      var more = true
-      while (more && depth < maxHops) {
-        depth += 1
-        frontier = frontier.join(ed, col("node") === col("ea"))
-          .select(col("src"), col("ec").as("node"), lit(depth).as("d"))
-          .distinct()
-          .join(reach.select(col("src").as("rs"), col("node").as("rn")),
-            col("src") === col("rs") && col("node") === col("rn"),
-            "left_anti")
-          .materialize(truncate = true) // constant-depth iteration
-        // reach is a LAZY union of materialized frontiers — no extra
-        // job per round; the early exit skips the empty tail rounds
-        // (diameter 2-3 here), and counting a checkpointed frame is
-        // nearly free
-        more = frontier.count() > 0
-        if (more) reach = reach.unionAll(frontier)
-      }
-      // exactness contract: the capped walk is exact iff the BFS
-      // EXHAUSTED — then every reported ecc is the true eccentricity
-      // WITHIN its source's component, disconnected graphs included
-      // (the tiny sf0.001 graph is disconnected; full-reach would be
-      // the wrong assert). A frontier alive at the cap is fine only
-      // if one more expansion adds NOTHING new (nodes first reached
-      // exactly at the cap, e.g. ecc-4 sources at sf0.01); anything
-      // genuinely beyond the cap fails loudly, never silently
-      // under-reports.
-      if (more) {
-        val beyond = frontier.join(ed, col("node") === col("ea"))
-          .select(col("src"), col("ec").as("node"))
-          .distinct()
-          .join(reach.select(col("src").as("rs"), col("node").as("rn")),
-            col("src") === col("rs") && col("node") === col("rn"),
-            "left_anti")
-          .count()
-        require(beyond == 0, "q473 exactness contract violated: " +
-          s"$beyond (src, node) pairs lie beyond the $maxHops-hop cap " +
-          "— eccentricities would be truncated (component diameter > cap)")
-      }
-      val walk = reach
+      val budget = SupplierGraph.budgetSources(ed, nHubs, nSpread)
+      // the shared capped multi-source BFS (SupplierGraph.bfsFrom):
+      // anti-join-pruned frontiers, one materialize per round, and the
+      // exhaustion assert — every reported ecc is the true
+      // eccentricity WITHIN its source's component (disconnection is
+      // legal, the sf0.001 graph exercises it; truncation fails loud)
+      val walk = SupplierGraph
+        .bfsFrom(ed, budget, maxHops, assertExhausted = true)
         .groupBy(col("src"))
         .agg(max(col("d")).as("ecc"), count(lit(1)).as("reached"))
       // ONE action finishes the query: the ecc frame is budget-sized

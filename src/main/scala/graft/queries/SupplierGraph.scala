@@ -76,7 +76,8 @@ object SupplierGraph {
     * pairs; one lineage-truncating materialize per round; early exit
     * on an empty frontier). O(|srcs|·|E|) total — the budgeted-audit
     * scale shape. */
-  def bfsFrom(ed: DataFrame, srcs: DataFrame, maxHops: Int): DataFrame = {
+  def bfsFrom(ed: DataFrame, srcs: DataFrame, maxHops: Int,
+      assertExhausted: Boolean = false): DataFrame = {
     var reach = srcs.select(col("src"), col("src").as("node"),
       lit(0L).as("d")).materialize(truncate = true)
     var frontier = reach
@@ -93,6 +94,23 @@ object SupplierGraph {
         .materialize(truncate = true) // constant-depth iteration
       more = frontier.count() > 0
       if (more) reach = reach.unionAll(frontier)
+    }
+    // exactness contract for distance CONSUMERS (ecc, closeness): a
+    // frontier alive at the cap is legal only if one more expansion
+    // adds nothing — anything genuinely beyond the cap would silently
+    // truncate distances, so it fails loudly. Reach-SIZE consumers
+    // (knockout audit: the capped reach IS the metric) skip this.
+    if (more && assertExhausted) {
+      val beyond = frontier.join(ed, col("node") === col("ea"))
+        .select(col("src"), col("ec").as("node"))
+        .distinct()
+        .join(reach.select(col("src").as("rs"), col("node").as("rn")),
+          col("src") === col("rs") && col("node") === col("rn"),
+          "left_anti")
+        .count()
+      require(beyond == 0, "capped BFS exactness contract violated: " +
+        s"$beyond (src, node) pairs lie beyond the $maxHops-hop cap " +
+        "— distances would be truncated (component diameter > cap)")
     }
     reach
   }
