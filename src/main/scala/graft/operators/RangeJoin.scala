@@ -51,6 +51,18 @@ object RangeJoin {
       ColumnBridge.expression(lit(w))))
   }
 
+  /** Column-divisor twin (positive divisors): DuckDB `//` floors where
+    * Spark's `div` truncates toward zero — any possibly-negative
+    * numerator must route through one of these. */
+  private[graft] def floorDiv(c: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(c - pmod(c, w)),
+      ColumnBridge.expression(w)))
+  }
+
   /** Inner interval join: every (fact, interval) pair with
     * `interval.s <= fact.t <= interval.e` (both ends inclusive).
     * Coordinates are integral (epoch-µs longs in the event queries).
