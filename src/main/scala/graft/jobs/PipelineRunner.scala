@@ -61,9 +61,23 @@ object PipelineRunner {
     // object-store lake roots self-configure from the reference's env
     // contract (MINIO_* → fs.s3a.*) — hadoop keys must land on the
     // shared hadoopConfiguration at this point, a runtime conf.set
-    // would never reach FileSystem init (see ObjectStore scaladoc)
-    if (graft.sources.ObjectStore.isObjectStorePath(lakeRoot) ||
-        graft.sources.ObjectStore.isObjectStorePath(inputDir))
+    // would never reach FileSystem init (see ObjectStore scaladoc).
+    // Two paths CANNOT honor an s3a URI and must fail loudly at entry
+    // (isObjectStorePath's stated purpose) instead of mangling it
+    // through java.nio: bronze ingest lists inputDir via Files.list,
+    // and the manifest commit protocol hard-links manifests on a local
+    // filesystem (the object-store port is a conditional-put, not
+    // written here).
+    require(!graft.sources.ObjectStore.isObjectStorePath(inputDir),
+      s"inputDir '$inputDir': bronze ingest lists the CSV drop directory " +
+        "via java.nio and needs a local path; stage object-store inputs " +
+        "locally (or extend ingestBronze to a Hadoop FS listing) first")
+    require(!(graft.sources.ObjectStore.isObjectStorePath(lakeRoot) &&
+        config.commitProtocol == "manifest"),
+      s"lakeRoot '$lakeRoot' with commitProtocol=manifest: ManifestCommit " +
+        "publishes via local hard links; use the default overwrite " +
+        "protocol for object-store roots (plain spark.write handles s3a)")
+    if (graft.sources.ObjectStore.isObjectStorePath(lakeRoot))
       graft.sources.ObjectStore.applyToSession(spark,
         graft.sources.ObjectStore.s3aConfsFromEnv())
     try runStages(spark, inputDir, lakeRoot, config, exportCsv, hpoParamsPath)

@@ -51,9 +51,12 @@ object RangeJoin {
       ColumnBridge.expression(lit(w))))
   }
 
-  /** Column-divisor twin (positive divisors): DuckDB `//` floors where
-    * Spark's `div` truncates toward zero — any possibly-negative
-    * numerator must route through one of these. */
+  /** Column-divisor twin (positive divisors): TRUE floor division.
+    * NOTE (round-9 correction, NOTES.md): DuckDB `//` does NOT floor —
+    * on integers it truncates toward zero, exactly like Spark `div`.
+    * Use floorDiv only when the ORACLE side also floors (e.g. a
+    * floor(CAST(... AS DOUBLE) / w) text); to match a DuckDB integer
+    * `//`, plain `div` is the correct twin. */
   private[graft] def floorDiv(c: org.apache.spark.sql.Column,
       w: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide

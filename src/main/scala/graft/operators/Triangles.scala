@@ -31,6 +31,46 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).as("dst"))
       .distinct()
 
+  /** EXACT per-edge triangle support over a canonical (a < c,
+    * deduplicated) edge list: (a, c, s) for every edge lying in s ≥ 1
+    * triangles (support-0 edges are simply absent — callers left-join
+    * or filter as their contract needs). The degree orientation bounds
+    * wedge fan-out by O(√E) and finds each triangle exactly once at
+    * its pivot, crediting all three corner edges — the shape the
+    * k-truss peel (q591) and local-clustering profile (q660) share
+    * instead of the deg(u)+deg(v) hub blow-up of joining the
+    * both-direction adjacency on both endpoints. */
+  def edgeSupport(canon: DataFrame): DataFrame = {
+    val deg = canon.select(explode(array(col("a"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("c"), col("dg").as("dc")), Seq("c"))
+      .select(
+        when(col("da") < col("dc") ||
+          (col("da") === col("dc") && col("a") < col("c")),
+          struct(col("a").as("u"), col("c").as("w")))
+          .otherwise(struct(col("c").as("u"), col("a").as("w")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+      .materialize(truncate = true)
+    val wedges = oriented.select(col("u"), col("w").as("w1"))
+      .join(oriented.select(col("u"), col("w").as("w2")), Seq("u"))
+      .where(col("w1") < col("w2"))
+    // wedge endpoints are id-ordered like canon's (a, c); each closed
+    // wedge is one triangle — credit all three corner edges
+    wedges.join(canon.select(col("a"), col("c")),
+        col("w1") === col("a") && col("w2") === col("c"), "left_semi")
+      .select(explode(array(
+        struct(least(col("u"), col("w1")).as("a"),
+          greatest(col("u"), col("w1")).as("c")),
+        struct(least(col("u"), col("w2")).as("a"),
+          greatest(col("u"), col("w2")).as("c")),
+        struct(col("w1").as("a"), col("w2").as("c")))).as("e"))
+      .select(col("e.a").as("a"), col("e.c").as("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("s"))
+  }
+
   /** The exact number of triangles in the undirected graph given by
     * `edges` (any direction, duplicates tolerated). Output: one row,
     * `n_triangles` long. */

@@ -177,8 +177,7 @@ object CentralityQueries {
         |""".stripMargin)) { (s, dir) =>
       val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
         .materialize()
-      val ed0 = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
-        .select(col("a").as("ea"), col("c").as("ec"))
+      val ed0 = SupplierGraph.adjacencyOf(e)
       val dg0 = ed0.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
         .materialize() // supplier dim
       val nNodes = dg0.count()
@@ -189,9 +188,7 @@ object CentralityQueries {
         .join(broadcast(knock), col("c") === col("kv"), "left_anti")
         .materialize()
       val nKept = ek.count()
-      val ed = ek.unionAll(ek.select(col("c").as("a"), col("a").as("c")))
-        .select(col("a").as("ea"), col("c").as("ec"))
-        .materialize()
+      val ed = SupplierGraph.adjacencyOf(ek)
       val nNodesKept = ed.select(col("ea")).distinct().count()
       val deg = ed.groupBy(col("ea")).agg(count(lit(1)).as("dg"))
       val spr = deg
@@ -331,41 +328,14 @@ object CentralityQueries {
       |""".stripMargin)) { (s, dir) =>
     val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
       .materialize()
-    val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
-      .select(col("a").as("ea"), col("c").as("ec"))
-    val deg = ed.groupBy(col("ea").as("v")).agg(count(lit(1)).as("dg"))
+    val deg = SupplierGraph.adjacencyOf(e)
+      .groupBy(col("ea").as("v")).agg(count(lit(1)).as("dg"))
       .materialize()
     val thr = degThresholds(deg, Seq(250, 500, 750))
-    // degree-oriented triangle enumeration (q591's discipline): orient
-    // each edge low→high (deg, id), close wedges at the pivot, credit
-    // all three corner edges, halve per-node edge-support sums
-    val oriented = e
-      .join(broadcast(deg.select(col("v").as("a"), col("dg").as("da"))),
-        Seq("a"))
-      .join(broadcast(deg.select(col("v").as("c"), col("dg").as("dc"))),
-        Seq("c"))
-      .select(
-        when(col("da") < col("dc") ||
-          (col("da") === col("dc") && col("a") < col("c")),
-          struct(col("a").as("u"), col("c").as("w")))
-          .otherwise(struct(col("c").as("u"), col("a").as("w")))
-          .as("o"))
-      .select(col("o.u").as("u"), col("o.w").as("w"))
-      .materialize(truncate = true)
-    val wedges = oriented.select(col("u"), col("w").as("w1"))
-      .join(oriented.select(col("u"), col("w").as("w2")), Seq("u"))
-      .where(col("w1") < col("w2"))
-    val triEdges = wedges.join(e,
-        col("w1") === col("a") && col("w2") === col("c"), "left_semi")
-      .select(explode(array(
-        struct(least(col("u"), col("w1")).as("a"),
-          greatest(col("u"), col("w1")).as("c")),
-        struct(least(col("u"), col("w2")).as("a"),
-          greatest(col("u"), col("w2")).as("c")),
-        struct(col("w1").as("a"), col("w2").as("c")))).as("te"))
-      .select(col("te.a").as("a"), col("te.c").as("c"))
-    val sup = triEdges.groupBy(col("a"), col("c"))
-      .agg(count(lit(1)).as("s"))
+    // per-edge triangle support via the shared degree-oriented wedge
+    // enumeration (Triangles.edgeSupport — q591's discipline); halve
+    // per-node edge-support sums to get tri(v)
+    val sup = graft.operators.Triangles.edgeSupport(e)
     val tri = sup.select(col("a").as("v"), col("s"))
       .unionAll(sup.select(col("c").as("v"), col("s")))
       .groupBy(col("v")).agg(expr("sum(s) div 2").as("t"))

@@ -196,9 +196,7 @@ object RobustQueries {
         |FROM ecc
         |""".stripMargin)) { (s, dir) =>
       val e = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
-      val ed = e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
-        .select(col("a").as("ea"), col("c").as("ec"))
-        .materialize() // both-direction adjacency: 4 BFS rounds read it
+      val ed = SupplierGraph.adjacencyOf(e)
       val budget = SupplierGraph.budgetSources(ed, nHubs, nSpread)
       // the shared capped multi-source BFS (SupplierGraph.bfsFrom):
       // anti-join-pruned frontiers, one materialize per round, and the

@@ -63,12 +63,18 @@ object SupplierGraph {
 
   /** Both-direction adjacency (ea, ec) of [[edges]], materialized —
     * the frame every BFS round joins. */
-  def adjacency(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).select(col("a"), col("c"))
-    e.unionAll(e.select(col("c").as("a"), col("a").as("c")))
+  def adjacency(s: SparkSession, dir: String): DataFrame =
+    adjacencyOf(edges(s, dir))
+
+  /** [[adjacency]] over an ALREADY-BUILT edge frame — callers that
+    * also need the directed edges (counts, knockouts, supports) build
+    * edges once and derive the adjacency here instead of paying the
+    * co-purchase build twice. */
+  def adjacencyOf(e: DataFrame): DataFrame =
+    e.select(col("a"), col("c"))
+      .unionAll(e.select(col("c").as("a"), col("a").as("c")))
       .select(col("a").as("ea"), col("c").as("ec"))
       .materialize()
-  }
 
   /** Capped multi-source layered BFS: (src, node, d) for every node
     * within `maxHops` of each source, at its MINIMUM distance (the

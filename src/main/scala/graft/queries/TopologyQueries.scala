@@ -64,40 +64,11 @@ object TopologyQueries {
       var fixed = false
       while (round < trussRounds && !fixed) {
         // per-edge triangle support via the DEGREE-ORIENTED wedge
-        // enumeration (operators/Triangles.scala's orientation): every
-        // edge points from its lower-(deg, id) endpoint to the higher,
-        // so each triangle is enumerated EXACTLY ONCE at its pivot and
-        // per-vertex wedge fan-out is bounded O(√E) — not the
+        // enumeration (Triangles.edgeSupport): each triangle found
+        // exactly once at its pivot, O(√E) fan-out — not the
         // deg(u)+deg(v) hub blow-up of joining the both-direction
         // adjacency on both endpoints (the round-8 shape)
-        val deg = r.select(explode(array(col("a"), col("c"))).as("v"))
-          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
-        val oriented = r
-          .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
-          .join(deg.select(col("v").as("c"), col("dg").as("dc")), Seq("c"))
-          .select(
-            when(col("da") < col("dc") ||
-              (col("da") === col("dc") && col("a") < col("c")),
-              struct(col("a").as("u"), col("c").as("w")))
-              .otherwise(struct(col("c").as("u"), col("a").as("w")))
-              .as("e"))
-          .select(col("e.u").as("u"), col("e.w").as("w"))
-          .materialize(truncate = true)
-        val wedges = oriented.select(col("u"), col("w").as("w1"))
-          .join(oriented.select(col("u"), col("w").as("w2")), Seq("u"))
-          .where(col("w1") < col("w2"))
-        // closing edge: wedge endpoints are id-ordered like r's (a, c);
-        // each closed wedge is one triangle — credit all three edges
-        val tri = wedges.join(r,
-          col("w1") === col("a") && col("w2") === col("c"), "left_semi")
-        val sup = tri.select(explode(array(
-            struct(least(col("u"), col("w1")).as("a"),
-              greatest(col("u"), col("w1")).as("c")),
-            struct(least(col("u"), col("w2")).as("a"),
-              greatest(col("u"), col("w2")).as("c")),
-            struct(col("w1").as("a"), col("w2").as("c")))).as("e"))
-          .select(col("e.a").as("a"), col("e.c").as("c"))
-          .groupBy(col("a"), col("c")).agg(count(lit(1)).as("s"))
+        val sup = graft.operators.Triangles.edgeSupport(r)
         r = sup.where(col("s") >= 2).select(col("a"), col("c"))
           .materialize(truncate = true)
         counts += r.count()

@@ -305,16 +305,19 @@ object ManifestCommit {
     StructType(st.fields.map(_.copy(nullable = true)))
 
   /** The COMMITTED schema of the latest generation, if this table has
-    * one (appends and schema-evolved tables do; plain writeVersioned
-    * tables rely on footer inference and return None). */
+    * one — since round 9 every publish path (appends, schema
+    * evolution, AND full rewrites via stageAndPublish) commits a
+    * marker, so None means a pre-round-9 manifest or external
+    * tampering; readers still fall back to footer inference then. */
   def tableSchema(path: String): Option[StructType] =
     latestRaw(path).flatMap(r => schemaOf(r._2))
 
   /** Schema marker line(s) a same-schema successor manifest must carry
     * (delete/upsert republish a SUBSET of mixed-schema files, so the
-    * committed schema stays load-bearing; a full rewrite
-    * ([[stageAndPublish]]) intentionally DROPS it — its fresh files
-    * are homogeneous and footer-authoritative). */
+    * committed schema stays load-bearing). Full rewrites do not carry
+    * the OLD marker — stageAndPublish commits a FRESH one from the
+    * written frame, keeping the next appendBatch off the footer-scan
+    * fallback. */
   private def carriedSchemaLine(path: String): Seq[String] =
     latestRaw(path).toSeq.flatMap(r =>
       r._2.find(_.startsWith(SchemaPrefix)))

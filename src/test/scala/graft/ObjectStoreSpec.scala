@@ -47,6 +47,24 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.path.style.access") == "true")
   }
 
+  test("PipelineRunner fails loudly on s3a paths its IO cannot honor") {
+    val spark = TestSpark.spark
+    // bronze ingest lists inputDir via java.nio — object-store input
+    // must be rejected at entry, not mangled into './s3a:/...'
+    val e1 = intercept[IllegalArgumentException] {
+      graft.jobs.PipelineRunner.run(spark, "s3a://bucket/in", "/tmp/lake")
+    }
+    assert(e1.getMessage.contains("bronze ingest"))
+    // the manifest protocol hard-links locally — s3a roots must pair
+    // with the plain overwrite protocol
+    val e2 = intercept[IllegalArgumentException] {
+      graft.jobs.PipelineRunner.run(spark, "/tmp/in", "s3a://bucket/lake",
+        graft.jobs.PipelineConfig(commitProtocol = "manifest"),
+        None, None)
+    }
+    assert(e2.getMessage.contains("manifest"))
+  }
+
   test("LakePaths stays URI-agnostic for s3a roots") {
     val lake = LakePaths("s3a://bucket/lake")
     assert(lake.bronze("M/regular_compact")
