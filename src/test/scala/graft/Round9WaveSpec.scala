@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 session-2 property checks on three of the new wave
+  * inventions — internal consistency the DuckDB oracle cannot see
+  * (both engines share the formulas, so only identities catch a
+  * transcription slip):
+  *  - chain-ladder: the OLDEST origin is fully developed, so its
+  *    ultimate equals its latest diagonal (IBNR exactly 0);
+  *  - Kalman: the converged empirical gain sits on the analytic
+  *    Riccati steady state (within integer-floor slack);
+  *  - L-moments: GMD = 2·λ2 (identical rational, independent floors).
+  */
+class Round9WaveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ready = java.nio.file.Files.exists(
+    java.nio.file.Paths.get(s"$sf/orders.parquet"))
+
+  test("chain-ladder ultimates: oldest origin has zero IBNR") {
+    assume(ready)
+    val rows = graft.queries.ActuarialQueries.q782.run(spark, sf).collect()
+    val oldest = rows.minBy(_.getLong(0))
+    assert(oldest.getLong(4) == 0L,
+      s"oldest origin IBNR should be 0, got ${oldest.getLong(4)}")
+    // every IBNR is non-negative (factors ≥ 1 on this book)
+    assert(rows.forall(_.getLong(4) >= 0L))
+  }
+
+  test("Kalman converged gain matches the analytic Riccati gain") {
+    assume(ready)
+    val r = graft.queries.KalmanQueries.q868.run(spark, sf).head()
+    val emp = r.getLong(0)
+    val ana = r.getLong(1)
+    assert(math.abs(emp - ana) <= 2,
+      s"empirical $emp vs analytic $ana micro — drifted")
+  }
+
+  test("L-moment identity: GMD = 2 lambda2 under independent floors") {
+    assume(ready)
+    val r = graft.queries.LMomentQueries.q831.run(spark, sf).head()
+    val l2milli = r.getLong(2) // milli-cents
+    val gmd = r.getLong(3)     // cents
+    assert(math.abs(gmd * 1000L - 2L * l2milli) <= 2000L,
+      s"gmd=$gmd cents vs 2*lambda2=$l2milli milli-cents")
+  }
+}
