@@ -62,12 +62,18 @@ object MatrixProfileQueries {
       s"CAST(z$k - b$k AS DECIMAL(38,0)) * (z$k - b$k)")
       .mkString(" + ")
 
-  /** Spark pair frame (t, s, dist) with the ±7 exclusion zone. */
+  /** Spark pair frame (t, s, dist) with the ±7 exclusion zone.
+    * d(t,s) = d(s,t), so only the s ≥ t+7 half is COMPUTED (3.1M
+    * distance evaluations); the mirror is a free projection of the
+    * materialized half — halves the dominant cost of the profile. */
   private def prBase(wd: DataFrame): DataFrame = {
     val b = wd.select(Seq(col("t").as("s")) ++
       (0 to 6).map(k => col(s"z$k").as(s"b$k")): _*)
-    wd.join(b, abs(col("s") - col("t")) >= 7)
+    val half = wd.join(b, col("s") - col("t") >= 7)
       .select(col("t"), col("s"), expr(dSparkSql).as("dist"))
+      .materialize()
+    half.unionAll(half.select(col("s").as("t"), col("t").as("s"),
+      col("dist")))
   }
 
   /** Spark per-window profile (t, p = min dist, s_best). */
