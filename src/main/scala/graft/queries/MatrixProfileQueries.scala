@@ -12,15 +12,116 @@ import graft.Tables
   * top discord day, lag-k self-similarity, and the novelty-rate
   * audit against the median profile value.
   *
-  * Scale: the day series is CALENDAR-bounded, so the window-pair
-  * frame (~6M pairs × 7 integer terms) is CONSTANT-size at every sf —
-  * the same legitimacy argument as the q846 Sn pair frame. All
-  * distances are exact integer cents²; ties break on (t, s) — the
-  * nearest-neighbor argmin uses the integer key dist·4096+s (the day
-  * index is calendar-bounded < 4096, so the key is lexicographic). */
+  * Scale: the day series is CALENDAR-bounded, so the pair frame
+  * (~3.1M half-pairs) is CONSTANT-size at every sf — the same
+  * legitimacy argument as the q846 Sn pair frame. All distances are
+  * exact integer cents².
+  *
+  * Plan shape (round-10 rework): the Spark side no longer evaluates
+  * the 7-term window distance per pair. For a fixed lag L,
+  * d(t, t+L) = Σ_{i=t..t+6} (z_i − z_{i+L})² — a trailing window sum
+  * of the SINGLE squared diagonal difference e_L(i), partitioned by
+  * lag. So the half frame is: explode the lag range per day (no
+  * BroadcastNestedLoopJoin — the old θ-join on s−t ≥ 7 is gone), one
+  * broadcast equi-join attaches z_{i+L}, one exchange on lag feeds
+  * the running-sum window, and each of the ~3.1M rows costs O(1)
+  * arithmetic instead of 7 wide-row terms. The DuckDB oracle keeps
+  * the NAIVE 7-term all-pairs definition, so the gate also proves
+  * the prefix-sum identity. Ties in the nearest-neighbor argmin
+  * break on smallest s via the key dist·(max(t)+1)+s — the shift is
+  * DERIVED from the series length both sides, so a longer calendar
+  * can never silently reorder ties (ADVICE r9 #2).
+  */
 object MatrixProfileQueries {
 
   val all: Seq[Q] = Seq(q956, q957, q958, q959, q960)
+
+  // ------------------------------------------------------------------
+  // shared spine
+  // ------------------------------------------------------------------
+
+  /** Day series (t, z): dense 1-based index over the lineitem
+    * ship-date calendar, z = exact daily revenue cents. Materialized
+    * (day-dim bounded) plus its driver-side length — every consumer
+    * needs the length for the lag ranges and the tie-break shift. */
+  private def seriesN(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val sq = Tables.lineitem(s, dir)
+      .select(col("l_shipdate").cast("date").as("d"),
+        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
+          .as("v"))
+      .groupBy(col("d")).agg(sum(col("v")).as("z"))
+      .select(row_number().over(Window.orderBy(col("d"))).as("t"),
+        col("z"))
+      .materialize()
+    (sq, sq.count().toInt)
+  }
+
+  /** Diagonal difference frame (i, lg, e = (z_i − z_{i+lg})²) for the
+    * requested lags (all ≥ 7 — the exclusion zone — when `lagsOpt` is
+    * None). The lag fan-out explodes day-locally; z_{i+lg} attaches
+    * via one broadcast equi-join against the day-dim series; the
+    * explicit repartition on lg parallelizes the arithmetic AND is
+    * exactly the distribution the profile window needs, so Catalyst
+    * plans no second exchange. */
+  private def diffFrame(sq: DataFrame, tMax: Int,
+      lagsOpt: Option[Seq[Int]]): DataFrame = {
+    val base = sq.select(col("t").as("i"), col("z").as("zi"))
+    val withLag = lagsOpt match {
+      case None =>
+        base.where(col("i") + 7 <= tMax)
+          .select(col("i"), col("zi"),
+            explode(sequence(lit(7), lit(tMax) - col("i"))).as("lg"))
+      case Some(ls) =>
+        base.select(col("i"), col("zi"),
+          explode(filter(array(ls.map(l => lit(l)): _*),
+            l => col("i") + l <= lit(tMax))).as("lg"))
+    }
+    val b = sq.select(col("t").as("j"), col("z").as("zj"))
+    withLag.repartition(col("lg"))
+      .join(broadcast(b), col("i") + col("lg") === col("j"))
+      .select(col("i"), col("lg"),
+        (expr("CAST(zi - zj AS DECIMAL(38,0))") * (col("zi") - col("zj")))
+          .as("e"))
+  }
+
+  /** Half pair frame (t, s, dist) with s − t ≥ 7 (or s − t ∈ lags)
+    * and BOTH 7-day windows in range: the trailing rowsBetween(0, 6)
+    * sum realizes the per-diagonal prefix-sum identity; i is dense
+    * within each lag partition, so cnt = 7 ⇔ the window s..s+6 stays
+    * inside the series (t's own window is implied by lg ≥ 7). */
+  private def pairHalf(sq: DataFrame, tMax: Int,
+      lagsOpt: Option[Seq[Int]] = None): DataFrame = {
+    val w = Window.partitionBy(col("lg")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, 6)
+    diffFrame(sq, tMax, lagsOpt)
+      .select(col("i"), col("lg"),
+        sum(col("e")).over(w).as("dist"),
+        count(lit(1)).over(w).as("cnt"))
+      .where(col("cnt") === 7)
+      .select(col("i").as("t"), (col("i") + col("lg")).as("s"),
+        col("dist"))
+  }
+
+  /** Per-window profile (t, p = min dist, sb = nearest s): d(t,s) =
+    * d(s,t), so only the half frame is COMPUTED; the mirror is a
+    * per-row 2-way explode of both orientations straight into the
+    * partial aggregate — one pass, nothing materialized (the map-side
+    * combine collapses the 2× fan-out to day-dim rows per partition
+    * before the exchange on t). The argmin tie key dist·(tMax+1)+s is
+    * lexicographic by construction: s ≤ tMax < tMax+1. */
+  private def profile(sq: DataFrame, tMax: Int): DataFrame =
+    pairHalf(sq, tMax)
+      .select(explode(array(
+        struct(col("t"), col("s"), col("dist")),
+        struct(col("s").as("t"), col("t").as("s"), col("dist")))).as("r"))
+      .select(col("r.t").as("t"), col("r.s").as("s"), col("r.dist").as("dist"))
+      .groupBy(col("t"))
+      .agg(min(col("dist")).as("p"),
+        min_by(col("s"), col("dist") * (tMax + 1L) + col("s")).as("sb"))
+
+  // ------------------------------------------------------------------
+  // oracle CTEs (deliberately NAIVE: 7-term all-pairs distances)
+  // ------------------------------------------------------------------
 
   /** Oracle window CTEs: wd(t, z0..z6) 7-day subsequences. */
   private def sqlWd: String = """
@@ -40,56 +141,16 @@ object MatrixProfileQueries {
       s"CAST($a.z$k - $b.z$k AS HUGEINT) * ($a.z$k - $b.z$k)")
       .mkString(" + ")
 
-  /** Spark window frame (t, z0..z6). */
-  private def wdBase(s: SparkSession, dir: String): DataFrame = {
-    val sq = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("d"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("d")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("d"))).as("t"),
-        col("z"))
-    val w = Window.orderBy(col("t"))
-    val withLeads = (1 to 6).foldLeft(
-      sq.withColumnRenamed("z", "z0")) { (df, k) =>
-      df.withColumn(s"z$k", lead(col("z0"), k).over(w))
-    }
-    withLeads.where(col("z6").isNotNull)
-  }
-
-  private def dSparkSql: String =
-    (0 to 6).map(k =>
-      s"CAST(z$k - b$k AS DECIMAL(38,0)) * (z$k - b$k)")
-      .mkString(" + ")
-
-  /** Spark pair frame (t, s, dist) with the ±7 exclusion zone.
-    * d(t,s) = d(s,t), so only the s ≥ t+7 half is COMPUTED (3.1M
-    * distance evaluations); the mirror is a free projection of the
-    * materialized half — halves the dominant cost of the profile. */
-  private def prBase(wd: DataFrame): DataFrame = {
-    val b = wd.select(Seq(col("t").as("s")) ++
-      (0 to 6).map(k => col(s"z$k").as(s"b$k")): _*)
-    val half = wd.join(b, col("s") - col("t") >= 7)
-      .select(col("t"), col("s"), expr(dSparkSql).as("dist"))
-      .materialize()
-    half.unionAll(half.select(col("s").as("t"), col("t").as("s"),
-      col("dist")))
-  }
-
-  /** Spark per-window profile (t, p = min dist, s_best). */
-  private def profBase(wd: DataFrame): DataFrame =
-    prBase(wd).groupBy(col("t"))
-      .agg(min(col("dist")).as("p"),
-        min_by(col("s"), col("dist") * 4096 + col("s")).as("sb"))
-
+  /** Profile CTE with the data-derived tie shift (mx = max(t) + 1). */
   private def sqlProf: String = s"""
+    |mx AS (SELECT max(t) + 1 AS k FROM sq),
     |pr AS (
     |  SELECT a.t, b.t AS s, ${dSql("a", "b")} AS dist
     |  FROM wd a JOIN wd b ON abs(b.t - a.t) >= 7),
     |prof AS (
     |  SELECT t, min(dist) AS p,
-    |         min_by(s, dist * 4096 + s) AS sb
-    |  FROM pr GROUP BY 1)""".stripMargin
+    |         min_by(s, dist * k + s) AS sb
+    |  FROM pr CROSS JOIN mx GROUP BY 1)""".stripMargin
 
   /** Matrix-profile summary: windows, min/mean/max profile value. */
   def q956: Q = Q(
@@ -103,7 +164,8 @@ object MatrixProfileQueries {
       |       CAST(max(p) AS BIGINT) AS max_profile
       |FROM prof
       |""".stripMargin)) { (s, dir) =>
-    profBase(wdBase(s, dir))
+    val (sq, tMax) = seriesN(s, dir)
+    profile(sq, tMax)
       .agg(count(lit(1)).as("n"), min(col("p")).as("mn"),
         sum(col("p").cast("decimal(38,0)")).as("sp"),
         max(col("p")).as("mx"))
@@ -127,11 +189,8 @@ object MatrixProfileQueries {
       |       CAST(dist AS BIGINT) AS dist_cents2
       |FROM pr ORDER BY dist, t, s LIMIT 1
       |""".stripMargin)) { (s, dir) =>
-    val wd = wdBase(s, dir)
-    val b = wd.select(Seq(col("t").as("s")) ++
-      (0 to 6).map(k => col(s"z$k").as(s"b$k")): _*)
-    wd.join(b, col("s") - col("t") >= 7)
-      .select(col("t"), col("s"), expr(dSparkSql).as("dist"))
+    val (sq, tMax) = seriesN(s, dir)
+    pairHalf(sq, tMax)
       .orderBy(col("dist"), col("t"), col("s")).limit(1)
       .select(col("t").cast("long").as("motif_t"),
         col("s").cast("long").as("motif_s"),
@@ -148,14 +207,18 @@ object MatrixProfileQueries {
       |       CAST(sb AS BIGINT) AS nearest_s
       |FROM prof ORDER BY p DESC, t LIMIT 1
       |""".stripMargin)) { (s, dir) =>
-    profBase(wdBase(s, dir))
+    val (sq, tMax) = seriesN(s, dir)
+    profile(sq, tMax)
       .orderBy(col("p").desc, col("t")).limit(1)
       .select(col("t").cast("long").as("discord_t"),
         col("p").cast("long").as("nn_dist_cents2"),
         col("sb").cast("long").as("nearest_s"))
   }
 
-  /** Lag-k self-similarity: mean window distance at lags 7/30/365. */
+  /** Lag-k self-similarity: mean window distance at lags 7/30/365 in
+    * the OBSERVED-day index (steps of the dense day sequence, not
+    * calendar days — renamed lag_steps per ADVICE r9 #1; on sparse
+    * scale factors a step can span more than one calendar day). */
   def q959: Q = Q(
     "q959_lag_self_similarity",
     Some(s"""
@@ -164,27 +227,22 @@ object MatrixProfileQueries {
       |ld AS (
       |  SELECT lg.lag, ${dSql("a", "b")} AS dist
       |  FROM lg JOIN wd a ON 1 = 1 JOIN wd b ON b.t = a.t + lg.lag)
-      |SELECT CAST(lag AS BIGINT) AS lag_days,
+      |SELECT CAST(lag AS BIGINT) AS lag_steps,
       |       CAST(count(*) AS BIGINT) AS n_pairs,
       |       CAST(sum(CAST(dist AS HUGEINT)) // count(*) AS BIGINT)
       |         AS mean_dist_cents2
-      |FROM ld GROUP BY 1 ORDER BY lag_days
+      |FROM ld GROUP BY 1 ORDER BY lag_steps
       |""".stripMargin)) { (s, dir) =>
-    val wd = wdBase(s, dir).materialize()
-    val lg = s.createDataFrame(Seq(7, 30, 365).map(Tuple1(_))).toDF("lag")
-    val b = wd.select(Seq(col("t").as("s")) ++
-      (0 to 6).map(k => col(s"z$k").as(s"b$k")): _*)
-    broadcast(lg).join(wd, lit(true))
-      .join(b, col("s") === col("t") + col("lag"))
-      .select(col("lag"), expr(dSparkSql).as("dist"))
-      .groupBy(col("lag"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("dist").cast("decimal(38,0)")).as("sd"))
-      .select(col("lag").cast("long").as("lag_days"),
+    val (sq, tMax) = seriesN(s, dir)
+    pairHalf(sq, tMax, Some(Seq(7, 30, 365)))
+      .select((col("s") - col("t")).as("lg"), col("dist"))
+      .groupBy(col("lg"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"))
+      .select(col("lg").cast("long").as("lag_steps"),
         col("n").cast("long").as("n_pairs"),
         expr("CAST((sd - sd % n) / n AS DECIMAL(38,0))").cast("long")
           .as("mean_dist_cents2"))
-      .orderBy(col("lag_days"))
+      .orderBy(col("lag_steps"))
   }
 
   /** Novelty rate: share of windows whose profile value exceeds twice
@@ -205,7 +263,8 @@ object MatrixProfileQueries {
       |            ELSE 0 END)) // count(*) AS BIGINT) AS novel_milli
       |FROM prof CROSS JOIN md GROUP BY md.m
       |""".stripMargin)) { (s, dir) =>
-    val prof = profBase(wdBase(s, dir)).materialize()
+    val (sq, tMax) = seriesN(s, dir)
+    val prof = profile(sq, tMax).materialize()
     val gl = prof.agg(count(lit(1)).as("n"))
     val md = prof.groupBy(col("p").as("val")).agg(count(lit(1)).as("c"))
       .select(col("val"),

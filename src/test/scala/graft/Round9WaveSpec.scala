@@ -34,7 +34,11 @@ class Round9WaveSpec extends AnyFunSuite {
     val r = graft.queries.KalmanQueries.q868.run(spark, sf).head()
     val emp = r.getLong(0)
     val ana = r.getLong(1)
-    assert(math.abs(emp - ana) <= 2,
+    // tolerance = 5 micro, not 2: with ~83 truncating integer steps the
+    // converged gain sits near a floor boundary, so regenerated or
+    // larger data can legitimately drift a few micro (ADVICE r9 #3) —
+    // the identity being checked is convergence, not the last digit
+    assert(math.abs(emp - ana) <= 5,
       s"empirical $emp vs analytic $ana micro — drifted")
   }
 
