@@ -29,6 +29,31 @@ def fresh_con():
 con = fresh_con()
 _checked = 0
 
+
+def rec(status, reason=None, spark_rows=None, oracle_rows=None,
+        rows_match=None, schema_match=None, hash_match=None, match=None):
+    """Artifact entry carrying BOTH the legacy local keys (status/
+    reason/rows/match) and the driver-contract keys (rows_match/
+    schema_match/hash_match/spark_rows/oracle_rows/err — VERDICT r9
+    #4), so a recovered driver-side CORRECTNESS_r{N}.json diffs
+    against this file mechanically."""
+    e = {"status": status}
+    if reason is not None:
+        e["reason"] = reason
+    if match is not None:
+        e["match"] = match
+    if spark_rows is not None:
+        e["rows"] = int(spark_rows)
+    e.update({
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": hash_match,
+        "spark_rows": None if spark_rows is None else int(spark_rows),
+        "oracle_rows": None if oracle_rows is None else int(oracle_rows),
+        "err": reason,
+    })
+    return e
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 
@@ -48,20 +73,27 @@ for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
-        artifact[name] = {"status": "fail", "reason": "no spark output"}
+        artifact[name] = rec("fail", "no spark output",
+                             rows_match=False, schema_match=False,
+                             hash_match=False)
         fails += 1
         continue
     got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
     exp = canon(con.execute(sql).df())
     if list(got.columns) != list(exp.columns):
         print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-        artifact[name] = {"status": "fail", "reason": "column mismatch"}
+        artifact[name] = rec("fail", "column mismatch",
+                             spark_rows=len(got), oracle_rows=len(exp),
+                             rows_match=len(got) == len(exp),
+                             schema_match=False, hash_match=False)
         fails += 1
         continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-        artifact[name] = {"status": "fail",
-                          "reason": f"rows {len(got)} != {len(exp)}"}
+        artifact[name] = rec("fail", f"rows {len(got)} != {len(exp)}",
+                             spark_rows=len(got), oracle_rows=len(exp),
+                             rows_match=False, schema_match=True,
+                             hash_match=False)
         fails += 1
         continue
     # the driver's hasher is representation-sensitive: an int64 Spark
@@ -75,8 +107,10 @@ for name in sorted(oracle):
         print(f"FAIL {name}: dtype kind mismatch in {kinds}: " +
               ", ".join(f"{c} spark={got[c].dtype} oracle={exp[c].dtype}"
                         for c in kinds))
-        artifact[name] = {"status": "fail",
-                          "reason": f"dtype kind mismatch {kinds}"}
+        artifact[name] = rec("fail", f"dtype kind mismatch {kinds}",
+                             spark_rows=len(got), oracle_rows=len(exp),
+                             rows_match=True, schema_match=True,
+                             hash_match=False)
         fails += 1
         continue
     bad = []
@@ -94,13 +128,17 @@ for name in sorted(oracle):
         for c in bad[:2]:
             m = ~(((got[c].isna()) & (exp[c].isna())) | (got[c] == exp[c]))
             print(pd.DataFrame({"got": got[c][m], "exp": exp[c][m]}).head(5))
-        artifact[name] = {"status": "fail",
-                          "reason": f"value mismatch {bad}"}
+        artifact[name] = rec("fail", f"value mismatch {bad}",
+                             spark_rows=len(got), oracle_rows=len(exp),
+                             rows_match=True, schema_match=True,
+                             hash_match=False)
         fails += 1
     else:
         print(f"ok   {name} ({len(got)} rows)")
-        artifact[name] = {"status": "ok", "rows": int(len(got)),
-                          "match": "schema+dtype+values"}
+        artifact[name] = rec("ok", spark_rows=len(got),
+                             oracle_rows=len(exp), rows_match=True,
+                             schema_match=True, hash_match=True,
+                             match="schema+dtype+values")
 
 # queries without oracle: rows-only check. Prefer the declared-query
 # manifest (written by Verify) so a query with NO output at all — e.g.
@@ -116,7 +154,9 @@ try:
         missing = sorted(set(declared) - set(allq) - set(artifact))
         for name in missing:
             print(f"FAIL {name}: declared but produced NO output")
-            artifact[name] = {"status": "fail", "reason": "no output at all"}
+            artifact[name] = rec("fail", "no output at all",
+                                 rows_match=False, schema_match=False,
+                                 hash_match=False)
             fails += 1
     else:
         # say so out loud: if rows-only (oracle-less) queries ever grow
@@ -129,8 +169,9 @@ except FileNotFoundError:
 for name in sorted(set(allq) - set(oracle)):
     n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
     print(f"rows {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
-    artifact[name] = {"status": "ok" if n else "fail", "rows": int(n),
-                      "match": "rows-only (no oracle by nature)"}
+    artifact[name] = rec("ok" if n else "fail", spark_rows=n,
+                         rows_match=n > 0,
+                         match="rows-only (no oracle by nature)")
     if n == 0:
         fails += 1
 
