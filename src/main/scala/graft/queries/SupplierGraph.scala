@@ -121,6 +121,60 @@ object SupplierGraph {
     reach
   }
 
+  /** Both-direction WEIGHTED adjacency (ea, ec, cost) over an
+    * already-built edge frame: cost = 1 + 1000 div w, so high-support
+    * co-purchase ties are cheap to traverse and rare ties expensive —
+    * the weighted dual of [[adjacencyOf]]. Integer-exact both engines
+    * (DuckDB `//` ≡ Spark `div` on positive operands). */
+  def weightedAdjacencyOf(e: DataFrame): DataFrame =
+    e.select(col("a"), col("c"), col("w"))
+      .unionAll(e.select(col("c").as("a"), col("a").as("c"), col("w")))
+      .select(col("a").as("ea"), col("c").as("ec"), col("w"),
+        (lit(1L) + expr("1000 div w")).as("cost"))
+      .materialize()
+
+  /** H-round Bellman–Ford relaxation from `srcs`: (src, node, wd)
+    * where wd = min cost over paths of AT MOST `rounds` edges — the
+    * horizon-bounded weighted distance, an exact metric in its own
+    * right (both engines compute the identical bounded semantics, so
+    * no convergence assert can fail at an unseen sf; the convergence
+    * CURVE is itself a query, q965). One join + one min-aggregate per
+    * round over the (src × reached-node) frame — O(rounds · srcs ·
+    * |E|) like [[bfsFrom]], constant-depth lineage via per-round
+    * truncating materialize. */
+  def relaxMinSum(ew: DataFrame, srcs: DataFrame, rounds: Int): DataFrame = {
+    var d = srcs.select(col("src"), col("src").as("node"),
+      lit(0L).as("wd")).materialize(truncate = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = d.join(ew, col("node") === col("ea"))
+        .select(col("src"), col("ec").as("node"),
+          (col("wd") + col("cost")).as("wd"))
+      d = d.unionAll(relaxed)
+        .groupBy(col("src"), col("node")).agg(min(col("wd")).as("wd"))
+        .materialize(truncate = true) // constant-depth iteration
+    }
+    d
+  }
+
+  /** Maximin (widest-path / bottleneck) dual of [[relaxMinSum]]: the
+    * per-edge figure is the co-purchase support w itself and a path's
+    * width is its minimum edge support; b(v) = max over ≤H-edge paths.
+    * Self-width is the sentinel 10^9 (an "infinite" pipe). */
+  def relaxMaxMin(ewSupport: DataFrame, srcs: DataFrame,
+      rounds: Int): DataFrame = {
+    var b = srcs.select(col("src"), col("src").as("node"),
+      lit(1000000000L).as("bw")).materialize(truncate = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = b.join(ewSupport, col("node") === col("ea"))
+        .select(col("src"), col("ec").as("node"),
+          least(col("bw"), col("w")).as("bw"))
+      b = b.unionAll(relaxed)
+        .groupBy(col("src"), col("node")).agg(max(col("bw")).as("bw"))
+        .materialize(truncate = true)
+    }
+    b
+  }
+
   /** Spark edges (a, c, w), a < c, support above the 830‰ order stat.
     *
     * Plan shape: ONE shuffle on the order key builds the per-order

@@ -1694,7 +1694,12 @@ object WarehouseQueries {
   /** ANALYZE face 2 — equi-depth histogram of order values: the 15
     * internal boundaries of a 16-bucket equi-depth histogram
     * (optimizer column stats), via the exact rank-⌈p·n/1000⌉
-    * selection OrderStats.quantilesDisc pins. */
+    * selection. The GLOBAL rank rides the bucket-parallel
+    * [[graft.dedup.SortedNeighborhood.globalRankCum]] spine (bucket =
+    * cents div 10⁵, the q836 discipline) — the former constant-key
+    * quantilesDisc call constant-folded its partition spec away and
+    * left a single-partition row_number over the whole orders fact
+    * (caught by PlanLint, round 10). */
   def q367: Q = {
     val ps = (1 to 15).map(i => i * 1000 / 16)
     Q("q367_equi_depth_histogram",
@@ -1712,11 +1717,26 @@ object WarehouseQueries {
         |  ON r.rn = (pm.p * r.n + 999) // 1000
         |ORDER BY permille
         |""".stripMargin)) { (s, dir) =>
-      val v = Tables.orders(s, dir)
-        .select((col("o_totalprice") * 100).cast("decimal(38,0)")
-          .cast("long").as("cents"), lit("o_totalprice").as("stat"))
-      graft.operators.OrderStats
-        .quantilesDisc(v, Seq("stat"), "cents", ps)
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 100).cast("decimal(38,0)")
+            .cast("long").as("cents"))
+        .withColumn("vb", expr("cents div 100000"))
+      val rk = graft.dedup.SortedNeighborhood
+        .globalRankCum(x, "k", "vb", Seq("cents"))
+        .select(col("cents"), col("__rank").as("rn"))
+      val gl = rk.agg(count(lit(1)).as("n"))
+      // value-at-rank selection is tie-benign: equal cents share the
+      // value whatever internal order row_number gave them
+      val hits = ps.map(p =>
+        when(col("rn") === graft.operators.RangeJoin.floorDiv(
+          lit(p.toLong) * col("n") + 999L, 1000L), lit(p))
+          .otherwise(lit(null)))
+      rk.crossJoin(broadcast(gl))
+        .withColumn("permille", explode(array(hits: _*)))
+        .where(col("permille").isNotNull)
+        .select(lit("o_totalprice").as("stat"), col("permille"),
+          col("cents").as("value"))
         .orderBy(col("permille"))
     }
   }
