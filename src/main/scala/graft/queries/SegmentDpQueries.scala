@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Materialize.MatOps
+import graft.Tables
+
+/** Round-10 exact 1-D segmentation wave (Fisher/Jenks dynamic
+  * programming) on the daily-revenue series: the optimal k = 4
+  * segmentation, the k = 1..5 elbow curve, per-segment statistics,
+  * the equal-width baseline regret, and greedy binary segmentation
+  * vs the DP optimum.
+  *
+  * Exactness: segment cost is the QUANTIZED within-segment SSE
+  * cost(i,j) = (n·Σz² − (Σz)²) div n — a deterministic integer both
+  * engines compute identically from prefix sums, so the DP (an
+  * integer min-plus recurrence) and every tie-break (smallest split
+  * index via the min_by key val·(T+1)+i, shift derived from the
+  * series length) are bit-exact cross-engine. The DuckDB oracle runs
+  * the SAME recurrence as unrolled MATERIALIZED CTEs — agreement
+  * proves the transcription, the recurrence being shared is stated.
+  *
+  * Scale: the (i ≤ j) pair-cost frame is CALENDAR-bounded (~3.1M
+  * rows at every sf — the matrix-profile argument); each DP round is
+  * one broadcast join + one grouped min over it; the fact table is
+  * touched once (the day aggregate). */
+object SegmentDpQueries {
+
+  val all: Seq[Q] = Seq(q971, q972, q973, q974, q975)
+
+  // ------------------------------------------------------------------
+  // shared SQL fragments
+  // ------------------------------------------------------------------
+
+  /** Day series + prefix sums + pair costs: sq(t, z), gl(tm),
+    * c(i, j, cost). */
+  private def sqlCost: String = """
+    |day AS (SELECT CAST(l_shipdate AS DATE) AS dd,
+    |               sum(CAST(l_extendedprice * 100 AS BIGINT)) AS z
+    |        FROM lineitem GROUP BY 1),
+    |sq AS (SELECT row_number() OVER (ORDER BY dd) AS t, z FROM day),
+    |gl AS (SELECT max(t) AS tm FROM sq),
+    |pf AS (SELECT t, sum(z) OVER (ORDER BY t) AS cs,
+    |              sum(CAST(z AS HUGEINT) * z) OVER (ORDER BY t) AS cq
+    |       FROM sq),
+    |c AS MATERIALIZED (
+    |  SELECT a.t AS i, b.t AS j,
+    |         (CAST(b.t - a.t + 1 AS HUGEINT)
+    |            * (b.cq - coalesce(p.cq, 0))
+    |          - CAST(b.cs - coalesce(p.cs, 0) AS HUGEINT)
+    |            * (b.cs - coalesce(p.cs, 0)))
+    |         // (b.t - a.t + 1) AS cost
+    |  FROM pf a JOIN pf b ON b.t >= a.t
+    |  LEFT JOIN pf p ON p.t = a.t - 1)""".stripMargin
+
+  /** Unrolled DP stages d1..d`k` (MATERIALIZED): d_m(j) = best cost
+    * of splitting days 1..j into m segments, arg = start of the last
+    * segment (smallest on ties). */
+  private def sqlDp(k: Int): String = {
+    val d1 = """d1 AS MATERIALIZED (
+      |  SELECT j, cost AS dp, CAST(1 AS BIGINT) AS arg
+      |  FROM c WHERE i = 1)""".stripMargin
+    val steps = (2 to k).map { m =>
+      s"""d$m AS MATERIALIZED (
+         |  SELECT c.j, min(p.dp + c.cost) AS dp,
+         |         min_by(c.i, (p.dp + c.cost) * (gl.tm + 1) + c.i)
+         |           AS arg
+         |  FROM c JOIN d${m - 1} p ON p.j = c.i - 1 CROSS JOIN gl
+         |  GROUP BY 1)""".stripMargin
+    }
+    (d1 +: steps).mkString(",\n")
+  }
+
+  /** Backtracked segment bounds for the k = 4 optimum:
+    * bp(b2, b3, b4) — starts of segments 2..4. */
+  private def sqlBp: String = """
+    |e4 AS (SELECT d4.arg AS b4 FROM d4 CROSS JOIN gl WHERE d4.j = gl.tm),
+    |e3 AS (SELECT d3.arg AS b3 FROM d3 JOIN e4 ON d3.j = e4.b4 - 1),
+    |e2 AS (SELECT d2.arg AS b2 FROM d2 JOIN e3 ON d2.j = e3.b3 - 1),
+    |bp AS (SELECT b2, b3, b4 FROM e2 CROSS JOIN e3 CROSS JOIN e4)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // shared Spark builders
+  // ------------------------------------------------------------------
+
+  /** (pair-cost frame c(i, j, cost) materialized, series sq, T). */
+  private def costFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int) = {
+    val sq = Tables.lineitem(s, dir)
+      .select(col("l_shipdate").cast("date").as("dd"),
+        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
+          .as("v"))
+      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
+      .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
+        col("z"))
+      .materialize()
+    val tMax = sq.count().toInt
+    val w = Window.orderBy(col("t"))
+    val pf = sq.select(col("t"), sum(col("z")).over(w).as("cs"),
+      sum(expr("CAST(z AS DECIMAL(38,0)) * z")).over(w).as("cq"))
+      .materialize()
+    val pj = pf.select(col("t").as("j"), col("cs").as("sj"),
+      col("cq").as("qj"))
+    val pi = pf.select((col("t") + 1).as("i"), col("cs").as("si"),
+      col("cq").as("qi"))
+    val c = pf.select(col("t").as("i"),
+        explode(sequence(col("t"), lit(tMax))).as("j"))
+      .repartition(col("j"))
+      .join(broadcast(pj), "j")
+      .join(broadcast(pi), Seq("i"), "left_outer")
+      .select(col("i"), col("j"),
+        expr("""(CAST(j - i + 1 AS DECIMAL(38,0))
+          |   * (qj - coalesce(qi, CAST(0 AS DECIMAL(38,0))))
+          | - CAST(sj - coalesce(si, 0L) AS DECIMAL(38,0))
+          |   * (sj - coalesce(si, 0L)))
+          | div (j - i + 1)""".stripMargin).cast("decimal(38,0)")
+          .as("cost"))
+      .materialize()
+    (c, sq, tMax)
+  }
+
+  /** DP stages 1..k over a cost frame: Vector of (j, dp, arg) frames
+    * (each day-dim sized, materialized). */
+  private def dpStages(c: DataFrame, tMax: Int, k: Int): Vector[DataFrame] = {
+    val d1 = c.where(col("i") === 1)
+      .select(col("j"), col("cost").as("dp"), lit(1L).as("arg"))
+      .materialize()
+    (2 to k).foldLeft(Vector(d1)) { (acc, _) =>
+      val prev = broadcast(acc.last
+        .select(col("j").as("pj"), col("dp").as("pdp")))
+      val next = c.join(prev, col("pj") === col("i") - 1)
+        .groupBy(col("j"))
+        .agg(min(col("pdp") + col("cost")).as("dp"),
+          min_by(col("i"),
+            (col("pdp") + col("cost")) * (tMax + 1L) + col("i"))
+            .cast("long").as("arg"))
+        .materialize()
+      acc :+ next
+    }
+  }
+
+  /** Backtracked starts (b2, b3, b4) of the k = 4 optimum — three
+    * 1-row joins. */
+  private def breakpoints(ds: Vector[DataFrame], tMax: Int): DataFrame = {
+    val e4 = ds(3).where(col("j") === tMax).select(col("arg").as("b4"))
+    val e3 = ds(2).join(broadcast(e4), col("j") === col("b4") - 1)
+      .select(col("arg").as("b3"), col("b4"))
+    e3.join(broadcast(ds(1).select(col("j").as("j2"), col("arg").as("b2"))),
+        col("j2") === col("b3") - 1)
+      .select(col("b2"), col("b3"), col("b4"))
+  }
+
+  /** Optimal k = 4 segments with bounds and quantized costs. */
+  def q971: Q = Q(
+    "q971_dp_segmentation",
+    Some(s"""
+      |WITH ${sqlCost},
+      |${sqlDp(4)},
+      |${sqlBp},
+      |segs AS (
+      |  SELECT 1 AS seg, CAST(1 AS BIGINT) AS lo, b2 - 1 AS hi FROM bp
+      |  UNION ALL SELECT 2, b2, b3 - 1 FROM bp
+      |  UNION ALL SELECT 3, b3, b4 - 1 FROM bp
+      |  UNION ALL SELECT 4, b4, gl.tm FROM bp CROSS JOIN gl)
+      |SELECT CAST(seg AS BIGINT) AS seg,
+      |       CAST(lo AS BIGINT) AS t_start,
+      |       CAST(hi AS BIGINT) AS t_end,
+      |       CAST(hi - lo + 1 AS BIGINT) AS n_days,
+      |       CAST(c.cost // 1000000 AS BIGINT) AS cost_e6
+      |FROM segs JOIN c ON c.i = segs.lo AND c.j = segs.hi
+      |ORDER BY seg
+      |""".stripMargin)) { (s, dir) =>
+    val (c, _, tMax) = costFrame(s, dir)
+    val ds = dpStages(c, tMax, 4)
+    val bp = breakpoints(ds, tMax)
+    val segs = bp.select(lit(1L).as("seg"), lit(1L).as("lo"),
+        (col("b2") - 1).as("hi"))
+      .unionAll(bp.select(lit(2L), col("b2"), (col("b3") - 1)))
+      .unionAll(bp.select(lit(3L), col("b3"), (col("b4") - 1)))
+      .unionAll(bp.select(lit(4L), col("b4"), lit(tMax.toLong)))
+    segs.join(c, col("i") === col("lo") && col("j") === col("hi"))
+      .select(col("seg"), col("lo").as("t_start"), col("hi").as("t_end"),
+        (col("hi") - col("lo") + 1).as("n_days"),
+        expr("CAST(cost div 1000000 AS BIGINT)").as("cost_e6"))
+      .orderBy(col("seg"))
+  }
+
+  /** Elbow curve: optimal total quantized SSE for k = 1..5 and the
+    * marginal gain of each extra segment. */
+  def q972: Q = Q(
+    "q972_dp_elbow",
+    Some(s"""
+      |WITH ${sqlCost},
+      |${sqlDp(5)},
+      |tot AS (${(1 to 5).map(m =>
+        s"SELECT $m AS k, d$m.dp AS cost FROM d$m CROSS JOIN gl WHERE d$m.j = gl.tm")
+        .mkString(" UNION ALL ")})
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       CAST(cost // 1000000 AS BIGINT) AS cost_e6,
+      |       CAST((lag(cost) OVER (ORDER BY k) - cost) // 1000000
+      |            AS BIGINT) AS gain_e6
+      |FROM tot ORDER BY k
+      |""".stripMargin)) { (s, dir) =>
+    val (c, _, tMax) = costFrame(s, dir)
+    val ds = dpStages(c, tMax, 5)
+    val tot = ds.zipWithIndex.map { case (d, ix) =>
+      d.where(col("j") === tMax)
+        .select(lit(ix + 1L).as("k"), col("dp").as("cost"))
+    }.reduce(_ unionAll _)
+    tot.withColumn("gain",
+        lag(col("cost"), 1).over(Window.orderBy(col("k"))) - col("cost"))
+      .select(col("k"),
+        expr("CAST(cost div 1000000 AS BIGINT)").as("cost_e6"),
+        expr("CAST(gain div 1000000 AS BIGINT)").as("gain_e6"))
+      .orderBy(col("k"))
+  }
+
+  /** Per-segment statistics of the k = 4 optimum: totals, truncated
+    * mean, extremes of the daily series inside each segment. */
+  def q973: Q = Q(
+    "q973_segment_profiles",
+    Some(s"""
+      |WITH ${sqlCost},
+      |${sqlDp(4)},
+      |${sqlBp}
+      |SELECT CAST(CASE WHEN t >= b4 THEN 4 WHEN t >= b3 THEN 3
+      |            WHEN t >= b2 THEN 2 ELSE 1 END AS BIGINT) AS seg,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(sum(z) AS BIGINT) AS total_cents,
+      |       CAST(sum(z) // count(*) AS BIGINT) AS mean_cents,
+      |       CAST(min(z) AS BIGINT) AS min_cents,
+      |       CAST(max(z) AS BIGINT) AS max_cents
+      |FROM sq CROSS JOIN bp GROUP BY 1 ORDER BY seg
+      |""".stripMargin)) { (s, dir) =>
+    val (c, sq, tMax) = costFrame(s, dir)
+    val bp = breakpoints(dpStages(c, tMax, 4), tMax)
+    sq.crossJoin(broadcast(bp))
+      .select(when(col("t") >= col("b4"), 4L)
+        .when(col("t") >= col("b3"), 3L)
+        .when(col("t") >= col("b2"), 2L).otherwise(1L).as("seg"),
+        col("z"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_days"), sum(col("z")).as("total_cents"),
+        min(col("z")).as("min_cents"), max(col("z")).as("max_cents"))
+      .select(col("seg"), col("n_days"), col("total_cents"),
+        expr("CAST(total_cents div n_days AS BIGINT)").as("mean_cents"),
+        col("min_cents"), col("max_cents"))
+      .orderBy(col("seg"))
+  }
+
+  /** Equal-width baseline regret: 4 equal segments vs the DP optimum
+    * (ratio in milli — how much structure the optimizer buys). */
+  def q974: Q = Q(
+    "q974_equal_width_regret",
+    Some(s"""
+      |WITH ${sqlCost},
+      |${sqlDp(4)},
+      |wq AS (SELECT tm // 4 AS wd, tm FROM gl),
+      |eq AS (
+      |  SELECT sum(c.cost) AS eq_cost FROM wq JOIN c ON
+      |    (c.i = 1 AND c.j = wd) OR
+      |    (c.i = wd + 1 AND c.j = 2 * wd) OR
+      |    (c.i = 2 * wd + 1 AND c.j = 3 * wd) OR
+      |    (c.i = 3 * wd + 1 AND c.j = tm)),
+      |op AS (SELECT d4.dp AS opt_cost FROM d4 CROSS JOIN gl
+      |       WHERE d4.j = gl.tm)
+      |SELECT CAST(eq_cost // 1000000 AS BIGINT) AS equal_width_e6,
+      |       CAST(opt_cost // 1000000 AS BIGINT) AS optimal_e6,
+      |       CAST(CASE WHEN opt_cost = 0 THEN NULL
+      |            ELSE (1000 * eq_cost) // opt_cost END AS BIGINT)
+      |         AS regret_milli
+      |FROM eq CROSS JOIN op
+      |""".stripMargin)) { (s, dir) =>
+    val (c, _, tMax) = costFrame(s, dir)
+    val ds = dpStages(c, tMax, 4)
+    val wd = tMax / 4
+    val eq = c.where(
+        (col("i") === 1 && col("j") === wd) ||
+        (col("i") === wd + 1 && col("j") === 2 * wd) ||
+        (col("i") === 2 * wd + 1 && col("j") === 3 * wd) ||
+        (col("i") === 3 * wd + 1 && col("j") === tMax))
+      .agg(sum(col("cost")).as("eq_cost"))
+    val op = ds(3).where(col("j") === tMax)
+      .select(col("dp").as("opt_cost"))
+    eq.crossJoin(broadcast(op))
+      .select(expr("CAST(eq_cost div 1000000 AS BIGINT)")
+          .as("equal_width_e6"),
+        expr("CAST(opt_cost div 1000000 AS BIGINT)").as("optimal_e6"),
+        expr("CAST(CASE WHEN opt_cost = 0 THEN NULL" +
+          " ELSE (1000 * eq_cost) div opt_cost END AS BIGINT)")
+          .as("regret_milli"))
+  }
+
+  /** Greedy binary segmentation (3 successive best single splits,
+    * each round picking the segment+split with the largest cost
+    * reduction; ties → smaller segment start, then smaller split)
+    * vs the DP optimum — the classic heuristic's regret. */
+  def q975: Q = {
+    // oracle: three unrolled greedy rounds over segment-set CTEs
+    def round(k: Int): String =
+      s"""cand$k AS (
+         |  SELECT g.lo, g.hi, g.cost, c2.i AS sp,
+         |         c1.cost + c2.cost AS two
+         |  FROM segs$k g
+         |  JOIN c c1 ON c1.i = g.lo AND c1.j BETWEEN g.lo AND g.hi - 1
+         |  JOIN c c2 ON c2.i = c1.j + 1 AND c2.j = g.hi),
+         |pick$k AS (
+         |  SELECT lo, hi, sp FROM (
+         |    SELECT lo, hi, cost, two,
+         |           min_by(sp, two * (gl.tm + 1) + sp) AS sp
+         |    FROM cand$k CROSS JOIN gl GROUP BY 1, 2, 3, 4)
+         |  ORDER BY cost - two DESC, lo, sp LIMIT 1),
+         |segs${k + 1} AS MATERIALIZED (
+         |  SELECT g.lo, g.hi, g.cost FROM segs$k g
+         |  WHERE NOT EXISTS (SELECT 1 FROM pick$k p
+         |                    WHERE p.lo = g.lo AND p.hi = g.hi)
+         |  UNION ALL
+         |  SELECT p.lo, p.sp - 1, c.cost FROM pick$k p
+         |    JOIN c ON c.i = p.lo AND c.j = p.sp - 1
+         |  UNION ALL
+         |  SELECT p.sp, p.hi, c.cost FROM pick$k p
+         |    JOIN c ON c.i = p.sp AND c.j = p.hi)""".stripMargin
+    Q("q975_binary_seg_regret",
+      Some(s"""
+        |WITH ${sqlCost},
+        |${sqlDp(4)},
+        |segs1 AS MATERIALIZED (
+        |  SELECT CAST(1 AS BIGINT) AS lo, gl.tm AS hi, c.cost
+        |  FROM gl JOIN c ON c.i = 1 AND c.j = gl.tm),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |gr AS (SELECT sum(cost) AS greedy_cost FROM segs4),
+        |op AS (SELECT d4.dp AS opt_cost FROM d4 CROSS JOIN gl
+        |       WHERE d4.j = gl.tm)
+        |SELECT CAST(greedy_cost // 1000000 AS BIGINT) AS greedy_e6,
+        |       CAST(opt_cost // 1000000 AS BIGINT) AS optimal_e6,
+        |       CAST(CASE WHEN opt_cost = 0 THEN NULL
+        |            ELSE (1000 * greedy_cost) // opt_cost END AS BIGINT)
+        |         AS regret_milli
+        |FROM gr CROSS JOIN op
+        |""".stripMargin)) { (s, dir) =>
+      val (c, sq, tMax) = costFrame(s, dir)
+      val ds = dpStages(c, tMax, 4)
+      // greedy rounds run DRIVER-side over the day-dim prefix sums
+      // (one bounded collect — the series is CALENDAR-bounded, the
+      // same legitimacy class as the ≤2^20-edge driver DSU): exact
+      // BigInt replicas of the quantized-SSE cost, zero extra jobs
+      val z = sq.orderBy(col("t")).select(col("z")).collect()
+        .map(r => BigInt(r.getLong(0)))
+      val cs = z.scanLeft(BigInt(0))(_ + _) // cs(k) = Σ z_1..z_k
+      val cq = z.scanLeft(BigInt(0))((a, v) => a + v * v)
+      def costQ(i: Int, j: Int): BigInt = {
+        val n = BigInt(j - i + 1)
+        val sS = cs(j) - cs(i - 1)
+        (n * (cq(j) - cq(i - 1)) - sS * sS) / n
+      }
+      var segs = Vector((1, tMax, costQ(1, tMax)))
+      for (_ <- 1 to 3) {
+        // best (segment, split): max gain, tie → smaller lo, then sp
+        val picks = segs.flatMap { case (lo, hi, segCost) =>
+          if (hi > lo) {
+            val (two, sp) = (lo + 1 to hi)
+              .map(sp => (costQ(lo, sp - 1) + costQ(sp, hi), sp)).min
+            Some((segCost - two, lo, sp, hi))
+          } else None
+        }
+        val (_, lo, sp, hi) = picks.maxBy(p => (p._1, -p._2, -p._3))
+        segs = segs.filterNot(g => g._1 == lo && g._2 == hi) ++
+          Vector((lo, sp - 1, costQ(lo, sp - 1)),
+            (sp, hi, costQ(sp, hi)))
+      }
+      val greedy = segs.map(_._3).sum
+      val op = ds(3).where(col("j") === tMax)
+        .select(col("dp").as("opt_cost"))
+      op.select(lit((greedy / 1000000).bigInteger.toString)
+          .cast("decimal(38,0)").cast("long").as("greedy_e6"),
+        expr("CAST(opt_cost div 1000000 AS BIGINT)").as("optimal_e6"),
+        expr("CAST(CASE WHEN opt_cost = 0 THEN NULL ELSE" +
+          s" (1000 * CAST('$greedy' AS DECIMAL(38,0)))" +
+          " div opt_cost END AS BIGINT)").as("regret_milli"))
+    }
+  }
+}
