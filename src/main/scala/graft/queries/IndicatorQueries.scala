@@ -34,13 +34,7 @@ object IndicatorQueries {
     |sq AS (SELECT row_number() OVER (ORDER BY dd) AS t, z FROM day)""".stripMargin
 
   private def sq(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
-        col("z"))
+    DaySeries.revenue(s, dir)
 
   /** Bollinger-band (trailing 20, ±2σ) exceedance audit. */
   def q1001: Q = Q(

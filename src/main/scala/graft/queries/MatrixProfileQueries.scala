@@ -45,14 +45,7 @@ object MatrixProfileQueries {
     * (day-dim bounded) plus its driver-side length — every consumer
     * needs the length for the lag ranges and the tie-break shift. */
   private def seriesN(s: SparkSession, dir: String): (DataFrame, Int) = {
-    val sq = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("d"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("d")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("d"))).as("t"),
-        col("z"))
-      .materialize()
+    val sq = DaySeries.revenue(s, dir)
     (sq, sq.count().toInt)
   }
 

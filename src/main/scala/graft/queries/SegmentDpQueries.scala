@@ -87,14 +87,7 @@ object SegmentDpQueries {
   /** (pair-cost frame c(i, j, cost) materialized, series sq, T). */
   private def costFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Int) = {
-    val sq = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
-        col("z"))
-      .materialize()
+    val sq = DaySeries.revenue(s, dir)
     val tMax = sq.count().toInt
     val w = Window.orderBy(col("t"))
     val pf = sq.select(col("t"), sum(col("z")).over(w).as("cs"),

@@ -39,13 +39,8 @@ object WalshQueries {
 
   /** Spark twin: (k, w) materialized. */
   private def wht(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select((row_number().over(Window.orderBy(col("dd"))) - 1)
-        .cast("long").as("t"), col("z"))
+    DaySeries.revenue(s, dir)
+      .select((col("t") - 1).cast("long").as("t"), col("z"))
       .where(col("t") < n)
       .select(col("t"), col("z"),
         explode(sequence(lit(0L), lit(n - 1L))).as("k"))
@@ -128,13 +123,8 @@ object WalshQueries {
       |""".stripMargin)) { (s, dir) =>
     val w = wht(s, dir)
     val lhs = w.agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("le"))
-    val rhs = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select((row_number().over(Window.orderBy(col("dd"))) - 1)
-        .as("t"), col("z"))
+    val rhs = DaySeries.revenue(s, dir)
+      .select((col("t") - 1).as("t"), col("z"))
       .where(col("t") < n)
       .agg((sum(expr("CAST(z AS DECIMAL(38,0)) * z")) * n).as("re"),
         count(lit(1)).as("n_days"))

@@ -46,13 +46,7 @@ object WaveletQueries {
 
   /** Spark twin: (j, b, d) over complete blocks only. */
   private def pyrBase(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
-        col("z"))
+    DaySeries.revenue(s, dir)
       .select(col("t"), col("z"),
         explode(sequence(lit(1), lit(maxLevel))).as("j"))
       .groupBy(col("j"),
@@ -187,13 +181,7 @@ object WaveletQueries {
       |         AS detail_ratio_milli
       |FROM ws CROSS JOIN wd
       |""".stripMargin)) { (s, dir) =>
-    val sm = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("dd"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("dd")).agg(sum(col("v")).as("z"))
-      .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
-        col("z"))
+    val sm = DaySeries.revenue(s, dir)
       .groupBy(expr(s"(t - 1) div shiftleft(1, $maxLevel)").as("b"))
       .agg(sum(col("z")).as("a"), count(lit(1)).as("cn"))
       .where(col("cn") === (1L << maxLevel))
