@@ -6,7 +6,13 @@ import graft.Materialize.MatOps
 import graft.Tables
 
 /** Round-10 bipartite-HITS wave on the customer→supplier purchase
-  * graph (an edge per DISTINCT (customer, supplier) trading pair):
+  * graph (an edge per DISTINCT (customer, supplier) trading pair).
+  * Deliberate counterpart to q416 (OpsQueries), which runs WEIGHTED
+  * HITS (line-count edge weights, per-half-step max-normalization):
+  * this wave is the BINARY-edge unnormalized variant — different
+  * operator semantics (presence vs intensity), plus the audit faces
+  * q416 lacks (hub side, degree correlation, concentration curve,
+  * authority Gini):
   * exact-integer HITS power iteration (hubs = customers, authorities
   * = suppliers), the edge-level degree correlation, per-round
   * concentration of authority mass, and the authority Gini.
