@@ -6,18 +6,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Disk-backed SPINE TABLES: expensive intermediates that many
   * independent queries rebuild identically (the supplier co-purchase
-  * edge dim, the daily-revenue series) are materialized ONCE as a
-  * parquet table and read by every consumer — the lakehouse
-  * "materialized intermediate model" pattern the round-9 verdict
-  * prescribed for shared spines, extended from per-query
-  * `materialize()` (which a fresh session cannot reuse) to a real
-  * stored table.
+  * edge dim, the daily-revenue series, the segmentation pair-cost
+  * frame) are materialized ONCE as a parquet table and read by every
+  * consumer — the lakehouse "materialized intermediate model" pattern
+  * the round-9 verdict prescribed for shared spines, extended from
+  * per-query `materialize()` (which a fresh session cannot reuse) to
+  * a real stored table.
   *
   * Correctness contract:
   *   - the cache key hashes the SOURCE DATA fingerprint (path + size
-  *     + mtime of the spine's source table), so regenerated testdata
-  *     can never serve a stale spine — a new fingerprint is simply a
-  *     new table;
+  *     + mtime of EVERY source table the spine derives from), so
+  *     regenerated testdata can never serve a stale spine — a new
+  *     fingerprint is simply a new table;
+  *   - the key also carries a caller-owned BUILD VERSION (ADVICE r10:
+  *     data fingerprints alone cannot see a semantic change to the
+  *     builder logic — bump the version when the build changes and the
+  *     old spine is simply never read again);
   *   - the build is the SAME DataFrame the consumers previously
   *     inlined; a parquet round-trip of long/decimal/string columns
   *     is exact, so results are bit-identical with or without the
@@ -25,8 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the gate re-proves it);
   *   - publication is atomic (write to a temp dir, rename into
   *     place); a concurrent builder loses the rename race and reads
-  *     the winner's table. A failed build leaves only a temp dir,
-  *     never a half-published spine.
+  *     the winner's table, and a rename that fails for any OTHER
+  *     reason (permissions, tmpdir device surprise) fails LOUDLY with
+  *     the real cause instead of a downstream path-not-found (ADVICE
+  *     r10). A failed build leaves only a temp dir, never a
+  *     half-published spine.
   *
   * At cluster scale the same pattern writes to the object store via
   * ManifestCommit; the tmpdir parquet here is the single-node stand-in
@@ -57,19 +64,38 @@ object SpineCache {
     f.delete(): Unit
   }
 
-  /** The spine named `name` over `dir`, built from `sourceTable` (the
-    * fingerprint anchor): read-through parquet cache. */
+  /** The spine named `name` over `dir`, built from `sourceTables`
+    * (the fingerprint anchors — EVERY table the build reads) at build
+    * logic `version`: read-through parquet cache. Re-entrant (a spine
+    * build may read another spine). */
   def table(s: SparkSession, dir: String, name: String,
-      sourceTable: String)(build: => DataFrame): DataFrame =
+      sourceTables: Seq[String], version: Int = 1)
+      (build: => DataFrame): DataFrame =
     synchronized {
-      val key = sha(s"$dir|${fingerprint(dir, sourceTable)}").take(16)
+      val fps = sourceTables.map(fingerprint(dir, _)).mkString(";")
+      val key = sha(s"$dir|$fps|v$version").take(16)
       val path = new File(cacheRoot, s"${name}_$key")
       if (!new File(path, "_SUCCESS").exists()) {
         val tmp = new File(cacheRoot,
           s".${name}_${key}_tmp_${System.nanoTime()}")
         build.write.mode("overwrite").parquet(tmp.toString)
-        if (!tmp.renameTo(path)) deleteRec(tmp) // lost the publish race
+        if (!tmp.renameTo(path)) {
+          deleteRec(tmp)
+          // a lost publish race leaves the winner's table in place; any
+          // OTHER rename failure must not fall through to a misleading
+          // path-not-found on the read below
+          if (!new File(path, "_SUCCESS").exists())
+            throw new IllegalStateException(
+              s"SpineCache publish of '$name' failed: rename to $path " +
+                "did not succeed and no concurrent winner exists " +
+                "(tmpdir permissions / cross-device rename?)")
+        }
       }
       s.read.parquet(path.toString)
     }
+
+  /** Single-source convenience overload. */
+  def table(s: SparkSession, dir: String, name: String,
+      sourceTable: String)(build: => DataFrame): DataFrame =
+    table(s, dir, name, Seq(sourceTable))(build)
 }
