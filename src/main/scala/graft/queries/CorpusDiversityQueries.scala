@@ -43,23 +43,29 @@ object CorpusDiversityQueries {
     |         sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS n_shared
     |  FROM dbg JOIN dfq USING (bg) GROUP BY 1)""".stripMargin
 
-  /** Spark twin: per-doc profile (doc_id, n_bg, n_shared). */
-  private def profile(s: SparkSession, dir: String): DataFrame = {
-    val dbg = Tables.documents(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .where(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 2)," +
-          " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
-      .distinct()
-      .materialize() // (doc, bigram) posting frame
-    val df = dbg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-    dbg.join(df, "bg")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bg"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .materialize() // doc-dim profile, read 1-2× per query
-  }
+  /** Spark twin: per-doc profile (doc_id, n_bg, n_shared) — a
+    * [[graft.sources.SpineCache]] SPINE TABLE (VERDICT r10 #2): four
+    * of the five wave queries consume exactly this doc-dim frame, and
+    * each previously re-ran the posting fan-out + df join to build
+    * it. One fingerprint-keyed parquet build; the oracle keeps the
+    * inline CTEs so the gate proves cache ≡ from-scratch. */
+  private def profile(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SpineCache.table(s, dir, "bigram_profile",
+      Seq("documents")) {
+      val dbg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+        .distinct()
+        .materialize() // (doc, bigram) posting frame
+      val df = dbg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      dbg.join(df, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    }
 
   /** Corpus overlap histogram: docs per derivative-share decile. */
   def q1011: Q = Q(

@@ -50,13 +50,19 @@ object TwoSampleQueries {
   /** Spark twin: (mr frame, 1-row scalars mo(nx, ny, n)). */
   private def mrBase(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val h = Tables.lineitem(s, dir)
-      .groupBy(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("v"))
-      .agg(sum(when(col("l_returnflag") === "R", 0L).otherwise(1L))
-        .as("cx"),
-        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-          .as("cy"))
-      .materialize() // ≤50-value histogram
+    // ≤50-value histogram as a SpineCache SPINE TABLE (VERDICT r10
+    // #2): q1016-q1019 each previously paid the full lineitem scan to
+    // rebuild this identical doubled-midrank base; now one
+    // fingerprint-keyed build serves the wave (oracle stays inline)
+    val h = graft.sources.SpineCache.table(s, dir, "qty_histogram",
+      Seq("lineitem")) {
+      Tables.lineitem(s, dir)
+        .groupBy(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("v"))
+        .agg(sum(when(col("l_returnflag") === "R", 0L).otherwise(1L))
+          .as("cx"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("cy"))
+    }
     val wb = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val mr = h.select(col("v"), col("cx"), col("cy"),
