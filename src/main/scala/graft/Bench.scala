@@ -48,11 +48,37 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // per-query attribution (VERDICT r10 #4): GC time from the JVM
+    // collector beans (driver == executor in local mode) and shuffle
+    // WRITE bytes from a task-end listener, snapshotted around each
+    // query so a driver-box bench anomaly (the r10 DP trio recorded
+    // 15x its quiet-box time) is explainable from bench_full.json
+    // alone. The listener bus is async, so a query's last few task
+    // events can land on its successor — attribution, not accounting.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      })
+    def gcMsNow: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    final case class QRun(name: String, sec: Double, ok: Boolean,
+      gcMs: Long, shuffleBytes: Long)
     def runPass(passErrors: scala.collection.mutable.ListBuffer[String])
-        : Seq[(String, Double, Boolean)] =
+        : Seq[QRun] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.isEmpty || only(name) }
         .map { case (name, fn) =>
+        val gc0 = gcMsNow
+        val sh0 = shufBytes.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true } catch {
@@ -72,23 +98,23 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        (name, t, ok)
+        QRun(name, t, ok, gcMsNow - gc0, shufBytes.get() - sh0)
       }
     val errs1 = scala.collection.mutable.ListBuffer.empty[String]
     val errs2 = scala.collection.mutable.ListBuffer.empty[String]
     val pass1 = runPass(errs1)
     val pass2 = runPass(errs2)
-    val p2 = pass2.map(r => r._1 -> r).toMap
+    val p2 = pass2.map(r => r.name -> r).toMap
     // min over SUCCESSFUL timings only: a fast failure must not mask the
     // surviving pass's real duration. A query is an error only if BOTH
     // passes failed (then the min of the failure durations is reported,
     // correlatable with the error key).
-    val results = pass1.map { case (n, t1, ok1) =>
-      val (_, t2, ok2) = p2(n)
-      n -> ((ok1, ok2) match {
-        case (true, false) => t1
-        case (false, true) => t2
-        case _ => math.min(t1, t2)
+    val results = pass1.map { r1 =>
+      val r2 = p2(r1.name)
+      r1.name -> ((r1.ok, r2.ok) match {
+        case (true, false) => r1.sec
+        case (false, true) => r2.sec
+        case _ => math.min(r1.sec, r2.sec)
       })
     }
     val errors = errs1.toSet.intersect(errs2.toSet).toSeq.sorted
@@ -118,11 +144,17 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":${errJson(key)}$extra,"sf":"$sfDir"}"""
     }
     // bench_full.json additionally records both raw passes (failed
-    // attempts marked) so a min that hid a one-pass spike or failure
-    // stays diagnosable
-    def passJson(p: Seq[(String, Double, Boolean)]): String =
-      p.map { case (k, v, ok) =>
-        "\"" + k + "\":" + (if (ok) v.toString else "\"FAIL:" + v + "\"")
+    // attempts marked, per-query gcMs + shuffle-write bytes attached)
+    // so a min that hid a one-pass spike or failure stays diagnosable
+    // and an environment anomaly is attributable to GC pressure vs
+    // genuine plan work
+    def passJson(p: Seq[QRun]): String =
+      p.map { r =>
+        val secJson =
+          if (r.ok) r.sec.toString else "\"FAIL:" + r.sec + "\""
+        "\"" + r.name + "\":{\"sec\":" + secJson +
+          ",\"gcMs\":" + r.gcMs +
+          ",\"shuffleBytes\":" + r.shuffleBytes + "}"
       }.mkString("{", ",", "}")
     scala.util.Try(java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),

@@ -51,7 +51,19 @@ object PlanLint {
   }
 
   /** True iff the subtree contains a fact scan with NO bounding node
-    * (aggregate / limit / top-k) on the path above it. */
+    * (aggregate / limit / top-k) on the path above it.
+    *
+    * KNOWN HEURISTIC GAP (ADVICE r10, deliberate): ANY
+    * BaseAggregateExec counts as bounding, including (a) a PARTIAL
+    * (map-side) aggregate, whose final stage sits above the flagged
+    * node, and (b) a final aggregate grouped on a near-unique fact
+    * key (e.g. group-by l_orderkey over lineitem), which reduces
+    * cardinality only ~4x. A cartesian/global-window over such a
+    * frame passes the lint unflagged. Whitelist reviewers and
+    * PLANS.md plan audits must therefore still eyeball the GROUPING
+    * of the bounding aggregate — the tripwire is conservative about
+    * node KINDS, not about grouping-key cardinality (which the
+    * physical plan cannot know without stats). */
   private def unreducedFact(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => false
     case _: GlobalLimitExec | _: LocalLimitExec |

@@ -135,10 +135,16 @@ for name in sorted(oracle):
         fails += 1
     else:
         print(f"ok   {name} ({len(got)} rows)")
+        # hash_match stays None (unknown) on the ok path: this gate
+        # never computes the driver's representation-sensitive hash,
+        # and the dtype check above is kind-level (int-ness), not
+        # exact-width — claiming True here would make a recovered
+        # driver artifact diff look like a driver-side regression
+        # where it is a known local blind spot (ADVICE r10).
         artifact[name] = rec("ok", spark_rows=len(got),
                              oracle_rows=len(exp), rows_match=True,
-                             schema_match=True, hash_match=True,
-                             match="schema+dtype+values")
+                             schema_match=True, hash_match=None,
+                             match="schema+dtype-kind+values")
 
 # queries without oracle: rows-only check. Prefer the declared-query
 # manifest (written by Verify) so a query with NO output at all — e.g.
@@ -176,6 +182,22 @@ for name in sorted(set(allq) - set(oracle)):
         fails += 1
 
 if artifact_path:
+    # artifact ≡ registry invariant (VERDICT r10 #3): a committed
+    # correctness artifact must cover EXACTLY the declared registry —
+    # r10 shipped five late-landing queries with no committed oracle
+    # evidence because the artifact predated them. A full-scope
+    # artifact write with a key-set mismatch is itself a failure.
+    try:
+        declared_set = set(json.load(open(f"{outdir}/declared_queries.json")))
+        if set(artifact) != declared_set:
+            extra = sorted(set(artifact) - declared_set)
+            miss = sorted(declared_set - set(artifact))
+            print(f"FAIL artifact/registry mismatch: extra={extra[:5]} "
+                  f"missing={miss[:5]} "
+                  f"({len(artifact)} artifact vs {len(declared_set)} declared)")
+            fails += 1
+    except FileNotFoundError:
+        pass
     with open(artifact_path, "w") as f:
         json.dump({"sf_dir": sfdir, "n_queries": len(artifact),
                    "n_fail": fails, "queries": artifact}, f, indent=0,
