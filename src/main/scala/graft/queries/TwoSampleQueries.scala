@@ -53,16 +53,10 @@ object TwoSampleQueries {
     // ≤50-value histogram as a SpineCache SPINE TABLE (VERDICT r10
     // #2): q1016-q1019 each previously paid the full lineitem scan to
     // rebuild this identical doubled-midrank base; now one
-    // fingerprint-keyed build serves the wave (oracle stays inline)
-    val h = graft.sources.SpineCache.table(s, dir, "qty_histogram",
-      Seq("lineitem")) {
-      Tables.lineitem(s, dir)
-        .groupBy(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("v"))
-        .agg(sum(when(col("l_returnflag") === "R", 0L).otherwise(1L))
-          .as("cx"),
-          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
-            .as("cy"))
-    }
+    // fingerprint-keyed build serves this wave AND q1066-q1070
+    // (single builder definition in QtyHistogram — one spine name,
+    // one build logic)
+    val h = QtyHistogram.table(s, dir)
     val wb = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val mr = h.select(col("v"), col("cx"), col("cy"),
