@@ -12,9 +12,9 @@ import graft.Tables
   * slope, its intercept, Kendall concordance, the residual balance
   * audit, and the bias / reduced-major-axis panel.
   *
-  * Exactness: both measures are EXACT micro-dollar integers (the
-  * 6-decimal charge expression times 10^6 is integer-valued — no
-  * rounding); pair slopes are ONE IEEE division of exact integers
+  * Exactness: both measures are micro-dollar integers quantized
+  * identically in both engines (decimal-cast rounding — the source
+  * columns are doubles); pair slopes are ONE IEEE division of exact integers
   * (identical doubles both engines) ranked with integer tie-breaks;
   * the PB exclusions (x_j = x_i, S = −1) and the K offset (S < −1)
   * are stated on the INTEGER differences, never on the division
@@ -43,12 +43,18 @@ object MethodCompQueries {
   /** Spark twin: the daily (x, y) spine (t, x, y). */
   private def dailyXy(s: SparkSession, dir: String): DataFrame =
     graft.sources.SpineCache.table(s, dir, "daily_xy",
-      Seq("lineitem")) {
+      Seq("lineitem"), version = 2) {
       Tables.lineitem(s, dir)
         .select(col("l_shipdate").cast("date").as("dd"),
-          expr("CAST(l_extendedprice * 1000000 AS BIGINT)").as("xe"),
-          expr("CAST(l_extendedprice * (1 - l_discount)" +
-            " * (1 + l_tax) * 1000000 AS BIGINT)").as("ye"))
+          // decimal-cast idiom: the source columns are DOUBLEs, and
+          // Spark's double->LONG cast truncates where DuckDB's
+          // double->BIGINT rounds; the intermediate DECIMAL cast
+          // rounds like the oracle
+          expr("CAST(CAST(l_extendedprice * 1000000 AS DECIMAL(38,0))" +
+            " AS LONG)").as("xe"),
+          expr("CAST(CAST(l_extendedprice * (1 - l_discount)" +
+            " * (1 + l_tax) * 1000000 AS DECIMAL(38,0)) AS LONG)")
+            .as("ye"))
         .groupBy(col("dd"))
         .agg(sum(col("xe")).as("x"), sum(col("ye")).as("y"))
         .select(row_number().over(Window.orderBy(col("dd"))).as("t"),
