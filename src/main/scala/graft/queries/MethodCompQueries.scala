@@ -83,8 +83,21 @@ object MethodCompQueries {
     |     OR (n % 2 = 0 AND (rn = least(n // 2 + k, n)
     |                     OR rn = least(n // 2 + 1 + k, n))))""".stripMargin
 
+  /** The 1-row PB fit (n, k, b) as a SpineCache SPINE TABLE: three of
+    * the five wave queries need the slope, and each previously re-ran
+    * the 3.1M-pair fan-out + bucket-parallel rank (~3 s each at
+    * sf0.1). Doubles round-trip parquet exactly, so the cached b is
+    * bit-identical to the from-scratch one (the oracle recomputes the
+    * whole pipeline inline — the gate proves it). */
+  private def pbFit(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SpineCache.table(s, dir, "pb_fit",
+      Seq("lineitem")) {
+      val (_, nk, pb) = pbSlopeBuild(s, dir)
+      nk.crossJoin(broadcast(pb))
+    }
+
   /** Spark twin: (slope frame sl, 1-row nk(n, k), 1-row pb(b)). */
-  private def pbSlope(s: SparkSession, dir: String)
+  private def pbSlopeBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val sq = dailyXy(s, dir)
     val a = sq.select(col("t").as("i"), col("x").as("xa"),
@@ -128,8 +141,7 @@ object MethodCompQueries {
       |       CAST(floor(1000000.0 * pb.b) AS BIGINT) AS slope_micro
       |FROM nk CROSS JOIN pb
       |""".stripMargin)) { (s, dir) =>
-    val (_, nk, pb) = pbSlope(s, dir)
-    nk.crossJoin(broadcast(pb))
+    pbFit(s, dir)
       .select(col("n").cast("long").as("n_slopes"),
         col("k").cast("long").as("k_offset"),
         expr("CAST(floor(1000000.0 * b) AS BIGINT)").as("slope_micro"))
@@ -155,7 +167,7 @@ object MethodCompQueries {
       |         AS intercept_dollars
       |FROM pb CROSS JOIN ic
       |""".stripMargin)) { (s, dir) =>
-    val (_, _, pb) = pbSlope(s, dir)
+    val pb = pbFit(s, dir).select(col("b"))
     val sq = dailyXy(s, dir)
     val res = sq.crossJoin(broadcast(pb))
       .select(col("t"), (col("y") - col("b") * col("x")).as("r"),
@@ -240,7 +252,7 @@ object MethodCompQueries {
       |       CAST(count(*) AS BIGINT) AS n_days
       |FROM res CROSS JOIN ic
       |""".stripMargin)) { (s, dir) =>
-    val (_, _, pb) = pbSlope(s, dir)
+    val pb = pbFit(s, dir).select(col("b"))
     val sq = dailyXy(s, dir)
     val res = sq.crossJoin(broadcast(pb))
       .select(col("t"), (col("y") - col("b") * col("x")).as("r"))
