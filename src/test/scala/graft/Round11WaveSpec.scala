@@ -95,6 +95,29 @@ class Round11WaveSpec extends AnyFunSuite {
     assert(tau > 500, s"gross-vs-net Kendall tau ${tau}‰ <= 500‰")
   }
 
+  test("embedding geometry: intrinsic dim within ambient, purity a ppm") {
+    assume(ready)
+    val id = graft.queries.EmbeddingIntrinsicQueries.q1086.run(spark, sf)
+      .head()
+    assert(id.getLong(2) > 0 && id.getLong(2) <= 64000,
+      s"intrinsic dim ${id.getLong(2)}milli outside (0, 64] ambient")
+    val pu = graft.queries.EmbeddingIntrinsicQueries.q1089.run(spark, sf)
+      .head()
+    assert(pu.getLong(1) >= 0 && pu.getLong(1) <= 1000000,
+      s"1-NN purity ${pu.getLong(1)}ppm outside [0, 1e6]")
+    assert(pu.getLong(2) >= 0 && pu.getLong(2) <= 5000,
+      s"mean same-label-in-5 ${pu.getLong(2)}milli outside [0, 5000]")
+  }
+
+  test("Dunn ratio is consistent with its own extremes") {
+    assume(ready)
+    val r = graft.queries.EmbeddingIntrinsicQueries.q1088.run(spark, sf)
+      .head()
+    val (mi, ma, dunn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(dunn == 1000L * mi / ma,
+      s"dunn_milli $dunn != 1000*$mi/$ma")
+  }
+
   test("meta-analysis: I^2 is a fraction, RE pool inside the envelope") {
     assume(ready)
     val q = graft.queries.MetaAnalysisQueries.q1082.run(spark, sf).head()
