@@ -37,7 +37,7 @@ object BrandPortfolioQueries {
     |gt AS (SELECT count(*) AS t FROM m)""".stripMargin
 
   /** Spark twin: the (brand, day) revenue spine. */
-  private def brandDay(s: SparkSession, dir: String): DataFrame =
+  private[queries] def brandDay(s: SparkSession, dir: String): DataFrame =
     graft.sources.SpineCache.table(s, dir, "brand_day_revenue",
       Seq("lineitem", "part")) {
       Tables.lineitem(s, dir)
