@@ -133,4 +133,85 @@ class Round11WaveSpec extends AnyFunSuite {
     assert(re >= lo - pad && re <= hi + pad,
       s"random-effects pool $re far outside LOO envelope [$lo, $hi]")
   }
+
+  test("Donchian position and Williams %R are complements per epoch") {
+    assume(ready)
+    val pos = graft.queries.TechIndicatorQueries.q1101.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val wr = graft.queries.TechIndicatorQueries.q1103.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pos.keySet == wr.keySet, "epoch sets differ")
+    pos.foreach { case (e, p) =>
+      val s = p + wr(e)
+      // per-day floors: pos + wr in [999, 1000]; integer epoch means
+      // of those sums stay within [998, 1000]
+      assert(s >= 998 && s <= 1000,
+        s"epoch $e: mean_pos $p + mean_wr ${wr(e)} = $s outside [998,1000]")
+    }
+  }
+
+  test("Ichimoku above/in/below cloud partition the epoch days") {
+    assume(ready)
+    graft.queries.TechIndicator2Queries.q1108.run(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
+          s"epoch ${r.getLong(0)}: cloud position counts do not " +
+            s"partition n_days ${r.getLong(1)}")
+      }
+  }
+
+  test("Higuchi: segment counts n−k, HFD and DFA alpha in range") {
+    assume(ready)
+    val lk = graft.queries.FractalQueries.q1111.run(spark, sf).collect()
+    val n = lk.map(r => r.getLong(1) + r.getLong(0)).distinct
+    assert(n.length == 1, s"n_segments + k is not constant: ${n.toSeq}")
+    val hfd = graft.queries.FractalQueries.q1112.run(spark, sf)
+      .head().getLong(1)
+    assert(hfd >= 900 && hfd <= 2100,
+      s"Higuchi dimension $hfd milli outside [0.9, 2.1]")
+    val alpha = graft.queries.FractalQueries.q1115.run(spark, sf)
+      .head().getLong(1)
+    assert(alpha >= -100 && alpha <= 2000,
+      s"DFA alpha $alpha milli outside [-0.1, 2.0]")
+  }
+
+  test("semivariogram pairs and CCF bounds") {
+    assume(ready)
+    val g = graft.queries.GeostatQueries.q1096.run(spark, sf).collect()
+    val nPlusH = g.map(r => r.getLong(1) + r.getLong(0)).distinct
+    assert(nPlusH.length == 1,
+      s"n_pairs + h is not the constant day count: ${nPlusH.toSeq}")
+    assert(g.forall(_.getLong(3) >= 0), "variogram ratio negative")
+    val ccf = graft.queries.UnitRootQueries.q1119.run(spark, sf)
+      .collect()
+    assert(ccf.forall(r => math.abs(r.getLong(2)) <= 1000),
+      "a CCF value is outside [-1, 1]")
+    val n0 = ccf.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(ccf.forall(r => r.getLong(1) + math.abs(r.getLong(0)) == n0),
+      "CCF n_pairs != n - |h|")
+  }
+
+  test("Dickey-Fuller on daily revenue rejects the unit root") {
+    assume(ready)
+    // daily revenue is mean-reverting noise around a level: phi near
+    // -1, tau far below any critical value — both DF variants agree
+    val t1 = graft.queries.UnitRootQueries.q1116.run(spark, sf)
+      .head().getLong(2)
+    val t2 = graft.queries.UnitRootQueries.q1117.run(spark, sf)
+      .head().getLong(3)
+    assert(t1 < -2000 && t2 < -2000,
+      s"DF tau_milli $t1 / $t2 not strongly negative on a stationary series")
+  }
+
+  test("readability: SMOG pooled counts match the fog complex shares") {
+    assume(ready)
+    val smog = graft.queries.ReadabilityQueries.q1095.run(spark, sf)
+      .collect()
+    assert(smog.forall(r => r.getLong(4) >= 3000),
+      "a SMOG grade fell below its formula floor of 3.1291")
+    val fog = graft.queries.ReadabilityQueries.q1094.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(smog.map(r => r.getString(0) -> r.getLong(1)).toMap == fog,
+      "q1094 and q1095 disagree on per-source doc counts")
+  }
 }
