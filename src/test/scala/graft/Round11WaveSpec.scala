@@ -214,4 +214,91 @@ class Round11WaveSpec extends AnyFunSuite {
     assert(smog.map(r => r.getString(0) -> r.getLong(1)).toMap == fog,
       "q1094 and q1095 disagree on per-source doc counts")
   }
+
+  test("KDE: q1126 and q1127 agree on the triangular mass per grid") {
+    assume(ready)
+    val tri = graft.queries.DensityQueries.q1126.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val epa = graft.queries.DensityQueries.q1127.run(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == epa, "independent triangular-mass computations differ")
+    val cdf = graft.queries.DensityQueries.q1129.run(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(cdf.sliding(2).forall(p => p(0).getLong(3) <= p(1).getLong(3)),
+      "empirical CDF not monotone over the grid")
+    assert(cdf.last.getLong(3) == 1000000L,
+      s"empirical CDF at the max grid point is ${cdf.last.getLong(3)}")
+  }
+
+  test("ESS: tau >= 1 and ess <= n; bootstrap CIs bracket the mean") {
+    assume(ready)
+    val e = graft.queries.EssQueries.q1136.run(spark, sf).head()
+    assert(e.getLong(2) >= 1000 && e.getLong(3) <= e.getLong(0),
+      s"tau ${e.getLong(2)} or ess ${e.getLong(3)} out of range")
+    val ci = graft.queries.BootstrapQueries.q1133.run(spark, sf).head()
+    assert(ci.getLong(2) <= ci.getLong(3),
+      "percentile CI bounds inverted")
+  }
+
+  test("Benford: per-digit counts sum to n; 9 digits per year") {
+    assume(ready)
+    val fd = graft.queries.BenfordQueries.q1141.run(spark, sf).collect()
+    assert(fd.length == 9, s"${fd.length} first digits")
+    val yr = graft.queries.BenfordQueries.q1145.run(spark, sf).collect()
+    assert(yr.forall(_.getLong(1) == 9),
+      "a ship-year is missing a leading digit")
+  }
+
+  test("Box-Cox at lambda=1 reproduces the raw-scale skewness") {
+    assume(ready)
+    val bc = graft.queries.TransformQueries.q1146.run(spark, sf)
+      .collect().find(_.getLong(0) == 1000L).get.getLong(2)
+    val raw = graft.queries.TransformQueries.q1147.run(spark, sf)
+      .collect().find(_.getString(0) == "raw").get.getLong(2)
+    assert(bc == raw,
+      s"lambda=1 Box-Cox skew $bc != raw skew $raw (shift invariance)")
+  }
+
+  test("experiment: SRM splits sum to slice totals; OBF at k=5 is z_a/2") {
+    assume(ready)
+    val gs = graft.queries.ExperimentQueries.q1153.run(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(gs.last.getLong(4) == 2040L,
+      s"OBF bound at the final look is ${gs.last.getLong(4)} milli")
+    assert(gs.map(_.getLong(1)).distinct.length >= 1)
+  }
+
+  test("LM divergences: JS within [0, ln 2]; Spearman within [-1, 1]") {
+    assume(ready)
+    val js = graft.queries.LmDivergenceQueries.q1162.run(spark, sf)
+      .collect()
+    assert(js.forall(r => r.getLong(2) >= -1 &&
+      r.getLong(2) <= 693148), "a JS divergence is outside [0, ln 2]")
+    val sp = graft.queries.LmDivergenceQueries.q1164.run(spark, sf)
+      .collect()
+    assert(sp.forall(r => math.abs(r.getLong(2)) <= 1000000),
+      "a Spearman correlation is outside [-1, 1]")
+  }
+
+  test("bandit: every arm initialized; halving keeps 12/6/3/1") {
+    assume(ready)
+    val ucb = graft.queries.BanditQueries.q1166.run(spark, sf).collect()
+    assert(ucb.forall(_.getLong(1) >= 1),
+      "an arm was never played (init phase broken)")
+    val sh = graft.queries.BanditQueries.q1169.run(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(sh.map(_.getLong(1)).toSeq == Seq(12L, 6L, 3L, 1L),
+      s"survivor counts ${sh.map(_.getLong(1)).toSeq}")
+  }
+
+  test("ABC: revenue shares are ordered and part shares sum to ~1") {
+    assume(ready)
+    val a = graft.queries.AbcLotQueries.q1171.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a("A")._2 >= a("B")._2 && a("B")._2 >= a("C")._2,
+      "ABC revenue shares not descending")
+    val partSum = a.values.map(_._1).sum
+    assert(math.abs(partSum - 1000000L) <= 3,
+      s"part shares sum to $partSum ppm")
+  }
 }
