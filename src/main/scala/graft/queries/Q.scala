@@ -33,7 +33,7 @@ object Registry {
       PolicyQueries.all ++ RobustQueries.all ++ OpsSimQueries.all ++
       DiagnosticQueries.all ++ EffectQueries.all ++ ConvergenceQueries.all ++
       DistFitQueries.all ++ ReplayQueries.all ++ ShapeQueries.all ++
-      SymbolicQueries.all ++ ModelEvalQueries.all ++ IndexQueries.all ++ StructureQueries.all ++ MechanismQueries.all ++ SegmentQueries.all ++ RichnessQueries.all ++ StickinessQueries.all ++ BrokerageQueries.all ++ PortmanteauQueries.all ++ DependenceQueries.all ++ RakingQueries.all ++ EquivalenceQueries.all ++ FactorQueries.all ++ AuditQueries.all ++ SurvivalQueries.all ++ TopologyQueries.all ++ RiskQueries.all ++ PlannerQueries.all ++ EvalFairQueries.all ++ RegressionDiagQueries.all ++ HazardQueries.all ++ DispersionQueries.all ++ ComparisonQueries.all ++ TrendAuditQueries.all ++ SelectionQueries.all ++ LifetimeQueries.all ++ RobustTrendQueries.all ++ QualityStatQueries.all ++ CentralityQueries.all ++ ClusterQualityQueries.all ++ InequalityQueries.all ++ FlowQueries.all ++ TrainDataQueries.all ++ SurveyQueries.all ++ RankTestQueries.all ++ AgreementQueries.all ++ ForecastEvalQueries.all ++ EmbeddingGeomQueries.all ++ OrdinalQueries.all ++ HomogeneityQueries.all ++ PriceIndexQueries.all ++ SchedulingQueries.all ++ DiversityQueries.all ++ ResidualDiagQueries.all ++ SmootherQueries.all ++ EvalStatQueries.all ++ SegregationQueries.all ++ WalkMomentQueries.all ++ LotSizingQueries.all ++ StylometryQueries.all ++ MultiTestQueries.all ++ TeletrafficQueries.all ++ AnovaQueries.all ++ ActuarialQueries.all ++ MicrostructureQueries.all ++ PsychometricQueries.all ++ SpatialQueries.all ++ BibliometricQueries.all ++ SeasonalQueries.all ++ GrowthQueries.all ++ CopulaQueries.all ++ EcologyQueries.all ++ RankAggQueries.all ++ LMomentQueries.all ++ ExtremeTailQueries.all ++ ConcentrationQueries.all ++ RobustScaleQueries.all ++ BinningQueries.all ++ CapabilityQueries.all ++ InventoryServiceQueries.all ++ KalmanQueries.all ++ EffectSizeQueries.all ++ PairedCompQueries.all ++ PovertyQueries.all ++ RenewalQueries.all ++ DistDependenceQueries.all ++ OrderStatQueries.all ++ CountModelQueries.all ++ MultivariateQueries.all ++ RmstQueries.all ++ CohortQueries.all ++ LorenzFamilyQueries.all ++ EmbeddingSpaceQueries.all ++ KeynessQueries.all ++ FirstPassageQueries.all ++ PricingQueries.all ++ ForecastMethodQueries.all ++ ScaleTestQueries.all ++ MatrixProfileQueries.all ++ WeightedPathQueries.all ++ WaveletQueries.all ++ SegmentDpQueries.all ++ CompoundRiskQueries.all ++ BipartiteHitsQueries.all ++ JourneyQueries.all ++ PhoneticQueries.all ++ WalshQueries.all ++ IndicatorQueries.all ++ BasketRuleQueries.all ++ CorpusDiversityQueries.all ++ TwoSampleQueries.all ++ RuinQueries.all ++ RecordTheoryQueries.all ++ UnseenQueries.all ++ PriceEndingQueries.all ++ NormalScoreQueries.all ++ OrdinalPatternQueries.all ++ DriftMonitorQueries.all ++ CircularStatQueries.all ++ BrandPortfolioQueries.all ++ TwoSampleDistQueries.all ++ MethodCompQueries.all ++ StratifiedRiskQueries.all ++ MetaAnalysisQueries.all ++ EmbeddingIntrinsicQueries.all ++ ReadabilityQueries.all ++ GeostatQueries.all ++ TechIndicatorQueries.all ++ TechIndicator2Queries.all ++ FractalQueries.all ++ UnitRootQueries.all ++ SymbolicDynQueries.all ++ DensityQueries.all ++ BootstrapQueries.all ++ EssQueries.all ++ BenfordQueries.all ++ TransformQueries.all ++ ExperimentQueries.all ++ PanelRegQueries.all ++ LmDivergenceQueries.all ++ BanditQueries.all ++ AbcLotQueries.all ++ InterpolationQueries.all ++ PercolationQueries.all
+      SymbolicQueries.all ++ ModelEvalQueries.all ++ IndexQueries.all ++ StructureQueries.all ++ MechanismQueries.all ++ SegmentQueries.all ++ RichnessQueries.all ++ StickinessQueries.all ++ BrokerageQueries.all ++ PortmanteauQueries.all ++ DependenceQueries.all ++ RakingQueries.all ++ EquivalenceQueries.all ++ FactorQueries.all ++ AuditQueries.all ++ SurvivalQueries.all ++ TopologyQueries.all ++ RiskQueries.all ++ PlannerQueries.all ++ EvalFairQueries.all ++ RegressionDiagQueries.all ++ HazardQueries.all ++ DispersionQueries.all ++ ComparisonQueries.all ++ TrendAuditQueries.all ++ SelectionQueries.all ++ LifetimeQueries.all ++ RobustTrendQueries.all ++ QualityStatQueries.all ++ CentralityQueries.all ++ ClusterQualityQueries.all ++ InequalityQueries.all ++ FlowQueries.all ++ TrainDataQueries.all ++ SurveyQueries.all ++ RankTestQueries.all ++ AgreementQueries.all ++ ForecastEvalQueries.all ++ EmbeddingGeomQueries.all ++ OrdinalQueries.all ++ HomogeneityQueries.all ++ PriceIndexQueries.all ++ SchedulingQueries.all ++ DiversityQueries.all ++ ResidualDiagQueries.all ++ SmootherQueries.all ++ EvalStatQueries.all ++ SegregationQueries.all ++ WalkMomentQueries.all ++ LotSizingQueries.all ++ StylometryQueries.all ++ MultiTestQueries.all ++ TeletrafficQueries.all ++ AnovaQueries.all ++ ActuarialQueries.all ++ MicrostructureQueries.all ++ PsychometricQueries.all ++ SpatialQueries.all ++ BibliometricQueries.all ++ SeasonalQueries.all ++ GrowthQueries.all ++ CopulaQueries.all ++ EcologyQueries.all ++ RankAggQueries.all ++ LMomentQueries.all ++ ExtremeTailQueries.all ++ ConcentrationQueries.all ++ RobustScaleQueries.all ++ BinningQueries.all ++ CapabilityQueries.all ++ InventoryServiceQueries.all ++ KalmanQueries.all ++ EffectSizeQueries.all ++ PairedCompQueries.all ++ PovertyQueries.all ++ RenewalQueries.all ++ DistDependenceQueries.all ++ OrderStatQueries.all ++ CountModelQueries.all ++ MultivariateQueries.all ++ RmstQueries.all ++ CohortQueries.all ++ LorenzFamilyQueries.all ++ EmbeddingSpaceQueries.all ++ KeynessQueries.all ++ FirstPassageQueries.all ++ PricingQueries.all ++ ForecastMethodQueries.all ++ ScaleTestQueries.all ++ MatrixProfileQueries.all ++ WeightedPathQueries.all ++ WaveletQueries.all ++ SegmentDpQueries.all ++ CompoundRiskQueries.all ++ BipartiteHitsQueries.all ++ JourneyQueries.all ++ PhoneticQueries.all ++ WalshQueries.all ++ IndicatorQueries.all ++ BasketRuleQueries.all ++ CorpusDiversityQueries.all ++ TwoSampleQueries.all ++ RuinQueries.all ++ RecordTheoryQueries.all ++ UnseenQueries.all ++ PriceEndingQueries.all ++ NormalScoreQueries.all ++ OrdinalPatternQueries.all ++ DriftMonitorQueries.all ++ CircularStatQueries.all ++ BrandPortfolioQueries.all ++ TwoSampleDistQueries.all ++ MethodCompQueries.all ++ StratifiedRiskQueries.all ++ MetaAnalysisQueries.all ++ EmbeddingIntrinsicQueries.all ++ ReadabilityQueries.all ++ GeostatQueries.all ++ TechIndicatorQueries.all ++ TechIndicator2Queries.all ++ FractalQueries.all ++ UnitRootQueries.all ++ SymbolicDynQueries.all ++ DensityQueries.all ++ BootstrapQueries.all ++ EssQueries.all ++ BenfordQueries.all ++ TransformQueries.all ++ ExperimentQueries.all ++ PanelRegQueries.all ++ LmDivergenceQueries.all ++ BanditQueries.all ++ AbcLotQueries.all ++ InterpolationQueries.all ++ PercolationQueries.all ++ EventStudyQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
