@@ -41,12 +41,13 @@ object Bench {
     // passes make per-query times robust to one-off contention while a
     // REAL regression still shows in both. Cache hygiene stays per-query,
     // so pass 2 pays the same cold-cache costs as pass 1 (it is a repeat
-    // measurement, not a warm rerun). One stated exception: SpineCache
-    // spine tables (per-process, rebuilt from parquet every invocation)
-    // are built inside the timed region of the first consumer query in
-    // pass 1 and read by later consumers in both passes — the total
-    // always contains the full from-parquet build cost exactly once,
-    // like any shared materialized intermediate.
+    // measurement, not a warm rerun). SpineCache spine tables follow the
+    // same discipline: the cache is per-process AND cleared between the
+    // two passes, so EVERY pass rebuilds every spine from the parquet
+    // inputs — within a pass a spine is built once, inside the timed
+    // region of its first consumer query, and read by later consumers,
+    // like any shared materialized intermediate; the reported min-of-two
+    // therefore always contains one full from-parquet spine build.
     // optional name filter for local iteration (comma-separated full
     // query names); the driver never sets it, so per-round benches
     // always cover the whole registry
@@ -108,6 +109,8 @@ object Bench {
     val errs1 = scala.collection.mutable.ListBuffer.empty[String]
     val errs2 = scala.collection.mutable.ListBuffer.empty[String]
     val pass1 = runPass(errs1)
+    // cold-spine discipline: pass 2 rebuilds every spine from parquet
+    graft.sources.SpineCache.clear()
     val pass2 = runPass(errs2)
     val p2 = pass2.map(r => r.name -> r).toMap
     // min over SUCCESSFUL timings only: a fast failure must not mask the

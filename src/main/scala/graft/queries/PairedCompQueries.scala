@@ -70,6 +70,24 @@ object PairedCompQueries {
   private def sqlBt: String =
     sqlPw + (0 until 5).map(sqlIter).mkString(",", ",", "")
 
+  /** q876–q880 all consume the same 600-ordered-pair tournament dim,
+    * and four of them the same 5-iteration MM fixpoint — previously
+    * rebuilt per query (4× btBase + 2× pwBase ≈ 14.7 s of the sf0.1
+    * bench). Both are tiny exact-integer dims, so they are SpineCache
+    * tables now: built once per process/pass, read by every consumer
+    * (longs/decimal(38,0) round-trip parquet exactly; oracle re-proven
+    * unchanged). */
+  private val spineSrc =
+    Seq("lineitem", "orders", "customer", "nation", "part")
+
+  private def pwSpine(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SpineCache.table(s, dir, "bt_pw", spineSrc)(
+      pwBase(s, dir))
+
+  private def btSpine(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SpineCache.table(s, dir, "bt_it5", spineSrc)(
+      btBase(s, dir))
+
   /** Spark ballots → both-direction pair wins dim. */
   private def pwBase(s: SparkSession, dir: String): DataFrame = {
     val rk = Tables.lineitem(s, dir)
@@ -100,7 +118,7 @@ object PairedCompQueries {
 
   /** Spark BT strengths after 5 MM iterations (b, p micro, w1, wins). */
   private def btBase(s: SparkSession, dir: String): DataFrame = {
-    val pw = pwBase(s, dir).materialize()
+    val pw = pwSpine(s, dir)
     val wn = pw.groupBy(col("ba").as("b"))
       .agg((sum(col("wins")) + 1).as("w1"), sum(col("wins")).as("w0"))
       .materialize()
@@ -138,7 +156,7 @@ object PairedCompQueries {
       |SELECT b AS brand, CAST(p AS BIGINT) AS bt_strength_micro
       |FROM it5 ORDER BY brand
       |""".stripMargin)) { (s, dir) =>
-    btBase(s, dir)
+    btSpine(s, dir)
       .select(col("b").as("brand"),
         col("p").cast("long").as("bt_strength_micro"))
       .orderBy(col("brand"))
@@ -167,8 +185,8 @@ object PairedCompQueries {
       |         AS spearman_milli
       |FROM dd
       |""".stripMargin)) { (s, dir) =>
-    val bt = btBase(s, dir).materialize()
-    val pw = pwBase(s, dir)
+    val bt = btSpine(s, dir)
+    val pw = pwSpine(s, dir)
     val cop = pw.groupBy(col("ba").as("b"))
       .agg(sum(when(col("wins") * 2 > col("nv"), 1).otherwise(0)).as("cs"))
     val r1 = bt.select(col("b"),
@@ -197,7 +215,7 @@ object PairedCompQueries {
       |FROM top3 a JOIN top3 c ON c.r > a.r
       |ORDER BY brand_a, brand_b
       |""".stripMargin)) { (s, dir) =>
-    val top3 = btBase(s, dir)
+    val top3 = btSpine(s, dir)
       .select(col("b"), col("p"),
         row_number().over(Window.orderBy(col("p").desc, col("b"))).as("r"))
       .where(col("r") <= 3).materialize()
@@ -221,7 +239,7 @@ object PairedCompQueries {
       |         AS implied_elo_delta
       |FROM it5 ORDER BY brand
       |""".stripMargin)) { (s, dir) =>
-    btBase(s, dir)
+    btSpine(s, dir)
       .select(col("b").as("brand"),
         expr("""CAST(floor(400.0 / ln(10.0)
           |  * ln(CAST(p AS DOUBLE) / 1000000.0)) AS BIGINT)"""
@@ -247,7 +265,7 @@ object PairedCompQueries {
       |       CAST(n * (n - 1) * (n - 2) // 6 AS BIGINT) AS total_triads
       |FROM ag
       |""".stripMargin)) { (s, dir) =>
-    pwBase(s, dir)
+    pwSpine(s, dir)
       .groupBy(col("ba").as("b"))
       .agg(sum(when(col("wins") * 2 > col("nv"), 1).otherwise(0)).as("d"))
       .agg(count(lit(1)).as("n"),

@@ -108,4 +108,12 @@ object SpineCache {
   def table(s: SparkSession, dir: String, name: String,
       sourceTable: String)(build: => DataFrame): DataFrame =
     table(s, dir, name, Seq(sourceTable))(build)
+
+  /** Drop every spine built so far by THIS process. Bench calls this
+    * between its two measurement passes so each pass recomputes every
+    * spine from the parquet inputs — pass 2 stays a genuinely cold
+    * repeat measurement, never a warm rerun of pass 1's spines. */
+  def clear(): Unit = synchronized {
+    Option(cacheRoot.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+  }
 }
