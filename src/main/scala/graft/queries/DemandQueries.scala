@@ -576,24 +576,12 @@ object DemandQueries {
         .materialize() // both the degree pass and every BFS round
       val src = e2.groupBy(col("a")).agg(count(lit(1)).as("dg"))
         .orderBy(col("dg").desc, col("a")).limit(nSrc)
-        .select(col("a").as("s"))
-      var dist = src.select(col("s"), col("s").as("v"), lit(0L).as("d"))
-        .materialize()
-      var frontier = dist
-      for (k <- 1 to maxD) {
-        // renamed edge copy: derived-frame self-joins need hard renames
-        val nxt = frontier
-          .join(e2.select(col("a").as("__ea"), col("b").as("__eb")),
-            col("v") === col("__ea"))
-          .select(col("s"), col("__eb").as("v")).distinct()
-          .join(dist.select(col("s").as("__ds"), col("v").as("__dv")),
-            col("s") === col("__ds") && col("v") === col("__dv"),
-            "left_anti")
-          .select(col("s"), col("v"), lit(k.toLong).as("d"))
-          .materialize() // checkpoint-per-round keeps lineage constant
-        dist = dist.unionAll(nxt).materialize()
-        frontier = nxt
-      }
+        .select(col("a").as("src"))
+      // the shared size-gated BFS (min-distance is execution-shape
+      // independent, so rows match the former inline per-round loop)
+      val dist = SupplierGraph
+        .bfsFrom(e2.select(col("a").as("ea"), col("b").as("ec")), src, maxD)
+        .select(col("src").as("s"), col("node").as("v"), col("d"))
       dist.where(col("s") =!= col("v"))
         .groupBy(col("s"))
         .agg(count(lit(1)).as("n_reached"),

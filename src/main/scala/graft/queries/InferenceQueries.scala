@@ -487,23 +487,10 @@ object InferenceQueries {
           col("a1") === col("a3") && col("b2") === col("b3"))
         .agg(count(lit(1)).as("tri"))
       val src = deg.orderBy(col("dg").desc, col("a")).limit(nSrc)
-        .select(col("a").as("s"))
-      var dist = src.select(col("s"), col("s").as("v"), lit(0L).as("d"))
-        .materialize()
-      var frontier = dist
-      for (k <- 1 to maxD) {
-        val nxt = frontier
-          .join(e2.select(col("a").as("__ea"), col("b").as("__eb")),
-            col("v") === col("__ea"))
-          .select(col("s"), col("__eb").as("v")).distinct()
-          .join(dist.select(col("s").as("__ds"), col("v").as("__dv")),
-            col("s") === col("__ds") && col("v") === col("__dv"),
-            "left_anti")
-          .select(col("s"), col("v"), lit(k.toLong).as("d"))
-          .materialize()
-        dist = dist.unionAll(nxt).materialize()
-        frontier = nxt
-      }
+        .select(col("a").as("src"))
+      // the shared size-gated BFS (min-distance is execution-shape
+      // independent, so rows match the former inline per-round loop)
+      val dist = SeriesQueries.bfsOnCopurchase(e2, src, maxD)
       val ls = dist.where(col("s") =!= col("v"))
         .agg(sum(col("d")).as("sd"), count(lit(1)).as("cnt"))
       gs.crossJoin(broadcast(tri)).crossJoin(broadcast(ls))

@@ -313,23 +313,60 @@ object MechanismQueries {
         .materialize() // brand-pair dim (≤600 rows)
       val w = duel.groupBy(col("wi").as("i")).agg(count(lit(1)).as("wins"))
         .materialize()
-      var pi = w.select(col("i"), lit(1000000L).as("pi")).materialize()
-      for (_ <- 1 to iters) {
-        val den = g
-          .join(pi.select(col("i").as("pii"), col("pi").as("pv")),
-            col("pii") === col("i"))
-          .join(pi.select(col("i").as("pij"), col("pi").as("qv")),
-            col("pij") === col("j"))
-          .groupBy(col("i"))
-          .agg(sum(expr("(1000000000000 * n) div (pv + qv)")).as("den"))
-        pi = w.join(den, Seq("i"))
-          .select(col("i"), expr("(1000000000000 * wins) div den").as("pi"))
-          .materialize(truncate = true) // constant-depth per round
-      }
-      pi.join(w, Seq("i"))
-        .select(col("i").as("brand"), col("wins"),
-          col("pi").as("bt_strength_micro"))
-        .orderBy(col("bt_strength_micro").desc, col("brand"))
+      // 12 MM rounds over a ≤25-brand / ≤600-pair dim: size-gated like
+      // the SupplierGraph fixpoints — under the cap the whole trajectory
+      // folds inside ONE task with the identical long floor-division
+      // chain (the distributed per-round loop ran ~24 tiny Spark jobs);
+      // above the cap the dataframe loop runs as before.
+      val bt =
+        if (g.count() <= SupplierGraph.localEdgeCap) {
+          import s.implicits._
+          g.select(lit(0L).as("t"), col("i"), col("j"), col("n"))
+            .unionAll(w.select(lit(1L).as("t"), col("i"),
+              col("i").as("j2"), col("wins")))
+            .as[(Long, String, String, Long)]
+            .repartition(1)
+            .mapPartitions { it =>
+              val rows = it.toArray
+              val gps = rows.collect { case (0L, i, j, n) => (i, j, n) }
+              val wm = rows.collect { case (1L, i, _, x) => (i, x) }.toMap
+              var pi: Map[String, Long] =
+                wm.map { case (i, _) => i -> 1000000L }
+              for (_ <- 1 to iters) {
+                val den = scala.collection.mutable.HashMap.empty[
+                  String, Long]
+                gps.foreach { case (i, j, n) =>
+                  for (pv <- pi.get(i); qv <- pi.get(j))
+                    den.update(i,
+                      den.getOrElse(i, 0L) + (1000000000000L * n) / (pv + qv))
+                }
+                pi = wm.flatMap { case (i, wins) =>
+                  den.get(i).map(d => i -> (1000000000000L * wins) / d)
+                }
+              }
+              pi.iterator.map { case (i, p) => (i, wm(i), p) }
+            }
+            .toDF("brand", "wins", "bt_strength_micro")
+        } else {
+          var pi = w.select(col("i"), lit(1000000L).as("pi")).materialize()
+          for (_ <- 1 to iters) {
+            val den = g
+              .join(pi.select(col("i").as("pii"), col("pi").as("pv")),
+                col("pii") === col("i"))
+              .join(pi.select(col("i").as("pij"), col("pi").as("qv")),
+                col("pij") === col("j"))
+              .groupBy(col("i"))
+              .agg(sum(expr("(1000000000000 * n) div (pv + qv)")).as("den"))
+            pi = w.join(den, Seq("i"))
+              .select(col("i"),
+                expr("(1000000000000 * wins) div den").as("pi"))
+              .materialize(truncate = true) // constant-depth per round
+          }
+          pi.join(w, Seq("i"))
+            .select(col("i").as("brand"), col("wins"),
+              col("pi").as("bt_strength_micro"))
+        }
+      bt.orderBy(col("bt_strength_micro").desc, col("brand"))
         .limit(10)
     }
   }

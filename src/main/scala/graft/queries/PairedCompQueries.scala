@@ -116,9 +116,55 @@ object PairedCompQueries {
         count(lit(1)).as("nv"))
   }
 
-  /** Spark BT strengths after 5 MM iterations (b, p micro, w1, wins). */
+  /** Spark BT strengths after 5 MM iterations (b, p micro, w1, wins).
+    * Size-gated like the SupplierGraph fixpoints: under the cap the
+    * 5-round trajectory folds inside ONE task — every per-round value
+    * is a positive integer comfortably inside Long, where floor
+    * division is identical to the dataframe loop's decimal(38,0)
+    * `x - x % y) / y` chain, and the output re-casts to the same
+    * decimal type; above the cap the per-round loop runs as before. */
   private def btBase(s: SparkSession, dir: String): DataFrame = {
     val pw = pwSpine(s, dir)
+    if (pw.count() <= SupplierGraph.localEdgeCap) {
+      import s.implicits._
+      pw.select(col("ba"), col("bb"), col("wins").cast("long"),
+          col("nv").cast("long"))
+        .as[(String, String, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val pairs = it.toArray
+          val w0 = scala.collection.mutable.HashMap.empty[String, Long]
+          pairs.foreach { case (ba, _, wins, _) =>
+            w0.update(ba, w0.getOrElse(ba, 0L) + wins)
+          }
+          val w1 = w0.map { case (b, w) => (b, w + 1L) }
+          var p: Map[String, Long] =
+            w1.map { case (b, _) => b -> 1000000L }.toMap
+          for (_ <- 0 until 5) {
+            val den = scala.collection.mutable.HashMap.empty[String, Long]
+            pairs.foreach { case (ba, bb, _, nv) =>
+              for (pa <- p.get(ba); pb <- p.get(bb))
+                den.update(ba,
+                  den.getOrElse(ba, 0L) + (nv * 1000000000000L) / (pa + pb))
+            }
+            val praw = w1.iterator.flatMap { case (b, w) =>
+              den.get(b).map(d => b -> (w * 1000000000000L) / d)
+            }.toMap
+            val sSum = praw.valuesIterator.sum
+            val nb = praw.size.toLong
+            p = praw.map { case (b, pr) =>
+              b -> (pr * nb * 1000000L) / sSum
+            }
+          }
+          p.iterator.map { case (b, pv) => (b, pv, w1(b), w0(b)) }
+        }
+        .toDF("b", "p", "w1", "w0")
+        .select(col("b"), col("p").cast("decimal(38,0)").as("p"),
+          col("w1"), col("w0"))
+    } else btBaseDistributed(pw)
+  }
+
+  private def btBaseDistributed(pw: DataFrame): DataFrame = {
     val wn = pw.groupBy(col("ba").as("b"))
       .agg((sum(col("wins")) + 1).as("w1"), sum(col("wins")).as("w0"))
       .materialize()

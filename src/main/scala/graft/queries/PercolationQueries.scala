@@ -50,8 +50,57 @@ object PercolationQueries {
     |      FROM cs JOIN ec ON ec.sc = cs.sc GROUP BY 1) q
     |ORDER BY scenario""".stripMargin
 
-  /** Spark scenario-keyed components to fixpoint over sed(sc,a,c). */
-  private def comps(sed: DataFrame): DataFrame = {
+  /** Spark scenario-keyed components to fixpoint over sed(sc,a,c):
+    * size-gated like the SupplierGraph fixpoints — the min-reachable-id
+    * label at fixpoint is execution-shape independent, so under the
+    * edge cap the whole scenario panel runs as ONE task of per-scenario
+    * union-find (the dedup-cluster driver-DSU discipline, moved onto an
+    * executor), and above the cap the distributed min-label rounds run
+    * exactly as before. */
+  private def comps(sed: DataFrame): DataFrame =
+    if (sed.count() <= SupplierGraph.localEdgeCap) compsLocal(sed)
+    else compsDistributed(sed)
+
+  private def compsLocal(sed: DataFrame): DataFrame = {
+    val s = sed.sparkSession
+    import s.implicits._
+    val out = sed.select(col("sc").cast("long").as("s"),
+        col("a").cast("long").as("u"), col("c").cast("long").as("v"))
+      .as[(Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val bySc = it.toArray.groupBy(_._1)
+        bySc.iterator.flatMap { case (sc, edges) =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent(x) != x) {
+              parent.update(x, parent(parent(x))) // path halving
+              x = parent(x)
+            }
+            x
+          }
+          edges.foreach { case (_, a, c) =>
+            if (!parent.contains(a)) parent.update(a, a)
+            if (!parent.contains(c)) parent.update(c, c)
+            val ra = find(a); val rc = find(c)
+            if (ra != rc) parent.update(math.max(ra, rc),
+              math.min(ra, rc))
+          }
+          val nodes = parent.keys.toArray
+          val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+          nodes.foreach { v =>
+            val r = find(v)
+            minOf.update(r, math.min(minOf.getOrElse(r, v), v))
+          }
+          nodes.iterator.map(v => (sc, v, minOf(find(v))))
+        }
+      }
+      .toDF("sc", "v", "lbl")
+    out.materialize(truncate = true)
+  }
+
+  private def compsDistributed(sed: DataFrame): DataFrame = {
     // the scenario frames are dim-sized (≤ a few 100k rows) — pin
     // them to a handful of partitions so the fixpoint loop's rounds
     // are not dominated by 32-way shuffle scheduling overhead

@@ -65,20 +65,35 @@ object SeriesQueries {
 
   /** Spark side of [[sqlCopurchaseEdgeCtes]]: the (pa, pb) edge dim,
     * materialized — every caller reads it several times. */
+  /** Shared (s, v, d) BFS over a both-direction part-copurchase
+    * adjacency (a, b) — delegates to the size-gated
+    * [[SupplierGraph.bfsFrom]] and restores the historical column
+    * names. */
+  private[queries] def bfsOnCopurchase(e2: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame, maxD: Int)
+      : org.apache.spark.sql.DataFrame =
+    SupplierGraph
+      .bfsFrom(e2.select(col("a").as("ea"), col("b").as("ec")), src, maxD)
+      .select(col("src").as("s"), col("node").as("v"), col("d"))
+
   private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val pi = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .materialize() // both legs of the pair self-join
-    pi.join(pi.select(col("l_orderkey").as("__rk"),
-        col("l_partkey").as("pb")),
-      col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("pa"), col("pb"))
-      .agg(count(lit(1)).as("__sup"))
-      .where(col("__sup") >= 2)
-      .select(col("pa"), col("pb"))
-      .materialize()
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    // five queries (q398/q428/q442/q457/q468) consume this fact-scaled
+    // pair build — SpineCache makes it one build per process/pass
+    // instead of one per consumer (edge dim round-trips parquet exactly)
+    graft.sources.SpineCache.table(s, dir, "part_copurchase_edges",
+      "lineitem") {
+      val pi = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .materialize() // both legs of the pair self-join
+      pi.join(pi.select(col("l_orderkey").as("__rk"),
+          col("l_partkey").as("pb")),
+        col("l_orderkey") === col("__rk") && col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("pa"), col("pb"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+        .select(col("pa"), col("pb"))
+    }
 
   /** Cumulative LTV curve: average per-user cumulative event value at
     * the end of each week since the user's first activity — the curve

@@ -76,14 +76,89 @@ object SupplierGraph {
       .select(col("a").as("ea"), col("c").as("ec"))
       .materialize()
 
+  /** Size gate for the single-task fixpoint twins below: a graph whose
+    * both-direction adjacency fits under this row cap runs its
+    * BFS/relaxation rounds inside ONE executor task (the driver-DSU
+    * discipline from dedup clustering — bounded dims earn a local
+    * algorithm, the fact never does); anything larger keeps the
+    * distributed per-round loop. At the sandbox SFs the supplier
+    * co-purchase adjacency is ≤ ~10⁵ rows and the per-round Spark-job
+    * overhead (join + distinct + anti-join + checkpoint + count ≈ 4
+    * jobs/round × 6-12 rounds) dominated every budgeted graph audit;
+    * on a 100 TB corpus the adjacency blows the cap and the loop runs
+    * exactly as before. */
+  val localEdgeCap = 1L << 20
+
   /** Capped multi-source layered BFS: (src, node, d) for every node
-    * within `maxHops` of each source, at its MINIMUM distance (the
-    * anti-join prune keeps each round's frontier to the newly-reached
-    * pairs; one lineage-truncating materialize per round; early exit
-    * on an empty frontier). O(|srcs|·|E|) total — the budgeted-audit
-    * scale shape. */
+    * within `maxHops` of each source, at its MINIMUM distance. BFS
+    * min-distance is execution-shape independent, so the size-gated
+    * local twin returns bit-identical rows to the distributed loop
+    * (same exactness assert included). */
   def bfsFrom(ed: DataFrame, srcs: DataFrame, maxHops: Int,
-      assertExhausted: Boolean = false): DataFrame = {
+      assertExhausted: Boolean = false): DataFrame =
+    if (ed.count() <= localEdgeCap)
+      bfsFromLocal(ed, srcs, maxHops, assertExhausted)
+    else bfsFromDistributed(ed, srcs, maxHops, assertExhausted)
+
+  /** Single-task BFS twin: adjacency + sources ride one exchange into
+    * one partition; every round is an in-memory frontier expansion. */
+  private def bfsFromLocal(ed: DataFrame, srcs: DataFrame, maxHops: Int,
+      assertExhausted: Boolean): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    val hops = maxHops.toLong
+    val out = ed.select(lit(0L).as("t"), col("ea").cast("long").as("u"),
+        col("ec").cast("long").as("v"))
+      .unionAll(srcs.select(lit(1L).as("t"),
+        col("src").cast("long").as("u"), col("src").cast("long").as("v")))
+      .as[(Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val adj = new scala.collection.mutable.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val srcIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+        rows.foreach {
+          case (0L, a, c) =>
+            adj.getOrElseUpdate(a,
+              new scala.collection.mutable.ArrayBuffer[Long]()) += c
+          case (_, v, _) => srcIds += v
+        }
+        srcIds.iterator.flatMap { src =>
+          val dist = scala.collection.mutable.HashMap[Long, Long](src -> 0L)
+          var frontier: Array[Long] = Array(src)
+          var d = 0L
+          while (frontier.nonEmpty && d < hops) {
+            d += 1
+            val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+            frontier.foreach { n =>
+              adj.get(n).foreach(_.foreach { m =>
+                if (!dist.contains(m)) { dist.update(m, d); next += m }
+              })
+            }
+            frontier = next.toArray
+          }
+          if (assertExhausted && frontier.nonEmpty) {
+            val beyond = frontier.exists(n =>
+              adj.get(n).exists(_.exists(m => !dist.contains(m))))
+            require(!beyond,
+              "capped BFS exactness contract violated: (src, node) " +
+                s"pairs lie beyond the $maxHops-hop cap — distances " +
+                "would be truncated (component diameter > cap)")
+          }
+          dist.iterator.map { case (node, dd) => (src, node, dd) }
+        }
+      }
+      .toDF("src", "node", "d")
+    out.materialize(truncate = true)
+  }
+
+  /** The per-round distributed loop (the anti-join prune keeps each
+    * round's frontier to the newly-reached pairs; one lineage-
+    * truncating materialize per round; early exit on an empty
+    * frontier). O(|srcs|·|E|) total — the budgeted-audit scale shape. */
+  private def bfsFromDistributed(ed: DataFrame, srcs: DataFrame,
+      maxHops: Int, assertExhausted: Boolean): DataFrame = {
     var reach = srcs.select(col("src"), col("src").as("node"),
       lit(0L).as("d")).materialize(truncate = true)
     var frontier = reach
@@ -142,18 +217,67 @@ object SupplierGraph {
     * round over the (src × reached-node) frame — O(rounds · srcs ·
     * |E|) like [[bfsFrom]], constant-depth lineage via per-round
     * truncating materialize. */
-  def relaxMinSum(ew: DataFrame, srcs: DataFrame, rounds: Int): DataFrame = {
-    var d = srcs.select(col("src"), col("src").as("node"),
-      lit(0L).as("wd")).materialize(truncate = true)
-    for (_ <- 1 to rounds) {
-      val relaxed = d.join(ew, col("node") === col("ea"))
-        .select(col("src"), col("ec").as("node"),
-          (col("wd") + col("cost")).as("wd"))
-      d = d.unionAll(relaxed)
-        .groupBy(col("src"), col("node")).agg(min(col("wd")).as("wd"))
-        .materialize(truncate = true) // constant-depth iteration
+  def relaxMinSum(ew: DataFrame, srcs: DataFrame, rounds: Int): DataFrame =
+    if (ew.count() <= localEdgeCap)
+      relaxLocal(ew, srcs, rounds, col("cost"), 0L,
+        (acc, edge) => acc + edge, math.min)
+    else {
+      var d = srcs.select(col("src"), col("src").as("node"),
+        lit(0L).as("wd")).materialize(truncate = true)
+      for (_ <- 1 to rounds) {
+        val relaxed = d.join(ew, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"),
+            (col("wd") + col("cost")).as("wd"))
+        d = d.unionAll(relaxed)
+          .groupBy(col("src"), col("node")).agg(min(col("wd")).as("wd"))
+          .materialize(truncate = true) // constant-depth iteration
+      }
+      d
     }
-    d
+
+  /** Single-task twin of the H-round relaxations: per round, every
+    * (src, reached-node) value relaxes across every out-edge using the
+    * PREVIOUS round's table (exactly the dataframe loop's
+    * relax-then-union-then-reaggregate semantics); `combine` folds the
+    * path value (+ for min-sum costs, least for maximin widths) and
+    * `pick` keeps the per-(src, node) optimum. Long-exact, so rows are
+    * bit-identical to the distributed loop. */
+  private def relaxLocal(ew: DataFrame, srcs: DataFrame, rounds: Int,
+      edgeVal: org.apache.spark.sql.Column, selfVal: Long,
+      combine: (Long, Long) => Long, pick: (Long, Long) => Long)
+      : DataFrame = {
+    val s = ew.sparkSession
+    import s.implicits._
+    val out = ew.select(lit(0L).as("t"), col("ea").cast("long").as("u"),
+        col("ec").cast("long").as("v"), edgeVal.cast("long").as("x"))
+      .unionAll(srcs.select(lit(1L).as("t"),
+        col("src").cast("long").as("u"), col("src").cast("long").as("v"),
+        lit(0L).as("x")))
+      .as[(Long, Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        val edges = rows.collect { case (0L, a, c, v) => (a, c, v) }
+        val srcIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+        rows.foreach { case (t, v, _, _) => if (t == 1L) srcIds += v }
+        srcIds.iterator.flatMap { src =>
+          var d = scala.collection.mutable.HashMap[Long, Long](
+            src -> selfVal)
+          for (_ <- 1 to rounds) {
+            val nd = d.clone()
+            edges.foreach { case (a, c, v) =>
+              d.get(a).foreach { av =>
+                val cand = combine(av, v)
+                nd.update(c, nd.get(c).fold(cand)(pick(_, cand)))
+              }
+            }
+            d = nd
+          }
+          d.iterator.map { case (node, wd) => (src, node, wd) }
+        }
+      }
+      .toDF("src", "node", "wd")
+    out.materialize(truncate = true)
   }
 
   /** Maximin (widest-path / bottleneck) dual of [[relaxMinSum]]: the
@@ -161,18 +285,158 @@ object SupplierGraph {
     * width is its minimum edge support; b(v) = max over ≤H-edge paths.
     * Self-width is the sentinel 10^9 (an "infinite" pipe). */
   def relaxMaxMin(ewSupport: DataFrame, srcs: DataFrame,
-      rounds: Int): DataFrame = {
-    var b = srcs.select(col("src"), col("src").as("node"),
-      lit(1000000000L).as("bw")).materialize(truncate = true)
-    for (_ <- 1 to rounds) {
-      val relaxed = b.join(ewSupport, col("node") === col("ea"))
-        .select(col("src"), col("ec").as("node"),
-          least(col("bw"), col("w")).as("bw"))
-      b = b.unionAll(relaxed)
-        .groupBy(col("src"), col("node")).agg(max(col("bw")).as("bw"))
-        .materialize(truncate = true)
+      rounds: Int): DataFrame =
+    if (ewSupport.count() <= localEdgeCap)
+      relaxLocal(ewSupport, srcs, rounds, col("w"), 1000000000L,
+        math.min, math.max)
+        .withColumnRenamed("wd", "bw")
+    else {
+      var b = srcs.select(col("src"), col("src").as("node"),
+        lit(1000000000L).as("bw")).materialize(truncate = true)
+      for (_ <- 1 to rounds) {
+        val relaxed = b.join(ewSupport, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"),
+            least(col("bw"), col("w")).as("bw"))
+        b = b.unionAll(relaxed)
+          .groupBy(col("src"), col("node")).agg(max(col("bw")).as("bw"))
+          .materialize(truncate = true)
+      }
+      b
     }
-    b
+
+  /** Dual-label twin of [[relaxMinSum]] for the dilation audit: the
+    * min-sum cost AND the min hop count relax together (each is an
+    * independent min over the same ≤H-edge path set). Size-gated like
+    * the other fixpoints; rows (src, node, wd, d) are bit-identical to
+    * the per-round dataframe loop. */
+  def relaxDual(ew: DataFrame, srcs: DataFrame, rounds: Int): DataFrame =
+    if (ew.count() <= localEdgeCap) {
+      val s = ew.sparkSession
+      import s.implicits._
+      val out = ew.select(lit(0L).as("t"), col("ea").cast("long").as("u"),
+          col("ec").cast("long").as("v"), col("cost").cast("long").as("x"))
+        .unionAll(srcs.select(lit(1L).as("t"),
+          col("src").cast("long").as("u"), col("src").cast("long").as("v"),
+          lit(0L).as("x")))
+        .as[(Long, Long, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val edges = rows.collect { case (0L, a, c, v) => (a, c, v) }
+          val srcIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+          rows.foreach { case (t, v, _, _) => if (t == 1L) srcIds += v }
+          srcIds.iterator.flatMap { src =>
+            var d = scala.collection.mutable.HashMap[Long, (Long, Long)](
+              src -> ((0L, 0L)))
+            for (_ <- 1 to rounds) {
+              val nd = d.clone()
+              edges.foreach { case (a, c, cost) =>
+                d.get(a).foreach { case (wd, hd) =>
+                  val cand = (wd + cost, hd + 1L)
+                  nd.update(c, nd.get(c).fold(cand)(old =>
+                    (math.min(old._1, cand._1), math.min(old._2, cand._2))))
+                }
+              }
+              d = nd
+            }
+            d.iterator.map { case (node, (wd, hd)) => (src, node, wd, hd) }
+          }
+        }
+        .toDF("src", "node", "wd", "d")
+      out.materialize(truncate = true)
+    } else {
+      var d = srcs.select(col("src"), col("src").as("node"),
+        lit(0L).as("wd"), lit(0L).as("d")).materialize(truncate = true)
+      for (_ <- 1 to rounds) {
+        val relaxed = d.join(ew, col("node") === col("ea"))
+          .select(col("src"), col("ec").as("node"),
+            (col("wd") + col("cost")).as("wd"), (col("d") + 1L).as("d"))
+        d = d.unionAll(relaxed)
+          .groupBy(col("src"), col("node"))
+          .agg(min(col("wd")).as("wd"), min(col("d")).as("d"))
+          .materialize(truncate = true) // constant-depth iteration
+      }
+      d
+    }
+
+  /** Convergence-curve twin of [[relaxMinSum]]: per round k, the
+    * (src, node) pair count, the improved-vs-round-(k−1) count and the
+    * label mass — the whole curve from ONE task when the adjacency is
+    * under the gate, one bounded action per round above it. */
+  def relaxStats(ew: DataFrame, srcs: DataFrame, rounds: Int): DataFrame = {
+    val s = ew.sparkSession
+    import s.implicits._
+    if (ew.count() <= localEdgeCap) {
+      val out = ew.select(lit(0L).as("t"), col("ea").cast("long").as("u"),
+          col("ec").cast("long").as("v"), col("cost").cast("long").as("x"))
+        .unionAll(srcs.select(lit(1L).as("t"),
+          col("src").cast("long").as("u"), col("src").cast("long").as("v"),
+          lit(0L).as("x")))
+        .as[(Long, Long, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val edges = rows.collect { case (0L, a, c, v) => (a, c, v) }
+          val srcIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+          rows.foreach { case (t, v, _, _) => if (t == 1L) srcIds += v }
+          // one shared table over all sources: key (src, node) — the
+          // per-round stats aggregate over the union of sources exactly
+          // like the dataframe loop's (budget × node) frame
+          val adj = new scala.collection.mutable.HashMap[
+            Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+          edges.foreach { case (a, c, cost) =>
+            adj.getOrElseUpdate(a,
+              new scala.collection.mutable.ArrayBuffer[(Long, Long)]()) +=
+              ((c, cost))
+          }
+          var d = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          srcIds.foreach(src => d.update((src, src), 0L))
+          (1 to rounds).iterator.map { k =>
+            val nd = d.clone()
+            d.foreach { case ((src, node), wd) =>
+              adj.get(node).foreach(_.foreach { case (c, cost) =>
+                val cand = wd + cost
+                val key = (src, c)
+                nd.update(key, nd.get(key).fold(cand)(math.min(_, cand)))
+              })
+            }
+            val improved = nd.iterator.count { case (key, wd) =>
+              d.get(key).fold(true)(wd < _)
+            }
+            val res = (k.toLong, nd.size.toLong, improved.toLong,
+              nd.valuesIterator.sum)
+            d = nd
+            res
+          }
+        }
+        .toDF("round", "n_pairs", "n_improved", "sum_wd")
+      out.materialize(truncate = true)
+    } else {
+      var d = srcs.select(col("src"), col("src").as("node"),
+        lit(0L).as("wd")).materialize(truncate = true)
+      val stats = (1 to rounds).map { k =>
+        val prev = d
+        d = prev.unionAll(prev.join(ew, col("node") === col("ea"))
+            .select(col("src"), col("ec").as("node"),
+              (col("wd") + col("cost")).as("wd")))
+          .groupBy(col("src"), col("node")).agg(min(col("wd")).as("wd"))
+          .materialize(truncate = true) // constant-depth iteration
+        // ONE bounded action per round: pairs, improved-vs-prev, and
+        // label mass off a single left join of (budget × node) frames
+        val st = d
+          .join(prev.select(col("src").as("ps"), col("node").as("pn"),
+            col("wd").as("pwd")),
+            col("src") === col("ps") && col("node") === col("pn"),
+            "left_outer")
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("pwd").isNull || col("wd") < col("pwd"), 1L)
+              .otherwise(0L)).as("ni"),
+            sum(col("wd")).as("sw"))
+          .head()
+        (k.toLong, st.getLong(0), st.getLong(1), st.getLong(2))
+      }
+      stats.toDF("round", "n_pairs", "n_improved", "sum_wd")
+    }
   }
 
   /** Spark edges (a, c, w), a < c, support above the 830‰ order stat.

@@ -164,21 +164,10 @@ object WeightedPathQueries {
       |""".stripMargin)) { (s, dir) =>
     val (ew, budget) = spine(s, dir)
     // dual-label relaxation: min-sum cost AND min hop count ride the
-    // SAME per-round join + aggregate (each is an independent min over
-    // path costs, so fusing them halves the walk's job count vs
-    // relaxMinSum + bfsFrom; after H rounds hd is exactly the ≤H-hop
-    // BFS distance)
-    var d = budget.select(col("src"), col("src").as("node"),
-      lit(0L).as("wd"), lit(0L).as("d")).materialize(truncate = true)
-    for (_ <- 1 to hops) {
-      val relaxed = d.join(ew, col("node") === col("ea"))
-        .select(col("src"), col("ec").as("node"),
-          (col("wd") + col("cost")).as("wd"), (col("d") + 1L).as("d"))
-      d = d.unionAll(relaxed)
-        .groupBy(col("src"), col("node"))
-        .agg(min(col("wd")).as("wd"), min(col("d")).as("d"))
-        .materialize(truncate = true) // constant-depth iteration
-    }
+    // SAME walk (each is an independent min over path costs; after H
+    // rounds hd is exactly the ≤H-hop BFS distance) — size-gated
+    // single-task twin in SupplierGraph.relaxDual
+    val d = SupplierGraph.relaxDual(ew, budget, hops)
     val cm = ew.agg(min(col("cost")).as("cmin"))
     d.crossJoin(broadcast(cm))
       .groupBy(col("src"), col("cmin"))
@@ -248,32 +237,8 @@ object WeightedPathQueries {
       |ORDER BY round
       |""".stripMargin
     }) { (s, dir) =>
-    import s.implicits._
     val (ew, budget) = spine(s, dir)
-    var d = budget.select(col("src"), col("src").as("node"),
-      lit(0L).as("wd")).materialize(truncate = true)
-    val stats = (1 to hops).map { k =>
-      val prev = d
-      d = prev.unionAll(prev.join(ew, col("node") === col("ea"))
-          .select(col("src"), col("ec").as("node"),
-            (col("wd") + col("cost")).as("wd")))
-        .groupBy(col("src"), col("node")).agg(min(col("wd")).as("wd"))
-        .materialize(truncate = true) // constant-depth iteration
-      // ONE bounded action per round: pairs, improved-vs-prev, and
-      // label mass off a single left join of (budget × node) frames
-      val st = d
-        .join(prev.select(col("src").as("ps"), col("node").as("pn"),
-          col("wd").as("pwd")),
-          col("src") === col("ps") && col("node") === col("pn"),
-          "left_outer")
-        .agg(count(lit(1)).as("np"),
-          sum(when(col("pwd").isNull || col("wd") < col("pwd"), 1L)
-            .otherwise(0L)).as("ni"),
-          sum(col("wd")).as("sw"))
-        .head()
-      (k.toLong, st.getLong(0), st.getLong(1), st.getLong(2))
-    }
-    stats.toDF("round", "n_pairs", "n_improved", "sum_wd")
+    SupplierGraph.relaxStats(ew, budget, hops)
       .orderBy(col("round"))
   }
 }
