@@ -71,6 +71,100 @@ object Triangles {
       .groupBy(col("a"), col("c")).agg(count(lit(1)).as("s"))
   }
 
+  /** Bounded truss-peel trajectory over a canonical (a < c,
+    * deduplicated) edge list: per round, keep the edges supported by
+    * ≥ `minSup` triangles among the SURVIVING edges, for at most
+    * `rounds` rounds, with the monotone early exit (an unchanged
+    * count is a fixpoint — every remaining round provably returns the
+    * identical set). Output rows (round, n_edges, converged) for
+    * round 0..rounds, converged = 1 iff the last two counts agree —
+    * the q591 contract.
+    *
+    * Size-gated like the SupplierGraph fixpoint twins: under `cap`
+    * the whole peel folds inside ONE executor task (an edge's
+    * triangle support is the common-neighbor count of its endpoints
+    * within the current edge set — exactly [[edgeSupport]]'s integer
+    * count, so the trajectory is bit-identical); above the cap the
+    * per-round wedge-join loop runs. The cap is a parameter so the
+    * spec can force either branch and assert identical trajectories. */
+  def trussTrajectory(e0: DataFrame, rounds: Int, minSup: Int = 2,
+      cap: Long = 1L << 20): DataFrame = {
+    val s = e0.sparkSession
+    import s.implicits._
+    if (e0.count() <= cap) {
+      e0.select(col("a").cast("long"), col("c").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          var edges = it.toArray
+          val counts = scala.collection.mutable.ArrayBuffer(
+            edges.length.toLong)
+          var round = 0
+          var fixed = false
+          while (round < rounds && !fixed) {
+            val adj = new scala.collection.mutable.HashMap[
+              Long, scala.collection.mutable.HashSet[Long]]()
+            edges.foreach { case (a, c) =>
+              adj.getOrElseUpdate(a,
+                scala.collection.mutable.HashSet.empty[Long]) += c
+              adj.getOrElseUpdate(c,
+                scala.collection.mutable.HashSet.empty[Long]) += a
+            }
+            edges = edges.filter { case (a, c) =>
+              val na = adj(a); val nc = adj(c)
+              val (sm, lg) =
+                if (na.size <= nc.size) (na, nc) else (nc, na)
+              var sup = 0
+              val mi = sm.iterator
+              while (mi.hasNext && sup < minSup) {
+                if (lg.contains(mi.next())) sup += 1
+              }
+              sup >= minSup
+            }
+            counts += edges.length.toLong
+            round += 1
+            if (counts(round) == counts(round - 1)) {
+              fixed = true
+              while (counts.size <= rounds) counts += counts(round)
+            }
+          }
+          val conv = if (counts(rounds - 1) == counts(rounds)) 1L
+            else 0L
+          counts.iterator.zipWithIndex.map { case (ne, i) =>
+            (i.toLong, ne, conv)
+          }
+        }
+        .toDF("round", "n_edges", "converged")
+        .materialize(truncate = true)
+    } else {
+      var r = e0
+      val counts = scala.collection.mutable.ArrayBuffer(r.count())
+      var round = 0
+      var fixed = false
+      while (round < rounds && !fixed) {
+        // per-edge triangle support via the DEGREE-ORIENTED wedge
+        // enumeration (edgeSupport): each triangle found exactly once
+        // at its pivot, O(√E) fan-out — not the deg(u)+deg(v) hub
+        // blow-up of joining the both-direction adjacency on both
+        // endpoints
+        val sup = edgeSupport(r)
+        r = sup.where(col("s") >= minSup).select(col("a"), col("c"))
+          .materialize(truncate = true)
+        counts += r.count()
+        round += 1
+        if (counts(round) == counts(round - 1)) {
+          fixed = true
+          while (counts.size <= rounds) counts += counts(round)
+        }
+      }
+      val conv =
+        if (counts(rounds - 1) == counts(rounds)) 1L else 0L
+      counts.toSeq.zipWithIndex
+        .map { case (ne, i) => (i.toLong, ne, conv) }
+        .toDF("round", "n_edges", "converged")
+    }
+  }
+
   /** The exact number of triangles in the undirected graph given by
     * `edges` (any direction, duplicates tolerated). Output: one row,
     * `n_triangles` long. */

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Materialize.MatOps
-import graft.Tables
 
 /** Round-10 bipartite-HITS wave on the customer→supplier purchase
   * graph (an edge per DISTINCT (customer, supplier) trading pair).
@@ -27,8 +26,10 @@ import graft.Tables
   *
   * Scale: ONE fact-fact join (lineitem ⋈ orders on the order key — a
   * co-partitioned hash join) collapses straight into the distinct
-  * trading-pair dim; every iteration round is one broadcast-joined
-  * aggregate over that edge dim. */
+  * trading-pair dim ([[TradeGraph]] spine, shared with q416's
+  * weighted HITS); every iteration round is one broadcast-joined
+  * aggregate over that edge dim, and the whole 5-round chain is a
+  * SpineCache spine built once per process for the five queries. */
 object BipartiteHitsQueries {
 
   val all: Seq[Q] = Seq(q981, q982, q983, q984, q985)
@@ -49,30 +50,49 @@ object BipartiteHitsQueries {
     |a3 AS MATERIALIZED (
     |  SELECT su, sum(h) AS a FROM be JOIN h2 USING (cu) GROUP BY 1)""".stripMargin
 
-  /** Spark twin: (edge dim be(cu, su), Vector(a1, a2, a3), h2). */
+  /** Spark twin: (edge dim be(cu, su), Vector(a1, a2, a3), h2).
+    *
+    * The edge dim is the [[TradeGraph]] spine's binary projection
+    * (distinct by construction), and the five iteration tables ride a
+    * second SpineCache spine (kind, rnd, id, sc) — the fact-fact join
+    * and the whole power-iteration chain are built ONCE per process
+    * and each of the five wave members reads just the dims it needs,
+    * instead of rebuilding the chain five times. Values are identical:
+    * a parquet round-trip of long/decimal(38,0) is exact. */
   private def hits(s: SparkSession, dir: String)
       : (DataFrame, Vector[DataFrame], DataFrame) = {
-    val be = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("su"))
-      .join(Tables.orders(s, dir)
-        .select(col("o_orderkey").as("ok"), col("o_custkey").as("cu")),
-        "ok")
-      .select(col("cu"), col("su")).distinct()
-      .materialize()
-    val a1 = be.groupBy(col("su"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
-      .materialize()
-    def toH(a: DataFrame): DataFrame =
-      be.join(broadcast(a), "su").groupBy(col("cu"))
-        .agg(sum(col("a")).as("h")).materialize()
-    def toA(h: DataFrame): DataFrame =
-      be.join(broadcast(h), "cu").groupBy(col("su"))
-        .agg(sum(col("h")).as("a")).materialize()
-    val h1 = toH(a1)
-    val a2 = toA(h1)
-    val h2 = toH(a2)
-    val a3 = toA(h2)
-    (be, Vector(a1, a2, a3), h2)
+    val be = TradeGraph.pairs(s, dir).select(col("cu"), col("su"))
+    val sc = graft.sources.SpineCache.table(s, dir, "bhits_scores",
+      Seq("lineitem", "orders")) {
+      val a1 = be.groupBy(col("su"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
+        .materialize()
+      def toH(a: DataFrame): DataFrame =
+        be.join(broadcast(a), "su").groupBy(col("cu"))
+          .agg(sum(col("a")).as("h")).materialize()
+      def toA(h: DataFrame): DataFrame =
+        be.join(broadcast(h), "cu").groupBy(col("su"))
+          .agg(sum(col("h")).as("a")).materialize()
+      val h1 = toH(a1)
+      val a2 = toA(h1)
+      val h2 = toH(a2)
+      val a3 = toA(h2)
+      def tag(df: DataFrame, kind: String, rnd: Int, id: String,
+          v: String): DataFrame =
+        df.select(lit(kind).as("kind"), lit(rnd.toLong).as("rnd"),
+          col(id).cast("long").as("id"), col(v).as("sc"))
+      tag(a1, "a", 1, "su", "a")
+        .unionAll(tag(a2, "a", 2, "su", "a"))
+        .unionAll(tag(a3, "a", 3, "su", "a"))
+        .unionAll(tag(h1, "h", 1, "cu", "h"))
+        .unionAll(tag(h2, "h", 2, "cu", "h"))
+    }
+    def aK(k: Int): DataFrame =
+      sc.where(col("kind") === "a" && col("rnd") === k.toLong)
+        .select(col("id").as("su"), col("sc").as("a"))
+    val h2 = sc.where(col("kind") === "h" && col("rnd") === 2L)
+      .select(col("id").as("cu"), col("sc").as("h"))
+    (be, Vector(aK(1), aK(2), aK(3)), h2)
   }
 
   /** Top-10 authorities (suppliers) after 3 rounds. */

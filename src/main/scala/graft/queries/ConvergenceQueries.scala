@@ -351,7 +351,6 @@ object ConvergenceQueries {
   def q495: Q = {
     val iters = 8
     val scale = 1000000000L
-    val contrib = "(17 * ((w * rank) div wout)) div 20"
     val duckContrib = "(17 * ((e.w * v.rank) // e.wout)) // 20"
     val vCtes = (1 to iters).map { kk =>
       s"""c$kk AS MATERIALIZED (
@@ -385,41 +384,13 @@ object ConvergenceQueries {
         |       CAST(residual AS BIGINT) AS residual_units
         |FROM ($resRows) r ORDER BY iter
         |""".stripMargin)) { (s, dir) =>
-      import s.implicits._
       val ep = SupplierGraph.edges(s, dir)
       val ed = ep.select(col("a").as("src"), col("c").as("dst"), col("w"))
         .unionAll(ep.select(col("c").as("src"), col("a").as("dst"),
           col("w")))
         .materialize()
-      val ow = ed.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-      val ew = ed.join(broadcast(ow), Seq("src")).materialize()
-      val nodes = ed.select(col("src").as("node")).distinct().materialize()
-      val pars = nodes.agg(count(lit(1)).as("n"))
-        .select(expr(s"${scale}L div n").as("init"),
-          expr(s"(3 * ${scale}L) div (20 * n)").as("base"))
-      var ranks = nodes.crossJoin(broadcast(pars))
-        .select(col("node"), col("init").as("rank"))
-        .materialize()
-      var residuals = Seq.empty[org.apache.spark.sql.DataFrame]
-      for (kk <- 1 to iters) {
-        val contribs = ew
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), expr(contrib).as("c"))
-          .groupBy(col("node")).agg(sum(col("c")).as("s"))
-        val next = nodes.crossJoin(broadcast(pars))
-          .join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
-          .materialize(truncate = true) // constant-depth per round
-        val res = next
-          .join(ranks.select(col("node"), col("rank").as("prev")),
-            Seq("node"))
-          .agg(sum(abs(col("rank") - col("prev"))).as("residual_units"))
-          .select(lit(kk.toLong).as("iter"), col("residual_units"))
-        residuals = residuals :+ res
-        ranks = next
-      }
-      residuals.reduce(_ unionAll _).orderBy(col("iter"))
+      SupplierGraph.pagerankResiduals(ed, iters, scale)
+        .orderBy(col("iter"))
     }
   }
 }

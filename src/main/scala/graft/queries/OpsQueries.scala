@@ -423,13 +423,11 @@ object OpsQueries {
       |         AS auth_milli
       |FROM a2m ORDER BY am DESC, supp LIMIT 10
       |""".stripMargin)) { (s, dir) =>
-    val e = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .agg(count(lit(1)).as("w"))
-      .materialize() // the edge dim feeds all four half-steps
+    // the weighted trading-pair edge dim is the shared TradeGraph
+    // spine (same (cust, supp) groupBy-count; q981-q985 read its
+    // binary projection) — it feeds all four half-steps
+    val e = TradeGraph.pairs(s, dir)
+      .select(col("cu").as("cust"), col("su").as("supp"), col("w"))
     def normalize(df: org.apache.spark.sql.DataFrame, v: String) = {
       val mx = df.agg(max(col(v)).as("__mx"))
       df.crossJoin(broadcast(mx))

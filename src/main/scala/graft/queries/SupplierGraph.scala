@@ -439,6 +439,96 @@ object SupplierGraph {
     }
   }
 
+  /** Scaled-integer PageRank residual curve over a both-direction
+    * WEIGHTED edge frame (src, dst, w): for each round k ≤ iters the
+    * L1 residual Σ_v |r_k(v) − r_{k−1}(v)| of the exact long
+    * recurrence r_k(v) = base + Σ_{(u,v)∈E} (17·((w·r_{k−1}(u)) div
+    * wout(u))) div 20 with r_0 = scale div n and base = (3·scale) div
+    * (20·n) — the q495 observability face. Size-gated like the other
+    * fixpoint twins: under `cap` (default [[localEdgeCap]]) the whole
+    * curve folds inside ONE executor task with identical long
+    * arithmetic (all operands nonnegative, so JVM `/` ≡ Spark `div` ≡
+    * DuckDB `//`); above the cap the per-round dataframe loop runs
+    * unchanged. The cap is a parameter so the spec can force either
+    * branch and assert bit-identical curves. */
+  def pagerankResiduals(ed: DataFrame, iters: Int, scale: Long,
+      cap: Long = localEdgeCap): DataFrame = {
+    val s = ed.sparkSession
+    import s.implicits._
+    if (ed.count() <= cap) {
+      val out = ed
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long"))
+        .as[(Long, Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val edges = it.toArray
+          val wout = new scala.collection.mutable.HashMap[Long, Long]()
+          edges.foreach { case (u, _, w) =>
+            wout.update(u, wout.getOrElse(u, 0L) + w)
+          }
+          val nodes = wout.keysIterator.toArray
+          val n = nodes.length.toLong
+          val init = scale / n
+          val base = (3L * scale) / (20L * n)
+          var ranks = scala.collection.mutable.HashMap.empty[Long, Long]
+          nodes.foreach(v => ranks.update(v, init))
+          (1 to iters).iterator.map { k =>
+            val contrib =
+              scala.collection.mutable.HashMap.empty[Long, Long]
+            edges.foreach { case (u, v, w) =>
+              val c = (17L * ((w * ranks(u)) / wout(u))) / 20L
+              contrib.update(v, contrib.getOrElse(v, 0L) + c)
+            }
+            var residual = 0L
+            val next = scala.collection.mutable.HashMap.empty[Long, Long]
+            nodes.foreach { v =>
+              val r = base + contrib.getOrElse(v, 0L)
+              next.update(v, r)
+              residual += math.abs(r - ranks(v))
+            }
+            ranks = next
+            (k.toLong, residual)
+          }
+        }
+        .toDF("iter", "residual_units")
+      out.materialize(truncate = true)
+    } else {
+      val contrib = "(17 * ((w * rank) div wout)) div 20"
+      val ow = ed.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      val ew = ed.join(broadcast(ow), Seq("src")).materialize()
+      val nodes = ed.select(col("src").as("node")).distinct()
+        .materialize()
+      val pars = nodes.agg(count(lit(1)).as("n"))
+        .select(expr(s"${scale}L div n").as("init"),
+          expr(s"(3 * ${scale}L) div (20 * n)").as("base"))
+      var ranks = nodes.crossJoin(broadcast(pars))
+        .select(col("node"), col("init").as("rank"))
+        .materialize()
+      var residuals = Seq.empty[DataFrame]
+      for (kk <- 1 to iters) {
+        val contribs = ew
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr(contrib).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        val next = nodes.crossJoin(broadcast(pars))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (col("base") + coalesce(col("s"), lit(0L))).as("rank"))
+          .materialize(truncate = true) // constant-depth per round
+        val res = next
+          .join(ranks.select(col("node"), col("rank").as("prev")),
+            Seq("node"))
+          .agg(sum(abs(col("rank") - col("prev")))
+            .as("residual_units"))
+          .select(lit(kk.toLong).as("iter"), col("residual_units"))
+        residuals = residuals :+ res
+        ranks = next
+      }
+      residuals.reduce(_ unionAll _)
+    }
+  }
+
   /** Spark edges (a, c, w), a < c, support above the 830‰ order stat.
     *
     * Plan shape: ONE shuffle on the order key builds the per-order

@@ -57,37 +57,10 @@ object TopologyQueries {
         |       CAST(cv.converged AS BIGINT) AS converged
         |FROM counts CROSS JOIN cv ORDER BY round
         |""".stripMargin)) { (s, dir) =>
-      var r = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
+      val e0 = SupplierGraph.edges(s, dir).select(col("a"), col("c"))
         .materialize(truncate = true)
-      val counts = scala.collection.mutable.ArrayBuffer(r.count())
-      var round = 0
-      var fixed = false
-      while (round < trussRounds && !fixed) {
-        // per-edge triangle support via the DEGREE-ORIENTED wedge
-        // enumeration (Triangles.edgeSupport): each triangle found
-        // exactly once at its pivot, O(√E) fan-out — not the
-        // deg(u)+deg(v) hub blow-up of joining the both-direction
-        // adjacency on both endpoints (the round-8 shape)
-        val sup = graft.operators.Triangles.edgeSupport(r)
-        r = sup.where(col("s") >= 2).select(col("a"), col("c"))
-          .materialize(truncate = true)
-        counts += r.count()
-        round += 1
-        // peeling is MONOTONE (each round's edges are a subset of the
-        // previous round's), so an unchanged count means a fixpoint:
-        // every remaining round provably returns the identical set —
-        // fill the trajectory and stop paying wedge joins for no-ops
-        if (counts(round) == counts(round - 1)) {
-          fixed = true
-          while (counts.size <= trussRounds) counts += counts(round)
-        }
-      }
-      val conv =
-        if (counts(trussRounds - 1) == counts(trussRounds)) 1L else 0L
-      import s.implicits._
-      counts.toSeq.zipWithIndex
-        .map { case (ne, i) => (i.toLong, ne, conv) }
-        .toDF("round", "n_edges", "converged")
+      graft.operators.Triangles.trussTrajectory(e0, trussRounds,
+          cap = SupplierGraph.localEdgeCap)
         .orderBy(col("round"))
     }
   }

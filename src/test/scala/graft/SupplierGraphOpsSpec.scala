@@ -37,10 +37,16 @@ class SupplierGraphOpsSpec extends AnyFunSuite {
 
   test("exhaustion assert trips when the cap truncates a distance") {
     val srcs = Seq(1L).toDF("src")
-    val err = intercept[IllegalArgumentException] {
+    // the size-gated twin raises the contract violation INSIDE its
+    // single task, so Spark surfaces it wrapped — assert the loud
+    // failure by message anywhere in the cause chain, branch-agnostic
+    val err = intercept[Exception] {
       SupplierGraph.bfsFrom(ed, srcs, maxHops = 3, assertExhausted = true)
     }
-    assert(err.getMessage.contains("beyond the 3-hop cap"))
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("beyond the 3-hop cap")))
     // without the assert the capped walk is legal (reach-size metric)
     val reach = SupplierGraph.bfsFrom(ed, srcs, maxHops = 3)
     assert(reach.count() == 4) // nodes 1..4; node 5 beyond the cap
