@@ -20,11 +20,18 @@ object DailyNet {
     |             * CAST(l_extendedprice * 100 AS HUGEINT)) AS net
     |  FROM lineitem GROUP BY 1)""".stripMargin
 
-  /** Spark frame (day BIGINT, net DECIMAL(38,0) cents). */
+  /** Spark frame (day BIGINT, net DECIMAL(38,0) cents) — a SpineCache
+    * table: ~20 call sites each rebuilt this one-fact-pass calendar
+    * reduction; it is now built once per process and read by every
+    * consumer (long/decimal parquet round-trip is exact). */
   def frame(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
-        " div 86400000000").as("day"))
-      .agg(sum(when(col("l_returnflag") === "R", -1).otherwise(1)
-        * expr("CAST(l_extendedprice * 100 AS DECIMAL(38,0))")).as("net"))
+    graft.sources.SpineCache.table(s, dir, "daily_net_cents",
+      "lineitem") {
+      Tables.lineitem(s, dir)
+        .groupBy(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))" +
+          " div 86400000000").as("day"))
+        .agg(sum(when(col("l_returnflag") === "R", -1).otherwise(1)
+          * expr("CAST(l_extendedprice * 100 AS DECIMAL(38,0))"))
+          .as("net"))
+    }
 }

@@ -29,12 +29,169 @@ object RobustScaleQueries {
     |gl AS (SELECT count(*) AS n FROM day)""".stripMargin
 
   private def dayBase(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("date").as("d"),
-        expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0)) AS LONG)")
-          .as("v"))
-      .groupBy(col("d"))
-      .agg(sum(col("v")).as("x"))
+    graft.sources.SpineCache.table(s, dir, "daily_gross_day_cents",
+      "lineitem") {
+      Tables.lineitem(s, dir)
+        .select(col("l_shipdate").cast("date").as("d"),
+          expr("CAST(CAST(l_extendedprice * 100 AS DECIMAL(38,0))" +
+            " AS LONG)").as("v"))
+        .groupBy(col("d"))
+        .agg(sum(col("v")).as("x"))
+    }
+
+  /** Size gate for the single-task day² twins (Sn, Qn, HL here; the
+    * Siegel slope in RobustTrendQueries): a day series under this row
+    * cap runs its pairwise order-statistic selection inside ONE
+    * executor task — the calendar bounds the series at ~2.5k rows at
+    * EVERY sf, so the relational all-pairs plan only ever re-sorted a
+    * constant ~3M-row frame through full shuffles; above the cap
+    * (≈8.4M pairs, 67 MB of longs per task) the relational plan runs
+    * unchanged. The SupplierGraph fixpoint discipline applied to the
+    * calendar dim. */
+  val localDayCap = 1L << 12
+
+  /** Sn: per day i the himed (rank (n−1) div 2 + 1) of |xᵢ − xⱼ|,
+    * j ≠ i, then the lomed (rank (n+1) div 2) over the n per-day
+    * values — both exact order statistics on longs, so the single-
+    * task twin is bit-identical to the relational plan (the window
+    * tie-break by j only reorders EQUAL gap values; the value at the
+    * rank is unchanged). `cap` is a parameter so the spec can force
+    * either branch. */
+  private[graft] def snFrame(day: DataFrame,
+      cap: Long = localDayCap): DataFrame = {
+    val s = day.sparkSession
+    import s.implicits._
+    val c = day.count()
+    // the degenerate n < 2 series has no pairs — only the relational
+    // plan states its (empty) contract; the twin handles n >= 2
+    if (c >= 2 && c <= cap) {
+      day.select(col("x")).as[Long]
+        .repartition(1)
+        .mapPartitions { it =>
+          val xs = it.toArray
+          val n = xs.length
+          val rk = (n - 1) / 2 + 1
+          val his = new Array[Long](n)
+          val gaps = new Array[Long](n - 1)
+          var i = 0
+          while (i < n) {
+            var k = 0
+            var j = 0
+            while (j < n) {
+              if (j != i) { gaps(k) = math.abs(xs(i) - xs(j)); k += 1 }
+              j += 1
+            }
+            java.util.Arrays.sort(gaps)
+            his(i) = gaps(rk - 1)
+            i += 1
+          }
+          java.util.Arrays.sort(his)
+          Iterator.single((n.toLong, his((n + 1) / 2 - 1)))
+        }
+        .toDF("n_days", "sn_raw_cents")
+    } else {
+      val gl = day.agg(count(lit(1)).as("n"))
+      val b = day.select(col("d").as("j"), col("x").as("xb"))
+      val pr = day.join(b, col("j") =!= col("d"))
+        .select(col("d").as("i"), abs(col("x") - col("xb")).as("dd"),
+          col("j"))
+      val di = pr.select(col("i"), col("dd"),
+        row_number().over(Window.partitionBy(col("i"))
+          .orderBy(col("dd"), col("j"))).as("r"))
+      val hm = di.crossJoin(broadcast(gl))
+        .where(col("r") === expr("(n - 1) div 2 + 1"))
+        .select(col("i"), col("dd").as("hi"))
+      val fin = hm.select(col("hi"),
+        row_number().over(Window.orderBy(col("hi"), col("i"))).as("r2"))
+      fin.crossJoin(broadcast(gl))
+        .where(col("r2") === expr("(n + 1) div 2"))
+        .select(col("n").cast("long").as("n_days"),
+          col("hi").cast("long").as("sn_raw_cents"))
+    }
+  }
+
+  /** Qn: the k-th smallest of the n(n−1)/2 pairwise gaps,
+    * k = (n div 2 + 1)·(n div 2) div 2 — one exact selection. */
+  private[graft] def qnFrame(day: DataFrame,
+      cap: Long = localDayCap): DataFrame = {
+    val s = day.sparkSession
+    import s.implicits._
+    val c = day.count()
+    if (c >= 2 && c <= cap) {
+      day.select(col("x")).as[Long]
+        .repartition(1)
+        .mapPartitions { it =>
+          val xs = it.toArray
+          val n = xs.length
+          val k = (n / 2 + 1).toLong * (n / 2).toLong / 2L
+          val gaps = new Array[Long](n * (n - 1) / 2)
+          var p = 0
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              gaps(p) = math.abs(xs(i) - xs(j)); p += 1; j += 1
+            }
+            i += 1
+          }
+          java.util.Arrays.sort(gaps)
+          Iterator.single((k, gaps((k - 1).toInt)))
+        }
+        .toDF("k_order", "qn_raw_cents")
+    } else {
+      val k = day.agg(count(lit(1)).as("n"))
+        .select(expr("(n div 2 + 1) * (n div 2) div 2").as("k"))
+        .head().getLong(0)
+      val b = day.select(col("d").as("j"), col("x").as("xb"))
+      val pq = day.join(b, col("j") > col("d"))
+        .select(abs(col("x") - col("xb")).as("dd"))
+      val sel = pq.orderBy(col("dd")).limit(k.toInt)
+        .agg(max(col("dd")).as("q"))
+      sel.select(lit(k).as("k_order"),
+        col("q").cast("long").as("qn_raw_cents"))
+    }
+  }
+
+  /** Hodges-Lehmann pseudomedian: the (m+1) div 2-th smallest of the
+    * m = n(n+1)/2 Walsh sums xᵢ + xⱼ (i ≤ j), halved by floor
+    * division. */
+  private[graft] def hlFrame(day: DataFrame,
+      cap: Long = localDayCap): DataFrame = {
+    val s = day.sparkSession
+    import s.implicits._
+    val c = day.count()
+    if (c >= 1 && c <= cap) {
+      day.select(col("x")).as[Long]
+        .repartition(1)
+        .mapPartitions { it =>
+          val xs = it.toArray
+          val n = xs.length
+          val m = n.toLong * (n + 1).toLong / 2L
+          val sums = new Array[Long](m.toInt)
+          var p = 0
+          var i = 0
+          while (i < n) {
+            var j = i
+            while (j < n) { sums(p) = xs(i) + xs(j); p += 1; j += 1 }
+            i += 1
+          }
+          java.util.Arrays.sort(sums)
+          val sel = sums(((m + 1) / 2 - 1).toInt)
+          Iterator.single((m, sel / 2L))
+        }
+        .toDF("n_pairs", "hl_pseudomedian_cents")
+    } else {
+      val b = day.select(col("d").as("j"), col("x").as("xb"))
+      val pm = day.join(b, col("j") >= col("d"))
+        .select((col("x") + col("xb")).as("s2")).materialize()
+      val m = pm.count()
+      val kSel = ((m + 1) / 2).toInt
+      pm.orderBy(col("s2")).limit(kSel)
+        .agg(max(col("s2")).as("sel"))
+        .select(lit(m).as("n_pairs"),
+          expr("CAST(sel div 2 AS BIGINT)").as("hl_pseudomedian_cents"))
+    }
+  }
 
   /** Rousseeuw-Croux Sn (raw, no consistency constant): low median
     * over days of the high median of |xᵢ − xⱼ|, j ≠ i. */
@@ -55,24 +212,7 @@ object RobustScaleQueries {
       |             WHERE r2 = (gl.n + 1) // 2) AS BIGINT)
       |         AS sn_raw_cents
       |""".stripMargin)) { (s, dir) =>
-    val day = dayBase(s, dir).materialize()
-    val gl = day.agg(count(lit(1)).as("n"))
-    val b = day.select(col("d").as("j"), col("x").as("xb"))
-    val pr = day.join(b, col("j") =!= col("d"))
-      .select(col("d").as("i"), abs(col("x") - col("xb")).as("dd"),
-        col("j"))
-    val di = pr.select(col("i"), col("dd"),
-      row_number().over(Window.partitionBy(col("i"))
-        .orderBy(col("dd"), col("j"))).as("r"))
-    val hm = di.crossJoin(broadcast(gl))
-      .where(col("r") === expr("(n - 1) div 2 + 1"))
-      .select(col("i"), col("dd").as("hi"))
-    val fin = hm.select(col("hi"),
-      row_number().over(Window.orderBy(col("hi"), col("i"))).as("r2"))
-    fin.crossJoin(broadcast(gl))
-      .where(col("r2") === expr("(n + 1) div 2"))
-      .select(col("n").cast("long").as("n_days"),
-        col("hi").cast("long").as("sn_raw_cents"))
+    snFrame(dayBase(s, dir).materialize())
   }
 
   /** Rousseeuw-Croux Qn (raw): the C(h,2)-th smallest pairwise gap,
@@ -89,17 +229,7 @@ object RobustScaleQueries {
       |             LIMIT 1 OFFSET (SELECT k - 1 FROM kk)) AS BIGINT)
       |         AS qn_raw_cents
       |""".stripMargin)) { (s, dir) =>
-    val day = dayBase(s, dir).materialize()
-    val k = day.agg(count(lit(1)).as("n"))
-      .select(expr("(n div 2 + 1) * (n div 2) div 2").as("k"))
-      .head().getLong(0)
-    val b = day.select(col("d").as("j"), col("x").as("xb"))
-    val pq = day.join(b, col("j") > col("d"))
-      .select(abs(col("x") - col("xb")).as("dd"))
-    val sel = pq.orderBy(col("dd")).limit(k.toInt)
-      .agg(max(col("dd")).as("q"))
-    sel.select(lit(k).as("k_order"),
-      col("q").cast("long").as("qn_raw_cents"))
+    qnFrame(dayBase(s, dir).materialize())
   }
 
   /** Hodges-Lehmann pseudomedian: the low median of all pairwise
@@ -115,16 +245,7 @@ object RobustScaleQueries {
       |             LIMIT 1 OFFSET (SELECT (m + 1) // 2 - 1 FROM nm))
       |            AS BIGINT) AS hl_pseudomedian_cents
       |""".stripMargin)) { (s, dir) =>
-    val day = dayBase(s, dir).materialize()
-    val b = day.select(col("d").as("j"), col("x").as("xb"))
-    val pm = day.join(b, col("j") >= col("d"))
-      .select((col("x") + col("xb")).as("s2")).materialize()
-    val m = pm.count()
-    val kSel = ((m + 1) / 2).toInt
-    pm.orderBy(col("s2")).limit(kSel)
-      .agg(max(col("s2")).as("sel"))
-      .select(lit(m).as("n_pairs"),
-        expr("CAST(sel div 2 AS BIGINT)").as("hl_pseudomedian_cents"))
+    hlFrame(dayBase(s, dir).materialize())
   }
 
   /** 10% winsorized mean and sd: values clamped to the exact ECDF

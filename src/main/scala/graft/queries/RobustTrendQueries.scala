@@ -119,25 +119,80 @@ object RobustTrendQueries {
       |       CAST(gm.siegel AS BIGINT) AS siegel_slope_micro
       |FROM gm
       |""".stripMargin)) { (s, dir) =>
-    val d = DailyNet.frame(s, dir).materialize()
-    val pp = d.select(col("day").as("da"), col("net").as("va"))
-      .join(d.select(col("day").as("db"), col("net").as("vb")),
-        col("db") =!= col("da"))
-      .select(col("da").as("i"),
-        expr("CAST(floor(CAST(vb - va AS DOUBLE)" +
-          " / CAST(db - da AS DOUBLE) * 1000000.0) AS BIGINT)").as("sl"))
-      .materialize() // per-day medians AND the pair count read it
-    val pm = graft.operators.OrderStats.quantilesDisc(
-        pp, Seq("i"), "sl", Seq(500))
-      .select(col("i"), col("value").as("med"))
-    val gm = graft.operators.OrderStats.quantilesDisc(
-        pm.withColumn("k", lit(0L)), Seq("k"), "med", Seq(500))
-      .select(col("value").as("siegel"))
-    val nd = d.agg(count(lit(1)).as("n_days"))
-    val np = pp.agg(count(lit(1)).as("n_pairs"))
-    gm.crossJoin(broadcast(nd)).crossJoin(broadcast(np))
-      .select(col("n_days"), col("n_pairs"),
-        col("siegel").as("siegel_slope_micro"))
+    siegelFrame(DailyNet.frame(s, dir).materialize())
+  }
+
+  /** The q647 Siegel selection, size-gated on the day count (the
+    * RobustScaleQueries.localDayCap discipline): under the cap the
+    * whole day² slope table, its per-day medians (rank
+    * (500·(n−1)+999) div 1000 over ascending slopes — exactly
+    * OrderStats.quantilesDisc at permille 500) and the global median
+    * fold inside ONE executor task. Slopes replicate the pinned text
+    * exactly: the net difference is a long (daily net cents fit far
+    * inside a long at any real scale; the decimal cast would overflow
+    * the same way), ONE IEEE double divide and multiply in the same
+    * op order, floor to long. `cap` is a parameter so the spec can
+    * force either branch and assert bit-identical rows. */
+  private[graft] def siegelFrame(d: DataFrame,
+      cap: Long = RobustScaleQueries.localDayCap): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val c = d.count()
+    if (c >= 2 && c <= cap) {
+      d.select(col("day").cast("long"), col("net").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val rows = it.toArray
+          val n = rows.length
+          val meds = new Array[Long](n)
+          val sl = new Array[Long](n - 1)
+          val rkI = (500L * (n - 1) + 999L) / 1000L
+          var i = 0
+          while (i < n) {
+            var k = 0
+            var j = 0
+            while (j < n) {
+              if (j != i) {
+                sl(k) = math.floor(
+                  (rows(j)._2 - rows(i)._2).toDouble
+                    / (rows(j)._1 - rows(i)._1).toDouble
+                    * 1000000.0).toLong
+                k += 1
+              }
+              j += 1
+            }
+            java.util.Arrays.sort(sl)
+            meds(i) = sl(rkI.toInt - 1)
+            i += 1
+          }
+          java.util.Arrays.sort(meds)
+          val rkG = (500L * n + 999L) / 1000L
+          Iterator.single(
+            (n.toLong, n.toLong * (n - 1L), meds(rkG.toInt - 1)))
+        }
+        .toDF("n_days", "n_pairs", "siegel_slope_micro")
+    } else {
+      val pp = d.select(col("day").as("da"), col("net").as("va"))
+        .join(d.select(col("day").as("db"), col("net").as("vb")),
+          col("db") =!= col("da"))
+        .select(col("da").as("i"),
+          expr("CAST(floor(CAST(vb - va AS DOUBLE)" +
+            " / CAST(db - da AS DOUBLE) * 1000000.0) AS BIGINT)")
+            .as("sl"))
+        .materialize() // per-day medians AND the pair count read it
+      val pm = graft.operators.OrderStats.quantilesDisc(
+          pp, Seq("i"), "sl", Seq(500))
+        .select(col("i"), col("value").as("med"))
+      val gm = graft.operators.OrderStats.quantilesDisc(
+          pm.withColumn("k", lit(0L)), Seq("k"), "med", Seq(500))
+        .select(col("value").as("siegel"))
+      val nd = d.agg(count(lit(1)).as("n_days"))
+      val np = pp.agg(count(lit(1)).as("n_pairs"))
+      gm.crossJoin(broadcast(nd)).crossJoin(broadcast(np))
+        .select(col("n_days"), col("n_pairs"),
+          col("siegel").as("siegel_slope_micro"))
+    }
   }
 
   /** Quade test on the region × last-8-quarter revenue table: blocks

@@ -30,19 +30,23 @@ object Scaffolds {
       |  FROM (SELECT unnest(range(mm.lo, mm.hi + 1)) AS d FROM mm) g
       |  LEFT JOIN rev ON g.d = rev.d)""".stripMargin
 
-  /** Spark side of [[sqlDailyDollars]]: (day, x), materialized. */
-  def dailyDollars(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
-        " div 86400000000").as("d"),
-        (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
-      .materialize() // feeds the per-day rollup AND the range scalars
-    val rev = o.groupBy(col("d"))
-      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-    val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
-      .join(rev, col("day") === col("d"), "left")
-      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
-      .materialize() // calendar-bounded day dim
-  }
+  /** Spark side of [[sqlDailyDollars]]: (day, x) — a SpineCache
+    * table: the zero-filled grid was rebuilt from the orders fact by
+    * every round-7 statistical face; it is now one fact pass per
+    * process, read by every consumer (all-long round-trip, exact). */
+  def dailyDollars(s: SparkSession, dir: String): DataFrame =
+    graft.sources.SpineCache.table(s, dir, "daily_dollars_grid",
+      "orders") {
+      val o = Tables.orders(s, dir)
+        .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+          " div 86400000000").as("d"),
+          (col("o_totalprice") * 100).cast("decimal(38,0)").as("cents"))
+        .materialize() // feeds the per-day rollup AND the range scalars
+      val rev = o.groupBy(col("d"))
+        .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
+      val mm = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      mm.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .join(rev, col("day") === col("d"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    }
 }
